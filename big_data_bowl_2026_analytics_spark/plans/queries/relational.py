@@ -1,0 +1,599 @@
+"""Relational core: scans, filters, projections, joins, aggregations.
+
+Each query is the TPC-H-shaped equivalent of a reference operator
+(file:line cites are into /root/reference). Scale notes per query
+explain why the plan survives 100 TB: what broadcasts, what shuffles
+on which key, and what pushes down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ...functions.scalar import fround
+from ...sources.readers import read_table
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# Aggregation over a pushed-down scan (reference A1-A12 family;
+# src/main.py:8-33 histogram+filter is the reference's flagship shape).
+
+
+@query(
+    "q01_pricing_summary",
+    tags=("agg", "filter-pushdown"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+       round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+       round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+       round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): grouped sums/avgs/count with a
+    date predicate that reaches the parquet scan.
+
+    Scale: single shuffle on two low-cardinality keys; partial (map-side)
+    aggregation collapses ~all rows before exchange, so 100 TB shuffles
+    only #partitions x #groups rows. Mirrors reference A2/A4/A12 + F12
+    rounding (src/data_processing/cleaning/tracking.py:420-424).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            fround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            fround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_top_revenue_orders",
+    tags=("join", "topk"),
+    oracle="""
+SELECT o.o_orderkey, o.o_orderdate,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+)
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 revenue orders for one market segment (TPC-H Q3 shape).
+
+    Scale: customer is the small side after the segment filter ->
+    broadcast join eliminates one shuffle; lineitem-orders join shuffles
+    on the orderkey; top-k is TakeOrderedAndProject (no global sort
+    materialization). Tie-break on o_orderkey keeps LIMIT deterministic.
+    Mirrors reference J11 + O3/O4 (notebooks ranking queries).
+    """
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    return (
+        orders.join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q03_region_nation_revenue",
+    tags=("join", "broadcast", "agg"),
+    oracle="""
+SELECT r.r_name, n.n_name,
+       round(sum(o.o_totalprice) + 1e-9, 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q03_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rolled up the region/nation dimension chain (Q5 shape).
+
+    Scale: nation/region are tiny dims -> explicit broadcast; customer
+    joins orders on custkey (shuffle), then all dim hops are map-side.
+    Mirrors reference J2/J3 dimension enrichment
+    (src/data_processing/cleaning/tracking.py:93-165).
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            fround(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q04_exists_semi_join",
+    tags=("semi-join",),
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48
+)
+""",
+)
+def q04_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one near-max-quantity line: LEFT SEMI join.
+
+    Scale: semi join ships only join keys of the filtered probe side —
+    the scalable form of the reference's filter-fact-by-key-set pattern
+    (J4/J5, src/data_processing/cleaning/tracking.py:204-266). Authored
+    as a semi join because Catalyst cannot infer it from inner-join-on-
+    deduped-keys.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    hits = li.where(F.col("l_quantity") >= 48)
+    return orders.join(
+        hits, orders.o_orderkey == hits.l_orderkey, "left_semi"
+    ).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "q05_not_exists_anti_join",
+    tags=("anti-join",),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q05_not_exists_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all: LEFT ANTI join (NOT EXISTS)."""
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey"])
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+
+
+@query(
+    "q06_conditional_distinct_counts",
+    tags=("agg", "conditional"),
+    oracle="""
+SELECT l_orderkey,
+       count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_return_supps,
+       count(DISTINCT CASE WHEN l_quantity >= 25 THEN l_partkey END) AS n_bulk_parts
+FROM lineitem
+GROUP BY l_orderkey
+HAVING count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) = 1
+   AND count(DISTINCT CASE WHEN l_quantity >= 25 THEN l_partkey END) = 1
+""",
+)
+def q06_conditional_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order conditional distinct counts filtered to exactly-one —
+    the reference's one-receiver-one-DB play filter re-shaped (J6/A1,
+    src/data_processing/cleaning/tracking.py:269-315).
+
+    Scale: single groupBy(orderkey) pass with two conditional
+    countDistincts replaces the reference's two groupbys + two joins +
+    fillna; expand-based distinct aggregation still map-side-combines.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_return_supps"),
+            F.countDistinct(
+                F.when(F.col("l_quantity") >= 25, F.col("l_partkey"))
+            ).alias("n_bulk_parts"),
+        )
+        .where((F.col("n_return_supps") == 1) & (F.col("n_bulk_parts") == 1))
+    )
+
+
+@query(
+    "q07_argmin_per_group",
+    tags=("window", "argmin"),
+    oracle="""
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey, round(avg(l_discount) + 1e-9, 6) AS avg_disc
+  FROM lineitem
+  GROUP BY l_orderkey, l_suppkey
+), ranked AS (
+  SELECT l_orderkey, l_suppkey, avg_disc,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY avg_disc, l_suppkey) AS rn
+  FROM per_supp
+)
+SELECT l_orderkey, l_suppkey AS best_suppkey, avg_disc
+FROM ranked WHERE rn = 1
+""",
+)
+def q07_argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order, the supplier with the lowest mean discount — the
+    closest-defender argmin (J8/A3,
+    src/data_processing/cleaning/tracking.py:390-453) with the explicit
+    (value, key) tie-break pandas idxmin gets implicitly.
+
+    Scale: agg and window share the l_orderkey partitioning, so the
+    row_number needs no extra exchange beyond the groupBy shuffle.
+    """
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_discount"])
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        fround(F.avg("l_discount"), 6).alias("avg_disc")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.asc("avg_disc"), F.asc("l_suppkey")
+    )
+    return (
+        per_supp.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", F.col("l_suppkey").alias("best_suppkey"), "avg_disc")
+    )
+
+
+@query(
+    "q08_pivot_returnflag",
+    tags=("pivot",),
+    oracle="""
+SELECT l_orderkey,
+       coalesce(round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) + 1e-9, 2), 0) AS qty_a,
+       coalesce(round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) + 1e-9, 2), 0) AS qty_n,
+       coalesce(round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) + 1e-9, 2), 0) AS qty_r
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def q08_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity pivoted wide by return flag with explicit value list —
+    the last-positions-by-player_side pivot (A6/J7,
+    src/data_processing/cleaning/tracking.py:339-344) plus the
+    fillna(0) of J6.
+
+    Scale: pinning pivot values avoids the extra distinct-values job and
+    keeps the plan a single hash aggregate.
+    """
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+    pv = (
+        li.groupBy("l_orderkey")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(fround(F.sum("l_quantity"), 2))
+        .na.fill(0)
+    )
+    return pv.select(
+        "l_orderkey",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )
+
+
+@query(
+    "q09_first_last_per_group",
+    tags=("agg", "ordered"),
+    oracle="""
+SELECT l_orderkey,
+       arg_min(l_extendedprice,
+               l_linenumber * 100000000 + CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+         AS first_price,
+       arg_max(l_extendedprice,
+               l_linenumber * 100000000 + CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+         AS last_price,
+       max(l_linenumber) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def q09_first_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last line price per order by explicit line order — the
+    at-throw snapshot `groupby.tail(1)` (A7,
+    src/data_processing/training/create_datasets.py:16-25) made
+    order-explicit: Spark has no physical row order, so 'last' must be
+    'max by frame/line number', never 'whatever came last in the file'.
+
+    The synthetic data has duplicate line numbers within an order, so
+    the min_by/max_by ordering key folds the price in (integer cents)
+    as a tie-break; remaining ties are exact duplicates and yield the
+    same value on both engines.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    ord_key = (
+        F.col("l_linenumber").cast("bigint") * 100000000
+        + F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.min_by("l_extendedprice", ord_key).alias("first_price"),
+        F.max_by("l_extendedprice", ord_key).alias("last_price"),
+        F.max("l_linenumber").alias("n_lines"),
+    )
+
+
+@query(
+    "q10_union_all_tagged",
+    tags=("union",),
+    oracle="""
+SELECT o_orderkey, 'high' AS bucket, o_totalprice
+FROM orders WHERE o_totalprice > 450000
+UNION ALL
+SELECT o_orderkey, 'low' AS bucket, o_totalprice
+FROM orders WHERE o_totalprice < 10000
+""",
+)
+def q10_union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged UNION ALL of two filtered projections (E1 unionByName,
+    src/data_processing/cleaning/tracking.py:439-441)."""
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    high = orders.where(F.col("o_totalprice") > 450000).select(
+        "o_orderkey", F.lit("high").alias("bucket"), "o_totalprice"
+    )
+    low = orders.where(F.col("o_totalprice") < 10000).select(
+        "o_orderkey", F.lit("low").alias("bucket"), "o_totalprice"
+    )
+    return high.unionByName(low)
+
+
+@query(
+    "q11_having_count",
+    tags=("agg", "having"),
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_orders
+FROM customer c
+JOIN (
+  SELECT o_custkey, count(*) AS n_orders
+  FROM orders
+  GROUP BY o_custkey
+  HAVING count(*) >= 15
+) n ON n.o_custkey = c.c_custkey
+""",
+)
+def q11_having_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entities passing a minimum-activity bar, enriched with names —
+    the >=10-plays defender filter (A10, notebooks/quadrant.ipynb) as a
+    having-count + broadcast name join.
+    """
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey"])
+    active = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 15)
+    )
+    return active.join(F.broadcast(cust), active.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_name", "n_orders"
+    )
+
+
+@query(
+    "q12_histogram",
+    tags=("agg",),
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def q12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram — the route value_counts (A9, src/main.py:15)."""
+    ev = read_table(spark, sf_dir, "events", ["event_type"])
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q13_point_lookup",
+    tags=("filter", "sql-frontend"),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+""",
+)
+def q13_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by key via the SQL front end (P7 play lookup,
+    src/visualization/play.py:46-49). Runs through spark.sql to prove
+    SQL-over-views parity; benefits from parquet min/max pruning when
+    the table is written sorted by key.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice
+        FROM orders
+        WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        """
+    )
+
+
+@query(
+    "q14_scalar_function_library",
+    tags=("scalar",),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(pow(l_extendedprice / 1000 - l_quantity, 2)
+                + pow(l_discount * 100 - l_tax * 100, 2)) + 1e-9, 4) AS dist,
+       ((CAST(l_linenumber * 97 AS BIGINT) % 7) + 7) % 7 AS pm,
+       round(least(l_quantity, 50 - l_quantity, l_discount * 100, 8 - l_tax * 100) + 1e-9, 4)
+         AS boundary_dist,
+       CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END AS bulk_flag,
+       round(greatest(l_discount, 0.01) + 1e-9, 4) AS clipped_disc
+FROM lineitem
+WHERE l_linenumber <= 2
+""",
+)
+def q14_scalar_function_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar function library (§2.8 F1-F13) exercised as pure
+    column math: euclidean distance (F3), positive modulo (F2 angle
+    flip), boundary distance via least (F6), threshold indicator (F10),
+    clipping via greatest (F7), rounding (F12).
+
+    Scale: all JVM-side whole-stage-codegen expressions — no Python
+    boundary, no shuffle; the l_linenumber predicate pushes to the scan.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        fround(
+            F.sqrt(
+                F.pow(F.col("l_extendedprice") / 1000 - F.col("l_quantity"), 2)
+                + F.pow(F.col("l_discount") * 100 - F.col("l_tax") * 100, 2)
+            ),
+            4,
+        ).alias("dist"),
+        ((((F.col("l_linenumber") * 97).cast("bigint") % 7) + 7) % 7).alias("pm"),
+        fround(
+            F.least(
+                F.col("l_quantity"),
+                F.lit(50) - F.col("l_quantity"),
+                F.col("l_discount") * 100,
+                F.lit(8) - F.col("l_tax") * 100,
+            ),
+            4,
+        ).alias("boundary_dist"),
+        F.when(F.col("l_quantity") > 30, 1).otherwise(0).alias("bulk_flag"),
+        fround(F.greatest(F.col("l_discount"), F.lit(0.01)), 4).alias("clipped_disc"),
+    )
+
+
+@query(
+    "q15_multikey_topk",
+    tags=("sort", "topk"),
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 50
+""",
+)
+def q15_multikey_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-50 by price with full tie-break (O1/O4 multi-key sort
+    + head(k), src/data_processing/cleaning/tracking.py:443-451).
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — each task
+    keeps a 50-row heap; no global sort of 100 TB.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    return (
+        li.orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(50)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@query(
+    "q16_distinct_projection",
+    tags=("distinct",),
+    oracle="""
+SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+""",
+)
+def q16_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct over a projection (A8 dropDuplicates,
+    src/data_processing/cleaning/plays.py:74-76)."""
+    cust = read_table(spark, sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    return cust.distinct()
+
+
+@query(
+    "q17_null_audit_after_left_join",
+    tags=("join", "audit"),
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(*) - count(o.o_orderkey) AS n_customers_without_orders
+FROM customer c
+LEFT JOIN (SELECT DISTINCT o_custkey, min(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+""",
+)
+def q17_null_audit_after_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null audit after an outer join — the reference's post-join
+    isnull().any() checks (P9, tracking.py:86-89,117-121) as a single
+    aggregate instead of a driver-side scan.
+    """
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey"])
+    okeys = (
+        read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+    )
+    joined = cust.join(okeys, cust.c_custkey == okeys.o_custkey, "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("n_customers_without_orders"),
+    )
+
+
+@query(
+    "q18_rollup_revenue",
+    tags=("rollup", "agg"),
+    oracle="""
+SELECT r.r_name, n.n_name,
+       round(sum(c.c_acctbal) + 1e-9, 2) AS total_acctbal,
+       count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def q18_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP over the region/nation dims — a grouping-sets
+    capability beyond the reference's flat groupbys, needed for
+    dashboard-style subtotal queries at scale (one pass, no union of
+    per-level aggs).
+    """
+    cust = read_table(spark, sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            fround(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )

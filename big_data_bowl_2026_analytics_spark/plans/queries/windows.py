@@ -1,0 +1,193 @@
+"""Ordered / window operators (SURVEY §2.5 W1-W5).
+
+The reference's per-play ordered-frame semantics (implicit pandas row
+order) become explicit window specs: every 'first/last/previous frame'
+is ordered by the frame axis with a unique-key tie-break, because Spark
+(and any shuffled engine) has no physical row order to lean on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ...functions.scalar import fround
+from ...sources.readers import read_table
+from ..registry import query
+
+
+@query(
+    "q20_running_total",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) + 1e-9, 2) AS running_spend
+FROM orders
+""",
+)
+def q20_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend in order-date order (W1 ordered
+    series; frame ROWS UNBOUNDED PRECEDING..CURRENT).
+
+    Scale: one shuffle on o_custkey; within-partition sort feeds a
+    streaming frame aggregator — no per-row re-scan. Deterministic
+    because the order key (o_orderdate, o_orderkey) is unique.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        fround(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "q21_lag_delta",
+    tags=("window", "lag"),
+    oracle="""
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) + 1e-9, 2) AS delta
+FROM events
+""",
+)
+def q21_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user delta vs previous event (lag) — the frame-to-frame
+    kinematic difference pattern, with NULL for each user's first event
+    on both engines.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        fround(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@query(
+    "q22_rebase_time_axis",
+    tags=("window", "rebase"),
+    oracle="""
+SELECT event_id, user_id,
+       round(epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id) + 1e-9, 6)
+         AS secs_since_first
+FROM events
+""",
+)
+def q22_rebase_time_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebase each user's timeline to zero — the frame-id re-basing used
+    to concatenate before/after-throw timelines (W4,
+    reference src/visualization/play.py:130-132), done with a window min
+    instead of a collected scalar.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_id", "user_id", "ts"])
+    w = Window.partitionBy("user_id")
+    epoch = F.col("ts").cast("double")
+    return ev.select(
+        "event_id",
+        "user_id",
+        fround(epoch - F.min(epoch).over(w), 6).alias("secs_since_first"),
+    )
+
+
+@query(
+    "q23_linear_interpolation",
+    tags=("explode", "sequence"),
+    oracle="""
+SELECT o_orderkey, s.step AS step,
+       round(o_totalprice * s.step / 8 + 1e-9, 4) AS interp_value
+FROM orders, (SELECT unnest(generate_series(0, 8)) AS step) s
+WHERE o_orderkey % 997 = 0
+""",
+)
+def q23_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense linear interpolation between endpoints via sequence +
+    posexplode — the ball-flight np.linspace (W5, reference
+    src/visualization/play.py:148-162) as a generator expression, not a
+    driver loop.
+
+    Scale: row expansion happens executor-side after the highly
+    selective key predicate is pushed to the scan.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return (
+        orders.where(F.col("o_orderkey") % 997 == 0)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.posexplode(F.sequence(F.lit(0), F.lit(8))).alias("pos", "step"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("step").cast("bigint").alias("step"),
+            fround(F.col("o_totalprice") * F.col("step") / 8, 4).alias("interp_value"),
+        )
+    )
+
+
+@query(
+    "q24_sessionization",
+    tags=("window", "session"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       round(sum(value) + 1e-9, 2) AS session_value,
+       round(max(epoch(ts)) - min(epoch(ts)) + 1e-9, 6) AS duration_secs
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def q24_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag -> boundary
+    flag -> running sum as session id -> per-session aggregates. The
+    batch twin of the streaming session-window operator in
+    ``streaming/``; this composition is how engines without a session
+    primitive express it at scale (one shuffle on user_id, both windows
+    and the final agg share it).
+    """
+    ev = read_table(spark, sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    epoch = F.col("ts").cast("double")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (epoch - F.lag(epoch).over(w) > 1800) | F.lag("ts").over(w).isNull(), 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fround(F.sum("value"), 2).alias("session_value"),
+        fround(F.max(epoch) - F.min(epoch), 6).alias("duration_secs"),
+    )

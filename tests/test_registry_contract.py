@@ -1,0 +1,60 @@
+"""Contract tests for the driver-facing query registry."""
+
+from __future__ import annotations
+
+import importlib
+
+import pytest
+
+import __spark_entry__ as entrymod
+from big_data_bowl_2026_analytics_spark.plans import all_queries
+
+
+def test_registry_nonempty_and_consistent():
+    specs = all_queries()
+    assert len(specs) >= 25
+    for name, spec in specs.items():
+        assert spec.name == name
+        assert callable(spec.builder)
+        assert spec.doc, f"{name} missing docstring"
+
+
+def test_entry_module_shape():
+    importlib.reload(entrymod)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(oracles) >= 20
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "revenue" in df.columns
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_each_query_runs_and_matches_oracle_schema(spark, sf_dir, name):
+    """Every registered query must run at smoke scale and, when it has
+    an oracle, produce exactly the oracle's column set (the driver's
+    hash compares columns sorted by name)."""
+    import duckdb
+
+    spec = all_queries()[name]
+    df = spec.builder(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    if spec.oracle is not None:
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        ocols = [d[0] for d in con.execute(spec.oracle).description]
+        assert sorted(df.columns) == sorted(ocols)
+        con.close()

@@ -1,0 +1,135 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registered query through Spark AND its DuckDB oracle over
+the same parquet tables, then compares row count, column names, and
+(order-insensitively) cell values. Strict equality is the target — the
+driver hashes values — with a tolerant float comparison reported
+separately so a genuine logic bug is distinguishable from a last-ulp
+float divergence.
+
+Usage:
+    python tools/check_correctness.py [--sf /root/testdata/sf0.01] [--only q01,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from big_data_bowl_2026_analytics_spark.core import get_spark  # noqa: E402
+from big_data_bowl_2026_analytics_spark.plans import all_queries  # noqa: E402
+from big_data_bowl_2026_analytics_spark.sources.readers import TPCH_TABLES  # noqa: E402
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("int64")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _cmp(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, bool, str]:
+    """Returns (strict_match, tolerant_match, detail)."""
+    if len(spark_pdf) != len(oracle_pdf):
+        return False, False, f"row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    if list(a.columns) != list(b.columns):
+        return False, False, f"columns {list(a.columns)} vs {list(b.columns)}"
+    strict = True
+    tolerant = True
+    detail = ""
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if pd.api.types.is_float_dtype(a[c]):
+            eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            if not eq.all():
+                strict = False
+                close = np.isclose(av, bv, rtol=1e-9, atol=1e-9, equal_nan=True)
+                if not close.all():
+                    tolerant = False
+                    i = int(np.argmin(close))
+                    detail += f" col {c}: {av[i]!r} vs {bv[i]!r} @row{i};"
+                else:
+                    i = int(np.argmin(eq))
+                    detail += f" col {c} float-ulp: {av[i]!r} vs {bv[i]!r};"
+        else:
+            eq = pd.Series(av).eq(pd.Series(bv)) | (pd.Series(av).isna() & pd.Series(bv).isna())
+            if not eq.all():
+                strict = False
+                tolerant = False
+                i = int(np.argmin(eq.to_numpy()))
+                detail += f" col {c}: {av[i]!r} vs {bv[i]!r} @row{i};"
+    return strict, tolerant, detail
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    specs = all_queries()
+    names = args.only.split(",") if args.only else list(specs)
+    n_fail = 0
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            sdf = spec.builder(spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        t_spark = time.time() - t0
+        if spec.oracle is None:
+            print(f"weak  {name}: rows={len(sdf)} (no oracle) [{t_spark:.1f}s]")
+            continue
+        try:
+            odf = con.execute(spec.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        strict, tolerant, detail = _cmp(sdf, odf)
+        if strict:
+            print(f"ok    {name}: rows={len(sdf)} strict [{t_spark:.1f}s]")
+        elif tolerant:
+            print(f"ULP   {name}: rows={len(sdf)} tolerant-only:{detail}")
+            n_fail += 1
+        else:
+            print(f"FAIL  {name}: rows={len(sdf)}:{detail}")
+            n_fail += 1
+    print(f"\n{len(names) - n_fail}/{len(names)} passing strictly")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
