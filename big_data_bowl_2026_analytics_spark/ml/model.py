@@ -1,0 +1,64 @@
+"""Classifier for the non-completion-probability task.
+
+The reference trains an XGBoost classifier with a 64-combo grid search
+(/root/reference/src/training/train.py:125-181). XGBoost isn't in this
+environment, so the engine ships a deterministic numpy logistic
+regression with the same role in the pipeline: small training set
+collected to the driver (the reference's train set is 1,941 rows),
+distributed scoring executor-side via a pandas UDF (see
+``inference.py``). The model abstraction is the part that matters for
+the engine — swap in xgboost.spark.SparkXGBClassifier when available
+(guarded import below).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+try:  # pragma: no cover - not present in this environment
+    import xgboost  # noqa: F401
+
+    HAS_XGBOOST = True
+except Exception:  # noqa: BLE001
+    HAS_XGBOOST = False
+
+
+@dataclass
+class LogisticModel:
+    """Fixed-weight logistic model: p = sigmoid(X @ weights + bias)."""
+
+    weights: np.ndarray
+    bias: float
+    feature_cols: tuple[str, ...]
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        z = X @ self.weights + self.bias
+        return 1.0 / (1.0 + np.exp(-z))
+
+
+def train_logistic(
+    X: np.ndarray,
+    y: np.ndarray,
+    feature_cols: tuple[str, ...],
+    lr: float = 0.5,
+    n_iter: int = 300,
+    l2: float = 1e-3,
+) -> LogisticModel:
+    """Deterministic full-batch gradient descent from zero init.
+
+    No randomness anywhere -> identical model on every run (the
+    reference pins seed 42 for the same reason,
+    /root/reference/src/core/settings.py:110-123).
+    """
+    n, d = X.shape
+    w = np.zeros(d)
+    b = 0.0
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        grad_w = X.T @ (p - y) / n + l2 * w
+        grad_b = float(np.mean(p - y))
+        w -= lr * grad_w
+        b -= lr * grad_b
+    return LogisticModel(weights=w, bias=b, feature_cols=feature_cols)

@@ -1,0 +1,195 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard — the
+operators a 100 TB text corpus needs before training. All are pure
+DataFrame compositions (no Python UDFs): hashing is ``md5`` (JVM-side,
+identical output on any engine, which also makes the DuckDB oracles
+exact), signatures are aggregates over exploded shingles, and LSH
+banding turns the quadratic all-pairs problem into an equi-join.
+
+Scale design notes:
+- The only shuffles are groupBy(doc_id) for signatures and the band
+  equi-join; both partition by high-cardinality keys (doc id / band
+  bucket), so they parallelize to any cluster size.
+- All-pairs verification (``jaccard_similar_pairs``) is intentionally
+  block-scoped (e.g. by language/source) — at 100 TB you run LSH first
+  and verify only candidate pairs.
+- MinHash signatures are strings (min of md5 hex); lexicographic min
+  of a uniform hash is as valid a permutation-min as an integer hash,
+  and stays engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column, distinct: bool = True) -> Column:
+    """Whitespace tokens of a single-spaced text column."""
+    toks = F.split(text, " ")
+    return F.array_distinct(toks) if distinct else toks
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (ordered, space-joined). Empty array for
+    texts shorter than n tokens — NOT a descending ``sequence``, which
+    is what Spark would silently produce for a negative range."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct text
+    with the canonical (min) id and the duplicate count.
+
+    Scale: hash the text first so the shuffle carries a 32-byte key,
+    not document bodies.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """MinHash signature per document: ``n_hashes`` independent
+    permutations simulated as md5 with distinct seeds; the signature
+    component is the minimum hash over the doc's shingle set.
+
+    One explode + one groupBy(doc) computes all components (the seeds
+    are separate aggregate expressions, not a seed dimension join).
+    """
+    sh = shingles(F.col(text_col), shingle_n) if shingle_n > 1 else tokens(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(sh).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, n_hashes: int = 8, band_size: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature: hash each group of ``band_size`` components
+    into a bucket id. Docs sharing any (band_id, bucket) are candidate
+    near-duplicates. Output long-form: (id, band_id, bucket)."""
+    n_bands = n_hashes // band_size
+    stack_args = []
+    for b in range(n_bands):
+        cols = [f"h{b * band_size + k}" for k in range(band_size)]
+        stack_args.append(f"{b}, md5(concat({', '.join(cols)}))")
+    expr = f"stack({n_bands}, {', '.join(stack_args)}) as (band_id, bucket)"
+    return sig.select(F.col(id_col), F.expr(expr))
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Self-join bands on (band_id, bucket) -> unordered candidate
+    pairs with the number of agreeing bands.
+
+    Scale: this equi-join replaces the O(n^2) all-pairs comparison;
+    bucket skew (a degenerate bucket catching everything) is the known
+    failure mode — AQE skew-join plus a bucket-size cap handle it.
+    """
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), "band_id", "bucket"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), "band_id", "bucket"
+    )
+    return (
+        a.join(b, ["band_id", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over the distinct-token set.
+
+    Each token contributes +/-1 per bit position, taken from the first
+    ``bits/4`` hex digits of md5(token); the fingerprint sets bit b
+    where the sum is >= 0. Pure integer arithmetic end-to-end (hex
+    digit -> nibble via instr), so the oracle matches bit-exactly.
+    """
+    assert bits % 4 == 0
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.md5(F.col("tok"))
+    bit_sums = []
+    for b in range(bits):
+        digit = F.substring(h, b // 4 + 1, 1)
+        nibble = F.instr(F.lit("0123456789abcdef"), digit) - 1
+        bit = F.floor(nibble / (2 ** (b % 4))) % 2
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """Exact word-set Jaccard similarity over pairs within a block.
+
+    inter/union are integer counts, so the similarity double is
+    bit-identical on any engine. ``block_col`` bounds the quadratic
+    blow-up (at scale this verifies LSH candidates instead of blocks).
+    """
+    cols = [F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")]
+    if block_col:
+        cols.insert(1, F.col(block_col))
+    tok = df.select(*cols)
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_toks"))
+
+    a = tok.select(
+        F.col(id_col).alias("doc_a"),
+        *( [F.col(block_col).alias("block_a")] if block_col else [] ),
+        F.col("tok"),
+    )
+    b = tok.select(
+        F.col(id_col).alias("doc_b"),
+        *( [F.col(block_col).alias("block_b")] if block_col else [] ),
+        F.col("tok"),
+    )
+    cond = [a.tok == b.tok] if not block_col else [a.tok == b.tok, F.col("block_a") == F.col("block_b")]
+    inter = (
+        a.join(b, cond)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_toks").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_toks").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )

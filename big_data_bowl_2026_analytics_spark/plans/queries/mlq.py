@@ -1,1 +1,138 @@
-"""ML scoring/evaluation queries (filled in incrementally)."""
+"""Distributed model scoring + evaluation queries (SURVEY §2.9 U7/U8).
+
+A fixed-weight logistic model (the deterministic stand-in for the
+reference's XGBoost artifact) scores lineitem-derived features through
+the Arrow-batched pandas UDF in ``ml/inference.py``; evaluation runs
+as DataFrame aggregates. The oracles recompute the sigmoid in SQL —
+cross-engine agreement holds because both sides use the host libm and
+results are rounded with the stable nudge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...ml.evaluate import binary_metrics, calibration_bins
+from ...ml.inference import score_dataframe
+from ...ml.model import LogisticModel
+from ...sources.readers import read_table
+from ..registry import query
+
+#: The fixed demo model used by the oracle-checked queries.
+DEMO_MODEL = LogisticModel(
+    weights=np.array([1.2, -0.8, 0.3]),
+    bias=-0.5,
+    feature_cols=("f_qty", "f_disc", "f_tax"),
+)
+
+_SIGMOID_SQL = (
+    "1.0 / (1.0 + exp(-((-0.5 + 1.2 * (l_quantity / 50)) "
+    "- 0.8 * (l_discount * 10) + 0.3 * (l_tax * 12.5))))"
+)
+
+_SCORED_CTE = f"""
+scored AS (
+  SELECT l_orderkey, l_linenumber,
+         round({_SIGMOID_SQL} + 1e-9, 6) AS p,
+         CASE WHEN l_quantity > 30 THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+  WHERE l_linenumber = 1
+)
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+    feats = li.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") / 50).alias("f_qty"),
+        (F.col("l_discount") * 10).alias("f_disc"),
+        (F.col("l_tax") * 12.5).alias("f_tax"),
+        F.when(F.col("l_quantity") > 30, 1.0).otherwise(0.0).alias("target"),
+    )
+    return score_dataframe(feats, DEMO_MODEL)
+
+
+@query(
+    "q50_model_scoring_udf",
+    tags=("ml", "pandas-udf"),
+    oracle=f"""
+WITH {_SCORED_CTE.strip()}
+SELECT l_orderkey, l_linenumber, p AS probability
+FROM scored
+""",
+)
+def q50_model_scoring_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed scoring through an Arrow-batched pandas UDF — the
+    reference's model.predict_proba batch inference
+    (src/inference.py:34-51) running executor-side with the model in
+    the closure. Vectorized numpy per Arrow batch, never per-row."""
+    return _scored(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("probability") + 1e-9, 6).alias("probability"),
+    )
+
+
+@query(
+    "q51_calibration_bins",
+    tags=("ml", "evaluation"),
+    oracle=f"""
+WITH {_SCORED_CTE.strip()}
+SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(avg(p) + 1e-9, 6) AS mean_predicted,
+       round(avg(y) + 1e-9, 6) AS observed_rate
+FROM scored
+GROUP BY CAST(least(floor(p * 10), 9) AS BIGINT)
+""",
+)
+def q51_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration curve (reference
+    src/training/evaluate.py:29-70): predicted-probability bins vs
+    observed positive rate, as a single groupBy."""
+    return calibration_bins(_scored(spark, sf_dir))
+
+
+@query(
+    "q52_binary_metrics",
+    tags=("ml", "evaluation"),
+    oracle=f"""
+WITH {_SCORED_CTE.strip()},
+loss AS (
+  SELECT avg(-(y * ln(greatest(p, 1e-12)) + (1 - y) * ln(greatest(1 - p, 1e-12)))) AS log_loss_raw,
+         avg(pow(p - y, 2)) AS brier_raw
+  FROM scored
+), by_p AS (
+  SELECT p, count(*) AS n, sum(y) AS n_pos_p FROM scored GROUP BY p
+), ranked AS (
+  SELECT p, n, n_pos_p,
+         coalesce(sum(n) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM by_p
+), agg AS (
+  SELECT sum((cum_before + (n + 1) / 2.0) * n_pos_p) AS sum_rank_pos,
+         sum(n_pos_p) AS n_pos,
+         sum(n - n_pos_p) AS n_neg
+  FROM ranked
+)
+SELECT round((sum_rank_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) + 1e-9, 6) AS auc,
+       round(log_loss_raw + 1e-9, 6) AS log_loss,
+       round(brier_raw + 1e-9, 6) AS brier,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg
+FROM agg CROSS JOIN loss
+""",
+)
+def q52_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC (rank-sum over distinct rounded probabilities — no
+    global sort of the scored set), log loss and Brier score as
+    DataFrame aggregates (reference src/training/evaluate.py:29-70)."""
+    return binary_metrics(_scored(spark, sf_dir))

@@ -1,1 +1,335 @@
-"""Text / dedup pipeline queries (filled in incrementally)."""
+"""Dedup + text-analysis queries over the ``documents`` table.
+
+These are the training-data-pipeline operators (BASELINE.json north
+star) as first-class engine queries, each oracle-checked: exact dedup,
+MinHash signatures + LSH banding + candidate pairs, SimHash, blocked
+n-gram Jaccard, language ID, quality scoring, token statistics,
+fingerprinting, and binary-column (multimodal) metadata plumbing.
+
+Hashing is md5 on both engines, so signatures match bit-for-bit; all
+similarity ratios are integer-count divisions (engine-exact doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...operators.dedup import (
+    exact_duplicates,
+    jaccard_similar_pairs,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from ...operators.textstats import (
+    LANG_MARKERS,
+    language_id,
+    quality_scores,
+    shingle_fingerprints,
+    token_stats,
+)
+from ...sources.readers import read_table
+from ..registry import query
+
+# Shared oracle CTE: distinct tokens per doc.
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+)
+"""
+
+
+@query(
+    "q30_dedup_exact",
+    tags=("dedup",),
+    oracle="""
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication by content hash: canonical id + copy count
+    per distinct text. The shuffle carries 32-byte hashes, never
+    document bodies."""
+    return exact_duplicates(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q31_minhash_signatures",
+    tags=("dedup", "minhash"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]
+         ))) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT doc_id,
+       min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+       min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+       min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+       min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
+FROM grams
+GROUP BY doc_id
+""",
+)
+def q31_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-permutation MinHash signature per document (seeded md5 min
+    over the distinct word-3-gram shingle set): one explode + one
+    groupBy computes every component."""
+    return minhash_signatures(
+        read_table(spark, sf_dir, "documents"), n_hashes=8, shingle_n=3
+    )
+
+
+@query(
+    "q32_lsh_candidate_pairs",
+    tags=("dedup", "lsh"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]
+         ))) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sig AS (
+  SELECT doc_id,
+         min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+         min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+         min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+         min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
+  FROM grams GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(concat(h0, h1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+)
+def q32_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: band the signatures
+    (4 bands x 2 rows) and equi-join on (band, bucket) — the scalable
+    replacement for all-pairs comparison."""
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    bands = lsh_bands(sig, n_hashes=8, band_size=2)
+    return lsh_candidate_pairs(bands)
+
+
+@query(
+    "q33_jaccard_similar_pairs",
+    tags=("dedup", "jaccard"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n_toks FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM tok a
+  JOIN tok b ON a.tok = b.tok AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter,
+       inter / (sa.n_toks + sb.n_toks - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.n_toks + sb.n_toks - inter) >= 0.8
+""",
+)
+def q33_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard >= 0.8 within language blocks — the
+    verification stage behind LSH candidates. Integer-count division
+    keeps the similarity engine-exact; blocking bounds the quadratic."""
+    return jaccard_similar_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.8, block_col="lang"
+    )
+
+
+@query(
+    "q34_simhash",
+    tags=("dedup", "simhash"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), bits AS (
+  SELECT doc_id, md5(tok) AS h FROM tok
+), sums AS (
+  SELECT doc_id,
+    {sum_exprs}
+  FROM bits
+  GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST({fp_expr} AS BIGINT) AS simhash
+FROM sums
+""".format(
+        sum_exprs=",\n    ".join(
+            "sum((CAST(floor((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) / {div}) AS BIGINT) % 2) * 2 - 1) AS s{b}".format(
+                pos=b // 4 + 1, div=2 ** (b % 4), b=b
+            )
+            for b in range(16)
+        ),
+        fp_expr=" + ".join(
+            f"(CASE WHEN s{b} >= 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+        ),
+    ),
+)
+def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints from md5 nibbles of distinct tokens
+    — near-dup hashes whose Hamming distance tracks content overlap.
+    Pure integer arithmetic, bit-exact across engines."""
+    return simhash(read_table(spark, sf_dir, "documents"), bits=16)
+
+
+@query(
+    "q35_language_id",
+    tags=("text", "langid"),
+    oracle="""
+WITH scores AS (
+  SELECT doc_id, s.lang, s.score
+  FROM documents,
+  LATERAL (
+    {lateral}
+  ) s
+), ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM scores
+)
+SELECT doc_id, lang AS pred_lang, score AS best_score
+FROM ranked WHERE rn = 1
+""".format(
+        lateral="\n    UNION ALL ".join(
+            "SELECT '{lang}' AS lang, len(list_filter(string_split(text, ' '), t -> t IN ({marks}))) AS score".format(
+                lang=lang, marks=", ".join(f"'{m}'" for m in marks)
+            )
+            for lang, marks in sorted(LANG_MARKERS.items())
+        )
+    ),
+)
+def q35_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language identification: per-language occurrence
+    scores, argmax with deterministic tie-break — the n-gram-heuristic
+    langid stage of a corpus pipeline."""
+    return language_id(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q36_text_quality",
+    tags=("text", "quality"),
+    oracle="""
+SELECT doc_id,
+       len(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       round((len(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' ')) + 1e-9, 6) AS avg_token_len,
+       round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to')))
+             / len(string_split(text, ' ')) + 1e-9, 6) AS stopword_ratio,
+       round(0.5 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+           + 0.3 * (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to')))
+                          / len(string_split(text, ' ')))
+           + 0.2 * least((len(text) - (len(string_split(text, ' ')) - 1))
+                         / len(string_split(text, ' ')) / 10.0, 1.0)
+           + 1e-9, 6) AS quality_score
+FROM documents
+""",
+)
+def q36_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length, lexical diversity,
+    stopword ratio, mean token length) blended into a score — the
+    filter stage of a training-data pipeline."""
+    return quality_scores(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q37_token_stats",
+    tags=("text", "tokens"),
+    oracle="""
+SELECT tok, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+""",
+)
+def q37_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics (term and document frequency) — the
+    vocabulary pass for tokenizer/quality work; shuffle key is the
+    token (the canonical skew case AQE handles)."""
+    return token_stats(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q38_shingle_fingerprint",
+    tags=("text", "fingerprint"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]
+         )) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT doc_id, min(md5(sh)) AS fingerprint, count(*) AS n_shingles
+FROM grams
+GROUP BY doc_id
+""",
+)
+def q38_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram min-hash fingerprint per document (winnowing with
+    k=1): order-sensitive near-dup signature complementing the
+    set-based MinHash."""
+    return shingle_fingerprints(read_table(spark, sf_dir, "documents"), n=3)
+
+
+@query(
+    "q39_multimodal_blob_metadata",
+    tags=("multimodal",),
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS blob_md5,
+       source
+FROM documents
+""",
+)
+def q39_multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: treat content as a blob, compute
+    typed metadata (byte length, content hash) next to it — the schema
+    pattern for image/audio payload tables (decode itself lives in
+    ``pipeline/multimodal.py`` as a mapInPandas stage)."""
+    docs = read_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(F.col("text")).alias("blob_md5"),
+        "source",
+    )

@@ -1,0 +1,102 @@
+"""Unit tests for dedup/similarity operators on constructed inputs
+with known answers (the synthetic corpus has no true near-dups, so
+these fixtures plant them)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_bowl_2026_analytics_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_similar_pairs,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from big_data_bowl_2026_analytics_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat", "en"),  # near dup of 1
+        (4, "completely different words here nothing shared", "en"),
+        (5, "short", "en"),  # fewer than 3 tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(spark):
+    out = exact_duplicates(_docs(spark)).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_keep[1] == 2  # docs 1 and 2 collapse
+    assert by_keep[3] == 1
+    assert len(out) == 4  # 4 distinct texts
+
+
+def test_shingles_short_doc_empty_not_descending(spark):
+    df = _docs(spark).select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    row = {r["doc_id"]: r["sh"] for r in df.collect()}
+    assert row[5] == []  # not a descending-sequence artifact
+    assert row[1][0] == "the quick brown"
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    docs = _docs(spark)
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(lsh_bands(sig, 8, 2)).collect()
+    pairset = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in pairset  # exact dup always collides on all bands
+    full = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in pairs}
+    assert full[(1, 2)] == 4
+
+
+def test_jaccard_pairs_exact_values(spark):
+    out = jaccard_similar_pairs(_docs(spark), threshold=0.5, block_col="lang")
+    vals = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert vals[(1, 2)] == 1.0
+    # docs 1 and 3: 8-token sets, 7 shared -> 7/9
+    assert abs(vals[(1, 3)] - 7 / 9) < 1e-12
+
+
+def test_simhash_identical_docs_equal_hash(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < 2**16
+    # near-dup should be closer in Hamming distance than unrelated doc
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(out[1], out[3]) <= ham(out[1], out[4])
+
+
+def _vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 8)
+    base[1] = base[0] + 0.01 * rng.randn(8)  # vec 1 ~ vec 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_nearest_is_planted(spark):
+    vecs = _vectors(spark)
+    out = brute_force_topk(vecs, vecs.where(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["neighbor_id"] == 1
+    assert rows[0]["cosine"] > 0.99
+
+
+def test_ann_topk_subset_of_bruteforce_scores(spark):
+    vecs = _vectors(spark)
+    q = vecs.where(F.col("vec_id") == 0)
+    exact = {r["neighbor_id"]: r["cosine"] for r in brute_force_topk(vecs, q, k=5).collect()}
+    approx = ann_topk(vecs, q, k=5, n_planes=4, dim=8).collect()
+    for r in approx:  # every ANN result must carry the exact cosine
+        assert r["neighbor_id"] in exact
+        assert abs(r["cosine"] - exact[r["neighbor_id"]]) < 1e-9
