@@ -83,14 +83,15 @@ def closing_speed(
     rec_x: Column,
     rec_y: Column,
 ) -> Column:
-    """F7 — defender speed projected onto the defender->receiver line
-    (positive = closing); reference features.py:105-108 with the same
-    0.01 distance clip.
+    """F7 — closing speed: minus the defender velocity projected onto
+    the defender->receiver vector, distance-clipped at 0.01. Sign
+    convention follows the reference exactly (negative of the dot
+    product; reference features.py:105-108).
     """
     dx, dy = rec_x - def_x, rec_y - def_y
     dist = F.greatest(F.sqrt(dx * dx + dy * dy), F.lit(0.01))
     vx, vy = unit_vector(def_dir_deg)
-    return (def_speed * vx * dx + def_speed * vy * dy) / dist
+    return -(def_speed * vx * dx + def_speed * vy * dy) / dist
 
 
 def orientation_error(

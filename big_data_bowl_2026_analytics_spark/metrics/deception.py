@@ -1,0 +1,141 @@
+"""Deception metric: change-point detection on each play's
+non-completion-probability series (SURVEY §2.9 U3/U4).
+
+The reference runs ruptures PELT (L2 cost, pen=0.01) per play in a
+Python loop (/root/reference/src/metrics/deception.py:18-117). Here
+the per-play work is a grouped-map pandas UDF (``applyInPandas``):
+plays partition across executors, each group's series is sorted by
+frame inside the UDF (determinism cannot lean on input order), and the
+change-point search is a self-contained numpy PELT implementing the
+standard algorithm (Killick et al. 2012) with the same candidate
+lattice ruptures uses by default (min_size=2, jump=5) so scores match
+the reference bit-for-bit on the same series.
+
+Scale: state per group is one short probability series (~tens of
+frames at 10 Hz); millions of plays fan out over the cluster with one
+shuffle on the play key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+_PEN = 0.01
+_MIN_SIZE = 2
+_JUMP = 5
+
+
+def pelt_l2(signal: np.ndarray, pen: float = _PEN, min_size: int = _MIN_SIZE, jump: int = _JUMP) -> list[int]:
+    """PELT with L2 (sum of squared deviations) segment cost.
+
+    Returns the optimal breakpoint list ending with ``len(signal)`` —
+    the same contract as ruptures' ``predict``: candidate breakpoints
+    lie on the ``jump`` lattice and segments are at least ``min_size``
+    long.
+    """
+    x = np.asarray(signal, dtype=float)
+    n = x.size
+    # Prefix sums make any segment's L2 cost O(1):
+    # cost(a, b) = sum(x[a:b]^2) - (sum(x[a:b])^2) / (b - a)
+    c1 = np.concatenate([[0.0], np.cumsum(x)])
+    c2 = np.concatenate([[0.0], np.cumsum(x * x)])
+
+    def cost(a: int, b: int) -> float:
+        s = c1[b] - c1[a]
+        return (c2[b] - c2[a]) - s * s / (b - a)
+
+    ends = [k for k in range(0, n, jump) if k >= min_size]
+    ends.append(n)
+
+    # partitions[t] = (best total cost up to t, breakpoint list up to t)
+    partitions: dict[int, tuple[float, list[int]]] = {0: (0.0, [])}
+    admissible: list[int] = []
+    for bkp in ends:
+        new_adm = (bkp - min_size) // jump * jump
+        admissible.append(new_adm)
+        best_total = np.inf
+        best_prev: list[int] = []
+        kept: list[int] = []
+        totals: list[float] = []
+        for t in admissible:
+            if t not in partitions or bkp - t < min_size:
+                totals.append(np.inf)
+                continue
+            prev_cost, prev_bkps = partitions[t]
+            total = prev_cost + cost(t, bkp) + pen
+            totals.append(total)
+            if total < best_total:
+                best_total = total
+                best_prev = [*prev_bkps, bkp]
+        partitions[bkp] = (best_total, best_prev)
+        # PELT pruning: discard t that can never beat the current best.
+        admissible = [
+            t
+            for t, tot in zip(admissible, totals)
+            if tot <= best_total + pen
+        ]
+    _, bkps = partitions[n]
+    return bkps
+
+
+def detect_change_point(signal: np.ndarray) -> int:
+    """Reference semantics (deception.py:18-80): among PELT breakpoints
+    (excluding the trailing series length), return the one whose
+    adjacent-segment mean shift is largest; no breakpoints -> return
+    len(signal) as the no-change sentinel."""
+    bkps = pelt_l2(signal)
+    n = len(signal)
+    if len(bkps) <= 1:
+        return n
+    magnitudes = []
+    for i in range(len(bkps) - 1):
+        cp = bkps[i]
+        start_prev = bkps[i - 1] if i > 0 else 0
+        first = signal[start_prev:cp]
+        second = signal[cp : bkps[i + 1]]
+        if first.size > 0 and second.size > 0:
+            magnitudes.append(abs(second.mean() - first.mean()))
+        else:
+            magnitudes.append(0.0)
+    return int(bkps[int(np.argmax(magnitudes))])
+
+
+def deception_for_series(signal: np.ndarray) -> float:
+    """U4 (deception.py:83-117): mean(post) - mean(pre) around the
+    change point; fallback last - first when no change point."""
+    n = len(signal)
+    cp = detect_change_point(signal)
+    if cp == n:
+        return float(signal[-1] - signal[0])
+    return float(signal[cp:].mean() - signal[:cp].mean())
+
+
+def deception_scores(results: DataFrame, prob_col: str = "non_completion_probability") -> DataFrame:
+    """Per-play deception scores via applyInPandas over play groups.
+
+    Output: one row per play: (game_id, play_id, frame_id of the last
+    frame, deception_score) — matching the reference's last-frame
+    anchoring (deception.py:120-136).
+    """
+
+    def per_play(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_id", kind="mergesort")
+        signal = pdf[prob_col].to_numpy(dtype=float)
+        score = deception_for_series(signal)
+        last = pdf.iloc[-1]
+        return pd.DataFrame(
+            {
+                "game_id": [last["game_id"]],
+                "play_id": [last["play_id"]],
+                "frame_id": [last["frame_id"]],
+                "deception_score": [score],
+            }
+        )
+
+    return results.groupBy("game_id", "play_id").applyInPandas(
+        per_play,
+        schema="game_id long, play_id long, frame_id int, deception_score double",
+    )

@@ -74,3 +74,54 @@ def q26_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("dau"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q27_session_window_native",
+    tags=("timeseries", "session"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value) + 1e-9, 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def q27_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via the native merging session_window
+    operator — same semantics as the q24 lag/cumsum composition (the
+    oracle IS that composition), but executed by the engine's
+    session-merge state operator, which is also the streaming form
+    (streaming/events.py::session_aggregates)."""
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts", "value"])
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fround(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -191,3 +191,38 @@ def q24_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.sum("value"), 2).alias("session_value"),
         fround(F.max(epoch) - F.min(epoch), 6).alias("duration_secs"),
     )
+
+
+@query(
+    "q28_changepoint_detection",
+    tags=("changepoint", "applyInPandas"),
+    oracle=None,  # iterative PELT is not SQL-expressible; rows-only check
+)
+def q28_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user change-point score over the ordered event-value series:
+    the deception metric's PELT grouped-map operator (SURVEY §2.9
+    U3/U4, metrics/deception.py) exercised on the events table — one
+    row per user with the detected mean-shift magnitude.
+
+    No SQL oracle: PELT is an iterative dynamic program; the driver
+    records the weaker rows-only check, and tests/test_nfl_pipeline.py
+    pins the algorithm against a brute-force optimum."""
+    from ...metrics.deception import deception_for_series
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        sig = pdf["value"].to_numpy(dtype=float)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(sig)],
+                "shift_score": [round(deception_for_series(sig) + 1e-9, 6)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        per_user, schema="user_id long, n_events long, shift_score double"
+    )

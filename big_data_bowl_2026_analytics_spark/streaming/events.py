@@ -1,0 +1,94 @@
+"""Structured Streaming over the events stream.
+
+The reference has no streaming surface (SURVEY §2.10); this module
+gives the engine one: the same tumbling-window and session aggregates
+the batch queries q25/q24 define, expressed as incremental streaming
+plans with watermarks for late data. The batch/streaming pairs are
+asserted equal in tests — the Dataflow-style 'one semantics, two
+runtimes' contract.
+
+Scale notes: windowed aggregation state lives in the state store keyed
+by (window, type) / session; the watermark bounds state size. A real
+deployment reads Kafka instead of files — only ``read_events_stream``
+changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: File-source schema: ts arrives as raw nanos (see sources/readers.py)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based stream of the events table (nanos -> microseconds,
+    matching the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_event_aggregates(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour aggregates per event type — the streaming twin
+    of q25; the watermark lets the store drop windows older than the
+    allowed lateness."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") + 1e-9, 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based) per user — the streaming twin
+    of the q24 lag/cumsum composition, using the engine's merging
+    session-window state operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-9, 2).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_name: str) -> None:
+    """Drain the stream into an in-memory table (tests / local runs):
+    processes everything currently available, then stops — the batch
+    execution of a streaming plan."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -16,7 +16,14 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("tests", shuffle_partitions=8)
+    # Tiny test data: a small local master beats local[32] on task
+    # scheduling overhead; 4 shuffle partitions keep plans shallow.
+    spark = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.default.parallelism": "4"},
+    )
     yield spark
 
 
