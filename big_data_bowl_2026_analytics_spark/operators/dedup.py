@@ -31,11 +31,19 @@ def tokens(text: Column, distinct: bool = True) -> Column:
     return F.array_distinct(toks) if distinct else toks
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (ordered, space-joined). Empty array for
-    texts shorter than n tokens — NOT a descending ``sequence``, which
-    is what Spark would silently produce for a negative range."""
-    toks = F.split(text, " ")
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-BOUND token-array column.
+
+    Callers must project the token array first (``.select(split(...)
+    .alias("_toks"))``): inlining ``split`` here would re-evaluate it
+    for every ``element_at`` inside the lambda — 3x per shingle per
+    row — because common-subexpression elimination does not reach into
+    higher-order-function lambdas.
+
+    Empty array for texts shorter than n tokens — NOT a descending
+    ``sequence``, which is what Spark silently produces for a negative
+    range.
+    """
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     gram = F.transform(
         idx,
@@ -46,6 +54,12 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, gram).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column (see ``shingles_of`` for
+    the evaluation-cost caveat when used inside wide plans)."""
+    return shingles_of(F.split(text, " "), n)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -76,8 +90,17 @@ def minhash_signatures(
     One explode + one groupBy(doc) computes all components (the seeds
     are separate aggregate expressions, not a seed dimension join).
     """
-    sh = shingles(F.col(text_col), shingle_n) if shingle_n > 1 else tokens(F.col(text_col))
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("sh"))
+    if shingle_n > 1:
+        bound = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+        )
+        exploded = bound.select(
+            F.col(id_col), F.explode(shingles_of(F.col("_toks"), shingle_n)).alias("sh")
+        )
+    else:
+        exploded = df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("sh")
+        )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
         for s in range(n_hashes)
@@ -105,7 +128,12 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Scale: this equi-join replaces the O(n^2) all-pairs comparison;
     bucket skew (a degenerate bucket catching everything) is the known
     failure mode — AQE skew-join plus a bucket-size cap handle it.
+
+    The bands input feeds BOTH join sides under different aliases, so
+    exchange reuse can't kick in; materialize it once instead of
+    recomputing the signature pipeline twice.
     """
+    bands = bands.localCheckpoint(eager=False)
     a = bands.select(
         F.col(id_col).alias("doc_a"), "band_id", "bucket"
     )

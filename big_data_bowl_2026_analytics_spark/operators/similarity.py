@@ -117,7 +117,11 @@ def ann_topk(
     """
     from pyspark.sql import Window
 
-    bucketed = vectors.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, dim))
+    # Bucketed vectors feed both the query and candidate sides;
+    # materialize once instead of recomputing 8 projections per side.
+    bucketed = vectors.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), n_planes, dim)
+    ).localCheckpoint(eager=False)
     q = bucketed.join(queries.select(id_col), id_col, "left_semi").select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import shingles, tokens
+from .dedup import shingles_of, tokens
 
 #: Per-language marker-token sets for the n-gram-heuristic language
 #: identifier. (Synthetic corpus vocabulary; for a real corpus these
@@ -109,8 +109,10 @@ def shingle_fingerprints(
     (rolling-hash winnowing reduced to k=1), plus the shingle count.
     Two documents sharing a fingerprint almost surely share content.
     """
-    sh = shingles(F.col(text_col), n)
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("sh"))
+    bound = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    exploded = bound.select(
+        F.col(id_col), F.explode(shingles_of(F.col("_toks"), n)).alias("sh")
+    )
     return exploded.groupBy(id_col).agg(
         F.min(F.md5(F.col("sh"))).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_shingles"),

@@ -1,0 +1,77 @@
+"""Physical-plan contracts: the scale properties each query claims
+(pushdown, broadcast, semi join, partial top-k) must appear in the
+actual plan Catalyst produces — this is the 100 TB story, asserted."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_bowl_2026_analytics_spark.plans import all_queries
+from big_data_bowl_2026_analytics_spark.plans.explain import (
+    assert_in_plan,
+    assert_not_in_plan,
+    physical_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    return all_queries()[name].builder(spark, SF)
+
+
+def test_q01_filter_and_columns_push_to_scan(spark):
+    df = _q(spark, "q01_pricing_summary")
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 6 needed columns reach the scan
+    assert "l_partkey" not in plan
+    assert "HashAggregate" in plan and "Exchange" in plan
+
+
+def test_q02_broadcasts_both_dims_and_takeordered(spark):
+    df = _q(spark, "q02_top_revenue_orders")
+    plan = physical_plan(df)
+    assert plan.count(") BroadcastHashJoin") == 2  # lineitem never shuffles
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+    assert "SortMergeJoin" not in plan
+
+
+def test_q04_is_left_semi(spark):
+    assert_in_plan(_q(spark, "q04_exists_semi_join"), "LeftSemi")
+
+
+def test_q05_is_left_anti(spark):
+    assert_in_plan(_q(spark, "q05_not_exists_anti_join"), "LeftAnti")
+
+
+def test_q07_partial_topk_before_shuffle(spark):
+    # WindowGroupLimit prunes to rank<=1 per group map-side
+    assert_in_plan(_q(spark, "q07_argmin_per_group"), "WindowGroupLimit")
+
+
+def test_q15_topk_no_global_sort(spark):
+    df = _q(spark, "q15_multikey_topk")
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "Exchange rangepartitioning")
+
+
+def test_q30_dedup_shuffles_hash_not_text(spark):
+    # the groupBy key is md5(text): the exchange carries a 32-char hash
+    plan = physical_plan(_q(spark, "q30_dedup_exact"))
+    assert "md5" in plan and "hashpartitioning(text_hash" in plan
+
+
+def test_q40_no_explode_in_vector_math(spark):
+    # zip_with/aggregate keeps the dot product inside one projection;
+    # a Generate (explode) node would mean 64x row blowup
+    assert_not_in_plan(_q(spark, "q40_cosine_topk_bruteforce"), "Generate")
+
+
+def test_q50_uses_arrow_batched_udf(spark):
+    assert_in_plan(_q(spark, "q50_model_scoring_udf"), "ArrowEvalPython")
+
+
+def test_broadcast_hints_respected_in_q03(spark):
+    plan = physical_plan(_q(spark, "q03_region_nation_revenue"))
+    assert plan.count(") BroadcastHashJoin") >= 2  # nation & region map-side
