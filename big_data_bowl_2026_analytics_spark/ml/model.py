@@ -34,7 +34,9 @@ class LogisticModel:
     feature_cols: tuple[str, ...]
 
     def predict_proba(self, X: np.ndarray) -> np.ndarray:
-        z = X @ self.weights + self.bias
+        # Clip the logit so a diverged grid-search combo saturates to
+        # 0/1 instead of overflowing exp (deterministic either way).
+        z = np.clip(X @ self.weights + self.bias, -500.0, 500.0)
         return 1.0 / (1.0 + np.exp(-z))
 
 

@@ -48,7 +48,7 @@ def _player_rows(
                 absolute_yardline_number=50.0,
                 ball_land_x=ball[0],
                 ball_land_y=ball[1],
-                week=1,
+                week=1 if play_id in (1, 3, 5) else 10,
             )
         )
     return rows
@@ -110,7 +110,7 @@ def make_tracking_after():
                         a=0.2,
                         dir=45.0,
                         o=90.0,
-                        week=1,
+                        week=1 if play_id in (1, 3, 5) else 10,
                     )
                 )
     return rows
@@ -147,7 +147,7 @@ def make_plays():
             dict(
                 game_id=1001,
                 play_id=pid,
-                week=1 if pid <= 3 else 10,
+                week=1 if pid in (1, 3, 5) else 10,
                 route_of_targeted_receiver=routes[pid],
                 pass_result=results[pid],
                 **base,

@@ -1,0 +1,75 @@
+"""Source/sink tests (SURVEY §2.1 S1-S5): CSV with explicit schema and
+FAILFAST, parquet round-trips, scan-level limit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from big_data_bowl_2026_analytics_spark.sources import (
+    read_csv,
+    read_table,
+    register_views,
+    write_csv,
+    write_parquet,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], SCHEMA)
+    path = str(tmp_path / "out_csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, SCHEMA)
+    assert sorted((r["id"], r["name"], r["score"]) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", 2.5),
+    ]
+
+
+def test_csv_failfast_on_malformed(spark, tmp_path):
+    bad = tmp_path / "bad.csv"
+    bad.write_text("id,name,score\n1,a,1.5\nnot_a_number,b,xyz\n")
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_csv(spark, str(bad), SCHEMA).collect()
+
+
+def test_csv_limit_is_applied(spark, tmp_path):
+    df = spark.createDataFrame([(i, "x", float(i)) for i in range(100)], SCHEMA)
+    path = str(tmp_path / "limited_csv")
+    write_csv(df, path)
+    assert read_csv(spark, str(path), SCHEMA, limit=7).count() == 7
+
+
+def test_parquet_partitioned_write_and_projection(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), float(i)) for i in range(30)],
+        "id long, grp string, v double",
+    )
+    path = str(tmp_path / "part_parquet")
+    write_parquet(df, path, partition_by=["grp"], sort_within_partitions=["id"])
+    back = spark.read.parquet(path)
+    assert back.count() == 30
+    assert (tmp_path / "part_parquet" / "grp=g0").is_dir()
+
+
+def test_register_views_sql_frontend(spark):
+    register_views(spark, "/root/testdata/sf0.001", ["region", "nation"])
+    out = spark.sql(
+        "SELECT r.r_name, count(*) AS n FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    )
+    assert out.count() == 5
+
+
+def test_events_nanos_read(spark):
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() == 1000
