@@ -597,3 +597,89 @@ def q18_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
+
+
+@query(
+    "q19_angle_geometry_library",
+    tags=("scalar", "geometry"),
+    oracle="""
+SELECT e.event_id,
+       round(least((e.value - s.mn) % 360.0 + CASE WHEN (e.value - s.mn) % 360.0 < 0 THEN 360.0 ELSE 0 END,
+                   360.0 - ((e.value - s.mn) % 360.0 + CASE WHEN (e.value - s.mn) % 360.0 < 0 THEN 360.0 ELSE 0 END))
+             + 1e-9, 6) AS angle_diff,
+       round(cos(radians(e.value)) + 1e-9, 6) AS unit_x,
+       round(sin(radians(e.value)) + 1e-9, 6) AS unit_y,
+       round(degrees(atan2(e.value / 500.0, 1.0 - e.value / 500.0)) + 1e-9, 6) AS bearing,
+       round(CASE WHEN e.user_id % 2 = 0 THEN (e.value + 180.0) % 360.0 ELSE e.value END + 1e-9, 6)
+         AS flipped
+FROM events e
+CROSS JOIN (SELECT min(value) AS mn FROM events) s
+""",
+)
+def q19_angle_geometry_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The angular scalar library (F2 flip, F4 smallest angular
+    difference, F5 unit vector, F8 atan2 bearing) exercised as pure
+    column math over the events table — numerically oracle-checked
+    (both engines bind the host libm, and the stable rounding guards
+    the last ulp).
+    """
+    from ...functions.scalar import angle_diff, flip_angle, unit_vector
+
+    ev = read_table(spark, sf_dir, "events", ["event_id", "user_id", "value"])
+    mn = ev.agg(F.min("value").alias("mn"))
+    joined = ev.crossJoin(F.broadcast(mn))
+    ux, uy = unit_vector(F.col("value"))
+    return joined.select(
+        "event_id",
+        F.round(angle_diff(F.col("value"), F.col("mn")) + 1e-9, 6).alias("angle_diff"),
+        F.round(ux + 1e-9, 6).alias("unit_x"),
+        F.round(uy + 1e-9, 6).alias("unit_y"),
+        F.round(
+            F.degrees(F.atan2(F.col("value") / 500.0, 1.0 - F.col("value") / 500.0))
+            + 1e-9,
+            6,
+        ).alias("bearing"),
+        F.round(
+            flip_angle(F.col("value"), F.col("user_id") % 2 == 0) + 1e-9, 6
+        ).alias("flipped"),
+    )
+
+
+@query(
+    "q29_cube_aggregation",
+    tags=("cube", "agg"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       round(sum(o_totalprice) + 1e-9, 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q29_cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over status x priority — all four grouping sets in one
+    pass (Expand + single shuffle), the dashboard-subtotal companion to
+    q18's ROLLUP."""
+    orders = read_table(spark, sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice") + 1e-9, 2).alias("total"),
+    )
+
+
+@query(
+    "q44_approx_count_distinct",
+    tags=("sketch", "approx"),
+    oracle=None,  # HLL sketch estimates are engine-specific; rows-only
+)
+def q44_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimation per market segment — the
+    mergeable-sketch path that replaces exact countDistinct at 100 TB
+    (no expand, constant memory per group). Engine-specific estimates
+    can't hash-match a DuckDB oracle; tests bound the relative error
+    against the exact count instead."""
+    cust = read_table(spark, sf_dir, "customer", ["c_mktsegment", "c_custkey", "c_nationkey"])
+    return cust.groupBy("c_mktsegment").agg(
+        F.approx_count_distinct("c_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )

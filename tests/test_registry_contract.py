@@ -58,3 +58,27 @@ def test_each_query_runs_and_matches_oracle_schema(spark, sf_dir, name):
         ocols = [d[0] for d in con.execute(spec.oracle).description]
         assert sorted(df.columns) == sorted(ocols)
         con.close()
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """q44 has no oracle (sketches are engine-specific); bound its
+    relative error against the exact distinct count instead."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_2026_analytics_spark.sources.readers import read_table
+
+    approx = {
+        r["c_mktsegment"]: r["approx_customers"]
+        for r in all_queries()["q44_approx_count_distinct"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    exact = {
+        r["c_mktsegment"]: r["n"]
+        for r in read_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    for seg, n in exact.items():
+        assert abs(approx[seg] - n) / n < 0.1
