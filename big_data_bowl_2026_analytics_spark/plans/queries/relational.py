@@ -683,3 +683,45 @@ def q44_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("c_custkey", 0.02).alias("approx_customers"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
+
+
+@query(
+    "q45_skew_salted_aggregation",
+    tags=("skew", "agg"),
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       round(sum(l_quantity) + 1e-9, 2) AS total_qty,
+       round(max(l_extendedprice) + 1e-9, 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q45_skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-value (maximally hot)
+    grouping key — the explicit skew-mitigation path when a handful of
+    group values would serialize into a few reducers. Oracle-checked
+    against the plain GROUP BY it must be equivalent to.
+
+    Scale: phase 1 groups on (key, salt) spreading each hot key over 16
+    partitions; phase 2 merges 16 partials per key. Salt is derived
+    from row content (xxhash), not rand(), so task retries re-salt
+    identically.
+    """
+    from ...operators.skew import salted_aggregation
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    out = salted_aggregation(
+        li,
+        ["l_returnflag"],
+        {"n": "count", "total_qty": "sum:l_quantity", "max_price": "max:l_extendedprice"},
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        fround(F.col("total_qty"), 2).alias("total_qty"),
+        fround(F.col("max_price"), 2).alias("max_price"),
+    )
