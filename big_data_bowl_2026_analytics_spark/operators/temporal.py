@@ -1,0 +1,104 @@
+"""Temporal join operators Spark lacks as primitives: as-of join and
+range join, expressed as scalable compositions.
+
+- ``asof_join``: for each left row, the most recent right row at or
+  before it (per key). Implemented as union + ordered window
+  last-ignore-nulls: one shuffle on the key, no point lookups, no
+  per-row subqueries — the standard scalable formulation.
+- ``range_join_buckets``: pairs within a time radius. A naive
+  inequality join is O(n^2) per key; bucketing timestamps to the
+  radius turns it into an equi-join on (bucket +/- 1) with a final
+  exact filter — each row joins only its 3-bucket neighborhood.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """LEFT as-of join: attach the latest right row with
+    ``right.ts <= left.ts`` per key (NULLs when none), optionally
+    bounded by ``tolerance_seconds``.
+
+    Scale: one unionByName + one window over (key, time) — both sides
+    shuffle once on the key; state per group is 'last right row seen'.
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt_cols = [F.col(right_ts).alias("_r_ts")] + [
+        F.col(c).alias(f"_r_{c}") for c in right_cols
+    ]
+    rt = right.select(F.col(key), *rt_cols).withColumn("_side", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+
+    # Order: time, then right-before-left on equal timestamps so an
+    # exactly-simultaneous right row is visible to the left row (<=).
+    ts_expr = F.coalesce(F.col("_r_ts"), F.col(left_ts))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_expr.asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("_last_r_ts", F.last("_r_ts", ignorenulls=True).over(w))
+    for c in right_cols:
+        carried = carried.withColumn(
+            f"_last_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    out = carried.where(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col(left_ts).cast("double") - F.col("_last_r_ts").cast("double")
+        ) <= tolerance_seconds
+        out = out.withColumn(
+            "_last_r_ts", F.when(in_tol, F.col("_last_r_ts"))
+        )
+        for c in right_cols:
+            out = out.withColumn(f"_last_{c}", F.when(in_tol, F.col(f"_last_{c}")))
+    renames = {"_last_r_ts": "asof_ts", **{f"_last_{c}": f"asof_{c}" for c in right_cols}}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    drop = ["_side", "_r_ts"] + [f"_r_{c}" for c in right_cols]
+    return out.drop(*drop)
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    radius_seconds: float,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    join_key: str | None = None,
+) -> DataFrame:
+    """All (left, right) pairs with |right.ts - left.ts| <= radius:
+    equi-join on time buckets of width ``radius`` (each left row probes
+    buckets b-1, b, b+1), exact predicate applied after.
+
+    Returns the joined frame with both sides' columns (right columns
+    suffixed ``_r``); callers aggregate as needed.
+    """
+    bucket = lambda c: F.floor(F.col(c).cast("double") / radius_seconds)  # noqa: E731
+    lt = left.withColumn("_b", bucket(left_ts))
+    probe = lt.withColumn("_probe", F.explode(F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)))
+    rt = right.select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns]
+    ).withColumn("_rb", bucket(f"{right_ts}_r"))
+    cond = [probe["_probe"] == rt["_rb"]]
+    if join_key:
+        cond.append(probe[join_key] == rt[f"{join_key}_r"])
+    joined = probe.join(rt, cond)
+    exact = (
+        F.abs(
+            F.col(f"{right_ts}_r").cast("double") - F.col(left_ts).cast("double")
+        )
+        <= radius_seconds
+    )
+    return joined.where(exact).drop("_b", "_probe", "_rb")

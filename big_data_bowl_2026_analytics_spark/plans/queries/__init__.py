@@ -11,4 +11,12 @@ Modules map to SURVEY.md §2 operator classes:
 - ``mlq``         — distributed model scoring + evaluation (§2.9 U7/U8)
 """
 
-from . import mlq, relational, similarity, text, timeseries, windows  # noqa: F401
+from . import (  # noqa: F401
+    mlq,
+    relational,
+    similarity,
+    temporal,
+    text,
+    timeseries,
+    windows,
+)

@@ -1,0 +1,78 @@
+"""Temporal-join queries: as-of join and bucketed range join over the
+events stream — operators the reference (and Spark) lack as
+primitives, oracle-checked against DuckDB's native ASOF / inequality
+joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...operators.temporal import asof_join, range_join_buckets
+from ...sources.readers import read_table
+from ..registry import query
+
+
+@query(
+    "q46_asof_join",
+    tags=("temporal", "asof"),
+    oracle="""
+SELECT p.event_id, p.user_id,
+       c.event_id AS asof_click_id,
+       round(epoch(p.ts) - epoch(c.ts) + 1e-9, 6) AS secs_since_click
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q46_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent click at or before it
+    (AS-OF join) — the canonical tracking/market-data operator. Spark
+    has no primitive; the engine composes union + ordered window
+    last-ignore-nulls (one shuffle on user_id). The oracle is DuckDB's
+    native ASOF LEFT JOIN.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = asof_join(purchases, clicks, key="user_id", right_cols=("event_id",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("asof_click_id"),
+        F.round(
+            F.col("ts").cast("double") - F.col("asof_ts").cast("double") + 1e-9, 6
+        ).alias("secs_since_click"),
+    )
+
+
+@query(
+    "q47_range_join_bucketed",
+    tags=("temporal", "range-join"),
+    oracle="""
+SELECT e1.event_id,
+       count(*) AS n_nearby,
+       round(sum(e2.value) + 1e-9, 2) AS nearby_value
+FROM events e1
+JOIN events e2
+  ON e2.ts BETWEEN e1.ts - INTERVAL 5 MINUTE AND e1.ts + INTERVAL 5 MINUTE
+ AND e2.event_id != e1.event_id
+WHERE e1.event_type = 'error'
+GROUP BY e1.event_id
+""",
+)
+def q47_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events within +/-5 minutes of each error event (range join).
+    The naive inequality join is quadratic; bucketing timestamps to the
+    radius reduces it to an equi-join on 3 candidate buckets + exact
+    filter. Oracle: DuckDB's native inequality join.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "ts")
+    joined = range_join_buckets(errors, ev, radius_seconds=300.0)
+    joined = joined.where(F.col("event_id_r") != F.col("event_id"))
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_nearby"),
+        F.round(F.sum("value_r") + 1e-9, 2).alias("nearby_value"),
+    )

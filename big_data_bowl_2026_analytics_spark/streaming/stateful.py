@@ -1,0 +1,81 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Where the built-in windowed aggregates (events.py) cover time-bucketed
+state, this is the escape hatch for arbitrary per-key state machines:
+the example keeps a running per-user profile (event count, value sum,
+max single value) that survives across micro-batches in the state
+store and emits an updated row whenever a batch touches the user.
+
+Scale: state is partitioned by the grouping key across the cluster's
+state store; each micro-batch only loads/updates the touched keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def running_user_profile(events: DataFrame) -> DataFrame:
+    """Streaming per-user running profile with explicit state."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n, total, mx = state.get
+        else:
+            n, total, mx = 0, 0.0, float("-inf")
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "max_value": [mx],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -107,3 +107,41 @@ def test_blob_metadata_query_matches_scan(spark):
     row = q39.orderBy("doc_id").first()
     doc = read_table(spark, SF, "documents").orderBy("doc_id").first()
     assert row["n_bytes"] == len(doc["text"].encode())
+
+
+def test_stateful_running_profile_matches_batch(spark, events_dir):
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        running_user_profile,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        running_user_profile(stream)
+        .writeStream.format("memory")
+        .queryName("profile_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user is the final state
+    import pandas as pd
+
+    updates = spark.table("profile_stream").toPandas()
+    final = updates.groupby("user_id").tail(1).set_index("user_id")
+    batch = (
+        read_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid in batch.index:
+        assert final.loc[uid, "n_events"] == batch.loc[uid, "n_events"]
+        assert abs(final.loc[uid, "total_value"] - batch.loc[uid, "total_value"]) < 1e-6
+        assert final.loc[uid, "max_value"] == batch.loc[uid, "max_value"]
