@@ -42,6 +42,10 @@ HEADLINE = [
     # similarity search
     "q40_cosine_topk_bruteforce",
     "q42_ann_topk_lsh",
+    # temporal joins + skew path
+    "q45_skew_salted_aggregation",
+    "q46_asof_join",
+    "q47_range_join_bucketed",
     # ML scoring + evaluation
     "q50_model_scoring_udf",
     "q52_binary_metrics",

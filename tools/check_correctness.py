@@ -98,6 +98,10 @@ def main() -> int:
 
     specs = all_queries()
     names = args.only.split(",") if args.only else list(specs)
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        print(f"unknown queries: {unknown}; available: {sorted(specs)}")
+        return 2
     n_fail = 0
     for name in names:
         spec = specs[name]
