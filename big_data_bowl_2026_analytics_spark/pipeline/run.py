@@ -50,13 +50,28 @@ def run_pipeline(
     raw_plays: DataFrame,
     workdir: str,
     train_weeks: int = 9,
+    validate: bool = True,
 ) -> PipelineResult:
-    """Run the full flow, materializing each stage under ``workdir``."""
+    """Run the full flow, materializing each stage under ``workdir``.
+
+    ``validate`` runs the reference's runtime data contracts
+    (SURVEY §1.4) as engine-level checks at stage boundaries: unique
+    players key + positive weights (players.py:57-84), pass_result
+    domain (recovery.py:10-16), m:1 dim-side uniqueness.
+    """
+    from ..operators.quality import (
+        assert_no_nulls,
+        assert_unique_key,
+        assert_values_in,
+    )
 
     # Stage 1 — players dimension (reference players.py:87-122).
     players = create_players_dim(raw_before)
     write_parquet(players, os.path.join(workdir, "players"))
     players = spark.read.parquet(os.path.join(workdir, "players"))
+    if validate:
+        assert_unique_key(players, ["nfl_id"], label="players dim")
+        assert_no_nulls(players, ["nfl_id"], label="players dim")
 
     # Stage 2 — cleaned plays (reference plays.py:198-229).
     cleaned_plays = clean_plays(raw_plays, raw_before)
@@ -88,6 +103,11 @@ def run_pipeline(
     final_plays = filter_plays_with_tracking(cleaned_plays, before_clean)
     write_parquet(final_plays, os.path.join(workdir, "plays_final"))
     final_plays = spark.read.parquet(os.path.join(workdir, "plays_final"))
+    if validate:
+        assert_unique_key(final_plays, ["game_id", "play_id"], label="final plays")
+        assert_values_in(
+            final_plays, "pass_result", ["C", "I", "IN"], label="final plays"
+        )
 
     # Stage 4 — play-grain features, week-range split
     # (reference create_datasets.py:94-111).
