@@ -1,0 +1,82 @@
+"""Scaling sweep: run representative queries on 1x/4x/16x self-unioned
+inputs to verify near-linear behavior (per-row cost flat as data
+grows — the local proxy for 'the plan survives a 100x scale-up').
+
+Usage: python tools/scale_sweep.py [--sf /root/testdata/sf0.1]
+Prints one JSON line per (query, multiplier).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, functions as F
+
+from big_data_bowl_2026_analytics_spark.core import get_spark
+from big_data_bowl_2026_analytics_spark.sources.readers import read_table
+
+
+def _multiply(df: DataFrame, k: int, key_col: str) -> DataFrame:
+    """k logical copies with shifted keys so group/join cardinality
+    scales too (a pure self-union would just deepen each group)."""
+    copies = [
+        df.withColumn(key_col, F.col(key_col) + F.lit(i * 1_000_000_000))
+        for i in range(k)
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), copies)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--multipliers", default="1,4,16")
+    args = ap.parse_args()
+    spark = get_spark("scale-sweep", shuffle_partitions=16)
+
+    li = read_table(spark, args.sf, "lineitem")
+
+    def q_agg(k: int) -> DataFrame:
+        df = _multiply(li, k, "l_orderkey")
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+        )
+
+    def q_join_agg(k: int) -> DataFrame:
+        df = _multiply(li, k, "l_orderkey")
+        per_supp = df.groupBy("l_orderkey", "l_suppkey").agg(
+            F.avg("l_discount").alias("d")
+        )
+        return per_supp.groupBy("l_orderkey").agg(F.min("d"), F.count(F.lit(1)))
+
+    for name, fn in [("groupby_agg", q_agg), ("two_level_agg", q_join_agg)]:
+        base_rows = None
+        for k in [int(x) for x in args.multipliers.split(",")]:
+            df = fn(k)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            n = 600_000 * k  # approximate input rows at sf0.1
+            if base_rows is None:
+                base_rows = dt / n
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "multiplier": k,
+                        "wall_sec": round(dt, 3),
+                        "ns_per_row": round(dt / n * 1e9, 1),
+                        "vs_1x_per_row": round((dt / n) / base_rows, 2),
+                    }
+                )
+            )
+
+
+if __name__ == "__main__":
+    main()
