@@ -58,7 +58,8 @@ def train_logistic(
     w = np.zeros(d)
     b = 0.0
     for _ in range(n_iter):
-        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        z = np.clip(X @ w + b, -500.0, 500.0)
+        p = 1.0 / (1.0 + np.exp(-z))
         grad_w = X.T @ (p - y) / n + l2 * w
         grad_b = float(np.mean(p - y))
         w -= lr * grad_w

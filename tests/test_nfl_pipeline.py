@@ -237,3 +237,24 @@ def test_compute_scores_end_to_end(spark):
     assert scores[2]["defender_id"] == 6 and scores[2]["receiver_id"] == 5
     # play 3: I -> 1 - 0.9
     assert scores[3]["recovery_score"] == pytest.approx(0.1)
+
+
+def test_play_timeline_rebases_frames(spark, cleaned):
+    from big_data_bowl_2026_analytics_spark.pipeline.timeline import (
+        ball_flight,
+        play_timeline,
+    )
+
+    cleaned_plays, _, before_clean, after_clean = cleaned
+    tl = play_timeline(before_clean, after_clean, 1001, 1).collect()
+    phases = {r["phase"] for r in tl}
+    assert phases == {"before", "after"}
+    before_max = max(r["frame_id"] for r in tl if r["phase"] == "before")
+    after_min = min(r["frame_id"] for r in tl if r["phase"] == "after")
+    assert after_min == before_max + 1  # continuous frame axis
+
+    bf = ball_flight(cleaned_plays, before_clean, 1001, 1, n_steps=4).collect()
+    assert len(bf) == 5
+    # starts at the passer's last position, ends at the landing spot
+    assert (bf[0]["ball_x"], bf[0]["ball_y"]) == (20.4, 25.0)
+    assert (bf[-1]["ball_x"], bf[-1]["ball_y"]) == (50.0, 20.0)
