@@ -1,0 +1,98 @@
+"""Ranking, ordered aggregation, and percentile queries — engine
+capabilities beyond the reference's row_number-only window usage."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ...functions.scalar import fround
+from ...sources.readers import read_table
+from ..registry import query
+
+
+@query(
+    "q56_ranking_functions",
+    tags=("window", "ranking"),
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       rank() OVER w AS price_rank,
+       dense_rank() OVER w AS price_dense_rank,
+       ntile(4) OVER w AS price_quartile,
+       round(percent_rank() OVER w + 1e-9, 6) AS price_pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q56_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family (rank / dense_rank / ntile /
+    percent_rank) per order status — deterministic because the window
+    order carries the unique o_orderkey tie-break.
+
+    Scale: one shuffle on the partition key; all four functions share
+    one sorted pass.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        fround(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+    )
+
+
+@query(
+    "q57_ordered_string_agg",
+    tags=("agg", "collect"),
+    oracle="""
+SELECT o_custkey,
+       count(*) AS n_orders,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q57_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct-set aggregation rendered as a string —
+    collect_set has no deterministic order, so the engine form is
+    array_sort(collect_set(...)) before join; emitting a string keeps
+    the result portable across engines/hashers."""
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+    )
+
+
+@query(
+    "q58_percentiles",
+    tags=("agg", "percentile"),
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25) + 1e-9, 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50) + 1e-9, 4) AS median,
+       round(quantile_cont(o_totalprice, 0.90) + 1e-9, 4) AS p90
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q58_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per status (Spark ``percentile``
+    == DuckDB ``quantile_cont``). At 100 TB the same query swaps to
+    approx_percentile (t-digest sketch, mergeable) — the exact form
+    stays here because the oracle hashes values."""
+    orders = read_table(spark, sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    return orders.groupBy("o_orderstatus").agg(
+        fround(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        fround(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("median"),
+        fround(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+    )
