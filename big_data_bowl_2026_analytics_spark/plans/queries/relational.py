@@ -725,3 +725,45 @@ def q45_skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("total_qty"), 2).alias("total_qty"),
         fround(F.col("max_price"), 2).alias("max_price"),
     )
+
+
+@query(
+    "q59_full_outer_join",
+    tags=("join", "outer"),
+    oracle="""
+SELECT coalesce(f.c_custkey, o.c_custkey) AS c_custkey,
+       coalesce(f.n_f, 0) AS n_fulfilled,
+       coalesce(o.n_o, 0) AS n_open
+FROM (
+  SELECT o_custkey AS c_custkey, count(*) AS n_f
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+) f
+FULL OUTER JOIN (
+  SELECT o_custkey AS c_custkey, count(*) AS n_o
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+) o ON f.c_custkey = o.c_custkey
+""",
+)
+def q59_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-customer aggregates (fulfilled vs
+    open order counts) with coalesced keys — the outer-join family
+    member the reference never needs but any engine must supply.
+    Scale: both sides pre-aggregate before the join, so the outer join
+    runs on customer-cardinality inputs, not raw orders."""
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    f = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("f_key"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    o = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("o_key"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    joined = f.join(o, f.f_key == o.o_key, "full_outer")
+    return joined.select(
+        F.coalesce(F.col("f_key"), F.col("o_key")).alias("c_custkey"),
+        F.coalesce(F.col("n_f"), F.lit(0)).alias("n_fulfilled"),
+        F.coalesce(F.col("n_o"), F.lit(0)).alias("n_open"),
+    )

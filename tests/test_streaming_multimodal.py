@@ -145,3 +145,37 @@ def test_stateful_running_profile_matches_batch(spark, events_dir):
         assert final.loc[uid, "n_events"] == batch.loc[uid, "n_events"]
         assert abs(final.loc[uid, "total_value"] - batch.loc[uid, "total_value"]) < 1e-6
         assert final.loc[uid, "max_value"] == batch.loc[uid, "max_value"]
+
+
+def test_stream_static_join(spark, events_dir):
+    """Stream-static enrichment: the streaming events join a static
+    dimension map-side; the drained result equals the batch join."""
+    static_dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = read_events_stream(spark, events_dir)
+    enriched = (
+        stream.join(static_dim, "event_type")
+        .groupBy("category")
+        .count()
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("cat_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["category"]: r["count"] for r in spark.table("cat_stream").collect()}
+    batch = {
+        r["category"]: r["count"]
+        for r in read_table(spark, SF, "events")
+        .join(static_dim, "event_type")
+        .groupBy("category")
+        .count()
+        .collect()
+    }
+    assert got == batch
