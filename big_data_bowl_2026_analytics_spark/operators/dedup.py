@@ -221,3 +221,54 @@ def jaccard_similar_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over candidate-pair edges: collapse
+    near-duplicate pairs into clusters, labeling every document with
+    the minimum id reachable from it (the canonical representative).
+
+    Iterative min-label propagation: each round, every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds. Each round is one join + one
+    aggregate; lineage is truncated per round (an unbroken loop would
+    nest the plan max_iterations deep). The driver-side convergence
+    check reads ONE aggregated count per round — no data collects.
+
+    Scale: this is the standard map-reduce CC formulation; for graphs
+    with huge diameters switch to large-star/small-star, which squares
+    the convergence rate with the same per-round primitives.
+    """
+    edges_fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges_fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=False)
+
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

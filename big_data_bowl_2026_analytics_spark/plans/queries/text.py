@@ -333,3 +333,65 @@ def q39_multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("blob_md5"),
         "source",
     )
+
+
+@query(
+    "q60_dedup_connected_components",
+    tags=("dedup", "iterative"),
+    oracle="""
+WITH RECURSIVE grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]
+         ))) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sig AS (
+  SELECT doc_id,
+         min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+         min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+         min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+         min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
+  FROM grams GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(concat(h0, h1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach
+GROUP BY src
+""",
+)
+def q60_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the LSH
+    candidate-pair graph, labeling each document with its component's
+    minimum id — the final stage of a dedup pipeline (pick one
+    representative per cluster).
+
+    Iterative min-label propagation in DataFrames; the oracle computes
+    the same fixpoint with a recursive CTE — an iterative algorithm
+    that IS exactly checkable.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    bands = lsh_bands(sig, n_hashes=8, band_size=2)
+    pairs = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
+    from ...operators.dedup import duplicate_clusters
+
+    return duplicate_clusters(pairs, docs, id_col="doc_id")

@@ -100,3 +100,22 @@ def test_ann_topk_subset_of_bruteforce_scores(spark):
     for r in approx:  # every ANN result must carry the exact cosine
         assert r["neighbor_id"] in exact
         assert abs(r["cosine"] - exact[r["neighbor_id"]]) < 1e-9
+
+
+def test_duplicate_clusters_multi_hop_chain(spark):
+    """A-B and B-C edges must collapse into ONE cluster labeled by the
+    minimum id, even though A and C never share an edge (transitivity
+    needs >1 propagation round)."""
+    from big_data_bowl_2026_analytics_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 3), (3, 7), (2, 6)],  # chain 1-5-3-7 and pair 2-6
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs, nodes).collect()}
+    assert out[1] == out[5] == out[3] == out[7] == 1
+    assert out[2] == out[6] == 2
+    assert out[4] == 4  # isolated node keeps its own label
