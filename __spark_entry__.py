@@ -11,11 +11,19 @@ module only adapts the query registry to the driver's shape.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-from big_data_bowl_2026_analytics_spark.plans import builders, oracles
+# The driver may import this module by file location; make the package
+# importable regardless of the process working directory.
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from big_data_bowl_2026_analytics_spark.plans import builders, oracles  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

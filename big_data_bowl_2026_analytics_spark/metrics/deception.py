@@ -139,3 +139,17 @@ def deception_scores(results: DataFrame, prob_col: str = "non_completion_probabi
         per_play,
         schema="game_id long, play_id long, frame_id int, deception_score double",
     )
+
+
+# Pickle this module's functions BY VALUE into UDF closures: Spark's
+# Python workers otherwise resolve them by module name, which fails
+# whenever the package isn't on the worker's import path (e.g. the
+# driver imported the repo by file location from another cwd).
+import sys as _sys
+
+try:  # pragma: no cover - exercised via worker round-trips in tests
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass

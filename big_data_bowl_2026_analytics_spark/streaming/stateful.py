@@ -79,3 +79,17 @@ def running_user_profile(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# Pickle this module's functions BY VALUE into UDF closures: Spark's
+# Python workers otherwise resolve them by module name, which fails
+# whenever the package isn't on the worker's import path (e.g. the
+# driver imported the repo by file location from another cwd).
+import sys as _sys
+
+try:  # pragma: no cover - exercised via worker round-trips in tests
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass
