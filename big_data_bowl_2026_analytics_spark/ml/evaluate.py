@@ -39,10 +39,41 @@ def binary_metrics(
     by_p = scored.groupBy("p").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos_p")
     )
-    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = by_p.withColumn(
-        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
-    ).withColumn("frac_rank", F.col("cum_before") + (F.col("n") + 1) / 2.0)
+    # Distributed prefix sum (two-level): a global ordered window would
+    # funnel all distinct probabilities through one partition. Instead,
+    # bucket p into B ranges, compute per-bucket offsets with a window
+    # over only B rows, broadcast them back, and run the ordered window
+    # partitioned by bucket — every step is parallel except the B-row
+    # offset scan. All summands are exact halves in float64, so the
+    # result is bit-identical to the single-window form.
+    n_buckets = 1024
+    bucketed = by_p.withColumn(
+        "bucket",
+        F.least(F.floor(F.col("p") * n_buckets), F.lit(n_buckets - 1)).cast("int"),
+    )
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("n").alias("bucket_n"))
+        .withColumn(
+            "bucket_before", F.coalesce(F.sum("bucket_n").over(w_bucket), F.lit(0))
+        )
+        .select("bucket", "bucket_before")
+    )
+    w_in_bucket = (
+        Window.partitionBy("bucket")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(bucket_offsets), "bucket")
+        .withColumn(
+            "cum_before",
+            F.col("bucket_before")
+            + F.coalesce(F.sum("n").over(w_in_bucket), F.lit(0)),
+        )
+        .withColumn("frac_rank", F.col("cum_before") + (F.col("n") + 1) / 2.0)
+    )
     agg = ranked.agg(
         F.sum(F.col("frac_rank") * F.col("n_pos_p")).alias("sum_rank_pos"),
         F.sum("n_pos_p").alias("n_pos"),
