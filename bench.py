@@ -42,6 +42,7 @@ HEADLINE = [
     # similarity search
     "q40_cosine_topk_bruteforce",
     "q42_ann_topk_lsh",
+    "q62_ivf_topk",
     # temporal joins + skew path
     "q45_skew_salted_aggregation",
     "q46_asof_join",

@@ -145,3 +145,108 @@ def q43_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg(squared_norm(F.col("embedding"))) + 1e-9, 6).alias("avg_sqnorm"),
     )
+
+
+def _sq_l2_sql(a: str, b: str) -> str:
+    """DuckDB squared-L2 fold matching operators/ivf.py::sq_l2 bit-for-bit."""
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return f"list_sum(list_transform(generate_series(1, 64), i -> {d} * {d}))"
+
+
+_SEEDS_CTE = """
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         embedding AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) s
+)
+"""
+
+
+@query(
+    "q61_ivf_assignments",
+    tags=("similarity", "ivf"),
+    oracle=f"""
+WITH {_SEEDS_CTE.strip()},
+scored AS (
+  SELECT e.vec_id, s.cluster_id,
+         {_sq_l2_sql('e.embedding', 's.centroid')} AS dist
+  FROM embeddings e CROSS JOIN seeds s
+), ranked AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+  FROM scored
+)
+SELECT vec_id, cluster_id FROM ranked WHERE rn = 1
+""",
+)
+def q61_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment: nearest of 8 deterministic seed centroids
+    (lowest-id vectors) per corpus vector — the inverted-file
+    partitioning key. Broadcast cross join + map-side-combined argmin;
+    the learned-kmeans refinement of the same cells is exercised in
+    tests (not SQL-expressible)."""
+    from ...operators.ivf import assign_clusters, seed_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, 8)
+    return assign_clusters(emb, cents).select("vec_id", "cluster_id")
+
+
+@query(
+    "q62_ivf_topk",
+    tags=("similarity", "ivf", "ann"),
+    oracle=f"""
+WITH {_SEEDS_CTE.strip()},
+normed AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sqnorm
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, embedding, sqnorm, cluster_id FROM (
+    SELECT n.vec_id, n.embedding, n.sqnorm, s.cluster_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {_sq_l2_sql('n.embedding', 's.centroid')}, s.cluster_id
+           ) AS rn
+    FROM normed n CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, q_vec, q_norm, cluster_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_vec, q.sqnorm AS q_norm,
+           s.cluster_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sq_l2_sql('q.embedding', 's.centroid')}, s.cluster_id
+           ) AS rn
+    FROM (SELECT * FROM normed WHERE vec_id < 3) q CROSS JOIN seeds s
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(p.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (sqrt(p.q_norm) * sqrt(c.sqnorm)) + 1e-9, 6) AS cosine
+  FROM probes p JOIN assigned c ON p.cluster_id = c.cluster_id
+  WHERE c.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+""",
+)
+def q62_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN search: each query probes its 2 nearest of 8 cells
+    and ranks candidates by exact cosine inside them — the second
+    similarity scale path next to LSH (q42). The corpus is touched via
+    a cluster_id equi-join only; nprobe trades compute for recall."""
+    from ...operators.ivf import ivf_topk, seed_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, 8)
+    queries = emb.where(F.col("vec_id") < 3)
+    return ivf_topk(emb, queries, cents, k=3, nprobe=2)

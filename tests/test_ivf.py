@@ -1,0 +1,102 @@
+"""IVF ANN operator tests: seeded determinism of distributed Lloyd's
+k-means, monotone quantization-error improvement, literal-vs-join
+assignment agreement, and recall of the probed search against the
+exact brute-force baseline (the contract an IVF index must honor)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_bowl_2026_analytics_spark.operators.ivf import (
+    assign_clusters,
+    ivf_topk,
+    kmeans_fit,
+    nearest_centroid_expr,
+    quantization_error,
+    seed_centroids,
+)
+from big_data_bowl_2026_analytics_spark.operators.similarity import brute_force_topk
+from big_data_bowl_2026_analytics_spark.sources.readers import read_table
+
+K = 8
+
+
+def test_kmeans_deterministic(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    c1 = kmeans_fit(emb, k=K, n_iters=2)
+    c2 = kmeans_fit(emb, k=K, n_iters=2)
+    assert c1 == c2
+    assert len(c1) == K and all(len(c) == 64 for c in c1)
+
+
+def test_kmeans_reduces_quantization_error(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(
+            seed_centroids(emb, K).collect(), key=lambda r: r["cluster_id"]
+        )
+    ]
+    learned = kmeans_fit(emb, k=K, n_iters=3)
+    err_seed = quantization_error(emb, seeds)
+    err_learned = quantization_error(emb, learned)
+    assert err_learned <= err_seed + 1e-12
+
+
+def test_assignment_literal_matches_join_path(spark, sf_dir):
+    """The zero-shuffle literal-expression assignment (used inside
+    Lloyd's iterations) and the broadcast-join assignment (used by
+    ivf_topk) must pick identical cells."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents_df = seed_centroids(emb, K)
+    seeds = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(cents_df.collect(), key=lambda r: r["cluster_id"])
+    ]
+    via_join = assign_clusters(emb, cents_df).select("vec_id", "cluster_id")
+    via_literal = emb.select(
+        "vec_id", nearest_centroid_expr(F.col("embedding"), seeds).alias("cluster_id")
+    )
+    diff = via_join.join(via_literal, "vec_id").where(
+        via_join["cluster_id"] != via_literal["cluster_id"]
+    )
+    assert diff.count() == 0
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    """With learned centroids and nprobe=4 of 8 cells, IVF top-3 must
+    recover a solid majority of the exact top-3 neighbor set."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    learned = kmeans_fit(emb, k=K, n_iters=2)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(learned)], "cluster_id int, centroid array<double>"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, cents, k=3, nprobe=4).collect()
+    }
+    assert exact, "brute-force baseline returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    """nprobe = k degenerates to exact search: every cell is scanned,
+    so the result must equal brute force exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = seed_centroids(emb, K)
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    )
+    full = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, cents, k=3, nprobe=K).collect()
+    )
+    assert exact == full
