@@ -18,6 +18,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -78,6 +82,60 @@ def running_user_profile(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+class RunningProfileProcessor(StatefulProcessor):
+    """``transformWithState`` flavor of the running profile: the same
+    per-key state machine expressed against the Spark 4.x arbitrary-
+    state API, which adds composite state (value/list/map), timers and
+    TTL over what ``applyInPandasWithState`` offers. State lives in the
+    (RocksDB-backed) state store partitioned by key; each micro-batch
+    touches only the keys it contains.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("profile", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues  # noqa: N803
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if self._state.exists():
+            n, total, mx = self._state.get()
+        else:
+            n, total, mx = 0, 0.0, float("-inf")
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        self._state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "max_value": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_profile_tws(events: DataFrame) -> DataFrame:
+    """Same running profile via ``transformWithStateInPandas``.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``); the legacy
+    HDFS-backed provider does not support transformWithState.
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningProfileProcessor(),
+        outputStructType=_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

@@ -179,3 +179,79 @@ def test_stream_static_join(spark, events_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, events_dir):
+    """The Spark 4.x transformWithState processor must drain to the
+    same final per-user profile as the applyInPandasWithState operator
+    (and therefore as the batch aggregate it was already checked
+    against). Needs the RocksDB state store provider, and the
+    TransformWithStateInPySpark driver worker imports google.protobuf
+    for its state-server protocol — skip where that runtime dep is
+    absent (this container has no protobuf and installs are barred).
+    """
+    pytest.importorskip("google.protobuf")
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        running_user_profile_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, events_dir)
+        q = (
+            running_user_profile_tws(stream)
+            .writeStream.format("memory")
+            .queryName("profile_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    updates = spark.table("profile_tws").toPandas()
+    final = updates.groupby("user_id").tail(1).set_index("user_id")
+    batch = (
+        read_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid in batch.index:
+        assert final.loc[uid, "n_events"] == batch.loc[uid, "n_events"]
+        assert abs(final.loc[uid, "total_value"] - batch.loc[uid, "total_value"]) < 1e-6
+        assert final.loc[uid, "max_value"] == batch.loc[uid, "max_value"]
+
+
+def test_transform_with_state_plan_constructs(spark, events_dir):
+    """Plan-level check that always runs: the transformWithState
+    operator analyzes against a streaming source and declares the
+    documented output schema (execution needs protobuf; analysis
+    doesn't)."""
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        running_user_profile_tws,
+    )
+
+    out = running_user_profile_tws(read_events_stream(spark, events_dir))
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+        "max_value",
+    ]
