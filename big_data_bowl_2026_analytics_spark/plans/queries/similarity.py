@@ -250,3 +250,68 @@ def q62_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = seed_centroids(emb, 8)
     queries = emb.where(F.col("vec_id") < 3)
     return ivf_topk(emb, queries, cents, k=3, nprobe=2)
+
+
+@query(
+    "q63_embedding_neardup",
+    tags=("dedup", "similarity", "lsh"),
+    oracle=f"""
+WITH {_NORMED_CTE.strip()},
+bucketed AS (
+  SELECT vec_id, embedding, sqnorm, CAST({_bucket_sql()} AS BIGINT) AS bucket
+  FROM normed
+)
+SELECT a_id, b_id, cosine FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(a.sqnorm) * sqrt(b.sqnorm)) + 1e-9, 6) AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.2
+""",
+)
+def q63_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member
+    of the dedup family (exact q30, MinHash q31/q32, SimHash q34,
+    Jaccard q33): LSH-bucketed candidate generation turns the O(N^2)
+    all-pairs cosine into a per-bucket self-join, then an exact cosine
+    threshold keeps real near-dups. At scale, recall is bought with
+    more hash tables, not a wider join."""
+    from ...operators.similarity import cosine as _cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        squared_norm(F.col("embedding")).alias("sqnorm"),
+        lsh_bucket(F.col("embedding"), 8, _DIM).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    a = bucketed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("sqnorm").alias("a_norm"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("sqnorm").alias("b_norm"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine(
+                    F.col("a_vec"), F.col("b_vec"), F.col("a_norm"), F.col("b_norm")
+                )
+                + 1e-9,
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= 0.2)
+        .select("a_id", "b_id", "cosine")
+    )

@@ -125,3 +125,74 @@ def q27_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@query(
+    "q64_hierarchical_rollup",
+    tags=("timeseries", "rollup"),
+    oracle="""
+SELECT date_trunc('day', ts) AS day,
+       event_type,
+       count(*) AS n,
+       round(sum(value) + 1e-9, 2) AS total_value,
+       round(sum(value) / count(*) + 1e-9, 4) AS avg_value
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+""",
+)
+def q64_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: DAILY aggregates computed
+    FROM the hourly aggregate layer rather than the raw events —
+    sum/count compose losslessly, avg re-derives as total/n. At scale
+    this is the continuous-aggregate pattern: each coarser granularity
+    reads the (thousands x smaller) finer rollup, not the fact table.
+    The oracle aggregates raw events directly, proving composition
+    changes nothing."""
+    ev = read_table(spark, sf_dir, "events", ["ts", "event_type", "value"])
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            fround(F.sum("sum_value"), 2).alias("total_value"),
+            fround(F.sum("sum_value") / F.sum("n"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "q65_trailing_hour_window",
+    tags=("timeseries", "range-frame"),
+    oracle="""
+SELECT event_id,
+       count(*) OVER w AS n_trailing_hour,
+       round(sum(value) OVER w + 1e-9, 2) AS sum_trailing_hour
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+""",
+)
+def q65_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity (count + value sum over the
+    user's previous 60 minutes) via a RANGE frame on integer
+    microseconds — value-based frames stay exact and engine-portable
+    where float epochs would not. Scale: partitioned by user_id, so
+    the ordered frame scan parallelizes across users; equal timestamps
+    are frame peers on both engines, which keeps ties deterministic."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        fround(F.sum("value").over(w), 2).alias("sum_trailing_hour"),
+    )
