@@ -117,3 +117,124 @@ def shingle_fingerprints(
         F.min(F.md5(F.col("sh"))).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    IDF uses the rational form (N+1)/(df+1) instead of its logarithm:
+    same ranking (log is monotone), but every score is a product and
+    quotient of exact integers in float64 — engine-exact, where a
+    transcendental log invites cross-engine ULP drift. Ranking runs on
+    the ROUNDED score with a term tie-break, so order is deterministic.
+
+    Scale: one token explode + two hash aggregations (doc-term, term)
+    and a broadcast of the one-row corpus count; the top-k window
+    partitions by doc_id.
+    """
+    from .dedup import tokens
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col), distinct=False)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0) + 1e-9,
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "tfidf")
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicated word-n-gram fraction per document — the classic
+    boilerplate/spam signal for pretraining-data filtering (a page of
+    repeated phrases scores near 1, natural prose near 0). Integer
+    count ratio: engine-exact. Shingles are bound in a projection
+    before reuse (CSE does not reach into higher-order lambdas)."""
+    bound = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(F.col(id_col), shingles_of(F.col("_toks"), n).alias("_sh"))
+    )
+    return bound.select(
+        F.col(id_col),
+        F.size("_sh").alias("n_shingles"),
+        F.size(F.array_distinct("_sh")).alias("n_distinct_shingles"),
+        F.round(
+            1.0 - F.size(F.array_distinct("_sh")) * 1.0 / F.size("_sh") + 1e-9, 6
+        ).alias("repetition_ratio"),
+    )
+
+
+def pattern_match_counts(
+    df: DataFrame,
+    patterns: dict[str, str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document regex hit counts for a set of named patterns — the
+    PII/boilerplate-scrubbing shape (emails, phones, URLs) used by
+    corpus filters; counts stay JVM-side via regexp_extract_all."""
+    out = [F.col(id_col)]
+    for name, pat in patterns.items():
+        out.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+                name
+            )
+        )
+    return df.select(*out)
+
+
+def contamination_ratio(
+    df: DataFrame,
+    n: int = 3,
+    benchmark_mod: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: fraction of each training doc's
+    distinct word-n-grams that appear anywhere in the benchmark set
+    (here the deterministic doc_id % benchmark_mod == 0 slice, standing
+    in for an eval suite). The benchmark shingle set is broadcast —
+    eval suites are tiny next to a training corpus — so the probe adds
+    no shuffle to the corpus scan. Integer ratio: engine-exact."""
+    bound = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(F.col(id_col), shingles_of(F.col("_toks"), n).alias("_sh"))
+    )
+    grams = bound.select(
+        F.col(id_col), F.explode(F.array_distinct("_sh")).alias("sh")
+    )
+    bench = (
+        grams.where(F.col(id_col) % benchmark_mod == 0).select("sh").distinct()
+    )
+    evald = grams.where(F.col(id_col) % benchmark_mod != 0)
+    hit = evald.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "sh", "left"
+    )
+    return hit.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.sum("_hit"), F.lit(0)) * 1.0 / F.count(F.lit(1)) + 1e-9, 6
+        ).alias("contamination_ratio"),
+    )

@@ -395,3 +395,127 @@ def q60_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFram
     from ...operators.dedup import duplicate_clusters
 
     return duplicate_clusters(pairs, docs, id_col="doc_id")
+
+
+_GRAMS_CTE = """
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]
+         )) AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+"""
+
+
+@query(
+    "q66_tfidf_top_terms",
+    tags=("text", "tfidf", "topk"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS dfreq FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term,
+         round(tf * (n_docs + 1.0) / (dfreq + 1.0) + 1e-9, 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, rank, tfidf FROM ranked WHERE rank <= 3
+""",
+)
+def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (rational IDF (N+1)/(df+1) —
+    same ranking as log-IDF, zero transcendental drift): token explode,
+    two hash aggs, broadcast corpus count, per-doc top-k window."""
+    from ...operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(read_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "q67_repetition_ratio",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH {_GRAMS_CTE.strip().replace('list_distinct(list_transform', 'list_transform').replace(')) AS shingles', ') AS shingles')}
+SELECT doc_id,
+       len(shingles) AS n_shingles,
+       len(list_distinct(shingles)) AS n_distinct_shingles,
+       round(1.0 - len(list_distinct(shingles)) * 1.0 / len(shingles) + 1e-9, 6)
+         AS repetition_ratio
+FROM grams
+""",
+)
+def q67_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated 3-gram fraction per document — the boilerplate/spam
+    signal pretraining filters threshold on. Pure integer-count ratio
+    over one bound shingle projection."""
+    from ...operators.textstats import repetition_ratio
+
+    return repetition_ratio(read_table(spark, sf_dir, "documents"), n=3)
+
+
+@query(
+    "q68_regex_token_patterns",
+    tags=("text", "regex"),
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\bs[a-z]+')) AS n_s_tokens,
+       len(regexp_extract_all(text, '[a-z]+ow\b')) AS n_ow_tokens
+FROM documents
+""",
+)
+def q68_regex_token_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document regex hit counts (the PII/boilerplate-scrub shape:
+    swap in email/phone/URL patterns on a real corpus). Counting stays
+    JVM-side in regexp_extract_all; patterns restricted to the regex
+    subset Java and RE2 agree on."""
+    from ...operators.textstats import pattern_match_counts
+
+    return pattern_match_counts(
+        read_table(spark, sf_dir, "documents"),
+        {"n_s_tokens": r"\bs[a-z]+", "n_ow_tokens": r"[a-z]+ow\b"},
+    )
+
+
+@query(
+    "q69_contamination_ratio",
+    tags=("text", "dedup", "contamination"),
+    oracle=f"""
+WITH {_GRAMS_CTE.strip()},
+exploded AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM grams
+), bench AS (
+  SELECT DISTINCT sh FROM exploded WHERE doc_id % 100 = 0
+)
+SELECT e.doc_id,
+       count(*) AS n_shingles,
+       sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 6)
+         AS contamination_ratio
+FROM exploded e LEFT JOIN bench b ON e.sh = b.sh
+WHERE e.doc_id % 100 != 0
+GROUP BY e.doc_id
+""",
+)
+def q69_contamination_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination probe: per training doc, the fraction
+    of its distinct 3-grams that occur anywhere in the benchmark slice
+    (doc_id % 100 == 0 stands in for an eval suite). The benchmark
+    shingle set broadcasts, so the corpus pays one scan and no extra
+    shuffle."""
+    from ...operators.textstats import contamination_ratio
+
+    return contamination_ratio(read_table(spark, sf_dir, "documents"), n=3)
