@@ -114,3 +114,35 @@ def piecewise_recovery_score(pass_result: Column, prob: Column) -> Column:
         .when(pass_result == "I", 1.0 - prob)
         .when(pass_result == "IN", 1.2 * (1.0 - prob))
     )
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of the low ``bits`` bits of two
+    non-negative integer columns — a space-filling-curve layout key.
+
+    Sorting or range-partitioning files by this key co-locates rows
+    that are close in BOTH dimensions, so parquet min/max statistics
+    prune scans for 2-D predicates (the technique behind Delta/Iceberg
+    Z-ordering; the reference's analogue is its per-week file layout,
+    reference src/core/settings.py:57-58, which clusters on one
+    dimension only). Pure integer bit math — exact and engine-portable
+    (same expression in ANSI SQL bit operators).
+    """
+    z: Column = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def zorder_sql(a: str, b: str, bits: int = 16) -> str:
+    """The exact SQL mirror of :func:`zorder_key` (for oracles/DDL)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)

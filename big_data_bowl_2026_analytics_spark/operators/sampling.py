@@ -1,0 +1,107 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines (beyond the reference; the reference's only split is the
+week-range train/test partition split, reference
+src/data_processing/training/create_datasets.py:102-103).
+
+Randomness in a distributed pipeline must be a pure function of the
+row, never of partitioning, task retries, or physical row order —
+``df.sample(seed=...)`` changes membership when the partition layout
+changes, which silently changes a training set between runs. Both
+operators therefore derive their "randomness" from md5 of stable key
+columns:
+
+- ``hash_bucket`` / ``hash_split``: assign each row to one of N
+  buckets (or named splits) by the integer value of an md5 prefix —
+  stable across runs, engines, and cluster layouts, and leakage-safe
+  (every row with the same key lands in the same split).
+- ``deterministic_group_sample``: k rows per group chosen by ordering
+  on the key hash — a re-runnable stand-in for per-group reservoir
+  sampling whose output does not depend on physical row order.
+
+Scale: both are embarrassingly parallel map-side expressions; the
+group sample adds one shuffle on the group key (window row_number with
+a WindowGroupLimit, so each partition keeps only k rows before the
+final sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 4 hex chars = 65536 source buckets; plenty of resolution for
+# percent-level split fractions.
+_HASH_CHARS = 4
+
+
+def row_hash(cols: Sequence[Column | str], sep: str = "|") -> Column:
+    """Stable row fingerprint: md5 over '|'-joined key columns.
+
+    md5 (not xxhash/crc32) so oracle SQL on any engine reproduces the
+    exact hex (CLAUDE.md hashing convention).
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.md5(F.concat_ws(sep, *cs))
+
+
+def hash_bucket(key: Column, n_buckets: int) -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5 of ``key``.
+
+    Engine-portable integer arithmetic: first 4 hex chars of the md5
+    parsed base-16 (DuckDB mirror: ``('0x' || substr(md5(k),1,4))::
+    BIGINT % n``).
+    """
+    val = F.conv(F.substring(F.md5(key), 1, _HASH_CHARS), 16, 10).cast("bigint")
+    return F.pmod(val, F.lit(n_buckets))
+
+
+def hash_split(
+    key: Column,
+    splits: Sequence[tuple[str, int]],
+    n_buckets: int = 100,
+) -> Column:
+    """Named split assignment by cumulative bucket ranges.
+
+    ``splits`` is ``[(name, n_buckets_of_total), ...]``; e.g. with
+    ``n_buckets=100``, ``[("test", 10), ("validation", 20),
+    ("train", 70)]`` is a 10/20/70 split. The ranges are cumulative in
+    the order given, so adding data never moves a row between splits.
+    """
+    if sum(n for _, n in splits) != n_buckets:
+        raise ValueError("split fractions must sum to n_buckets")
+    b = hash_bucket(key, n_buckets)
+    expr: Column | None = None
+    hi = 0
+    for name, n in splits[:-1]:
+        hi += n
+        cond = b < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assert expr is not None
+    return expr.otherwise(splits[-1][0])
+
+
+def deterministic_group_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int,
+    hash_cols: Sequence[str],
+) -> DataFrame:
+    """k rows per group, chosen by md5 order of ``hash_cols`` —
+    order-independent, re-runnable "random" per-group sampling.
+
+    Adds ``sample_key`` (the hex hash) and ``sample_rank`` (1..k).
+    ``hash_cols`` should uniquely identify a row within its group; rows
+    that are full duplicates tie harmlessly (identical output rows).
+
+    Scale: one shuffle on ``group_cols``; the rank filter is a
+    WindowGroupLimit, so executors discard beyond-k rows before the
+    per-group sort completes (no full-group materialization).
+    """
+    keyed = df.withColumn("sample_key", row_hash(list(hash_cols)))
+    w = Window.partitionBy(*group_cols).orderBy("sample_key")
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

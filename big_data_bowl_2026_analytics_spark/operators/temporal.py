@@ -102,3 +102,47 @@ def range_join_buckets(
         <= radius_seconds
     )
     return joined.where(exact).drop("_b", "_probe", "_rb")
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: tuple[str, ...],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid
+    and forward-fill gaps (last observation carried forward) — the
+    hypertable `time_bucket_gapfill + locf` pattern.
+
+    ``df`` must already be aggregated to grid-aligned timestamps (one
+    row per (key, bucket) present). Emits one row per (key, bucket)
+    between each key's first and last observation, value columns
+    forward-filled, plus ``observed`` ∈ {0,1} marking real rows.
+
+    Scale: the grid is generated per key from its (min, max) span —
+    `sequence` + `explode` is map-side after one groupBy(key) agg; the
+    left join back and the fill window both shuffle on the same key,
+    so AQE/exchange reuse keeps it at one real shuffle of the (small)
+    aggregated frame, never the raw facts.
+    """
+    span = df.groupBy(key).agg(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    )
+    grid = span.select(
+        key,
+        F.explode(
+            F.sequence(F.col("_t0"), F.col("_t1"), F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+    )
+    filled = grid.join(df, [key, ts_col], "left").withColumn(
+        "observed", F.col(value_cols[0]).isNotNull().cast("int")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return filled

@@ -1,0 +1,411 @@
+"""Training-data-pipeline operator queries (beyond the reference):
+gap-filled time series, deterministic splits/samples, statistical
+moments, column profiling (unpivot), funnel analysis, histogram
+binning, and Z-order layout keys.
+
+The reference's pipeline has exactly one split (week-range train/test,
+reference src/data_processing/training/create_datasets.py:102-103) and
+no sampling, profiling, or layout operators — these are the pieces a
+100 TB training-data pipeline needs around the same engine core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ...functions.scalar import fround, zorder_key, zorder_sql
+from ...operators.sampling import deterministic_group_sample, hash_split
+from ...operators.temporal import gap_fill_locf
+from ...sources.readers import read_table
+from ..registry import query
+
+
+@query(
+    "q70_gap_fill_locf",
+    tags=("timeseries", "gap-fill"),
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         round(sum(value) + 1e-9, 2) AS hourly_value
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+  FROM span
+), filled AS (
+  SELECT g.user_id, g.hour, h.hourly_value
+  FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+)
+SELECT user_id, hour,
+       last_value(hourly_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_locf,
+       CASE WHEN hourly_value IS NOT NULL THEN 1 ELSE 0 END AS observed
+FROM filled
+""",
+)
+def q70_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user activity regularized onto a dense hour grid with
+    gaps forward-filled (LOCF) — the hypertable
+    ``time_bucket_gapfill + locf`` pattern via
+    ``operators/temporal.py::gap_fill_locf``.
+
+    Scale: the grid explodes from each user's (min, max) span over the
+    ALREADY-AGGREGATED hourly frame (thousands of times smaller than
+    the fact table); the fill window shuffles once on user_id.
+    """
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts", "value"])
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(fround(F.sum("value"), 2).alias("hourly_value"))
+    filled = gap_fill_locf(hourly, "user_id", "hour", ("hourly_value",))
+    return filled.select(
+        "user_id",
+        "hour",
+        F.col("hourly_value").alias("value_locf"),
+        "observed",
+    )
+
+
+@query(
+    "q71_hash_split",
+    tags=("sampling", "split"),
+    oracle="""
+WITH b AS (
+  SELECT o_totalprice, o_custkey,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT % 100
+           AS bucket
+  FROM orders
+)
+SELECT CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 30 THEN 'validation'
+            ELSE 'train' END AS split,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(sum(o_totalprice) + 1e-9, 2) AS total_price
+FROM b GROUP BY 1
+""",
+)
+def q71_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10/20/70 test/validation/train split by md5 hash
+    bucket of the order key (``operators/sampling.py::hash_split``) —
+    stable across runs, engines, partition layouts, and data growth
+    (cumulative ranges), unlike ``df.sample``. The reference's only
+    split is the week-range partition split (create_datasets.py:102).
+
+    Scale: the assignment is a map-side expression; one shuffle for
+    the per-split aggregate.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    split = hash_split(
+        F.col("o_orderkey").cast("string"),
+        [("test", 10), ("validation", 20), ("train", 70)],
+    )
+    return (
+        orders.select(split.alias("split"), "o_custkey", "o_totalprice")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            fround(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q72_stats_moments",
+    tags=("agg", "statistics"),
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice) + 1e-9, 2) AS covar_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice) + 1e-9, 2) AS covar_pop_qty_price,
+       round(stddev_samp(l_extendedprice) + 1e-9, 4) AS stddev_price,
+       round(var_pop(l_quantity) + 1e-9, 4) AS var_qty,
+       round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 6) AS slope_price_per_qty,
+       round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 2) AS intercept_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q72_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics library per return flag: correlation,
+    sample/population covariance, stddev, variance, and the OLS
+    regression line — the data-profiling aggregates a feature pipeline
+    runs before training (the reference computes none of these; its
+    closest is the mean in A2, reference tracking.py:420-424).
+
+    Scale: all are single-pass mergeable co-moment aggregates
+    (partial aggregation map-side, one shuffle on the 3-value flag;
+    skew-safe because partials merge).
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    return li.groupBy("l_returnflag").agg(
+        fround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        fround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        fround(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_pop_qty_price"
+        ),
+        fround(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+        fround(F.var_pop("l_quantity"), 4).alias("var_qty"),
+        fround(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias(
+            "slope_price_per_qty"
+        ),
+        fround(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 2).alias(
+            "intercept_price"
+        ),
+    )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       min({c}) AS min_value, max({c}) AS max_value,
+       round(avg({c}) + 1e-9, 4) AS avg_value FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@query(
+    "q73_column_profile",
+    tags=("profiling", "unpivot"),
+    oracle=_PROFILE_ORACLE,
+)
+def q73_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: per-column (rows, nulls, min, max, mean) in
+    long/unpivoted form — the pre-training data-quality report.
+
+    Scale: ONE pass computes every column's aggregates in a single
+    partial-aggregated row (no per-column rescans — the oracle's
+    UNION ALL of scalar queries would scan 4x); the unpivot to long
+    form happens on that single 1-row result via inline(array(...)),
+    which is free. min/max pass raw doubles through (identical bits);
+    only the derived mean is rounded.
+    """
+    li = read_table(spark, sf_dir, "lineitem", list(_PROFILE_COLS))
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}_n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            fround(F.avg(c), 4).alias(f"{c}_avg"),
+        ]
+    one = li.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}_n").alias("n_rows"),
+            F.col(f"{c}_nulls").alias("n_null"),
+            F.col(f"{c}_min").alias("min_value"),
+            F.col(f"{c}_max").alias("max_value"),
+            F.col(f"{c}_avg").alias("avg_value"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return one.select(F.inline(F.array(*structs)))
+
+
+@query(
+    "q74_funnel_conversion",
+    tags=("events", "funnel"),
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1
+)
+SELECT stage, count(*) AS n_users FROM (
+  SELECT '1_view' AS stage, user_id FROM v
+  UNION ALL SELECT '2_click', user_id FROM c
+  UNION ALL SELECT '3_purchase', user_id FROM p
+) GROUP BY stage
+""",
+)
+def q74_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → later click → later purchase):
+    users surviving each stage, with strict temporal ordering — the
+    sequential-pattern query behind conversion analysis.
+
+    Scale: three min-aggregates on user_id + two joins on the same
+    key — every stage shuffles on user_id, so the exchanges line up
+    and reuse; stage frames shrink monotonically.
+    """
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_type"])
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    stages = (
+        v.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionByName(c.select(F.lit("2_click").alias("stage"), "user_id"))
+        .unionByName(p.select(F.lit("3_purchase").alias("stage"), "user_id"))
+    )
+    return stages.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q75_histogram_bins",
+    tags=("agg", "histogram"),
+    oracle="""
+WITH s AS (
+  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+), b AS (
+  SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 20)), 19)
+              AS INTEGER) AS bin,
+         mn, mx
+  FROM orders, s
+)
+SELECT bin,
+       round(mn + bin * ((mx - mn) / 20) + 1e-9, 2) AS bin_lo,
+       round(mn + (bin + 1) * ((mx - mn) / 20) + 1e-9, 2) AS bin_hi,
+       count(*) AS n_orders
+FROM b GROUP BY 1, 2, 3
+""",
+)
+def q75_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order value (width_bucket
+    semantics via portable floor arithmetic, top edge closed).
+
+    Scale: two passes — a 1-row global (min, max) broadcast onto the
+    fact scan, then a map-side bin expression and a 20-group partial
+    aggregate. No sort, no full shuffle of the facts.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_totalprice"])
+    stats = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / 20
+    binned = orders.crossJoin(F.broadcast(stats)).withColumn(
+        "bin",
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("mn")) / width), F.lit(19)
+        ).cast("int"),
+    )
+    return (
+        binned.withColumn("bin_lo", fround(F.col("mn") + F.col("bin") * width, 2))
+        .withColumn("bin_hi", fround(F.col("mn") + (F.col("bin") + 1) * width, 2))
+        .groupBy("bin", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q76_group_sample",
+    tags=("sampling", "window"),
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag, l_orderkey, l_partkey,
+         md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey))
+           AS sample_key,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey,
+                                  l_suppkey))
+         ) AS sample_rank
+  FROM lineitem
+)
+SELECT l_returnflag, l_orderkey, l_partkey, sample_key, sample_rank
+FROM ranked WHERE sample_rank <= 5
+""",
+)
+def q76_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-group sample by md5 order
+    (``operators/sampling.py::deterministic_group_sample``) — the
+    re-runnable form of per-group reservoir sampling; membership is a
+    pure function of the row, independent of partition layout.
+
+    Scale: one shuffle on the group key; the rank<=k filter plans as
+    WindowGroupLimit, so each task keeps only its top-5 by hash before
+    the final per-group merge (no full-group sort materialization).
+    """
+    li = read_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    sampled = deterministic_group_sample(
+        li,
+        ["l_returnflag"],
+        5,
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    return sampled.select(
+        "l_returnflag", "l_orderkey", "l_partkey", "sample_key", "sample_rank"
+    )
+
+
+@query(
+    "q77_zorder_layout",
+    tags=("layout", "zorder"),
+    oracle=f"""
+WITH z AS (
+  SELECT ({zorder_sql("l_partkey", "l_suppkey")}) AS zkey,
+         l_partkey, l_suppkey
+  FROM lineitem
+)
+SELECT zkey >> 16 AS zbucket,
+       count(*) AS n_rows,
+       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+FROM z GROUP BY 1
+""",
+)
+def q77_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order layout key over (part, supplier) with per-bucket
+    min/max ranges (``functions/scalar.py::zorder_key``) — the
+    space-filling-curve clustering behind Delta/Iceberg Z-ordering.
+    The per-bucket min/max output IS the point: both dimensions stay
+    range-bounded per bucket, which is exactly what makes parquet
+    min/max statistics prune 2-D predicates after a
+    ``repartitionByRange(zkey)`` write.
+
+    Scale: the key is map-side integer bit math; one partial-aggregated
+    shuffle on the bucket. Pure-integer output — engine-exact.
+    """
+    li = read_table(spark, sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    z = li.withColumn(
+        "zkey", zorder_key(F.col("l_partkey"), F.col("l_suppkey"))
+    )
+    return z.groupBy(F.shiftright("zkey", 16).alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+        F.min("l_suppkey").alias("min_supp"),
+        F.max("l_suppkey").alias("max_supp"),
+    )

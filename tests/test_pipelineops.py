@@ -1,0 +1,137 @@
+"""Unit tests for the training-pipeline operators: gap-fill/LOCF,
+deterministic hash splits/samples, and Z-order layout keys."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from big_data_bowl_2026_analytics_spark.functions.scalar import zorder_key, zorder_sql
+from big_data_bowl_2026_analytics_spark.operators.sampling import (
+    deterministic_group_sample,
+    hash_bucket,
+    hash_split,
+)
+from big_data_bowl_2026_analytics_spark.operators.temporal import gap_fill_locf
+
+
+def _ts(h: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, 0, 0)
+
+
+class TestGapFillLocf:
+    def test_fills_gaps_and_carries_forward(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", _ts(0), 1.0),
+                ("a", _ts(1), 2.0),
+                ("a", _ts(4), 5.0),  # hours 2,3 missing
+                ("b", _ts(10), 7.0),  # single point: no gaps
+            ],
+            "key string, hour timestamp, v double",
+        )
+        out = gap_fill_locf(df, "key", "hour", ("v",)).orderBy("key", "hour")
+        rows = [(r.key, r.hour.hour, r.v, r.observed) for r in out.collect()]
+        assert rows == [
+            ("a", 0, 1.0, 1),
+            ("a", 1, 2.0, 1),
+            ("a", 2, 2.0, 0),  # carried forward
+            ("a", 3, 2.0, 0),
+            ("a", 4, 5.0, 1),
+            ("b", 10, 7.0, 1),
+        ]
+
+    def test_no_rows_outside_span(self, spark):
+        df = spark.createDataFrame(
+            [("a", _ts(3), 1.0)], "key string, hour timestamp, v double"
+        )
+        assert gap_fill_locf(df, "key", "hour", ("v",)).count() == 1
+
+
+class TestHashSplit:
+    def test_fractions_and_determinism(self, spark):
+        n = 5000
+        df = spark.range(n).select(F.col("id").cast("string").alias("k"))
+        split = hash_split(F.col("k"), [("test", 10), ("validation", 20), ("train", 70)])
+        counts = {r[0]: r[1] for r in df.select(split.alias("s")).groupBy("s").count().collect()}
+        assert set(counts) == {"test", "validation", "train"}
+        # within 3 sigma of the target fractions
+        assert abs(counts["test"] - 0.10 * n) < 3 * (n * 0.1 * 0.9) ** 0.5
+        assert abs(counts["validation"] - 0.20 * n) < 3 * (n * 0.2 * 0.8) ** 0.5
+        # repartitioning does not move any row between splits
+        a = set(df.select("k", split.alias("s")).collect())
+        b = set(df.repartition(13).select("k", split.alias("s")).collect())
+        assert a == b
+
+    def test_bucket_range(self, spark):
+        df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+        mn, mx = (
+            df.select(hash_bucket(F.col("k"), 7).alias("b"))
+            .agg(F.min("b"), F.max("b"))
+            .first()
+        )
+        assert mn >= 0 and mx <= 6
+
+    def test_bad_fractions_raise(self, spark):
+        try:
+            hash_split(F.lit("x"), [("a", 50), ("b", 40)])
+        except ValueError:
+            return
+        raise AssertionError("expected ValueError")
+
+
+class TestGroupSample:
+    def test_k_per_group_and_layout_independence(self, spark):
+        df = spark.createDataFrame(
+            [(g, i) for g in ("x", "y") for i in range(50)], "g string, i long"
+        )
+        out = deterministic_group_sample(df, ["g"], 5, ["g", "i"])
+        per_group = {r[0]: r[1] for r in out.groupBy("g").count().collect()}
+        assert per_group == {"x": 5, "y": 5}
+        again = deterministic_group_sample(df.repartition(17), ["g"], 5, ["g", "i"])
+        assert set(out.select("g", "i").collect()) == set(
+            again.select("g", "i").collect()
+        )
+
+    def test_small_group_keeps_all(self, spark):
+        df = spark.createDataFrame([("x", 1), ("x", 2)], "g string, i long")
+        assert deterministic_group_sample(df, ["g"], 5, ["g", "i"]).count() == 2
+
+
+class TestZorder:
+    def _py_morton(self, a: int, b: int, bits: int = 16) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    def test_matches_python_reference(self, spark):
+        pairs = [(0, 0), (1, 0), (0, 1), (255, 7), (65535, 65535), (12345, 678)]
+        df = spark.createDataFrame(pairs, "a long, b long")
+        got = {
+            (r.a, r.b): r.z
+            for r in df.withColumn("z", zorder_key(F.col("a"), F.col("b"))).collect()
+        }
+        for a, b in pairs:
+            assert got[(a, b)] == self._py_morton(a, b)
+
+    def test_sql_mirror_identical(self, spark):
+        df = spark.range(200).select(
+            (F.col("id") * 37 % 1000).alias("a"), (F.col("id") * 91 % 1000).alias("b")
+        )
+        mismatches = (
+            df.withColumn("z1", zorder_key(F.col("a"), F.col("b")))
+            .withColumn("z2", F.expr(zorder_sql("a", "b")))
+            .where(F.col("z1") != F.col("z2"))
+            .count()
+        )
+        assert mismatches == 0
+
+    def test_monotone_per_dimension(self, spark):
+        # With one dimension fixed, the key is monotone in the other —
+        # the property that makes min/max range pruning sound.
+        for b in (0, 9, 500):
+            zs = [self._py_morton(a, b) for a in range(200)]
+            assert zs == sorted(zs)
