@@ -12,6 +12,7 @@ Modules map to SURVEY.md §2 operator classes:
 """
 
 from . import (  # noqa: F401
+    arrays,
     mlq,
     pipelineops,
     ranking,

@@ -767,3 +767,134 @@ def q59_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_f"), F.lit(0)).alias("n_fulfilled"),
         F.coalesce(F.col("n_o"), F.lit(0)).alias("n_open"),
     )
+
+
+@query(
+    "q79_grouping_sets",
+    tags=("agg", "grouping-sets"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       round(sum(o_totalprice) + 1e-9, 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q79_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent dimension breakdowns +
+    grand total in one pass) with the grouping_id bit vector
+    disambiguating NULL-as-aggregated from NULL-as-value — completes
+    the multi-dimensional family next to rollup (q18) and cube (q29).
+
+    Scale: one Expand node replicates each row once per set (3x here)
+    before a single partial-aggregated shuffle — one scan instead of
+    three separate aggregation queries.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            fround(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q80_conditional_aggregates",
+    tags=("agg", "filter-clause"),
+    oracle="""
+SELECT l_linestatus,
+       count(*) FILTER (WHERE l_returnflag = 'R') AS n_returns,
+       count(DISTINCT l_partkey) FILTER (WHERE l_discount > 0.05)
+         AS n_discounted_parts,
+       round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25) + 1e-9, 2)
+         AS bulk_revenue,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       bool_and(l_quantity > 0) AS all_positive_qty
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def q80_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate library: FILTER-clause counts/sums (as
+    count_if / when-guarded aggregates) and boolean any/all aggregates
+    — the reference hand-rolls the same shape once with
+    countDistinct(when(...)) (A1, reference tracking.py:282-296); this
+    is the full family.
+
+    Scale: all are single-pass mergeable partial aggregates; the
+    conditional forms add no extra scan or shuffle over their
+    unconditional versions (the distinct-count is the one expand).
+    """
+    li = read_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        [
+            "l_linestatus",
+            "l_returnflag",
+            "l_partkey",
+            "l_discount",
+            "l_quantity",
+            "l_extendedprice",
+            "l_tax",
+        ],
+    )
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returns"),
+        F.countDistinct(
+            F.when(F.col("l_discount") > 0.05, F.col("l_partkey"))
+        ).alias("n_discounted_parts"),
+        fround(
+            F.sum(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 2
+        ).alias("bulk_revenue"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+    )
+
+
+@query(
+    "q81_correlated_scalar_subquery",
+    tags=("sql", "subquery"),
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > (
+  SELECT 1.37 * avg(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+""",
+)
+def q81_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL front end: orders
+    priced far above their own customer's average. Catalyst
+    decorrelates it into an aggregate + join — the per-row subquery a
+    tuple-at-a-time engine would execute never happens.
+
+    Scale: the decorrelated plan aggregates orders once on o_custkey
+    and joins back on the same key — two scans of one table, one
+    shuffle key, no nested-loop. Output columns are raw pass-through
+    (the derived threshold is only compared, never emitted).
+    """
+    read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).createOrReplaceTempView("orders_q81")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders_q81 o
+        WHERE o.o_totalprice > (
+          SELECT 1.37 * avg(o2.o_totalprice) FROM orders_q81 o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )

@@ -75,3 +75,68 @@ def test_q50_uses_arrow_batched_udf(spark):
 def test_broadcast_hints_respected_in_q03(spark):
     plan = physical_plan(_q(spark, "q03_region_nation_revenue"))
     assert plan.count(") BroadcastHashJoin") >= 2  # nation & region map-side
+
+
+def test_q76_group_sample_partial_topk(spark):
+    # rank<=k plans as WindowGroupLimit: tasks keep 5 rows per group
+    # before the shuffle merge — no full-group materialization
+    assert_in_plan(_q(spark, "q76_group_sample"), "WindowGroupLimit")
+
+
+def test_q75_histogram_broadcasts_stats_row(spark):
+    # the 1-row (min,max) frame broadcasts onto the fact scan; binning
+    # never shuffles the facts on a join key
+    plan = physical_plan(_q(spark, "q75_histogram_bins"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q73_profile_single_scan_single_agg_row(spark):
+    # one pass over lineitem: exactly one scan, partial+final agg to a
+    # single row; the unpivot is a projection over that row (Generate
+    # over a 1-row frame, not over the facts)
+    plan = physical_plan(_q(spark, "q73_column_profile"))
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan only
+    assert "HashAggregate" in plan
+
+
+def test_q77_zorder_key_is_codegen_integer_math(spark):
+    # the Morton key is pure JVM bit math inside WholeStageCodegen —
+    # no Python, no UDF, no expand
+    plan = physical_plan(_q(spark, "q77_zorder_layout"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "shiftleft" in plan  # the key is a JVM projection expression
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_q70_gap_fill_single_shuffle_key(spark):
+    # grid generation, the fill join, and the LOCF window all hash on
+    # user_id — no exchange on any other key appears
+    plan = physical_plan(_q(spark, "q70_gap_fill_locf"))
+    import re
+    parts = re.findall(r"hashpartitioning\(([a-z_#0-9]+)", plan)
+    assert parts and all(p.startswith("user_id") for p in parts)
+
+
+def test_q78_arrays_no_explode_no_python(spark):
+    # higher-order array exprs evaluate in place: no Generate row
+    # blowup, no Python workers, map-only (no Exchange at all)
+    plan = physical_plan(_q(spark, "q78_array_functions"))
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_q79_grouping_sets_one_scan_expand(spark):
+    plan = physical_plan(_q(spark, "q79_grouping_sets"))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan and "HashAggregate" in plan
+
+
+def test_q81_subquery_decorrelates_to_join(spark):
+    # Catalyst rewrites the correlated scalar subquery into an
+    # aggregate + equi-join; no per-row nested-loop execution survives
+    plan = physical_plan(_q(spark, "q81_correlated_scalar_subquery"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
