@@ -55,3 +55,85 @@ def q78_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("elem_sum"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@query(
+    "q82_variant_shred",
+    tags=("semistructured", "variant"),
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)) + 1e-9, 4)
+         AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q82_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured pipeline through the VARIANT type: parse_json
+    once into the binary variant encoding, shred typed fields with
+    variant_get, aggregate — the open-lakehouse answer to schemaless
+    columns (vs q49's per-path get_json_object string re-parsing).
+
+    Scale: parse_json runs once per row map-side and variant_get reads
+    the binary encoding without re-parsing text; with variant shredding
+    in the storage layer the `$.k` path would come straight from
+    column statistics. Integer field -> engine-exact sums.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_type", "props"])
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            fround(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "q83_map_functions",
+    tags=("maps", "collect"),
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_types,
+       '{' || string_agg('"' || event_type || '":' || n, ','
+                         ORDER BY event_type) || '}' AS type_counts_json
+FROM counts GROUP BY user_id
+""",
+)
+def q83_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction and rendering: per-user event-type counts
+    assembled into a map column (map_from_entries over a sorted entry
+    array — collect_list order is nondeterministic, the sort fixes it)
+    and emitted as canonical JSON. The oracle builds the same JSON by
+    ordered string aggregation — proving the map's entry set, not an
+    engine-internal layout.
+
+    Scale: two stacked aggregations on compatible keys ((user, type)
+    then user); the map lives only in the final projection — grouping
+    state stays scalar.
+    """
+    ev = read_table(spark, sf_dir, "events", ["user_id", "event_type"])
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    entries = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return entries.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.to_json("m").alias("type_counts_json"),
+    )

@@ -39,3 +39,15 @@ def write_parquet(
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink for raw-output parity (reference src/io/datasets.py:35-47)."""
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format of text/training-data
+    pipelines (one JSON document per line, splittable, appendable)."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — second columnar format (predicate pushdown + column
+    pruning work identically to parquet through the same scan API)."""
+    df.write.mode(mode).orc(path)
