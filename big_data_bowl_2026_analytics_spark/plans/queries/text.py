@@ -519,3 +519,95 @@ def q69_contamination_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ...operators.textstats import contamination_ratio
 
     return contamination_ratio(read_table(spark, sf_dir, "documents"), n=3)
+
+
+@query(
+    "q85_fuzzy_match_blocked",
+    tags=("text", "entity-resolution"),
+    oracle="""
+WITH names AS (
+  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS block FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_distance
+FROM names a JOIN names b
+  ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def q85_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution): distinct part names
+    paired within a blocking key (their noun token) when edit distance
+    <= 2 — the classic near-duplicate value-clustering step, made
+    scalable by comparing DISTINCT values inside blocks instead of all
+    rows against all rows.
+
+    Scale: dedup first (64 distinct names vs 2k+ rows at sf0.01 —
+    the quadratic term shrinks by the duplication factor squared),
+    then an equi-join on the block key bounds each comparison to its
+    block. levenshtein runs JVM-side post-join. Same blocked shape as
+    the LSH candidate pairs (q32), with edit distance instead of
+    Jaccard.
+    """
+    part = read_table(spark, sf_dir, "part", ["p_name"])
+    names = part.select(
+        "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block")
+    ).distinct()
+    a = names.select(F.col("p_name").alias("name_a"), F.col("block").alias("block_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("block").alias("block_b"))
+    pairs = a.join(
+        b,
+        (F.col("block_a") == F.col("block_b"))
+        & (F.col("name_a") < F.col("name_b")),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return pairs.where(dist <= 2).select(
+        "name_a", "name_b", dist.alias("edit_distance")
+    )
+
+
+@query(
+    "q86_text_chunking",
+    tags=("text", "chunking"),
+    oracle="""
+SELECT doc_id,
+       CAST((start - 1) / 80 AS INTEGER) AS chunk_id,
+       start,
+       length(substr(text, start, 100)) AS chunk_len,
+       md5(substr(text, start, 100)) AS chunk_hash
+FROM (
+  SELECT doc_id, text,
+         CAST(unnest(generate_series(1, greatest(n_chars, 1), 80)) AS INTEGER)
+           AS start
+  FROM documents
+)
+""",
+)
+def q86_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size text chunking (100-char windows, stride
+    80) — the document→training-sample step of an LLM data pipeline,
+    expressed natively: sequence() generates chunk starts, posexplode
+    fans out, substring slices. Chunks are emitted as (len, md5) so
+    the oracle compares content without hashing megabytes of text.
+
+    Scale: fully map-side (no shuffle at all) and JVM-side — the
+    row fan-out is a Generate over per-row start arrays, never a
+    Python worker. ``functions/udtf.py::ChunkDocument`` is the Python
+    UDTF face of the same operator (tested equal); this native form is
+    the hot path.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n_chars"), F.lit(1)).cast("int"), F.lit(80)
+    )
+    exploded = docs.select(
+        "doc_id", "text", F.explode(starts).alias("start")
+    )
+    chunk = F.expr("substring(text, start, 100)")
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / 80).cast("int").alias("chunk_id"),
+        "start",
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_hash"),
+    )

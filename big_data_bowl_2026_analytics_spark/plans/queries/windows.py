@@ -226,3 +226,48 @@ def q28_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         per_user, schema="user_id long, n_events long, shift_score double"
     )
+
+
+@query(
+    "q84_window_navigation",
+    tags=("window", "navigation"),
+    oracle="""
+SELECT event_id, user_id, value,
+       lead(value, 1) OVER w AS next_value,
+       first_value(value) OVER w AS first_session_value,
+       nth_value(value, 2) OVER w AS second_value,
+       last_value(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS final_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q84_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window navigation family (lead / first_value / nth_value /
+    frame-spanning last_value) per user timeline — completes lag (q21)
+    and the ranking family (q56). The order carries the unique
+    event_id tie-break; every emitted value is a raw pass-through
+    (navigation moves doubles, never derives them), so the comparison
+    is bit-exact.
+
+    Scale: one shuffle on user_id; all four functions share one sorted
+    pass. The UNBOUNDED FOLLOWING frame is the only one that buffers a
+    full partition — fine for per-user cardinalities; a running frame
+    is the scale form when groups are huge.
+    """
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_session_value"),
+        F.nth_value("value", 2).over(w).alias("second_value"),
+        F.last("value").over(w_full).alias("final_value"),
+    )
