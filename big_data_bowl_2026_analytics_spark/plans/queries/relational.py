@@ -898,3 +898,52 @@ def q81_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFram
         )
         """
     )
+
+
+@query(
+    "q87_merge_upsert",
+    tags=("merge", "cdc"),
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 != 0
+), upd AS (
+  SELECT o_orderkey,
+         'U' AS o_orderstatus,
+         round(o_totalprice + 1000 + 1e-9, 2) AS o_totalprice,
+         o_orderkey % 20 = 0 AS is_delete
+  FROM orders WHERE o_orderkey % 5 = 0
+), survivors AS (
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+)
+SELECT * FROM survivors
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd WHERE NOT is_delete
+""",
+)
+def q87_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (upsert + delete) applied as relational
+    algebra (``operators/merge.py::merge_upsert``): a CDC batch
+    (every 5th order repriced, every 20th deleted) applied to a base
+    snapshot (orders not divisible by 10). Update rows win whole-row;
+    flagged keys disappear; everything else passes through.
+
+    Scale: one anti join on the merge key (broadcast for small CDC
+    batches) + a shuffle-free union — the apply-changes step of an
+    idempotent warehouse loop (pairs with pipeline/incremental.py's
+    dynamic-partition-overwrite writer).
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    updates = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        fround(F.col("o_totalprice") + 1000, 2).alias("o_totalprice"),
+        (F.col("o_orderkey") % 20 == 0).alias("is_delete"),
+    )
+    from ...operators.merge import merge_upsert
+
+    return merge_upsert(base, updates, ["o_orderkey"], delete_col="is_delete")

@@ -135,3 +135,29 @@ class TestZorder:
         for b in (0, 9, 500):
             zs = [self._py_morton(a, b) for a in range(200)]
             assert zs == sorted(zs)
+
+
+class TestMergeUpsert:
+    def test_upsert_insert_delete_pass_through(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.merge import merge_upsert
+
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        updates = spark.createDataFrame(
+            [(2, "B", False), (3, None, True), (9, "NEW", False)],
+            "k long, v string, is_delete boolean",
+        )
+        out = merge_upsert(base, updates, ["k"], delete_col="is_delete")
+        assert {(r.k, r.v) for r in out.collect()} == {
+            (1, "a"),   # untouched base row survives
+            (2, "B"),   # matched: update wins whole-row
+            (9, "NEW"), # unmatched update inserts
+        }  # key 3 deleted
+
+    def test_no_delete_col(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.merge import merge_upsert
+
+        base = spark.createDataFrame([(1, "a")], "k long, v string")
+        updates = spark.createDataFrame([(1, "A")], "k long, v string")
+        assert merge_upsert(base, updates, ["k"]).collect()[0].v == "A"
