@@ -105,3 +105,40 @@ def deterministic_group_sample(
         keyed.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    hash_cols: Sequence[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each row gets priority ``u^(1/w)`` with ``u`` a
+    hash-derived uniform in (0,1); the k highest priorities are the
+    sample. Inclusion probability is proportional to weight, and —
+    like every operator in this module — membership is a pure function
+    of the row (+ ``salt`` to draw independent samples), never of
+    partition layout or retries.
+
+    Scale: priorities are map-side expressions; the global top-k plans
+    as TakeOrderedAndProject (per-partition k then a k·P merge — no
+    global sort). Weights must be > 0.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(row_hash(list(hash_cols)), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**8))
+    priority = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.withColumn("sample_priority", priority)
+        .orderBy(F.desc("sample_priority"))
+        .limit(k)
+    )

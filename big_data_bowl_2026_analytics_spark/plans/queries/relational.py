@@ -947,3 +947,91 @@ def q87_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ...operators.merge import merge_upsert
 
     return merge_upsert(base, updates, ["o_orderkey"], delete_col="is_delete")
+
+
+@query(
+    "q88_row_unpivot",
+    tags=("reshape", "unpivot"),
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""",
+)
+def q88_row_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level unpivot (wide→long melt) of four measure columns via
+    the native ``DataFrame.unpivot`` — the reshape feeding per-metric
+    modeling/plotting pipelines. Values are raw pass-through doubles
+    (bit-exact); q73 is the aggregated cousin.
+
+    Scale: unpivot is a map-side Expand (one scan, rows×4, no shuffle)
+    — the oracle's UNION ALL formulation would scan the table four
+    times.
+    """
+    li = read_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"],
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "q89_cohort_retention",
+    tags=("events", "cohort"),
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), c AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+)
+SELECT c.cohort_week,
+       CAST(datediff('day', c.cohort_week, uw.week) // 7 AS INTEGER)
+         AS week_offset,
+       count(DISTINCT uw.user_id) AS n_active_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q89_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted as active per week offset — the canonical product-
+    analytics triangle, composed from distinct projection, per-user
+    min, a same-key join, and date arithmetic (exact: week offsets are
+    multiples of 7 days on both engines).
+
+    Scale: the (user, week) distinct frame is thousands of times
+    smaller than raw events; cohort assignment and the join both key
+    on user_id (aligned exchanges), and the final aggregate shuffles
+    the small retention pairs only.
+    """
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts"])
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )

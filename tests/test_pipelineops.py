@@ -161,3 +161,41 @@ class TestMergeUpsert:
         base = spark.createDataFrame([(1, "a")], "k long, v string")
         updates = spark.createDataFrame([(1, "A")], "k long, v string")
         assert merge_upsert(base, updates, ["k"]).collect()[0].v == "A"
+
+
+class TestWeightedSample:
+    def test_deterministic_and_weight_biased(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        # 100 light rows (w=1) + 100 heavy rows (w=10)
+        df = spark.createDataFrame(
+            [(i, 1.0 if i < 100 else 10.0) for i in range(200)],
+            "id long, w double",
+        )
+        picks = weighted_sample(df, 20, "w", ["id"])
+        again = weighted_sample(df.repartition(11), 20, "w", ["id"])
+        assert {r.id for r in picks.collect()} == {r.id for r in again.collect()}
+
+        # across 30 independent salts, heavy rows dominate the samples
+        heavy = light = 0
+        for s in range(30):
+            for r in weighted_sample(df, 20, "w", ["id"], salt=str(s)).collect():
+                if r.w == 10.0:
+                    heavy += 1
+                else:
+                    light += 1
+        assert heavy > 4 * light  # E[heavy/light] ≈ 10, allow wide margin
+
+    def test_topk_plan_no_global_sort(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.sampling import (
+            weighted_sample,
+        )
+        from big_data_bowl_2026_analytics_spark.plans.explain import physical_plan
+
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") % 7 + 1.0).alias("w")
+        )
+        plan = physical_plan(weighted_sample(df, 5, "w", ["id"]))
+        assert "TakeOrderedAndProject" in plan
