@@ -92,3 +92,57 @@ def run_available_now(stream_df: DataFrame, table_name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_merge_into_parquet(
+    events: DataFrame,
+    snapshot_path: str,
+    checkpoint_path: str,
+    keys: tuple[str, ...] = ("user_id",),
+) -> "StreamingQuery":  # noqa: F821
+    """Streaming CDC-upsert sink: each micro-batch is reduced to one
+    row per key (latest event wins via max_by on (ts, event_id)) and
+    merged into a parquet snapshot with
+    ``operators/merge.py::merge_upsert`` inside ``foreachBatch`` — the
+    standard pattern for maintaining an up-to-date keyed table from a
+    stream when the table format has no native MERGE.
+
+    Scale: per batch, one anti join of the (small) deduped batch
+    against the snapshot + a rewrite. The read-modify-write below
+    rewrites the whole snapshot (fine for dimension-sized tables); at
+    fact scale the same ``foreachBatch`` body targets partitions via
+    dynamic partition overwrite (pipeline/incremental.py) or a MERGE-
+    capable table format. exactly-once comes from the checkpoint:
+    a replayed batch re-merges idempotently (same keys, same rows).
+    """
+    from ..operators.merge import merge_upsert
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        latest = (
+            batch.groupBy(*keys)
+            .agg(
+                F.max_by(
+                    F.struct("ts", "event_type", "value"),
+                    F.struct("ts", "event_id"),
+                ).alias("_r")
+            )
+            .select(*keys, "_r.ts", "_r.event_type", "_r.value")
+        )
+        try:
+            base = spark.read.parquet(snapshot_path)
+            merged = merge_upsert(base, latest, list(keys))
+        except Exception:  # first batch: no snapshot yet
+            merged = latest
+        # write to a new location then swap via overwrite: parquet
+        # can't be read and overwritten in the same job (SURVEY §7
+        # hard-part 7) — materialize first.
+        rows = merged.localCheckpoint(eager=True)
+        rows.write.mode("overwrite").parquet(snapshot_path)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

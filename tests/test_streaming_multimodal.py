@@ -255,3 +255,39 @@ def test_transform_with_state_plan_constructs(spark, events_dir):
         "total_value",
         "max_value",
     ]
+
+
+def test_stream_merge_upsert_snapshot(spark, events_dir, tmp_path):
+    """foreachBatch + merge_upsert maintains a latest-row-per-user
+    snapshot equal to the batch max_by over the same data."""
+    from big_data_bowl_2026_analytics_spark.sources.readers import read_table
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        read_events_stream,
+        stream_merge_into_parquet,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    q = stream_merge_into_parquet(
+        read_events_stream(spark, events_dir),
+        snap,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.ts, r.event_type, r.value)
+        for r in spark.read.parquet(snap).collect()
+    }
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    expected = {
+        tuple(r)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_type", "value"), F.struct("ts", "event_id")
+            ).alias("_r")
+        )
+        .select("user_id", "_r.ts", "_r.event_type", "_r.value")
+        .collect()
+    }
+    assert got == expected and len(got) > 0
