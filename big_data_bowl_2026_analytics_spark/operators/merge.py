@@ -49,3 +49,40 @@ def merge_upsert(
         inserts = updates
     survivors = base.join(updates.select(*keys).distinct(), keys, "left_anti")
     return survivors.unionByName(inserts)
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Classify every key across two snapshots of the same schema:
+    ``inserted`` / ``deleted`` / ``updated`` / ``unchanged`` — the
+    reconciliation audit run after an apply-changes step (the inverse
+    of :func:`merge_upsert`), and the core of a data-diff tool.
+
+    Rows are compared by md5 over all non-key columns (column order
+    fixed by the ``before`` schema), so wide rows travel the join as
+    one 32-char hash. Returns (keys..., change_type).
+
+    Scale: both sides reduce to (key, row_hash) map-side before a
+    single full outer join on the key — the shuffle carries hashes,
+    not payloads.
+    """
+    keys = list(keys)
+    payload = [c for c in before.columns if c not in keys]
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in payload]))
+        return df.select(*keys, h.alias(alias))
+
+    b = hashed(before, "_h_before")
+    a = hashed(after, "_h_after")
+    joined = b.join(a, keys, "full_outer")
+    change = (
+        F.when(F.col("_h_before").isNull(), "inserted")
+        .when(F.col("_h_after").isNull(), "deleted")
+        .when(F.col("_h_before") == F.col("_h_after"), "unchanged")
+        .otherwise("updated")
+    )
+    return joined.select(*keys, change.alias("change_type"))

@@ -1035,3 +1035,76 @@ def q89_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+@query(
+    "q90_snapshot_diff",
+    tags=("merge", "diff"),
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 != 0
+), upd AS (
+  SELECT o_orderkey,
+         'U' AS o_orderstatus,
+         round(o_totalprice + 1000 + 1e-9, 2) AS o_totalprice,
+         o_orderkey % 20 = 0 AS is_delete
+  FROM orders WHERE o_orderkey % 5 = 0
+), merged AS (
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd WHERE NOT is_delete
+), hb AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|', CAST(o_orderstatus AS VARCHAR),
+                       CAST(o_totalprice AS VARCHAR))) AS h
+  FROM base
+), ha AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|', CAST(o_orderstatus AS VARCHAR),
+                       CAST(o_totalprice AS VARCHAR))) AS h
+  FROM merged
+)
+SELECT CASE WHEN hb.h IS NULL THEN 'inserted'
+            WHEN ha.h IS NULL THEN 'deleted'
+            WHEN hb.h = ha.h THEN 'unchanged'
+            ELSE 'updated' END AS change_type,
+       count(*) AS n_keys
+FROM hb FULL OUTER JOIN ha USING (o_orderkey)
+GROUP BY 1
+""",
+)
+def q90_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation audit: diff the q87 base snapshot
+    against its CDC-merged result and count keys per change class
+    (``operators/merge.py::snapshot_diff``) — the verification step a
+    pipeline runs after apply-changes.
+
+    Scale: each side reduces to (key, md5 of payload) before one full
+    outer join on the key — the shuffle carries 32-char hashes, never
+    the row payloads; the class counts are a 4-group partial
+    aggregate. NOTE the hash is diff-internal (both sides computed by
+    the same engine) — cross-engine float-repr parity of
+    CAST(double AS VARCHAR) is NOT assumed for row contents, only for
+    match/mismatch classification, which is why the oracle mirrors the
+    same construction and the test below pins semantics.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    updates = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        fround(F.col("o_totalprice") + 1000, 2).alias("o_totalprice"),
+        (F.col("o_orderkey") % 20 == 0).alias("is_delete"),
+    )
+    from ...operators.merge import merge_upsert, snapshot_diff
+
+    merged = merge_upsert(base, updates, ["o_orderkey"], delete_col="is_delete")
+    return (
+        snapshot_diff(base, merged, ["o_orderkey"])
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )

@@ -199,3 +199,17 @@ class TestWeightedSample:
         )
         plan = physical_plan(weighted_sample(df, 5, "w", ["id"]))
         assert "TakeOrderedAndProject" in plan
+
+
+class TestSnapshotDiff:
+    def test_classifies_all_four_cases(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.merge import snapshot_diff
+
+        before = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        after = spark.createDataFrame(
+            [(1, "a"), (2, "B"), (9, "new")], "k long, v string"
+        )
+        got = {r.k: r.change_type for r in snapshot_diff(before, after, ["k"]).collect()}
+        assert got == {1: "unchanged", 2: "updated", 3: "deleted", 9: "inserted"}
