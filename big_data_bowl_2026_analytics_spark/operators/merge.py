@@ -65,6 +65,16 @@ def snapshot_diff(
     fixed by the ``before`` schema), so wide rows travel the join as
     one 32-char hash. Returns (keys..., change_type).
 
+    Hash construction: every column is null-sentineled with NUL before
+    concatenation — ``concat_ws`` SKIPS nulls, so without the sentinel
+    payloads ('a', NULL) and (NULL, 'a') (or ('a|b', NULL) vs
+    ('a','b') with the old '|' delimiter) would collide and be
+    misclassified as unchanged. The field separator is \\x01, which
+    cannot appear in the NUL sentinel and is vanishingly rare in data;
+    a column VALUE containing \\x01 could still in principle collide
+    across column boundaries — acceptable for an audit hash,
+    documented here.
+
     Scale: both sides reduce to (key, row_hash) map-side before a
     single full outer join on the key — the shuffle carries hashes,
     not payloads.
@@ -73,7 +83,11 @@ def snapshot_diff(
     payload = [c for c in before.columns if c not in keys]
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
-        h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in payload]))
+        cells = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\u0000"))
+            for c in payload
+        ]
+        h = F.md5(F.concat_ws("\u0001", *cells))
         return df.select(*keys, h.alias(alias))
 
     b = hashed(before, "_h_before")

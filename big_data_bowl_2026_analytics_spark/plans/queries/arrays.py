@@ -61,14 +61,17 @@ def q78_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q82_variant_shred",
     tags=("semistructured", "variant"),
     oracle="""
-SELECT event_type,
-       count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)) + 1e-9, 4)
-         AS avg_k
-FROM events
-GROUP BY event_type
+WITH agg AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n, sum_k, max_k,
+       floor(sum_k * 10000.0 / n + 0.5) / 10000.0 AS avg_k
+FROM agg
 """,
 )
 def q82_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,22 +80,39 @@ def q82_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant_get, aggregate — the open-lakehouse answer to schemaless
     columns (vs q49's per-path get_json_object string re-parsing).
 
+    Cross-engine exactness (round-1 driver hash mismatch, VERDICT #1):
+    the field is extracted AS STRING on both engines (variant_get
+    'string' here, json_extract_string in the oracle) and converted
+    with a plain SQL try_cast, so JSON-type coercion rules never
+    differ; all aggregates are bigint (engine-exact), and avg_k is
+    derived from them in an outer projection using only IEEE ops
+    (mul/div/floor — floor(x*1e4+0.5)/1e4 == HALF_UP to 4 places),
+    so no engine's round() implementation is in the loop. sum_k*1e4
+    stays exact in double below 2^53, i.e. sum_k < ~9e11 — far above
+    any SF here.
+
     Scale: parse_json runs once per row map-side and variant_get reads
     the binary encoding without re-parsing text; with variant shredding
     in the storage layer the `$.k` path would come straight from
-    column statistics. Integer field -> engine-exact sums.
+    column statistics.
     """
     ev = read_table(spark, sf_dir, "events", ["event_type", "props"])
-    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
-    return (
+    k = F.variant_get(F.parse_json("props"), "$.k", "string").try_cast("bigint")
+    agg = (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("sum_k"),
             F.max("k").alias("max_k"),
-            fround(F.avg("k"), 4).alias("avg_k"),
         )
+    )
+    avg_k = (
+        F.floor(F.col("sum_k") * F.lit(10000.0) / F.col("n") + F.lit(0.5))
+        / F.lit(10000.0)
+    )
+    return agg.select(
+        "event_type", "n", "sum_k", "max_k", avg_k.alias("avg_k")
     )
 
 

@@ -1057,13 +1057,15 @@ WITH base AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd WHERE NOT is_delete
 ), hb AS (
   SELECT o_orderkey,
-         md5(concat_ws('|', CAST(o_orderstatus AS VARCHAR),
-                       CAST(o_totalprice AS VARCHAR))) AS h
+         md5(concat_ws(chr(1),
+                       coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                       coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))) AS h
   FROM base
 ), ha AS (
   SELECT o_orderkey,
-         md5(concat_ws('|', CAST(o_orderstatus AS VARCHAR),
-                       CAST(o_totalprice AS VARCHAR))) AS h
+         md5(concat_ws(chr(1),
+                       coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                       coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))) AS h
   FROM merged
 )
 SELECT CASE WHEN hb.h IS NULL THEN 'inserted'

@@ -50,6 +50,13 @@ def read_table(
     NANOS to its microsecond TIMESTAMP on read.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Runtime-settable SQL confs the queries depend on are set HERE,
+    # not at session build time: the driver supplies its own
+    # SparkSession (CLAUDE.md footgun #7), so timestamp semantics
+    # (date_trunc, toPandas conversion) must not rely on the session
+    # having been built by core/session.py. UTC matches the DuckDB
+    # oracle's default.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

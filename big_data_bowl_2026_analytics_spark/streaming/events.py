@@ -94,11 +94,56 @@ def run_available_now(stream_df: DataFrame, table_name: str) -> None:
     q.awaitTermination()
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — works
+    identically on local paths, HDFS, and object stores with a Hadoop
+    connector."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def latest_snapshot_version(spark: SparkSession, root: str) -> str | None:
+    """Name of the newest COMMITTED snapshot version under ``root``.
+
+    A version is committed iff its parquet ``_SUCCESS`` marker exists
+    (written last by the Hadoop commit protocol), so a writer crash
+    mid-version leaves an ignored orphan directory, never a corrupt
+    snapshot. Versions are zero-padded so lexicographic max == numeric
+    max.
+    """
+    jvm = spark._jvm
+    fs, rpath = _hadoop_fs(spark, root)
+    if not fs.exists(rpath):
+        return None
+    committed = []
+    for st in fs.listStatus(rpath):
+        name = st.getPath().getName()
+        if name.startswith("v=") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            committed.append(name)
+    return max(committed) if committed else None
+
+
+def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
+    """Read the newest committed snapshot version, or None if the
+    snapshot has never been written (probed explicitly — read errors
+    on an EXISTING version propagate, they are not first-batch
+    fallbacks)."""
+    version = latest_snapshot_version(spark, root)
+    if version is None:
+        return None
+    return spark.read.parquet(f"{root}/{version}")
+
+
 def stream_merge_into_parquet(
     events: DataFrame,
     snapshot_path: str,
     checkpoint_path: str,
     keys: tuple[str, ...] = ("user_id",),
+    keep_versions: int = 2,
 ) -> "StreamingQuery":  # noqa: F821
     """Streaming CDC-upsert sink: each micro-batch is reduced to one
     row per key (latest event wins via max_by on (ts, event_id)) and
@@ -107,13 +152,26 @@ def stream_merge_into_parquet(
     standard pattern for maintaining an up-to-date keyed table from a
     stream when the table format has no native MERGE.
 
+    Durability: ``snapshot_path`` is a versioned root — each batch
+    writes a NEW ``v=<batch_id>`` directory and readers resolve the
+    newest ``_SUCCESS``-committed version (``read_snapshot``), so
+    - the snapshot is never overwritten in place (a crash mid-write
+      leaves the previous version intact and readable);
+    - no lineage trick (localCheckpoint) is needed, because the write
+      never deletes its own input;
+    - first-batch detection is an explicit existence probe, not a
+      swallowed exception — a transient read failure or a merge bug
+      fails the batch (and the checkpoint retries it) instead of
+      silently resetting the snapshot to the current batch's keys.
+    Old versions beyond ``keep_versions`` are pruned after commit.
+
     Scale: per batch, one anti join of the (small) deduped batch
-    against the snapshot + a rewrite. The read-modify-write below
-    rewrites the whole snapshot (fine for dimension-sized tables); at
-    fact scale the same ``foreachBatch`` body targets partitions via
-    dynamic partition overwrite (pipeline/incremental.py) or a MERGE-
-    capable table format. exactly-once comes from the checkpoint:
-    a replayed batch re-merges idempotently (same keys, same rows).
+    against the snapshot + a rewrite. The rewrite covers the whole
+    snapshot (fine for dimension-sized tables); at fact scale the same
+    ``foreachBatch`` body targets partitions via dynamic partition
+    overwrite (pipeline/incremental.py) or a MERGE-capable table
+    format. exactly-once comes from the checkpoint: a replayed batch
+    re-merges idempotently into the same version directory.
     """
     from ..operators.merge import merge_upsert
 
@@ -129,16 +187,22 @@ def stream_merge_into_parquet(
             )
             .select(*keys, "_r.ts", "_r.event_type", "_r.value")
         )
-        try:
-            base = spark.read.parquet(snapshot_path)
-            merged = merge_upsert(base, latest, list(keys))
-        except Exception:  # first batch: no snapshot yet
-            merged = latest
-        # write to a new location then swap via overwrite: parquet
-        # can't be read and overwritten in the same job (SURVEY §7
-        # hard-part 7) — materialize first.
-        rows = merged.localCheckpoint(eager=True)
-        rows.write.mode("overwrite").parquet(snapshot_path)
+        base = read_snapshot(spark, snapshot_path)
+        merged = (
+            merge_upsert(base, latest, list(keys)) if base is not None else latest
+        )
+        version_dir = f"{snapshot_path}/v={batch_id:020d}"
+        merged.write.mode("overwrite").parquet(version_dir)
+        jvm = spark._jvm
+        fs, rpath = _hadoop_fs(spark, snapshot_path)
+        committed = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(rpath)
+            if st.getPath().getName().startswith("v=")
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        )
+        for stale in committed[:-keep_versions] if keep_versions > 0 else []:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(rpath, stale), True)
 
     return (
         events.writeStream.foreachBatch(_apply)

@@ -213,3 +213,21 @@ class TestSnapshotDiff:
         )
         got = {r.k: r.change_type for r in snapshot_diff(before, after, ["k"]).collect()}
         assert got == {1: "unchanged", 2: "updated", 3: "deleted", 9: "inserted"}
+
+    def test_null_placement_not_collided(self, spark):
+        """concat_ws skips NULLs, so without per-column sentinels
+        ('a', NULL) vs (NULL, 'a') — and ('a\\x01b', NULL) vs
+        ('a', 'b') under the hash delimiter — would hash equal and be
+        misclassified as unchanged (ADVICE round 1)."""
+        from big_data_bowl_2026_analytics_spark.operators.merge import snapshot_diff
+
+        before = spark.createDataFrame(
+            [(1, "a", None), (2, "a", None), (3, "a\x01b", None)],
+            "k long, v1 string, v2 string",
+        )
+        after = spark.createDataFrame(
+            [(1, None, "a"), (2, "a", None), (3, "a", "b")],
+            "k long, v1 string, v2 string",
+        )
+        got = {r.k: r.change_type for r in snapshot_diff(before, after, ["k"]).collect()}
+        assert got == {1: "updated", 2: "unchanged", 3: "updated"}

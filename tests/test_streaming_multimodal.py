@@ -262,11 +262,14 @@ def test_stream_merge_upsert_snapshot(spark, events_dir, tmp_path):
     snapshot equal to the batch max_by over the same data."""
     from big_data_bowl_2026_analytics_spark.sources.readers import read_table
     from big_data_bowl_2026_analytics_spark.streaming.events import (
+        latest_snapshot_version,
         read_events_stream,
+        read_snapshot,
         stream_merge_into_parquet,
     )
 
     snap = str(tmp_path / "snapshot")
+    assert read_snapshot(spark, snap) is None  # explicit probe, no snapshot yet
     q = stream_merge_into_parquet(
         read_events_stream(spark, events_dir),
         snap,
@@ -274,9 +277,11 @@ def test_stream_merge_upsert_snapshot(spark, events_dir, tmp_path):
     )
     q.awaitTermination()
 
+    version = latest_snapshot_version(spark, snap)
+    assert version is not None and version.startswith("v=")
     got = {
         (r.user_id, r.ts, r.event_type, r.value)
-        for r in spark.read.parquet(snap).collect()
+        for r in read_snapshot(spark, snap).collect()
     }
     ev = read_table(spark, "/root/testdata/sf0.001", "events")
     expected = {
