@@ -25,20 +25,36 @@ def binary_metrics(
     y = F.col(label_col).cast("double")
 
     scored = df.select(p.alias("p"), y.alias("y"))
+    # Single pass: y is binary, so the row-wise loss terms are exactly
+    # recoverable from the per-p group counts —
+    #   Σ_rows -[y ln p + (1-y) ln(1-p)] = Σ_p [n_pos·(-ln p) + n_neg·(-ln(1-p))]
+    #   Σ_rows (p-y)²                    = Σ_p [n_pos·(1-p)² + n_neg·p²]
+    # — which folds log-loss/Brier into the SAME groupBy(p) aggregate
+    # the AUC rank-sum needs. One scan of the scored input instead of
+    # two (the scoring pipeline above it may contain a Python UDF
+    # stage; executing it twice doubles the Arrow exchange), and no
+    # final crossJoin of two one-row aggregates.
     eps = 1e-12
-    loss_terms = scored.agg(
-        F.avg(
-            -(
-                F.col("y") * F.log(F.greatest(F.col("p"), F.lit(eps)))
-                + (1 - F.col("y")) * F.log(F.greatest(1 - F.col("p"), F.lit(eps)))
-            )
-        ).alias("log_loss_raw"),
-        F.avg(F.pow(F.col("p") - F.col("y"), 2)).alias("brier_raw"),
-    )
-
     by_p = scored.groupBy("p").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos_p")
     )
+    n_neg_p = F.col("n") - F.col("n_pos_p")
+    by_p = by_p.withColumn(
+        "loss_sum",
+        F.col("n_pos_p") * -F.log(F.greatest(F.col("p"), F.lit(eps)))
+        + n_neg_p * -F.log(F.greatest(1 - F.col("p"), F.lit(eps))),
+    ).withColumn(
+        "brier_sum",
+        F.col("n_pos_p") * F.pow(1 - F.col("p"), 2)
+        + n_neg_p * F.pow(F.col("p"), 2),
+    )
+    # by_p feeds two branches below (bucket offsets + ranked rows).
+    # No materialization needed: both branches sit above the SAME
+    # groupBy(p) exchange, which ReuseExchange deduplicates — the
+    # scored input (including any Python UDF scoring stage) executes
+    # once. (Verified: adding a localCheckpoint here measurably SLOWED
+    # the query — it added a blocking materialization job for a reuse
+    # the engine already provides.)
     # Distributed prefix sum (two-level): a global ordered window would
     # funnel all distinct probabilities through one partition. Instead,
     # bucket p into B ranges, compute per-bucket offsets with a window
@@ -78,24 +94,24 @@ def binary_metrics(
         F.sum(F.col("frac_rank") * F.col("n_pos_p")).alias("sum_rank_pos"),
         F.sum("n_pos_p").alias("n_pos"),
         F.sum(F.col("n") - F.col("n_pos_p")).alias("n_neg"),
+        F.sum("loss_sum").alias("loss_total"),
+        F.sum("brier_sum").alias("brier_total"),
+        F.sum("n").alias("n_rows"),
     )
-    return (
-        agg.crossJoin(loss_terms)
-        .select(
-            F.round(
-                (
-                    F.col("sum_rank_pos")
-                    - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
-                )
-                / (F.col("n_pos") * F.col("n_neg"))
-                + 1e-9,
-                6,
-            ).alias("auc"),
-            F.round(F.col("log_loss_raw") + 1e-9, 6).alias("log_loss"),
-            F.round(F.col("brier_raw") + 1e-9, 6).alias("brier"),
-            F.col("n_pos").cast("bigint").alias("n_pos"),
-            F.col("n_neg").cast("bigint").alias("n_neg"),
-        )
+    return agg.select(
+        F.round(
+            (
+                F.col("sum_rank_pos")
+                - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+            )
+            / (F.col("n_pos") * F.col("n_neg"))
+            + 1e-9,
+            6,
+        ).alias("auc"),
+        F.round(F.col("loss_total") / F.col("n_rows") + 1e-9, 6).alias("log_loss"),
+        F.round(F.col("brier_total") / F.col("n_rows") + 1e-9, 6).alias("brier"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
     )
 
 

@@ -76,30 +76,84 @@ def brute_force_topk(
     )
 
 
-def hyperplane_coef(plane: int, k: Column | int) -> Column:
+#: the hyperplane coefficient formula ((plane*131 + k*17) % 7) - 3 is
+#: periodic in k with period 7, which is what makes the residue-sum
+#: factorization below exact (not an approximation).
+_LSH_PERIOD = 7
+
+
+def hyperplane_coef(plane: int, k: int) -> float:
     """Deterministic pseudo-random hyperplane component in {-3..3}:
     ((plane*131 + k*17) % 7) - 3. Integer-valued on purpose — the
     sign test then involves no transcendental math, so bucket
     assignment is engine-exact.
     """
-    kc = F.lit(k) if isinstance(k, int) else k
-    return ((F.lit(plane * 131) + kc * 17) % 7 - 3).cast("double")
+    return float(((plane * 131 + k * 17) % _LSH_PERIOD) - 3)
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
-    """Sign-random-projection bucket id: bit j set iff dot(vec, h_j)>=0."""
-    bucket = F.lit(0)
-    for j in range(n_planes):
-        proj = F.aggregate(
+def residue_sums(vec: Column, dim: int = 64) -> list[Column]:
+    """The 7 residue-class partial sums S_r = Σ_{k ≡ r (mod 7)} vec[k]
+    (k 0-based), each a small sequential fold in double.
+
+    Because the hyperplane coefficients repeat with period 7 in k,
+    EVERY plane's projection is an exact linear combination of these
+    seven sums: proj_p = Σ_r coef(p, r)·S_r. Computing S_r once and
+    combining (64 adds + 7 mul-adds/plane) replaces 8 independent
+    64-element folds (512 mul-adds) — bind these in a projection so
+    they are evaluated once, not re-expanded per plane (higher-order
+    functions are interpreted, outside codegen CSE).
+    """
+    return [
+        F.aggregate(
             F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda k: F.element_at(vec, k + 1).cast("double") * hyperplane_coef(j, k),
+                F.sequence(F.lit(r), F.lit(dim - 1), F.lit(_LSH_PERIOD)),
+                lambda k: F.element_at(vec, k + 1).cast("double"),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+        for r in range(_LSH_PERIOD)
+    ]
+
+
+def bucket_from_sums(sums: list[Column], n_planes: int = 8) -> Column:
+    """Sign-random-projection bucket id from bound residue sums:
+    bit j set iff Σ_r coef(j, r)·S_r >= 0 (left-associated in r order
+    on both engines — the float op sequence is part of the contract)."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        proj = None
+        for r, s in enumerate(sums):
+            term = F.lit(hyperplane_coef(j, r)) * s
+            proj = term if proj is None else proj + term
         bucket = bucket + F.when(proj >= 0, F.lit(2**j)).otherwise(F.lit(0))
     return bucket.cast("bigint")
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """``df`` plus the LSH bucket column, with the residue sums bound
+    in an intermediate projection so the 7 folds run once per row.
+    (CollapseProject keeps the split: the folds are non-cheap, so the
+    optimizer does not re-inline them into their 8 uses.)"""
+    sums = residue_sums(F.col(vec_col), dim)
+    names = [f"_lsh_s{r}" for r in range(len(sums))]
+    bound = df.select("*", *[s.alias(n) for s, n in zip(sums, names)])
+    bucket = bucket_from_sums([F.col(n) for n in names], n_planes)
+    return bound.withColumn(out_col, bucket).drop(*names)
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Single-expression bucket id (residue-sum algebra, identical
+    values to :func:`with_lsh_bucket`); prefer ``with_lsh_bucket`` in
+    plans — without a projection to bind them, the residue sums are
+    re-evaluated once per plane."""
+    return bucket_from_sums(residue_sums(vec, dim), n_planes)
 
 
 def ann_topk(
@@ -118,10 +172,10 @@ def ann_topk(
     from pyspark.sql import Window
 
     # Bucketed vectors feed both the query and candidate sides;
-    # materialize once instead of recomputing 8 projections per side.
-    bucketed = vectors.withColumn(
-        "bucket", lsh_bucket(F.col(vec_col), n_planes, dim)
-    ).localCheckpoint(eager=False)
+    # materialize once instead of recomputing the projections per side.
+    bucketed = with_lsh_bucket(vectors, vec_col, n_planes, dim).localCheckpoint(
+        eager=False
+    )
     q = bucketed.join(queries.select(id_col), id_col, "left_semi").select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

@@ -106,33 +106,42 @@ def q51_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "evaluation"),
     oracle=f"""
 WITH {_SCORED_CTE.strip()},
-loss AS (
-  SELECT avg(-(y * ln(greatest(p, 1e-12)) + (1 - y) * ln(greatest(1 - p, 1e-12)))) AS log_loss_raw,
-         avg(pow(p - y, 2)) AS brier_raw
-  FROM scored
-), by_p AS (
+by_p AS (
   SELECT p, count(*) AS n, sum(y) AS n_pos_p FROM scored GROUP BY p
-), ranked AS (
+), terms AS (
   SELECT p, n, n_pos_p,
+         n_pos_p * -ln(greatest(p, 1e-12))
+           + (n - n_pos_p) * -ln(greatest(1 - p, 1e-12)) AS loss_sum,
+         n_pos_p * pow(1 - p, 2) + (n - n_pos_p) * pow(p, 2) AS brier_sum
+  FROM by_p
+), ranked AS (
+  SELECT p, n, n_pos_p, loss_sum, brier_sum,
          coalesce(sum(n) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS cum_before
-  FROM by_p
+  FROM terms
 ), agg AS (
   SELECT sum((cum_before + (n + 1) / 2.0) * n_pos_p) AS sum_rank_pos,
          sum(n_pos_p) AS n_pos,
-         sum(n - n_pos_p) AS n_neg
+         sum(n - n_pos_p) AS n_neg,
+         sum(loss_sum) AS loss_total,
+         sum(brier_sum) AS brier_total,
+         sum(n) AS n_rows
   FROM ranked
 )
 SELECT round((sum_rank_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) + 1e-9, 6) AS auc,
-       round(log_loss_raw + 1e-9, 6) AS log_loss,
-       round(brier_raw + 1e-9, 6) AS brier,
+       round(loss_total / n_rows + 1e-9, 6) AS log_loss,
+       round(brier_total / n_rows + 1e-9, 6) AS brier,
        CAST(n_pos AS BIGINT) AS n_pos,
        CAST(n_neg AS BIGINT) AS n_neg
-FROM agg CROSS JOIN loss
+FROM agg
 """,
 )
 def q52_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC-AUC (rank-sum over distinct rounded probabilities — no
     global sort of the scored set), log loss and Brier score as
-    DataFrame aggregates (reference src/training/evaluate.py:29-70)."""
+    DataFrame aggregates (reference src/training/evaluate.py:29-70).
+    Loss/Brier fold into the same groupBy(p) the rank-sum uses (y is
+    binary, so the row-wise terms are exact functions of the group
+    counts) — the scored input, which contains the Arrow scoring UDF
+    stage, is scanned exactly once."""
     return binary_metrics(_scored(spark, sf_dir))

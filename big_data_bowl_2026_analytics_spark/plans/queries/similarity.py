@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ...operators.similarity import ann_topk, brute_force_topk, lsh_bucket, squared_norm
+from ...operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    squared_norm,
+    with_lsh_bucket,
+)
 from ...sources.readers import read_table
 from ..registry import query
 
@@ -32,12 +37,28 @@ _DOT = (
 )
 
 
+def _sums_cols_sql() -> str:
+    """Select-list fragment binding the 7 residue-class sums
+    S_r = Σ_{k ≡ r (mod 7)} embedding[k] — the exact mirror of
+    operators/similarity.py::residue_sums (the hyperplane coefficient
+    is periodic in k with period 7, so every plane's projection is a
+    linear combination of these)."""
+    return ", ".join(
+        "list_sum(list_transform(generate_series("
+        f"{r + 1}, 64, 7), i -> CAST(embedding[i] AS DOUBLE))) AS _lsh_s{r}"
+        for r in range(7)
+    )
+
+
 def _bucket_sql() -> str:
+    """Bucket expression over bound _lsh_s0.._lsh_s6 columns, same
+    left-associated combination order as bucket_from_sums."""
+    from ...operators.similarity import hyperplane_coef
+
     terms = []
     for j in range(8):
-        proj = (
-            "list_sum(list_transform(generate_series(0, 63), "
-            f"k -> CAST(embedding[k+1] AS DOUBLE) * ((({j * 131} + k*17) % 7) - 3)))"
+        proj = " + ".join(
+            f"{hyperplane_coef(j, r)} * _lsh_s{r}" for r in range(7)
         )
         terms.append(f"(CASE WHEN {proj} >= 0 THEN {2**j} ELSE 0 END)")
     return " + ".join(terms)
@@ -77,16 +98,21 @@ def q40_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q41_ann_lsh_buckets",
     tags=("similarity", "lsh"),
     oracle=f"""
+WITH sums AS (
+  SELECT vec_id, {_sums_cols_sql()} FROM embeddings
+)
 SELECT vec_id, CAST({_bucket_sql()} AS BIGINT) AS bucket
-FROM embeddings
+FROM sums
 """,
 )
 def q41_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection bucket per vector (8 deterministic
     integer hyperplanes -> 256 buckets): the partitioning key that
-    makes ANN an equi-join instead of a cross join."""
+    makes ANN an equi-join instead of a cross join. Projections are
+    combined from 7 bound residue sums (see residue_sums) — 64 adds
+    + 56 mul-adds per row instead of 512."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", lsh_bucket(F.col("embedding"), 8, _DIM).alias("bucket"))
+    return with_lsh_bucket(emb, "embedding", 8, _DIM).select("vec_id", "bucket")
 
 
 @query(
@@ -94,9 +120,12 @@ def q41_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann"),
     oracle=f"""
 WITH {_NORMED_CTE.strip()},
+sums AS (
+  SELECT vec_id, embedding, sqnorm, {_sums_cols_sql()} FROM normed
+),
 bucketed AS (
   SELECT vec_id, embedding, sqnorm, CAST({_bucket_sql()} AS BIGINT) AS bucket
-  FROM normed
+  FROM sums
 ), q AS (
   SELECT vec_id AS query_id, embedding AS q_vec, sqnorm AS q_norm, bucket
   FROM bucketed WHERE vec_id < 3
@@ -257,9 +286,12 @@ def q62_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity", "lsh"),
     oracle=f"""
 WITH {_NORMED_CTE.strip()},
+sums AS (
+  SELECT vec_id, embedding, sqnorm, {_sums_cols_sql()} FROM normed
+),
 bucketed AS (
   SELECT vec_id, embedding, sqnorm, CAST({_bucket_sql()} AS BIGINT) AS bucket
-  FROM normed
+  FROM sums
 )
 SELECT a_id, b_id, cosine FROM (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -281,11 +313,13 @@ def q63_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ...operators.similarity import cosine as _cosine
 
     emb = read_table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id",
+    bucketed = with_lsh_bucket(
+        emb.select(
+            "vec_id", "embedding", squared_norm(F.col("embedding")).alias("sqnorm")
+        ),
         "embedding",
-        squared_norm(F.col("embedding")).alias("sqnorm"),
-        lsh_bucket(F.col("embedding"), 8, _DIM).alias("bucket"),
+        8,
+        _DIM,
     ).localCheckpoint(eager=False)
     a = bucketed.select(
         F.col("vec_id").alias("a_id"),

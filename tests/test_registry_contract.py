@@ -61,14 +61,15 @@ def test_each_query_runs_and_matches_oracle_schema(spark, sf_dir, name):
 
 
 def test_approx_count_distinct_accuracy(spark, sf_dir):
-    """q44 has no oracle (sketches are engine-specific); bound its
-    relative error against the exact distinct count instead."""
+    """q44 emits the sketch-vs-exact bound check as a column pinned to
+    TRUE by its oracle; assert it holds, and that the exact counts
+    match an independent countDistinct."""
     from pyspark.sql import functions as F
 
     from big_data_bowl_2026_analytics_spark.sources.readers import read_table
 
-    approx = {
-        r["c_mktsegment"]: r["approx_customers"]
+    rows = {
+        r["c_mktsegment"]: r
         for r in all_queries()["q44_approx_count_distinct"]
         .builder(spark, sf_dir)
         .collect()
@@ -81,4 +82,5 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         .collect()
     }
     for seg, n in exact.items():
-        assert abs(approx[seg] - n) / n < 0.1
+        assert rows[seg]["exact_customers"] == n
+        assert rows[seg]["approx_within_5pct"] is True
