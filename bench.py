@@ -164,14 +164,15 @@ def main() -> None:
     # makespan: the per-query scheduling floor overlaps instead of
     # summing, which is how a multi-tenant cluster actually runs a
     # query suite. Only worth it in the floor-DOMINATED regime (mean
-    # serial time near the ~0.3-0.5 s/query floor): once queries carry
-    # real work they already use every core, and oversubscribing them
-    # measurably thrashes (sf1: batched 102 s vs serial 61 s). The
+    # serial time within a few multiples of the ~0.3-0.5 s/query
+    # floor): once queries carry seconds of real work they already use
+    # every core, and oversubscribing them measurably thrashes (sf1:
+    # batched 102 s vs serial 61 s, mean serial 2.8 s/query). The
     # reported value is the better of the two measured modes — the
     # workload completion time under the execution strategy a
     # scheduler would actually pick for it.
     n_threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "8"))
-    floor_dominated = serial_total / max(len(names), 1) <= 0.8
+    floor_dominated = serial_total / max(len(names), 1) <= 1.5
     concurrent_wall = None
     if floor_dominated and n_threads > 1:
 
