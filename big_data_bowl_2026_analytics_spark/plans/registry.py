@@ -53,11 +53,80 @@ def query(
     return deco
 
 
+#: Explicit registry ordering for external harnesses. The round-1
+#: driver verified the FIRST 50 registry entries only, leaving 40
+#: queries without a hard correctness row — so the order is rotated
+#: each round: previously-unverified queries (plus any with a red or
+#: err row to clear: q82 was red, q44 was err:no_oracle) come first,
+#: followed by this round's behavior-changed queries, then the rest
+#: in registration order. Internal callers are order-insensitive.
+_DRIVER_ORDER = [
+    # red / err rows from CORRECTNESS_r01 — re-verify first
+    "q82_variant_shred",
+    "q44_approx_count_distinct",
+    # 40 queries the round-1 driver never sampled
+    "q20_running_total",
+    "q21_lag_delta",
+    "q22_rebase_time_axis",
+    "q23_linear_interpolation",
+    "q24_sessionization",
+    "q25_tumbling_window_hourly",
+    "q26_daily_active_users",
+    "q27_session_window_native",
+    "q28_changepoint_detection",
+    "q30_dedup_exact",
+    "q31_minhash_signatures",
+    "q32_lsh_candidate_pairs",
+    "q33_jaccard_similar_pairs",
+    "q34_simhash",
+    "q35_language_id",
+    "q36_text_quality",
+    "q37_token_stats",
+    "q38_shingle_fingerprint",
+    "q39_multimodal_blob_metadata",
+    "q40_cosine_topk_bruteforce",
+    "q41_ann_lsh_buckets",
+    "q42_ann_topk_lsh",
+    "q43_embedding_stats",
+    "q46_asof_join",
+    "q47_range_join_bucketed",
+    "q54_datetime_library",
+    "q55_mapinpandas_parity",
+    "q60_dedup_connected_components",
+    "q61_ivf_assignments",
+    "q62_ivf_topk",
+    "q63_embedding_neardup",
+    "q64_hierarchical_rollup",
+    "q65_trailing_hour_window",
+    "q66_tfidf_top_terms",
+    "q67_repetition_ratio",
+    "q68_regex_token_patterns",
+    "q69_contamination_ratio",
+    "q85_fuzzy_match_blocked",
+    "q86_text_chunking",
+    "q84_window_navigation",
+    # behavior changed this round — re-verify within the window
+    "q06_conditional_distinct_counts",
+    "q52_binary_metrics",
+    "q90_snapshot_diff",
+    "q87_merge_upsert",
+    "q50_model_scoring_udf",
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+]
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules exactly once.
     from . import queries  # noqa: F401
 
-    return dict(_REGISTRY)
+    ordered = {
+        name: _REGISTRY[name] for name in _DRIVER_ORDER if name in _REGISTRY
+    }
+    ordered.update(
+        (name, spec) for name, spec in _REGISTRY.items() if name not in ordered
+    )
+    return ordered
 
 
 def builders() -> dict[str, QueryBuilder]:
