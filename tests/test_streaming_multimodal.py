@@ -296,3 +296,102 @@ def test_stream_merge_upsert_snapshot(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def _bmp_bytes(pixels, top_down=False):
+    """Hand-rolled uncompressed 24-bpp BMP encoder (test fixture):
+    pixels is an (H, W, 3) uint8 RGB array."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    rows = pixels if top_down else pixels[::-1]
+    for row in rows:
+        line = bytes(row[:, ::-1].astype("uint8").tobytes())  # RGB -> BGR
+        body += line + b"\x00" * (row_bytes - len(line))
+    height = -h if top_down else h
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, height, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return bytes(header + dib + body)
+
+
+def _wav_bytes(samples16, rate=8000, channels=1):
+    """Hand-rolled PCM WAVE encoder (test fixture): samples16 is an
+    int16 array, interleaved when channels > 1."""
+    import struct
+
+    data = samples16.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_decode_bmp_real_bytes():
+    import numpy as np
+
+    from big_data_bowl_2026_analytics_spark.pipeline.multimodal import decode_bmp
+
+    # 3x2 gradient with asymmetric channels; odd width forces row padding
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3) * 10
+    for top_down in (False, True):
+        out = decode_bmp(_bmp_bytes(px, top_down=top_down))
+        assert out.shape == (2, 3, 3)
+        assert np.array_equal(out, px)
+    with pytest.raises(ValueError):
+        decode_bmp(b"NOTABMP" + b"\x00" * 64)
+
+
+def test_decode_wav_real_bytes():
+    import numpy as np
+
+    from big_data_bowl_2026_analytics_spark.pipeline.multimodal import decode_wav
+
+    t = np.arange(64)
+    mono = (np.sin(2 * np.pi * t / 16) * 16000).astype(np.int16)
+    samples, rate = decode_wav(_wav_bytes(mono, rate=8000))
+    assert rate == 8000 and len(samples) == 64
+    assert np.allclose(samples, mono / 32768.0)
+    # stereo downmix: L = x, R = -x -> exact zeros
+    stereo = np.empty(128, dtype=np.int16)
+    stereo[0::2] = mono
+    stereo[1::2] = -mono
+    samples2, _ = decode_wav(_wav_bytes(stereo, rate=8000, channels=2))
+    assert len(samples2) == 64
+    assert np.allclose(samples2, 0.0, atol=1 / 32768.0)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00JUNK")
+
+
+def test_extract_features_real_decode_end_to_end(spark):
+    """Real BMP/WAV bytes through the mapInPandas stage: features are
+    the decoded-intensity chunk means, not the byte-level fake."""
+    import numpy as np
+
+    # constant-intensity image: every pooled feature == value/255
+    px = np.full((4, 4, 3), 200, dtype=np.uint8)
+    bmp = _bmp_bytes(px)
+    # constant zero signal: intensity (0+1)*127.5 -> features 0.5
+    wav = _wav_bytes(np.zeros(64, dtype=np.int16), rate=16000)
+    rows = [
+        (1, "image", bytearray(bmp), 4, 4, None, None),
+        (2, "audio", bytearray(wav), None, None, 16000, None),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in extract_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    }
+    assert out[1]["n_bytes"] == len(bmp)
+    assert np.allclose(out[1]["features"], 200 / 255.0, atol=1e-6)
+    assert np.allclose(out[2]["features"], 127.5 / 255.0, atol=1e-6)
