@@ -121,18 +121,41 @@ def lsh_bands(sig: DataFrame, n_hashes: int = 8, band_size: int = 2, id_col: str
     return sig.select(F.col(id_col), F.expr(expr))
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Self-join bands on (band_id, bucket) -> unordered candidate
     pairs with the number of agreeing bands.
 
     Scale: this equi-join replaces the O(n^2) all-pairs comparison;
-    bucket skew (a degenerate bucket catching everything) is the known
-    failure mode — AQE skew-join plus a bucket-size cap handle it.
+    bucket skew (a degenerate bucket catching everything — e.g. a
+    boilerplate band value shared by half the corpus) is the known
+    failure mode: one bucket of size m emits m^2 join rows into a
+    single task. ``max_bucket_size`` guards it: each (band_id, bucket)
+    keeps only its ``max_bucket_size`` smallest doc ids (deterministic
+    rank, linear work) before the join, bounding the per-bucket pair
+    fan-out to C(cap, 2) while leaving healthy buckets untouched.
+    Capping trades recall ONLY inside degenerate buckets — exactly the
+    buckets whose members a near-dup pipeline treats as one boilerplate
+    cluster anyway; pair a capped run with exact-hash dedup to collapse
+    the identical-signature mass first. Default None preserves full
+    recall (the oracle-checked configuration).
 
     The bands input feeds BOTH join sides under different aliases, so
     exchange reuse can't kick in; materialize it once instead of
     recomputing the signature pipeline twice.
     """
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "bucket").orderBy(F.col(id_col))
+        bands = (
+            bands.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= max_bucket_size)
+            .drop("_rk")
+        )
     bands = bands.localCheckpoint(eager=False)
     a = bands.select(
         F.col(id_col).alias("doc_a"), "band_id", "bucket"

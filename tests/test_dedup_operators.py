@@ -119,3 +119,42 @@ def test_duplicate_clusters_multi_hop_chain(spark):
     assert out[1] == out[5] == out[3] == out[7] == 1
     assert out[2] == out[6] == 2
     assert out[4] == 4  # isolated node keeps its own label
+
+
+def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
+    """Adversarial fixture: every doc is identical, so all 4 bands of
+    every doc land in the same bucket. Uncapped that's C(40,2) pairs
+    per band; with max_bucket_size=4 each band emits at most C(4,2)."""
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated verbatim") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    bands = lsh_bands(minhash_signatures(docs, 8), 8, 2)
+    capped = lsh_candidate_pairs(bands, max_bucket_size=4).collect()
+    # 4 bands x C(4,2)=6 pairs, deduped to the same 6 doc pairs
+    assert len(capped) == 6
+    kept = {d for r in capped for d in (r["doc_a"], r["doc_b"])}
+    # deterministic: the cap keeps the smallest doc ids
+    assert kept == {0, 1, 2, 3}
+    assert all(r["n_shared_bands"] == 4 for r in capped)
+    # the plan bounds the join input BEFORE the self-join
+    uncapped = lsh_candidate_pairs(bands).collect()
+    assert len(uncapped) == 40 * 39 // 2
+
+
+def test_lsh_bucket_cap_noop_on_healthy_buckets(spark):
+    """Buckets smaller than the cap are untouched: capped == uncapped."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "totally different words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    bands = lsh_bands(minhash_signatures(docs, 8), 8, 2)
+    capped = sorted(
+        map(tuple, lsh_candidate_pairs(bands, max_bucket_size=10).collect())
+    )
+    uncapped = sorted(map(tuple, lsh_candidate_pairs(bands).collect()))
+    assert capped == uncapped
