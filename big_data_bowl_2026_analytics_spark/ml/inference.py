@@ -17,17 +17,31 @@ from .model import LogisticModel
 
 
 def score_column(model: LogisticModel, *cols: Column) -> Column:
-    """Probability column from feature columns via a pandas UDF."""
+    """Probability column from feature columns via a pandas UDF.
+
+    Linear models ship only (weights, bias) in the closure and score
+    as one matmul; any other model object (e.g. the gated
+    XGBModelAdapter) is cloudpickled whole and scored through its
+    ``predict_proba`` — same Arrow batching either way, so swapping
+    backends changes nothing at the call sites."""
     import numpy as np
 
-    weights = model.weights.copy()
-    bias = float(model.bias)
+    if hasattr(model, "weights"):
+        weights = model.weights.copy()
+        bias = float(model.bias)
 
-    @F.pandas_udf(DoubleType())
-    def _score(*series: pd.Series) -> pd.Series:
-        X = np.column_stack([s.to_numpy(dtype=float) for s in series])
-        z = X @ weights + bias
-        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+        @F.pandas_udf(DoubleType())
+        def _score(*series: pd.Series) -> pd.Series:
+            X = np.column_stack([s.to_numpy(dtype=float) for s in series])
+            z = X @ weights + bias
+            return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    else:
+
+        @F.pandas_udf(DoubleType())
+        def _score(*series: pd.Series) -> pd.Series:
+            X = np.column_stack([s.to_numpy(dtype=float) for s in series])
+            return pd.Series(np.asarray(model.predict_proba(X), dtype=float))
 
     return _score(*cols)
 
