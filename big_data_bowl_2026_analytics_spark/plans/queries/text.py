@@ -335,10 +335,10 @@ def q39_multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q60_dedup_connected_components",
-    tags=("dedup", "iterative"),
-    oracle="""
+#: Shared fixpoint oracle for both CC algorithms (q60/q91): the
+#: clustering is algorithm-independent, so the recursive-CTE result
+#: checks min-label propagation and star contraction alike.
+_CC_FIXPOINT_ORACLE = """
 WITH RECURSIVE grams AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
@@ -376,7 +376,13 @@ WITH RECURSIVE grams AS (
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach
 GROUP BY src
-""",
+"""
+
+
+@query(
+    "q60_dedup_connected_components",
+    tags=("dedup", "iterative"),
+    oracle=_CC_FIXPOINT_ORACLE,
 )
 def q60_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the LSH
@@ -395,6 +401,25 @@ def q60_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFram
     from ...operators.dedup import duplicate_clusters
 
     return duplicate_clusters(pairs, docs, id_col="doc_id")
+
+
+@query(
+    "q91_dedup_cc_star",
+    tags=("dedup", "iterative"),
+    oracle=_CC_FIXPOINT_ORACLE,
+)
+def q91_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as q60 via alternating large-star/small-star
+    contraction (O(log^2 n) rounds vs O(diameter)) — the variant for
+    high-diameter duplicate graphs; both algorithms are held to the
+    identical recursive-CTE fixpoint oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    bands = lsh_bands(sig, n_hashes=8, band_size=2)
+    pairs = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
+    from ...operators.dedup import duplicate_clusters_star
+
+    return duplicate_clusters_star(pairs, docs, id_col="doc_id")
 
 
 _GRAMS_CTE = """

@@ -158,3 +158,59 @@ def test_lsh_bucket_cap_noop_on_healthy_buckets(spark):
     )
     uncapped = sorted(map(tuple, lsh_candidate_pairs(bands).collect()))
     assert capped == uncapped
+
+
+def test_star_cc_matches_min_label_on_path_graph(spark):
+    """Property check on a high-diameter fixture: a 24-node path
+    (diameter 23). Star contraction must produce the identical
+    clustering with far fewer rounds than O(diameter)."""
+    from big_data_bowl_2026_analytics_spark.operators.dedup import (
+        _star_cc,
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    n = 24
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(100, 101)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(100,), (101,), (999,)], ["doc_id"]
+    )
+    base = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, nodes, max_iterations=30).collect()
+    }
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters_star(pairs, nodes).collect()
+    }
+    assert star == base
+    assert star[23] == 0 and star[101] == 100 and star[999] == 999
+    # convergence rate: O(log^2 n) rounds, not O(diameter)
+    _, rounds = _star_cc(pairs, max_iterations=12)
+    assert rounds <= 6
+
+
+def test_star_cc_arbitrary_components(spark):
+    """Random-ish mixed topology (star, triangle+tail, singletons):
+    same labels from both algorithms."""
+    from big_data_bowl_2026_analytics_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    edges = [(5, 2), (2, 9), (9, 5), (9, 14), (20, 21), (21, 22), (22, 20), (30, 7)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    node_ids = sorted({x for e in edges for x in e} | {50})
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["doc_id"])
+    base = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, nodes, max_iterations=30).collect()
+    }
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters_star(pairs, nodes).collect()
+    }
+    assert star == base
+    assert star[14] == 2 and star[22] == 20 and star[30] == 7 and star[50] == 50
