@@ -238,3 +238,122 @@ def contamination_ratio(
             F.coalesce(F.sum("_hit"), F.lit(0)) * 1.0 / F.count(F.lit(1)) + 1e-9, 6
         ).alias("contamination_ratio"),
     )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate detection (the corpus-level exact
+    substring dedup of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", at n-gram granularity): a distinct word
+    n-gram appearing in >= ``min_docs`` documents is boilerplate;
+    each document reports how much of it is made of such spans.
+
+    Scale: the gram frame is shared by three branches (gram counts,
+    per-doc totals, hot-join), so its lineage is truncated once; the
+    hot-gram set shrinks by the min_docs threshold to a small frame
+    that BROADCASTS back — no second shuffle of the exploded grams by
+    gram key, and the per-doc aggregates shuffle on doc_id only.
+    """
+    bound = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(F.col(id_col), shingles_of(F.col("_toks"), n).alias("_sh"))
+    )
+    grams = bound.select(
+        F.col(id_col), F.explode(F.array_distinct("_sh")).alias("sh")
+    ).localCheckpoint(eager=False)
+    hot = (
+        grams.groupBy("sh")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("sh")
+    )
+    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    boil = (
+        grams.join(F.broadcast(hot), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    n_boil = F.coalesce(F.col("_nb"), F.lit(0)).cast("long")
+    return (
+        per_doc.join(boil, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            n_boil.alias("n_boilerplate"),
+            F.round(n_boil * 1.0 / F.col("n_shingles") + 1e-9, 6).alias(
+                "boilerplate_frac"
+            ),
+        )
+    )
+
+
+def word_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution (nats) —
+    a cheap quality/diversity signal (low entropy = repetitive or
+    template text; degenerate docs drop out before training).
+
+    H = ln(n) - (1/n) * sum(c * ln c) over per-word counts c: the
+    integer counts shuffle on (doc, word) with map-side combine and
+    the log algebra happens on the reduced frame only.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    counts = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("_clogc"),
+        )
+        .select(
+            F.col(id_col),
+            "n_words",
+            "n_distinct_words",
+            F.round(
+                F.log(F.col("n_words")) - F.col("_clogc") / F.col("n_words") + 1e-9,
+                6,
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+def domain_mixing_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    stream_col: str = "source",
+) -> DataFrame:
+    """Per-source sampling weights that rebalance the corpus toward a
+    uniform token budget per source (the domain-mixture step of an
+    LLM data pipeline): weight = target_share / actual_token_share.
+
+    One groupBy(source) plus a broadcast cross join of the one-row
+    totals — no second pass over the corpus.
+    """
+    per_src = df.groupBy(stream_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("_tot"), F.count(F.lit(1)).alias("_n_sources")
+    )
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        stream_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1.0 / F.col("_tot") + 1e-9, 6).alias(
+            "token_share"
+        ),
+        F.round(
+            F.col("_tot") * 1.0 / (F.col("_n_sources") * F.col("n_tokens")) + 1e-9, 6
+        ).alias("mix_weight"),
+    )
