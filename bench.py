@@ -180,10 +180,16 @@ def main() -> None:
             df = specs[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
 
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=n_threads) as pool:
-            list(pool.map(_run_one, names))
-        concurrent_wall = round(time.perf_counter() - t0, 3)
+        # min of 2, like the serial phase: one makespan measurement is
+        # exposed to scheduler jitter across 8 threads.
+        concurrent_wall = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=n_threads) as pool:
+                list(pool.map(_run_one, names))
+            concurrent_wall = min(
+                concurrent_wall, round(time.perf_counter() - t0, 3)
+            )
 
     if concurrent_wall is not None and concurrent_wall < serial_total:
         value, execution = concurrent_wall, f"fair_batched_{n_threads}_threads"

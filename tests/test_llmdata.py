@@ -76,3 +76,41 @@ def test_word_entropy_extremes(spark):
     assert out[1]["entropy_nats"] == 0.0  # degenerate: one word repeated
     assert abs(out[2]["entropy_nats"] - round(math.log(4), 6)) < 1e-6  # uniform
     assert out[2]["n_distinct_words"] == 4
+
+
+def test_pack_invariants_hypothesis(spark):
+    """Property check over randomized token-count streams: no bin
+    overflows, offsets equal the running fill, bins are dense and
+    monotone in doc order, and every doc keeps min(n, capacity)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=40),
+        capacity=st.integers(min_value=8, max_value=160),
+    )
+    def check(toks, capacity):
+        rows = [(i, "s", t) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+        out = sorted(
+            pack_sequences(df, capacity=capacity).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert [r["doc_id"] for r in out] == list(range(len(toks)))
+        fill_by_bin: dict[int, int] = {}
+        prev = (0, -1)
+        for r, t in zip(out, toks):
+            assert r["n_tokens"] == min(t, capacity)
+            # monotone placement in doc order
+            assert (r["bin_id"], r["bin_offset"]) > prev or (
+                r["bin_id"] > prev[0]
+            )
+            prev = (r["bin_id"], r["bin_offset"])
+            assert r["bin_offset"] == fill_by_bin.get(r["bin_id"], 0)
+            fill_by_bin[r["bin_id"]] = r["bin_offset"] + r["n_tokens"]
+        assert all(f <= capacity for f in fill_by_bin.values())
+        # bins are dense 0..max
+        assert sorted(fill_by_bin) == list(range(len(fill_by_bin)))
+
+    check()
