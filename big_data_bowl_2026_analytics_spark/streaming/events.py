@@ -210,3 +210,73 @@ def stream_merge_into_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """At-ingest exactly-once-ish dedup: drop event_id repeats arriving
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming face of exact dedup for an ingestion
+    pipeline: state holds one entry per key only until the watermark
+    passes it, so state size is bounded by (arrival rate x lateness),
+    not by history — the property that lets it run forever at 100 TB/
+    day, where a plain dropDuplicates would accrete unbounded state.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def purchase_click_attribution(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    same user's click events in the preceding ``attribution_window``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends, so the state store can evict rows as the
+    watermark advances — the canonical bounded-state stream-stream
+    join (unbounded conditions would accrete state forever). The
+    equi-key (user_id) keeps the join a hash exchange on a
+    high-cardinality column.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("purchase_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("purchase_user").alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

@@ -395,3 +395,70 @@ def test_extract_features_real_decode_end_to_end(spark):
     assert out[1]["n_bytes"] == len(bmp)
     assert np.allclose(out[1]["features"], 200 / 255.0, atol=1e-6)
     assert np.allclose(out[2]["features"], 127.5 / 255.0, atol=1e-6)
+
+
+def _drain_append(stream_df, table_name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_dir):
+    """Stream-stream interval join (purchase <- preceding clicks within
+    1h per user) drains to the same pairs the batch join produces."""
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        purchase_click_attribution,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    _drain_append(purchase_click_attribution(stream), "attribution_stream")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("attribution_stream").collect()
+    }
+
+    ev = read_table(spark, SF, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_dedup_within_watermark_drops_replayed_file(spark, tmp_path_factory):
+    """Replayed input (same parquet delivered twice) dedups back to
+    the original event_id set at ingest."""
+    import shutil
+
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        dedup_within_watermark,
+    )
+
+    d = tmp_path_factory.mktemp("events_replay")
+    shutil.copy(f"{SF}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF}/events.parquet", d / "b.parquet")
+
+    stream = read_events_stream(spark, str(d))
+    _drain_append(dedup_within_watermark(stream), "dedup_stream")
+    got = spark.table("dedup_stream")
+    n_distinct = read_table(spark, SF, "events").count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
