@@ -96,3 +96,53 @@ def q58_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("median"),
         fround(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
     )
+
+
+@query(
+    "q96_approx_percentile_bound",
+    tags=("sketch", "approx", "percentile"),
+    oracle="""
+WITH per_group AS (
+  SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n AS n_rows, TRUE AS median_within_rank_bound
+FROM per_group
+""",
+)
+def q96_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable quantile sketch — the 100 TB
+    replacement for the exact q58 form) driver-verified via its RANK
+    guarantee: the sketch's median v must satisfy
+    count(x < v) <= n/2 + err and count(x <= v) >= n/2 - err with
+    err = n/accuracy (tie-robust two-sided form — the sketch returns a
+    data value whose rank is within err, but ties move strict and
+    non-strict counts apart). The boolean is computed from the data
+    and pinned TRUE by the oracle, so a sketch regression past its
+    contract fails the hash gate — same strict-plus-bound pattern as
+    q44.
+
+    Scale: two passes over the grouped column (sketch, then rank
+    counts conditioned on the 3-row broadcast sketch result) — the
+    verification join broadcasts, never shuffles the fact table twice.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    accuracy = 10_000
+    sk = orders.groupBy("o_orderstatus").agg(
+        F.expr(f"approx_percentile(o_totalprice, 0.5, {accuracy})").alias("_v")
+    )
+    joined = orders.join(F.broadcast(sk), "o_orderstatus")
+    agg = joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_totalprice") < F.col("_v")).cast("long")).alias("_below"),
+        F.sum((F.col("o_totalprice") <= F.col("_v")).cast("long")).alias("_at_or_below"),
+    )
+    err = F.col("n_rows") / accuracy + 1
+    target = F.col("n_rows") / 2.0
+    return agg.select(
+        "o_orderstatus",
+        "n_rows",
+        (
+            (F.col("_below") <= target + err)
+            & (F.col("_at_or_below") >= target - err)
+        ).alias("median_within_rank_bound"),
+    )
