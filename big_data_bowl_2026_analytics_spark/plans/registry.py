@@ -105,14 +105,16 @@ _DRIVER_ORDER = [
     "q85_fuzzy_match_blocked",
     "q86_text_chunking",
     "q84_window_navigation",
-    # behavior changed this round — re-verify within the window
+    # new this round (never had a driver row) + the two most-rewritten
+    # queries — fills the 50-slot window exactly
+    "q91_dedup_cc_star",
+    "q92_boilerplate_ngrams",
+    "q93_sequence_packing",
+    "q94_domain_mixing_weights",
+    "q95_word_entropy",
+    "q96_approx_percentile_bound",
     "q06_conditional_distinct_counts",
     "q52_binary_metrics",
-    "q90_snapshot_diff",
-    "q87_merge_upsert",
-    "q50_model_scoring_udf",
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
 ]
 
 
