@@ -115,28 +115,47 @@ def kmeans_fit(
         [float(x) for x in row["centroid"]]
         for row in sorted(seeds, key=lambda r: r["cluster_id"])
     ]
-    for _ in range(n_iters):
-        assigned = vectors.select(
-            F.col(vec_col).alias("v"),
-            nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster_id"),
-        )
-        new_rows = (
-            assigned.select(
-                "cluster_id", F.posexplode(F.col("v")).alias("dim_idx", "x")
+    # The iteration body re-reads the vectors n_iters times and its
+    # per-row cost is the interpreted k x dim distance folds — spread
+    # it across the session's parallelism regardless of how few files
+    # the source has (a single parquet file otherwise pins the whole
+    # fit to ONE task), and pin the materialized frame for the loop.
+    sc = vectors.sparkSession.sparkContext
+    vectors = vectors.select(id_col, vec_col).repartition(
+        sc.defaultParallelism, F.col(id_col)
+    )
+    vectors.persist()
+    try:
+        for _ in range(n_iters):
+            assigned = vectors.select(
+                F.col(vec_col).alias("v"),
+                nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster_id"),
             )
-            .groupBy("cluster_id", "dim_idx")
-            .agg(F.avg(F.col("x").cast("double")).alias("mean_x"))
-            .collect()
-        )
-        by_cluster: dict[int, list[float]] = {}
-        for row in new_rows:
-            by_cluster.setdefault(row["cluster_id"], [0.0] * dim)[row["dim_idx"]] = row[
-                "mean_x"
-            ]
-        # Empty clusters keep their previous centroid.
-        centroids = [
-            by_cluster.get(c, centroids[c]) for c in range(k)
-        ]
+            # decimal sums are exact, so the mean is independent of
+            # partial-aggregate merge order — parallel fits stay
+            # bit-deterministic run to run (float64 sums would pick up
+            # merge-order ulp jitter).
+            new_rows = (
+                assigned.select(
+                    "cluster_id", F.posexplode(F.col("v")).alias("dim_idx", "x")
+                )
+                .groupBy("cluster_id", "dim_idx")
+                .agg(
+                    F.avg(
+                        F.col("x").cast("double").cast("decimal(27,12)")
+                    ).alias("mean_x")
+                )
+                .collect()
+            )
+            by_cluster: dict[int, list[float]] = {}
+            for row in new_rows:
+                by_cluster.setdefault(row["cluster_id"], [0.0] * dim)[
+                    row["dim_idx"]
+                ] = float(row["mean_x"])
+            # Empty clusters keep their previous centroid.
+            centroids = [by_cluster.get(c, centroids[c]) for c in range(k)]
+    finally:
+        vectors.unpersist()
     return centroids
 
 
