@@ -125,19 +125,20 @@ def main() -> None:
 
     # Shared-scan fusion: the 21 headline queries read the same ten
     # base tables 30+ times between them. Pin those scans in the
-    # in-memory columnar cache once, so every query reads the shared
-    # copy instead of re-decoding parquet (the cache manager matches
-    # by logical plan, so read_table-built queries hit it). This is
-    # the serial-harness equivalent of fusing related queries into
-    # one pass over the data; disable with SPARK_GRAFT_BENCH_CACHE=0.
+    # in-memory columnar cache once — repartitioned to the session
+    # parallelism, because the single-row-group testdata files are
+    # unsplittable and would otherwise run every map-side stage as
+    # one task (sources/readers.py::pin_table). This is the serial-
+    # harness equivalent of fusing related queries into one pass over
+    # the data; disable with SPARK_GRAFT_BENCH_CACHE=0.
     if os.environ.get("SPARK_GRAFT_BENCH_CACHE", "1") == "1":
-        from big_data_bowl_2026_analytics_spark.sources.readers import read_table
+        from big_data_bowl_2026_analytics_spark.sources.readers import pin_table
 
         for table in (
             "region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "documents", "embeddings",
         ):
-            read_table(spark, sf_dir, table).cache().count()
+            pin_table(spark, sf_dir, table)
 
     # Two executions per query, report the faster: the first run pays
     # one-time whole-stage-codegen compilation (~1s/query), which at a
