@@ -73,3 +73,48 @@ def test_events_nanos_read(spark):
     ev = read_table(spark, "/root/testdata/sf0.001", "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.count() == 1000
+
+
+def test_pin_table_serves_reads_and_unpins(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_2026_analytics_spark.sources.readers import (
+        pin_table,
+        read_table,
+        unpin_tables,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        baseline = read_table(spark, sf, "orders").count()
+        pinned = pin_table(spark, sf, "orders")
+        assert pinned.storageLevel.useMemory
+        # read_table now serves the pinned frame (same object plan),
+        # including column-projected reads
+        served = read_table(spark, sf, "orders")
+        assert served.count() == baseline
+        proj = read_table(spark, sf, "orders", ["o_orderkey", "o_totalprice"])
+        assert proj.columns == ["o_orderkey", "o_totalprice"]
+        assert proj.count() == baseline
+        # key-partitioned: groupBy on the pin key plans without an
+        # extra exchange above the in-memory scan
+        plan = (
+            read_table(spark, sf, "orders")
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" in plan
+        # identical results through the pinned path
+        a = sorted(
+            read_table(spark, sf, "orders").groupBy("o_orderstatus").count().collect()
+        )
+    finally:
+        unpin_tables()
+    b = sorted(
+        read_table(spark, sf, "orders").groupBy("o_orderstatus").count().collect()
+    )
+    assert a == b
+    assert not read_table(spark, sf, "orders").storageLevel.useMemory
