@@ -64,15 +64,25 @@ def salted_join(
     on: Sequence[str],
     n_salts: int = 16,
     how: str = "inner",
+    salt_source: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join with explicit key salting: the small side is
     replicated ``n_salts`` times, the large side salts each row
-    deterministically, and the join key becomes (key..., salt)."""
+    deterministically, and the join key becomes (key..., salt).
+
+    The salt hashes the large side's NON-key columns (override with
+    ``salt_source``): salting from the join keys themselves would give
+    every row of a hot key the same salt and spread nothing. Payload
+    hashing spreads a hot key across reducers as long as its rows
+    vary, while staying deterministic per row (rand() would break
+    task retries/replays under speculative execution)."""
     on = list(on)
+    if salt_source is None:
+        salt_source = [c for c in large.columns if c not in on] or on
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts)
     large_salted = large.withColumn(
-        "_salt", _det_salt(on, n_salts)
+        "_salt", _det_salt(list(salt_source), n_salts)
     )
     joined = large_salted.join(small_rep, [*on, "_salt"], how)
     return joined.drop("_salt")

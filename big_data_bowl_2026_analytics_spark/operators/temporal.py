@@ -25,14 +25,25 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: tuple[str, ...] = (),
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """LEFT as-of join: attach the latest right row with
-    ``right.ts <= left.ts`` per key (NULLs when none), optionally
-    bounded by ``tolerance_seconds``.
+    """LEFT as-of join: attach the closest right row per key — the
+    latest with ``right.ts <= left.ts`` (``direction='backward'``, the
+    default) or the earliest with ``right.ts >= left.ts``
+    (``direction='forward'``) — NULLs when none, optionally bounded by
+    ``tolerance_seconds``.
+
+    Forward is the time-mirror of backward: the union is windowed in
+    DESCENDING time order so "last right row seen" becomes "earliest
+    right row at or after me". Tie order flips with it (right still
+    sorts before left at equal timestamps, so simultaneous rows match
+    in both directions).
 
     Scale: one unionByName + one window over (key, time) — both sides
     shuffle once on the key; state per group is 'last right row seen'.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt = left.withColumn("_side", F.lit(1))
     rt_cols = [F.col(right_ts).alias("_r_ts")] + [
         F.col(c).alias(f"_r_{c}") for c in right_cols
@@ -43,9 +54,10 @@ def asof_join(
     # Order: time, then right-before-left on equal timestamps so an
     # exactly-simultaneous right row is visible to the left row (<=).
     ts_expr = F.coalesce(F.col("_r_ts"), F.col(left_ts))
+    ts_ordered = ts_expr.asc() if direction == "backward" else ts_expr.desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(ts_expr.asc(), F.col("_side").asc())
+        .orderBy(ts_ordered, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("_last_r_ts", F.last("_r_ts", ignorenulls=True).over(w))
@@ -55,9 +67,12 @@ def asof_join(
         )
     out = carried.where(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        in_tol = (
+        signed_gap = (
             F.col(left_ts).cast("double") - F.col("_last_r_ts").cast("double")
-        ) <= tolerance_seconds
+        )
+        if direction == "forward":
+            signed_gap = -signed_gap
+        in_tol = signed_gap <= tolerance_seconds
         out = out.withColumn(
             "_last_r_ts", F.when(in_tol, F.col("_last_r_ts"))
         )

@@ -157,3 +157,102 @@ def q95_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     training. Integer counts shuffle with map-side combine; the log
     algebra runs on the reduced per-word-count frame."""
     return word_entropy(read_table(spark, sf_dir, "documents"))
+
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+_PII_PHONE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_NUM = "[0-9]+"
+
+
+@query(
+    "q97_pii_redaction",
+    tags=("text", "llm-pipeline", "pii"),
+    oracle="""
+WITH fixture AS (
+  SELECT c_custkey,
+         c_name || ' call ' ||
+         CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' ||
+         CAST(c_custkey % 900 + 100 AS VARCHAR) || '-' ||
+         CAST(c_custkey % 700 + 100 AS VARCHAR) || '-' ||
+         CAST(c_custkey % 9000 + 1000 AS VARCHAR) ||
+         ' mail ' || lower(c_mktsegment) || CAST(c_custkey AS VARCHAR) ||
+         '@example.com' AS t
+  FROM customer
+), pass1 AS (
+  SELECT c_custkey, t,
+         regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}',
+                        '[EMAIL]', 'g') AS r1
+  FROM fixture
+), pass2 AS (
+  SELECT c_custkey, t, r1,
+         regexp_replace(r1, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}',
+                        '[PHONE]', 'g') AS r2
+  FROM pass1
+)
+SELECT c_custkey,
+       len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}'))
+         AS n_email,
+       len(regexp_extract_all(r1, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+         AS n_phone,
+       len(regexp_extract_all(r2, '[0-9]+')) AS n_num,
+       md5(regexp_replace(r2, '[0-9]+', '[NUM]', 'g')) AS redacted_md5,
+       length(regexp_replace(r2, '[0-9]+', '[NUM]', 'g')) AS redacted_len
+FROM pass2
+""",
+)
+def q97_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training-data
+    pipeline runs before tokenization: detect and redact emails,
+    phone-shaped numbers, then any remaining digit runs, reporting
+    per-document match counts and the md5 of the fully redacted text.
+
+    The synthetic tables carry no real PII, so the fixture text is
+    derived deterministically from key columns in-query — identically
+    on both engines — and the operator under test is the regex
+    detect/redact machinery itself. Patterns are restricted to the
+    syntax Java regex (Spark) and RE2 (DuckDB) evaluate identically:
+    character classes + bounded repetition, no backreferences or
+    lookaround ([.] instead of an escaped dot keeps the strings
+    dialect-neutral). Spark's regexp_replace is global by default; the
+    oracle passes 'g'.
+
+    Scale: pure codegen string expressions, map-only plan — no
+    shuffle, no Python. Each redaction pass is bound in its own
+    projection so the three-stage chain (email -> phone -> number)
+    evaluates each regex once per row.
+    """
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    key = F.col("c_custkey")
+    fixture = cust.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" call "),
+            (key % 90 + 10).cast("string"),
+            F.lit("-"),
+            (key % 900 + 100).cast("string"),
+            F.lit("-"),
+            (key % 700 + 100).cast("string"),
+            F.lit("-"),
+            (key % 9000 + 1000).cast("string"),
+            F.lit(" mail "),
+            F.lower("c_mktsegment"),
+            key.cast("string"),
+            F.lit("@example.com"),
+        ).alias("t"),
+    )
+    pass1 = fixture.select(
+        "c_custkey", "t", F.regexp_replace("t", _PII_EMAIL, "[EMAIL]").alias("r1")
+    )
+    pass2 = pass1.select(
+        "c_custkey", "t", "r1",
+        F.regexp_replace("r1", _PII_PHONE, "[PHONE]").alias("r2"),
+    )
+    return pass2.select(
+        "c_custkey",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count("r1", F.lit(_PII_PHONE)).alias("n_phone"),
+        F.regexp_count("r2", F.lit(_PII_NUM)).alias("n_num"),
+        F.md5(F.regexp_replace("r2", _PII_NUM, "[NUM]")).alias("redacted_md5"),
+        F.length(F.regexp_replace("r2", _PII_NUM, "[NUM]")).alias("redacted_len"),
+    )

@@ -1151,3 +1151,47 @@ def q90_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
+
+
+@query(
+    "q99_salted_join",
+    tags=("join", "skew"),
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice) + 1e-9, 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q99_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-dim join: orders joined to customer through
+    ``operators/skew.py::salted_join`` — the fact side is
+    deterministically salted from its payload columns and the dim side
+    replicated, so a hot customer key spreads over n_salts reducers
+    instead of hot-spotting one task. The result set is identical to
+    the plain join (the oracle IS the plain join); only the physical
+    key distribution changes.
+
+    The dim side carries a shuffle_hash hint so the plan actually
+    exercises the salted shuffle path this operator exists for —
+    without it, the planner would broadcast a dim this small and the
+    salt would be dead weight. At 100 TB the same call covers the case
+    AQE skew-join can't: a dim too large to broadcast under a
+    power-law-skewed fact key.
+    """
+    from ...operators.skew import salted_join
+
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    fact = orders.withColumnRenamed("o_custkey", "c_custkey")
+    joined = salted_join(
+        fact, cust.hint("shuffle_hash"), on=["c_custkey"], n_salts=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fround(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -76,3 +76,52 @@ def q47_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nearby"),
         F.round(F.sum("value_r") + 1e-9, 2).alias("nearby_value"),
     )
+
+
+@query(
+    "q100_asof_forward",
+    tags=("temporal", "asof"),
+    oracle="""
+SELECT c.event_id, c.user_id,
+       CASE WHEN epoch(p.ts) - epoch(c.ts) <= 21600 THEN p.event_id
+            END AS next_purchase_id,
+       CASE WHEN epoch(p.ts) - epoch(c.ts) <= 21600
+            THEN round(epoch(p.ts) - epoch(c.ts) + 1e-9, 6)
+            END AS secs_to_purchase
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+""",
+)
+def q100_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: for every click, the user's
+    next purchase within 6 hours (NULLs past the bound) — the
+    conversion-attribution mirror of q46's backward lookup, and the
+    other direction a market-data engine must support.
+
+    The operator is the same union + single key-shuffle window, run in
+    descending time order so 'last right row seen' becomes 'earliest
+    purchase at or after me'; the oracle is DuckDB's native ASOF with
+    the inequality flipped, tolerance applied as an identical CASE on
+    both engines (the gap is a µs-exact double subtraction, so the
+    boundary comparison agrees bit-for-bit).
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        right_cols=("event_id",),
+        tolerance_seconds=21600.0,
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("next_purchase_id"),
+        F.round(
+            F.col("asof_ts").cast("double") - F.col("ts").cast("double") + 1e-9, 6
+        ).alias("secs_to_purchase"),
+    )

@@ -335,10 +335,10 @@ def q39_multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Shared fixpoint oracle for both CC algorithms (q60/q91): the
-#: clustering is algorithm-independent, so the recursive-CTE result
-#: checks min-label propagation and star contraction alike.
-_CC_FIXPOINT_ORACLE = """
+#: Shared fixpoint CTEs for the CC-based dedup queries (q60/q91/q98):
+#: the clustering is algorithm-independent, so the recursive-CTE
+#: result checks min-label propagation and star contraction alike.
+_CC_REACH_CTES = """
 WITH RECURSIVE grams AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
@@ -373,10 +373,42 @@ WITH RECURSIVE grams AS (
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )
+"""
+
+_CC_FIXPOINT_ORACLE = (
+    _CC_REACH_CTES
+    + """
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach
 GROUP BY src
 """
+)
+
+#: Survivor-selection oracle (q98): same fixpoint clustering, then one
+#: canonical document per cluster by (n_chars DESC, doc_id ASC).
+_CC_SURVIVOR_ORACLE = (
+    _CC_REACH_CTES
+    + """
+, comp AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), ranked AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY d.n_chars DESC, d.doc_id ASC
+         ) AS rk,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id,
+       cluster_size,
+       doc_id AS survivor_doc_id,
+       n_chars AS survivor_n_chars,
+       cluster_size - 1 AS n_removed
+FROM ranked
+WHERE rk = 1
+"""
+)
 
 
 @query(
@@ -635,4 +667,53 @@ def q86_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start",
         F.length(chunk).alias("chunk_len"),
         F.md5(chunk).alias("chunk_hash"),
+    )
+
+
+@query(
+    "q98_dedup_survivors",
+    tags=("dedup", "iterative", "llm-pipeline"),
+    oracle=_CC_SURVIVOR_ORACLE,
+)
+def q98_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL step: one canonical survivor per
+    near-duplicate cluster (q60's components), chosen by a total order
+    — longest document wins, doc_id breaks ties — plus the cluster
+    size and removed-row count a pipeline reports as its dedup rate.
+
+    Scale: the cluster labels come from the iterative CC operator
+    (per-round lineage truncation); survivor selection is one window
+    (row_number + count over cluster_id) after a key join — a single
+    shuffle on cluster_id, no driver-side state. The tie-break
+    (n_chars DESC, doc_id ASC) is total, so the survivor is unique and
+    both engines agree exactly.
+    """
+    from pyspark.sql import Window
+
+    from ...operators.dedup import duplicate_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    bands = lsh_bands(sig, n_hashes=8, band_size=2)
+    pairs = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
+    clusters = duplicate_clusters(pairs, docs, id_col="doc_id")
+
+    sized = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("cluster_id")
+    ranked = sized.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("cluster_size"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "cluster_id",
+        "cluster_size",
+        F.col("doc_id").alias("survivor_doc_id"),
+        F.col("n_chars").alias("survivor_n_chars"),
+        (F.col("cluster_size") - F.lit(1)).alias("n_removed"),
     )

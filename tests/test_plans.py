@@ -140,3 +140,29 @@ def test_q81_subquery_decorrelates_to_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_q97_pii_redaction_is_map_only(spark):
+    # regex detect/redact is pure codegen string work: no shuffle, no
+    # Python worker anywhere in the plan
+    plan = physical_plan(_q(spark, "q97_pii_redaction"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_q99_salted_join_joins_on_key_and_salt(spark):
+    # the physical join key must include the salt (that IS the skew
+    # spread), and the hint must keep the dim off the broadcast path
+    plan = physical_plan(_q(spark, "q99_salted_join"))
+    assert "_salt" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_q100_forward_asof_single_key_shuffle(spark):
+    # union + one window on user_id: exactly one exchange hash-
+    # partitioned on the key, no join node at all
+    plan = physical_plan(_q(spark, "q100_asof_forward"))
+    assert plan.count("hashpartitioning(") == 1  # exactly one shuffle
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
