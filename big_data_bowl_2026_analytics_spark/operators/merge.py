@@ -100,3 +100,54 @@ def snapshot_diff(
         .otherwise("updated")
     )
     return joined.select(*keys, change.alias("change_type"))
+
+
+def apply_agg_delta(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n_rows",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental aggregate-view maintenance: apply a CDC batch to a
+    per-key (count, sums) snapshot WITHOUT touching the base table.
+
+    ``changes`` carries full payload rows with ``op_col`` in
+    {'I','D'} (an update is delete+insert of the same key). Counts and
+    sums are self-maintainable under insert/delete — the batch reduces
+    to one signed aggregate per key, full-outer-joined onto the
+    snapshot; keys whose count reaches zero drop out. (min/max are NOT
+    delete-maintainable and are deliberately absent.)
+
+    Exactness: callers should pass integer-valued sum columns (e.g.
+    money as cents) — integer addition is associative, so the
+    incrementally-maintained view is bit-identical to a full
+    recompute, not merely close.
+
+    Scale: this is THE shape that keeps a 100 TB rollup fresh — cost
+    is O(|batch|) + one join against the (key-grained, small) view; at
+    1000 executors the batch aggregate map-side-combines and the join
+    shuffles only view-sized data. The base table is never re-read.
+    """
+    keys = list(keys)
+    sign = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+    delta = changes.groupBy(*keys).agg(
+        F.sum(sign).alias("_dn"),
+        *[F.sum(sign * F.col(c)).alias(f"_ds_{c}") for c in sum_cols],
+    )
+    # name-list join: USING semantics — key columns arrive coalesced
+    merged = snapshot.join(delta, keys, "full_outer")
+    n_new = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
+    out_cols = [
+        *keys,
+        n_new.alias(count_col),
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"_ds_{c}"), F.lit(0))
+            ).alias(c)
+            for c in sum_cols
+        ],
+    ]
+    return merged.select(*out_cols).where(F.col(count_col) > 0)

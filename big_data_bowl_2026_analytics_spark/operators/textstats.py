@@ -366,3 +366,42 @@ def domain_mixing_weights(
             F.col("_tot") * 1.0 / (F.col("_n_sources") * F.col("n_tokens")) + 1e-9, 6
         ).alias("mix_weight"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average negative unigram log-probability — the
+    perplexity-style quality score an LLM data pipeline uses to rank
+    documents against the corpus' own word distribution (high score =
+    words rare in the corpus = likely noise or off-domain text).
+
+    -1/n · Σ_w c_dw·ln(c_w/N)  =  ln(N) - (1/n)·Σ_w c_dw·ln(c_w)
+
+    The per-(doc, word) and per-word counts are integer aggregates
+    (map-side combine, engine-exact); the log algebra runs only on the
+    count-reduced frames. The corpus-count aggregate and the
+    doc-word⋈corpus join both partition on the word, and the one-row
+    token total broadcasts back — no second scan of the raw text.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    doc_word = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    corpus = doc_word.groupBy("w").agg(F.sum("c").alias("cw"))
+    total = corpus.agg(F.sum("cw").alias("_n_total"))
+    scored = (
+        doc_word.join(corpus, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.log("cw")).alias("_sum_clogcw"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(
+            F.log("_n_total") - F.col("_sum_clogcw") / F.col("n_tokens") + 1e-9, 6
+        ).alias("avg_neg_logprob"),
+    )

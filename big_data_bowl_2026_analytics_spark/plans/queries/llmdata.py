@@ -15,6 +15,7 @@ from ...operators.packing import pack_sequences
 from ...operators.textstats import (
     boilerplate_ngram_stats,
     domain_mixing_weights,
+    unigram_logprob_scores,
     word_entropy,
 )
 from ...sources.readers import read_table
@@ -256,3 +257,41 @@ def q97_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace("r2", _PII_NUM, "[NUM]")).alias("redacted_md5"),
         F.length(F.regexp_replace("r2", _PII_NUM, "[NUM]")).alias("redacted_len"),
     )
+
+
+@query(
+    "q101_unigram_logprob",
+    tags=("text", "llm-pipeline", "quality"),
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), doc_word AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+), corpus AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM doc_word GROUP BY w
+), total AS (
+  SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM corpus
+), scored AS (
+  SELECT d.doc_id,
+         CAST(sum(d.c) AS BIGINT) AS n_tokens,
+         sum(d.c * ln(k.cw)) AS s
+  FROM doc_word d JOIN corpus k USING (w)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(ln((SELECT n_total FROM total)) - s / n_tokens + 1e-9, 6)
+         AS avg_neg_logprob
+FROM scored
+""",
+)
+def q101_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring against the corpus' own
+    unigram model (``operators/textstats.py::unigram_logprob_scores``)
+    — the classic "how surprising is this document" filter an LLM data
+    pipeline runs when no external language model is available.
+
+    Scale: integer count aggregates reduce the exploded tokens before
+    any float math; the doc-word/corpus frames partition on the word;
+    the corpus-total is a one-row broadcast. No second scan of text.
+    """
+    return unigram_logprob_scores(read_table(spark, sf_dir, "documents"))

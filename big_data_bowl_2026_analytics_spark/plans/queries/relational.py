@@ -1195,3 +1195,73 @@ def q99_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         fround(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "q103_incremental_agg",
+    tags=("merge", "incremental", "aggregation"),
+    oracle="""
+WITH cents AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders
+), final_rows AS (
+  -- the state after the batch: base rows minus deletes, plus inserts
+  SELECT * FROM cents
+  WHERE o_orderkey % 10 <> 0 AND NOT (o_orderkey % 7 = 0)
+  UNION ALL
+  SELECT * FROM cents WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(sum(price_c) AS BIGINT) AS revenue_cents,
+       round(sum(price_c) / 100.0 + 1e-9, 2) AS revenue
+FROM final_rows
+GROUP BY o_orderpriority
+""",
+)
+def q103_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance
+    (``operators/merge.py::apply_agg_delta``): a per-priority
+    (count, revenue) rollup snapshot is built from the base partition
+    of ``orders``, then a CDC batch (the '% 10' keys as inserts, the
+    '% 7' base keys as deletes) is applied WITHOUT re-reading the
+    base. The oracle recomputes the final state from scratch — the
+    maintained view must match it exactly, which it does because money
+    is carried as integer cents (associative addition; the
+    floor(x*100+0.5) quantization is a pure function of the same
+    double bits on both engines).
+
+    Scale: the delta reduces map-side to one signed row per key and
+    joins only view-grained data; the base table is scanned once, to
+    seed the snapshot — never again per batch.
+    """
+    from ...operators.merge import apply_agg_delta
+
+    cents = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_c"),
+    )
+    cents = cents.withColumnRenamed("price_c", "revenue_cents")
+    base = cents.where(F.col("o_orderkey") % 10 != 0)
+    snapshot = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("revenue_cents").alias("revenue_cents"),
+    )
+    batch = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "*", F.lit("D").alias("op")
+    ).unionByName(
+        cents.where(F.col("o_orderkey") % 10 == 0).select("*", F.lit("I").alias("op"))
+    )
+    maintained = apply_agg_delta(
+        snapshot, batch, keys=["o_orderpriority"], sum_cols=["revenue_cents"],
+    )
+    return maintained.select(
+        "o_orderpriority",
+        "n_rows",
+        "revenue_cents",
+        fround(F.col("revenue_cents") / 100.0, 2).alias("revenue"),
+    )

@@ -125,3 +125,49 @@ def q100_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof_ts").cast("double") - F.col("ts").cast("double") + 1e-9, 6
         ).alias("secs_to_purchase"),
     )
+
+
+#: Truncation depth and dyadic decay for the exponentially-weighted
+#: moving sum: alpha = 0.5 keeps every weight an exact power of two.
+_EWM_K = 16
+
+
+@query(
+    "q102_ewm_decay",
+    tags=("temporal", "window"),
+    oracle='\nWITH base AS (\n  SELECT event_id, user_id, ts, CAST(floor(value) AS DOUBLE) AS xq\n  FROM events\n)\nSELECT event_id, user_id,\n       round(xq * 1.0\n       + coalesce(lag(xq, 1) OVER win, 0.0) * 0.5\n       + coalesce(lag(xq, 2) OVER win, 0.0) * 0.25\n       + coalesce(lag(xq, 3) OVER win, 0.0) * 0.125\n       + coalesce(lag(xq, 4) OVER win, 0.0) * 0.0625\n       + coalesce(lag(xq, 5) OVER win, 0.0) * 0.03125\n       + coalesce(lag(xq, 6) OVER win, 0.0) * 0.015625\n       + coalesce(lag(xq, 7) OVER win, 0.0) * 0.0078125\n       + coalesce(lag(xq, 8) OVER win, 0.0) * 0.00390625\n       + coalesce(lag(xq, 9) OVER win, 0.0) * 0.001953125\n       + coalesce(lag(xq, 10) OVER win, 0.0) * 0.0009765625\n       + coalesce(lag(xq, 11) OVER win, 0.0) * 0.00048828125\n       + coalesce(lag(xq, 12) OVER win, 0.0) * 0.000244140625\n       + coalesce(lag(xq, 13) OVER win, 0.0) * 0.0001220703125\n       + coalesce(lag(xq, 14) OVER win, 0.0) * 6.103515625e-05\n       + coalesce(lag(xq, 15) OVER win, 0.0) * 3.0517578125e-05\n       + 1e-9, 4) AS ewm_value\nFROM base\nWINDOW win AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)\n',
+)
+def q102_ewm_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving sum per user (recency-decayed
+    activity metric): ewm_t = sum_j 0.5**j * x_(t-j) truncated at 16
+    terms — the streaming-feature shape (time-decayed engagement)
+    every event pipeline computes.
+
+    Exactness by construction: the metric is integer-quantized
+    (floor(value), <= 10 bits) and every weight is a power of two, so
+    each term is an exact dyadic rational of <= 26 significant bits
+    and every partial sum is exact in float64 — the result is
+    bit-identical regardless of engine or summation order (no ULP
+    drift to paper over; the fround is convention only). A production
+    variant with arbitrary alpha would round the output instead.
+
+    Scale: the 16 lag() terms share ONE window spec, so Catalyst
+    compiles them into a single Window node over a single
+    hash-partition exchange on user_id — same shuffle count as a plain
+    running sum; per-row state is a 16-slot ring, not the history.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    base = ev.select(
+        "event_id", "user_id", "ts", F.floor("value").cast("double").alias("xq")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    term = F.col("xq") * F.lit(1.0)
+    for j in range(1, _EWM_K):
+        term = term + F.coalesce(F.lag("xq", j).over(w), F.lit(0.0)) * F.lit(0.5**j)
+    return base.select(
+        "event_id",
+        "user_id",
+        F.round(term + 1e-9, 4).alias("ewm_value"),
+    )

@@ -176,3 +176,24 @@ def read_csv(
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    limit: int | None = None,
+) -> DataFrame:
+    """JSON-Lines scan with an explicit schema, fail-fast on malformed
+    rows — the interchange format LLM data pipelines standardize on
+    (one document object per line).
+
+    An explicit schema matters doubly for JSON: without one Spark runs
+    a full inference pass over the data (a second 100 TB scan) and
+    silently widens types. FAILFAST surfaces corrupt lines at read
+    time instead of nulling them into the corpus.
+    """
+    df = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    if limit is not None:
+        df = df.limit(limit)
+    return df

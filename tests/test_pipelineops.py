@@ -231,3 +231,48 @@ class TestSnapshotDiff:
         )
         got = {r.k: r.change_type for r in snapshot_diff(before, after, ["k"]).collect()}
         assert got == {1: "updated", 2: "unchanged", 3: "updated"}
+
+
+class TestApplyAggDelta:
+    def _view(self, rows):
+        return sorted(tuple(r) for r in rows)
+
+    def test_matches_full_recompute_exactly(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.merge import apply_agg_delta
+
+        base = spark.createDataFrame(
+            [(k % 3, 100 + k) for k in range(30)], "g int, cents long"
+        )
+        snapshot = base.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("cents")
+        )
+        batch = spark.createDataFrame(
+            # delete two rows of g=0, insert one row of g=1 and one of a
+            # brand-new key g=9
+            [(0, 100, "D"), (0, 103, "D"), (1, 7, "I"), (9, 42, "I")],
+            "g int, cents long, op string",
+        )
+        maintained = apply_agg_delta(snapshot, batch, ["g"], ["cents"])
+
+        final_rows = (
+            base.exceptAll(
+                spark.createDataFrame([(0, 100), (0, 103)], "g int, cents long")
+            )
+            .unionByName(spark.createDataFrame([(1, 7), (9, 42)], "g int, cents long"))
+        )
+        recomputed = final_rows.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("cents")
+        )
+        assert self._view(maintained.collect()) == self._view(recomputed.collect())
+
+    def test_group_deleted_to_zero_drops_out(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.merge import apply_agg_delta
+
+        snapshot = spark.createDataFrame(
+            [(0, 2, 50), (1, 1, 10)], "g int, n_rows long, cents long"
+        )
+        batch = spark.createDataFrame(
+            [(0, 20, "D"), (0, 30, "D")], "g int, cents long, op string"
+        )
+        out = apply_agg_delta(snapshot, batch, ["g"], ["cents"]).collect()
+        assert self._view(out) == [(1, 1, 10)]

@@ -166,3 +166,53 @@ def test_q100_forward_asof_single_key_shuffle(spark):
     assert plan.count("hashpartitioning(") == 1  # exactly one shuffle
     assert "hashpartitioning(user_id" in plan
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    # The 100 TB scan-pruning story for selective fact⋈dim joins the
+    # planner can't broadcast: Catalyst's InjectRuntimeFilter plants a
+    # bloom-filter semi-filter on the probe side, so fact rows that
+    # can't match are dropped at the scan instead of shuffled. The
+    # size thresholds exist for small data; production defaults
+    # (creation side ≤ 10MB, probe scan ≥ 10GB) are exactly the 100 TB
+    # shape, so the local test only lowers the probe floor.
+    import pyspark.sql.functions as F
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_orderpriority")
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = physical_plan(joined)
+        assert "might_contain" in plan  # bloom probe reached the scan side
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_q102_ewm_sixteen_lags_one_window(spark):
+    # all 16 lag terms share one window spec: a single Window node
+    # over a single key shuffle — same plan cost as a running sum
+    import re
+
+    plan = physical_plan(_q(spark, "q102_ewm_decay"))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert plan.count("hashpartitioning(") == 1

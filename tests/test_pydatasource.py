@@ -2,12 +2,14 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_bowl_2026_analytics_spark.sources.pydatasource import (
     SyntheticEventsDataSource,
     synth_row,
 )
+from big_data_bowl_2026_analytics_spark.sources.readers import read_jsonl
 from big_data_bowl_2026_analytics_spark.sources.writers import write_jsonl, write_orc
 
 
@@ -60,9 +62,29 @@ class TestSinks:
         )
         path = str(tmp_path / "jl")
         write_jsonl(df, path)
-        back = spark.read.schema("id bigint, g bigint, s string").json(path)
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        schema = StructType([
+            StructField("id", LongType()),
+            StructField("g", LongType()),
+            StructField("s", StringType()),
+        ])
+        back = read_jsonl(spark, path, schema)
         assert back.count() == 100
         assert back.agg(F.sum("id")).first()[0] == 4950
+        assert read_jsonl(spark, path, schema, limit=7).count() == 7
+
+    def test_read_jsonl_failfast_on_corrupt_line(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        d = tmp_path / "bad"
+        os.makedirs(d)
+        (d / "part-0.json").write_text('{"id": 1}\n{"id": not-json}\n')
+        schema = StructType([StructField("id", LongType())])
+        with pytest.raises(Exception, match="FAILFAST|Malformed|corrupt"):
+            read_jsonl(spark, str(d), schema).count()
 
     def test_orc_round_trip_with_pushdown(self, spark, tmp_path):
         df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
