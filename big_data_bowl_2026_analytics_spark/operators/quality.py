@@ -94,3 +94,30 @@ def assert_values_in(
             f"{[r[column] for r in bad]}"
         )
     return df
+
+
+def observe_audit(
+    df: DataFrame, name: str, columns: Sequence[str]
+) -> tuple[DataFrame, "Observation"]:
+    """Attach a ZERO-extra-pass quality audit to a frame: row count
+    and per-column null counts accumulate inside whatever job consumes
+    the frame next (a write, a count, a downstream agg) via
+    ``DataFrame.observe`` — the audit rides along as accumulator-style
+    metrics instead of re-running the plan.
+
+    This replaces the audit-as-second-job pattern for production
+    writes: at 100 TB, ``null_audit`` costs another full scan, while
+    an observation is free. Returns ``(observed_df, observation)``;
+    read ``observation.get`` AFTER an action has run.
+
+        audited, obs = observe_audit(df, "pre_write", ["user_id"])
+        write_parquet(audited, path)
+        if obs.get["null_user_id"] > 0: ...
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}") for c in columns
+    ]
+    return df.observe(obs, *metrics), obs

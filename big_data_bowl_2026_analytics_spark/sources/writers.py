@@ -51,3 +51,34 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — second columnar format (predicate pushdown + column
     pruning work identically to parquet through the same scan API)."""
     df.write.mode(mode).orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (hash-clustered files + catalog
+    metadata): rows land in ``n_buckets`` files by the hash of
+    ``bucket_cols``, optionally sorted within each bucket.
+
+    This is the 100 TB co-location primitive Spark offers that plain
+    parquet paths cannot express: two tables bucketed the same way
+    join WITHOUT any exchange (each task zips bucket i with bucket i),
+    and aggregations on the bucket key skip their shuffle — the
+    shuffle is paid once at write time, then amortized over every
+    downstream join/agg. Requires ``saveAsTable`` (bucket metadata
+    lives in the catalog, not the files).
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -276,3 +276,19 @@ class TestApplyAggDelta:
         )
         out = apply_agg_delta(snapshot, batch, ["g"], ["cents"]).collect()
         assert self._view(out) == [(1, 1, 10)]
+
+
+class TestObserveAudit:
+    def test_metrics_ride_the_consuming_job(self, spark, tmp_path):
+        from big_data_bowl_2026_analytics_spark.operators.quality import observe_audit
+        from big_data_bowl_2026_analytics_spark.sources import write_parquet
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None), (4, "d")], "id long, s string"
+        )
+        audited, obs = observe_audit(df, "pre_write", ["s", "id"])
+        write_parquet(audited, str(tmp_path / "out"))  # the ONLY job run
+        got = obs.get
+        assert got["n_rows"] == 4
+        assert got["null_s"] == 2
+        assert got["null_id"] == 0

@@ -118,3 +118,52 @@ def test_pin_table_serves_reads_and_unpins(spark):
     )
     assert a == b
     assert not read_table(spark, sf, "orders").storageLevel.useMemory
+
+
+class TestBucketedTables:
+    def test_colocated_join_and_agg_skip_exchange(self, spark, tmp_path):
+        """The shuffle is paid once at write: a join of two same-bucketed
+        tables and a groupBy on the bucket key both plan with ZERO
+        Exchange nodes."""
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from big_data_bowl_2026_analytics_spark.sources import write_bucketed
+
+        left = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+        )
+        right = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") + 7).alias("b")
+        )
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # at real scale neither side broadcasts; force that regime
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            write_bucketed(left, "t_bl", ["k"], 4, path=str(tmp_path / "bl"),
+                           sort_cols=["k"])
+            write_bucketed(right, "t_br", ["k"], 4, path=str(tmp_path / "br"),
+                           sort_cols=["k"])
+            bl, br = spark.table("t_bl"), spark.table("t_br")
+
+            joined = bl.join(br, "k")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan
+            assert "SortMergeJoin" in plan
+            assert joined.count() == 500
+
+            agged = bl.groupBy("k").agg(F.sum("a").alias("s"))
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                agged.explain("formatted")
+            assert "Exchange" not in buf.getvalue()
+            assert agged.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+            spark.sql("DROP TABLE IF EXISTS t_bl")
+            spark.sql("DROP TABLE IF EXISTS t_br")
