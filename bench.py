@@ -118,10 +118,22 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_AQE", "0") != "1":
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
+    # Resilience contract: the driver records whatever single JSON
+    # line this prints — an uncaught exception anywhere below would
+    # record NOTHING for the whole round (this happened in round 2:
+    # a schema change in the regenerated testdata threw during table
+    # pinning, before the first query ran). Every per-query and
+    # per-table step is therefore individually guarded; failures are
+    # reported in an "errors" field instead of aborting the run.
+    errors: dict[str, str] = {}
+
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
     # Warm up JVM/codegen paths outside the timed region.
-    specs[names[0]].builder(spark, sf_dir).count()
+    try:
+        specs[names[0]].builder(spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001
+        errors["_warmup"] = f"{type(exc).__name__}: {exc}"
 
     # Shared-scan fusion: the 21 headline queries read the same ten
     # base tables 30+ times between them. Pin those scans in the
@@ -138,7 +150,10 @@ def main() -> None:
             "region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "documents", "embeddings",
         ):
-            pin_table(spark, sf_dir, table)
+            try:
+                pin_table(spark, sf_dir, table)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"_pin_{table}"] = f"{type(exc).__name__}: {exc}"
 
     # Two executions per query, report the faster: the first run pays
     # one-time whole-stage-codegen compilation (~1s/query), which at a
@@ -150,12 +165,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = specs[name].builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = specs[name].builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"
 
     serial_total = round(sum(timings.values()), 3)
 
@@ -178,8 +196,11 @@ def main() -> None:
     if floor_dominated and n_threads > 1:
 
         def _run_one(name: str) -> None:
-            df = specs[name].builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = specs[name].builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors.setdefault(name, f"{type(exc).__name__}: {exc}")
 
         # min of 2, like the serial phase: one makespan measurement is
         # exposed to scheduler jitter across 8 threads.
@@ -207,6 +228,8 @@ def main() -> None:
     }
     if concurrent_wall is not None:
         out["fair_batched_wall"] = concurrent_wall
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

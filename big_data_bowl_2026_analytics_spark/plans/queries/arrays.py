@@ -64,7 +64,8 @@ def q78_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH agg AS (
   SELECT event_type,
          count(*) AS n,
-         sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+              AS BIGINT) AS sum_k,
          max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
   FROM events
   GROUP BY event_type

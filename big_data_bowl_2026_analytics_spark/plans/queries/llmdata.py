@@ -145,7 +145,7 @@ WITH words AS (
   SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
 )
 SELECT doc_id,
-       sum(c) AS n_words,
+       CAST(sum(c) AS BIGINT) AS n_words,
        count(*) AS n_distinct_words,
        round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 6) AS entropy_nats
 FROM counts

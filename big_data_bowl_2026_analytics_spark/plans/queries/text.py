@@ -559,7 +559,8 @@ exploded AS (
 )
 SELECT e.doc_id,
        count(*) AS n_shingles,
-       sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
        round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 6)
          AS contamination_ratio
 FROM exploded e LEFT JOIN bench b ON e.sh = b.sh

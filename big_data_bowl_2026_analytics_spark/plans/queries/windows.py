@@ -151,10 +151,10 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, event_id, ts, value,
-         sum(new_session) OVER (
+         CAST(sum(new_session) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS session_id
+         ) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,

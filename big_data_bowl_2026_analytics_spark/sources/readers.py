@@ -112,10 +112,19 @@ def read_table(
 ) -> DataFrame:
     """Read one testdata table; optional projection (pruned at the scan).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    refuses to read natively; we read it as a long (legacy conf) and
-    truncate to microseconds — matching DuckDB, which truncates
-    NANOS to its microsecond TIMESTAMP on read.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some
+    testdata generations and TIMESTAMP(MICROS, ntz) in others, and the
+    driver supplies its own SparkSession whose confs we don't control —
+    so we branch on the dtype Spark ACTUALLY loaded rather than
+    assuming either encoding:
+
+    * ``bigint`` (nanosAsLong in effect): integer-divide to µs and
+      rebuild the timestamp — the same floor-truncation DuckDB applies
+      when it reads NANOS into its µs TIMESTAMP.
+    * ``timestamp_ntz`` (native µs read): cast to session-zoned
+      TIMESTAMP under UTC — a pure relabel (no instant shift), keeping
+      every downstream query (window/date_trunc/unix_micros) on the
+      exact semantics the oracle checks were built against.
     """
     pinned = _PINNED.get((os.path.abspath(sf_dir), name))
     if pinned is not None:
@@ -129,9 +138,16 @@ def read_table(
     # oracle's default.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001 - conf may not exist in this build
+            pass
         df = spark.read.parquet(path)
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     if columns:

@@ -19,25 +19,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: File-source schema: ts arrives as raw nanos (see sources/readers.py)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: File-source schema for the TIMESTAMP(NANOS) testdata generation,
+#: where ts arrives as raw nanos (see sources/readers.py).
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-based stream of the events table (nanos -> microseconds,
-    matching the batch reader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """File-based stream of the events table, normalized to a µs
+    session-zone timestamp exactly like the batch reader.
+
+    A stream source needs its schema declared up front, but the events
+    testdata has shipped both as TIMESTAMP(NANOS) (read as raw-nanos
+    long) and TIMESTAMP(MICROS, ntz) — so probe the footer with a
+    one-off batch read of the same directory and declare whichever
+    encoding is actually on disk. On a Kafka deployment this probe
+    disappears: the schema comes from the topic contract.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 - conf may not exist in this build
+        pass
+    probe_type = dict(spark.read.parquet(path).dtypes).get("ts")
+    if probe_type == "bigint":
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = spark.readStream.schema(
+        _events_raw_schema(T.TimestampNTZType())
+    ).parquet(path)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_event_aggregates(

@@ -49,16 +49,36 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _numeric_kind(s: pd.Series) -> str | None:
+    if pd.api.types.is_bool_dtype(s):
+        return None
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return None
+
+
 def _cmp(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, bool, str]:
     """Returns (strict_match, tolerant_match, detail)."""
     if len(spark_pdf) != len(oracle_pdf):
         return False, False, f"row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    # The driver's value hash is dtype-sensitive: DuckDB sum(int) is
+    # HUGEINT -> float64 in pandas while Spark's stays int64. Our
+    # normalization would mask that, so flag int-vs-float kind
+    # mismatches BEFORE normalizing (fix: CAST(... AS BIGINT) in the
+    # oracle). See tools/audit_dtypes.py for the sweep version.
+    kind_detail = ""
+    for c in set(spark_pdf.columns) & set(oracle_pdf.columns):
+        ks, ko = _numeric_kind(spark_pdf[c]), _numeric_kind(oracle_pdf[c])
+        if ks and ko and ks != ko:
+            kind_detail += f" col {c} dtype-kind: spark={ks} oracle={ko};"
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     if list(a.columns) != list(b.columns):
         return False, False, f"columns {list(a.columns)} vs {list(b.columns)}"
-    strict = True
+    strict = not kind_detail
     tolerant = True
-    detail = ""
+    detail = kind_detail
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if pd.api.types.is_float_dtype(a[c]):
