@@ -142,3 +142,52 @@ def weighted_sample(
         .orderBy(F.desc("sample_priority"))
         .limit(k)
     )
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    expected_k: int,
+    weight_col: str,
+    hash_cols: Sequence[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weight-proportional Poisson (Bernoulli) sampling:
+    row i is kept iff ``u_i < expected_k * w_i / W`` where ``u_i`` is a
+    hash-derived uniform and ``W = sum(w)``. Expected sample size is
+    ``expected_k`` (exactly, when no row's scaled weight exceeds 1);
+    membership is independent per row.
+
+    Unlike :func:`weighted_sample` (A-ES, exact-k, needs ``pow``),
+    every arithmetic step here is an IEEE-exact or correctly-rounded
+    double op — int-to-double below 2^53, +0.5, a divide by 2^32, one
+    multiply, one divide — so ANY engine computes the identical
+    membership bit-for-bit (no transcendental functions, whose last-ulp
+    behavior is libm-specific). That makes the op oracle-checkable and,
+    more importantly, re-runnable across engine versions: a training
+    mixture sampled this way is reproducible forever.
+
+    Scale: the total weight is a one-row aggregate broadcast back over
+    the corpus (one pass + one map-side filter); no sort, no top-k
+    structure, no shuffle of the kept rows. Adds ``sample_u`` (the
+    uniform, for audit).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(row_hash(list(hash_cols)), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**8))
+    total = df.select(F.sum(F.col(weight_col)).cast("double").alias("_W"))
+    return (
+        df.withColumn("sample_u", u)
+        .crossJoin(F.broadcast(total))
+        .where(
+            F.col("sample_u")
+            < F.lit(expected_k) * F.col(weight_col) / F.col("_W")
+        )
+        .drop("_W")
+    )

@@ -161,3 +161,48 @@ def gap_fill_locf(
     for c in value_cols:
         filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return filled
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_seconds: float,
+    start_col: str = "s",
+    end_col: str = "e",
+    join_key: str | None = None,
+) -> DataFrame:
+    """All (left, right) interval pairs that overlap:
+    ``l.s < r.e AND r.s < l.e`` (half-open semantics), computed without
+    a quadratic inequality join.
+
+    Each interval explodes to the sequence of fixed-width time buckets
+    it covers; candidates equi-join on (key, bucket); the exact overlap
+    predicate then filters, and duplicate candidates (pairs sharing
+    several buckets) collapse via ``dropDuplicates`` on the two sides'
+    natural keys — which callers provide by selecting them before the
+    join. Choose ``bucket_seconds`` near the typical interval length:
+    buckets-per-interval (fan-out) trades against candidates-per-bucket
+    (join width) exactly like LSH banding.
+
+    Scale: the inequality never reaches the join condition — the plan
+    is an equi-join a 1000-executor shuffle can partition, while a raw
+    ``l.s < r.e AND r.s < l.e`` join plans as a broadcast-nested-loop
+    (quadratic, single-node death at corpus scale). Right columns come
+    back suffixed ``_r``; callers aggregate or dedup as needed.
+    """
+    def buckets(s: str, e: str) -> F.Column:
+        lo = F.floor(F.col(s).cast("double") / bucket_seconds)
+        hi = F.floor(F.col(e).cast("double") / bucket_seconds)
+        return F.sequence(lo.cast("long"), hi.cast("long"))
+
+    lt = left.withColumn("_b", F.explode(buckets(start_col, end_col)))
+    rt = right.select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns]
+    ).withColumn("_rb", F.explode(buckets(f"{start_col}_r", f"{end_col}_r")))
+    cond = [lt["_b"] == rt["_rb"]]
+    if join_key:
+        cond.append(lt[join_key] == rt[f"{join_key}_r"])
+    overlap = (F.col(start_col).cast("double") < F.col(f"{end_col}_r").cast("double")) & (
+        F.col(f"{start_col}_r").cast("double") < F.col(end_col).cast("double")
+    )
+    return lt.join(rt, cond).where(overlap).drop("_b", "_rb")

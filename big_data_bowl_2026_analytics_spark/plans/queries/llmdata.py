@@ -18,6 +18,7 @@ from ...operators.textstats import (
     unigram_logprob_scores,
     word_entropy,
 )
+from ...functions.scalar import fround
 from ...sources.readers import read_table
 from ..registry import query
 
@@ -295,3 +296,170 @@ def q101_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-total is a one-row broadcast. No second scan of text.
     """
     return unigram_logprob_scores(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q107_bpe_pair_counts",
+    tags=("text", "tokenizer", "llm-pipeline"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pairs AS (
+  SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+  FROM toks WHERE len(w) >= 2
+)
+SELECT p[1] AS tok_a, p[2] AS tok_b, count(*) AS n_pairs
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, tok_a, tok_b
+LIMIT 30
+""",
+)
+def q107_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair frequencies over the corpus — the counting
+    step of a BPE/WordPiece merge round (the most frequent pair is the
+    next merge), at word granularity here because the synthetic corpus
+    is word-structured.
+
+    The pair stream is generated map-side with zero joins: two
+    shifted array slices zipped and exploded (no posexplode self-join,
+    no window over token position — both of which would shuffle the
+    full token stream). One partial-aggregated shuffle on the pair,
+    then a TakeOrderedAndProject top-30 with a full tie-break.
+
+    Scale: this is the canonical map-reduce word-pair count; the only
+    shuffle moves (pair, partial_count), already collapsed per
+    partition by the map-side combine. An iterative BPE trainer would
+    loop this query against a shrinking merged-token column.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.select(F.split("text", " ").alias("w")).where(F.size("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1).alias("a"),
+                F.slice(F.col("w"), 2, F.size("w") - 1).alias("b"),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "tok_a", "tok_b")
+        .limit(30)
+    )
+
+
+@query(
+    "q108_vocab_oov_rate",
+    tags=("text", "tokenizer", "llm-pipeline"),
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM words GROUP BY w
+    ORDER BY c DESC, w LIMIT 100
+  )
+), flagged AS (
+  SELECT d.doc_id, d.w, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM words d LEFT JOIN vocab v USING (w)
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tok,
+         CAST(sum(oov) AS BIGINT) AS n_oov
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(p.n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(p.n_oov) AS BIGINT) AS n_oov_tokens,
+       round(sum(p.n_oov) * 1.0 / sum(p.n_tok) + 1e-9, 6) AS oov_rate
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+)
+def q108_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a top-100 corpus
+    vocabulary built in the same query — the tokenizer-coverage audit
+    run before committing a vocab: a domain whose OOV rate spikes gets
+    more vocab budget or more aggressive normalization.
+
+    Two-level aggregation: global word counts (one shuffle with
+    map-side combine) -> top-100 via TakeOrderedAndProject with a
+    full (count, word) tie-break -> the tiny vocab BROADCASTS back
+    against the token stream (no second shuffle of the corpus) ->
+    per-doc then per-source rollup. Integer-count ratio: engine-exact
+    (CLAUDE.md rule 5), summed as BIGINT on both sides (rule: DuckDB
+    HUGEINT sums land as float64 in pandas).
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    words = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(100)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    flagged = words.join(F.broadcast(vocab), "w", "left")
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_oov").alias("n_oov_tokens"),
+        fround(F.sum("n_oov") * 1.0 / F.sum("n_tok"), 6).alias("oov_rate"),
+    )
+
+
+@query(
+    "q109_heavy_hitters",
+    tags=("text", "agg", "llm-pipeline"),
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), tot AS (SELECT count(*) AS n FROM words)
+SELECT w AS word, count(*) AS n_occurrences,
+       round(count(*) * 1.0 / any_value(tot.n) + 1e-9, 6) AS share
+FROM words CROSS JOIN tot
+GROUP BY w
+HAVING count(*) * 1000 >= any_value(tot.n)
+ORDER BY n_occurrences DESC, word
+""",
+)
+def q109_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: every token exceeding 0.1% of the corpus
+    token stream, with its share — the frequency-floor pass behind
+    stopword induction and boilerplate detection. The support
+    threshold is an integer cross-multiplication (count*1000 >= total),
+    so membership is engine-exact with no float division in the
+    predicate.
+
+    Scale: one partial-aggregated shuffle on the word; the total is a
+    one-row aggregate broadcast into the HAVING — this is the exact
+    two-pass formulation. (A Misra-Gries single-pass sketch would
+    trade the first shuffle for approximation; with map-side combine
+    the exact version's shuffle already carries only distinct words
+    per partition, so exactness is nearly free at any scale.)
+    """
+    docs = read_table(spark, sf_dir, "documents", ["text"])
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    total = words.select(F.count(F.lit(1)).alias("_n"))
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n_occurrences") * 1000 >= F.col("_n"))
+        .select(
+            "word",
+            "n_occurrences",
+            fround(F.col("n_occurrences") * 1.0 / F.col("_n"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_occurrences"), "word")
+    )

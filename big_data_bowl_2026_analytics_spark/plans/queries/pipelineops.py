@@ -409,3 +409,50 @@ def q77_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("min_supp"),
         F.max("l_suppkey").alias("max_supp"),
     )
+
+
+@query(
+    "q104_weighted_bernoulli_sample",
+    tags=("sampling", "llm-pipeline"),
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         (('0x' || substr(md5(md5(CAST(doc_id AS VARCHAR)) || 'mix1'), 1, 8))::BIGINT
+           + 0.5) / 4294967296.0 AS sample_u
+  FROM documents WHERE n_chars > 0
+), tot AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS W FROM w)
+SELECT doc_id, source, n_chars, round(sample_u + 1e-9, 6) AS u_round
+FROM w CROSS JOIN tot
+WHERE sample_u < 200 * n_chars / W
+""",
+)
+def q104_weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling of the
+    corpus (weights = characters, expected 200 docs): the
+    training-mixture draw every LLM data pipeline runs, made
+    reproducible by deriving the uniform from md5 of the key instead
+    of rand() (``operators/sampling.py::weighted_bernoulli_sample``).
+
+    Every arithmetic step is IEEE-exact or correctly rounded (no
+    pow/ln), so membership is bit-identical on any engine — which is
+    what lets a DuckDB oracle (or a re-run years later on a different
+    cluster) reproduce the exact sample.
+
+    Scale: one aggregate for total weight broadcast back over the
+    corpus; the filter is map-side. No sort, no top-k, no shuffle of
+    the kept rows.
+    """
+    from ...operators.sampling import weighted_bernoulli_sample
+
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "source", "n_chars"]
+    ).where(F.col("n_chars") > 0)
+    picked = weighted_bernoulli_sample(
+        docs, 200, "n_chars", ["doc_id"], salt="mix1"
+    )
+    return picked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        fround(F.col("sample_u"), 6).alias("u_round"),
+    )

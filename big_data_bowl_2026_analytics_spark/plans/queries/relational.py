@@ -1265,3 +1265,71 @@ def q103_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_cents",
         fround(F.col("revenue_cents") / 100.0, 2).alias("revenue"),
     )
+
+
+@query(
+    "q106_scd2_history",
+    tags=("lakehouse", "scd2", "window"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR event_type != prev_type
+)
+SELECT user_id,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       event_type AS state,
+       CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current,
+       CAST(row_number() OVER w2 AS BIGINT) AS version
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q106_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from a change
+    log: collapse each user's event stream to its state-CHANGE rows,
+    then stamp every version with ``valid_from`` / ``valid_to`` /
+    ``is_current`` / ``version`` — the dimension-versioning write path
+    of every warehouse (Kimball SCD2), derived relationally rather
+    than via per-key driver loops.
+
+    Change detection (lag != current) and validity stamping (lead /
+    row_number over the filtered change rows) are two window passes
+    over the SAME (user_id; ts, event_id) partitioning — one shuffle
+    total; Spark reuses the exchange and sort for the second window.
+    The unique (ts, event_id) tie-break makes every version boundary
+    deterministic (CLAUDE.md rule 3/6).
+
+    Scale: windows partition by user (millions of independent groups,
+    no global sort); the change filter drops the frame to the change
+    cardinality before the second pass. At 100 TB this is the
+    MERGE-free way to maintain SCD2: append the log, rebuild (or
+    incrementally upsert via operators/merge.py) the compacted
+    history.
+    """
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.col("event_type").alias("state"),
+        F.when(F.lead("ts").over(w2).isNull(), 1).otherwise(0).alias("is_current"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ...operators.temporal import asof_join, range_join_buckets
+from ...functions.scalar import fround
 from ...sources.readers import read_table
 from ..registry import query
 
@@ -170,4 +171,81 @@ def q102_ewm_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round(term + 1e-9, 4).alias("ewm_value"),
+    )
+
+
+@query(
+    "q105_interval_overlap_join",
+    tags=("temporal", "interval-join"),
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id, event_type,
+         epoch(ts) AS s,
+         epoch(ts) + CAST(event_id % 3600 AS BIGINT) + 1 AS e
+  FROM events WHERE event_type IN ('view', 'click')
+)
+SELECT a.user_id,
+       a.event_id AS view_event,
+       b.event_id AS click_event,
+       round(least(a.e, b.e) - greatest(a.s, b.s) + 1e-9, 6) AS overlap_secs
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'click'
+ AND a.s < b.e AND b.s < a.e
+""",
+)
+def q105_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: every (view, click) pair of the same user
+    whose activity intervals intersect (interval = event start plus a
+    deterministic per-event duration), with the overlap length — the
+    session-stitching / ad-attribution shape, and the temporal twin of
+    a spatial overlap join.
+
+    Spark has no interval-join primitive and a naive ``a.s < b.e AND
+    b.s < a.e`` join plans as a nested loop; the engine decomposes
+    each interval into covered fixed-width buckets and equi-joins on
+    (user, bucket) (``operators/temporal.py::interval_overlap_join``),
+    applying the exact predicate after — the candidate set shrinks
+    from |A|x|B| per user to pairs sharing a bucket, and the shuffle
+    partitions on the equi-key exactly like any scalable join. The
+    oracle is DuckDB's native inequality join.
+    """
+    from ...operators.temporal import interval_overlap_join
+
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]
+    )
+    iv = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("double").alias("s"),
+        (
+            F.col("ts").cast("double")
+            + F.pmod(F.col("event_id"), F.lit(3600)).cast("double")
+            + F.lit(1.0)
+        ).alias("e"),
+    )
+    views = iv.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "s", "e"
+    )
+    clicks = iv.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "s", "e"
+    )
+    pairs = interval_overlap_join(
+        views, clicks, bucket_seconds=3600.0, start_col="s", end_col="e",
+        join_key="user_id",
+    )
+    return (
+        pairs.select(
+            "user_id",
+            F.col("event_id").alias("view_event"),
+            F.col("event_id_r").alias("click_event"),
+            fround(
+                F.least(F.col("e"), F.col("e_r"))
+                - F.greatest(F.col("s"), F.col("s_r")),
+                6,
+            ).alias("overlap_secs"),
+        )
+        .distinct()
     )

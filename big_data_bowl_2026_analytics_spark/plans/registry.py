@@ -85,12 +85,18 @@ _DRIVER_ORDER = [
     "q84_window_navigation",
     "q95_word_entropy",
     "q100_asof_forward",
-    # 2. never sampled by any driver round
+    # 2. never sampled by any driver round (q104-q109 are new in r3)
     "q101_unigram_logprob",
     "q99_salted_join",
     "q103_incremental_agg",
     "q102_ewm_decay",
     "q20_running_total",
+    "q104_weighted_bernoulli_sample",
+    "q105_interval_overlap_join",
+    "q106_scd2_history",
+    "q107_bpe_pair_counts",
+    "q108_vocab_oov_rate",
+    "q109_heavy_hitters",
     # 3a. r01-only green, reads events (read path changed this round)
     "q83_map_functions",
     "q70_gap_fill_locf",
@@ -116,12 +122,8 @@ _DRIVER_ORDER = [
     "q01_pricing_summary",
     "q02_top_revenue_orders",
     "q03_region_nation_revenue",
-    "q04_exists_semi_join",
-    "q05_not_exists_anti_join",
-    "q06_conditional_distinct_counts",
-    "q07_argmin_per_group",
-    "q08_pivot_returnflag",
-    "q09_first_last_per_group",
+    # (q04-q09 pushed past the 50-slot window by the six new r3
+    # queries; they rotate in next round with the remaining 3b tail.)
 ]
 
 

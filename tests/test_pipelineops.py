@@ -292,3 +292,102 @@ class TestObserveAudit:
         assert got["n_rows"] == 4
         assert got["null_s"] == 2
         assert got["null_id"] == 0
+
+
+class TestWeightedBernoulliSample:
+    def test_partition_independent_and_expected_size(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.sampling import (
+            weighted_bernoulli_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(1 + i % 10)) for i in range(2000)], "id long, w double"
+        )
+        picks = weighted_bernoulli_sample(df, 100, "w", ["id"])
+        again = weighted_bernoulli_sample(df.repartition(13), 100, "w", ["id"])
+        got = {r.id for r in picks.collect()}
+        assert got == {r.id for r in again.collect()}
+        # E[|sample|] = 100; binomial sd ~ 10 — allow 5 sd
+        assert 50 <= len(got) <= 150
+
+    def test_weight_proportional(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.sampling import (
+            weighted_bernoulli_sample,
+        )
+
+        # half the rows carry 9x the weight -> ~90% of inclusions
+        df = spark.createDataFrame(
+            [(i, 1.0 if i % 2 else 9.0) for i in range(4000)],
+            "id long, w double",
+        )
+        rows = weighted_bernoulli_sample(df, 400, "w", ["id"]).collect()
+        heavy = sum(1 for r in rows if r.w == 9.0)
+        light = len(rows) - heavy
+        assert heavy > 5 * light
+
+    def test_salt_draws_independent_samples(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.sampling import (
+            weighted_bernoulli_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 1.0) for i in range(3000)], "id long, w double"
+        )
+        a = {r.id for r in weighted_bernoulli_sample(df, 300, "w", ["id"], "a").collect()}
+        b = {r.id for r in weighted_bernoulli_sample(df, 300, "w", ["id"], "b").collect()}
+        assert a != b
+        # independent 10% draws: overlap ~ 30 of 300, far below half
+        assert len(a & b) < len(a) / 2
+
+
+class TestIntervalOverlapJoin:
+    def test_matches_naive_inequality_join(self, spark):
+        import random
+
+        from big_data_bowl_2026_analytics_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+
+        rnd = random.Random(7)
+        rows = [
+            (i, i % 5, float(rnd.randrange(0, 50_000)), 0.0)
+            for i in range(300)
+        ]
+        rows = [(i, k, s, s + rnd.randrange(1, 7200)) for (i, k, s, _) in rows]
+        left = spark.createDataFrame(rows[:150], "id long, k long, s double, e double")
+        right = spark.createDataFrame(rows[150:], "id long, k long, s double, e double")
+
+        fast = interval_overlap_join(
+            left, right, bucket_seconds=3600.0, join_key="k"
+        ).select("id", "id_r").distinct()
+        naive = (
+            left.alias("a")
+            .join(
+                right.select(*[F.col(c).alias(f"{c}_r") for c in right.columns]),
+                (F.col("k") == F.col("k_r"))
+                & (F.col("s") < F.col("e_r"))
+                & (F.col("s_r") < F.col("e")),
+            )
+            .select("id", "id_r")
+        )
+        assert {tuple(r) for r in fast.collect()} == {
+            tuple(r) for r in naive.collect()
+        }
+
+    def test_no_nested_loop_in_plan(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+        from big_data_bowl_2026_analytics_spark.plans.explain import physical_plan
+
+        df = spark.range(100).select(
+            F.col("id"),
+            (F.col("id") % 3).alias("k"),
+            (F.col("id") * 10.0).alias("s"),
+            (F.col("id") * 10.0 + 25.0).alias("e"),
+        )
+        plan = physical_plan(
+            interval_overlap_join(df, df, bucket_seconds=100.0, join_key="k")
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -216,3 +216,64 @@ def test_q102_ewm_sixteen_lags_one_window(spark):
     plan = physical_plan(_q(spark, "q102_ewm_decay"))
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert plan.count("hashpartitioning(") == 1
+
+
+def test_q104_bernoulli_sample_no_sort_no_topk(spark):
+    # membership is a map-side filter against a broadcast one-row
+    # total — no TakeOrdered/global sort structure at all.
+    df = _q(spark, "q104_weighted_bernoulli_sample")
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # one-row total broadcast
+    assert "TakeOrderedAndProject" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q105_interval_join_is_equijoin_not_nested_loop(spark):
+    # the inequality predicate must NOT be the join condition: the
+    # bucket decomposition turns it into a shuffleable equi-join.
+    df = _q(spark, "q105_interval_overlap_join")
+    plan = physical_plan(df)
+    # equi-join on (user, bucket): hash-join family (broadcast at toy
+    # SF, shuffle hash/sort-merge once the sides grow) — never the
+    # nested-loop plan the raw inequality predicate would force.
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q106_scd2_single_exchange_for_both_windows(spark):
+    # change-detect window and validity window share (user_id; ts,
+    # event_id) — Catalyst must reuse one hashpartitioning exchange.
+    df = _q(spark, "q106_scd2_history")
+    plan = physical_plan(df)
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+
+
+def test_q107_bpe_pairs_no_join_partial_agg(spark):
+    # pair generation is slice+zip+explode (map-side), never a
+    # positional self-join; the count shuffle is partially aggregated.
+    df = _q(spark, "q107_bpe_pair_counts")
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q108_vocab_broadcasts_back(spark):
+    # the induced top-100 vocab must broadcast against the token
+    # stream — a second full-corpus shuffle would be the scale bug.
+    df = _q(spark, "q108_vocab_oov_rate")
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # vocab top-k, not a sort
+
+
+def test_q109_heavy_hitters_broadcast_total(spark):
+    df = _q(spark, "q109_heavy_hitters")
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # one-row total
+    assert "partial_count" in plan
