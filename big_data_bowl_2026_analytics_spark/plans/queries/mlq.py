@@ -44,7 +44,14 @@ scored AS (
 """
 
 
-def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scored(
+    spark: SparkSession, sf_dir: str, native: bool = False
+) -> DataFrame:
+    """Feature frame + model probability. ``native=True`` scores with
+    JVM column math (linear model; no Python stage) — used by the
+    metric queries, while q50 keeps the Arrow path it exists to
+    demonstrate. Both agree after the 6-decimal round (verified
+    bitwise in ml/inference.py::score_column_native)."""
     li = read_table(
         spark, sf_dir, "lineitem",
         ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
@@ -57,7 +64,7 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_tax") * 12.5).alias("f_tax"),
         F.when(F.col("l_quantity") > 30, 1.0).otherwise(0.0).alias("target"),
     )
-    return score_dataframe(feats, DEMO_MODEL)
+    return score_dataframe(feats, DEMO_MODEL, native=native)
 
 
 @query(
@@ -98,7 +105,7 @@ def q51_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile calibration curve (reference
     src/training/evaluate.py:29-70): predicted-probability bins vs
     observed positive rate, as a single groupBy."""
-    return calibration_bins(_scored(spark, sf_dir))
+    return calibration_bins(_scored(spark, sf_dir, native=True))
 
 
 @query(
@@ -144,4 +151,4 @@ def q52_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary, so the row-wise terms are exact functions of the group
     counts) — the scored input, which contains the Arrow scoring UDF
     stage, is scanned exactly once."""
-    return binary_metrics(_scored(spark, sf_dir))
+    return binary_metrics(_scored(spark, sf_dir, native=True))

@@ -277,3 +277,12 @@ def test_q109_heavy_hitters_broadcast_total(spark):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan  # one-row total
     assert "partial_count" in plan
+
+
+def test_q52_metrics_native_scoring_no_python(spark):
+    # the metric queries score the linear model with JVM column math;
+    # no Python/Arrow node should appear anywhere in their plans.
+    for name in ("q51_calibration_bins", "q52_binary_metrics"):
+        plan = physical_plan(_q(spark, name))
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
