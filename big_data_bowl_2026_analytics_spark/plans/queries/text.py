@@ -30,6 +30,7 @@ from ...operators.textstats import (
     shingle_fingerprints,
     token_stats,
 )
+from ...functions.scalar import fround
 from ...sources.readers import read_table
 from ..registry import query
 
@@ -717,4 +718,109 @@ def q98_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("survivor_doc_id"),
         F.col("n_chars").alias("survivor_n_chars"),
         (F.col("cluster_size") - F.lit(1)).alias("n_removed"),
+    )
+
+
+@query(
+    "q111_minhash_estimate_error",
+    tags=("dedup", "minhash", "sketch-accuracy"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n_toks FROM tok GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM tok a
+  JOIN tok b ON a.tok = b.tok AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), exact AS (
+  SELECT doc_a, doc_b, inter,
+         inter / (sa.n_toks + sb.n_toks - inter) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.n_toks + sb.n_toks - inter) >= 0.5
+), sig AS (
+  SELECT doc_id,
+         min(md5('0|' || tok)) AS h0, min(md5('1|' || tok)) AS h1,
+         min(md5('2|' || tok)) AS h2, min(md5('3|' || tok)) AS h3,
+         min(md5('4|' || tok)) AS h4, min(md5('5|' || tok)) AS h5,
+         min(md5('6|' || tok)) AS h6, min(md5('7|' || tok)) AS h7
+  FROM tok GROUP BY doc_id
+)
+SELECT e.doc_a, e.doc_b,
+       round(e.jaccard + 1e-9, 6) AS jaccard,
+       CAST((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matching,
+       round(abs(((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END)) / 8.0
+          - e.jaccard) + 1e-9, 6) AS abs_error
+FROM exact e
+JOIN sig a ON a.doc_id = e.doc_a
+JOIN sig b ON b.doc_id = e.doc_b
+""",
+)
+def q111_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every exactly-similar pair (word-set
+    Jaccard >= 0.5 within language blocks), the 8-component MinHash
+    estimate (#matching components / 8) next to the exact similarity
+    and the absolute error — the measurement that justifies (or
+    rejects) a banding configuration before a corpus-wide dedup run.
+
+    Everything is integer comparisons and exact rationals (k/8,
+    inter/union), so even the ERROR of the approximate structure is
+    strictly oracle-checked — same pattern as q44's sketch-bound
+    check, but with the estimate itself reproduced cross-engine.
+
+    Scale: signatures come from one explode + groupBy (q31's shape);
+    the pair list is the blocked exact join here (verification-grade),
+    LSH candidates in production (q32) — both bound the quadratic.
+    The two signature joins are on the pair's doc keys (broadcastable
+    when the pair list is small, shuffle joins otherwise).
+    """
+    from ...operators.dedup import jaccard_similar_pairs, minhash_signatures
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "lang", "text"])
+    exact = jaccard_similar_pairs(docs, threshold=0.5, block_col="lang")
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=1)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(8)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(8)],
+    )
+    n_matching = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(8)
+    )
+    joined = (
+        exact.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("n_matching", n_matching.cast("bigint"))
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        fround(F.col("jaccard"), 6).alias("jaccard"),
+        "n_matching",
+        fround(
+            F.abs(F.col("n_matching") / F.lit(8.0) - F.col("jaccard")), 6
+        ).alias("abs_error"),
     )

@@ -271,3 +271,101 @@ def q84_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 2).over(w).alias("second_value"),
         F.last("value").over(w_full).alias("final_value"),
     )
+
+
+@query(
+    "q110_rolling_regression",
+    tags=("window", "timeseries", "feature-gen"),
+    oracle="""
+WITH based AS (
+  SELECT user_id, event_id, value,
+         epoch(ts) - first_value(epoch(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS x
+  FROM events
+), sums AS (
+  SELECT user_id, event_id, x, value,
+         count(*)       OVER w AS n,
+         sum(x)         OVER w AS sx,
+         sum(value)     OVER w AS sy,
+         sum(x * x)     OVER w AS sxx,
+         sum(x * value) OVER w AS sxy
+  FROM based
+  WINDOW w AS (PARTITION BY user_id ORDER BY x, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, n,
+       round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             END + 1e-9, 6) AS slope,
+       round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             END + 1e-9, 6) AS intercept
+FROM sums
+""",
+)
+def q110_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-16-event OLS trend per user (slope + intercept of
+    value against seconds-since-first-event) — the rolling-regression
+    feature a time-series model derives per entity, computed entirely
+    from windowed sums via the closed form
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``.
+
+    The x axis is rebased per user (x − first x) so the quadratic
+    sums stay small and cancellation-free; all five running sums share
+    ONE window frame over one (user_id; x, event_id) sort — a single
+    shuffle, no self-join, no per-row Python. Window-frame addition is
+    sequential per frame, so the doubles are bit-identical on any
+    engine (same order, same operands — unlike a groupBy sum).
+
+    Scale: identical shape at any row count — windows partition by
+    user; the frame is O(16) per row. The reference's per-play numpy
+    fits (deception.py segment means) are the same pattern one level
+    up; this is the engine-native form.
+    """
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_id", "ts", "value"]
+    )
+    w_first = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    based = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (
+            F.col("ts").cast("double")
+            - F.first(F.col("ts").cast("double")).over(w_first)
+        ).alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("x", "event_id")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    sums = based.select(
+        "user_id",
+        "event_id",
+        "x",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("value").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("value")).over(w).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return sums.select(
+        "user_id",
+        "event_id",
+        "n",
+        fround(F.when(den == 0, F.lit(None)).otherwise(slope), 6).alias("slope"),
+        fround(
+            F.when(den == 0, F.lit(None)).otherwise(intercept), 6
+        ).alias("intercept"),
+    )

@@ -97,6 +97,8 @@ _DRIVER_ORDER = [
     "q107_bpe_pair_counts",
     "q108_vocab_oov_rate",
     "q109_heavy_hitters",
+    "q110_rolling_regression",
+    "q111_minhash_estimate_error",
     # 3a. r01-only green, reads events (read path changed this round)
     "q83_map_functions",
     "q70_gap_fill_locf",
@@ -120,9 +122,7 @@ _DRIVER_ORDER = [
     "q57_ordered_string_agg",
     "q58_percentiles",
     "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q03_region_nation_revenue",
-    # (q04-q09 pushed past the 50-slot window by the six new r3
+    # (q02-q09 pushed past the 50-slot window by the eight new r3
     # queries; they rotate in next round with the remaining 3b tail.)
 ]
 

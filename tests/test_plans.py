@@ -286,3 +286,24 @@ def test_q52_metrics_native_scoring_no_python(spark):
         plan = physical_plan(_q(spark, name))
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_q110_rolling_regression_single_window_shuffle(spark):
+    # five running sums share one frame; rebase + frame sort hash on
+    # user_id only — no join, no second shuffle key.
+    df = _q(spark, "q110_rolling_regression")
+    plan = physical_plan(df)
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([a-z_#0-9]+)", plan)
+    assert parts and all(p.startswith("user_id") for p in parts)
+    assert "Join" not in plan
+
+
+def test_q111_minhash_error_no_cartesian(spark):
+    # pair generation stays blocked (token equi-join); signature joins
+    # are equi-joins on the pair keys.
+    df = _q(spark, "q111_minhash_estimate_error")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
