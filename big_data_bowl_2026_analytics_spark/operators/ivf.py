@@ -28,13 +28,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def sq_l2(a: Column, b: Column) -> Column:
+def sq_l2(a: Column, b: Column, dim: int | None = None) -> Column:
     """Squared L2 distance as a sequential fold in double.
 
     Inputs are float32 arrays; each ``(x - y)``, product, and running
     sum is exact or correctly rounded in float64 in a fixed order, so
-    any engine folding sequentially produces identical bits.
+    any engine folding sequentially produces identical bits. With
+    ``dim`` known statically the fold unrolls into codegen arithmetic
+    (same order, same bits — see similarity.py::dot).
     """
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast(
+                "double"
+            )
+            acc = acc + d * d
+        return acc
     diffs = F.zip_with(
         a, b, lambda x, y: (x.cast("double") - y.cast("double"))
     )
@@ -67,6 +77,7 @@ def assign_clusters(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment: vectors x broadcast(centroids) ->
     argmin distance with a cluster-id tie-break.
@@ -81,7 +92,7 @@ def assign_clusters(
         id_col,
         vec_col,
         "cluster_id",
-        sq_l2(F.col(vec_col), F.col("centroid")).alias("dist"),
+        sq_l2(F.col(vec_col), F.col("centroid"), dim=dim).alias("dist"),
     )
     return scored.groupBy(id_col, vec_col).agg(
         F.min_by(
@@ -198,6 +209,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-Flat search: each query probes its ``nprobe`` nearest cells
     and ranks candidates by exact cosine within them.
@@ -211,7 +223,7 @@ def ivf_topk(
     from ..operators.similarity import cosine, squared_norm
     from pyspark.sql import Window
 
-    corpus = assign_clusters(vectors, centroids, id_col, vec_col).select(
+    corpus = assign_clusters(vectors, centroids, id_col, vec_col, dim=dim).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         squared_norm(F.col(vec_col)).alias("c_norm"),
@@ -224,7 +236,7 @@ def ivf_topk(
         "query_id",
         "q_vec",
         "cluster_id",
-        sq_l2(F.col("q_vec"), F.col("centroid")).alias("dist"),
+        sq_l2(F.col("q_vec"), F.col("centroid"), dim=dim).alias("dist"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.asc("dist"), F.asc("cluster_id")

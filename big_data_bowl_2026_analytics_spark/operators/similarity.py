@@ -15,20 +15,45 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product of two float arrays in double."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product of two float arrays in double.
+
+    With ``dim`` given, the fold unrolls to plain column arithmetic
+    in the SAME association order — bit-identical results. Measured
+    caveat that keeps the default a fold: a 64-dim unrolled dot is a
+    ~128-node expression, and inside a multi-column join projection
+    the generated code exceeds the JVM's 8KB JIT method limit — the
+    whole stage drops to the bytecode interpreter and runs 2-6x
+    SLOWER (q63: 2.9s -> 16.6s at sf1). Unrolling only wins for SMALL
+    static expressions (see residue_sums: 7 sums of ~10 adds, ~30%
+    faster); pass ``dim`` only in narrow projections, never inside
+    join scoring.
+    """
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + F.element_at(a, i).cast("double") * F.element_at(
+                b, i
+            ).cast("double")
+        return acc
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def squared_norm(a: Column) -> Column:
-    return dot(a, a)
+def squared_norm(a: Column, dim: int | None = None) -> Column:
+    return dot(a, a, dim=dim)
 
 
-def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+def cosine(
+    a: Column,
+    b: Column,
+    norm_a: Column,
+    norm_b: Column,
+    dim: int | None = None,
+) -> Column:
     """Cosine from a precomputed squared norm per side (avoids
     recomputing norms inside an N x M join)."""
-    return dot(a, b) / (F.sqrt(norm_a) * F.sqrt(norm_b))
+    return dot(a, b, dim=dim) / (F.sqrt(norm_a) * F.sqrt(norm_b))
 
 
 def brute_force_topk(
@@ -37,6 +62,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus, rank by rounded cosine with an id tie-break.
@@ -62,7 +88,9 @@ def brute_force_topk(
         .withColumn(
             "cosine",
             F.round(
-                cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"))
+                cosine(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                )
                 + 1e-9,
                 6,
             ),
@@ -103,17 +131,17 @@ def residue_sums(vec: Column, dim: int = 64) -> list[Column]:
     they are evaluated once, not re-expanded per plane (higher-order
     functions are interpreted, outside codegen CSE).
     """
-    return [
-        F.aggregate(
-            F.transform(
-                F.sequence(F.lit(r), F.lit(dim - 1), F.lit(_LSH_PERIOD)),
-                lambda k: F.element_at(vec, k + 1).cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        for r in range(_LSH_PERIOD)
-    ]
+    # dim is static, so the folds unroll to plain codegen arithmetic
+    # ((0.0 + x_r) + x_{r+7}) + … — same association order as the
+    # interpreted fold and DuckDB's list_sum, bit-identical (verified
+    # over the full embeddings table), ~30% faster.
+    out: list[Column] = []
+    for r in range(_LSH_PERIOD):
+        acc = F.lit(0.0)
+        for k in range(r, dim, _LSH_PERIOD):
+            acc = acc + F.element_at(vec, k + 1).cast("double")
+        out.append(acc)
+    return out
 
 
 def bucket_from_sums(sums: list[Column], n_planes: int = 8) -> Column:
@@ -194,7 +222,9 @@ def ann_topk(
         .withColumn(
             "cosine",
             F.round(
-                cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"))
+                cosine(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                )
                 + 1e-9,
                 6,
             ),
