@@ -456,3 +456,138 @@ def q104_weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFram
         "n_chars",
         fround(F.col("sample_u"), 6).alias("u_round"),
     )
+
+
+@query(
+    "q112_winsorize",
+    tags=("feature-gen", "percentile", "statistics"),
+    oracle="""
+WITH cuts AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+), clipped AS (
+  SELECT l.l_returnflag,
+         least(greatest(l.l_extendedprice, c.lo), c.hi) AS v,
+         CASE WHEN l.l_extendedprice < c.lo OR l.l_extendedprice > c.hi
+              THEN 1 ELSE 0 END AS clip
+  FROM lineitem l JOIN cuts c USING (l_returnflag)
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(clip) AS BIGINT) AS n_clipped,
+       round(min(v) + 1e-9, 2) AS min_winsorized,
+       round(max(v) + 1e-9, 2) AS max_winsorized,
+       round(avg(v) + 1e-9, 4) AS mean_winsorized
+FROM clipped
+GROUP BY l_returnflag
+""",
+)
+def q112_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip at the exact p05/p95): the
+    outlier-taming transform feature pipelines apply before scaling —
+    a price column with a fat tail otherwise dominates any
+    distance-based model.
+
+    The per-group cut points are a 3-row aggregate BROADCAST back onto
+    the fact scan (never a window over the facts — percentile windows
+    re-rank per row); the clip itself is map-side least/greatest. Exact
+    interpolated percentiles pair engine-exactly (Spark ``percentile``
+    == DuckDB ``quantile_cont``, q58-proven); at 100 TB swap in
+    approx_percentile and keep the identical broadcast-back shape.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]
+    )
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    clipped = li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_returnflag",
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+        ).alias("v"),
+        F.when(
+            (F.col("l_extendedprice") < F.col("lo"))
+            | (F.col("l_extendedprice") > F.col("hi")),
+            1,
+        )
+        .otherwise(0)
+        .alias("clip"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("clip").cast("bigint").alias("n_clipped"),
+        fround(F.min("v"), 2).alias("min_winsorized"),
+        fround(F.max("v"), 2).alias("max_winsorized"),
+        fround(F.avg("v"), 4).alias("mean_winsorized"),
+    )
+
+
+@query(
+    "q113_robust_zscore",
+    tags=("feature-gen", "statistics"),
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+), dev AS (
+  SELECT l.l_returnflag,
+         quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+  FROM lineitem l JOIN med m USING (l_returnflag)
+  GROUP BY l.l_returnflag
+), stats AS (
+  SELECT m.l_returnflag, m.med, d.mad FROM med m JOIN dev d USING (l_returnflag)
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       round((l.l_extendedprice - s.med) / (1.4826 * s.mad) + 1e-9, 6)
+         AS robust_z
+FROM lineitem l JOIN stats s USING (l_returnflag)
+WHERE abs((l.l_extendedprice - s.med) / (1.4826 * s.mad)) > 1.2
+""",
+)
+def q113_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score outlier detection (median/MAD, the
+    1.4826-consistency-scaled estimator): unlike mean/stddev scaling,
+    a contaminated tail cannot drag the scale itself — the standard
+    anomaly screen over skewed operational metrics.
+
+    Two aggregate passes (median, then median absolute deviation given
+    the broadcast medians), both collapsing to a rows-per-group frame
+    that broadcasts back onto the fact scan; the score and the
+    threshold filter are map-side. Exact medians pair engine-exactly
+    (q58-proven); the output is the flagged-outlier set, so the fact
+    table never leaves the executors unfiltered.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"],
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(abs(l_extendedprice - med), 0.5)"
+            ).alias("mad")
+        )
+    )
+    stats = med.join(dev, "l_returnflag")
+    z = (F.col("l_extendedprice") - F.col("med")) / (
+        F.lit(1.4826) * F.col("mad")
+    )
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .where(F.abs(z) > 1.2)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            fround(z, 6).alias("robust_z"),
+        )
+    )

@@ -99,6 +99,8 @@ _DRIVER_ORDER = [
     "q109_heavy_hitters",
     "q110_rolling_regression",
     "q111_minhash_estimate_error",
+    "q112_winsorize",
+    "q113_robust_zscore",
     # 3a. r01-only green, reads events (read path changed this round)
     "q83_map_functions",
     "q70_gap_fill_locf",
@@ -120,9 +122,7 @@ _DRIVER_ORDER = [
     "q77_zorder_layout",
     "q56_ranking_functions",
     "q57_ordered_string_agg",
-    "q58_percentiles",
-    "q01_pricing_summary",
-    # (q02-q09 pushed past the 50-slot window by the eight new r3
+    # (q58, q01-q09 pushed past the 50-slot window by the ten new r3
     # queries; they rotate in next round with the remaining 3b tail.)
 ]
 

@@ -307,3 +307,13 @@ def test_q111_minhash_error_no_cartesian(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q112_q113_broadcast_stats_back(spark):
+    # per-group cut points / medians are tiny aggregates that must
+    # broadcast back onto the fact scan — a SortMergeJoin of the facts
+    # against a 3-row frame would be the scale bug.
+    for name in ("q112_winsorize", "q113_robust_zscore"):
+        plan = physical_plan(_q(spark, name))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
