@@ -388,3 +388,92 @@ def duplicate_clusters_star(
         )
     )
     return out
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GLOBAL (unblocked) exact-Jaccard pairs >= ``threshold`` via
+    prefix filtering (the PPJoin family), no LSH approximation and no
+    all-pairs token join.
+
+    Order tokens by global document frequency (rarest first, token
+    tie-break); a doc with n distinct tokens keeps its
+    ``L = n - ceil(t*n) + 1`` rarest tokens as its PREFIX. Jaccard(A,B)
+    >= t implies |A∩B| >= ceil(t*|A|), and only ceil(t*|A|)-1 of A's
+    tokens sit outside its prefix — so by pigeonhole at least one
+    COMMON token lies in prefix(A). Joining prefixes against the FULL
+    token lists therefore finds every qualifying pair with recall 1
+    (prefix-to-prefix alone is NOT complete for Jaccard without
+    PPJoin's asymmetric prefix lengths — this is the simpler provable
+    form). The join stays cheap because hot tokens land at the END of
+    the frequency order and rarely enter any prefix: the probing side
+    is small exactly where the naive token join explodes. Candidates
+    are then verified exactly: join each candidate pair back to both
+    token sets, count the intersection, keep
+    ``inter/(n_a+n_b-inter) >= t``. Every number is an integer count —
+    engine-exact.
+
+    Scale: document-frequency ranking is one groupBy; prefixes shrink
+    the join to the rare tail; verification touches candidate pairs
+    only. This is the exact-similarity counterpart to LSH banding
+    (q32): LSH trades recall for speed, prefix filtering keeps recall
+    = 1 and pays a (bounded) verification join.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_toks"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # global rarity rank; (df, tok) is a total order shared by engines
+    rank_w = Window.orderBy("df", "tok")
+    ranked = dfreq.withColumn("tok_rank", F.row_number().over(rank_w))
+    toks_ranked = tok.join(F.broadcast(ranked.select("tok", "tok_rank")), "tok")
+    # per-doc rarity position; prefix = L rarest tokens
+    pos_w = Window.partitionBy(id_col).orderBy("tok_rank")
+    with_pos = toks_ranked.withColumn("pos", F.row_number().over(pos_w)).join(
+        F.broadcast(sizes), id_col
+    )
+    prefix_len = (
+        F.col("n_toks")
+        - F.ceil(F.lit(float(threshold)) * F.col("n_toks"))
+        + 1
+    )
+    prefix = with_pos.where(F.col("pos") <= prefix_len).select(id_col, "tok")
+    a = prefix.select(F.col(id_col).alias("doc_p"), "tok")
+    b = tok.select(F.col(id_col).alias("doc_f"), "tok")
+    candidates = (
+        a.join(b, "tok")
+        .where(F.col("doc_p") != F.col("doc_f"))
+        .select(
+            F.least("doc_p", "doc_f").alias("doc_a"),
+            F.greatest("doc_p", "doc_f").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # exact verification: intersection size via (doc_b, tok) equi-join
+    ta = tok.select(F.col(id_col).alias("doc_a"), "tok")
+    tb = tok.select(F.col(id_col).alias("doc_b"), "tok")
+    inter = (
+        candidates.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_toks").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_toks").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter", "jaccard")

@@ -101,6 +101,7 @@ _DRIVER_ORDER = [
     "q111_minhash_estimate_error",
     "q112_winsorize",
     "q113_robust_zscore",
+    "q114_prefix_filter_jaccard",
     # 3a. r01-only green, reads events (read path changed this round)
     "q83_map_functions",
     "q70_gap_fill_locf",
@@ -121,9 +122,8 @@ _DRIVER_ORDER = [
     "q76_group_sample",
     "q77_zorder_layout",
     "q56_ranking_functions",
-    "q57_ordered_string_agg",
-    # (q58, q01-q09 pushed past the 50-slot window by the ten new r3
-    # queries; they rotate in next round with the remaining 3b tail.)
+    # (q57, q58, q01-q09 pushed past the 50-slot window by the eleven
+    # new r3 queries; they rotate next round with the rest of 3b.)
 ]
 
 

@@ -214,3 +214,73 @@ def test_star_cc_arbitrary_components(spark):
     }
     assert star == base
     assert star[14] == 2 and star[22] == 20 and star[30] == 7 and star[50] == 50
+
+
+class TestPrefixFilterJaccard:
+    def _naive(self, spark, docs, t):
+        from pyspark.sql import functions as F
+
+        tok = docs.select(
+            "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+        )
+        sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+        b = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+        inter = (
+            a.join(b, "tok")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        j = inter.join(sa, "doc_a").join(sb, "doc_b").withColumn(
+            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        return {
+            (r.doc_a, r.doc_b, r.inter)
+            for r in j.where(F.col("jaccard") >= t).collect()
+        }
+
+    def test_matches_naive_all_pairs(self, spark):
+        import random
+
+        from big_data_bowl_2026_analytics_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        rnd = random.Random(11)
+        vocab = [f"w{i}" for i in range(60)]
+        rows = []
+        for i in range(80):
+            base = rnd.sample(vocab, 12)
+            rows.append((i, " ".join(base)))
+            if i % 3 == 0:  # planted near-dup: one-token mutation
+                mut = list(base)
+                mut[0] = rnd.choice(vocab)
+                rows.append((1000 + i, " ".join(mut)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_a, r.doc_b, r.inter)
+            for r in prefix_filter_jaccard_pairs(docs, threshold=0.8).collect()
+        }
+        assert got == self._naive(spark, docs, 0.8)
+        assert got  # fixture actually produces qualifying pairs
+
+    def test_hot_token_stays_out_of_prefix(self, spark):
+        # every doc shares one ultra-hot token; the naive token join is
+        # quadratic in it, the prefix probe side must exclude it.
+        from pyspark.sql import functions as F
+
+        from big_data_bowl_2026_analytics_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        rows = [
+            (i, "hot " + " ".join(f"u{i}_{k}" for k in range(9)))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # all pairs share only 'hot': jaccard = 1/19 — nothing qualifies
+        out = prefix_filter_jaccard_pairs(docs, threshold=0.8)
+        assert out.count() == 0

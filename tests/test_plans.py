@@ -317,3 +317,12 @@ def test_q112_q113_broadcast_stats_back(spark):
         plan = physical_plan(_q(spark, name))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+def test_q114_prefix_filter_no_cartesian(spark):
+    # candidate generation and verification are all equi-joins; the
+    # naive inequality/cross structure must never appear.
+    df = _q(spark, "q114_prefix_filter_jaccard")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
