@@ -298,10 +298,10 @@ WITH based AS (
 SELECT user_id, event_id, n,
        round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
                   ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
-             END + 1e-9, 6) AS slope,
+             END + 1e-9, 6) + 0 AS slope,
        round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
                   ELSE (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-             END + 1e-9, 6) AS intercept
+             END + 1e-9, 6) + 0 AS intercept
 FROM sums
 """,
 )
@@ -364,8 +364,14 @@ def q110_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "n",
-        fround(F.when(den == 0, F.lit(None)).otherwise(slope), 6).alias("slope"),
-        fround(
-            F.when(den == 0, F.lit(None)).otherwise(intercept), 6
+        # + 0 maps IEEE -0.0 to +0.0 AFTER rounding on both engines:
+        # DuckDB's round preserves the sign of a negative zero, Spark's
+        # does not — equal by ==, different under a repr/byte hash
+        # (caught by tools/driver_sim.py; CLAUDE.md footgun 9).
+        (fround(F.when(den == 0, F.lit(None)).otherwise(slope), 6) + F.lit(0))
+        .alias("slope"),
+        (
+            fround(F.when(den == 0, F.lit(None)).otherwise(intercept), 6)
+            + F.lit(0)
         ).alias("intercept"),
     )

@@ -83,6 +83,19 @@ def _cmp(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, bool,
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if pd.api.types.is_float_dtype(a[c]):
             eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            # == treats -0.0 and +0.0 as equal, but a byte/repr hash
+            # (the driver's) does not: DuckDB round() preserves the
+            # sign of a negative zero, Spark's drops it. Fix with a
+            # `+ 0` after the round on BOTH sides (footgun 9).
+            zero_sign = (av == 0) & (bv == 0) & (
+                np.signbit(av) != np.signbit(bv)
+            )
+            if zero_sign.any():
+                strict = False
+                i = int(np.argmax(zero_sign))
+                detail += (
+                    f" col {c} sign-of-zero: {av[i]!r} vs {bv[i]!r} @row{i};"
+                )
             if not eq.all():
                 strict = False
                 close = np.isclose(av, bv, rtol=1e-9, atol=1e-9, equal_nan=True)
