@@ -591,3 +591,62 @@ def q113_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(z, 6).alias("robust_z"),
         )
     )
+
+
+@query(
+    "q115_expectation_audit",
+    tags=("quality", "audit"),
+    oracle="""
+WITH order_keys AS (
+  SELECT DISTINCT o_orderkey FROM orders
+)
+SELECT
+  count(*) AS n_rows,
+  CAST(sum(CASE WHEN l.l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS null_quantity,
+  CAST(sum(CASE WHEN l.l_quantity < 1 OR l.l_quantity > 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS range_quantity,
+  CAST(sum(CASE WHEN l.l_discount < 0 OR l.l_discount > 0.1
+                THEN 1 ELSE 0 END) AS BIGINT) AS range_discount,
+  CAST(sum(CASE WHEN l.l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS null_shipdate,
+  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS orphan_lineitems
+FROM lineitem l LEFT JOIN order_keys o ON l.l_orderkey = o.o_orderkey
+""",
+)
+def q115_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-expectations suite in ONE scan: null checks, range checks,
+    and a referential-integrity (orphan FK) check over lineitem, all
+    as conditional sums folded into a single aggregate row — the
+    Great-Expectations-style validation pass a pipeline gates a load
+    on, without running one query per expectation.
+
+    The FK check is a broadcast left join against the DISTINCT parent
+    keys (never the parent rows); every expectation is a map-side
+    conditional, so N expectations cost the same scan as one. The
+    observe/accumulator variant that rides an existing write job is
+    ``operators/quality.py::observe_audit`` — this is the standalone
+    oracle-checked form.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_quantity", "l_discount", "l_shipdate"],
+    )
+    keys = read_table(spark, sf_dir, "orders", ["o_orderkey"]).distinct()
+    joined = li.join(
+        F.broadcast(keys), li.l_orderkey == keys.o_orderkey, "left"
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        flag(F.col("l_quantity").isNull()).alias("null_quantity"),
+        flag(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("range_quantity"),
+        flag(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("range_discount"),
+        flag(F.col("l_shipdate").isNull()).alias("null_shipdate"),
+        flag(F.col("o_orderkey").isNull()).alias("orphan_lineitems"),
+    )

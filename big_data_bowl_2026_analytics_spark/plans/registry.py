@@ -102,6 +102,7 @@ _DRIVER_ORDER = [
     "q112_winsorize",
     "q113_robust_zscore",
     "q114_prefix_filter_jaccard",
+    "q115_expectation_audit",
     # 3a. r01-only green, reads events (read path changed this round)
     "q83_map_functions",
     "q70_gap_fill_locf",
@@ -121,8 +122,7 @@ _DRIVER_ORDER = [
     "q75_histogram_bins",
     "q76_group_sample",
     "q77_zorder_layout",
-    "q56_ranking_functions",
-    # (q57, q58, q01-q09 pushed past the 50-slot window by the eleven
+    # (q56-q58, q01-q09 pushed past the 50-slot window by the twelve
     # new r3 queries; they rotate next round with the rest of 3b.)
 ]
 

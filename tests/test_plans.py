@@ -326,3 +326,12 @@ def test_q114_prefix_filter_no_cartesian(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q115_expectation_audit_single_scan_broadcast_fk(spark):
+    # N expectations share one lineitem scan; the FK probe joins
+    # against broadcast DISTINCT parent keys, never the parent rows.
+    plan = physical_plan(_q(spark, "q115_expectation_audit"))
+    assert plan.count("Location: InMemoryFileIndex") == 2  # lineitem + orders
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
