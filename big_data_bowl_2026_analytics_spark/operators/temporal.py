@@ -177,10 +177,13 @@ def interval_overlap_join(
 
     Each interval explodes to the sequence of fixed-width time buckets
     it covers; candidates equi-join on (key, bucket); the exact overlap
-    predicate then filters, and duplicate candidates (pairs sharing
-    several buckets) collapse via ``dropDuplicates`` on the two sides'
-    natural keys — which callers provide by selecting them before the
-    join. Choose ``bucket_seconds`` near the typical interval length:
+    predicate then filters. The output is a MULTISET: a pair whose
+    overlap spans several buckets appears once per shared bucket, and
+    this operator does NOT dedup (doing so here would force a shuffle
+    over payload columns the caller may not need). Callers MUST
+    ``.distinct()`` / ``dropDuplicates`` on the two sides' natural keys
+    after projecting them — see q105 for the canonical pattern. Choose
+    ``bucket_seconds`` near the typical interval length:
     buckets-per-interval (fan-out) trades against candidates-per-bucket
     (join width) exactly like LSH banding.
 

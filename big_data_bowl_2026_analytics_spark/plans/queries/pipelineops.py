@@ -545,7 +545,8 @@ SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
        round((l.l_extendedprice - s.med) / (1.4826 * s.mad) + 1e-9, 6)
          AS robust_z
 FROM lineitem l JOIN stats s USING (l_returnflag)
-WHERE abs((l.l_extendedprice - s.med) / (1.4826 * s.mad)) > 1.2
+WHERE s.mad <> 0
+  AND abs((l.l_extendedprice - s.med) / (1.4826 * s.mad)) > 1.2
 """,
 )
 def q113_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,6 +561,12 @@ def q113_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold filter are map-side. Exact medians pair engine-exactly
     (q58-proven); the output is the flagged-outlier set, so the fact
     table never leaves the executors unfiltered.
+
+    A degenerate group (MAD = 0, i.e. >50% of the group at one value)
+    is dropped explicitly on BOTH sides: Spark's x/0 is NULL while
+    DuckDB's IEEE float division is ±inf, so without the guard the two
+    engines would disagree on whether the group's rows pass the
+    |z| > 1.2 filter.
     """
     li = read_table(
         spark, sf_dir, "lineitem",
@@ -583,7 +590,7 @@ def q113_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(stats), "l_returnflag")
-        .where(F.abs(z) > 1.2)
+        .where((F.col("mad") != 0) & (F.abs(z) > 1.2))
         .select(
             "l_orderkey",
             "l_linenumber",

@@ -315,9 +315,12 @@ def q110_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     The x axis is rebased per user (x − first x) so the quadratic
     sums stay small and cancellation-free; all five running sums share
     ONE window frame over one (user_id; x, event_id) sort — a single
-    shuffle, no self-join, no per-row Python. Window-frame addition is
-    sequential per frame, so the doubles are bit-identical on any
-    engine (same order, same operands — unlike a groupBy sum).
+    shuffle, no self-join, no per-row Python. Cross-engine float
+    parity is NOT guaranteed by the frame scan alone: DuckDB computes
+    sliding-window aggregates via segment trees, whose addition
+    association order can differ from Spark's sequential scan — the
+    documented 6-decimal fround pair absorbs the difference (and the
+    ``+ 0`` after the round normalizes -0.0, footgun 9).
 
     Scale: identical shape at any row count — windows partition by
     user; the frame is O(16) per row. The reference's per-play numpy

@@ -16,6 +16,7 @@ predicates rather than read-and-filter.
 from __future__ import annotations
 
 import os
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -148,6 +149,27 @@ def read_table(
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type == "timestamp":
+            # A third encoding (e.g. µs with isAdjustedToUTC) — already
+            # session-zoned, assumed UTC-instant-consistent with the
+            # oracle, but say so loudly: every prior encoding change
+            # (NANOS→MICROS between rounds 2 and 3) only surfaced in
+            # the driver run when it slipped through silently.
+            warnings.warn(
+                "events.ts loaded as plain 'timestamp' — a testdata "
+                "encoding not seen before (expected bigint or "
+                "timestamp_ntz). Proceeding under UTC-instant "
+                "semantics; re-verify events queries against the "
+                "oracle before trusting this generation.",
+                stacklevel=2,
+            )
+        elif ts_type is not None:
+            raise ValueError(
+                f"events.ts loaded as unexpected dtype {ts_type!r} — "
+                "the testdata encoding changed again; extend "
+                "read_table's dtype branch (and the streaming probe) "
+                "before running any events query."
+            )
     else:
         df = spark.read.parquet(path)
     if columns:

@@ -15,6 +15,8 @@ changes.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -57,6 +59,25 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     if probe_type == "bigint":
         raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if probe_type == "timestamp":
+        # Same graded handling as sources/readers.py::read_table — a
+        # third encoding appeared; proceed under UTC-instant semantics
+        # but say so loudly.
+        warnings.warn(
+            "events.ts probed as plain 'timestamp' — unseen testdata "
+            "encoding; re-verify events queries before trusting it.",
+            stacklevel=2,
+        )
+        raw = spark.readStream.schema(
+            _events_raw_schema(T.TimestampType())
+        ).parquet(path)
+        return raw
+    if probe_type not in ("timestamp_ntz", None):
+        raise ValueError(
+            f"events.ts probed as unexpected dtype {probe_type!r} — "
+            "extend the streaming probe (and read_table) before "
+            "streaming this generation."
+        )
     raw = spark.readStream.schema(
         _events_raw_schema(T.TimestampNTZType())
     ).parquet(path)
