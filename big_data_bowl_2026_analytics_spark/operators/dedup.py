@@ -232,11 +232,13 @@ def jaccard_similar_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # Per-document frames: shuffle joins, not forced broadcasts (the
+    # frame grows with the corpus; AQE broadcasts it when small).
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_toks").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_toks").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
@@ -423,21 +425,24 @@ def prefix_filter_jaccard_pairs(
     (q32): LSH trades recall for speed, prefix filtering keeps recall
     = 1 and pays a (bounded) verification join.
     """
-    import math
-
     from pyspark.sql import Window
 
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_toks"))
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # global rarity rank; (df, tok) is a total order shared by engines
-    rank_w = Window.orderBy("df", "tok")
-    ranked = dfreq.withColumn("tok_rank", F.row_number().over(rank_w))
-    toks_ranked = tok.join(F.broadcast(ranked.select("tok", "tok_rank")), "tok")
+    # (df, tok) IS the rarity order — a dense global row_number rank
+    # would add nothing except a single-partition window over the
+    # entire distinct vocabulary (the exact funnel ml/evaluate.py's
+    # bucketed prefix sum exists to avoid). Join the raw document
+    # frequency onto the token stream (shuffle equi-join on tok; the
+    # optimizer may still pick broadcast when the vocab is small — the
+    # point is not to FORCE a corpus-sized broadcast) and order each
+    # doc's window by (df, tok) directly.
+    toks_ranked = tok.join(dfreq, "tok")
     # per-doc rarity position; prefix = L rarest tokens
-    pos_w = Window.partitionBy(id_col).orderBy("tok_rank")
+    pos_w = Window.partitionBy(id_col).orderBy("df", "tok")
     with_pos = toks_ranked.withColumn("pos", F.row_number().over(pos_w)).join(
-        F.broadcast(sizes), id_col
+        sizes, id_col
     )
     prefix_len = (
         F.col("n_toks")
@@ -465,11 +470,14 @@ def prefix_filter_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # The size frames have one row per DOCUMENT — broadcasting them
+    # grows with the corpus, so these are plain shuffle joins on the
+    # doc ids (AQE upgrades them to broadcast when genuinely small).
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_toks").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_toks").alias("n_b"))
     out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),

@@ -326,6 +326,10 @@ def test_q114_prefix_filter_no_cartesian(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # every window is partitioned (by doc) — a global vocabulary rank
+    # would plan an Exchange SinglePartition funnel (the 100 TB killer
+    # this operator had in round 3).
+    assert "SinglePartition" not in plan
 
 
 def test_q115_expectation_audit_single_scan_broadcast_fk(spark):
