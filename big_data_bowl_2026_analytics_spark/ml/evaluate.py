@@ -49,54 +49,59 @@ def binary_metrics(
         + n_neg_p * F.pow(F.col("p"), 2),
     )
     # by_p feeds two branches below (bucket offsets + ranked rows).
-    # No materialization needed: both branches sit above the SAME
-    # groupBy(p) exchange, which ReuseExchange deduplicates — the
-    # scored input (including any Python UDF scoring stage) executes
-    # once. (Verified: adding a localCheckpoint here measurably SLOWED
-    # the query — it added a blocking materialization job for a reuse
-    # the engine already provides.)
-    # Distributed prefix sum (two-level): a global ordered window would
-    # funnel all distinct probabilities through one partition. Instead,
-    # bucket p into B ranges, compute per-bucket offsets with a window
-    # over only B rows, broadcast them back, and run the ordered window
-    # partitioned by bucket — every step is parallel except the B-row
-    # offset scan. All summands are exact halves in float64, so the
-    # result is bit-identical to the single-window form.
+    # Distributed prefix sum (two-level, single-branch): a global
+    # ordered window would funnel all distinct probabilities through
+    # one partition. Instead, bucket p into B ranges and decompose the
+    # rank sum as
+    #   Σ_p n_pos_p·(cum_before_p + (n_p+1)/2)
+    #     = Σ_p n_pos_p·(in_bucket_before_p + (n_p+1)/2)   [per bucket]
+    #       + Σ_b pos_b·bucket_before_b                    [B rows]
+    # (bucket_before is constant within a bucket). The in-bucket
+    # cumulative AND the per-bucket totals come out of ONE window stage
+    # over partitionBy(bucket); the follow-up groupBy(bucket) reuses
+    # that partitioning (no exchange), and the B-row cross-bucket
+    # prefix + final aggregate both run inside the resulting single
+    # partition. Net plan: 3 exchanges (p-shuffle, bucket-shuffle,
+    # B-row funnel) — the round-3 form paid 6, with an extra bucket
+    # shuffle and a broadcast of the offsets frame. Every rank summand
+    # is an exact half in float64, so any association order (including
+    # the oracle's one-window form) gives the identical value.
     n_buckets = 1024
     bucketed = by_p.withColumn(
         "bucket",
         F.least(F.floor(F.col("p") * n_buckets), F.lit(n_buckets - 1)).cast("int"),
-    )
-    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    bucket_offsets = (
-        bucketed.groupBy("bucket")
-        .agg(F.sum("n").alias("bucket_n"))
-        .withColumn(
-            "bucket_before", F.coalesce(F.sum("bucket_n").over(w_bucket), F.lit(0))
-        )
-        .select("bucket", "bucket_before")
     )
     w_in_bucket = (
         Window.partitionBy("bucket")
         .orderBy("p")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = (
-        bucketed.join(F.broadcast(bucket_offsets), "bucket")
-        .withColumn(
-            "cum_before",
-            F.col("bucket_before")
-            + F.coalesce(F.sum("n").over(w_in_bucket), F.lit(0)),
-        )
-        .withColumn("frac_rank", F.col("cum_before") + (F.col("n") + 1) / 2.0)
+    ranked = bucketed.withColumn(
+        "in_before", F.coalesce(F.sum("n").over(w_in_bucket), F.lit(0))
     )
-    agg = ranked.agg(
-        F.sum(F.col("frac_rank") * F.col("n_pos_p")).alias("sum_rank_pos"),
-        F.sum("n_pos_p").alias("n_pos"),
-        F.sum(F.col("n") - F.col("n_pos_p")).alias("n_neg"),
-        F.sum("loss_sum").alias("loss_total"),
-        F.sum("brier_sum").alias("brier_total"),
-        F.sum("n").alias("n_rows"),
+    per_bucket = ranked.groupBy("bucket").agg(
+        F.sum(
+            (F.col("in_before") + (F.col("n") + 1) / 2.0) * F.col("n_pos_p")
+        ).alias("rank_pos_in"),
+        F.sum("n").alias("bucket_n"),
+        F.sum("n_pos_p").alias("pos_b"),
+        F.sum(F.col("n") - F.col("n_pos_p")).alias("neg_b"),
+        F.sum("loss_sum").alias("loss_b"),
+        F.sum("brier_sum").alias("brier_b"),
+    )
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offset = per_bucket.withColumn(
+        "bucket_before", F.coalesce(F.sum("bucket_n").over(w_bucket), F.lit(0))
+    )
+    agg = offset.agg(
+        F.sum(
+            F.col("rank_pos_in") + F.col("pos_b") * F.col("bucket_before")
+        ).alias("sum_rank_pos"),
+        F.sum("pos_b").alias("n_pos"),
+        F.sum("neg_b").alias("n_neg"),
+        F.sum("loss_b").alias("loss_total"),
+        F.sum("brier_b").alias("brier_total"),
+        F.sum("bucket_n").alias("n_rows"),
     )
     return agg.select(
         F.round(
