@@ -201,8 +201,31 @@ def quantization_error(
     return float(row["mse"])
 
 
-def ivf_topk(
+def ivf_index(
     vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """The IVF-Flat index frame: (id, vector, squared norm,
+    cluster_id) — the corpus-side cell assignment, which is the
+    dominant cost of a self-contained search. Build once at ingest,
+    persist bucketed by ``cluster_id`` (write_bucketed), and every
+    subsequent :func:`ivf_topk_indexed` call touches only the probed
+    cells."""
+    from ..operators.similarity import squared_norm
+
+    return assign_clusters(vectors, centroids, id_col, vec_col, dim=dim).select(
+        F.col(id_col),
+        F.col(vec_col),
+        squared_norm(F.col(vec_col)).alias("sqnorm"),
+        "cluster_id",
+    )
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
     k: int = 3,
@@ -211,30 +234,42 @@ def ivf_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """IVF-Flat search: each query probes its ``nprobe`` nearest cells
-    and ranks candidates by exact cosine within them.
+    """Search a prebuilt :func:`ivf_index`: rank the ``nprobe``
+    nearest cells per query (queries × k_cells broadcast argmin — tiny)
+    and scan only those cells via a cluster_id equi-join. Corpus-side
+    assignment never runs at query time. If ``queries`` already
+    carries ``sqnorm`` (a filtered slice of the index), the norm is
+    reused rather than recomputed.
 
-    Scale shape: corpus-side assignment is a broadcast argmin (one
-    map-side-combined shuffle keyed by vector id), the probe list is
-    queries x k rows, and the candidate scan is an equi-join on
-    cluster_id — the corpus is never cross-joined. Recall rises with
-    nprobe (= k recovers exact search).
-    """
-    from ..operators.similarity import cosine, squared_norm
+    (A map-side probe via an array-of-structs centroid literal was
+    measured SLOWER here — k × dim distance folds inlined into one
+    array_sort expression cross the codegen-size cliff documented at
+    similarity.py::dot; the broadcast cross join + window over
+    queries × k rows stays cheap and compiles small.)"""
     from pyspark.sql import Window
 
-    corpus = assign_clusters(vectors, centroids, id_col, vec_col, dim=dim).select(
+    from ..operators.similarity import cosine, squared_norm
+
+    corpus = index.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        squared_norm(F.col(vec_col)).alias("c_norm"),
+        F.col("sqnorm").alias("c_norm"),
         "cluster_id",
     )
 
+    q_norm = (
+        F.col("sqnorm")
+        if "sqnorm" in queries.columns
+        else squared_norm(F.col(vec_col))
+    )
     probe_scored = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        q_norm.alias("q_norm"),
     ).join(F.broadcast(centroids), how="cross").select(
         "query_id",
         "q_vec",
+        "q_norm",
         "cluster_id",
         sq_l2(F.col("q_vec"), F.col("centroid"), dim=dim).alias("dist"),
     )
@@ -244,10 +279,7 @@ def ivf_topk(
     probes = (
         probe_scored.withColumn("probe_rank", F.row_number().over(w_probe))
         .where(F.col("probe_rank") <= nprobe)
-        .select(
-            "query_id", "q_vec", squared_norm(F.col("q_vec")).alias("q_norm"),
-            "cluster_id",
-        )
+        .select("query_id", "q_vec", "q_norm", "cluster_id")
     )
 
     scored = (
@@ -269,4 +301,39 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-Flat search: each query probes its ``nprobe`` nearest cells
+    and ranks candidates by exact cosine within them.
+
+    Scale shape: corpus-side assignment is a broadcast argmin (one
+    map-side-combined shuffle keyed by vector id), the probe list is
+    queries x k rows, and the candidate scan is an equi-join on
+    cluster_id — the corpus is never cross-joined. Recall rises with
+    nprobe (= k recovers exact search).
+
+    Self-contained form (assignment recomputed per call); a deployment
+    issuing many searches builds :func:`ivf_index` once and calls
+    :func:`ivf_topk_indexed`.
+    """
+    return ivf_topk_indexed(
+        ivf_index(vectors, centroids, id_col, vec_col, dim=dim),
+        queries,
+        centroids,
+        k,
+        nprobe,
+        id_col,
+        vec_col,
+        dim=dim,
     )

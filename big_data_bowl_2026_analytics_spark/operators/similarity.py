@@ -184,36 +184,62 @@ def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return bucket_from_sums(residue_sums(vec, dim), n_planes)
 
 
-def ann_topk(
+def ann_index(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 3,
     n_planes: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: compare only vectors in the query's LSH
-    bucket. Recall < 1 by design; at scale, probe neighboring buckets
-    or union multiple hash tables to trade compute for recall.
-    """
-    from pyspark.sql import Window
+    """The LSH index frame: (id, vector, squared norm, bucket).
 
-    # Bucketed vectors feed both the query and candidate sides;
-    # materialize once instead of recomputing the projections per side.
-    bucketed = with_lsh_bucket(vectors, vec_col, n_planes, dim).localCheckpoint(
-        eager=False
-    )
-    q = bucketed.join(queries.select(id_col), id_col, "left_semi").select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        squared_norm(F.col(vec_col)).alias("q_norm"),
+    Build ONCE, persist (ideally bucketed by ``bucket`` via
+    operators/bucketing.py::write_bucketed), and amortize across every
+    subsequent search — at corpus scale the signature computation is
+    the dominant cost of a single self-contained ``ann_topk`` call,
+    and a deployment pays it at ingest time, not per query.
+    """
+    return with_lsh_bucket(
+        vectors.select(F.col(id_col), F.col(vec_col)), vec_col, n_planes, dim
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        squared_norm(F.col(vec_col)).alias("sqnorm"),
         "bucket",
     )
-    c = bucketed.select(
+
+
+def ann_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a prebuilt :func:`ann_index` frame: semi-join the query
+    ids against the index (their buckets and norms are already there),
+    broadcast the tiny query side into each bucket, score exactly,
+    keep top-k. No signature math runs at query time.
+
+    If ``queries`` already carries the index columns (e.g. it IS a
+    filtered slice of the index), it is used directly — no semi-join,
+    one scan fewer."""
+    from pyspark.sql import Window
+
+    if {"sqnorm", "bucket", vec_col, id_col} <= set(queries.columns):
+        q_src = queries
+    else:
+        q_src = index.join(queries.select(id_col), id_col, "left_semi")
+    q = q_src.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("sqnorm").alias("q_norm"),
+        "bucket",
+    )
+    c = index.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        squared_norm(F.col(vec_col)).alias("c_norm"),
+        F.col("sqnorm").alias("c_norm"),
         "bucket",
     )
     scored = (
@@ -236,3 +262,29 @@ def ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only vectors in the query's LSH
+    bucket. Recall < 1 by design; at scale, probe neighboring buckets
+    or union multiple hash tables to trade compute for recall.
+
+    Self-contained form: builds the index inline (localCheckpoint so
+    both join sides share one signature computation) and searches it.
+    A deployment issuing many searches builds the index once with
+    :func:`ann_index` + write_bucketed and calls
+    :func:`ann_topk_indexed` — signature math then never runs at
+    query time.
+    """
+    bucketed = ann_index(vectors, n_planes, dim, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    return ann_topk_indexed(bucketed, queries, k, id_col, vec_col)

@@ -100,3 +100,84 @@ def test_ivf_full_probe_is_exact(spark, sf_dir):
         for r in ivf_topk(emb, queries, cents, k=3, nprobe=K).collect()
     )
     assert exact == full
+
+
+def test_indexed_search_matches_self_contained(spark, sf_dir, tmp_path):
+    # The ingest-time index path (ivf_index persisted, then
+    # ivf_topk_indexed) must return exactly what the self-contained
+    # ivf_topk computes — including through a parquet round-trip, the
+    # way the bench and a real deployment consume it.
+    from big_data_bowl_2026_analytics_spark.operators.ivf import (
+        ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, K)
+    queries = emb.where(F.col("vec_id") < 3)
+    expected = sorted(
+        map(tuple, ivf_topk(emb, queries, cents, k=3, nprobe=2).collect())
+    )
+
+    path = str(tmp_path / "ivf_index")
+    ivf_index(emb, cents).write.mode("overwrite").parquet(path)
+    idx = spark.read.parquet(path)
+    got = sorted(
+        map(
+            tuple,
+            ivf_topk_indexed(
+                idx, idx.where(F.col("vec_id") < 3), cents, k=3, nprobe=2
+            ).collect(),
+        )
+    )
+    assert got == expected
+
+
+def test_ann_indexed_search_matches_self_contained(spark, sf_dir, tmp_path):
+    from big_data_bowl_2026_analytics_spark.operators.similarity import (
+        ann_index,
+        ann_topk,
+        ann_topk_indexed,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    expected = sorted(
+        map(tuple, ann_topk(emb, queries, k=3, n_planes=8, dim=64).collect())
+    )
+
+    path = str(tmp_path / "lsh_index")
+    ann_index(emb, n_planes=8, dim=64).write.mode("overwrite").parquet(path)
+    idx = spark.read.parquet(path)
+    got = sorted(
+        map(
+            tuple,
+            ann_topk_indexed(idx, idx.where(F.col("vec_id") < 3), k=3).collect(),
+        )
+    )
+    assert got == expected
+
+
+def test_indexed_search_plan_has_no_assignment_math(spark, sf_dir, tmp_path):
+    # Query-time plan over the prebuilt index: one scan of the index
+    # per join side, no k-means/signature recomputation (the index
+    # columns arrive from the scan, not from projection math).
+    from big_data_bowl_2026_analytics_spark.operators.ivf import (
+        ivf_index,
+        ivf_topk_indexed,
+    )
+    from big_data_bowl_2026_analytics_spark.plans.explain import physical_plan
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, K)
+    path = str(tmp_path / "ivf_index_plan")
+    ivf_index(emb, cents).write.mode("overwrite").parquet(path)
+    idx = spark.read.parquet(path)
+    plan = physical_plan(
+        ivf_topk_indexed(idx, idx.where(F.col("vec_id") < 3), cents, k=3, nprobe=2)
+    )
+    # corpus side + query side + probe-centroid side read the stored
+    # index / tiny centroid frame; the full-corpus argmin (aggregate
+    # over posexploded vectors) must NOT appear at query time.
+    assert "posexplode" not in plan
+    assert "min_by" not in plan
