@@ -81,6 +81,56 @@ def pelt_l2(signal: np.ndarray, pen: float = _PEN, min_size: int = _MIN_SIZE, ju
     return bkps
 
 
+def _l2_cost_fns(signal: np.ndarray):
+    x = np.asarray(signal, dtype=float)
+    c1 = np.concatenate([[0.0], np.cumsum(x)])
+    c2 = np.concatenate([[0.0], np.cumsum(x * x)])
+
+    def cost(a: int, b: int) -> float:
+        s = c1[b] - c1[a]
+        return (c2[b] - c2[a]) - s * s / (b - a)
+
+    return cost
+
+
+def partition_objective(
+    signal: np.ndarray, bkps: list[int], pen: float = _PEN
+) -> float:
+    """Total penalized objective Σ(segment L2 cost + pen) of a
+    breakpoint list (ruptures contract: ends with len(signal))."""
+    cost = _l2_cost_fns(signal)
+    edges = [0, *bkps]
+    return float(sum(cost(a, b) + pen for a, b in zip(edges, edges[1:])))
+
+
+def optimal_partition_objective(
+    signal: np.ndarray,
+    pen: float = _PEN,
+    min_size: int = _MIN_SIZE,
+    jump: int = _JUMP,
+) -> float:
+    """EXACT optimum of the penalized objective over the same candidate
+    lattice — the unpruned O(m²) dynamic program. PELT's pruning rule
+    is exactness-preserving (Killick et al. 2012, Thm 3.1), so
+    ``partition_objective(x, pelt_l2(x)) == optimal_partition_objective(x)``
+    is an invariant; emitting both turns any consumer of the scores
+    into a correctness check (q28 carries the pair per row)."""
+    x = np.asarray(signal, dtype=float)
+    n = x.size
+    cost = _l2_cost_fns(x)
+    ends = [k for k in range(0, n, jump) if k >= min_size]
+    ends.append(n)
+    starts = [0, *ends[:-1]]
+    best: dict[int, float] = {0: 0.0}
+    for bkp in ends:
+        total = np.inf
+        for t in starts:
+            if t in best and bkp - t >= min_size:
+                total = min(total, best[t] + cost(t, bkp) + pen)
+        best[bkp] = total
+    return float(best[n])
+
+
 def detect_change_point(signal: np.ndarray) -> int:
     """Reference semantics (deception.py:18-80): among PELT breakpoints
     (excluding the trailing series length), return the one whose

@@ -205,9 +205,20 @@ def q28_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per user with the detected mean-shift magnitude.
 
     No SQL oracle: PELT is an iterative dynamic program; the driver
-    records the weaker rows-only check, and tests/test_nfl_pipeline.py
-    pins the algorithm against a brute-force optimum."""
-    from ...metrics.deception import deception_for_series
+    records the weaker rows-only check. To make even that gate carry
+    information, every row is SELF-VALIDATING: ``pelt_objective`` is
+    the penalized cost of the breakpoints PELT chose and
+    ``opt_objective`` the exact optimum from the unpruned O(m²) DP
+    over the same candidate lattice — PELT's pruning is
+    exactness-preserving, so ``is_optimal`` must be true on every row
+    (asserted per-row in tests/test_pelt_hypothesis.py and visible to
+    any consumer of the output)."""
+    from ...metrics.deception import (
+        deception_for_series,
+        optimal_partition_objective,
+        partition_objective,
+        pelt_l2,
+    )
     import pandas as pd
 
     ev = read_table(spark, sf_dir, "events", ["user_id", "event_id", "ts", "value"])
@@ -215,16 +226,25 @@ def q28_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         sig = pdf["value"].to_numpy(dtype=float)
+        chosen = partition_objective(sig, pelt_l2(sig))
+        optimum = optimal_partition_objective(sig)
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(sig)],
                 "shift_score": [round(deception_for_series(sig) + 1e-9, 6)],
+                "pelt_objective": [round(chosen + 1e-9, 6)],
+                "opt_objective": [round(optimum + 1e-9, 6)],
+                "is_optimal": [bool(abs(chosen - optimum) <= 1e-9)],
             }
         )
 
     return ev.groupBy("user_id").applyInPandas(
-        per_user, schema="user_id long, n_events long, shift_score double"
+        per_user,
+        schema=(
+            "user_id long, n_events long, shift_score double, "
+            "pelt_objective double, opt_objective double, is_optimal boolean"
+        ),
     )
 
 

@@ -54,3 +54,29 @@ def test_pelt_reaches_bruteforce_optimum(values, pen):
         assert b % 5 == 0 and b - prev >= 2
         prev = b
     assert len(x) - prev >= 2 or prev == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=4,
+        max_size=40,
+    ),
+)
+def test_certificate_pair_agrees_with_bruteforce(values):
+    # The q28 self-validation columns: partition_objective of PELT's
+    # choice and the unpruned-DP optimum must coincide with each other
+    # AND (on short signals) with the exponential brute force.
+    from big_data_bowl_2026_analytics_spark.metrics.deception import (
+        optimal_partition_objective,
+        partition_objective,
+    )
+
+    x = np.array(values)
+    chosen = partition_objective(x, pelt_l2(x))
+    optimum = optimal_partition_objective(x)
+    assert abs(chosen - optimum) < 1e-9
+    if len(x) <= 22:
+        brute = _brute_force_optimum(x, pen=0.01, min_size=2, jump=5)
+        assert abs(optimum - brute) < 1e-9
