@@ -13,6 +13,7 @@ Modules map to SURVEY.md §2 operator classes:
 
 from . import (  # noqa: F401
     arrays,
+    curation,
     llmdata,
     mlq,
     pipelineops,

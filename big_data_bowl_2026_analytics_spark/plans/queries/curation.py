@@ -1,0 +1,424 @@
+"""Data-curation queries (round 4): the blocking/collocation/skew/
+drift family a large-scale training-data pipeline runs between ingest
+and training — each strict against a DuckDB oracle.
+
+- q116: edit-distance near-dup with length-bucket blocking (the
+  character-level member of the dedup family: exact q30, MinHash
+  q31/q32, SimHash q34, token-Jaccard q33/q114, embedding q63)
+- q117: bigram PMI collocations (phrase mining for tokenizer vocab)
+- q118: sorted-neighborhood blocking (the classic record-linkage
+  alternative to LSH banding)
+- q119: key-skew audit — Gini coefficient of the per-key row
+  distribution via the bucketed two-level rank (no global window)
+- q120: train-serve drift audit between two time slices
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ...functions.scalar import fround
+from ...sources.readers import read_table
+from ..registry import query
+
+#: q116 knobs: an edit-distance threshold K needs |len(a) - len(b)|
+#: <= K, so bucketing n_chars by width >= K and probing (own, next)
+#: buckets is RECALL-1 blocking: two docs within K chars differ by at
+#: most one bucket boundary.
+_EDIT_K = 20
+_LEN_BUCKET = 32
+
+
+@query(
+    "q116_levenshtein_neardup",
+    tags=("dedup", "text", "blocking"),
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, text, lang, n_chars,
+         unnest([n_chars // {_LEN_BUCKET}, n_chars // {_LEN_BUCKET} + 1]) AS bucket
+  FROM documents
+)
+SELECT doc_a, doc_b, edit_dist FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         levenshtein(a.text, c.text) AS edit_dist
+  FROM b a JOIN b c
+    ON a.lang = c.lang AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+  WHERE abs(a.n_chars - c.n_chars) <= {_EDIT_K}
+) WHERE edit_dist <= {_EDIT_K}
+""",
+)
+def q116_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-duplicate pairs (edit distance <= K) with
+    length-bucket blocking: edit distance >= length difference, so
+    bucketing n_chars at width >= K and probing (own, next) buckets
+    finds EVERY qualifying pair (recall 1) while the quadratic
+    comparison runs only inside (lang, bucket) blocks. The distance
+    itself is integer dynamic programming — engine-exact.
+
+    Scale: the explode doubles the row count, the join is an equi-join
+    on (lang, bucket), and the O(len^2) levenshtein runs on candidate
+    pairs only (the length filter prunes first — cheap integer math
+    before expensive string DP)."""
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"]
+    )
+    b = docs.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.col("n_chars") / _LEN_BUCKET).cast("long"),
+                (F.col("n_chars") / _LEN_BUCKET).cast("long") + 1,
+            )
+        ),
+    )
+    a = b.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("n_chars").alias("chars_a"),
+        "lang",
+        "bucket",
+    )
+    c = b.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("n_chars").alias("chars_b"),
+        "lang",
+        "bucket",
+    )
+    return (
+        a.join(c, ["lang", "bucket"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("chars_a") - F.col("chars_b")) <= _EDIT_K)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+        )
+        .distinct()
+        .where(F.col("edit_dist") <= _EDIT_K)
+    )
+
+
+@query(
+    "q117_bigram_pmi",
+    tags=("text", "tokenizer", "llm-pipeline"),
+    oracle="""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+), uni AS (
+  SELECT unnest(w) AS tok FROM toks
+), uni_counts AS (
+  SELECT tok, count(*) AS c FROM uni GROUP BY tok
+), n1 AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni_counts
+), pairs AS (
+  SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+  FROM toks WHERE len(w) >= 2
+), pair_counts AS (
+  SELECT p[1] AS tok_a, p[2] AS tok_b, count(*) AS c_ab
+  FROM pairs GROUP BY 1, 2
+), n2 AS (
+  SELECT CAST(sum(c_ab) AS BIGINT) AS n_pairs FROM pair_counts
+)
+SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS n_cooc,
+       round(ln((c_ab * 1.0 / n_pairs)
+                / ((ca.c * 1.0 / n_tokens) * (cb.c * 1.0 / n_tokens)))
+             + 1e-9, 6) AS pmi
+FROM pair_counts
+JOIN uni_counts ca ON tok_a = ca.tok
+JOIN uni_counts cb ON tok_b = cb.tok
+CROSS JOIN n1 CROSS JOIN n2
+WHERE c_ab >= 5
+ORDER BY pmi DESC, tok_a, tok_b
+LIMIT 25
+""",
+)
+def q117_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information — the phrase
+    mining step that seeds multi-word tokenizer entries / stop-phrase
+    lists: PMI = ln(P(ab) / (P(a)P(b))) over adjacent word pairs with
+    a minimum support of 5.
+
+    The pair stream is the q107 joinless zip; the unigram marginals
+    join back on the token (vocab-sized frames — plain shuffle
+    equi-joins, NOT broadcasts, per the q114 lesson); the two corpus
+    totals are one-row broadcast cross joins. Every input to the log
+    is a ratio of exact integers, so cross-engine drift is confined to
+    the documented last-ulp ln class (q95/q101-proven), absorbed by
+    the 6-decimal fround; top-25 carries a full tie-break."""
+    docs = read_table(spark, sf_dir, "documents", ["text"])
+    toks = docs.select(F.split("text", " ").alias("w"))
+    # uni_counts feeds three branches (total + both marginals) and
+    # pair_counts_all two (total + supported pairs): truncate lineage
+    # so each reduction runs once instead of re-deriving from the
+    # corpus scan per branch (CLAUDE.md reuse convention).
+    uni_counts = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n1 = uni_counts.agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    pairs = toks.where(F.size("w") >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1).alias("a"),
+                F.slice(F.col("w"), 2, F.size("w") - 1).alias("b"),
+            )
+        ).alias("p")
+    )
+    pair_counts_all = (
+        pairs.select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
+    # P(ab) normalizes over ALL pairs (the oracle's n2 CTE), so the
+    # total reduces BEFORE the min-support filter prunes the tail.
+    n2 = pair_counts_all.agg(F.sum("c_ab").cast("bigint").alias("n_pairs"))
+    pair_counts = pair_counts_all.where(F.col("c_ab") >= 5)
+    ca = uni_counts.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = uni_counts.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab") / F.col("n_pairs"))
+        / ((F.col("c_a") / F.col("n_tokens")) * (F.col("c_b") / F.col("n_tokens")))
+    )
+    return (
+        pair_counts.join(ca, "tok_a")
+        .join(cb, "tok_b")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_ab").cast("bigint").alias("n_cooc"),
+            fround(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(25)
+    )
+
+
+@query(
+    "q118_sorted_neighborhood_pairs",
+    tags=("dedup", "blocking", "window"),
+    oracle="""
+WITH ordered AS (
+  SELECT doc_id, lang, n_chars,
+         lead(doc_id, 1) OVER w AS d1, lead(n_chars, 1) OVER w AS c1,
+         lead(doc_id, 2) OVER w AS d2, lead(n_chars, 2) OVER w AS c2,
+         lead(doc_id, 3) OVER w AS d3, lead(n_chars, 3) OVER w AS c3
+  FROM documents
+  WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+)
+SELECT lang, doc_a, doc_b, rank_gap, chars_gap FROM (
+  SELECT lang, doc_id AS doc_a, d1 AS doc_b, 1 AS rank_gap,
+         c1 - n_chars AS chars_gap FROM ordered
+  UNION ALL
+  SELECT lang, doc_id, d2, 2, c2 - n_chars FROM ordered
+  UNION ALL
+  SELECT lang, doc_id, d3, 3, c3 - n_chars FROM ordered
+) WHERE doc_b IS NOT NULL
+""",
+)
+def q118_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (the record-linkage classic): sort
+    each language block by a cheap proxy key (n_chars, with doc_id as
+    the unique tie-break) and emit candidate pairs within a sliding
+    window of 3 — O(n·w) candidates instead of O(n²), the sequential
+    cousin of LSH banding (q32) and length-bucket blocking (q116).
+
+    The pairs come from ``lead`` over ONE per-block sorted pass — no
+    self-join on rank, no inequality join. Every emitted column is an
+    integer or raw pass-through: bit-exact across engines.
+
+    Scale: one shuffle on lang; the window never buffers more than w
+    rows of lookahead per partition. (A single global sort would be
+    the textbook form — partitioning by a block key is how the method
+    is actually deployed, and what keeps every partition independent.)
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    led = docs.select(
+        "lang",
+        F.col("doc_id").alias("doc_a"),
+        "n_chars",
+        *[F.lead("doc_id", i).over(w).alias(f"d{i}") for i in (1, 2, 3)],
+        *[F.lead("n_chars", i).over(w).alias(f"c{i}") for i in (1, 2, 3)],
+    )
+    # One window pass, then a map-side explode of the w candidate
+    # slots — a UNION ALL of per-gap selects would recompute the sort
+    # and scan once per gap (measured: 3 scans / 3 exchanges vs 1 / 1).
+    slots = F.array(
+        *[
+            F.struct(
+                F.col(f"d{i}").alias("doc_b"),
+                F.lit(i).alias("rank_gap"),
+                (F.col(f"c{i}") - F.col("n_chars")).alias("chars_gap"),
+            )
+            for i in (1, 2, 3)
+        ]
+    )
+    return (
+        led.select("lang", "doc_a", F.explode(slots).alias("s"))
+        .select(
+            "lang",
+            "doc_a",
+            F.col("s.doc_b").alias("doc_b"),
+            F.col("s.rank_gap").alias("rank_gap"),
+            F.col("s.chars_gap").alias("chars_gap"),
+        )
+        .where(F.col("doc_b").isNotNull())
+    )
+
+
+@query(
+    "q119_key_skew_gini",
+    tags=("quality", "skew", "audit"),
+    oracle="""
+WITH per_key AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+), ranked AS (
+  SELECT user_id, c,
+         row_number() OVER (ORDER BY c, user_id) AS r
+  FROM per_key
+)
+SELECT count(*) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(min(c) AS BIGINT) AS min_rows,
+       CAST(max(c) AS BIGINT) AS max_rows,
+       CAST(sum(r * c) AS BIGINT) AS rank_weighted_sum,
+       round(2.0 * sum(r * c) / (count(*) * sum(c))
+             - (count(*) + 1.0) / count(*) + 1e-9, 6) AS gini
+FROM ranked
+""",
+)
+def q119_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit: the Gini coefficient of the per-key row
+    distribution (0 = perfectly uniform keys, →1 = one hot key owns
+    the table) — the number that says whether a planned shuffle key
+    needs salting (q45/q99) BEFORE the job runs, plus the min/max row
+    counts that bound task sizes.
+
+    The rank-weighted identity G = 2·Σ(r·c)/(n·Σc) − (n+1)/n needs
+    every key ranked by count — done with the bucketed two-level rank
+    (bucket = floor(log2(c)), in-bucket window, ≤64-row offset scan),
+    the same machinery as q52's AUC rank-sum: no global single-
+    partition window over what is a key-cardinality-sized frame at
+    100 TB. Rank sums are exact integers (cast bigint); only the final
+    ratio is a rounded double."""
+    ev = read_table(spark, sf_dir, "events", ["user_id"])
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    bucketed = per_key.withColumn(
+        "bucket", F.floor(F.log2(F.col("c"))).cast("int")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("c", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = bucketed.withColumn("r_in", F.count(F.lit(1)).over(w_in))
+    per_bucket = ranked.groupBy("bucket").agg(
+        F.sum(F.col("r_in") * F.col("c")).alias("rank_c_in"),
+        F.count(F.lit(1)).alias("bucket_keys"),
+        F.sum("c").alias("bucket_rows"),
+        F.min("c").alias("bucket_min"),
+        F.max("c").alias("bucket_max"),
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offset = per_bucket.withColumn(
+        "keys_before", F.coalesce(F.sum("bucket_keys").over(w_b), F.lit(0))
+    )
+    # global rank r = keys_before + r_in, so
+    # Σ r·c = Σ_buckets (rank_c_in + keys_before · bucket_rows)
+    agg = offset.agg(
+        F.sum("bucket_keys").alias("n_keys"),
+        F.sum("bucket_rows").alias("n_rows"),
+        F.min("bucket_min").alias("min_rows"),
+        F.max("bucket_max").alias("max_rows"),
+        F.sum(
+            F.col("rank_c_in") + F.col("keys_before") * F.col("bucket_rows")
+        ).alias("rank_weighted_sum"),
+    )
+    gini = (
+        2.0 * F.col("rank_weighted_sum") / (F.col("n_keys") * F.col("n_rows"))
+        - (F.col("n_keys") + 1.0) / F.col("n_keys")
+    )
+    return agg.select(
+        F.col("n_keys"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("min_rows").cast("bigint").alias("min_rows"),
+        F.col("max_rows").cast("bigint").alias("max_rows"),
+        F.col("rank_weighted_sum").cast("bigint").alias("rank_weighted_sum"),
+        fround(gini, 6).alias("gini"),
+    )
+
+
+@query(
+    "q120_drift_audit",
+    tags=("quality", "drift", "audit"),
+    oracle="""
+WITH tagged AS (
+  SELECT event_type,
+         CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS early
+  FROM events
+), per_type AS (
+  SELECT event_type,
+         CAST(sum(early) AS BIGINT) AS n_early,
+         CAST(sum(1 - early) AS BIGINT) AS n_late
+  FROM tagged GROUP BY event_type
+), totals AS (
+  SELECT sum(n_early) AS tot_early, sum(n_late) AS tot_late FROM per_type
+)
+SELECT event_type, n_early, n_late,
+       round(n_early * 1.0 / tot_early + 1e-9, 6) AS share_early,
+       round(n_late * 1.0 / tot_late + 1e-9, 6) AS share_late,
+       round(abs(n_late * 1.0 / tot_late - n_early * 1.0 / tot_early)
+             + 1e-9, 6) AS share_abs_delta,
+       round((n_late * 1.0 / tot_late)
+             * ln((n_late * 1.0 / tot_late) / (n_early * 1.0 / tot_early))
+             + 1e-9, 6) AS kl_term
+FROM per_type CROSS JOIN totals
+""",
+)
+def q120_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between two time slices of the event
+    stream (first vs second half of the month): per-type counts and
+    shares, the absolute share delta (whose half-sum over types is
+    total-variation distance), and the per-type KL(late‖early) term —
+    the monitoring pass that catches a category mix shifting between
+    a training snapshot and serving traffic.
+
+    One scan: the slice tag is a map-side expression, both slices
+    aggregate in the SAME conditional-sum pass (no second scan, no
+    join of two period aggregates), and the two totals broadcast back
+    as a one-row cross join. Counts are exact integers; shares/KL are
+    ratios of integers under the documented ln parity class."""
+    ev = read_table(spark, sf_dir, "events", ["event_type", "ts"])
+    tagged = ev.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("early"),
+    )
+    # per_type feeds both the totals row and the output projection —
+    # truncate so the events scan + aggregate run once, not per branch.
+    per_type = tagged.groupBy("event_type").agg(
+        F.sum("early").cast("bigint").alias("n_early"),
+        F.sum(1 - F.col("early")).cast("bigint").alias("n_late"),
+    ).localCheckpoint(eager=False)
+    totals = per_type.agg(
+        F.sum("n_early").alias("tot_early"), F.sum("n_late").alias("tot_late")
+    )
+    p_late = F.col("n_late") / F.col("tot_late")
+    p_early = F.col("n_early") / F.col("tot_early")
+    return per_type.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "n_early",
+        "n_late",
+        fround(p_early, 6).alias("share_early"),
+        fround(p_late, 6).alias("share_late"),
+        fround(F.abs(p_late - p_early), 6).alias("share_abs_delta"),
+        fround(p_late * F.log(p_late / p_early), 6).alias("kl_term"),
+    )

@@ -339,3 +339,43 @@ def test_q115_expectation_audit_single_scan_broadcast_fk(spark):
     assert plan.count("Location: InMemoryFileIndex") == 2  # lineitem + orders
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q116_blocking_is_equijoin(spark):
+    # length-bucket blocking: the candidate join must be a hash
+    # equi-join on (lang, bucket) — never a cartesian/inequality plan.
+    plan = physical_plan(_q(spark, "q116_levenshtein_neardup"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # distance runs JVM-side, post-filter
+
+
+def test_q117_no_cartesian_beyond_one_row_totals(spark):
+    # vocab-sized marginal joins are equi-joins; the only nested-loop
+    # joins are the two one-row totals broadcasts.
+    plan = physical_plan(_q(spark, "q117_bigram_pmi"))
+    assert "CartesianProduct" not in plan
+    assert plan.count(") BroadcastNestedLoopJoin") <= 2
+
+
+def test_q118_single_window_pass(spark):
+    import re
+
+    # one scan, one lang-partitioned window, map-side slot explode —
+    # no per-gap union re-scans, no global sort.
+    plan = physical_plan(_q(spark, "q118_sorted_neighborhood_pairs"))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "SinglePartition" not in plan
+
+
+def test_q119_two_level_rank_no_key_sized_funnel(spark):
+    import re
+
+    # the only SinglePartition stage is the <=64-row bucket-offset
+    # window; per-key ranking stays partitioned by bucket.
+    plan = physical_plan(_q(spark, "q119_key_skew_gini"))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert plan.count("SinglePartition") == 1
+    windows = re.findall(r"\(\d+\) Window", plan)
+    assert len(windows) == 2  # in-bucket rank + bucket offsets
