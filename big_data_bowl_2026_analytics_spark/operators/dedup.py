@@ -392,6 +392,67 @@ def duplicate_clusters_star(
     return out
 
 
+def levenshtein_neardup_pairs(
+    df: DataFrame,
+    max_dist: int = 20,
+    bucket_width: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs (``levenshtein <= max_dist``)
+    with RECALL-1 length-bucket blocking: edit distance is bounded
+    below by the length difference, so with ``bucket_width >=
+    max_dist`` two qualifying docs sit in the same or adjacent
+    buckets — probing (own, next) buckets per doc finds every pair
+    while the quadratic comparison runs only inside
+    (block, length-bucket) cells. The distance is integer dynamic
+    programming, engine-exact.
+
+    Scale: the explode doubles rows, the candidate join is a plain
+    equi-join, and the O(len²) string DP runs on candidates only,
+    AFTER the cheap integer length filter.
+    """
+    width = bucket_width if bucket_width is not None else max(max_dist, 1)
+    if width < max_dist:
+        raise ValueError("bucket_width must be >= max_dist for recall 1")
+    bucket = F.explode(
+        F.array(
+            (F.col(len_col) / width).cast("long"),
+            (F.col(len_col) / width).cast("long") + 1,
+        )
+    )
+    b = df.withColumn("_bucket", bucket)
+    blocks = ["_bucket", *( [block_col] if block_col else [] )]
+    a = b.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(text_col).alias("_text_a"),
+        F.col(len_col).alias("_len_a"),
+        *blocks,
+    )
+    c = b.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(text_col).alias("_text_b"),
+        F.col(len_col).alias("_len_b"),
+        *blocks,
+    )
+    return (
+        a.join(c, blocks)
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("_len_a") - F.col("_len_b")) <= max_dist)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_text_a", "_text_b").alias("edit_dist"),
+        )
+        .distinct()
+        .where(F.col("edit_dist") <= max_dist)
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,

@@ -59,46 +59,15 @@ def q116_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the explode doubles the row count, the join is an equi-join
     on (lang, bucket), and the O(len^2) levenshtein runs on candidate
     pairs only (the length filter prunes first — cheap integer math
-    before expensive string DP)."""
+    before expensive string DP). Recall vs the unblocked all-pairs
+    form is asserted in tests/test_dedup_operators.py."""
+    from ...operators.dedup import levenshtein_neardup_pairs
+
     docs = read_table(
         spark, sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"]
     )
-    b = docs.withColumn(
-        "bucket",
-        F.explode(
-            F.array(
-                (F.col("n_chars") / _LEN_BUCKET).cast("long"),
-                (F.col("n_chars") / _LEN_BUCKET).cast("long") + 1,
-            )
-        ),
-    )
-    a = b.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("text").alias("text_a"),
-        F.col("n_chars").alias("chars_a"),
-        "lang",
-        "bucket",
-    )
-    c = b.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("text").alias("text_b"),
-        F.col("n_chars").alias("chars_b"),
-        "lang",
-        "bucket",
-    )
-    return (
-        a.join(c, ["lang", "bucket"])
-        .where(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("chars_a") - F.col("chars_b")) <= _EDIT_K)
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("text_a", "text_b").alias("edit_dist"),
-        )
-        .distinct()
-        .where(F.col("edit_dist") <= _EDIT_K)
+    return levenshtein_neardup_pairs(
+        docs, max_dist=_EDIT_K, bucket_width=_LEN_BUCKET
     )
 
 

@@ -284,3 +284,67 @@ class TestPrefixFilterJaccard:
         # all pairs share only 'hot': jaccard = 1/19 — nothing qualifies
         out = prefix_filter_jaccard_pairs(docs, threshold=0.8)
         assert out.count() == 0
+
+
+class TestLevenshteinNeardup:
+    def _docs(self, spark, seed=7, n=50):
+        import random
+
+        rnd = random.Random(seed)
+        rows = []
+        for i in range(n):
+            base = "".join(rnd.choice("abcdef ") for _ in range(rnd.randint(40, 120)))
+            lang = rnd.choice(["en", "fr"])
+            rows.append((i, base, lang, len(base)))
+            if i % 4 == 0:
+                # planted near-dup: in-place edits + a small length change
+                chars = list(base)
+                for _ in range(rnd.randint(1, 6)):
+                    chars[rnd.randrange(len(chars))] = rnd.choice("abcdef")
+                mut = "".join(chars) + "xy" * rnd.randint(0, 3)
+                rows.append((1000 + i, mut, lang, len(mut)))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, n_chars long"
+        )
+
+    def test_blocked_matches_naive_all_pairs(self, spark):
+        # The oracle shares the blocking, so recall 1 vs the UNBLOCKED
+        # quadratic form must be proven here.
+        from pyspark.sql import functions as F
+
+        from big_data_bowl_2026_analytics_spark.operators.dedup import (
+            levenshtein_neardup_pairs,
+        )
+
+        docs = self._docs(spark)
+        k = 12
+        got = {
+            (r.doc_a, r.doc_b, r.edit_dist)
+            for r in levenshtein_neardup_pairs(docs, max_dist=k).collect()
+        }
+        a = docs.select(
+            F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"), "lang"
+        )
+        b = docs.select(
+            F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"), "lang"
+        )
+        naive = {
+            (r.doc_a, r.doc_b, r.d)
+            for r in a.join(b, "lang")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", F.levenshtein("ta", "tb").alias("d"))
+            .where(F.col("d") <= k)
+            .collect()
+        }
+        assert got == naive
+        assert got  # planted near-dups actually qualify
+
+    def test_bucket_width_below_threshold_rejected(self, spark):
+        import pytest
+
+        from big_data_bowl_2026_analytics_spark.operators.dedup import (
+            levenshtein_neardup_pairs,
+        )
+
+        with pytest.raises(ValueError):
+            levenshtein_neardup_pairs(self._docs(spark), max_dist=20, bucket_width=8)
