@@ -186,6 +186,60 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(per_batch, schema=_FEATURES_SCHEMA)
 
 
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) image array — pure
+    numpy (index arithmetic only, no interpolation libraries), the
+    standard pre-embedding normalization step. Deterministic: source
+    index = floor(dst * src / out), the OpenCV INTER_NEAREST mapping.
+    """
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def resize_images(
+    media: DataFrame, out_h: int = 16, out_w: int = 16
+) -> DataFrame:
+    """Decode + nearest-neighbor resize for image blobs via
+    mapInPandas: one row per image with the resized pixel array
+    (flattened row-major float list) and its shape — the
+    fixed-resolution canonicalization a vision-embedding batch
+    expects. Non-BMP images flow through the same deterministic-fake
+    decode as extract_features, so the Spark-side plumbing (schema,
+    batching, partitioning) is real for every format.
+
+    Scale: same shape as extract_features — Arrow batches stream
+    through one Python worker per partition, constant memory; the blob
+    never leaves the executor."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, pixels = [], [], [], []
+            for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                if b[:2] == b"BM":
+                    img = decode_bmp(b).astype(np.float64)
+                else:
+                    flat = _decode(b, "image")
+                    side = max(int(np.sqrt(flat.size)), 1)
+                    img = np.resize(flat, (side, side, 1))
+                small = resize_nearest(img, out_h, out_w)
+                ids.append(media_id)
+                hs.append(out_h)
+                ws.append(out_w)
+                pixels.append([float(x) for x in small.ravel()])
+            yield pd.DataFrame(
+                {"media_id": ids, "height": hs, "width": ws, "pixels": pixels}
+            )
+
+    images = media.where(media["media_type"] == "image")
+    return images.mapInPandas(
+        per_batch,
+        schema="media_id long, height int, width int, pixels array<double>",
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for video blobs: one output row per kept
     frame index (the decode of each frame is the same gated stub).

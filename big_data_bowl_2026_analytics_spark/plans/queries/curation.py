@@ -391,3 +391,162 @@ def q120_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.abs(p_late - p_early), 6).alias("share_abs_delta"),
         fround(p_late * F.log(p_late / p_early), 6).alias("kl_term"),
     )
+
+
+#: q121: approx_percentile's accuracy parameter — the sketch
+#: guarantees rank error <= n/accuracy.
+_APPROX_ACC = 10000
+
+
+@query(
+    "q121_approx_percentile_audit",
+    tags=("sketch", "approx", "percentile"),
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 6) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 6) AS exact_p95,
+       TRUE AS p50_within_rank_bound,
+       TRUE AS p95_within_rank_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q121_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-quantile-sketch path (approx_percentile — what
+    replaces exact percentiles at 100 TB, q112's documented swap)
+    held to its contract: the sketch guarantees RANK error
+    <= n/accuracy, so the audit counts rows at or below each returned
+    element and checks that rank against the target, exactly the q44
+    HLL pattern — the raw sketch value could never hash-match another
+    engine, the exact percentiles and the pinned-TRUE bound booleans
+    can. A sketch regression flips a boolean and fails the hash gate.
+
+    Scale: pass 1 computes both sketches AND the exact percentiles per
+    group (exact only to anchor the oracle — a pure-production run
+    keeps just the sketch); pass 2 broadcasts the tiny per-group frame
+    back and counts ranks map-side. Two scans, no window, no sort."""
+    li = read_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    eps = 1.0 / _APPROX_ACC
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, 0.5, {_APPROX_ACC})"
+        ).alias("a50"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, 0.95, {_APPROX_ACC})"
+        ).alias("a95"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+    )
+    ranked = li.join(F.broadcast(stats), "l_returnflag").groupBy(
+        "l_returnflag"
+    ).agg(
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("a50"), 1).otherwise(0)
+        ).alias("le50"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("a50"), 1).otherwise(0)
+        ).alias("lt50"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("a95"), 1).otherwise(0)
+        ).alias("le95"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("a95"), 1).otherwise(0)
+        ).alias("lt95"),
+    )
+
+    def within(le, lt, q):
+        lo = (F.lit(q) - eps) * F.col("n_rows") - 1
+        hi = (F.lit(q) + eps) * F.col("n_rows") + 1
+        return (F.col(le) >= lo) & (F.col(lt) <= hi)
+
+    return stats.join(ranked, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        fround(F.col("exact_p50"), 6).alias("exact_p50"),
+        fround(F.col("exact_p95"), 6).alias("exact_p95"),
+        within("le50", "lt50", 0.5).alias("p50_within_rank_bound"),
+        within("le95", "lt95", 0.95).alias("p95_within_rank_bound"),
+    )
+
+
+@query(
+    "q122_correlation_matrix",
+    tags=("statistics", "agg"),
+    oracle="""
+WITH pairs AS (
+  SELECT 'quantity_price' AS pair, corr(l_quantity, l_extendedprice) AS r,
+         covar_samp(l_quantity, l_extendedprice) AS cov FROM lineitem
+  UNION ALL
+  SELECT 'quantity_discount', corr(l_quantity, l_discount),
+         covar_samp(l_quantity, l_discount) FROM lineitem
+  UNION ALL
+  SELECT 'quantity_tax', corr(l_quantity, l_tax),
+         covar_samp(l_quantity, l_tax) FROM lineitem
+  UNION ALL
+  SELECT 'price_discount', corr(l_extendedprice, l_discount),
+         covar_samp(l_extendedprice, l_discount) FROM lineitem
+  UNION ALL
+  SELECT 'price_tax', corr(l_extendedprice, l_tax),
+         covar_samp(l_extendedprice, l_tax) FROM lineitem
+  UNION ALL
+  SELECT 'discount_tax', corr(l_discount, l_tax),
+         covar_samp(l_discount, l_tax) FROM lineitem
+)
+SELECT pair, round(r + 1e-9, 6) AS corr_r, round(cov + 1e-9, 6) AS covariance
+FROM pairs
+""",
+)
+def q122_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance over the four
+    lineitem measures — the feature-redundancy screen run before
+    training (drop one of any near-collinear pair).
+
+    ONE scan computes all six pairs (every corr/covar is a map-side
+    co-moment partial folded into the same aggregate row); the
+    row-per-pair shape comes from unpivoting the 1-row aggregate, so
+    the fact table is never re-read per pair (the oracle's UNION ALL
+    of six scans is the readable-but-wasteful form this query exists
+    to replace). Co-moment merge order differs between engines —
+    absorbed by the documented 6-decimal fround."""
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    cols = {
+        "quantity": "l_quantity",
+        "price": "l_extendedprice",
+        "discount": "l_discount",
+        "tax": "l_tax",
+    }
+    pair_names = [
+        ("quantity", "price"),
+        ("quantity", "discount"),
+        ("quantity", "tax"),
+        ("price", "discount"),
+        ("price", "tax"),
+        ("discount", "tax"),
+    ]
+    aggs = []
+    for a, b in pair_names:
+        aggs.append(F.corr(cols[a], cols[b]).alias(f"r_{a}_{b}"))
+        aggs.append(F.covar_samp(cols[a], cols[b]).alias(f"c_{a}_{b}"))
+    one_row = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f"{a}_{b}").alias("pair"),
+                F.col(f"r_{a}_{b}").alias("r"),
+                F.col(f"c_{a}_{b}").alias("cov"),
+            )
+            for a, b in pair_names
+        ]
+    )
+    return (
+        one_row.select(F.explode(rows).alias("s"))
+        .select(
+            F.col("s.pair").alias("pair"),
+            fround(F.col("s.r"), 6).alias("corr_r"),
+            fround(F.col("s.cov"), 6).alias("covariance"),
+        )
+    )

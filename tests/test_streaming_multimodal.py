@@ -462,3 +462,49 @@ def test_dedup_within_watermark_drops_replayed_file(spark, tmp_path_factory):
     n_distinct = read_table(spark, SF, "events").count()
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_resize_nearest_numpy_semantics():
+    import numpy as np
+
+    from big_data_bowl_2026_analytics_spark.pipeline.multimodal import (
+        resize_nearest,
+    )
+
+    img = np.arange(4 * 6 * 3, dtype=np.float64).reshape(4, 6, 3)
+    # downscale: INTER_NEAREST source index = floor(dst*src/out)
+    small = resize_nearest(img, 2, 3)
+    assert small.shape == (2, 3, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])
+    assert np.array_equal(small[1, 2], img[2, 4])
+    # upscale duplicates pixels, never interpolates
+    big = resize_nearest(img, 8, 12)
+    assert big.shape == (8, 12, 3)
+    assert set(np.unique(big)) <= set(np.unique(img))
+
+
+def test_resize_images_end_to_end(spark):
+    import numpy as np
+
+    from big_data_bowl_2026_analytics_spark.pipeline.multimodal import (
+        decode_bmp,
+        resize_images,
+        resize_nearest,
+    )
+
+    px = (np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3) * 3) % 251
+    bmp = _bmp_bytes(px)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp)),
+            (2, "image", bytearray(b"\x89PNG fake body")),  # fake-decode path
+            (3, "audio", bytearray(b"RIFF0000WAVE")),  # filtered out
+        ],
+        "media_id long, media_type string, blob binary",
+    )
+    rows = {r["media_id"]: r for r in resize_images(media, 2, 2).collect()}
+    assert set(rows) == {1, 2}  # images only
+    want = resize_nearest(decode_bmp(bmp).astype(np.float64), 2, 2).ravel()
+    assert rows[1]["height"] == 2 and rows[1]["width"] == 2
+    assert np.allclose(rows[1]["pixels"], want)
+    assert len(rows[2]["pixels"]) == 2 * 2 * 1  # fake decode keeps shape
