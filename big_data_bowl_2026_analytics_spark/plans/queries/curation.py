@@ -343,12 +343,15 @@ WITH tagged AS (
   SELECT sum(n_early) AS tot_early, sum(n_late) AS tot_late FROM per_type
 )
 SELECT event_type, n_early, n_late,
-       round(n_early * 1.0 / tot_early + 1e-9, 6) AS share_early,
-       round(n_late * 1.0 / tot_late + 1e-9, 6) AS share_late,
-       round(abs(n_late * 1.0 / tot_late - n_early * 1.0 / tot_early)
-             + 1e-9, 6) AS share_abs_delta,
-       round((n_late * 1.0 / tot_late)
-             * ln((n_late * 1.0 / tot_late) / (n_early * 1.0 / tot_early))
+       round(n_early * 1.0 / nullif(tot_early, 0) + 1e-9, 6) AS share_early,
+       round(n_late * 1.0 / nullif(tot_late, 0) + 1e-9, 6) AS share_late,
+       round(abs(n_late * 1.0 / nullif(tot_late, 0)
+                 - n_early * 1.0 / nullif(tot_early, 0)) + 1e-9, 6)
+         AS share_abs_delta,
+       round(CASE WHEN n_early = 0 OR n_late = 0 THEN NULL
+                  ELSE (n_late * 1.0 / tot_late)
+                       * ln((n_late * 1.0 / tot_late)
+                            / (n_early * 1.0 / tot_early)) END
              + 1e-9, 6) AS kl_term
 FROM per_type CROSS JOIN totals
 """,
@@ -365,7 +368,11 @@ def q120_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate in the SAME conditional-sum pass (no second scan, no
     join of two period aggregates), and the two totals broadcast back
     as a one-row cross join. Counts are exact integers; shares/KL are
-    ratios of integers under the documented ln parity class."""
+    ratios of integers under the documented ln parity class.
+
+    A type absent from one slice is guarded to NULL on BOTH sides
+    (Spark's x/0 is NULL while DuckDB's is ±inf — the q113 divergence
+    class); shares divide by nullif(total, 0) for the same reason."""
     ev = read_table(spark, sf_dir, "events", ["event_type", "ts"])
     tagged = ev.select(
         "event_type",
@@ -380,8 +387,11 @@ def q120_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_type.agg(
         F.sum("n_early").alias("tot_early"), F.sum("n_late").alias("tot_late")
     )
-    p_late = F.col("n_late") / F.col("tot_late")
-    p_early = F.col("n_early") / F.col("tot_early")
+    p_late = F.col("n_late") / F.nullif(F.col("tot_late"), F.lit(0))
+    p_early = F.col("n_early") / F.nullif(F.col("tot_early"), F.lit(0))
+    kl = F.when(
+        (F.col("n_early") == 0) | (F.col("n_late") == 0), F.lit(None)
+    ).otherwise(p_late * F.log(p_late / p_early))
     return per_type.crossJoin(F.broadcast(totals)).select(
         "event_type",
         "n_early",
@@ -389,7 +399,7 @@ def q120_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(p_early, 6).alias("share_early"),
         fround(p_late, 6).alias("share_late"),
         fround(F.abs(p_late - p_early), 6).alias("share_abs_delta"),
-        fround(p_late * F.log(p_late / p_early), 6).alias("kl_term"),
+        fround(kl, 6).alias("kl_term"),
     )
 
 
