@@ -412,7 +412,13 @@ def levenshtein_neardup_pairs(
 
     Scale: the explode doubles rows, the candidate join is a plain
     equi-join, and the O(len²) string DP runs on candidates only,
-    AFTER the cheap integer length filter.
+    AFTER the cheap integer length filter. HONEST LIMIT: length
+    buckets have bounded cardinality, so cell population — and the
+    quadratic comparison inside each cell — grows linearly with the
+    corpus. At corpus scale, compose with a content-blocking key
+    (pass the LSH band or MinHash bucket as ``block_col``, q32-style)
+    so cells stay bounded; length bucketing then only sharpens each
+    content block. The recall-1 guarantee holds per block either way.
     """
     width = bucket_width if bucket_width is not None else max(max_dist, 1)
     if width < max_dist:
