@@ -1,0 +1,113 @@
+"""Graph analytics over co-occurrence edges (triangle counting /
+clustering coefficient) — the structural-cohesion measurements a
+dedup/link-analysis pipeline runs on its pair graph (how clique-like
+are the near-dup clusters? how inter-woven is the co-supply network?).
+
+The triangle algorithm is the published degree-orientation method
+(Suri & Vassilvitskii's MR-friendly form): orient every undirected
+edge from its lower-(degree, id) endpoint to the higher one, build
+wedges at each edge's source, close them against the edge set. Every
+triangle has exactly ONE minimum vertex under the (degree, id) total
+order, so it is counted exactly once, and each node generates only
+O(out-degree²) wedges with out-degree bounded by O(sqrt(m)) on any
+graph — the bound that keeps hub nodes from exploding the wedge join
+at 100 TB (a naive neighbor self-join squares the hub degree).
+
+Everything is integer counting over equi-joins: engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame, group_col: str, node_col: str
+) -> DataFrame:
+    """Distinct undirected edges ``(a < b)`` between nodes sharing a
+    group: the generic pair-graph constructor (suppliers co-occurring
+    in an order, docs sharing an LSH bucket, users sharing a session).
+
+    Scale: the self-join is per-group quadratic — callers bound group
+    size the way q32 bounds LSH buckets (filter first, or cap with a
+    max-group-size guard); the final distinct reduces multi-group
+    pairs to one edge.
+    """
+    a = df.select(
+        F.col(group_col).alias("_g"), F.col(node_col).alias("a")
+    ).distinct()
+    b = df.select(
+        F.col(group_col).alias("_g"), F.col(node_col).alias("b")
+    ).distinct()
+    return (
+        a.join(b, "_g")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One-row frame over a distinct ``(a < b)`` edge list: node/edge
+    counts, wedge count, triangle count, and the global clustering
+    coefficient ``3·T / wedges`` (the fraction of open wedges that
+    close).
+
+    Three equi-joins, no cartesian anywhere: degrees (one shuffle),
+    wedge generation (self-join of the ORIENTED list on its source —
+    bounded by the orientation, not raw degree), and wedge closure
+    against the canonical edge set.
+    """
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient a→b when (deg, id) of a < (deg, id) of b. deg frames are
+    # node-sized: plain shuffle joins (AQE broadcasts when small).
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    with_deg = edges.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    # Wedges at the minimum vertex: unordered {x, y} once each.
+    o1 = oriented.select("src", F.col("dst").alias("x"))
+    o2 = oriented.select("src", F.col("dst").alias("y"))
+    wedges = o1.join(o2, "src").where(F.col("x") < F.col("y"))
+    # Close against the canonical (a < b) edge set — x < y already,
+    # so the closing edge is exactly (a=x, b=y): a plain equi-join.
+    closed = wedges.join(
+        edges, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b"))
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+        F.max("deg").alias("max_degree"),
+    )
+    one = (
+        node_stats.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(tri))
+    )
+    clustering = F.when(
+        F.col("n_wedges") > 0,
+        3.0 * F.col("n_triangles") / F.col("n_wedges"),
+    )
+    return one.select(
+        "n_nodes",
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("max_degree").cast("bigint").alias("max_degree"),
+        "n_wedges",
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.round(clustering + 1e-9, 6).alias("global_clustering"),
+    )

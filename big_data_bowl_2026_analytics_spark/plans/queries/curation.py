@@ -560,3 +560,63 @@ def q122_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("s.cov"), 6).alias("covariance"),
         )
     )
+
+
+@query(
+    "q123_triangle_count",
+    tags=("graph", "agg"),
+    oracle="""
+WITH hi AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+), e AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM hi a JOIN hi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY v
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), agg AS (
+  SELECT count(*) AS n_nodes,
+         CAST(max(deg) AS BIGINT) AS max_degree,
+         CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       max_degree, n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges END + 1e-9, 6)
+         AS global_clustering
+FROM agg CROSS JOIN tri
+""",
+)
+def q123_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the high-volume co-supply network (suppliers
+    co-occurring on large lineitems of the same order): node/edge/
+    wedge/triangle counts and the global clustering coefficient — the
+    graph-cohesion family (how clique-like is a pair graph) next to
+    the connectivity family (q60/q91 connected components).
+
+    Spark side runs the degree-ORIENTED algorithm (operators/graph.py:
+    every triangle counted once at its minimum-(degree, id) vertex;
+    wedge work per node bounded by out-degree, O(sqrt(m)) on any
+    graph) — the oracle's naive three-way edge join is the
+    readable-but-hub-explosive form the orientation exists to replace.
+    All counts are integers; only the coefficient is a rounded
+    double."""
+    from ...operators.graph import cooccurrence_edges, triangle_stats
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+    hi = li.where(F.col("l_quantity") >= 48)
+    edges = cooccurrence_edges(hi, "l_orderkey", "l_suppkey").localCheckpoint(
+        eager=False
+    )
+    return triangle_stats(edges)

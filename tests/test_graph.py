@@ -1,0 +1,76 @@
+"""Graph operator tests: hand-computed triangle censuses, the
+orientation's count-each-triangle-once guarantee on adversarial
+shapes, and agreement with a naive all-triples check on random
+graphs."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from big_data_bowl_2026_analytics_spark.operators.graph import (
+    cooccurrence_edges,
+    triangle_stats,
+)
+
+
+def _stats(spark, edge_list):
+    edges = spark.createDataFrame(sorted(edge_list), "a long, b long")
+    return triangle_stats(edges).collect()[0]
+
+
+def test_triangle_k4(spark):
+    # K4: 4 nodes, 6 edges, 4 triangles, 12 wedges, clustering 1.0
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    row = _stats(spark, k4)
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        4,
+        6,
+        12,
+        4,
+    )
+    assert row.global_clustering == 1.0
+
+
+def test_star_has_no_triangles(spark):
+    # A hub with 5 leaves: 10 wedges at the hub, zero close.
+    star = [(0, i) for i in range(1, 6)]
+    row = _stats(spark, star)
+    assert row.n_triangles == 0
+    assert row.n_wedges == 10
+    assert row.max_degree == 5
+    assert row.global_clustering == 0.0
+
+
+def test_empty_wedges_yield_null_coefficient(spark):
+    # A single edge: no wedges — the coefficient must be NULL (not a
+    # division error) on both engines.
+    row = _stats(spark, [(1, 2)])
+    assert row.n_triangles == 0 and row.n_wedges == 0
+    assert row.global_clustering is None
+
+
+def test_matches_naive_on_random_graph(spark):
+    import random
+
+    rnd = random.Random(13)
+    nodes = list(range(30))
+    edge_set = {
+        tuple(sorted(rnd.sample(nodes, 2))) for _ in range(120)
+    }
+    naive = sum(
+        1
+        for a, b, c in combinations(sorted({n for e in edge_set for n in e}), 3)
+        if (a, b) in edge_set and (b, c) in edge_set and (a, c) in edge_set
+    )
+    row = _stats(spark, edge_set)
+    assert row.n_triangles == naive
+    assert naive > 0  # the fixture actually contains triangles
+
+
+def test_cooccurrence_edges_dedup_across_groups(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (2, 30)], "g long, v long"
+    )
+    got = {(r.a, r.b) for r in cooccurrence_edges(df, "g", "v").collect()}
+    # (10,20) co-occurs in both groups but appears once
+    assert got == {(10, 20), (10, 30), (20, 30)}

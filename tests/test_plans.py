@@ -379,3 +379,11 @@ def test_q119_two_level_rank_no_key_sized_funnel(spark):
     assert plan.count("SinglePartition") == 1
     windows = re.findall(r"\(\d+\) Window", plan)
     assert len(windows) == 2  # in-bucket rank + bucket offsets
+
+
+def test_q123_triangle_all_equijoins(spark):
+    # wedge generation and closure are equi-joins; the only nested-
+    # loop joins are the one-row stat-combination broadcasts.
+    plan = physical_plan(_q(spark, "q123_triangle_count"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "Exchange rangepartitioning" not in plan
