@@ -563,6 +563,90 @@ def q122_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q124_lsh_blocked_levenshtein",
+    tags=("dedup", "text", "blocking", "lsh"),
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]
+         ))) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sig AS (
+  SELECT doc_id,
+         min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+         min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+         min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+         min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
+  FROM grams GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(concat(h0, h1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig
+), b AS (
+  SELECT d.doc_id, d.text, d.n_chars, bd.band_id, bd.bucket,
+         unnest([d.n_chars // {_LEN_BUCKET}, n_chars // {_LEN_BUCKET} + 1])
+           AS lbucket
+  FROM documents d JOIN bands bd ON d.doc_id = bd.doc_id
+)
+SELECT doc_a, doc_b, edit_dist FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         levenshtein(a.text, c.text) AS edit_dist
+  FROM b a JOIN b c
+    ON a.band_id = c.band_id AND a.bucket = c.bucket
+   AND a.lbucket = c.lbucket AND a.doc_id < c.doc_id
+  WHERE abs(a.n_chars - c.n_chars) <= {_EDIT_K}
+) WHERE edit_dist <= {_EDIT_K}
+""",
+)
+def q124_lsh_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with CONTENT blocking (MinHash LSH
+    bands, q32's 8-hash/4-band scheme over word-3-gram shingles)
+    composed with q116's recall-1 length-bucket blocking — the
+    corpus-scale form the q116 docstring promises: length buckets have
+    bounded cardinality, so at 100 TB the quadratic comparison inside a
+    pure length cell grows linearly with the corpus; intersecting with
+    an LSH band key keeps cells bounded by local content collisions
+    instead. Candidates must share (band_id, bucket, length_bucket);
+    the O(len^2) levenshtein DP runs only on those survivors.
+
+    Recall semantics: length blocking alone is recall-1 (proven in
+    tests/test_dedup_operators.py); the band intersection inherits
+    MinHash-LSH's probabilistic recall — exactly the q31/q32 collision
+    structure, deterministic given the seeded md5 scheme, so both
+    engines compute the identical pair set. Docs under 3 tokens have
+    no shingles and drop on both sides (inner join to bands)."""
+    from ...operators.dedup import (
+        levenshtein_neardup_pairs,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    bands = lsh_bands(sig, n_hashes=8, band_size=2)
+    blocked = docs.join(bands, "doc_id").select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.concat_ws("|", F.col("band_id").cast("string"), "bucket").alias(
+            "_block"
+        ),
+    )
+    return levenshtein_neardup_pairs(
+        blocked,
+        max_dist=_EDIT_K,
+        bucket_width=_LEN_BUCKET,
+        block_col="_block",
+    )
+
+
+@query(
     "q123_triangle_count",
     tags=("graph", "agg"),
     oracle="""

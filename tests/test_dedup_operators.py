@@ -339,6 +339,64 @@ class TestLevenshteinNeardup:
         assert got == naive
         assert got  # planted near-dups actually qualify
 
+    def test_lsh_content_block_subsets_length_blocking(self, spark):
+        # Composing an LSH-band block_col (q124) can only DROP pairs
+        # relative to pure length blocking — and planted heavy
+        # near-dups (many shared shingles => near-certain band
+        # collision) must survive the composition.
+        from pyspark.sql import functions as F
+
+        from big_data_bowl_2026_analytics_spark.operators.dedup import (
+            levenshtein_neardup_pairs,
+            lsh_bands,
+            minhash_signatures,
+        )
+
+        import random
+
+        rnd = random.Random(11)
+        rows = []
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        for i in range(30):
+            toks = [rnd.choice(words) for _ in range(20)]
+            text = " ".join(toks)
+            rows.append((i, text, len(text)))
+            if i % 3 == 0:
+                # single-token substitution: 17 of 18 shingles shared
+                mut = list(toks)
+                mut[10] = rnd.choice(words)
+                mtext = " ".join(mut)
+                rows.append((1000 + i, mtext, len(mtext)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+        k = 12
+        plain = {
+            (r.doc_a, r.doc_b)
+            for r in levenshtein_neardup_pairs(
+                docs, max_dist=k, block_col=None
+            ).collect()
+        }
+        sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+        bands = lsh_bands(sig, n_hashes=8, band_size=2)
+        blocked = docs.join(bands, "doc_id").select(
+            "doc_id",
+            "text",
+            "n_chars",
+            F.concat_ws("|", F.col("band_id").cast("string"), "bucket").alias(
+                "_block"
+            ),
+        )
+        composed = {
+            (r.doc_a, r.doc_b)
+            for r in levenshtein_neardup_pairs(
+                blocked, max_dist=k, block_col="_block"
+            ).collect()
+        }
+        assert composed <= plain
+        planted = {(i, 1000 + i) for i in range(0, 30, 3)} & plain
+        assert planted  # fixture really plants qualifying pairs
+        assert planted <= composed  # heavy near-dups survive LSH blocking
+
     def test_bucket_width_below_threshold_rejected(self, spark):
         import pytest
 

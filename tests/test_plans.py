@@ -381,6 +381,16 @@ def test_q119_two_level_rank_no_key_sized_funnel(spark):
     assert len(windows) == 2  # in-bucket rank + bucket offsets
 
 
+def test_q124_lsh_blocked_levenshtein_equijoin(spark):
+    # composed (band, bucket, length-bucket) blocking stays a hash
+    # equi-join; no cartesian fallback, DP runs JVM-side post-filter.
+    plan = physical_plan(_q(spark, "q124_lsh_blocked_levenshtein"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_q123_triangle_all_equijoins(spark):
     # wedge generation and closure are equi-joins; the only nested-
     # loop joins are the one-row stat-combination broadcasts.
