@@ -48,6 +48,64 @@ def cooccurrence_edges(
     )
 
 
+def pagerank(
+    edges: DataFrame, damping: float = 0.85, n_iter: int = 5
+) -> DataFrame:
+    """Fixed-iteration PageRank over a distinct undirected ``(a < b)``
+    edge list: ``pr_{k+1}(v) = (1-d)/N + d * Σ_{u∈nbrs(v)} pr_k(u) /
+    deg(u)``, uniform ``1/N`` start. Undirected co-occurrence graphs
+    have no dangling nodes (every node's degree ≥ 1), so no dangling-
+    mass redistribution term is needed and the per-node row count is
+    invariant across iterations.
+
+    Scale: the edge+degree frame is materialized ONCE (localCheckpoint
+    pre-partitioned on ``src``) and reused every iteration; each
+    iteration is one co-partitioned join plus one groupBy(dst) — the
+    rank frame leaves iteration k hash-partitioned on the node key, so
+    the next join does not re-shuffle it. Lineage is truncated per
+    iteration (the CC-operator lesson: reuse grows logical plans
+    combinatorially). The one-row node count joins by broadcast.
+
+    Floating-point: the per-neighbor sum is order-dependent at the
+    last ulp and the damping contraction (d < 1) keeps cross-engine
+    divergence at ulp scale through any fixed iteration count — callers
+    comparing across engines round the FINAL ranks (fround pair), never
+    intermediates.
+    """
+    directed = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out = (
+        directed.join(deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src"), (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    teleport = 1.0 - damping
+    for _ in range(n_iter):
+        contrib = (
+            out.join(ranks, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+        )
+        ranks = (
+            contrib.crossJoin(F.broadcast(n_nodes))
+            .select(
+                F.col("dst").alias("src"),
+                (
+                    F.lit(teleport) / F.col("n")
+                    + F.lit(damping) * F.col("s")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("src").alias("v"), "pr")
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """One-row frame over a distinct ``(a < b)`` edge list: node/edge
     counts, wedge count, triangle count, and the global clustering

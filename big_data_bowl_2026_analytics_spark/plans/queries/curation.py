@@ -646,6 +646,78 @@ def q124_lsh_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Unroll the fixed-iteration PageRank recurrence into chained
+    CTEs (DuckDB has no iterative primitive; a fixed K unrolls
+    exactly). All float literals are CAST to DOUBLE so both engines
+    run the identical IEEE expression — DuckDB would otherwise parse
+    0.85 as DECIMAL and diverge."""
+    cte = [
+        """
+WITH hi AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+), e AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM hi a JOIN hi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), d AS (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT src, count(*) AS deg FROM d GROUP BY src
+), n AS (
+  SELECT count(*) AS n FROM deg
+), p0 AS (
+  SELECT src AS v, CAST(1 AS DOUBLE) / n.n AS pr FROM deg CROSS JOIN n
+)"""
+    ]
+    for k in range(1, n_iter + 1):
+        cte.append(
+            f""", p{k} AS (
+  SELECT d.dst AS v,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+         + CAST(0.85 AS DOUBLE) * sum(p.pr / deg.deg) AS pr
+  FROM d JOIN p{k - 1} p ON d.src = p.v
+         JOIN deg ON deg.src = d.src
+         CROSS JOIN n
+  GROUP BY d.dst, n.n
+)"""
+        )
+    cte.append(
+        f"\nSELECT v, round(pr + 1e-9, 6) AS pagerank FROM p{n_iter}"
+    )
+    return "".join(cte)
+
+
+@query(
+    "q125_pagerank",
+    tags=("graph", "iterative"),
+    oracle=_pagerank_oracle(5),
+)
+def q125_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-iteration PageRank over the q123 co-supply network —
+    link-analysis centrality next to the cohesion (q123 triangles) and
+    connectivity (q60/q91 components) families; in a curation pipeline
+    this ranks duplicate-cluster representatives / source domains by
+    graph importance.
+
+    The Spark side is the iterative operator (operators/graph.py::
+    pagerank: edge+degree frame checkpointed once, one co-partitioned
+    join + one groupBy per iteration, per-iteration lineage
+    truncation); the oracle unrolls the same recurrence into five
+    chained CTEs. The damping contraction keeps cross-engine float
+    divergence at ulp scale (no amplification), absorbed by the final
+    fround pair — intermediates are never rounded on either side."""
+    from ...operators.graph import cooccurrence_edges, pagerank
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+    hi = li.where(F.col("l_quantity") >= 48)
+    edges = cooccurrence_edges(hi, "l_orderkey", "l_suppkey")
+    ranks = pagerank(edges, damping=0.85, n_iter=5)
+    return ranks.select("v", fround(F.col("pr"), 6).alias("pagerank"))
+
+
 @query(
     "q123_triangle_count",
     tags=("graph", "agg"),

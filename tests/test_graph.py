@@ -74,3 +74,45 @@ def test_cooccurrence_edges_dedup_across_groups(spark):
     got = {(r.a, r.b) for r in cooccurrence_edges(df, "g", "v").collect()}
     # (10,20) co-occurs in both groups but appears once
     assert got == {(10, 20), (10, 30), (20, 30)}
+
+
+def _ranks(spark, edge_list, n_iter=5):
+    from big_data_bowl_2026_analytics_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(sorted(edge_list), "a long, b long")
+    return {r.v: r.pr for r in pagerank(edges, n_iter=n_iter).collect()}
+
+
+def test_pagerank_mass_conserved(spark):
+    # No dangling nodes on an undirected graph: total rank mass stays
+    # exactly 1 (up to float) at every fixed iteration count.
+    import random
+
+    rnd = random.Random(3)
+    edge_set = {tuple(sorted(rnd.sample(range(20), 2))) for _ in range(60)}
+    # connect everything so no isolated-node edge cases hide
+    edge_set |= {(i, i + 1) for i in range(19)}
+    for k in (1, 5):
+        pr = _ranks(spark, edge_set, n_iter=k)
+        assert abs(sum(pr.values()) - 1.0) < 1e-9
+        assert len(pr) == 20
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # Every node of a cycle has degree 2: PageRank stays exactly
+    # uniform at every iteration.
+    n = 12
+    cycle = {(i, (i + 1) % n) if i < (i + 1) % n else ((i + 1) % n, i) for i in range(n)}
+    pr = _ranks(spark, cycle)
+    for v in pr.values():
+        assert abs(v - 1.0 / n) < 1e-12
+
+
+def test_pagerank_star_center_dominates(spark):
+    # Star graph: the hub aggregates every leaf's full rank each
+    # round; leaves split the hub's. Hand-checkable ordering.
+    star = {(0, i) for i in range(1, 9)}
+    pr = _ranks(spark, star)
+    assert pr[0] > pr[1]
+    leaves = [pr[i] for i in range(1, 9)]
+    assert max(leaves) - min(leaves) < 1e-12  # symmetry preserved

@@ -391,6 +391,15 @@ def test_q124_lsh_blocked_levenshtein_equijoin(spark):
     assert "SinglePartition" not in plan
 
 
+def test_q125_pagerank_iterations_equijoin(spark):
+    # every iteration is an equi-join + groupBy; the only nested-loop
+    # joins are the one-row node-count broadcasts, and no iteration
+    # funnels ranks through a single partition.
+    plan = physical_plan(_q(spark, "q125_pagerank"))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_q123_triangle_all_equijoins(spark):
     # wedge generation and closure are equi-joins; the only nested-
     # loop joins are the one-row stat-combination broadcasts.
