@@ -718,6 +718,127 @@ def q125_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("v", fround(F.col("pr"), 6).alias("pagerank"))
 
 
+def _zorder_oracle() -> str:
+    """16-term Morton interleave as literal SQL bit arithmetic."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((qx >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((qy >> {i}) & 1) * {1 << (2 * i + 1)}")
+    zv = " + ".join(terms)
+    return f"""
+WITH s AS (
+  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+         min(l_suppkey) AS mins, max(l_suppkey) AS maxs,
+         min(l_orderkey) AS mino, max(l_orderkey) AS maxo
+  FROM lineitem
+), q AS (
+  SELECT CASE WHEN maxp = minp THEN 0
+              ELSE ((l_partkey - minp) * 255) // (maxp - minp) END AS qx,
+         CASE WHEN maxs = mins THEN 0
+              ELSE ((l_suppkey - mins) * 255) // (maxs - mins) END AS qy,
+         CASE WHEN maxo = mino THEN 0
+              ELSE ((l_orderkey - mino) * 1023) // (maxo - mino) END
+           AS natchunk
+  FROM lineitem CROSS JOIN s
+), z AS (
+  SELECT qx, qy, natchunk, ({zv}) AS zv FROM q
+), chunks AS (
+  SELECT 'zorder' AS layout, zv >> 6 AS chunk, qx, qy FROM z
+  UNION ALL
+  SELECT 'natural', natchunk, qx, qy FROM z
+), per AS (
+  SELECT layout, chunk, count(*) AS cnt,
+         max(qx) - min(qx) + 1 AS span_x,
+         max(qy) - min(qy) + 1 AS span_y
+  FROM chunks GROUP BY layout, chunk
+)
+SELECT layout, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       round(avg(CAST(span_x AS DOUBLE) / 256) + 1e-9, 6) AS avg_span_part,
+       round(avg(CAST(span_y AS DOUBLE) / 256) + 1e-9, 6) AS avg_span_supp
+FROM per GROUP BY layout
+"""
+
+
+@query(
+    "q126_zorder_layout_audit",
+    tags=("layout", "lakehouse", "pruning"),
+    oracle=_zorder_oracle(),
+)
+def q126_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering layout audit — the measurement behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY``: quantize (l_partkey,
+    l_suppkey) to 8-bit ranks, Morton-interleave them
+    (operators/layout.py), carve the z-axis into 1024 fixed-width
+    chunks (stand-ins for files/row-groups written in z order), and
+    report the mean normalized per-chunk min/max span of EACH
+    dimension vs the same chunks carved from natural ingestion order
+    (l_orderkey ranges). Tight spans = min/max stats prune chunks for
+    predicates on either dimension; the two output rows quantify the
+    win.
+
+    Engine-exact by construction: integer quantization (exact-multiple
+    division, layout.py docstring), integer bit interleave, per-chunk
+    integer min/max, and span fractions that are dyadic rationals
+    (k/256) whose sums carry no rounding on either engine. One fact
+    scan; the global min/max frame is a one-row broadcast; the
+    layout tag doubles rows map-side (stack) before the two
+    aggregations."""
+    from ...operators.layout import quantize, zorder_value
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_orderkey"]
+    )
+    stats = li.agg(
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"),
+        F.max("l_suppkey").alias("maxs"),
+        F.min("l_orderkey").alias("mino"),
+        F.max("l_orderkey").alias("maxo"),
+    )
+    q = li.crossJoin(F.broadcast(stats)).select(
+        quantize(
+            F.col("l_partkey"), F.col("minp"), F.col("maxp") - F.col("minp")
+        ).alias("qx"),
+        quantize(
+            F.col("l_suppkey"), F.col("mins"), F.col("maxs") - F.col("mins")
+        ).alias("qy"),
+        quantize(
+            F.col("l_orderkey"),
+            F.col("mino"),
+            F.col("maxo") - F.col("mino"),
+            levels=1024,
+        ).alias("natchunk"),
+    )
+    z = q.select(
+        "qx", "qy", "natchunk", zorder_value(F.col("qx"), F.col("qy")).alias("zv")
+    )
+    chunks = z.select(
+        "qx",
+        "qy",
+        F.expr(
+            "stack(2, 'zorder', zv >> 6, 'natural', natchunk)"
+            " as (layout, chunk)"
+        ),
+    )
+    per = chunks.groupBy("layout", "chunk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.max("qx") - F.min("qx") + 1).alias("span_x"),
+        (F.max("qy") - F.min("qy") + 1).alias("span_y"),
+    )
+    return per.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("cnt").alias("n_rows"),
+        fround(F.avg(F.col("span_x").cast("double") / 256), 6).alias(
+            "avg_span_part"
+        ),
+        fround(F.avg(F.col("span_y").cast("double") / 256), 6).alias(
+            "avg_span_supp"
+        ),
+    )
+
+
 @query(
     "q123_triangle_count",
     tags=("graph", "agg"),

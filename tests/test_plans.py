@@ -400,6 +400,15 @@ def test_q125_pagerank_iterations_equijoin(spark):
     assert "SinglePartition" not in plan
 
 
+def test_q126_zorder_single_scan_no_funnel(spark):
+    # one lineitem scan + a one-row stats broadcast; the interleave is
+    # codegen integer math (no Python), chunk aggs stay partitioned.
+    plan = physical_plan(_q(spark, "q126_zorder_layout_audit"))
+    assert plan.count("Location: InMemoryFileIndex") <= 2  # fact + stats scan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_q123_triangle_all_equijoins(spark):
     # wedge generation and closure are equi-joins; the only nested-
     # loop joins are the one-row stat-combination broadcasts.
