@@ -1,0 +1,176 @@
+"""Dataset-assembly queries: the deterministic split/sample/audit
+steps between a curated corpus and a training run.
+
+- q127: train/valid/test assignment by content-stable hash (survives
+  re-ingestion, reshuffling, and re-partitioning — the property random
+  splits lack at 100 TB where "the same split next month" matters)
+- q128: per-stratum Bernoulli sampling with hash thresholds (exact
+  integer comparison — reproducible mixture downsampling)
+- q129: chi-square homogeneity audit of the source x lang contingency
+  (is the corpus mix independent of source? the inferential sibling of
+  q120's TV/KL drift audit)
+All hash math is md5 (rule: identical hex on both engines) mapped to a
+16-bit integer via the q34 instr-nibble pattern; thresholds and ranks
+are integer-exact, so every row membership decision is engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...functions.scalar import fround
+from ...sources.readers import read_table
+from ..registry import query
+
+_HEX = "0123456789abcdef"
+
+
+def _hash16(seed: str, key: Column) -> Column:
+    """First 16 bits of md5(seed || key) as an integer, via the
+    instr-nibble decode proven engine-exact by q34 (simhash)."""
+    h = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    v = F.lit(0)
+    for i in range(4):
+        nib = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
+        v = v * 16 + nib
+    return v
+
+
+def _hash16_sql(seed: str, key: str) -> str:
+    h = f"md5('{seed}' || CAST({key} AS VARCHAR))"
+    terms = []
+    for i in range(4):
+        terms.append(
+            f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (3 - i)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q127_hash_split_assignment",
+    tags=("split", "sampling", "llm-pipeline"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN {_hash16_sql('split|', 'doc_id')} % 1000 < 800
+                THEN 'train'
+              WHEN {_hash16_sql('split|', 'doc_id')} % 1000 < 900
+                THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY split, lang
+""",
+)
+def q127_hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/valid/test assignment by content-stable hash of
+    the document id, audited per (split, lang). Hash splits are the
+    only kind that survive re-ingestion at corpus scale: membership is
+    a pure function of the key, never of row order, partitioning, or a
+    seed table. Map-side assignment, one aggregation — no shuffle
+    beyond the final small groupBy."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    bucket = _hash16("split|", F.col("doc_id")) % 1000
+    assigned = docs.select(
+        "lang",
+        "n_chars",
+        F.when(bucket < 800, "train")
+        .when(bucket < 900, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q128_stratified_hash_sample",
+    tags=("sampling", "llm-pipeline"),
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_hash16_sql('samp|', 'doc_id')} % 1024
+      < CASE WHEN lang = 'en' THEN 512 ELSE 256 END
+""",
+)
+def q128_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified downsampling: keep an 'en' document
+    with probability 512/1024 and any other language at 256/1024,
+    decided by an integer hash threshold — the deterministic twin of
+    q104's weighted Bernoulli (there the weight is a float column;
+    here the rate is per-stratum and the decision is integer-exact, so
+    the SAMPLE ITSELF is the oracle-checked output, not just its
+    summary). Map-side filter, zero shuffles, partition-independent."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "lang", "source"])
+    rate = F.when(F.col("lang") == "en", F.lit(512)).otherwise(F.lit(256))
+    return docs.where(
+        _hash16("samp|", F.col("doc_id")) % 1024 < rate
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "q129_chi_square_homogeneity",
+    tags=("audit", "drift", "stats"),
+    oracle="""
+WITH cells AS (
+  SELECT source, lang, count(*) AS o FROM documents GROUP BY source, lang
+), rows_m AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM cells GROUP BY source
+), cols_m AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS nl FROM cells GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+)
+SELECT round(sum((o - CAST(ns * nl AS DOUBLE) / n)
+              * (o - CAST(ns * nl AS DOUBLE) / n)
+              / (CAST(ns * nl AS DOUBLE) / n)) + 1e-9, 6) AS chi_square,
+       CAST((SELECT count(*) FROM rows_m) - 1 AS BIGINT)
+         * CAST((SELECT count(*) FROM cols_m) - 1 AS BIGINT) AS dof,
+       max(n) AS n_docs
+FROM cells JOIN rows_m USING (source)
+           JOIN cols_m USING (lang)
+           CROSS JOIN tot
+""",
+)
+def q129_chi_square_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of (source, lang)
+    — the significance-testing face of corpus-mix auditing (q120
+    reports effect sizes; this reports the test statistic + degrees of
+    freedom a monitoring system thresholds). Expected counts are exact
+    integer products cast to double; per-cell terms are IEEE-identical
+    across engines, the final sum's association order is absorbed by
+    the fround pair. One scan to cell counts; marginals derive from
+    the tiny cell frame (never a second scan)."""
+    docs = read_table(spark, sf_dir, "documents", ["source", "lang"])
+    cells = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    rows_m = cells.groupBy("source").agg(F.sum("o").alias("ns"))
+    cols_m = cells.groupBy("lang").agg(F.sum("o").alias("nl"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    nr = rows_m.agg(F.count(F.lit(1)).alias("nr"))
+    nc = cols_m.agg(F.count(F.lit(1)).alias("nc"))
+    e = (F.col("ns") * F.col("nl")).cast("double") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return (
+        cells.join(F.broadcast(rows_m), "source")
+        .join(F.broadcast(cols_m), "lang")
+        .crossJoin(F.broadcast(tot))
+        .agg(fround(F.sum(term), 6).alias("chi_square"), F.max("n").alias("n_docs"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "chi_square",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+            "n_docs",
+        )
+    )

@@ -409,6 +409,32 @@ def test_q126_zorder_single_scan_no_funnel(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_q127_hash_split_mapside_assignment(spark):
+    # split assignment is codegen string/int math before one small
+    # aggregation: no joins, no Python, one scan.
+    plan = physical_plan(_q(spark, "q127_hash_split_assignment"))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q128_sample_filter_reaches_scan_stage(spark):
+    # membership is a map-side filter: zero exchanges, zero joins.
+    import re
+
+    plan = physical_plan(_q(spark, "q128_stratified_hash_sample"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert "Join" not in plan
+
+
+def test_q129_chi_square_marginals_from_cells(spark):
+    # marginals derive from the tiny cell frame — exactly ONE scan of
+    # documents feeds the whole statistic.
+    plan = physical_plan(_q(spark, "q129_chi_square_homogeneity"))
+    assert plan.count("Location: InMemoryFileIndex") <= 1
+    assert "CartesianProduct" not in plan
+
+
 def test_q123_triangle_all_equijoins(spark):
     # wedge generation and closure are equi-joins; the only nested-
     # loop joins are the one-row stat-combination broadcasts.
