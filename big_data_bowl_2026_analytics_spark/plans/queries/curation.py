@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ...functions.scalar import fround
 from ...sources.readers import read_table
 from ..registry import query
+from .splits import _hash16_sql
 
 #: q116 knobs: an edit-distance threshold K needs |len(a) - len(b)|
 #: <= K, so bucketing n_chars by width >= K and probing (own, next)
@@ -836,6 +837,159 @@ def q126_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.avg(F.col("span_y").cast("double") / 256), 6).alias(
             "avg_span_supp"
         ),
+    )
+
+
+@query(
+    "q131_join_cardinality_forecast",
+    tags=("planning", "skew", "audit"),
+    oracle="""
+WITH c AS (
+  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt * cnt) AS BIGINT) AS predicted_rows,
+         CAST(max(cnt * cnt) AS BIGINT) AS max_key_rows
+  FROM c
+)
+SELECT n_keys, predicted_rows, max_key_rows,
+       round(CAST(max_key_rows AS DOUBLE) * n_keys / predicted_rows + 1e-9, 6)
+         AS skew_ratio
+FROM s
+""",
+)
+def q131_join_cardinality_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast the output size of the lineitem self-join on
+    l_partkey WITHOUT running it: Σ c(k)² from one per-key count pass
+    — the estimate a planner (or an engineer deciding whether a join
+    needs salting) reads before committing a 100 TB shuffle. Reports
+    the hottest key's share vs a uniform key (skew_ratio ≫ 1 = the
+    q45/q99 salting patterns apply). One scan, one aggregation; the
+    join itself is never materialized — THAT is the point."""
+    li = read_table(spark, sf_dir, "lineitem", ["l_partkey"])
+    c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("predicted_rows"),
+        F.max(F.col("cnt") * F.col("cnt")).alias("max_key_rows"),
+    )
+    return s.select(
+        "n_keys",
+        "predicted_rows",
+        "max_key_rows",
+        fround(
+            F.col("max_key_rows").cast("double")
+            * F.col("n_keys")
+            / F.col("predicted_rows"),
+            6,
+        ).alias("skew_ratio"),
+    )
+
+
+@query(
+    "q132_bloom_filter_audit",
+    tags=("sketch", "audit"),
+    oracle=f"""
+WITH members AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_nationkey < 5
+), bloom AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {{h0}} % 4096 AS pos FROM members
+    UNION ALL
+    SELECT {{h1}} % 4096 FROM members
+  )
+), probes AS (
+  SELECT c_custkey AS k, c_nationkey < 5 AS is_member FROM customer
+), tested AS (
+  SELECT k, is_member,
+         ({{h0p}} % 4096) IN (SELECT pos FROM bloom)
+         AND ({{h1p}} % 4096) IN (SELECT pos FROM bloom) AS passes
+  FROM probes
+)
+SELECT CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_members,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN passes AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       round(CAST(sum(CASE WHEN passes AND NOT is_member THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) + 1e-9, 6)
+         AS fp_rate,
+       CAST(sum(CASE WHEN is_member AND NOT passes THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg
+FROM tested
+""".format(
+        h0=_hash16_sql("b0|", "k"),
+        h1=_hash16_sql("b1|", "k"),
+        h0p=_hash16_sql("b0|", "k"),
+        h1p=_hash16_sql("b1|", "k"),
+    ),
+)
+def q132_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 4096-bit, 2-hash Bloom filter over one partition's keys
+    and measure it against ground truth: false-positive rate on
+    non-member probes and — the invariant that must ALWAYS hold —
+    zero false negatives. This is the observable twin of the runtime
+    bloom pruning the optimizer injects (tests/test_plans bloom
+    assertion): sketches at 100 TB need their error measured, not
+    assumed (q44/q111/q121 pattern, now for membership).
+
+    Bit positions come from the engine-exact md5 nibble decode
+    (splits.py::_hash16), so both engines build the identical filter.
+    The bit set is a ≤4096-row broadcast; both membership probes are
+    broadcast semi-joins; everything else is conditional counting in
+    one pass."""
+    from .splits import _hash16
+
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    members = (
+        cust.where(F.col("c_nationkey") < 5).select(F.col("c_custkey").alias("k")).distinct()
+    )
+    bloom = (
+        members.select(
+            F.explode(
+                F.array(
+                    _hash16("b0|", F.col("k")) % 4096,
+                    _hash16("b1|", F.col("k")) % 4096,
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    probes = cust.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_nationkey") < 5).alias("is_member"),
+        (_hash16("b0|", F.col("c_custkey")) % 4096).alias("p0"),
+        (_hash16("b1|", F.col("c_custkey")) % 4096).alias("p1"),
+    )
+    b0 = bloom.select(F.col("pos").alias("p0")).withColumn("hit0", F.lit(True))
+    b1 = bloom.select(F.col("pos").alias("p1")).withColumn("hit1", F.lit(True))
+    tested = (
+        probes.join(F.broadcast(b0), "p0", "left")
+        .join(F.broadcast(b1), "p1", "left")
+        .select(
+            "is_member",
+            (
+                F.coalesce(F.col("hit0"), F.lit(False))
+                & F.coalesce(F.col("hit1"), F.lit(False))
+            ).alias("passes"),
+        )
+    )
+    member_i = F.when(F.col("is_member"), 1).otherwise(0)
+    passes_i = F.when(F.col("passes"), 1).otherwise(0)
+    fp_i = F.when(F.col("passes") & ~F.col("is_member"), 1).otherwise(0)
+    fn_i = F.when(F.col("is_member") & ~F.col("passes"), 1).otherwise(0)
+    return tested.agg(
+        F.sum(member_i).alias("n_members"),
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(passes_i).alias("n_pass"),
+        F.sum(fp_i).alias("n_false_pos"),
+        fround(
+            F.sum(fp_i).cast("double") / F.sum(1 - member_i), 6
+        ).alias("fp_rate"),
+        F.sum(fn_i).alias("n_false_neg"),
     )
 
 

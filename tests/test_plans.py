@@ -435,6 +435,23 @@ def test_q129_chi_square_marginals_from_cells(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q131_forecast_never_materializes_join(spark):
+    # the whole point: predict Σc² from ONE count pass — no join node
+    # anywhere in the plan.
+    plan = physical_plan(_q(spark, "q131_join_cardinality_forecast"))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+
+
+def test_q132_bloom_probes_are_broadcast(spark):
+    # the <=4096-row bit set broadcasts into both membership probes;
+    # probing never shuffles the fact side.
+    plan = physical_plan(_q(spark, "q132_bloom_filter_audit"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q123_triangle_all_equijoins(spark):
     # wedge generation and closure are equi-joins; the only nested-
     # loop joins are the one-row stat-combination broadcasts.
