@@ -392,6 +392,68 @@ def duplicate_clusters_star(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """ASYMMETRIC set containment per pair: ``C(A→B) = |A∩B| / |A|``
+    and the reverse — the quote/sub-document detector Jaccard misses
+    (a 50-token excerpt embedded verbatim in a 5000-token page has
+    containment ≈ 1 but Jaccard ≈ 0.01). Pairs where either direction
+    reaches ``threshold`` survive, with both directions reported so
+    the caller knows WHICH document is the fragment.
+
+    Same shape and scale posture as :func:`jaccard_similar_pairs`:
+    token equi-join scoped by ``block_col`` (at corpus scale, verify
+    LSH candidates instead of blocks), per-document size frames as
+    plain shuffle joins (never forced broadcasts). Integer-count
+    ratios are engine-exact.
+    """
+    cols = [F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")]
+    if block_col:
+        cols.insert(1, F.col(block_col))
+    tok = df.select(*cols)
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_toks"))
+
+    a = tok.select(
+        F.col(id_col).alias("doc_a"),
+        *([F.col(block_col).alias("block_a")] if block_col else []),
+        F.col("tok"),
+    )
+    b = tok.select(
+        F.col(id_col).alias("doc_b"),
+        *([F.col(block_col).alias("block_b")] if block_col else []),
+        F.col("tok"),
+    )
+    cond = (
+        [a.tok == b.tok]
+        if not block_col
+        else [a.tok == b.tok, F.col("block_a") == F.col("block_b")]
+    )
+    inter = (
+        a.join(b, cond)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_toks").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_toks").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment_ab", F.col("inter") / F.col("n_a"))
+        .withColumn("containment_ba", F.col("inter") / F.col("n_b"))
+        .where(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+        .select("doc_a", "doc_b", "inter", "containment_ab", "containment_ba")
+    )
+
+
 def levenshtein_neardup_pairs(
     df: DataFrame,
     max_dist: int = 20,

@@ -994,6 +994,47 @@ def q132_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q133_containment_pairs",
+    tags=("dedup", "text", "containment"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n_toks FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM tok a
+  JOIN tok b ON a.tok = b.tok AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter,
+       inter / sa.n_toks AS containment_ab,
+       inter / sb.n_toks AS containment_ba
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / sa.n_toks >= 0.6 OR inter / sb.n_toks >= 0.6
+""",
+)
+def q133_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (either direction >= 0.6) within
+    language blocks — the quote/excerpt detector the symmetric dedup
+    family (q33 Jaccard, q114 prefix-filter) cannot express: a short
+    document living verbatim inside a long one scores containment ≈ 1
+    but Jaccard ≈ |A|/|B| ≈ 0. Contamination checks (q69) care about
+    exactly this asymmetry at benchmark-vs-corpus granularity; this is
+    the doc-vs-doc form. Integer-count ratios, engine-exact unrounded
+    (CLAUDE.md rule 5 family)."""
+    from ...operators.dedup import containment_pairs
+
+    return containment_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.6, block_col="lang"
+    )
+
+
+@query(
     "q123_triangle_count",
     tags=("graph", "agg"),
     oracle="""

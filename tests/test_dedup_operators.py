@@ -406,3 +406,45 @@ class TestLevenshteinNeardup:
 
         with pytest.raises(ValueError):
             levenshtein_neardup_pairs(self._docs(spark), max_dist=20, bucket_width=8)
+
+
+class TestContainmentPairs:
+    def test_fragment_found_where_jaccard_blind(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.dedup import (
+            containment_pairs,
+            jaccard_similar_pairs,
+        )
+
+        long_doc = " ".join(f"w{i}" for i in range(200))
+        fragment = " ".join(f"w{i}" for i in range(40, 60))  # 20 toks ⊂ long
+        other = " ".join(f"x{i}" for i in range(50))
+        docs = spark.createDataFrame(
+            [(1, long_doc, "en"), (2, fragment, "en"), (3, other, "en")],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            (r.doc_a, r.doc_b): (r.containment_ab, r.containment_ba)
+            for r in containment_pairs(docs, threshold=0.9).collect()
+        }
+        # the fragment (doc 2, the SMALLER side = doc_b's direction)
+        assert got == {(1, 2): (20 / 200, 1.0)}
+        # symmetric Jaccard at any near-dup threshold misses it
+        jac = jaccard_similar_pairs(docs, threshold=0.5).collect()
+        assert jac == []
+
+    def test_direction_labels_follow_id_order(self, spark):
+        from big_data_bowl_2026_analytics_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        # same fixture, ids swapped: containment_ab must now be the
+        # fragment's direction (doc_a is the smaller doc).
+        long_doc = " ".join(f"w{i}" for i in range(100))
+        fragment = " ".join(f"w{i}" for i in range(10, 20))
+        docs = spark.createDataFrame(
+            [(2, long_doc, "en"), (1, fragment, "en")],
+            "doc_id long, text string, lang string",
+        )
+        [r] = containment_pairs(docs, threshold=0.9).collect()
+        assert (r.doc_a, r.doc_b) == (1, 2)
+        assert r.containment_ab == 1.0 and r.containment_ba == 0.1
