@@ -116,6 +116,78 @@ def q128_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q134_mixture_rebalance",
+    tags=("sampling", "mixing", "llm-pipeline"),
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+  FROM documents GROUP BY lang
+), mn AS (
+  SELECT min(n_before) AS keep_target FROM counts
+), kept AS (
+  SELECT d.lang, count(*) AS n_kept
+  FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN mn
+  WHERE {_hash16_sql('mix|', 'doc_id')} * c.n_before < 65536 * keep_target
+  GROUP BY d.lang
+), tot AS (
+  SELECT CAST(sum(n_kept) AS BIGINT) AS total_kept FROM kept
+)
+SELECT c.lang, n_before, CAST(keep_target AS BIGINT) AS keep_target,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       round(CAST(coalesce(n_kept, 0) AS DOUBLE) / total_kept + 1e-9, 6)
+         AS achieved_share
+FROM counts c
+LEFT JOIN kept k ON c.lang = k.lang
+CROSS JOIN mn CROSS JOIN tot
+""",
+)
+def q134_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every language stratum to the size of the SMALLEST
+    one — applying a uniform target mixture deterministically, the
+    missing half of q94 (which computes mixture weights but never
+    applies them). Membership is the cross-multiplied integer
+    comparison ``hash16(doc) * n_stratum < 65536 * keep_target``:
+    exact integer arithmetic, no float rate, reproducible under any
+    partitioning. The audit row per stratum reports before/target/
+    kept/achieved-share; at 100 TB the counts frame is vocabulary-of-
+    strata sized (broadcast back), the keep decision is map-side."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "lang"])
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+        .localCheckpoint(eager=False)
+    )
+    mn = counts.agg(F.min("n_before").alias("keep_target"))
+    kept = (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mn))
+        .where(
+            _hash16("mix|", F.col("doc_id")) * F.col("n_before")
+            < 65536 * F.col("keep_target")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    tot = kept.agg(F.sum("n_kept").alias("total_kept"))
+    return (
+        counts.join(kept, "lang", "left")
+        .crossJoin(F.broadcast(mn))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_before",
+            F.col("keep_target").cast("bigint").alias("keep_target"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            fround(
+                F.coalesce(F.col("n_kept"), F.lit(0)).cast("double")
+                / F.col("total_kept"),
+                6,
+            ).alias("achieved_share"),
+        )
+    )
+
+
+@query(
     "q129_chi_square_homogeneity",
     tags=("audit", "drift", "stats"),
     oracle="""
