@@ -1035,6 +1035,152 @@ def q133_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q136_partition_size_planner",
+    tags=("planning", "layout"),
+    oracle="""
+WITH est AS (
+  SELECT strlen(text) + strlen(lang) + strlen(source) + 16 AS row_bytes
+  FROM documents
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_rows,
+         CAST(sum(row_bytes) AS BIGINT) AS est_total_bytes
+  FROM est
+)
+SELECT total_rows, est_total_bytes,
+       CAST((est_total_bytes + 65535 - ((est_total_bytes + 65535) % 65536))
+            // 65536 AS BIGINT) AS recommended_partitions,
+       round(CAST(est_total_bytes AS DOUBLE) / total_rows + 1e-9, 6)
+         AS avg_row_bytes
+FROM s
+""",
+)
+def q136_partition_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle/file-partition planning from data statistics: estimate
+    per-row bytes (UTF-8 octet lengths + fixed numeric widths), total
+    bytes, and the partition count that hits a target partition size
+    (here 64 KiB to exercise the math at toy scale; a 100 TB
+    deployment passes 128 MiB) — the sizing pass behind
+    ``spark.sql.shuffle.partitions`` / ``files.maxPartitionBytes``
+    that CLAUDE.md's scale conventions demand be computed, not
+    guessed. Ceil division is the exact-multiple form (subtract the
+    mod first), so both engines produce the identical integer."""
+    docs = read_table(spark, sf_dir, "documents", ["text", "lang", "source"])
+    est = docs.select(
+        (
+            F.octet_length("text")
+            + F.octet_length("lang")
+            + F.octet_length("source")
+            + F.lit(16)
+        ).alias("row_bytes")
+    )
+    s = est.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum("row_bytes").alias("est_total_bytes"),
+    )
+    target = F.lit(65536)
+    padded = F.col("est_total_bytes") + 65535
+    return s.select(
+        "total_rows",
+        "est_total_bytes",
+        ((padded - F.pmod(padded, target)) / target)
+        .cast("bigint")
+        .alias("recommended_partitions"),
+        fround(
+            F.col("est_total_bytes").cast("double") / F.col("total_rows"), 6
+        ).alias("avg_row_bytes"),
+    )
+
+
+@query(
+    "q137_idf_weighted_jaccard",
+    tags=("dedup", "text", "tfidf"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), df AS (
+  SELECT tok, count(*) AS dft FROM tok GROUP BY tok
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok
+), w AS (
+  SELECT tok, ln(CAST(n_docs AS DOUBLE) / dft) AS wt FROM df CROSS JOIN n
+), doc_w AS (
+  SELECT doc_id, sum(wt) AS w_total
+  FROM tok JOIN w USING (tok) GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(w.wt) AS w_inter
+  FROM tok a
+  JOIN tok b ON a.tok = b.tok AND a.lang = b.lang
+  JOIN w ON w.tok = a.tok
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(w_inter / (wa.w_total + wb.w_total - w_inter) + 1e-9, 6)
+         AS weighted_jaccard
+FROM inter
+JOIN doc_w wa ON wa.doc_id = doc_a
+JOIN doc_w wb ON wb.doc_id = doc_b
+WHERE w_inter / (wa.w_total + wb.w_total - w_inter) >= 0.33
+""",
+)
+def q137_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard pairs: rare shared tokens count for more
+    than stopwords, so two documents sharing 'the a of' no longer look
+    similar while two sharing a rare phrase do — the discriminative
+    upgrade of q33's unweighted verifier (same blocking posture:
+    verify LSH candidates at corpus scale, lang blocks here).
+
+    ``WJ = Σ_{t∈A∩B} idf(t) / (Σ_A idf + Σ_B idf - Σ_∩ idf)``. The
+    token-weight frame is vocabulary-sized (shuffle join, q114
+    lesson); per-doc weight sums join back on the pair frame. The log
+    is the documented q95/q101 last-ulp class and the float sums are
+    order-dependent — absorbed by the output fround; the 0.33
+    threshold sits far from any achievable score boundary on both
+    engines (ratio of identical IEEE sums)."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    from ...operators.dedup import tokens
+
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=False)
+    df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = df_counts.crossJoin(F.broadcast(n)).select(
+        "tok",
+        F.log(F.col("n_docs").cast("double") / F.col("dft")).alias("wt"),
+    )
+    doc_w = (
+        tok.join(w, "tok").groupBy("doc_id").agg(F.sum("wt").alias("w_total"))
+    )
+    a = tok.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("block_a"), "tok"
+    )
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("block_b"), "tok"
+    )
+    inter = (
+        a.join(b, ["tok"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("block_a") == F.col("block_b"))
+        )
+        .join(w, "tok")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("wt").alias("w_inter"))
+    )
+    wa = doc_w.select(F.col("doc_id").alias("doc_a"), F.col("w_total").alias("wa"))
+    wb = doc_w.select(F.col("doc_id").alias("doc_b"), F.col("w_total").alias("wb"))
+    score = F.col("w_inter") / (F.col("wa") + F.col("wb") - F.col("w_inter"))
+    return (
+        inter.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .where(score >= 0.33)
+        .select("doc_a", "doc_b", fround(score, 6).alias("weighted_jaccard"))
+    )
+
+
+@query(
     "q123_triangle_count",
     tags=("graph", "agg"),
     oracle="""
