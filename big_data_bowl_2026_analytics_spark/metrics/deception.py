@@ -35,6 +35,20 @@ def pelt_l2(signal: np.ndarray, pen: float = _PEN, min_size: int = _MIN_SIZE, ju
     the same contract as ruptures' ``predict``: candidate breakpoints
     lie on the ``jump`` lattice and segments are at least ``min_size``
     long.
+
+    Optimality caveat (shared with ruptures, on purpose): Killick's
+    pruning theorem assumes every evaluation point stays usable as a
+    predecessor of every later end. The jump lattice breaks that
+    premise exactly when the FINAL end sits ``< min_size`` past the
+    last lattice point (``n % jump == 1`` under the 2/5 defaults): a
+    state pruned against that lattice point may have been the true
+    optimum for ``n``. ruptures' ``Pelt.seg`` carries the identical
+    lattice and pruning rule, so this implementation reproduces its
+    output bit-for-bit — including that artifact — which is the
+    reference-parity contract (CLAUDE.md). The hypothesis suite pins
+    strict lattice-optimality for every ``n % jump != 1`` and
+    never-better-than-optimal plus a concrete ruptures-parity
+    counterexample for the artifact class.
     """
     x = np.asarray(signal, dtype=float)
     n = x.size
@@ -110,11 +124,15 @@ def optimal_partition_objective(
     jump: int = _JUMP,
 ) -> float:
     """EXACT optimum of the penalized objective over the same candidate
-    lattice — the unpruned O(m²) dynamic program. PELT's pruning rule
-    is exactness-preserving (Killick et al. 2012, Thm 3.1), so
-    ``partition_objective(x, pelt_l2(x)) == optimal_partition_objective(x)``
-    is an invariant; emitting both turns any consumer of the scores
-    into a correctness check (q28 carries the pair per row)."""
+    lattice — the unpruned O(m²) dynamic program. PELT's pruning is
+    exactness-preserving (Killick et al. 2012, Thm 3.1) whenever every
+    end is a valid predecessor of every later end, which the 2/5
+    lattice guarantees for all series lengths except ``n % jump == 1``
+    (see :func:`pelt_l2`). So ``partition_objective(x, pelt_l2(x)) ==
+    optimal_partition_objective(x)`` holds for every ``n % 5 != 1``
+    and is otherwise ``>=`` with a gap only in the documented
+    ruptures-parity artifact; q28 emits BOTH values per row, so any
+    gap is visible in the output rather than silently absorbed."""
     x = np.asarray(signal, dtype=float)
     n = x.size
     cost = _l2_cost_fns(x)

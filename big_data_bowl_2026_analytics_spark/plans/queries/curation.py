@@ -1181,6 +1181,108 @@ def q137_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q139_community_modularity",
+    tags=("graph", "audit"),
+    oracle="""
+WITH hi AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+), e AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM hi a JOIN hi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e
+), deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY v
+), com AS (
+  SELECT d.v, d.deg, s.s_nationkey AS community
+  FROM deg d JOIN supplier s ON d.v = s.s_suppkey
+), internal AS (
+  SELECT ca.community, count(*) AS l_c
+  FROM e JOIN com ca ON e.a = ca.v JOIN com cb ON e.b = cb.v
+  WHERE ca.community = cb.community
+  GROUP BY ca.community
+)
+SELECT c.community,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(coalesce(max(l_c), 0) AS BIGINT) AS internal_edges,
+       CAST(sum(deg) AS BIGINT) AS degree_sum,
+       round(CAST(coalesce(max(l_c), 0) AS DOUBLE) / max(m_edges)
+             - (CAST(sum(deg) AS DOUBLE) / (2 * max(m_edges)))
+               * (CAST(sum(deg) AS DOUBLE) / (2 * max(m_edges)))
+             + 1e-9, 6) AS modularity_term
+FROM com c
+LEFT JOIN internal i ON c.community = i.community
+CROSS JOIN m
+GROUP BY c.community
+""",
+)
+def q139_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity terms of the q123 co-supply graph under the
+    supplier-nation partition: per community c, ``L_c/m -
+    (D_c/2m)²`` — the quality score community detection maximizes,
+    here used as an AUDIT of a given grouping (do nations actually
+    co-supply internally, or is the network cross-national?). Sum the
+    column for global Q.
+
+    Scale: the edge list joins the node→community map twice
+    (node-sized frames, plain shuffle equi-joins); the per-community
+    frame is |communities|-sized. All inputs to the float algebra are
+    exact integers, one fround at the end."""
+    from ...operators.graph import cooccurrence_edges
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+    sup = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    hi = li.where(F.col("l_quantity") >= 48)
+    edges = cooccurrence_edges(hi, "l_orderkey", "l_suppkey").localCheckpoint(
+        eager=False
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m_edges"))
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    com = deg.join(
+        sup.select(
+            F.col("s_suppkey").alias("v"), F.col("s_nationkey").alias("community")
+        ),
+        "v",
+    ).localCheckpoint(eager=False)
+    ca = com.select(F.col("v").alias("a"), F.col("community").alias("com_a"))
+    cb = com.select(F.col("v").alias("b"), F.col("community").alias("com_b"))
+    internal = (
+        edges.join(ca, "a")
+        .join(cb, "b")
+        .where(F.col("com_a") == F.col("com_b"))
+        .groupBy(F.col("com_a").alias("community"))
+        .agg(F.count(F.lit(1)).alias("l_c"))
+    )
+    lc = F.coalesce(F.max("l_c"), F.lit(0)).cast("double")
+    dsum = F.sum("deg").cast("double")
+    me = F.max("m_edges")
+    return (
+        com.join(internal, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(F.max("l_c"), F.lit(0)).cast("bigint").alias("internal_edges"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+            fround(
+                lc / me - (dsum / (2 * me)) * (dsum / (2 * me)),
+                6,
+            ).alias("modularity_term"),
+        )
+    )
+
+
+@query(
     "q123_triangle_count",
     tags=("graph", "agg"),
     oracle="""

@@ -196,3 +196,63 @@ def q65_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
         fround(F.sum("value").over(w), 2).alias("sum_trailing_hour"),
     )
+
+
+@query(
+    "q138_event_transition_matrix",
+    tags=("timeseries", "sequence", "markov"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), trans AS (
+  SELECT from_type, to_type, count(*) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+), outdeg AS (
+  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+  FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type,
+       CAST(n_trans AS BIGINT) AS n_trans,
+       round(CAST(n_trans AS DOUBLE) / n_from + 1e-9, 6) AS p_transition
+FROM trans t JOIN outdeg USING (from_type)
+""",
+)
+def q138_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream (lead over (ts, event_id) — the unique-sort-key rule) with
+    empirical transition probabilities — the sequence-mining summary
+    behind next-event prediction and bot detection (improbable
+    transition chains). One shuffle on user_id for the lead; the
+    transition frame is |types|² ≤ tiny, so the out-degree join is
+    broadcast-sized at any corpus scale. Counts are exact integers;
+    the probability is an integer ratio under the fround pair."""
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    outdeg = trans.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
+    return (
+        trans.join(F.broadcast(outdeg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n_trans").cast("bigint").alias("n_trans"),
+            fround(
+                F.col("n_trans").cast("double") / F.col("n_from"), 6
+            ).alias("p_transition"),
+        )
+    )

@@ -209,10 +209,12 @@ def q28_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     information, every row is SELF-VALIDATING: ``pelt_objective`` is
     the penalized cost of the breakpoints PELT chose and
     ``opt_objective`` the exact optimum from the unpruned O(m²) DP
-    over the same candidate lattice — PELT's pruning is
-    exactness-preserving, so ``is_optimal`` must be true on every row
-    (asserted per-row in tests/test_pelt_hypothesis.py and visible to
-    any consumer of the output)."""
+    over the same candidate lattice. PELT's pruning is
+    exactness-preserving for every series length with ``n % 5 != 1``,
+    so ``is_optimal`` must be true on those rows; on ``n % 5 == 1``
+    rows a false value is the documented ruptures-parity tail-pruning
+    artifact (metrics/deception.py::pelt_l2), surfaced rather than
+    hidden (invariants asserted in tests/test_pelt_hypothesis.py)."""
     from ...metrics.deception import (
         deception_for_series,
         optimal_partition_objective,
