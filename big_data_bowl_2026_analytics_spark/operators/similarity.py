@@ -144,15 +144,20 @@ def residue_sums(vec: Column, dim: int = 64) -> list[Column]:
     return out
 
 
-def bucket_from_sums(sums: list[Column], n_planes: int = 8) -> Column:
+def bucket_from_sums(
+    sums: list[Column], n_planes: int = 8, plane_offset: int = 0
+) -> Column:
     """Sign-random-projection bucket id from bound residue sums:
-    bit j set iff Σ_r coef(j, r)·S_r >= 0 (left-associated in r order
-    on both engines — the float op sequence is part of the contract)."""
+    bit j set iff Σ_r coef(j + plane_offset, r)·S_r >= 0
+    (left-associated in r order on both engines — the float op
+    sequence is part of the contract). ``plane_offset`` selects an
+    independent hyperplane family, giving each hash TABLE of a
+    multi-table ANN its own bucketing from the same seven sums."""
     bucket = F.lit(0)
     for j in range(n_planes):
         proj = None
         for r, s in enumerate(sums):
-            term = F.lit(hyperplane_coef(j, r)) * s
+            term = F.lit(hyperplane_coef(j + plane_offset, r)) * s
             proj = term if proj is None else proj + term
         bucket = bucket + F.when(proj >= 0, F.lit(2**j)).otherwise(F.lit(0))
     return bucket.cast("bigint")
@@ -259,6 +264,99 @@ def ann_topk_indexed(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ann_topk_multitable(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_tables: int = 2,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with ``n_tables`` independent LSH hash tables
+    — the union-of-tables recall upgrade the single-table docstring
+    promises: a true neighbor is missed only if it disagrees with the
+    query in EVERY table, so miss probability decays geometrically in
+    the table count while compute grows linearly.
+
+    All tables derive from the SAME seven residue sums (one bound
+    projection per row; each table is an independent 8-plane family
+    via ``plane_offset``), so the index costs one extra bucket column
+    per table, not a second signature pass. Candidates are scored
+    inside each table's bucket equi-join (JVM fold), unioned, then
+    deduped by (query, neighbor) — identical scores across tables, so
+    ``max`` is a no-op dedup — and ranked once. At 100 TB each bucket
+    column is an ingest-time index column (ann_index pattern) and the
+    union is a union of per-table probes, never a rescan."""
+    from pyspark.sql import Window
+
+    sums = residue_sums(F.col(vec_col), dim)
+    names = [f"_lsh_s{r}" for r in range(len(sums))]
+    bound = vectors.select(
+        F.col(id_col), F.col(vec_col), *[s.alias(n) for s, n in zip(sums, names)]
+    )
+    cols = [
+        F.col(id_col),
+        F.col(vec_col),
+        squared_norm(F.col(vec_col)).alias("sqnorm"),
+    ]
+    for t in range(n_tables):
+        cols.append(
+            bucket_from_sums(
+                [F.col(n) for n in names], n_planes, plane_offset=t * n_planes
+            ).alias(f"bucket{t}")
+        )
+    index = bound.select(*cols).localCheckpoint(eager=False)
+    q_src = index.join(queries.select(id_col), id_col, "left_semi")
+    scored_tables = []
+    for t in range(n_tables):
+        q = q_src.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("sqnorm").alias("q_norm"),
+            f"bucket{t}",
+        )
+        c = index.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("sqnorm").alias("c_norm"),
+            f"bucket{t}",
+        )
+        scored_tables.append(
+            c.join(F.broadcast(q), f"bucket{t}")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine(
+                        F.col("q_vec"),
+                        F.col("c_vec"),
+                        F.col("q_norm"),
+                        F.col("c_norm"),
+                    )
+                    + 1e-9,
+                    6,
+                ).alias("cosine"),
+            )
+        )
+    union = scored_tables[0]
+    for s in scored_tables[1:]:
+        union = union.unionByName(s)
+    dedup = union.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )

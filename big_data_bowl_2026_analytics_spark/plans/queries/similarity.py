@@ -50,15 +50,17 @@ def _sums_cols_sql() -> str:
     )
 
 
-def _bucket_sql() -> str:
+def _bucket_sql(plane_offset: int = 0) -> str:
     """Bucket expression over bound _lsh_s0.._lsh_s6 columns, same
-    left-associated combination order as bucket_from_sums."""
+    left-associated combination order as bucket_from_sums;
+    ``plane_offset`` mirrors the multi-table hyperplane families."""
     from ...operators.similarity import hyperplane_coef
 
     terms = []
     for j in range(8):
         proj = " + ".join(
-            f"{hyperplane_coef(j, r)} * _lsh_s{r}" for r in range(7)
+            f"{hyperplane_coef(j + plane_offset, r)} * _lsh_s{r}"
+            for r in range(7)
         )
         terms.append(f"(CASE WHEN {proj} >= 0 THEN {2**j} ELSE 0 END)")
     return " + ".join(terms)
@@ -349,3 +351,59 @@ def q63_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") >= 0.2)
         .select("a_id", "b_id", "cosine")
     )
+
+
+@query(
+    "q140_ann_topk_multitable",
+    tags=("similarity", "ann", "multitable"),
+    oracle=f"""
+WITH {_NORMED_CTE.strip()},
+sums AS (
+  SELECT vec_id, embedding, sqnorm, {_sums_cols_sql()} FROM normed
+),
+bucketed AS (
+  SELECT vec_id, embedding, sqnorm,
+         CAST({_bucket_sql(0)} AS BIGINT) AS bucket0,
+         CAST({_bucket_sql(8)} AS BIGINT) AS bucket1
+  FROM sums
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, sqnorm AS q_norm,
+         bucket0, bucket1
+  FROM bucketed WHERE vec_id < 3
+), s0 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_DOT} / (sqrt(q.q_norm) * sqrt(c.sqnorm)) + 1e-9, 6) AS cosine
+  FROM q JOIN bucketed c ON q.bucket0 = c.bucket0
+  WHERE c.vec_id != q.query_id
+), s1 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_DOT} / (sqrt(q.q_norm) * sqrt(c.sqnorm)) + 1e-9, 6) AS cosine
+  FROM q JOIN bucketed c ON q.bucket1 = c.bucket1
+  WHERE c.vec_id != q.query_id
+), dedup AS (
+  SELECT query_id, neighbor_id, max(cosine) AS cosine
+  FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+  GROUP BY query_id, neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM dedup
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+""",
+)
+def q140_ann_topk_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 with TWO independent LSH hash tables unioned
+    — the recall upgrade q42's docstring defers to: a true neighbor is
+    missed only if every table separates it from the query, so recall
+    improves geometrically per table while the probe cost grows
+    linearly. Both tables share one residue-sum projection (the index
+    carries one extra integer column, not a second signature pass);
+    candidates are deduped by (query, neighbor) before a single
+    ranking. Recall >= the single-table q42 by construction — asserted
+    against the q40 exact baseline in tests/test_similarity_ops.py."""
+    from ...operators.similarity import ann_topk_multitable
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    return ann_topk_multitable(emb, queries, k=3, n_tables=2, n_planes=8, dim=_DIM)

@@ -181,3 +181,46 @@ def test_indexed_search_plan_has_no_assignment_math(spark, sf_dir, tmp_path):
     # over posexploded vectors) must NOT appear at query time.
     assert "posexplode" not in plan
     assert "min_by" not in plan
+
+
+def test_multitable_recall_dominates_single_table(spark, sf_dir):
+    # Each table's candidate set is a subset of the union's, so for
+    # every query: single-table results ⊆ multi-table candidate pool,
+    # and multi-table recall vs the exact baseline is >= single-table.
+    from big_data_bowl_2026_analytics_spark.operators.similarity import (
+        ann_topk,
+        ann_topk_multitable,
+        brute_force_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk(emb, queries, k=3, n_planes=8, dim=64).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk_multitable(
+            emb, queries, k=3, n_tables=2, n_planes=8, dim=64
+        ).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    # scores carried by the union are the exact cosines (same fold)
+    multi_scores = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_topk_multitable(
+            emb, queries, k=3, n_tables=2, n_planes=8, dim=64
+        ).collect()
+    }
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(emb, queries, k=30).collect()
+    }
+    for pair, cos in multi_scores.items():
+        if pair in exact_scores:
+            assert abs(cos - exact_scores[pair]) < 1e-9
