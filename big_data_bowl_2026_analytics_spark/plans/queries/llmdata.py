@@ -463,3 +463,55 @@ def q109_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_occurrences"), "word")
     )
+
+
+@query(
+    "q141_inverted_index",
+    tags=("text", "search", "index"),
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+)
+SELECT tok,
+       CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tok
+GROUP BY tok
+HAVING count(*) >= 5
+""",
+)
+def q141_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index (token → document frequency +
+    ordered posting list) for tokens with support >= 5 — the
+    search-engine/RAG ingest artifact next to the retrieval-time
+    consumers already built on the concept (q114 probes inverted
+    prefix lists; q66 ranks by TF-IDF). Postings serialize as an
+    id-ordered CSV string so the artifact is deterministic and
+    oracle-hashable; one explode + one groupBy(token).
+
+    Scale: the shuffle carries (token, doc_id) pairs; per-token
+    posting strings are bounded by document frequency — a 100 TB
+    deployment shards hot tokens (the q32 cap pattern) or stores
+    postings as bucketed arrays; the df column is the shard-planning
+    input."""
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    ).distinct()
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= 5)
+    )
