@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ...functions.scalar import fround
 from ...operators.similarity import (
     ann_topk,
     brute_force_topk,
@@ -50,14 +51,15 @@ def _sums_cols_sql() -> str:
     )
 
 
-def _bucket_sql(plane_offset: int = 0) -> str:
+def _bucket_sql(plane_offset: int = 0, n_planes: int = 8) -> str:
     """Bucket expression over bound _lsh_s0.._lsh_s6 columns, same
     left-associated combination order as bucket_from_sums;
-    ``plane_offset`` mirrors the multi-table hyperplane families."""
+    ``plane_offset``/``n_planes`` mirror the multi-table hyperplane
+    families."""
     from ...operators.similarity import hyperplane_coef
 
     terms = []
-    for j in range(8):
+    for j in range(n_planes):
         proj = " + ".join(
             f"{hyperplane_coef(j + plane_offset, r)} * _lsh_s{r}"
             for r in range(7)
@@ -407,3 +409,126 @@ def q140_ann_topk_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3)
     return ann_topk_multitable(emb, queries, k=3, n_tables=2, n_planes=8, dim=_DIM)
+
+
+@query(
+    "q142_ann_recall_audit",
+    tags=("similarity", "ann", "audit"),
+    oracle=f"""
+WITH {_NORMED_CTE.strip()},
+sums AS (
+  SELECT vec_id, embedding, sqnorm, {_sums_cols_sql()} FROM normed
+),
+bucketed AS (
+  SELECT vec_id, embedding, sqnorm,
+         CAST({_bucket_sql(0, 4)} AS BIGINT) AS bucket0,
+         CAST({_bucket_sql(4, 4)} AS BIGINT) AS bucket1
+  FROM sums
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, sqnorm AS q_norm,
+         bucket0, bucket1
+  FROM bucketed WHERE vec_id < 3
+), exact_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_DOT} / (sqrt(q.q_norm) * sqrt(c.sqnorm)) + 1e-9, 6) AS cosine
+  FROM q CROSS JOIN bucketed c
+  WHERE c.vec_id != q.query_id
+), exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM exact_scored
+  ) WHERE rank <= 3
+), s0 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_DOT} / (sqrt(q.q_norm) * sqrt(c.sqnorm)) + 1e-9, 6) AS cosine
+  FROM q JOIN bucketed c ON q.bucket0 = c.bucket0
+  WHERE c.vec_id != q.query_id
+), s1 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_DOT} / (sqrt(q.q_norm) * sqrt(c.sqnorm)) + 1e-9, 6) AS cosine
+  FROM q JOIN bucketed c ON q.bucket1 = c.bucket1
+  WHERE c.vec_id != q.query_id
+), single_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM s0
+  ) WHERE rank <= 3
+), multi_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, max(cosine) AS cosine
+      FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+      GROUP BY query_id, neighbor_id
+    )
+  ) WHERE rank <= 3
+), hits AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact_top) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM single_top JOIN exact_top USING (query_id, neighbor_id))
+           AS single_hits,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM multi_top JOIN exact_top USING (query_id, neighbor_id))
+           AS multi_hits
+)
+SELECT n_truth, single_hits, multi_hits,
+       round(CAST(single_hits AS DOUBLE) / n_truth + 1e-9, 6)
+         AS recall_single,
+       round(CAST(multi_hits AS DOUBLE) / n_truth + 1e-9, 6)
+         AS recall_multi
+FROM hits
+""",
+)
+def q142_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@3 of single-table and two-table LSH ANN
+    against the exact baseline (q40 semantics) in ONE audited row,
+    at a 4-plane (16-bucket) setting where the synthetic corpus
+    yields non-trivial recall (8 planes shatter random vectors)
+    — sketches and approximate indexes at 100 TB need their error
+    MEASURED, not assumed (q44/q111/q121/q132 pattern, now for ANN
+    recall). recall_multi >= recall_single by construction; the driver
+    sees the numbers, not just a test assertion.
+
+    All three pipelines reuse the same residue-sum index frame; hit
+    counting is an integer join-count; the two ratios are integer
+    quotients under the fround pair."""
+    from ...operators.similarity import (
+        ann_topk,
+        ann_topk_multitable,
+        brute_force_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, queries, k=3).select("query_id", "neighbor_id")
+    single = ann_topk(emb, queries, k=3, n_planes=4, dim=_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    multi = ann_topk_multitable(
+        emb, queries, k=3, n_tables=2, n_planes=4, dim=_DIM
+    ).select("query_id", "neighbor_id")
+    n_truth = exact.agg(F.count(F.lit(1)).alias("n_truth"))
+    sh = single.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("single_hits")
+    )
+    mh = multi.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("multi_hits")
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(sh))
+        .crossJoin(F.broadcast(mh))
+        .select(
+            "n_truth",
+            "single_hits",
+            "multi_hits",
+            fround(
+                F.col("single_hits").cast("double") / F.col("n_truth"), 6
+            ).alias("recall_single"),
+            fround(
+                F.col("multi_hits").cast("double") / F.col("n_truth"), 6
+            ).alias("recall_multi"),
+        )
+    )
