@@ -269,6 +269,56 @@ def ann_topk_indexed(
     )
 
 
+def int8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x|/127``,
+    ``q_i = trunc(x_i / scale)`` (so ``|q_i| <= 127``) — the 4×
+    storage/bandwidth
+    compression a 100 TB vector corpus ships to its search tier
+    (full-precision vectors stay in cold storage; the hot index holds
+    int8 + one float scale per vector).
+
+    Engine-exactness: truncation is spelled ``floor`` for positives /
+    ``ceil`` for negatives because Spark's int cast truncates while
+    DuckDB's CAST rounds — the explicit form is identical on both.
+    Dequantization is ``q_i * scale / 127`` (IEEE-identical), so any
+    downstream fold over dequantized values stays bit-identical
+    cross-engine. Zero vectors get scale 0 and all-zero codes.
+    """
+    x = F.col(vec_col)
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = amax / F.lit(127.0)
+    scaled = F.transform(
+        x,
+        lambda v: F.when(F.col("_scale") == 0, F.lit(0.0)).otherwise(
+            v.cast("double") / F.col("_scale")
+        ),
+    )
+    trunc = F.transform(
+        F.col("_scaled"),
+        lambda v: F.when(v >= 0, F.floor(v)).otherwise(F.ceil(v)).cast("int"),
+    )
+    return (
+        df.select(F.col(id_col), x, scale.alias("_scale"))
+        .select(F.col(id_col), F.col("_scale"), scaled.alias("_scaled"))
+        .select(
+            F.col(id_col),
+            F.col("_scale").alias("scale"),
+            trunc.alias("qvec"),
+        )
+    )
+
+
+def dequantized(qvec: Column, scale: Column) -> Column:
+    """Reconstruct doubles from int8 codes: ``q_i * scale`` (the
+    quantizer already folded the /127 into the scale direction —
+    codes are x/scale with scale = max|x|/127, so x ≈ q * scale)."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale)
+
+
 def ann_topk_multitable(
     vectors: DataFrame,
     queries: DataFrame,

@@ -532,3 +532,100 @@ def q142_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_multi"),
         )
     )
+
+
+@query(
+    "q143_int8_quantization_audit",
+    tags=("similarity", "quantization", "audit"),
+    oracle=f"""
+WITH {_NORMED_CTE.strip()},
+quant AS (
+  SELECT vec_id, embedding, sqnorm,
+         list_max(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM normed
+), deq AS (
+  SELECT vec_id, embedding, sqnorm, scale,
+         list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(0 AS INTEGER)
+           WHEN CAST(x AS DOUBLE) / scale >= 0
+             THEN CAST(floor(CAST(x AS DOUBLE) / scale) AS INTEGER)
+           ELSE CAST(ceil(CAST(x AS DOUBLE) / scale) AS INTEGER) END) AS qvec
+  FROM quant
+), recon AS (
+  SELECT vec_id, embedding, sqnorm,
+         list_transform(qvec, q -> CAST(q AS DOUBLE) * scale) AS dvec,
+         list_sum(list_transform(qvec,
+           q -> (CAST(q AS DOUBLE) * scale) * (CAST(q AS DOUBLE) * scale)))
+           AS dnorm
+  FROM deq
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, sqnorm AS q_norm
+  FROM recon WHERE vec_id < 3
+), pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DOT} / (sqrt(q.q_norm) * sqrt(c.sqnorm)) AS cos_full,
+         list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(q.q_vec[i] AS DOUBLE) * c.dvec[i]))
+           / (sqrt(q.q_norm) * sqrt(c.dnorm)) AS cos_q
+  FROM q JOIN recon c ON c.vec_id != q.query_id
+  WHERE c.dnorm > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(cos_q - cos_full)) + 1e-9, 6) AS mean_abs_err,
+       round(max(abs(cos_q - cos_full)) + 1e-9, 6) AS max_abs_err
+FROM pairs
+""",
+)
+def q143_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine distortion of int8-quantized vectors (full-precision
+    query side vs int8-reconstructed corpus side) — the measurement
+    that justifies shipping a 4x-smaller hot index at 100 TB: mean and
+    worst-case |cos_int8 - cos_full| over every query-corpus pair.
+    Quantize/dequantize is operators/similarity.py::int8_quantize
+    (trunc spelled floor/ceil so Spark's truncating int cast and
+    DuckDB's rounding CAST cannot diverge); both cosines are the
+    bit-identical sequential fold; only the error aggregates are
+    rounded."""
+    from pyspark.sql import Column
+
+    from ...operators.similarity import dequantized, dot, int8_quantize
+
+    emb = read_table(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
+    quant = int8_quantize(emb)
+    recon = (
+        emb.join(quant, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            squared_norm(F.col("embedding")).alias("sqnorm"),
+            dequantized(F.col("qvec"), F.col("scale")).alias("dvec"),
+        )
+        .withColumn("dnorm", dot(F.col("dvec"), F.col("dvec")))
+    )
+    q = recon.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("sqnorm").alias("q_norm"),
+    )
+    pairs = (
+        recon.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        )
+        .where(F.col("dnorm") > 0)
+        .select(
+            (
+                dot(F.col("q_vec"), F.col("embedding"))
+                / (F.sqrt(F.col("q_norm")) * F.sqrt(F.col("sqnorm")))
+            ).alias("cos_full"),
+            (
+                dot(F.col("q_vec"), F.col("dvec"))
+                / (F.sqrt(F.col("q_norm")) * F.sqrt(F.col("dnorm")))
+            ).alias("cos_q"),
+        )
+    )
+    err = F.abs(F.col("cos_q") - F.col("cos_full"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        fround(F.avg(err), 6).alias("mean_abs_err"),
+        fround(F.max(err), 6).alias("max_abs_err"),
+    )

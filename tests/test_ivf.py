@@ -224,3 +224,41 @@ def test_multitable_recall_dominates_single_table(spark, sf_dir):
     for pair, cos in multi_scores.items():
         if pair in exact_scores:
             assert abs(cos - exact_scores[pair]) < 1e-9
+
+
+def test_int8_quantize_roundtrip_error_bounded(spark, sf_dir):
+    from big_data_bowl_2026_analytics_spark.operators.similarity import (
+        dequantized,
+        int8_quantize,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    quant = int8_quantize(emb)
+    joined = (
+        emb.join(quant, "vec_id")
+        .select("vec_id", "embedding", "scale", "qvec",
+                dequantized(F.col("qvec"), F.col("scale")).alias("dvec"))
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        # truncation error is at most one code step per element
+        for x, d in zip(r.embedding, r.dvec):
+            assert abs(float(x) - d) <= r.scale + 1e-12
+        # the max-magnitude element saturates the code range (127, or
+        # 126 when the IEEE division lands a hair under the integer)
+        assert max(abs(q) for q in r.qvec) >= 126 or r.scale == 0
+
+
+def test_int8_quantize_zero_vector(spark):
+    from big_data_bowl_2026_analytics_spark.operators.similarity import (
+        int8_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: r for r in int8_quantize(df).collect()}
+    assert got[1].scale == 0.0 and got[1].qvec == [0] * 8
+    assert got[2].qvec == [127] * 8
