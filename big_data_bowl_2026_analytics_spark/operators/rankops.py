@@ -1,0 +1,58 @@
+"""Scale-safe global ranking: the bucketed two-level rank.
+
+A global ``row_number() OVER (ORDER BY v)`` funnels the whole frame
+through ONE partition — the exact anti-pattern ml/evaluate.py's AUC
+and q119's Gini carefully avoid. This operator extracts their shared
+machinery: bucket rows by ``floor(log2(v))`` (monotone in v, ≤64
+buckets for any bigint magnitude), rank inside each bucket with a
+partitioned window, then add per-bucket offsets computed by a window
+over the ≤64-row bucket summary — the only unpartitioned stage is
+that bounded summary scan. Output ranks are identical to the global
+window's (same total order), at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketed_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: Sequence[str],
+    out_col: str = "rank",
+) -> DataFrame:
+    """``df`` plus a dense global 1-based row_number by
+    ``(value_col, *tiebreak_cols)`` ascending, computed without a
+    data-sized single-partition window. ``value_col`` must be
+    positive (log2 bucketing); tiebreak columns must make the order
+    total — same contract as every top-k in this repo.
+    """
+    v = F.col(value_col)
+    bucket = F.when(v <= 1, F.lit(0)).otherwise(
+        F.floor(F.log2(v))
+    ).cast("int")
+    b = df.withColumn("_rk_bucket", bucket)
+    w_in = (
+        Window.partitionBy("_rk_bucket")
+        .orderBy(value_col, *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = b.withColumn("_rk_in", F.count(F.lit(1)).over(w_in))
+    sizes = ranked.groupBy("_rk_bucket").agg(
+        F.count(F.lit(1)).alias("_rk_n")
+    )
+    w_b = Window.orderBy("_rk_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.withColumn(
+        "_rk_before", F.coalesce(F.sum("_rk_n").over(w_b), F.lit(0))
+    ).select("_rk_bucket", "_rk_before")
+    return (
+        ranked.join(F.broadcast(offsets), "_rk_bucket")
+        .withColumn(out_col, (F.col("_rk_before") + F.col("_rk_in")).cast("bigint"))
+        .drop("_rk_bucket", "_rk_in", "_rk_before")
+    )

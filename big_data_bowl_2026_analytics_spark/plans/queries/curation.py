@@ -1283,6 +1283,91 @@ def q139_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q144_spend_quintile_mobility",
+    tags=("ranking", "analytics", "two-level-rank"),
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CASE WHEN o_orderdate < DATE '1996-01-01'
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN o_orderdate >= DATE '1996-01-01'
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s2
+  FROM orders
+  GROUP BY o_custkey
+  HAVING s1 > 0 AND s2 > 0
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cust FROM spend
+), ranked AS (
+  SELECT o_custkey,
+         row_number() OVER (ORDER BY s1, o_custkey) AS r1,
+         row_number() OVER (ORDER BY s2, o_custkey) AS r2
+  FROM spend
+)
+SELECT CAST((r1 - 1) * 5 // n_cust AS BIGINT) AS quintile_before,
+       CAST((r2 - 1) * 5 // n_cust AS BIGINT) AS quintile_after,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM ranked CROSS JOIN n
+GROUP BY 1, 2
+""",
+)
+def q144_spend_quintile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-quintile mobility matrix across two periods
+    (pre/post 1996): which revenue quintile each customer lands in
+    before vs after, counted per (from, to) cell — the rank-transition
+    analytics behind churn/upsell dashboards.
+
+    Spark ranks each period with operators/rankops.py::bucketed_rank
+    (the extracted q119/q52 two-level machinery: in-bucket windows +
+    a ≤64-row offset scan — never a customer-cardinality global
+    window); the oracle uses the global window DuckDB can afford.
+    Spend is summed in integer CENTS so the rank order is engine-exact
+    (float sums are order-dependent at the last ulp — ranking by them
+    could flip neighbors across engines); quintile assignment is exact
+    integer arithmetic."""
+    from ...operators.rankops import bucketed_rank
+
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    early = F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(early, cents).otherwise(0)).alias("s1"),
+            F.sum(F.when(~early, cents).otherwise(0)).alias("s2"),
+        )
+        .where((F.col("s1") > 0) & (F.col("s2") > 0))
+        .localCheckpoint(eager=False)
+    )
+    n = spend.agg(F.count(F.lit(1)).alias("n_cust"))
+    r1 = bucketed_rank(spend, "s1", ["o_custkey"], out_col="r1").select(
+        "o_custkey", "r1"
+    )
+    r2 = bucketed_rank(spend, "s2", ["o_custkey"], out_col="r2").select(
+        "o_custkey", "r2"
+    )
+    both = r1.join(r2, "o_custkey").crossJoin(F.broadcast(n))
+
+    def quintile(rank_col: str):
+        a = (F.col(rank_col) - 1) * 5
+        return ((a - F.pmod(a, F.col("n_cust"))) / F.col("n_cust")).cast(
+            "bigint"
+        )
+
+    return (
+        both.select(
+            quintile("r1").alias("quintile_before"),
+            quintile("r2").alias("quintile_after"),
+        )
+        .groupBy("quintile_before", "quintile_after")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
     "q123_triangle_count",
     tags=("graph", "agg"),
     oracle="""

@@ -452,6 +452,18 @@ def test_q132_bloom_probes_are_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q144_mobility_no_customer_sized_funnel(spark):
+    import re
+
+    # both period rankings use the bucketed two-level rank: the only
+    # SinglePartition windows are the <=64-row bucket-offset scans.
+    plan = physical_plan(_q(spark, "q144_spend_quintile_mobility"))
+    sp = plan.count("SinglePartition")
+    windows = re.findall(r"\(\d+\) Window", plan)
+    assert len(windows) >= 2  # two in-bucket ranking windows exist
+    assert sp <= 3  # two bucket-offset scans + the one-row n broadcast
+
+
 def test_q123_triangle_all_equijoins(spark):
     # wedge generation and closure are equi-joins; the only nested-
     # loop joins are the one-row stat-combination broadcasts.

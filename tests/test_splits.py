@@ -43,3 +43,30 @@ def test_split_assignment_partition_independent(spark):
     train = sum(1 for s in one.values() if s == "train") / n
     valid = sum(1 for s in one.values() if s == "valid") / n
     assert abs(train - 0.8) < 0.03 and abs(valid - 0.1) < 0.02
+
+
+def test_bucketed_rank_equals_global_window(spark):
+    # the extracted two-level rank must reproduce the global
+    # row_number total order exactly, including heavy ties.
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_2026_analytics_spark.operators.rankops import (
+        bucketed_rank,
+    )
+
+    rnd = random.Random(5)
+    rows = [(i, rnd.choice([1, 2, 3, 7, 1000, 10**9])) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.rank
+        for r in bucketed_rank(df, "v", ["k"]).collect()
+    }
+    w = Window.orderBy("v", "k")
+    want = {
+        r.k: r.rank
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == want
