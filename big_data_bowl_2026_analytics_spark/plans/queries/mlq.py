@@ -11,6 +11,7 @@ results are rounded with the stable nudge.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves postponed hints here
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -152,3 +153,57 @@ def q52_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts) — the scored input, which contains the Arrow scoring UDF
     stage, is scanned exactly once."""
     return binary_metrics(_scored(spark, sf_dir, native=True))
+
+
+@query(
+    "q145_weighted_median_grouped_agg",
+    tags=("udf", "grouped-agg", "arrow"),
+    oracle="""
+WITH ordered AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         sum(l_quantity) OVER (
+           PARTITION BY l_returnflag ORDER BY l_extendedprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cumw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total
+  FROM lineitem
+)
+SELECT l_returnflag, min(v) AS weighted_median
+FROM ordered WHERE cumw * 2 >= total
+GROUP BY l_returnflag
+""",
+)
+def q145_weighted_median_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag via a
+    GROUPED-AGGREGATE pandas UDF — the one Arrow boundary flavor the
+    taxonomy did not yet exercise (arrow-eval q50, grouped-map q28,
+    map-iter q39/multimodal, stateful streaming): the whole group's
+    (value, weight) arrays arrive as pandas Series, one scalar leaves.
+
+    Engine-exactness: quantities are integer-valued doubles, so every
+    cumulative weight is exact (< 2^53) regardless of summation order,
+    and the smallest value whose cumulative weight reaches half the
+    total is tie-order-independent (any ordering of equal values
+    yields the same boundary value — argued row-group-wise). The
+    output is a raw price passthrough, no rounding needed.
+
+    Scale: Spark runs partial aggregation of the Arrow batches per
+    partition? No — grouped-agg UDFs buffer each GROUP on one
+    executor, so group size must be bounded (here: rows per return
+    flag; for unbounded groups use the SQL window form the oracle
+    demonstrates). That trade-off is the documented reason the engine
+    prefers built-ins; this query exists to prove the boundary works,
+    not to recommend it."""
+    @F.pandas_udf("double")
+    def weighted_median(v: pd.Series, w: pd.Series) -> float:
+        df = pd.DataFrame({"v": v, "w": w}).sort_values("v", kind="mergesort")
+        cum = df["w"].cumsum()
+        total = float(cum.iloc[-1])
+        return float(df["v"][(cum * 2 >= total)].iloc[0])
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+    return li.groupBy("l_returnflag").agg(
+        weighted_median("l_extendedprice", "l_quantity").alias("weighted_median")
+    )
