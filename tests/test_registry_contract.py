@@ -84,3 +84,21 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     for seg, n in exact.items():
         assert rows[seg]["exact_customers"] == n
         assert rows[seg]["approx_within_5pct"] is True
+
+
+def test_driver_order_names_resolve_and_fill_window():
+    # every _DRIVER_ORDER name must exist (a typo silently shrinks the
+    # driver's 50-query certification window), and the window must be
+    # full.
+    from big_data_bowl_2026_analytics_spark.plans.registry import (
+        _DRIVER_ORDER,
+        _REGISTRY,
+    )
+
+    specs = all_queries()  # triggers registration
+    missing = [n for n in _DRIVER_ORDER if n not in specs]
+    assert missing == []
+    assert len(set(_DRIVER_ORDER)) == len(_DRIVER_ORDER)  # no dups
+    assert len(_DRIVER_ORDER) >= 45  # window stays close to full
+    # ordering contract: _DRIVER_ORDER entries lead the iteration
+    assert list(specs)[: len(_DRIVER_ORDER)] == list(_DRIVER_ORDER)
