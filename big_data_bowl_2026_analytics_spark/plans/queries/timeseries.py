@@ -256,3 +256,63 @@ def q138_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_transition"),
         )
     )
+
+
+@query(
+    "q146_rolling_distinct_users",
+    tags=("timeseries", "distinct", "sliding-window"),
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM ud
+), win AS (
+  SELECT u.user_id, d.day AS win_end
+  FROM ud u JOIN days d
+    ON d.day >= u.day AND d.day <= u.day + INTERVAL 6 DAY
+)
+SELECT CAST(w.win_end AS VARCHAR) AS win_end,
+       CAST(dau.n AS BIGINT) AS dau,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS wau7
+FROM win w
+JOIN (SELECT day, count(*) AS n FROM ud GROUP BY day) dau
+  ON dau.day = w.win_end
+GROUP BY w.win_end, dau.n
+""",
+)
+def q146_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (the WAU curve next
+    to DAU) — sliding-window COUNT DISTINCT, the one windowed
+    aggregate ordinary window frames cannot express (distinct does not
+    decompose over frames). The scalable form: reduce to distinct
+    (user, day) FIRST (events → at most users×days rows), explode each
+    into the ≤7 window-ends it contributes to, and count distinct per
+    window-end — a bounded 7× blowup of the reduced frame, never of
+    raw events, with the window set restricted to days that actually
+    occur. The oracle uses the range-join formulation DuckDB can
+    afford; both reduce to identical integer counts. win_end ships as
+    an ISO string — the date-vs-datetime pandas dtype class (CLAUDE.md
+    footgun 8 family, q54) is sidestepped entirely."""
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts"])
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct().localCheckpoint(eager=False)
+    days = ud.select("day").distinct().select(F.col("day").alias("win_end"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_end"),
+    ).join(F.broadcast(days), "win_end", "left_semi")
+    wau = contrib.groupBy("win_end").agg(
+        F.countDistinct("user_id").alias("wau7")
+    )
+    return wau.join(
+        F.broadcast(dau.select(F.col("day").alias("win_end"), "dau")), "win_end"
+    ).select(
+        F.col("win_end").cast("string").alias("win_end"),
+        F.col("dau").cast("bigint").alias("dau"),
+        "wau7",
+    )
