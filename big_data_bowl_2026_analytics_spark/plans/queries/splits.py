@@ -188,6 +188,81 @@ def q134_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q148_join_preserving_pseudonymization",
+    tags=("privacy", "pseudonymization", "audit"),
+    oracle="""
+WITH raw_join AS (
+  SELECT c.c_custkey
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+), pc AS (
+  SELECT md5('pseud|' || CAST(c_custkey AS VARCHAR)) AS pk FROM customer
+), po AS (
+  SELECT md5('pseud|' || CAST(o_custkey AS VARCHAR)) AS pk FROM orders
+), pseudo_join AS (
+  SELECT pc.pk FROM pc JOIN po ON pc.pk = po.pk
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM raw_join) AS joined_rows_raw,
+       (SELECT CAST(count(*) AS BIGINT) FROM pseudo_join)
+         AS joined_rows_pseudo,
+       (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+         AS distinct_keys_raw,
+       (SELECT CAST(count(DISTINCT pk) AS BIGINT) FROM pc)
+         AS distinct_keys_pseudo,
+       (SELECT count(*) FROM raw_join)
+         = (SELECT count(*) FROM pseudo_join) AS join_preserved,
+       (SELECT count(DISTINCT c_custkey) FROM customer)
+         = (SELECT count(DISTINCT pk) FROM pc) AS collision_free
+""",
+)
+def q148_join_preserving_pseudonymization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keyed-hash pseudonymization audit: replace the customer key
+    with ``md5(secret || key)`` in BOTH tables and verify the two
+    properties a privacy-preserving pipeline needs before shipping
+    de-identified data — the join graph is preserved (identical join
+    cardinality through the pseudonym) and the mapping is
+    collision-free on this keyspace. Pseudonyms are deterministic
+    per-row hashes (map-side, no lookup-table state to secure or
+    replicate), which is what makes the scheme work across 100 TB of
+    independently processed partitions. Counts are exact integers;
+    the two booleans re-assert the properties in-row (q44 pattern)."""
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey"])
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey"])
+
+    def pseud(col):
+        return F.md5(F.concat(F.lit("pseud|"), col.cast("string")))
+
+    raw_join = cust.join(
+        orders, cust.c_custkey == orders.o_custkey
+    ).agg(F.count(F.lit(1)).alias("joined_rows_raw"))
+    pc = cust.select(pseud(F.col("c_custkey")).alias("pk"))
+    po = orders.select(pseud(F.col("o_custkey")).alias("pk"))
+    pseudo_join = pc.join(po, "pk").agg(
+        F.count(F.lit(1)).alias("joined_rows_pseudo")
+    )
+    dk = cust.agg(F.countDistinct("c_custkey").alias("distinct_keys_raw"))
+    dp = pc.agg(F.countDistinct("pk").alias("distinct_keys_pseudo"))
+    return (
+        raw_join.crossJoin(F.broadcast(pseudo_join))
+        .crossJoin(F.broadcast(dk))
+        .crossJoin(F.broadcast(dp))
+        .select(
+            "joined_rows_raw",
+            "joined_rows_pseudo",
+            "distinct_keys_raw",
+            "distinct_keys_pseudo",
+            (F.col("joined_rows_raw") == F.col("joined_rows_pseudo")).alias(
+                "join_preserved"
+            ),
+            (F.col("distinct_keys_raw") == F.col("distinct_keys_pseudo")).alias(
+                "collision_free"
+            ),
+        )
+    )
+
+
+@query(
     "q129_chi_square_homogeneity",
     tags=("audit", "drift", "stats"),
     oracle="""
