@@ -263,6 +263,54 @@ def q148_join_preserving_pseudonymization(
 
 
 @query(
+    "q149_laplace_noisy_counts",
+    tags=("privacy", "dp-mechanism"),
+    oracle=f"""
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+), seeded AS (
+  SELECT event_type, n,
+         ({_hash16_sql('dp|', 'event_type')} + 0.5) / 65536.0 AS u
+  FROM counts
+)
+SELECT event_type, n,
+       round(n + (CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+                 * ln(1 - 2 * abs(u - 0.5)) + 1e-9, 6) AS noisy_n
+FROM seeded
+""",
+)
+def q149_laplace_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy counts per event type (sensitivity-1
+    count query, b = 1/epsilon = 1): uniform-to-Laplace via the
+    inverse CDF ``-b * sign(u - 1/2) * ln(1 - 2|u - 1/2|)`` — the
+    map-side, state-free way differential-privacy noise is added
+    across a 100 TB aggregation (each group derives its own noise; no
+    central RNG to coordinate).
+
+    HONESTY NOTE: the uniform here is a keyed hash of the group —
+    deterministic ON PURPOSE so both engines compute the identical
+    mechanism and the driver can hash-verify the plumbing; a
+    production release swaps the hash for a calibrated secure RNG
+    (noise must not be re-derivable). u is (k + 0.5)/65536 with
+    integer k, so u = 1/2 exactly never occurs and the log argument is
+    bounded away from 0; the log is the documented last-ulp class
+    absorbed by fround."""
+    ev = read_table(spark, sf_dir, "events", ["event_type"])
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (_hash16("dp|", F.col("event_type")) + 0.5) / 65536.0
+    noise = (
+        F.when(u >= 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(1 - 2 * F.abs(u - 0.5))
+    )
+    return counts.select(
+        "event_type",
+        "n",
+        fround(F.col("n") + noise, 6).alias("noisy_n"),
+    )
+
+
+@query(
     "q129_chi_square_homogeneity",
     tags=("audit", "drift", "stats"),
     oracle="""
