@@ -448,3 +448,41 @@ class TestContainmentPairs:
         [r] = containment_pairs(docs, threshold=0.9).collect()
         assert (r.doc_a, r.doc_b) == (1, 2)
         assert r.containment_ab == 1.0 and r.containment_ba == 0.1
+
+
+def test_containment_matches_naive_on_random_docs(spark):
+    # random fixture: blocked operator output must equal the naive
+    # all-pairs python computation exactly (integer-ratio semantics).
+    import random
+
+    from big_data_bowl_2026_analytics_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rnd = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        toks = rnd.sample(vocab, rnd.randint(3, 12))
+        rows.append((i, " ".join(toks), rnd.choice(["en", "fr"])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.containment_ab, r.containment_ba)
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    sets = {i: (set(t.split()), lang) for i, t, lang in rows}
+    want = {}
+    for a in range(40):
+        for b in range(a + 1, 40):
+            sa, la = sets[a]
+            sb, lb = sets[b]
+            if la != lb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            cab, cba = inter / len(sa), inter / len(sb)
+            if cab >= 0.5 or cba >= 0.5:
+                want[(a, b)] = (inter, cab, cba)
+    assert got == want
+    assert want  # fixture produces qualifying pairs
