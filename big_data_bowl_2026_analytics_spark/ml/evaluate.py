@@ -143,3 +143,71 @@ def calibration_bins(
             F.round(F.avg("y") + 1e-9, 6).alias("observed_rate"),
         )
     )
+
+
+def binary_metrics_by_group(
+    df: DataFrame,
+    group_col: str,
+    prob_col: str = "probability",
+    label_col: str = "target",
+) -> DataFrame:
+    """Per-slice binary metrics (auc, log_loss, brier, n_pos, n_neg)
+    — the model-monitoring cut that catches a model failing on one
+    segment while the global number looks fine.
+
+    Same single-pass per-(slice, p) fold as :func:`binary_metrics`,
+    but the rank window partitions by the SLICE, so no two-level
+    bucket machinery is needed: each partition holds at most the 10^6
+    distinct rounded probabilities of one slice — the documented
+    bounded-window case, at any corpus scale. Every rank summand is an
+    exact half in float64, so the sum is association-order-exact
+    cross-engine.
+    """
+    eps = 1e-12
+    p = F.round(F.col(prob_col) + 1e-9, 6)
+    y = F.col(label_col).cast("double")
+    by_p = (
+        df.select(F.col(group_col).alias("slice"), p.alias("p"), y.alias("y"))
+        .groupBy("slice", "p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos_p"))
+    )
+    n_neg_p = F.col("n") - F.col("n_pos_p")
+    by_p = by_p.withColumn(
+        "loss_sum",
+        F.col("n_pos_p") * -F.log(F.greatest(F.col("p"), F.lit(eps)))
+        + n_neg_p * -F.log(F.greatest(1 - F.col("p"), F.lit(eps))),
+    ).withColumn(
+        "brier_sum",
+        F.col("n_pos_p") * F.pow(1 - F.col("p"), 2) + n_neg_p * F.pow(F.col("p"), 2),
+    )
+    w = (
+        Window.partitionBy("slice")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = by_p.withColumn(
+        "before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    agg = ranked.groupBy("slice").agg(
+        F.sum(
+            (F.col("before") + (F.col("n") + 1) / 2.0) * F.col("n_pos_p")
+        ).alias("sum_rank_pos"),
+        F.sum("n_pos_p").alias("n_pos"),
+        F.sum(F.col("n") - F.col("n_pos_p")).alias("n_neg"),
+        F.sum("loss_sum").alias("loss_total"),
+        F.sum("brier_sum").alias("brier_total"),
+        F.sum("n").alias("n_rows"),
+    )
+    return agg.select(
+        "slice",
+        F.round(
+            (F.col("sum_rank_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg"))
+            + 1e-9,
+            6,
+        ).alias("auc"),
+        F.round(F.col("loss_total") / F.col("n_rows") + 1e-9, 6).alias("log_loss"),
+        F.round(F.col("brier_total") / F.col("n_rows") + 1e-9, 6).alias("brier"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+    )

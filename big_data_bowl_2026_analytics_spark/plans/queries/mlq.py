@@ -207,3 +207,78 @@ def q145_weighted_median_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFr
     return li.groupBy("l_returnflag").agg(
         weighted_median("l_extendedprice", "l_quantity").alias("weighted_median")
     )
+
+
+@query(
+    "q150_per_slice_metrics",
+    tags=("ml", "evaluation", "monitoring"),
+    oracle=f"""
+WITH scored AS (
+  SELECT l_returnflag AS slice,
+         round({_SIGMOID_SQL} + 1e-9, 6) AS p,
+         CASE WHEN l_quantity > 30 THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+  WHERE l_linenumber = 1
+), by_p AS (
+  SELECT slice, p, count(*) AS n, sum(y) AS n_pos_p
+  FROM scored GROUP BY slice, p
+), ranked AS (
+  SELECT slice, p, n, n_pos_p,
+         n - n_pos_p AS n_neg_p,
+         coalesce(sum(n) OVER (
+           PARTITION BY slice ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before
+  FROM by_p
+), agg AS (
+  SELECT slice,
+         sum((before + (n + 1) / 2.0) * n_pos_p) AS sum_rank_pos,
+         sum(n_pos_p) AS n_pos,
+         sum(n_neg_p) AS n_neg,
+         sum(n_pos_p * -ln(greatest(p, 1e-12))
+             + n_neg_p * -ln(greatest(1 - p, 1e-12))) AS loss_total,
+         sum(n_pos_p * (1 - p) * (1 - p) + n_neg_p * p * p) AS brier_total,
+         sum(n) AS n_rows
+  FROM ranked GROUP BY slice
+)
+SELECT slice,
+       round((sum_rank_pos - n_pos * (n_pos + 1) / 2.0)
+             / (n_pos * n_neg) + 1e-9, 6) AS auc,
+       round(loss_total / n_rows + 1e-9, 6) AS log_loss,
+       round(brier_total / n_rows + 1e-9, 6) AS brier,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg
+FROM agg
+""",
+)
+def q150_per_slice_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice model metrics (AUC / log-loss / Brier by return
+    flag) — the monitoring cut that catches a model degrading on ONE
+    segment while the global q52 numbers stay healthy. The rank window
+    partitions by the slice (bounded by distinct rounded
+    probabilities per slice — no q52-style two-level machinery
+    needed), scoring is the native JVM path, and every rank summand is
+    an exact half so the Mann-Whitney sum is association-order-exact
+    on both engines."""
+    from ...ml.evaluate import binary_metrics_by_group
+    from ...ml.inference import score_column_native
+
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax",
+         "l_returnflag"],
+    )
+    feats = li.where(F.col("l_linenumber") == 1).select(
+        "l_returnflag",
+        (F.col("l_quantity") / 50).alias("f_qty"),
+        (F.col("l_discount") * 10).alias("f_disc"),
+        (F.col("l_tax") * 12.5).alias("f_tax"),
+        F.when(F.col("l_quantity") > 30, 1.0).otherwise(0.0).alias("target"),
+    )
+    scored = feats.withColumn(
+        "probability",
+        score_column_native(
+            DEMO_MODEL, F.col("f_qty"), F.col("f_disc"), F.col("f_tax")
+        ),
+    )
+    return binary_metrics_by_group(scored, "l_returnflag")
