@@ -116,3 +116,28 @@ def test_pagerank_star_center_dominates(spark):
     assert pr[0] > pr[1]
     leaves = [pr[i] for i in range(1, 9)]
     assert max(leaves) - min(leaves) < 1e-12  # symmetry preserved
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    # independent implementation: dense power iteration in numpy must
+    # agree with the distributed operator to float precision.
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(29)
+    n = 25
+    edge_set = {tuple(sorted(rnd.sample(range(n), 2))) for _ in range(70)}
+    edge_set |= {(i, i + 1) for i in range(n - 1)}  # connected
+    A = np.zeros((n, n))
+    for a, b in edge_set:
+        A[a, b] = A[b, a] = 1.0
+    deg = A.sum(axis=1)
+    M = A / deg[:, None]  # row-stochastic: row u spreads pr(u)/deg(u)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(5):
+        pr = 0.15 / n + 0.85 * (M.T @ pr)
+    got = _ranks(spark, edge_set, n_iter=5)
+    assert len(got) == n
+    for v in range(n):
+        assert abs(got[v] - pr[v]) < 1e-12

@@ -70,3 +70,25 @@ def test_bucketed_rank_equals_global_window(spark):
         for r in df.withColumn("rank", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_bucketed_rank_partition_independent(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_2026_analytics_spark.operators.rankops import (
+        bucketed_rank,
+    )
+
+    rnd = random.Random(23)
+    rows = [(i, rnd.randint(1, 10**6)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    one = {
+        r.k: r.rank for r in bucketed_rank(df.coalesce(1), "v", ["k"]).collect()
+    }
+    many = {
+        r.k: r.rank
+        for r in bucketed_rank(df.repartition(13), "v", ["k"]).collect()
+    }
+    assert one == many
