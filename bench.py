@@ -5,7 +5,9 @@
 
 Two measurements, both reported:
 
-- ``queries`` / ``serial_total``: each query alone (min of 2 runs,
+- ``queries`` / ``serial_total``: each query alone (min of 3 runs —
+  tunable via SPARK_GRAFT_BENCH_REPS; the shared box shows multi-second
+  external load spikes, and min-of-N is the standard defense,
   executed to completion executor-side via a noop sink) — the
   per-query engine cost, comparable 1:1 with a per-query DuckDB
   timing.
@@ -241,11 +243,12 @@ def main() -> None:
     # timed region: some builders do real work eagerly (e.g. the LSH
     # self-join materializes its signature pipeline), and excluding
     # that would under-count the query.
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(n_reps):
                 t0 = time.perf_counter()
                 df = bench_builder(name)(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -281,10 +284,10 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 errors.setdefault(name, f"{type(exc).__name__}: {exc}")
 
-        # min of 2, like the serial phase: one makespan measurement is
-        # exposed to scheduler jitter across 8 threads.
+        # min of n_reps, like the serial phase: one makespan
+        # measurement is exposed to scheduler jitter across 8 threads.
         concurrent_wall = float("inf")
-        for _ in range(2):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             with ThreadPoolExecutor(max_workers=n_threads) as pool:
                 list(pool.map(_run_one, names))
