@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     relational,
     scalarlib,
     similarity,
+    sketches,
     splits,
     temporal,
     text,

@@ -369,3 +369,167 @@ def q129_chi_square_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+@query(
+    "q152_k_anonymity_audit",
+    tags=("privacy", "audit", "llm-pipeline"),
+    oracle="""
+WITH grouped AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS group_n,
+         CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS l_distinct
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+), total AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM customer
+)
+SELECT c_nationkey, c_mktsegment, group_n,
+       group_n >= 8 AS k_anonymous,
+       l_distinct,
+       l_distinct >= 2 AS l_diverse,
+       round(1.0 / group_n + 1e-9, 6) AS reident_risk,
+       round(CAST(group_n AS DOUBLE) / n_total + 1e-9, 6) AS group_share
+FROM grouped, total
+""",
+)
+def q152_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the quasi-identifier pair
+    (nation, market segment) with "account in debt" as the sensitive
+    attribute — the release-readiness check a privacy review runs
+    before handing a slice of user-adjacent data to a training
+    pipeline (Sweeney 2002; Machanavajjhala 2007).
+
+    A QI group smaller than k re-identifies its members by linkage
+    (risk = 1/group_n); a group whose sensitive attribute takes one
+    value leaks it to ALL members even when k-anonymous — both
+    booleans come out of one grouped scan.
+
+    Scale: one shuffle on the QI columns with partial aggregation;
+    the total is a one-row broadcast. Group count is bounded by the
+    QI domain, not the row count.
+    """
+    cust = read_table(
+        spark, sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    grouped = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.countDistinct(
+            F.when(F.col("c_acctbal") < 0, 1).otherwise(0)
+        ).alias("l_distinct"),
+    )
+    total = cust.agg(F.count(F.lit(1)).alias("n_total"))
+    return grouped.crossJoin(F.broadcast(total)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_n",
+        (F.col("group_n") >= 8).alias("k_anonymous"),
+        "l_distinct",
+        (F.col("l_distinct") >= 2).alias("l_diverse"),
+        fround(F.lit(1.0) / F.col("group_n"), 6).alias("reident_risk"),
+        fround(
+            F.col("group_n").cast("double") / F.col("n_total"), 6
+        ).alias("group_share"),
+    )
+
+
+#: Per-stratum inclusion thresholds in 1/65536 units (exact dyadic
+#: rationals, so membership is an integer comparison on both engines).
+_HT_THRESHOLDS = {"A": 6554, "N": 3277, "R": 13107}
+
+
+@query(
+    "q153_horvitz_thompson_audit",
+    tags=("sampling", "estimator", "audit"),
+    oracle=f"""
+WITH marked AS (
+  SELECT l_returnflag, l_extendedprice,
+         CASE l_returnflag
+           {' '.join(f"WHEN '{s}' THEN {t}" for s, t in sorted(_HT_THRESHOLDS.items()))}
+         END AS thresh,
+         {_hash16_sql('ht|', "l_orderkey || '|' || l_linenumber || '|' || l_partkey || '|' || l_suppkey")} AS h
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag,
+         any_value(thresh) AS thresh,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(*) FILTER (WHERE h < thresh) AS BIGINT) AS n_sampled,
+         round(sum(l_extendedprice) + 1e-9, 2) AS true_total,
+         round(sum(l_extendedprice) FILTER (WHERE h < thresh)
+               * 65536.0 / any_value(thresh) + 1e-9, 2) AS ht_estimate
+  FROM marked GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_total, n_sampled, true_total, ht_estimate,
+       round((ht_estimate - true_total) / true_total + 1e-9, 6) AS rel_err
+FROM agg
+""",
+)
+def q153_horvitz_thompson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Poisson sampling with a Horvitz-Thompson total
+    estimator, audited against the true stratum totals — the
+    reproducible "estimate corpus statistics from a 5-20% hash sample"
+    step that makes iterating on 100 TB affordable.
+
+    Inclusion is an exact integer comparison on a content-stable
+    16-bit hash (same row -> same decision on re-ingestion); the HT
+    estimate factors the constant stratum weight OUT of the float sum
+    (sum first, divide once), so the only cross-engine float step is
+    the proven round-of-sum pattern, and rel_err derives from the
+    ALREADY-rounded columns (engine-identical inputs).
+
+    Scale: pure map-side marking + one partial-aggregated shuffle on
+    the stratum key; no row survives past the aggregate.
+    """
+    thresh = F.create_map(
+        *[F.lit(x) for kv in sorted(_HT_THRESHOLDS.items()) for x in kv]
+    )[F.col("l_returnflag")]
+    li = read_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_extendedprice",
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+        ],
+    )
+    marked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        thresh.alias("thresh"),
+        _hash16(
+            "ht|",
+            F.concat_ws(
+                "|", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+            ),
+        ).alias("h"),
+    )
+    sampled = F.col("h") < F.col("thresh")
+    agg = marked.groupBy("l_returnflag").agg(
+        F.any_value("thresh").alias("thresh"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(sampled).alias("n_sampled"),
+        fround(F.sum("l_extendedprice"), 2).alias("true_total"),
+        fround(
+            F.sum(F.when(sampled, F.col("l_extendedprice")))
+            * 65536.0
+            / F.any_value("thresh"),
+            2,
+        ).alias("ht_estimate"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_total",
+        "n_sampled",
+        "true_total",
+        "ht_estimate",
+        fround(
+            (F.col("ht_estimate") - F.col("true_total"))
+            / F.col("true_total"),
+            6,
+        ).alias("rel_err"),
+    )
