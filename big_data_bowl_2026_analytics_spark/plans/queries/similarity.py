@@ -629,3 +629,229 @@ def q143_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.avg(err), 6).alias("mean_abs_err"),
         fround(F.max(err), 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "q156_reciprocal_rank_fusion",
+    tags=("similarity", "fusion", "retrieval"),
+    oracle=f"""
+WITH {_NORMED_CTE.strip()},
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, sqnorm AS q_norm
+  FROM normed WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_DOT} / (sqrt(q.q_norm) * sqrt(c.sqnorm)) + 1e-9, 6) AS cosine,
+         round(q.q_norm + c.sqnorm - 2 * {_DOT} + 1e-9, 6) AS l2sq
+  FROM q CROSS JOIN normed c
+  WHERE c.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine, l2sq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS r_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY l2sq, neighbor_id) AS r_l2
+  FROM scored
+), fused AS (
+  SELECT query_id, neighbor_id, r_cos, r_l2,
+         round(1.0 / (60 + r_cos) + 1.0 / (60 + r_l2) + 1e-9, 6) AS rrf_score
+  FROM ranked
+), top AS (
+  SELECT query_id, neighbor_id, r_cos, r_l2, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, neighbor_id) AS rank
+  FROM fused
+)
+SELECT query_id, neighbor_id, rank, r_cos, r_l2, rrf_score
+FROM top WHERE rank <= 5
+""",
+)
+def q156_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrievers
+    over the same corpus — cosine similarity and euclidean distance
+    rank candidates differently when vector norms vary, and
+    RRF = sum 1/(60 + rank_i) merges the lists without score
+    calibration. The standard way a retrieval pipeline combines dense,
+    sparse, and metadata rankers.
+
+    Engine-exactness: both ranks order by ROUNDED scores with an id
+    tie-break (the q40 pattern), and the fused score is arithmetic on
+    small integers (two IEEE divisions in fixed order) — identical
+    bits before the defensive round.
+
+    Scale: queries broadcast against the corpus; each ranker is a
+    per-query window (local top lists), the fusion is column math on
+    ranks — no extra scan, no corpus-sized shuffle beyond the scoring
+    pass the retrievers already pay.
+    """
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", squared_norm(F.col("embedding")).alias("sqnorm")
+    )
+    q = normed.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("sqnorm").alias("q_norm"),
+    )
+    d = F.zip_with(
+        F.col("q_vec"),
+        F.col("embedding"),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    dot_col = F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(normed)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            fround(
+                dot_col / (F.sqrt("q_norm") * F.sqrt("sqnorm")), 6
+            ).alias("cosine"),
+            fround(
+                F.col("q_norm") + F.col("sqnorm") - 2 * dot_col, 6
+            ).alias("l2sq"),
+        )
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cosine"), "neighbor_id"
+            )
+        )
+        .alias("r_cos"),
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy("l2sq", "neighbor_id")
+        )
+        .alias("r_l2"),
+    )
+    fused = ranked.select(
+        "query_id",
+        "neighbor_id",
+        "r_cos",
+        "r_l2",
+        fround(
+            F.lit(1.0) / (F.lit(60) + F.col("r_cos"))
+            + F.lit(1.0) / (F.lit(60) + F.col("r_l2")),
+            6,
+        ).alias("rrf_score"),
+    )
+    top = fused.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("rrf_score"), "neighbor_id"
+            )
+        ),
+    )
+    return top.where(F.col("rank") <= 5).select(
+        "query_id", "neighbor_id", "rank", "r_cos", "r_l2", "rrf_score"
+    )
+
+
+@query(
+    "q157_diversity_capped_topk",
+    tags=("similarity", "retrieval", "diversity"),
+    oracle=f"""
+WITH {_NORMED_CTE.strip()},
+sums AS (
+  SELECT vec_id, embedding, sqnorm, {_sums_cols_sql()} FROM normed
+), bucketed AS (
+  SELECT vec_id, embedding, sqnorm,
+         CAST({_bucket_sql()} AS BIGINT) AS bucket
+  FROM sums
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, sqnorm AS q_norm
+  FROM normed WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.bucket,
+         round({_DOT} / (sqrt(q.q_norm) * sqrt(c.sqnorm)) + 1e-9, 6) AS cosine
+  FROM q CROSS JOIN bucketed c
+  WHERE c.vec_id != q.query_id
+), in_bucket AS (
+  SELECT query_id, neighbor_id, bucket, cosine,
+         row_number() OVER (PARTITION BY query_id, bucket
+                            ORDER BY cosine DESC, neighbor_id) AS bucket_rank
+  FROM scored
+), capped AS (
+  SELECT query_id, neighbor_id, bucket, bucket_rank, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM in_bucket WHERE bucket_rank <= 2
+)
+SELECT query_id, neighbor_id, bucket, bucket_rank, rank, cosine
+FROM capped WHERE rank <= 5
+""",
+)
+def q157_diversity_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped retrieval: exact cosine top-5 subject to "at
+    most 2 results per LSH bucket" — the cheap, deterministic stand-in
+    for MMR-style re-ranking (greedy MMR is sequential; a per-cluster
+    cap is two stacked windows and gives the same "don't return five
+    copies of the same neighborhood" effect at any scale).
+
+    Scale: the cap prunes WITHIN each (query, bucket) partition before
+    the global per-query rank, so the second window sees at most
+    2 x n_buckets rows per query. Composes with the ANN index (q42):
+    at 100 TB the scored set comes from bucket probes, not the cross
+    join the toy corpus affords.
+    """
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bucketed = with_lsh_bucket(emb, "embedding", 8, _DIM).select(
+        "vec_id",
+        "embedding",
+        squared_norm(F.col("embedding")).alias("sqnorm"),
+        "bucket",
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        squared_norm(F.col("embedding")).alias("q_norm"),
+    )
+    d = F.zip_with(
+        F.col("q_vec"),
+        F.col("embedding"),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    dot_col = F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(bucketed)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            fround(
+                dot_col / (F.sqrt("q_norm") * F.sqrt("sqnorm")), 6
+            ).alias("cosine"),
+        )
+    )
+    in_bucket = scored.withColumn(
+        "bucket_rank",
+        F.row_number().over(
+            Window.partitionBy("query_id", "bucket").orderBy(
+                F.desc("cosine"), "neighbor_id"
+            )
+        ),
+    )
+    capped = in_bucket.where(F.col("bucket_rank") <= 2).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cosine"), "neighbor_id"
+            )
+        ),
+    )
+    return capped.where(F.col("rank") <= 5).select(
+        "query_id", "neighbor_id", "bucket", "bucket_rank", "rank", "cosine"
+    )

@@ -877,3 +877,136 @@ def q114_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 10 == 0
     )
     return prefix_filter_jaccard_pairs(docs, threshold=0.8)
+
+
+@query(
+    "q154_decontamination_span_removal",
+    tags=("text", "contamination", "llm-pipeline"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, u.s AS s, u.sh AS sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+             i -> struct_pack(s := i,
+                              sh := w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+             AS u
+    FROM toks)
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0
+), hits AS (
+  SELECT DISTINCT h.doc_id, h.s AS st, h.s + 2 AS en
+  FROM sh h JOIN bench b USING (sh)
+  WHERE h.doc_id % 100 != 0
+), marked AS (
+  SELECT doc_id, st, en,
+         CASE WHEN max(en) OVER prev IS NULL OR st > max(en) OVER prev
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+  WINDOW prev AS (PARTITION BY doc_id ORDER BY st
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), islanded AS (
+  SELECT doc_id, st, en,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY st
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+), merged AS (
+  SELECT doc_id, island, min(st) AS s, max(en) AS e
+  FROM islanded GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+  FROM merged GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.n_removed, 0) AS n_tokens_removed,
+       CAST(len(t.w) AS BIGINT) - coalesce(p.n_removed, 0) AS clean_tokens,
+       round(coalesce(p.n_removed, 0) * 1.0 / len(t.w) + 1e-9, 6)
+         AS pct_removed
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+WHERE t.doc_id % 100 != 0
+""",
+)
+def q154_decontamination_span_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-level benchmark decontamination: q69 asks "how contaminated
+    is this doc"; this computes what an actual scrub REMOVES — every
+    token position covered by a benchmark 3-gram, with overlapping
+    hit spans merged (gaps-and-islands) so adjacent matches count each
+    token once. Per doc: span count, tokens removed, clean length.
+
+    Scale: the benchmark shingle set is tiny (eval suites vs a
+    training corpus) and broadcast, so the corpus-side cost is the
+    token-position explode plus ONE window pass per doc (spans per doc
+    are few — the window partitions by doc_id, never global). The
+    merged-interval algebra is integer-exact on both engines.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).where(F.size("w") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2), i -> struct("
+                "i AS s, concat(element_at(w, i), ' ', element_at(w, i + 1),"
+                " ' ', element_at(w, i + 2)) AS sh))"
+            )
+        ).alias("u"),
+    ).select("doc_id", F.col("u.s").alias("s"), F.col("u.sh").alias("sh"))
+    bench = sh.where(F.col("doc_id") % 100 == 0).select("sh").distinct()
+    hits = (
+        sh.where(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(bench), "sh")
+        .select("doc_id", F.col("s").alias("st"), (F.col("s") + 2).alias("en"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("st")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("st")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = hits.withColumn(
+        "ni",
+        F.when(
+            F.max("en").over(prev).isNull()
+            | (F.col("st") > F.max("en").over(prev)),
+            1,
+        ).otherwise(0),
+    )
+    islanded = marked.withColumn("island", F.sum("ni").over(run))
+    merged = islanded.groupBy("doc_id", "island").agg(
+        F.min("st").alias("s"), F.max("en").alias("e")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
+    )
+    return (
+        toks.where(F.col("doc_id") % 100 != 0)
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_tokens_removed"),
+            (
+                F.size("w").cast("bigint") - F.coalesce("n_removed", F.lit(0))
+            ).alias("clean_tokens"),
+            fround(
+                F.coalesce("n_removed", F.lit(0)) * 1.0 / F.size("w"), 6
+            ).alias("pct_removed"),
+        )
+    )

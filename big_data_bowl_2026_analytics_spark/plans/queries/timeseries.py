@@ -370,3 +370,142 @@ def q147_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (rel_err <= 0.05).alias("merged_within_5pct"),
     )
+
+
+@query(
+    "q155_m4_downsampling",
+    tags=("timeseries", "downsampling"),
+    oracle="""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value
+  FROM events
+), rn AS (
+  SELECT event_type, bucket, value,
+         row_number() OVER wa AS rn_a,
+         row_number() OVER wd AS rn_d
+  FROM b
+  WINDOW wa AS (PARTITION BY event_type, bucket ORDER BY ts, event_id),
+         wd AS (PARTITION BY event_type, bucket ORDER BY ts DESC, event_id DESC)
+)
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_v,
+       max(value) AS max_v,
+       max(CASE WHEN rn_a = 1 THEN value END) AS first_v,
+       max(CASE WHEN rn_d = 1 THEN value END) AS last_v
+FROM rn
+GROUP BY event_type, bucket
+""",
+)
+def q155_m4_downsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    series and time bucket keep exactly min / max / first / last —
+    the four points that make a pixel-perfect line rendering of
+    billions of points from a bounded result.
+
+    All four outputs are PASS-THROUGH doubles (no derived float math,
+    so no rounding needed — identical bits on both engines); first /
+    last are selected by a total order (ts, event_id) so ties can't
+    flip between engines.
+
+    Scale: one shuffle on (series, bucket) for the windows, reused by
+    the groupBy (same partitioning key) — the canonical pre-aggregation
+    a 100 TB dashboard pipeline materializes per zoom level.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["event_type", "ts", "event_id", "value"]
+    )
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    rn = b.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return rn.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("first_v"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("last_v"),
+    )
+
+
+@query(
+    "q159_out_of_order_audit",
+    tags=("timeseries", "streaming", "audit"),
+    oracle="""
+WITH arr AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS high_water
+  FROM events
+), late AS (
+  SELECT event_type, high_water - ts_us AS late_us FROM arr
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE late_us > 0) AS BIGINT) AS n_late,
+       round(count(*) FILTER (WHERE late_us > 0) * 1.0 / count(*) + 1e-9, 6)
+         AS pct_late,
+       CAST(max(late_us) AS BIGINT) AS max_late_us,
+       round(CAST(sum(late_us) AS BIGINT) * 1.0 / count(*) + 1e-9, 2)
+         AS avg_late_us
+FROM late
+GROUP BY event_type
+""",
+)
+def q159_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit: how far behind the per-source
+    high-watermark do events arrive? ``late_us`` is the gap between an
+    event's timestamp and the running max timestamp in ARRIVAL order
+    (event_id = ingest sequence) — exactly the statistic that sizes a
+    Structured Streaming ``withWatermark`` delay (streaming/events.py):
+    a watermark below ``max_late_us`` silently drops rows.
+
+    Scale: the running max partitions by source (per-source watermark,
+    the production shape) — no global ordering, no single-partition
+    window. Lateness is integer microseconds end-to-end; the two
+    derived ratios round integer-exact divisions.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["event_type", "event_id", "ts"])
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.max(F.unix_micros("ts")).over(w).alias("high_water"),
+    )
+    late = arr.select(
+        "event_type", (F.col("high_water") - F.col("ts_us")).alias("late_us")
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("late_us") > 0).alias("n_late"),
+        fround(
+            F.count_if(F.col("late_us") > 0) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("pct_late"),
+        F.max("late_us").alias("max_late_us"),
+        fround(F.sum("late_us") * 1.0 / F.count(F.lit(1)), 2).alias(
+            "avg_late_us"
+        ),
+    )
