@@ -515,3 +515,92 @@ def q141_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 5)
     )
+
+
+@query(
+    "q158_bigram_perplexity",
+    tags=("text", "llm-pipeline", "quality"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), words AS (
+  SELECT doc_id, unnest(w) AS tok FROM toks
+), vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM words
+), pairs AS (
+  SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+  FROM toks WHERE len(w) >= 2
+), dp AS (
+  SELECT doc_id, p[1] AS a, p[2] AS b, count(*) AS c
+  FROM pairs GROUP BY 1, 2, 3
+), corpus AS (
+  SELECT a, b, CAST(sum(c) AS BIGINT) AS cab FROM dp GROUP BY a, b
+), ctx AS (
+  SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM corpus GROUP BY a
+), scored AS (
+  SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+         sum(d.c * ln((k.cab + 0.5) / (x.ca + 0.5 * v.v))) AS s
+  FROM dp d JOIN corpus k USING (a, b) JOIN ctx x USING (a), vocab v
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(-s / n_bigrams + 1e-9, 6) AS avg_neg_logprob
+FROM scored
+""",
+)
+def q158_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus' own add-k-smoothed
+    bigram model (k = 0.5) — the step up from q101's unigram surprise:
+    word-ORDER anomalies (shuffled text, keyword stuffing, boilerplate
+    splices) score high here while passing a unigram filter.
+
+    p(b|a) = (c(a,b) + k) / (c(a) + k·V); the per-doc score is the
+    mean negative log over the doc's bigram INSTANCES (weighted by
+    the doc's own pair counts, so the exploded pair stream reduces to
+    integer counts before any float math — the q101 discipline).
+
+    Scale: the pair stream is generated map-side (shifted-slice zip,
+    zero joins — the q107 pattern); everything after is counts frames
+    partitioned on the pair/context key; the vocabulary size is a
+    one-row broadcast. Log-sum association order is absorbed by the
+    6-decimal round (proven by q101).
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    words = toks.select("doc_id", F.explode("w").alias("tok"))
+    vocab = words.agg(F.countDistinct("tok").alias("v"))
+    pairs = toks.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                F.slice(F.col("w"), 2, F.size("w") - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p"),
+    )
+    dp = pairs.groupBy(
+        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    corpus = dp.groupBy("a", "b").agg(F.sum("c").alias("cab"))
+    ctx = corpus.groupBy("a").agg(F.sum("cab").alias("ca"))
+    scored = (
+        dp.join(corpus, ["a", "b"])
+        .join(ctx, "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(
+                F.col("c")
+                * F.log(
+                    (F.col("cab") + 0.5) / (F.col("ca") + 0.5 * F.col("v"))
+                )
+            ).alias("s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        fround(-F.col("s") / F.col("n_bigrams"), 6).alias("avg_neg_logprob"),
+    )

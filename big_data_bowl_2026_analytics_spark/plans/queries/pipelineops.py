@@ -657,3 +657,115 @@ def q115_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(F.col("l_shipdate").isNull()).alias("null_shipdate"),
         flag(F.col("o_orderkey").isNull()).alias("orphan_lineitems"),
     )
+
+
+@query(
+    "q160_mutual_information_screen",
+    tags=("pipeline", "ml-features", "audit"),
+    oracle="""
+WITH stats AS (
+  SELECT min(value) AS mn, max(value) AS mx FROM events
+), binned AS (
+  SELECT event_type,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(least(3, floor((value - mn) / ((mx - mn) / 4.0)))
+                   AS BIGINT) END AS vbin,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hbin
+  FROM events, stats
+), cells AS (
+  SELECT 'value_bin4' AS feature, event_type, vbin AS bin,
+         CAST(count(*) AS BIGINT) AS nxy
+  FROM binned GROUP BY event_type, vbin
+  UNION ALL
+  SELECT 'hour_of_day' AS feature, event_type, hbin AS bin,
+         CAST(count(*) AS BIGINT) AS nxy
+  FROM binned GROUP BY event_type, hbin
+), margx AS (
+  SELECT feature, event_type, CAST(sum(nxy) AS BIGINT) AS nx
+  FROM cells GROUP BY feature, event_type
+), margy AS (
+  SELECT feature, bin, CAST(sum(nxy) AS BIGINT) AS ny
+  FROM cells GROUP BY feature, bin
+), tot AS (
+  SELECT feature, CAST(sum(nxy) AS BIGINT) AS n FROM cells GROUP BY feature
+)
+SELECT c.feature,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum(c.nxy * ln((CAST(t.n AS DOUBLE) * c.nxy)
+                            / (CAST(x.nx AS DOUBLE) * y.ny)))
+             / any_value(t.n) + 1e-9, 6) AS mi_nats
+FROM cells c
+JOIN margx x ON c.feature = x.feature AND c.event_type = x.event_type
+JOIN margy y ON c.feature = y.feature AND c.bin = y.bin
+JOIN tot t ON c.feature = t.feature
+GROUP BY c.feature
+""",
+)
+def q160_mutual_information_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual-information feature screen: I(event_type; feature) in
+    nats for two candidate features (equal-width value bin,
+    hour-of-day) — the model-free relevance ranking a feature pipeline
+    runs before training anything (chi-square q129 tests independence;
+    MI RANKS the dependence).
+
+    Engine-exactness: bins come from IEEE-identical float arithmetic
+    against a broadcast global min/max (floor of identical doubles);
+    every MI term is integer counts cast to double in a fixed
+    association order, with the log-sum order absorbed by the
+    6-decimal round (q101 discipline).
+
+    Scale: one corpus scan to the two contingency-cell frames (cell
+    counts bounded by the bin-domain product, not rows); marginals and
+    totals derive from the tiny cell frames. The degenerate
+    max == min range collapses to one bin instead of dividing by zero.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_type", "ts", "value"])
+    stats = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(3),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / 4.0)
+                ),
+            )
+        )
+        .cast("bigint")
+        .alias("vbin"),
+        F.hour("ts").cast("bigint").alias("hbin"),
+    ).localCheckpoint(eager=False)
+    cells = (
+        binned.groupBy("event_type", F.col("vbin").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .withColumn("feature", F.lit("value_bin4"))
+        .unionByName(
+            binned.groupBy("event_type", F.col("hbin").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("nxy"))
+            .withColumn("feature", F.lit("hour_of_day"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    margx = cells.groupBy("feature", "event_type").agg(
+        F.sum("nxy").alias("nx")
+    )
+    margy = cells.groupBy("feature", "bin").agg(F.sum("nxy").alias("ny"))
+    tot = cells.groupBy("feature").agg(F.sum("nxy").alias("n"))
+    term = F.col("nxy") * F.log(
+        (F.col("n").cast("double") * F.col("nxy"))
+        / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    return (
+        cells.join(F.broadcast(margx), ["feature", "event_type"])
+        .join(F.broadcast(margy), ["feature", "bin"])
+        .join(F.broadcast(tot), "feature")
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            fround(F.sum(term) / F.any_value("n"), 6).alias("mi_nats"),
+        )
+    )
