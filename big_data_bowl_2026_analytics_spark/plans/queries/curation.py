@@ -1141,20 +1141,34 @@ def q137_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
     from ...operators.dedup import tokens
 
-    tok = docs.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
-    ).localCheckpoint(eager=False)
+    # Hash-partition the token stream ONCE: the df groupBy, the w
+    # join, and both self-join sides all key on tok, so they reuse
+    # this exchange instead of paying four.
+    tok = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .repartition("tok")
+        .localCheckpoint(eager=False)
+    )
     df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
     n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
     w = df_counts.crossJoin(F.broadcast(n)).select(
         "tok",
         F.log(F.col("n_docs").cast("double") / F.col("dft")).alias("wt"),
     )
-    doc_w = (
-        tok.join(w, "tok").groupBy("doc_id").agg(F.sum("wt").alias("w_total"))
-    )
-    a = tok.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("block_a"), "tok"
+    # Bind the weight to the token stream BEFORE the pair self-join:
+    # the weight join then runs on the |stream|-sized frame instead of
+    # the exploded |pairs|-sized one, and the same frame feeds both
+    # the per-doc totals and the intersection sums (checkpointed —
+    # two downstream branches).
+    tok_w = tok.join(w, "tok").localCheckpoint(eager=False)
+    doc_w = tok_w.groupBy("doc_id").agg(F.sum("wt").alias("w_total"))
+    a = tok_w.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("block_a"),
+        "tok",
+        "wt",
     )
     b = tok.select(
         F.col("doc_id").alias("doc_b"), F.col("lang").alias("block_b"), "tok"
@@ -1165,7 +1179,6 @@ def q137_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("block_a") == F.col("block_b"))
         )
-        .join(w, "tok")
         .groupBy("doc_a", "doc_b")
         .agg(F.sum("wt").alias("w_inter"))
     )
