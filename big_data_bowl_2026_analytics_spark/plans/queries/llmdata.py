@@ -604,3 +604,93 @@ def q158_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         fround(-F.col("s") / F.col("n_bigrams"), 6).alias("avg_neg_logprob"),
     )
+
+
+@query(
+    "q163_zipf_law_audit",
+    tags=("text", "llm-pipeline", "audit"),
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY tok
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax_count
+  FROM vocab
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM vocab
+), top AS (
+  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM ranked WHERE r <= 100
+), ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM top
+)
+SELECT n_vocab, n_tokens, hapax_count,
+       round(hapax_count * 1.0 / n_vocab + 1e-9, 6) AS hapax_ratio,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6) + 0
+         AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             + 1e-9, 6) + 0 AS zipf_intercept
+FROM stats, ols
+""",
+)
+def q163_zipf_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law conformance audit of the corpus frequency spectrum:
+    hapax-legomenon ratio plus the log-log OLS slope over the top-100
+    ranks (natural text sits near slope -1; synthetic, boilerplate, or
+    template-heavy corpora bend away from it — a cheap corpus-level
+    health check before training).
+
+    Scale: the spectrum comes from one token shuffle; the OLS runs on
+    a TakeOrdered top-100 (bounded frame, so its unpartitioned rank
+    window is a bounded funnel, never corpus-sized). Slope /
+    intercept use the q110 closed form including its sign-of-zero
+    ``+ 0`` normalization.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["text"])
+    words = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        words.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    stats = vocab.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("c").alias("n_tokens"),
+        F.count_if(F.col("c") == 1).alias("hapax_count"),
+    )
+    top100 = vocab.orderBy(F.desc("c"), "tok").limit(100)
+    ranked = top100.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    )
+    xy = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    ols = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return stats.crossJoin(F.broadcast(ols)).select(
+        "n_vocab",
+        "n_tokens",
+        "hapax_count",
+        fround(F.col("hapax_count") * 1.0 / F.col("n_vocab"), 6).alias(
+            "hapax_ratio"
+        ),
+        (fround(slope, 6) + F.lit(0)).alias("zipf_slope"),
+        (fround(intercept, 6) + F.lit(0)).alias("zipf_intercept"),
+    )

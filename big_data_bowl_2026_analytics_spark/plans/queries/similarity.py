@@ -855,3 +855,88 @@ def q157_diversity_capped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.where(F.col("rank") <= 5).select(
         "query_id", "neighbor_id", "bucket", "bucket_rank", "rank", "cosine"
     )
+
+
+@query(
+    "q161_label_centroid_separation",
+    tags=("similarity", "clustering", "audit"),
+    oracle="""
+WITH comp AS (
+  SELECT label, d.i AS i,
+         round(avg(CAST(embedding[d.i] AS DOUBLE)) + 1e-9, 6) AS c
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+  GROUP BY label, d.i
+), sizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.c * b.c) AS dot,
+         sum(a.c * a.c) AS na,
+         sum(b.c * b.c) AS nb
+  FROM comp a JOIN comp b ON a.i = b.i AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b, sa.n AS n_a, sb.n AS n_b,
+       round(dot / (sqrt(na) * sqrt(nb)) + 1e-9, 6) AS centroid_cosine
+FROM pairs
+JOIN sizes sa ON sa.label = label_a
+JOIN sizes sb ON sb.label = label_b
+""",
+)
+def q161_label_centroid_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    cluster-separation audit run after any labeling / clustering pass
+    (centroids near cosine 1 mean the labels don't separate in
+    embedding space and a classifier trained on them will struggle).
+
+    Engine-exactness: centroid components are ROUNDED to 6 decimals
+    first (absorbing the label-group float-sum association order), so
+    the pairwise dot products consume engine-identical inputs; the
+    final cosine gets the defensive round.
+
+    Scale: one explode to (label, dim) cells — the centroid frame is
+    |labels| x 64 rows no matter the corpus size — and the pairwise
+    join runs on centroids, never on vectors.
+    """
+    emb = read_table(spark, sf_dir, "embeddings", ["label", "embedding"])
+    comp = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("i"))
+        .agg(fround(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    a = comp.select(
+        F.col("label").alias("label_a"), "i", F.col("c").alias("ca")
+    )
+    b = comp.select(
+        F.col("label").alias("label_b"), "i", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "i")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb"),
+        )
+    )
+    sa = sizes.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "label_a")
+        .join(F.broadcast(sb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            fround(
+                F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6
+            ).alias("centroid_cosine"),
+        )
+    )

@@ -509,3 +509,56 @@ def q159_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_late_us"
         ),
     )
+
+
+@query(
+    "q162_event_dedup_audit",
+    tags=("timeseries", "streaming", "dedup", "audit"),
+    oracle="""
+WITH keyed AS (
+  SELECT event_type, user_id, value, date_trunc('hour', ts) AS bucket,
+         count(*) AS n
+  FROM events
+  GROUP BY event_type, user_id, value, date_trunc('hour', ts)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(count(*) FILTER (WHERE n > 1) AS BIGINT) AS n_dup_keys,
+       CAST(sum(n - 1) AS BIGINT) AS n_redundant_rows,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       round(sum(n - 1) * 1.0 / sum(n) + 1e-9, 6) AS redundancy_ratio
+FROM keyed
+GROUP BY event_type
+""",
+)
+def q162_event_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotency audit for an event stream: how many rows are exact
+    replays of (type, user, value) within the same hour — the batch
+    measurement that sizes Structured Streaming's
+    ``dropDuplicatesWithinWatermark`` state (each redundant row is one
+    the streaming dedup would suppress; the hour bucket is the state
+    retention the watermark would need).
+
+    Scale: one partial-aggregated shuffle on the dedup key (the same
+    key the streaming operator keeps in its state store), then a
+    per-type reduction of the already-collapsed key frame. All
+    outputs are integer counts plus one integer-exact ratio.
+    """
+    ev = read_table(
+        spark, sf_dir, "events", ["event_type", "user_id", "value", "ts"]
+    )
+    keyed = ev.groupBy(
+        "event_type",
+        "user_id",
+        "value",
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return keyed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.count_if(F.col("n") > 1).alias("n_dup_keys"),
+        F.sum(F.col("n") - 1).alias("n_redundant_rows"),
+        F.sum("n").alias("n_rows"),
+        fround(F.sum(F.col("n") - 1) * 1.0 / F.sum("n"), 6).alias(
+            "redundancy_ratio"
+        ),
+    )
