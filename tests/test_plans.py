@@ -470,3 +470,85 @@ def test_q123_triangle_all_equijoins(spark):
     plan = physical_plan(_q(spark, "q123_triangle_count"))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan or "Exchange rangepartitioning" not in plan
+
+
+def test_q151_cms_cells_broadcast_and_bounded_topk(spark):
+    # the 1024-cell grid broadcasts back to the vocabulary; the final
+    # top-20 is a partial top-k, not a global sort.
+    plan = physical_plan(_q(spark, "q151_count_min_sketch_audit"))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q153_ht_sampling_is_mapside_single_shuffle(spark):
+    # marking + inclusion are projections; only the stratum groupBy
+    # shuffles.
+    plan = physical_plan(_q(spark, "q153_horvitz_thompson_audit"))
+    assert plan.count("Exchange (") == 1  # tree nodes only
+    assert "Join" not in plan
+
+
+def test_q154_span_windows_partition_by_doc(spark):
+    # interval-merge windows run per doc_id — never a global funnel —
+    # and the benchmark shingle set is broadcast.
+    plan = physical_plan(_q(spark, "q154_decontamination_span_removal"))
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    for w in re.findall(r"Window .*partitionBy.*|Arguments: .*windowspecdefinition[^\n]*", plan):
+        assert "doc_id" in w or "windowspecdefinition" not in w
+    assert "SinglePartition" not in plan
+
+
+def test_q155_m4_reuses_one_bucket_shuffle(spark):
+    # both direction windows and the final groupBy key on
+    # (event_type, bucket): one exchange feeds all three.
+    plan = physical_plan(_q(spark, "q155_m4_downsampling"))
+    assert plan.count("Exchange (") == 1  # tree nodes only
+    assert "SinglePartition" not in plan
+
+
+def test_q156_rrf_queries_broadcast_no_global_window(spark):
+    plan = physical_plan(_q(spark, "q156_reciprocal_rank_fusion"))
+    assert "BroadcastNestedLoopJoin" in plan  # tiny query side broadcast
+    assert "SinglePartition" not in plan  # rankers partition by query_id
+
+
+def test_q157_diversity_cap_prunes_before_global_rank(spark):
+    plan = physical_plan(_q(spark, "q157_diversity_capped_topk"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q159_lateness_watermark_is_per_source(spark):
+    # the running max partitions by event_type: no global ordering.
+    plan = physical_plan(_q(spark, "q159_out_of_order_audit"))
+    assert "SinglePartition" not in plan
+
+
+def test_q160_mi_marginals_derive_from_cells(spark):
+    # marginal/total frames join back broadcast; the corpus is
+    # scanned once into the binned projection.
+    plan = physical_plan(_q(spark, "q160_mutual_information_screen"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q161_centroid_pairs_never_touch_vectors(spark):
+    # the pairwise join keys on the 64-row dimension index of the
+    # centroid frame; label sizes broadcast.
+    plan = physical_plan(_q(spark, "q161_label_centroid_separation"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q162_dedup_audit_two_stacked_aggregations(spark):
+    plan = physical_plan(_q(spark, "q162_event_dedup_audit"))
+    assert plan.count("Exchange (") == 2  # tree nodes only
+
+
+def test_q163_zipf_top100_is_partial_topk(spark):
+    # the OLS input comes from TakeOrdered, so the unpartitioned rank
+    # window is a bounded 100-row funnel.
+    plan = physical_plan(_q(spark, "q163_zipf_law_audit"))
+    assert "TakeOrderedAndProject" in plan
