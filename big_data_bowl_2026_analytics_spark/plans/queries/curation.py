@@ -1438,3 +1438,107 @@ def q123_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     return triangle_stats(edges)
+
+
+@query(
+    "q165_ks_drift_per_source",
+    tags=("audit", "drift", "statistics"),
+    oracle="""
+WITH cnt AS (
+  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars
+), gcnt AS (
+  SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY n_chars
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ns FROM documents GROUP BY source
+), gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), grid AS (
+  SELECT t.source, g.x, coalesce(c.c, 0) AS c
+  FROM tot t CROSS JOIN gcnt g
+  LEFT JOIN cnt c ON c.source = t.source AND c.x = g.x
+), cum AS (
+  SELECT source, x,
+         sum(c) OVER (PARTITION BY source ORDER BY x
+                      ROWS UNBOUNDED PRECEDING) AS cum_s
+  FROM grid
+), gcum AS (
+  SELECT x, sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_g
+  FROM gcnt
+)
+SELECT c.source, t.ns AS n_docs,
+       round(max(abs(CAST(c.cum_s AS BIGINT) * 1.0 / t.ns
+                     - CAST(g.cum_g AS BIGINT) * 1.0 / n)) + 1e-9, 6)
+         AS ks_stat
+FROM cum c
+JOIN gcum g ON c.x = g.x
+JOIN tot t ON c.source = t.source
+CROSS JOIN gtot
+GROUP BY c.source, t.ns
+""",
+)
+def q165_ks_drift_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov distance between each source's document
+    length distribution and the corpus-wide one — the distributional
+    sibling of q120's TV/KL drift audit: KS sees SHAPE shifts (a
+    source quietly truncating documents) that marginal-ratio drift
+    misses.
+
+    Both CDFs are step functions evaluated on the shared support (the
+    distinct length values), so sup|F_s - F| is exact: every term is a
+    ratio of integer cumulative counts (IEEE-identical), and the max
+    of exact values needs no tolerance (rounded defensively anyway).
+
+    Scale: everything downstream of the two groupBys runs on the
+    (source x distinct-value) grid — domain-sized, not corpus-sized.
+    The global-CDF window is unpartitioned but bounded by the distinct
+    value count (a length histogram, not a row stream).
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "n_chars"])
+    cnt = docs.groupBy("source", F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gcnt = (
+        docs.groupBy(F.col("n_chars").alias("x"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    gtot = docs.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        tot.crossJoin(gcnt.select("x"))
+        .join(cnt, ["source", "x"], "left")
+        .select(
+            "source", "x", "ns", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_g = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "source", "x", "ns", F.sum("c").over(w_s).alias("cum_s")
+    )
+    gcum = gcnt.select("x", F.sum("c").over(w_g).alias("cum_g"))
+    return (
+        cum.join(F.broadcast(gcum), "x")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("source", "ns")
+        .agg(
+            fround(
+                F.max(
+                    F.abs(
+                        F.col("cum_s").cast("bigint") * 1.0 / F.col("ns")
+                        - F.col("cum_g").cast("bigint") * 1.0 / F.col("n")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+        .select("source", F.col("ns").alias("n_docs"), "ks_stat")
+    )

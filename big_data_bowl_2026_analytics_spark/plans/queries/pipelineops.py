@@ -769,3 +769,105 @@ def q160_mutual_information_screen(
             fround(F.sum(term) / F.any_value("n"), 6).alias("mi_nats"),
         )
     )
+
+
+@query(
+    "q167_funnel_latency",
+    tags=("events", "funnel", "statistics"),
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+), l1 AS (
+  SELECT (epoch_us(c.t2) - epoch_us(v.t1)) / 1000000.0 AS lat
+  FROM c JOIN v USING (user_id)
+), l2 AS (
+  SELECT (epoch_us(p.t3) - epoch_us(c.t2)) / 1000000.0 AS lat
+  FROM p JOIN c USING (user_id)
+)
+SELECT '1_view_to_click' AS transition,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(sum(lat) / count(*) + 1e-9, 3) AS avg_s,
+       round(quantile_cont(lat, 0.5) + 1e-9, 3) AS p50_s,
+       round(quantile_cont(lat, 0.95) + 1e-9, 3) AS p95_s
+FROM l1
+UNION ALL
+SELECT '2_click_to_purchase',
+       CAST(count(*) AS BIGINT),
+       round(sum(lat) / count(*) + 1e-9, 3),
+       round(quantile_cont(lat, 0.5) + 1e-9, 3),
+       round(quantile_cont(lat, 0.95) + 1e-9, 3)
+FROM l2
+""",
+)
+def q167_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for each funnel transition (the
+    latency companion of q74's survivor counts): mean / median / p95
+    microseconds between a user's first view and first subsequent
+    click, and first click and first subsequent purchase.
+
+    Latencies convert to SECONDS before any statistics (one shared
+    IEEE division of the integer microsecond gap): multi-day gaps in
+    raw microseconds overflow double precision at 4-decimal rounding
+    (a measured ULP flip), while seconds keep every reported digit
+    inside the mantissa. Percentiles use the ``percentile`` ==
+    ``quantile_cont`` interpolation parity proven by q58; the float
+    sum in the mean divides counts of identical IEEE values.
+
+    Scale: identical stage shuffles to q74 (every frame keys on
+    user_id, exchanges line up); the latency frames shrink to
+    converted users only before any statistics run.
+    """
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts", "event_type"])
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    l1 = c.join(v, "user_id").select(
+        ((F.unix_micros("t2") - F.unix_micros("t1")) / 1000000.0).alias("lat")
+    )
+    l2 = p.join(c, "user_id").select(
+        ((F.unix_micros("t3") - F.unix_micros("t2")) / 1000000.0).alias("lat")
+    )
+
+    def stats(frame: DataFrame, label: str) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            fround(F.sum("lat") / F.count(F.lit(1)), 3).alias("avg_s"),
+            fround(F.expr("percentile(lat, 0.5)"), 3).alias("p50_s"),
+            fround(F.expr("percentile(lat, 0.95)"), 3).alias("p95_s"),
+        ).select(
+            F.lit(label).alias("transition"),
+            "n_users",
+            "avg_s",
+            "p50_s",
+            "p95_s",
+        )
+
+    return stats(l1, "1_view_to_click").unionByName(
+        stats(l2, "2_click_to_purchase")
+    )

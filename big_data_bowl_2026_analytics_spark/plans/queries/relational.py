@@ -1333,3 +1333,92 @@ def q106_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.lead("ts").over(w2).isNull(), 1).otherwise(0).alias("is_current"),
         F.row_number().over(w2).cast("bigint").alias("version"),
     )
+
+
+@query(
+    "q166_referential_integrity",
+    tags=("relational", "audit", "quality"),
+    oracle="""
+SELECT 'lineitem.l_orderkey->orders' AS relation,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+         AS n_orphans,
+       round(count(*) FILTER (WHERE o.o_orderkey IS NULL) * 1.0 / count(*)
+             + 1e-9, 6) AS orphan_ratio
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT),
+       round(count(*) FILTER (WHERE p.p_partkey IS NULL) * 1.0 / count(*)
+             + 1e-9, 6)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+       round(count(*) FILTER (WHERE c.c_custkey IS NULL) * 1.0 / count(*)
+             + 1e-9, 6)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT),
+       round(count(*) FILTER (WHERE n.n_nationkey IS NULL) * 1.0 / count(*)
+             + 1e-9, 6)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT),
+       round(count(*) FILTER (WHERE n.n_nationkey IS NULL) * 1.0 / count(*)
+             + 1e-9, 6)
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+""",
+)
+def q166_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the fact/dimension join
+    graph: orphan-FK counts for every relation the engine's join
+    queries depend on — the ingest gate that catches a partial dim
+    load BEFORE q02/q03-style joins silently drop (inner) or
+    null-extend (left) fact rows.
+
+    Each relation is one left join against the parent's PRIMARY key
+    (no row multiplication by construction) reduced to three integer
+    counts; the per-relation frames are one-row and union for free.
+
+    Scale: parent key columns prune to a single column at the scan;
+    small dims broadcast; the fact-sized joins shuffle on the FK they
+    audit — identical movement to the production joins they guard.
+    """
+    checks = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for label, child, ckey, parent, pkey in checks:
+        ch = read_table(spark, sf_dir, child, [ckey])
+        pa = read_table(spark, sf_dir, parent, [pkey])
+        joined = ch.join(pa, ch[ckey] == pa[pkey], "left")
+        orphan = F.count_if(F.col(pkey).isNull())
+        parts.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                orphan.alias("n_orphans"),
+                fround(orphan * 1.0 / F.count(F.lit(1)), 6).alias(
+                    "orphan_ratio"
+                ),
+            ).select(
+                F.lit(label).alias("relation"),
+                "n_child",
+                "n_orphans",
+                "orphan_ratio",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1010,3 +1010,88 @@ def q154_decontamination_span_removal(
             ).alias("pct_removed"),
         )
     )
+
+
+@query(
+    "q164_cross_source_duplication",
+    tags=("text", "dedup", "provenance"),
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h
+  FROM documents
+), per AS (
+  SELECT h, source, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY h, source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fingerprints,
+       CAST(sum(a.n * b.n) AS BIGINT) AS n_doc_pairs
+FROM per a JOIN per b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+UNION ALL
+SELECT source, source,
+       CAST(count(*) AS BIGINT),
+       CAST(CAST(sum(n * (n - 1)) AS BIGINT) / 2 AS BIGINT)
+FROM per WHERE n >= 2
+GROUP BY source
+""",
+)
+def q164_cross_source_duplication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplication matrix between ingest sources, keyed on a
+    content-prefix fingerprint (md5 of the first 8 tokens — the cheap
+    first-pass key; q30/q98 are the exact and survivor-selecting
+    passes): which source pairs ship the same content, and how much
+    intra-source duplication each carries (the diagonal). The
+    provenance question behind "which feed do we deduplicate
+    against which".
+
+    Scale: fingerprints are map-side; the matrix join runs on the
+    (fingerprint, source)-collapsed frame — collision-group sized, not
+    corpus sized — and output is |sources|² rows. All counts integer.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    fp = docs.select(
+        "source",
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+        ).alias("h"),
+    )
+    per = (
+        fp.groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    a = per.select(
+        F.col("h"), F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    b = per.select(
+        F.col("h"), F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    cross = (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fingerprints"),
+            F.sum(F.col("na") * F.col("nb")).alias("n_doc_pairs"),
+        )
+    )
+    diag = (
+        per.where(F.col("n") >= 2)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fingerprints"),
+            (F.sum(F.col("n") * (F.col("n") - 1)) / 2)
+            .cast("bigint")
+            .alias("n_doc_pairs"),
+        )
+        .select(
+            F.col("source").alias("source_a"),
+            F.col("source").alias("source_b"),
+            "n_shared_fingerprints",
+            "n_doc_pairs",
+        )
+    )
+    return cross.unionByName(diag)
