@@ -940,3 +940,130 @@ def q161_label_centroid_separation(
             ).alias("centroid_cosine"),
         )
     )
+
+
+@query(
+    "q168_ivf_balance_audit",
+    tags=("similarity", "ivf", "audit"),
+    oracle=f"""
+WITH {_SEEDS_CTE.strip()},
+scored AS (
+  SELECT e.vec_id, s.cluster_id,
+         {_sq_l2_sql('e.embedding', 's.centroid')} AS dist
+  FROM embeddings e CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, cluster_id, dist FROM (
+    SELECT vec_id, cluster_id, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster_id) AS rn
+    FROM scored) WHERE rn = 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM embeddings
+)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(count(*) * 8.0 / n_total + 1e-9, 6) AS balance_factor,
+       round(sum(dist) + 1e-9, 6) AS inertia,
+       round(sum(dist) / count(*) + 1e-9, 6) AS avg_sq_dist
+FROM assigned, tot GROUP BY cluster_id, n_total
+""",
+)
+def q168_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-health audit over the q61 seed partitioning: per-cell
+    population, balance factor (n·k / N — 1.0 is perfectly even; a
+    hot cell breaks probe-cost assumptions), and inertia (within-cell
+    squared distance — the k-means objective). The numbers that
+    decide when to re-train centroids or split a cell.
+
+    Scale: centroids broadcast; the per-vector argmin partially
+    aggregates map-side (one row per vector before its shuffle); cell
+    statistics reduce the assignment frame to k rows. Distances are
+    the bit-identical sequential fold; their per-cell sum order is
+    absorbed by the round.
+    """
+    from ...operators.ivf import seed_centroids, sq_l2
+
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = seed_centroids(emb, 8)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cluster_id",
+        sq_l2(F.col("embedding"), F.col("centroid")).alias("dist"),
+    )
+    per_vec = scored.groupBy("vec_id").agg(
+        F.min_by(
+            F.col("cluster_id"), F.struct(F.col("dist"), F.col("cluster_id"))
+        ).alias("cluster_id"),
+        F.min("dist").alias("dist"),
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        per_vec.crossJoin(F.broadcast(tot))
+        .groupBy("cluster_id", "n_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            fround(F.count(F.lit(1)) * 8.0 / F.col("n_total"), 6).alias(
+                "balance_factor"
+            ),
+            fround(F.sum("dist"), 6).alias("inertia"),
+            fround(F.sum("dist") / F.count(F.lit(1)), 6).alias("avg_sq_dist"),
+        )
+        .drop("n_total")
+        .select(
+            "cluster_id", "n_vectors", "balance_factor", "inertia", "avg_sq_dist"
+        )
+    )
+
+
+@query(
+    "q169_embedding_quality_audit",
+    tags=("similarity", "audit", "quality"),
+    oracle="""
+WITH normed AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(*) FILTER (WHERE dim != 64) AS BIGINT) AS n_bad_dim,
+       CAST(count(*) FILTER (WHERE nrm = 0) AS BIGINT) AS n_zero_norm,
+       CAST(count(*) FILTER (WHERE isnan(nrm) OR isinf(nrm)) AS BIGINT)
+         AS n_nonfinite,
+       round(min(nrm) + 1e-9, 6) AS min_norm,
+       round(quantile_cont(nrm, 0.5) + 1e-9, 6) AS p50_norm,
+       round(max(nrm) + 1e-9, 6) AS max_norm
+FROM normed
+""",
+)
+def q169_embedding_quality_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vector-column hygiene gate before any index build: dimension
+    violations, zero vectors (cosine undefined — they poison
+    normalized search), non-finite norms (one NaN component spreads
+    through every dot product), and the norm distribution (a
+    collapsed or bimodal norm profile usually means a broken encoder
+    batch).
+
+    Scale: pure map-side fold per vector plus one global aggregate;
+    norms are the bit-identical sequential fold, so even min/max need
+    no tolerance (rounded defensively; the median uses the q58
+    percentile parity).
+    """
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    normed = emb.select(
+        F.sqrt(squared_norm(F.col("embedding"))).alias("nrm"),
+        F.size("embedding").alias("dim"),
+    )
+    return normed.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_if(F.col("dim") != 64).alias("n_bad_dim"),
+        F.count_if(F.col("nrm") == 0).alias("n_zero_norm"),
+        F.count_if(
+            F.isnan("nrm") | (F.col("nrm") == F.lit(float("inf")))
+        ).alias("n_nonfinite"),
+        fround(F.min("nrm"), 6).alias("min_norm"),
+        fround(F.expr("percentile(nrm, 0.5)"), 6).alias("p50_norm"),
+        fround(F.max("nrm"), 6).alias("max_norm"),
+    )

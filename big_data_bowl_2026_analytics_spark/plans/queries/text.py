@@ -1095,3 +1095,46 @@ def q164_cross_source_duplication(
         )
     )
     return cross.unionByName(diag)
+
+
+@query(
+    "q170_encoding_audit",
+    tags=("text", "audit", "quality"),
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(sum(strlen(text) - length(text)) AS BIGINT)
+         AS multibyte_overhead,
+       CAST(count(*) FILTER (WHERE strlen(text) > length(text))
+            AS BIGINT) AS n_docs_multibyte,
+       round(sum(strlen(text) - length(text)) * 1.0
+             / sum(strlen(text)) + 1e-9, 6) AS overhead_ratio
+FROM documents
+GROUP BY source
+""",
+)
+def q170_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 encoding profile per ingest source: bytes vs characters
+    (their gap counts multibyte continuation bytes — mojibake,
+    double-encoding, and binary-in-text all spike it without any
+    regex), and how many documents carry non-ASCII at all. The cheap
+    first tripwire for a feed that silently changed encodings, and
+    the bytes-per-char planning number for tokenizer budgeting.
+
+    Scale: two built-in length functions map-side, one shuffle on
+    source. Everything is integer except one integer-ratio column.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    overhead = F.octet_length("text") - F.length("text")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.octet_length("text")).alias("total_bytes"),
+        F.sum(overhead).alias("multibyte_overhead"),
+        F.count_if(overhead > 0).alias("n_docs_multibyte"),
+        fround(
+            F.sum(overhead) * 1.0 / F.sum(F.octet_length("text")), 6
+        ).alias("overhead_ratio"),
+    )
