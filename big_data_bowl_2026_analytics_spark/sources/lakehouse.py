@@ -119,3 +119,46 @@ def merge_into_sql(
     return (
         f"MERGE INTO {target_table} t\nUSING {source_table} u\nON {cond}\n{clauses}"
     )
+
+
+def optimize_zorder_delta(
+    spark: SparkSession, path: str, cols: Sequence[str]
+):
+    """Native Delta ``OPTIMIZE ... ZORDER BY (cols)``: compact the
+    table's files and cluster them on the interleaved key — the
+    managed-table form of sources/writers.py::write_zordered's manual
+    layout (same Morton-order idea; Delta additionally tracks the
+    file statistics transactionally). Returns the optimize result
+    DataFrame handle from the Delta API."""
+    delta = _import_delta()
+    table = delta.DeltaTable.forPath(spark, path)
+    return table.optimize().executeZOrderBy(*cols)
+
+
+def write_zordered_auto(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> str:
+    """Layout router: write ``df`` clustered on (x, y) using Delta's
+    native OPTIMIZE ZORDER when delta-spark is importable, else the
+    engine's own quantize+Morton parquet layout
+    (sources/writers.py::write_zordered — file-rectangle property
+    proven in tests/test_layout.py). Returns which backend ran
+    ("delta" | "parquet") so pipelines can record the table format.
+
+    Both paths produce files whose (x, y) min/max rectangles are
+    compact, so downstream scans prune on either column; the Delta
+    path additionally leaves a transactionally consistent table that
+    q87-style MERGE and incremental writes can target."""
+    if has_delta():
+        write_delta(df, path, mode=mode)
+        optimize_zorder_delta(df.sparkSession, path, [x_col, y_col])
+        return "delta"
+    from .writers import write_zordered
+
+    write_zordered(df, path, x_col, y_col, n_files=n_files, mode=mode)
+    return "parquet"

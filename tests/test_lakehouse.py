@@ -125,3 +125,86 @@ def test_merge_sql_matches_relational_semantics():
 def test_key_condition_quoting_free_identifiers():
     assert merge_key_condition(["a"]) == "t.a = u.a"
     assert merge_key_condition(["a", "b"], "x", "y") == "x.a = y.a AND x.b = y.b"
+
+
+class _RecordingOptimize:
+    def __init__(self, log):
+        self.log = log
+
+    def executeZOrderBy(self, *cols):
+        self.log.append(("zorder_by", cols))
+        return "optimize-result"
+
+
+def test_optimize_zorder_dispatch(spark, monkeypatch):
+    from big_data_bowl_2026_analytics_spark.sources.lakehouse import (
+        optimize_zorder_delta,
+    )
+
+    log: list = []
+    fake = types.ModuleType("delta")
+
+    class DeltaTable:
+        @staticmethod
+        def forPath(spark, path):
+            log.append(("for_path", path))
+
+            class _T:
+                def optimize(self):
+                    log.append(("optimize", None))
+                    return _RecordingOptimize(log)
+
+            return _T()
+
+    fake.DeltaTable = DeltaTable
+    monkeypatch.setitem(sys.modules, "delta", fake)
+    out = optimize_zorder_delta(spark, "/tmp/t", ["x", "y"])
+    assert out == "optimize-result"
+    assert ("for_path", "/tmp/t") in log
+    assert ("zorder_by", ("x", "y")) in log
+
+
+def test_write_zordered_auto_falls_back_to_parquet(spark, tmp_path):
+    """Without delta the router must produce the engine's own z-order
+    layout — verified by reading the files back."""
+    from big_data_bowl_2026_analytics_spark.sources.lakehouse import (
+        write_zordered_auto,
+    )
+
+    df = spark.range(256).selectExpr(
+        "id", "cast(id % 16 as double) as x", "cast(id / 16 as double) as y"
+    )
+    path = str(tmp_path / "zt")
+    backend = write_zordered_auto(df, path, "x", "y", n_files=4)
+    assert backend == "parquet"
+    assert spark.read.parquet(path).count() == 256
+
+
+def test_write_zordered_auto_routes_to_delta(spark, monkeypatch, tmp_path):
+    import big_data_bowl_2026_analytics_spark.sources.lakehouse as lh
+
+    log: list = []
+    fake = types.ModuleType("delta")
+
+    class DeltaTable:
+        @staticmethod
+        def forPath(spark, path):
+            log.append(("for_path", path))
+
+            class _T:
+                def optimize(self):
+                    return _RecordingOptimize(log)
+
+            return _T()
+
+    fake.DeltaTable = DeltaTable
+    monkeypatch.setitem(sys.modules, "delta", fake)
+    # the delta WRITE would need the JVM extension; capture it instead
+    monkeypatch.setattr(
+        lh, "write_delta", lambda df, path, mode="overwrite": log.append(("write", path, mode))
+    )
+    df = spark.range(8).selectExpr("cast(id as double) as x", "cast(id as double) as y")
+    backend = lh.write_zordered_auto(df, str(tmp_path / "dt"), "x", "y")
+    assert backend == "delta"
+    assert log[0][0] == "write"
+    assert ("zorder_by", ("x", "y")) in log
