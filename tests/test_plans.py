@@ -552,3 +552,54 @@ def test_q163_zipf_top100_is_partial_topk(spark):
     # window is a bounded 100-row funnel.
     plan = physical_plan(_q(spark, "q163_zipf_law_audit"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q164_matrix_join_on_collapsed_fingerprints(spark):
+    # the pair join keys on the (fingerprint, source) frame, and the
+    # corpus never joins itself row-to-row.
+    plan = physical_plan(_q(spark, "q164_cross_source_duplication"))
+    assert "CartesianProduct" not in plan
+    # the checkpointed (fingerprint, source) frame is the join input
+    assert "Scan ExistingRDD" in plan
+
+
+def test_q165_ks_windows_run_on_domain_grid(spark):
+    # the per-source CDF window partitions by source; the global CDF
+    # runs on the value histogram (bounded), never the doc stream.
+    plan = physical_plan(_q(spark, "q165_ks_drift_per_source"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q166_small_dims_broadcast(spark):
+    # nation-parent checks broadcast; no orphan check degenerates to
+    # a cartesian product.
+    plan = physical_plan(_q(spark, "q166_referential_integrity"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q167_stages_key_on_user(spark):
+    plan = physical_plan(_q(spark, "q167_funnel_latency"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q168_centroids_broadcast_argmin_partial(spark):
+    # centroid side broadcasts; the per-vector argmin partially
+    # aggregates before its shuffle.
+    plan = physical_plan(_q(spark, "q168_ivf_balance_audit"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_q169_single_mapside_fold(spark):
+    # one scan, no joins: the norm fold runs map-side into a global
+    # aggregate.
+    plan = physical_plan(_q(spark, "q169_embedding_quality_audit"))
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 1
+
+
+def test_q170_pure_groupby_no_joins(spark):
+    plan = physical_plan(_q(spark, "q170_encoding_audit"))
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 1
