@@ -694,3 +694,91 @@ def q163_zipf_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fround(slope, 6) + F.lit(0)).alias("zipf_slope"),
         (fround(intercept, 6) + F.lit(0)).alias("zipf_intercept"),
     )
+
+
+@query(
+    "q172_vocab_coverage_curve",
+    tags=("text", "tokenizer", "llm-pipeline"),
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY tok
+), ranked AS (
+  SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM vocab
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_vocab
+  FROM vocab
+), ks AS (
+  SELECT unnest([100, 1000, 10000]) AS k
+)
+SELECT k,
+       CAST(sum(CASE WHEN r <= k THEN c ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       n_tokens, n_vocab,
+       round(sum(CASE WHEN r <= k THEN c ELSE 0 END) * 1.0 / n_tokens
+             + 1e-9, 6) AS coverage
+FROM ranked, tot, ks
+GROUP BY k, n_tokens, n_vocab
+""",
+)
+def q172_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve for tokenizer sizing: what fraction
+    of the corpus token stream does a top-k vocabulary cover, at
+    k = 100 / 1k / 10k — the "how big must the vocab be before OOV
+    is tolerable" companion of q108 (which scores a FIXED vocab).
+
+    The frequency rank comes from operators/rankops.py::bucketed_rank
+    (two-level: per-magnitude-bucket windows plus a ≤64-row offset
+    scan) — the whole point of that operator is that a global
+    ``row_number() OVER (ORDER BY c DESC)`` on a 100 TB vocabulary is
+    a single-partition funnel; the oracle uses the plain global
+    window because DuckDB runs single-node anyway. Descending rank is
+    the ascending bucketed rank flipped off the vocabulary size, with
+    the tie-break reversed so (count DESC, token ASC) stays total.
+
+    Scale: one token shuffle to the vocabulary frame; the curve join
+    multiplies the VOCAB frame by 3 bounded k-points, never the
+    stream. All counts integer; one integer-ratio column.
+    """
+    from ...operators.rankops import bucketed_rank
+
+    docs = read_table(spark, sf_dir, "documents", ["text"])
+    words = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        words.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = vocab.agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    asc = bucketed_rank(vocab, "c", [F.desc("tok")], out_col="r_asc")
+    ranked = asc.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "c",
+        "n_tokens",
+        "n_vocab",
+        (F.col("n_vocab") + 1 - F.col("r_asc")).alias("r"),
+    )
+    ks = ranked.sparkSession.createDataFrame(
+        [(100,), (1000,), (10000,)], "k int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k", "n_tokens", "n_vocab")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("k"), F.col("c")).otherwise(0))
+            .alias("covered_tokens"),
+            fround(
+                F.sum(
+                    F.when(F.col("r") <= F.col("k"), F.col("c")).otherwise(0)
+                )
+                * 1.0
+                / F.any_value("n_tokens"),
+                6,
+            ).alias("coverage"),
+        )
+        .select("k", "covered_tokens", "n_tokens", "n_vocab", "coverage")
+    )

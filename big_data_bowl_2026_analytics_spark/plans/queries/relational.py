@@ -1422,3 +1422,76 @@ def q166_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "q171_order_total_consistency",
+    tags=("relational", "audit", "quality"),
+    oracle="""
+WITH calc AS (
+  SELECT l_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+               + 1e-9, 2) AS calc_total
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE abs(o.o_totalprice - c.calc_total) <= 0.01)
+            AS BIGINT) AS n_consistent,
+       round(max(abs(o.o_totalprice - c.calc_total)) + 1e-9, 2)
+         AS max_abs_diff,
+       round(sum(abs(o.o_totalprice - c.calc_total)) / count(*) + 1e-9, 2)
+         AS avg_abs_diff
+FROM orders o JOIN calc c ON o.o_orderkey = c.l_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def q171_order_total_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Derived-column consistency audit: does the order header's
+    total equal the lineitem-derived Σ price·(1-disc)·(1+tax) within
+    a cent? The cross-table invariant check a warehouse runs after
+    every load — on this synthetic data the generator draws totals
+    independently, and the audit REPORTS that (zero consistent rows,
+    six-figure max drift) instead of assuming it.
+
+    The per-order recomputed total is rounded to cents BEFORE the
+    comparison (absorbing per-order float-sum association); diffs sit
+    orders of magnitude from the cent threshold, so the counts are
+    engine-stable.
+
+    Scale: one lineitem shuffle on the order key (partial map-side
+    sums), one fact-to-fact join on the same key — the exchanges line
+    up — then a status-keyed reduction.
+    """
+    li = read_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    calc = li.groupBy("l_orderkey").agg(
+        fround(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("calc_total")
+    )
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    diff = F.abs(F.col("o_totalprice") - F.col("calc_total"))
+    return (
+        orders.join(calc, orders["o_orderkey"] == calc["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(diff <= 0.01).alias("n_consistent"),
+            fround(F.max(diff), 2).alias("max_abs_diff"),
+            fround(F.sum(diff) / F.count(F.lit(1)), 2).alias("avg_abs_diff"),
+        )
+    )
