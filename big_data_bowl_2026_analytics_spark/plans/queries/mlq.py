@@ -16,11 +16,13 @@ import pandas as pd  # module-level: pandas_udf resolves postponed hints here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ...functions.scalar import fround
 from ...ml.evaluate import binary_metrics, calibration_bins
 from ...ml.inference import score_dataframe
 from ...ml.model import LogisticModel
 from ...sources.readers import read_table
 from ..registry import query
+from .splits import _hash16_sql
 
 #: The fixed demo model used by the oracle-checked queries.
 DEMO_MODEL = LogisticModel(
@@ -282,3 +284,77 @@ def q150_per_slice_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return binary_metrics_by_group(scored, "l_returnflag")
+
+
+@query(
+    "q174_psi_score_stability",
+    tags=("ml", "monitoring", "audit"),
+    oracle=f"""
+WITH {_SCORED_CTE.strip()},
+halves AS (
+  SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+         {{hash_expr}} % 2 AS half
+  FROM scored
+), cells AS (
+  SELECT bin,
+         CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS na,
+         CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS nb
+  FROM halves GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+  FROM cells
+)
+SELECT bin, na, nb,
+       round((na + 0.5) / (ta + 5.0) + 1e-9, 6) AS pa,
+       round((nb + 0.5) / (tb + 5.0) + 1e-9, 6) AS pb,
+       round(((na + 0.5) / (ta + 5.0) - (nb + 0.5) / (tb + 5.0))
+             * ln(((na + 0.5) / (ta + 5.0)) / ((nb + 0.5) / (tb + 5.0)))
+             + 1e-9, 6) + 0 AS psi_term
+FROM cells, tot
+""".replace("{hash_expr}", _hash16_sql("psi|", "l_orderkey")),
+)
+def q174_psi_score_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of the model-score distribution
+    between two content-hash halves of the scored population — the
+    standard model-monitoring statistic (PSI < 0.1 stable, > 0.25
+    investigate). Sum ``psi_term`` for the scalar PSI; per-bin rows
+    localize WHICH deciles moved. On the hash split the halves are
+    exchangeable, so PSI ≈ 0 — the null calibration a live
+    deployment compares production batches against.
+
+    Engine-exactness: bins come from the q51 decile expression over
+    6-decimal-rounded probabilities; the +0.5/+5 Laplace smoothing
+    keeps empty bins finite DETERMINISTICALLY (no epsilon tuning);
+    every term is integer counts through fixed-order IEEE arithmetic,
+    with the q110 ``+ 0`` sign-of-zero guard since near-null PSI
+    terms round to ±0.
+
+    Scale: scoring is pure JVM column math (q51's native path); one
+    shuffle on the bin key; the totals frame is 10 rows.
+    """
+    from .splits import _hash16
+
+    scored = _scored(spark, sf_dir, native=True).select(
+        F.round(F.col("probability") + 1e-9, 6).alias("p"), "l_orderkey"
+    )
+    halves = scored.select(
+        F.least(F.floor(F.col("p") * 10), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+        (_hash16("psi|", F.col("l_orderkey")) % 2).alias("half"),
+    )
+    cells = halves.groupBy("bin").agg(
+        F.count_if(F.col("half") == 0).alias("na"),
+        F.count_if(F.col("half") == 1).alias("nb"),
+    )
+    tot = cells.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    pa = (F.col("na") + 0.5) / (F.col("ta") + 5.0)
+    pb = (F.col("nb") + 0.5) / (F.col("tb") + 5.0)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "na",
+        "nb",
+        fround(pa, 6).alias("pa"),
+        fround(pb, 6).alias("pb"),
+        (fround((pa - pb) * F.log(pa / pb), 6) + F.lit(0)).alias("psi_term"),
+    )

@@ -562,3 +562,74 @@ def q162_event_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "redundancy_ratio"
         ),
     )
+
+
+@query(
+    "q173_seasonal_naive_backtest",
+    tags=("timeseries", "forecast", "audit"),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(sum(value) + 1e-9, 2) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), joined AS (
+  SELECT a.event_type, a.v, p.v AS pv
+  FROM hourly a
+  JOIN hourly p
+    ON p.event_type = a.event_type
+   AND p.bucket = a.bucket - INTERVAL 24 HOUR
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(abs(v - pv)) / count(*) + 1e-9, 4) AS mae,
+       round(avg(CASE WHEN abs(v) + abs(pv) = 0 THEN NULL
+                      ELSE 2 * abs(v - pv) / (abs(v) + abs(pv)) END)
+             + 1e-9, 6) AS smape
+FROM joined
+GROUP BY event_type
+""",
+)
+def q173_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's total
+    from the same hour one day earlier and score MAE / sMAPE per
+    series — the BASELINE every real forecasting model must beat, and
+    the standard data-freshness sanity metric for event pipelines
+    (if seasonal-naive suddenly degrades, the process changed).
+
+    The hourly aggregate is rounded to cents FIRST, so both engines
+    difference identical inputs; the lag join is exact timestamp
+    equality (microsecond integers); zero-magnitude sMAPE terms drop
+    to NULL identically on both sides.
+
+    Scale: one shuffle to the (series, hour) grain; the lag is an
+    equi-join of that bounded series frame against itself — never a
+    window over the raw event stream.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_type", "ts", "value"])
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(fround(F.sum("value"), 2).alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    prev = hourly.select(
+        "event_type",
+        (F.col("bucket") + F.expr("INTERVAL 24 HOURS")).alias("bucket"),
+        F.col("v").alias("pv"),
+    )
+    joined = hourly.join(prev, ["event_type", "bucket"])
+    mag = F.abs("v") + F.abs("pv")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        fround(F.sum(F.abs(F.col("v") - F.col("pv"))) / F.count(F.lit(1)), 4)
+        .alias("mae"),
+        fround(
+            F.avg(
+                F.when(mag == 0, F.lit(None)).otherwise(
+                    2 * F.abs(F.col("v") - F.col("pv")) / mag
+                )
+            ),
+            6,
+        ).alias("smape"),
+    )
