@@ -603,3 +603,29 @@ def test_q170_pure_groupby_no_joins(spark):
     plan = physical_plan(_q(spark, "q170_encoding_audit"))
     assert "Join" not in plan
     assert plan.count("Exchange (") == 1
+
+
+def test_q171_fact_join_exchanges_line_up(spark):
+    # lineitem aggregate and the order join both key on the order key.
+    plan = physical_plan(_q(spark, "q171_order_total_consistency"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q172_coverage_uses_bucketed_rank_no_vocab_funnel(spark):
+    # the only SinglePartition windows are the <=64-row bucket-offset
+    # scan — never the vocabulary itself (the q114 lesson).
+    plan = physical_plan(_q(spark, "q172_vocab_coverage_curve"))
+    assert plan.count("SinglePartition") <= 2
+
+
+def test_q173_lag_is_equijoin_on_series_grain(spark):
+    plan = physical_plan(_q(spark, "q173_seasonal_naive_backtest"))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q174_psi_scoring_stays_jvm(spark):
+    # native scoring: no Python/Arrow nodes anywhere in the plan.
+    plan = physical_plan(_q(spark, "q174_psi_score_stability"))
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 10-row totals frame
