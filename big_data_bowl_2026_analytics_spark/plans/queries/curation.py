@@ -1542,3 +1542,98 @@ def q165_ks_drift_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.col("ns").alias("n_docs"), "ks_stat")
     )
+
+
+@query(
+    "q175_association_rules",
+    tags=("mining", "relational", "audit"),
+    oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+), freq AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS s
+  FROM li GROUP BY l_partkey HAVING count(*) >= 3
+), f AS (
+  SELECT li.l_orderkey, li.l_partkey, freq.s
+  FROM li JOIN freq USING (l_partkey)
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         any_value(a.s) AS sa, any_value(b.s) AS sb,
+         CAST(count(*) AS BIGINT) AS sab
+  FROM f a JOIN f b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2
+), ranked AS (
+  SELECT part_a, part_b, sa, sb, sab,
+         row_number() OVER (ORDER BY sab DESC, part_a, part_b) AS rk
+  FROM pairs
+)
+SELECT part_a, part_b, sab, sa, sb,
+       round(sab * 1.0 / sa + 1e-9, 6) AS conf_a_to_b,
+       round(sab * 1.0 / sb + 1e-9, 6) AS conf_b_to_a,
+       round(CAST(sab AS DOUBLE) * n_orders / (CAST(sa AS DOUBLE) * sb)
+             + 1e-9, 6) AS lift
+FROM ranked, n WHERE rk <= 50
+""",
+)
+def q175_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair association rules over order baskets (Agrawal &
+    Srikant's apriori shape): support, directional confidence, and
+    lift for the top co-ordered part pairs.
+
+    The apriori property does the scale work: items below the item
+    support floor are pruned BEFORE pair generation (the pair
+    self-join runs only on frequent items), which is what keeps
+    basket mining feasible when baskets number in the billions — the
+    pair space of the pruned item set is orders of magnitude smaller
+    than all-pairs.
+
+    Engine-exactness: supports are integers; confidence and lift are
+    integer ratios in fixed evaluation order; the top-50 ranking
+    orders by (support, pair) — fully total.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"]
+    ).distinct().localCheckpoint(eager=False)
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 3)
+    )
+    f = li.join(freq, "l_partkey").localCheckpoint(eager=False)
+    a = f.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a"), F.col("s").alias("sa")
+    )
+    b = f.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b"), F.col("s").alias("sb")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.any_value("sa").alias("sa"),
+            F.any_value("sb").alias("sb"),
+            F.count(F.lit(1)).alias("sab"),
+        )
+        .where(F.col("sab") >= 2)
+    )
+    top = pairs.orderBy(F.desc("sab"), "part_a", "part_b").limit(50)
+    return top.crossJoin(F.broadcast(n)).select(
+        "part_a",
+        "part_b",
+        "sab",
+        "sa",
+        "sb",
+        fround(F.col("sab") * 1.0 / F.col("sa"), 6).alias("conf_a_to_b"),
+        fround(F.col("sab") * 1.0 / F.col("sb"), 6).alias("conf_b_to_a"),
+        fround(
+            F.col("sab").cast("double")
+            * F.col("n_orders")
+            / (F.col("sa").cast("double") * F.col("sb")),
+            6,
+        ).alias("lift"),
+    )

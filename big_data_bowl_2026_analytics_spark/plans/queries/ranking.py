@@ -146,3 +146,61 @@ def q96_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_at_or_below") >= target - err)
         ).alias("median_within_rank_bound"),
     )
+
+
+@query(
+    "q176_quantile_transform",
+    tags=("ranking", "ml-features", "normalization"),
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice,
+       CAST(r AS BIGINT) AS rank,
+       round((r - 1) * 1.0 / (n - 1) + 1e-9, 6) AS quantile
+FROM ranked
+WHERE o_orderkey % 19 = 0
+""",
+)
+def q176_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-integral transform of a skewed monetary feature:
+    map each value to its global quantile position — the
+    distribution-free normalization (uniform output whatever the
+    input shape) a feature pipeline applies before distance-based
+    models, with the added property that the transform is STABLE
+    under re-ingestion because the order is total.
+
+    The global rank comes from operators/rankops.py::bucketed_rank
+    (magnitude-bucket windows + a ≤64-row offset scan) — the oracle's
+    plain ``row_number() OVER (ORDER BY ...)`` is exactly the
+    single-partition funnel the operator exists to avoid at 100 TB.
+    The output filter keeps every 19th key so the checked frame stays
+    bounded while sampling the whole range.
+
+    Quantiles are integer-rank ratios — IEEE-exact on both engines
+    before the defensive round.
+    """
+    from ...operators.rankops import bucketed_rank
+
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"]
+    )
+    n = orders.agg(F.count(F.lit(1)).alias("n"))
+    ranked = bucketed_rank(
+        orders, "o_totalprice", ["o_orderkey"], out_col="rank"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .where(F.col("o_orderkey") % 19 == 0)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "rank",
+            fround(
+                (F.col("rank") - 1) * 1.0 / (F.col("n") - 1), 6
+            ).alias("quantile"),
+        )
+    )

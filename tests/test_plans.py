@@ -629,3 +629,17 @@ def test_q174_psi_scoring_stays_jvm(spark):
     plan = physical_plan(_q(spark, "q174_psi_score_stability"))
     assert "Python" not in plan and "Arrow" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 10-row totals frame
+
+
+def test_q175_apriori_prunes_before_pair_join(spark):
+    # pair generation joins the FREQUENT-item frame with itself — the
+    # support filter sits below the join in the plan.
+    plan = physical_plan(_q(spark, "q175_association_rules"))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q176_transform_avoids_global_rank_funnel(spark):
+    # bucketed two-level rank: no orders-sized SinglePartition window.
+    plan = physical_plan(_q(spark, "q176_quantile_transform"))
+    assert plan.count("SinglePartition") <= 2
