@@ -19,6 +19,7 @@ from ...operators.sampling import deterministic_group_sample, hash_split
 from ...operators.temporal import gap_fill_locf
 from ...sources.readers import read_table
 from ..registry import query
+from .splits import _hash16_sql
 
 
 @query(
@@ -870,4 +871,100 @@ def q167_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return stats(l1, "1_view_to_click").unionByName(
         stats(l2, "2_click_to_purchase")
+    )
+
+
+@query(
+    "q177_ab_test_welch",
+    tags=("experimentation", "statistics", "audit"),
+    oracle="""
+WITH tagged AS (
+  SELECT event_type, value, __HASH__ % 2 AS v FROM events
+), cells AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS n,
+         sum(value) AS s, sum(value * value) AS ss
+  FROM tagged GROUP BY event_type, v
+), wide AS (
+  SELECT event_type,
+         max(CASE WHEN v = 0 THEN n END) AS na,
+         max(CASE WHEN v = 0 THEN s END) AS sa,
+         max(CASE WHEN v = 0 THEN ss END) AS ssa,
+         max(CASE WHEN v = 1 THEN n END) AS nb,
+         max(CASE WHEN v = 1 THEN s END) AS sb,
+         max(CASE WHEN v = 1 THEN ss END) AS ssb
+  FROM cells GROUP BY event_type
+)
+SELECT event_type, na, nb,
+       round(sa / na + 1e-9, 6) AS mean_a,
+       round(sb / nb + 1e-9, 6) AS mean_b,
+       round((sa / na - sb / nb)
+             / sqrt(((ssa - sa * sa / na) / (na - 1)) / na
+                    + ((ssb - sb * sb / nb) / (nb - 1)) / nb)
+             + 1e-9, 4) + 0 AS welch_t,
+       abs((sa / na - sb / nb)
+           / sqrt(((ssa - sa * sa / na) / (na - 1)) / na
+                  + ((ssb - sb * sb / nb) / (nb - 1)) / nb)) > 1.96
+         AS significant
+FROM wide
+""".replace("__HASH__", _hash16_sql("ab|", "user_id")),
+)
+def q177_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic per event type between two
+    content-hash user cohorts — the experimentation readout (A/B
+    means, unequal-variance t, 5% two-sided flag). On a pure hash
+    split the cohorts are exchangeable, so ``significant`` false
+    everywhere is itself the A/A-test calibration a platform runs
+    before trusting its assignment hash.
+
+    One pass to (type, variant) moment cells (count/sum/sumsq); the
+    t statistic is closed-form column math on the six cells. Float
+    sums carry the usual association-order ulp, absorbed by the
+    rounds; the 1.96 decision uses the unrounded statistic (a flip
+    requires |t| within an ulp of the boundary) and the q110 ``+ 0``
+    guard keeps near-zero t sign-stable.
+
+    Scale: user assignment is map-side hashing (no join to an
+    assignment table — the 100 TB experimentation pattern); one
+    shuffle on (type, variant); everything after runs on ≤2·|types|
+    rows.
+    """
+    from .splits import _hash16
+
+    ev = read_table(spark, sf_dir, "events", ["event_type", "user_id", "value"])
+    tagged = ev.select(
+        "event_type",
+        "value",
+        (_hash16("ab|", F.col("user_id")) % 2).alias("v"),
+    )
+    cells = tagged.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    wide = cells.groupBy("event_type").agg(
+        F.max(F.when(F.col("v") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("v") == 0, F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("v") == 0, F.col("ss"))).alias("ssa"),
+        F.max(F.when(F.col("v") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("v") == 1, F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("v") == 1, F.col("ss"))).alias("ssb"),
+    )
+    mean_a = F.col("sa") / F.col("na")
+    mean_b = F.col("sb") / F.col("nb")
+    var_term = (
+        (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na"))
+        / (F.col("na") - 1)
+    ) / F.col("na") + (
+        (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb"))
+        / (F.col("nb") - 1)
+    ) / F.col("nb")
+    t = (mean_a - mean_b) / F.sqrt(var_term)
+    return wide.select(
+        "event_type",
+        "na",
+        "nb",
+        fround(mean_a, 6).alias("mean_a"),
+        fround(mean_b, 6).alias("mean_b"),
+        (fround(t, 4) + F.lit(0)).alias("welch_t"),
+        (F.abs(t) > 1.96).alias("significant"),
     )

@@ -1138,3 +1138,130 @@ def q170_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(overhead) * 1.0 / F.sum(F.octet_length("text")), 6
         ).alias("overhead_ratio"),
     )
+
+
+@query(
+    "q178_lsh_recall_audit",
+    tags=("dedup", "lsh", "audit"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]
+         ))) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), truth AS (
+  SELECT doc_a, doc_b, i * 1.0 / (sa.n_sh + sb.n_sh - i) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5
+), sig AS (
+  SELECT doc_id,
+         min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+         min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+         min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+         min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
+  FROM grams GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(concat(h0, h1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), n_cand AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand
+), labeled AS (
+  SELECT t.j, CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+  FROM truth t
+  LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(sum(caught) AS BIGINT) AS n_caught,
+       round(sum(caught) * 1.0 / count(*) + 1e-9, 6) AS recall,
+       round(avg(1 - pow(1 - j * j, 4)) + 1e-9, 6) AS expected_recall,
+       max(n_candidates) AS n_candidates
+FROM labeled, n_cand
+""",
+)
+def q178_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end recall audit of the MinHash-LSH blocking (q32)
+    against exact SHINGLE-set Jaccard ground truth: of all pairs with
+    true J ≥ 0.5, how many does the 4-band × 2-row banding surface —
+    measured next to the THEORETICAL expectation
+    E[recall] = avg(1 − (1 − J²)⁴), so a gap between the two columns
+    flags a broken hash family rather than ordinary LSH misses.
+
+    This is the missing closing audit of the dedup stack: q32 emits
+    candidates, q33/q137 verify them, q111 bounds signature accuracy
+    per pair — this measures what the BLOCKING drops.
+
+    Scale: ground truth enumerates pairs through shared shingles
+    (never all-pairs; at corpus scale the audit runs on a hash-sampled
+    block, same posture as the q33 verifier); the LSH side is the
+    production candidate join itself. Counts are integers; the
+    expectation's pow ulp class is absorbed by the round.
+    """
+    from ...operators.dedup import shingles_of
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    bound = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).where(F.size("w") >= 3)
+    grams = bound.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of(F.col("w"), 3))).alias("sh"),
+    ).localCheckpoint(eager=False)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    truth = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(j >= 0.5)
+        .select("doc_a", "doc_b", j.alias("j"))
+    )
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    bands = lsh_bands(sig, n_hashes=8, band_size=2)
+    cand = (
+        lsh_candidate_pairs(bands)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    labeled = truth.join(
+        cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).select("j", F.coalesce("_c", F.lit(0)).alias("caught"))
+    return labeled.crossJoin(F.broadcast(n_cand)).agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("caught").alias("n_caught"),
+        fround(F.sum("caught") * 1.0 / F.count(F.lit(1)), 6).alias("recall"),
+        fround(
+            F.avg(1 - F.pow(1 - F.col("j") * F.col("j"), 4)), 6
+        ).alias("expected_recall"),
+        F.max("n_candidates").alias("n_candidates"),
+    )

@@ -643,3 +643,18 @@ def test_q176_transform_avoids_global_rank_funnel(spark):
     # bucketed two-level rank: no orders-sized SinglePartition window.
     plan = physical_plan(_q(spark, "q176_quantile_transform"))
     assert plan.count("SinglePartition") <= 2
+
+
+def test_q177_welch_single_pass_moment_cells(spark):
+    # assignment is map-side hashing; one shuffle to moment cells,
+    # one to the per-type pivot — no join anywhere.
+    plan = physical_plan(_q(spark, "q177_ab_test_welch"))
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 2
+
+
+def test_q178_recall_truth_via_shared_shingles_not_allpairs(spark):
+    # ground truth enumerates pairs through the shingle equi-join;
+    # no cartesian anywhere (the one-row totals frame broadcasts).
+    plan = physical_plan(_q(spark, "q178_lsh_recall_audit"))
+    assert "CartesianProduct" not in plan
