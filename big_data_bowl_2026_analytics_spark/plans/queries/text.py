@@ -1265,3 +1265,69 @@ def q178_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("expected_recall"),
         F.max("n_candidates").alias("n_candidates"),
     )
+
+
+@query(
+    "q179_component_size_distribution",
+    tags=("dedup", "graph", "audit"),
+    oracle=_CC_REACH_CTES
+    + """
+, comp AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+  FROM comp GROUP BY cluster_id
+), tot AS (
+  SELECT CAST(sum(sz) AS BIGINT) AS n_docs, CAST(max(sz) AS BIGINT) AS max_sz
+  FROM sizes
+)
+SELECT sz AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(count(*) * sz AS BIGINT) AS n_docs_in,
+       round(count(*) * sz * 1.0 / n_docs + 1e-9, 6) AS doc_share,
+       sz = max_sz AS is_giant
+FROM sizes, tot
+GROUP BY sz, n_docs, max_sz
+""",
+)
+def q179_component_size_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Size distribution of the near-duplicate components (q60's
+    clustering, histogrammed): how many singletons, how many small
+    clusters, and whether a GIANT component exists — the one graph
+    statistic that decides if the LSH banding is too loose (a giant
+    component means transitive merging is about to collapse unrelated
+    documents into one survivor).
+
+    Scale: the histogram runs on the cluster-size frame (components,
+    not documents); the doc-share ratio divides integer counts by the
+    one-row broadcast total. Same recursive-fixpoint oracle family as
+    q60/q91/q98.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    bands = lsh_bands(sig, n_hashes=8, band_size=2)
+    pairs = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
+    from ...operators.dedup import duplicate_clusters
+
+    comp = duplicate_clusters(pairs, docs, id_col="doc_id")
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    tot = sizes.agg(
+        F.sum("sz").alias("n_docs"), F.max("sz").alias("max_sz")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .groupBy("sz", "n_docs", "max_sz")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .select(
+            F.col("sz").alias("component_size"),
+            "n_components",
+            (F.col("n_components") * F.col("sz")).alias("n_docs_in"),
+            fround(
+                F.col("n_components") * F.col("sz") * 1.0 / F.col("n_docs"),
+                6,
+            ).alias("doc_share"),
+            (F.col("sz") == F.col("max_sz")).alias("is_giant"),
+        )
+    )
