@@ -358,3 +358,87 @@ def q174_psi_score_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(pb, 6).alias("pb"),
         (fround((pa - pb) * F.log(pa / pb), 6) + F.lit(0)).alias("psi_term"),
     )
+
+
+@query(
+    "q183_labeler_agreement_kappa",
+    tags=("ml", "labeling", "audit"),
+    oracle=f"""
+WITH {{scored}},
+lab AS (
+  SELECT CASE WHEN y = 1.0 THEN 1 ELSE 0 END AS la,
+         CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS lb
+  FROM scored
+), conf AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE la = 1 AND lb = 1) AS BIGINT) AS n11,
+         CAST(count(*) FILTER (WHERE la = 1 AND lb = 0) AS BIGINT) AS n10,
+         CAST(count(*) FILTER (WHERE la = 0 AND lb = 1) AS BIGINT) AS n01,
+         CAST(count(*) FILTER (WHERE la = 0 AND lb = 0) AS BIGINT) AS n00
+  FROM lab
+)
+SELECT n, n11, n10, n01, n00,
+       round((n11 + n00) * 1.0 / n + 1e-9, 6) AS p_observed,
+       round(((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+             + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)
+             + 1e-9, 6) AS p_expected,
+       round(((n11 + n00) * 1.0 / n
+              - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                 + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
+             / (1 - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                     + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
+             + 1e-9, 6) + 0 AS kappa
+FROM conf
+""".replace("{scored}", _SCORED_CTE.strip()),
+)
+def q183_labeler_agreement_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's kappa between two labeling functions — the rule label
+    (quantity threshold) and the model's 0.5-threshold prediction —
+    i.e. chance-corrected inter-labeler agreement, the weak-
+    supervision audit that decides whether a new labeling function
+    adds signal or noise (raw accuracy flatters imbalanced labels;
+    kappa does not).
+
+    One pass to the 2×2 confusion counts; everything after is
+    integer-ratio arithmetic in a fixed order (rounded defensively,
+    with the q110 ``+ 0`` guard since kappa near zero is exactly the
+    interesting case). Both labelers compare on the 6-decimal-rounded
+    probability, so the threshold decision is engine-identical.
+
+    Scale: scoring is native JVM column math; the confusion matrix is
+    a single map-side-combined aggregate — no shuffle wider than four
+    counters.
+    """
+    scored = _scored(spark, sf_dir, native=True).select(
+        F.round(F.col("probability") + 1e-9, 6).alias("p"),
+        F.col("target").alias("y"),
+    )
+    lab = scored.select(
+        F.when(F.col("y") == 1.0, 1).otherwise(0).alias("la"),
+        F.when(F.col("p") > 0.5, 1).otherwise(0).alias("lb"),
+    )
+    conf = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if((F.col("la") == 1) & (F.col("lb") == 1)).alias("n11"),
+        F.count_if((F.col("la") == 1) & (F.col("lb") == 0)).alias("n10"),
+        F.count_if((F.col("la") == 0) & (F.col("lb") == 1)).alias("n01"),
+        F.count_if((F.col("la") == 0) & (F.col("lb") == 0)).alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) * 1.0 / F.col("n")
+    pe = ((F.col("n11") + F.col("n10")) * 1.0 / F.col("n")) * (
+        (F.col("n11") + F.col("n01")) * 1.0 / F.col("n")
+    ) + ((F.col("n01") + F.col("n00")) * 1.0 / F.col("n")) * (
+        (F.col("n10") + F.col("n00")) * 1.0 / F.col("n")
+    )
+    return conf.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        fround(po, 6).alias("p_observed"),
+        fround(pe, 6).alias("p_expected"),
+        (fround((po - pe) / (1 - pe), 6) + F.lit(0)).alias("kappa"),
+    )

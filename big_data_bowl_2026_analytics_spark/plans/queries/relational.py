@@ -1495,3 +1495,84 @@ def q171_order_total_consistency(
             fround(F.sum(diff) / F.count(F.lit(1)), 2).alias("avg_abs_diff"),
         )
     )
+
+
+@query(
+    "q182_point_in_time_join",
+    tags=("temporal", "scd2", "ml-features"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR event_type != prev_type
+), hist AS (
+  SELECT user_id,
+         ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to,
+         event_type AS state,
+         CAST(row_number() OVER w2 AS BIGINT) AS version
+  FROM changes
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+), facts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id,
+       h.state AS state_at_purchase,
+       h.version AS state_version,
+       round((epoch_us(f.ts) - epoch_us(h.valid_from)) / 1000000.0
+             + 1e-9, 3) AS state_age_s,
+       h.valid_from <= f.ts AS no_leakage
+FROM facts f
+JOIN hist h
+  ON h.user_id = f.user_id
+ AND h.valid_from <= f.ts
+ AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+""",
+)
+def q182_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase joins the SCD2
+    state version (q106's history) that was valid AT the purchase
+    timestamp — the feature-store correctness primitive that prevents
+    label leakage (training features must reflect what was knowable
+    at label time, never a later version). The ``no_leakage`` column
+    pins the invariant in the oracle-hashed output.
+
+    Exactly one version matches any fact inside the user's history
+    (the validity intervals partition the timeline); the half-open
+    bound [valid_from, valid_to) makes boundary events land in the
+    NEW version on both engines (integer-microsecond comparison).
+
+    Scale: history and facts both key on user_id — the interval
+    predicate evaluates inside a user-partitioned equi-join (versions
+    per user are few), never a cross join; state age converts to
+    seconds before rounding (the q167 magnitude lesson).
+    """
+    hist = q106_scd2_history(spark, sf_dir).select(
+        "user_id", "valid_from", "valid_to",
+        F.col("state"), "version",
+    )
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = facts.join(hist, "user_id").where(
+        (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("state").alias("state_at_purchase"),
+        F.col("version").alias("state_version"),
+        fround(
+            (F.unix_micros("ts") - F.unix_micros("valid_from")) / 1000000.0,
+            3,
+        ).alias("state_age_s"),
+        (F.col("valid_from") <= F.col("ts")).alias("no_leakage"),
+    )

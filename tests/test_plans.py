@@ -674,3 +674,17 @@ def test_q181_sketch_pairs_never_touch_users(spark):
     plan = physical_plan(_q(spark, "q181_hll_intersection_estimate"))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_q182_pit_lookup_is_user_partitioned_equijoin(spark):
+    # the interval predicate evaluates inside a user-keyed join;
+    # nothing degenerates to a cross product or a global window.
+    plan = physical_plan(_q(spark, "q182_point_in_time_join"))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q183_kappa_single_aggregate_no_python(spark):
+    plan = physical_plan(_q(spark, "q183_labeler_agreement_kappa"))
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Join" not in plan
