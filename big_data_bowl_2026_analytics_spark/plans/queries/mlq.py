@@ -442,3 +442,114 @@ def q183_labeler_agreement_kappa(
         fround(pe, 6).alias("p_expected"),
         (fround((po - pe) / (1 - pe), 6) + F.lit(0)).alias("kappa"),
     )
+
+
+@query(
+    "q184_conformal_calibration",
+    tags=("ml", "uncertainty", "audit"),
+    oracle=f"""
+WITH {{scored}},
+halved AS (
+  SELECT p, y, __HASH__ % 2 AS half,
+         l_orderkey, l_linenumber
+  FROM scored
+), cal AS (
+  SELECT round(1 - p + 1e-9, 6) AS s, l_orderkey, l_linenumber
+  FROM halved WHERE half = 0 AND y = 1.0
+), n_cal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM cal
+), k AS (
+  SELECT CAST(ceil((n + 1) * 0.9) AS BIGINT) AS k, n FROM n_cal
+), ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s, l_orderkey, l_linenumber) AS r
+  FROM cal
+), qhat AS (
+  SELECT s AS q_hat FROM ranked, k WHERE r = least(k.k, (SELECT n FROM n_cal))
+), test AS (
+  SELECT round(1 - p + 1e-9, 6) AS s
+  FROM halved WHERE half = 1 AND y = 1.0
+)
+SELECT (SELECT n FROM n_cal) AS n_calibration,
+       (SELECT k FROM k) AS k_order_stat,
+       (SELECT q_hat FROM qhat) AS q_hat,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(count(*) FILTER (WHERE s <= (SELECT q_hat FROM qhat)) * 1.0
+             / count(*) + 1e-9, 6) AS test_coverage
+FROM test
+""".replace("{scored}", _SCORED_CTE.strip()).replace(
+        "__HASH__", _hash16_sql("conf|", "l_orderkey || '|' || l_linenumber")
+    ),
+)
+def q184_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration: the ceil((n+1)·0.9)-th order
+    statistic of the calibration half's nonconformity scores (1 − p
+    on positives) is the distribution-free threshold q̂; measured
+    coverage on the held-out half should land near 90% — the
+    finite-sample uncertainty guarantee a scoring pipeline attaches
+    to its predictions without any model retraining.
+
+    Engine-exactness: scores derive from the 6-decimal-rounded
+    probability, the order statistic is an exact rank selection with
+    a unique tie-break (never an interpolated quantile), and coverage
+    compares identical rounded values — every output is either an
+    integer or an integer-indexed score.
+
+    Scale: the rank selection runs on the CALIBRATION half of
+    positives only (a bounded slice); at 100 TB it swaps to
+    operators/rankops.py::bucketed_rank, same contract. One scan,
+    one exchange per half.
+    """
+    from .splits import _hash16
+    from pyspark.sql import Window
+
+    scored = _scored(spark, sf_dir, native=True).select(
+        F.round(F.col("probability") + 1e-9, 6).alias("p"),
+        F.col("target").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+        (
+            _hash16(
+                "conf|",
+                F.concat_ws("|", "l_orderkey", "l_linenumber"),
+            )
+            % 2
+        ).alias("half"),
+    )
+    cal = scored.where((F.col("half") == 0) & (F.col("y") == 1.0)).select(
+        fround(1 - F.col("p"), 6).alias("s"), "l_orderkey", "l_linenumber"
+    )
+    n_cal = cal.agg(F.count(F.lit(1)).alias("n"))
+    ranked = cal.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy("s", "l_orderkey", "l_linenumber")
+        ),
+    )
+    qhat = (
+        ranked.crossJoin(F.broadcast(n_cal))
+        .where(
+            F.col("r")
+            == F.least(
+                F.ceil((F.col("n") + 1) * 0.9).cast("bigint"), F.col("n")
+            )
+        )
+        .select(
+            F.col("s").alias("q_hat"),
+            F.col("n").alias("n_calibration"),
+            F.ceil((F.col("n") + 1) * 0.9).cast("bigint").alias("k_order_stat"),
+        )
+    )
+    test = scored.where((F.col("half") == 1) & (F.col("y") == 1.0)).select(
+        fround(1 - F.col("p"), 6).alias("s")
+    )
+    return test.crossJoin(F.broadcast(qhat)).agg(
+        F.any_value("n_calibration").alias("n_calibration"),
+        F.any_value("k_order_stat").alias("k_order_stat"),
+        F.any_value("q_hat").alias("q_hat"),
+        F.count(F.lit(1)).alias("n_test"),
+        fround(
+            F.count_if(F.col("s") <= F.col("q_hat")) * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("test_coverage"),
+    )

@@ -33,6 +33,7 @@ from ...operators.textstats import (
 from ...functions.scalar import fround
 from ...sources.readers import read_table
 from ..registry import query
+from .splits import _hash16_sql
 
 # Shared oracle CTE: distinct tokens per doc.
 _TOK_CTE = """
@@ -1329,5 +1330,125 @@ def q179_component_size_distribution(
                 6,
             ).alias("doc_share"),
             (F.col("sz") == F.col("max_sz")).alias("is_giant"),
+        )
+    )
+
+
+_SPLIT_CASE = """CASE WHEN __H__ % 1000 < 800 THEN 'train'
+              WHEN __H__ % 1000 < 900 THEN 'valid'
+              ELSE 'test' END"""
+
+
+@query(
+    "q185_split_leakage_audit",
+    tags=("dedup", "split", "audit", "llm-pipeline"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]
+         ))) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sig AS (
+  SELECT doc_id,
+         min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+         min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+         min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+         min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
+  FROM grams GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(concat(h0, h1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), splits AS (
+  SELECT doc_id, __SPLITCASE__ AS split FROM documents
+), tagged AS (
+  SELECT least(sa.split, sb.split) AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi,
+         CASE WHEN sa.split <= sb.split THEN c.doc_b ELSE c.doc_a END
+           AS hi_doc
+  FROM cand c
+  JOIN splits sa ON sa.doc_id = c.doc_a
+  JOIN splits sb ON sb.doc_id = c.doc_b
+)
+SELECT split_lo, split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT hi_doc) AS BIGINT) AS n_hi_docs,
+       split_lo != split_hi AS is_leakage
+FROM tagged
+GROUP BY split_lo, split_hi
+""".replace(
+        "__SPLITCASE__",
+        _SPLIT_CASE.replace("__H__", _hash16_sql("split|", "doc_id")),
+    ),
+)
+def q185_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage across the train/valid/test hash split:
+    LSH candidate pairs (q32) whose endpoints landed in DIFFERENT
+    splits are evaluation contamination — a test document with a
+    train near-twin inflates every metric. The audit crosses the q127
+    split assignment with the production candidate join and reports
+    pair counts per split combination, flagging the cross-split rows.
+
+    ``n_hi_docs`` counts distinct documents on the (lexicographically)
+    later split side of each combination — for train/test rows that
+    is exactly "test documents with a train near-duplicate", the
+    number a curation pass must drop or re-split.
+
+    Scale: both inputs are the production artifacts themselves (the
+    candidate join and the map-side split hash); the audit adds two
+    doc-keyed joins and a six-row aggregate.
+    """
+    from .splits import _hash16
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    bands = lsh_bands(sig, n_hashes=8, band_size=2)
+    cand = lsh_candidate_pairs(bands).select("doc_a", "doc_b").distinct()
+    bucket = _hash16("split|", F.col("doc_id")) % 1000
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 800, "train")
+        .when(bucket < 900, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    tagged = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+            F.when(
+                F.col("split_a") <= F.col("split_b"), F.col("doc_b")
+            )
+            .otherwise(F.col("doc_a"))
+            .alias("hi_doc"),
+        )
+    )
+    return (
+        tagged.groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("hi_doc").alias("n_hi_docs"),
+        )
+        .withColumn(
+            "is_leakage", F.col("split_lo") != F.col("split_hi")
         )
     )

@@ -688,3 +688,15 @@ def test_q183_kappa_single_aggregate_no_python(spark):
     plan = physical_plan(_q(spark, "q183_labeler_agreement_kappa"))
     assert "Python" not in plan and "Arrow" not in plan
     assert "Join" not in plan
+
+
+def test_q184_conformal_rank_on_calibration_slice_only(spark):
+    # the order-statistic window runs on the calibration half of
+    # positives (bounded slice); scoring stays JVM.
+    plan = physical_plan(_q(spark, "q184_conformal_calibration"))
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_q185_leakage_joins_on_doc_keys(spark):
+    plan = physical_plan(_q(spark, "q185_split_leakage_audit"))
+    assert "CartesianProduct" not in plan
