@@ -553,3 +553,203 @@ def q184_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("test_coverage"),
     )
+
+
+@query(
+    "q186_woe_information_value",
+    tags=("ml", "features", "audit"),
+    oracle=f"""
+WITH {{scored}},
+binned AS (
+  SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+         CASE WHEN y = 1.0 THEN 1 ELSE 0 END AS pos
+  FROM scored
+), cells AS (
+  SELECT bin,
+         CAST(count(*) FILTER (WHERE pos = 1) AS BIGINT) AS n_pos,
+         CAST(count(*) FILTER (WHERE pos = 0) AS BIGINT) AS n_neg
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS tp, CAST(sum(n_neg) AS BIGINT) AS tn,
+         CAST(count(*) AS BIGINT) AS b
+  FROM cells
+)
+SELECT bin, n_pos, n_neg,
+       round(ln(((n_pos + 0.5) / (tp + 0.5 * b))
+                / ((n_neg + 0.5) / (tn + 0.5 * b))) + 1e-9, 6) + 0 AS woe,
+       round(((n_pos + 0.5) / (tp + 0.5 * b)
+              - (n_neg + 0.5) / (tn + 0.5 * b))
+             * ln(((n_pos + 0.5) / (tp + 0.5 * b))
+                  / ((n_neg + 0.5) / (tn + 0.5 * b))) + 1e-9, 6) + 0
+         AS iv_term
+FROM cells, tot
+""".replace("{scored}", _SCORED_CTE.strip()),
+)
+def q186_woe_information_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weight-of-evidence / information-value profile of the score
+    deciles against the binary target — the credit-scoring standard
+    for judging a feature's separating power (IV < 0.02 useless,
+    > 0.5 suspiciously strong); sum ``iv_term`` for the scalar IV.
+
+    Same engine-exactness posture as q174: decile bins over the
+    rounded probability, +0.5-per-cell Laplace smoothing so empty
+    cells stay finite deterministically, integer counts through
+    fixed-order IEEE arithmetic, and the ``+ 0`` sign-of-zero guard
+    (WOE crosses zero by construction).
+
+    Scale: one scan to ≤10 cells; the totals frame is one row.
+    """
+    scored = _scored(spark, sf_dir, native=True).select(
+        F.round(F.col("probability") + 1e-9, 6).alias("p"),
+        F.col("target").alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+        F.when(F.col("y") == 1.0, 1).otherwise(0).alias("pos"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count_if(F.col("pos") == 1).alias("n_pos"),
+        F.count_if(F.col("pos") == 0).alias("n_neg"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").alias("tp"),
+        F.sum("n_neg").alias("tn"),
+        F.count(F.lit(1)).alias("b"),
+    )
+    dp = (F.col("n_pos") + 0.5) / (F.col("tp") + 0.5 * F.col("b"))
+    dn = (F.col("n_neg") + 0.5) / (F.col("tn") + 0.5 * F.col("b"))
+    woe = F.log(dp / dn)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        (fround(woe, 6) + F.lit(0)).alias("woe"),
+        (fround((dp - dn) * woe, 6) + F.lit(0)).alias("iv_term"),
+    )
+
+
+def _h_sql(p: str) -> str:
+    """Binary entropy term in nats with explicit 0·ln0 = 0."""
+    return (
+        f"(CASE WHEN {p} <= 0 OR {p} >= 1 THEN 0.0 "
+        f"ELSE -({p} * ln({p}) + (1 - {p}) * ln(1 - {p})) END)"
+    )
+
+
+@query(
+    "q188_decision_stump",
+    tags=("ml", "features", "mining"),
+    oracle=f"""
+WITH feat AS (
+  SELECT l_discount * 10 AS f,
+         CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END AS pos
+  FROM lineitem WHERE l_linenumber = 1
+), grid AS (
+  SELECT unnest(generate_series(1, 9)) / 10.0 AS t
+), split AS (
+  SELECT g.t,
+         CAST(count(*) FILTER (WHERE f.f < g.t) AS BIGINT) AS n_l,
+         CAST(count(*) FILTER (WHERE f.f < g.t AND f.pos = 1) AS BIGINT)
+           AS pos_l,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE f.pos = 1) AS BIGINT) AS pos
+  FROM feat f CROSS JOIN grid g
+  GROUP BY g.t
+), gains AS (
+  SELECT t, n_l, n - n_l AS n_r,
+         round({_h_sql('(pos * 1.0 / n)')}
+               - (n_l * 1.0 / n)
+                 * {_h_sql('(CASE WHEN n_l = 0 THEN 0.0 ELSE pos_l * 1.0 / n_l END)')}
+               - ((n - n_l) * 1.0 / n)
+                 * {_h_sql('(CASE WHEN n = n_l THEN 0.0 ELSE (pos - pos_l) * 1.0 / (n - n_l) END)')}
+               + 1e-9, 6) + 0 AS info_gain
+  FROM split
+)
+SELECT t AS threshold, n_l AS n_left, n_r AS n_right, info_gain,
+       row_number() OVER (ORDER BY info_gain DESC, t) = 1 AS is_best
+FROM gains
+""",
+)
+def q188_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D decision stump search: information gain of splitting the
+    binary target on each candidate threshold of the discount
+    feature, with the best split flagged — the inner loop of every
+    tree learner, run as one grouped scan (the distributed
+    "find-best-split" primitive a tree library fans out per feature).
+
+    The CASE WHEN y = 1.0 label matches the q50 model target, so the
+    stump's gain curve is directly comparable to the model's IV
+    profile (q186): a stump that beats the model's top decile flags
+    an interaction the linear model misses.
+
+    Engine-exactness: split counts are integers from one conditional
+    aggregation; entropies are fixed-order arithmetic on integer
+    ratios with explicit 0·ln0 = 0 (no smoothing needed); the argmax
+    ranks by the ROUNDED gain with the threshold as tie-break, and
+    gains carry the sign-of-zero guard.
+
+    Scale: the grid cross join multiplies rows by 9 candidate
+    thresholds map-side and immediately collapses to 9 rows — at
+    100 TB the same shape runs per (feature, threshold) pair, which
+    is exactly how distributed GBDT split-finding works.
+    """
+    from pyspark.sql import Window
+
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_discount", "l_quantity", "l_linenumber"],
+    )
+    feat = li.where(F.col("l_linenumber") == 1).select(
+        (F.col("l_discount") * 10).alias("f"),
+        F.when(F.col("l_quantity") > 30, 1).otherwise(0).alias("pos"),
+    )
+    grid = feat.sparkSession.createDataFrame(
+        [(k / 10.0,) for k in range(1, 10)], "t double"
+    )
+    split = (
+        feat.crossJoin(F.broadcast(grid))
+        .groupBy("t")
+        .agg(
+            F.count_if(F.col("f") < F.col("t")).alias("n_l"),
+            F.count_if(
+                (F.col("f") < F.col("t")) & (F.col("pos") == 1)
+            ).alias("pos_l"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("pos") == 1).alias("pos"),
+        )
+    )
+
+    def h(p):
+        return F.when((p <= 0) | (p >= 1), 0.0).otherwise(
+            -(p * F.log(p) + (1 - p) * F.log(1 - p))
+        )
+
+    p_parent = F.col("pos") * 1.0 / F.col("n")
+    p_l = F.when(F.col("n_l") == 0, 0.0).otherwise(
+        F.col("pos_l") * 1.0 / F.col("n_l")
+    )
+    p_r = F.when(F.col("n") == F.col("n_l"), 0.0).otherwise(
+        (F.col("pos") - F.col("pos_l")) * 1.0 / (F.col("n") - F.col("n_l"))
+    )
+    gain = (
+        h(p_parent)
+        - (F.col("n_l") * 1.0 / F.col("n")) * h(p_l)
+        - ((F.col("n") - F.col("n_l")) * 1.0 / F.col("n")) * h(p_r)
+    )
+    gains = split.select(
+        F.col("t").alias("threshold"),
+        F.col("n_l").alias("n_left"),
+        (F.col("n") - F.col("n_l")).alias("n_right"),
+        (fround(gain, 6) + F.lit(0)).alias("info_gain"),
+    )
+    return gains.withColumn(
+        "is_best",
+        F.row_number().over(
+            Window.orderBy(F.desc("info_gain"), "threshold")
+        )
+        == 1,
+    )

@@ -968,3 +968,85 @@ def q177_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fround(t, 4) + F.lit(0)).alias("welch_t"),
         (F.abs(t) > 1.96).alias("significant"),
     )
+
+
+@query(
+    "q187_anova_decomposition",
+    tags=("statistics", "audit"),
+    oracle="""
+WITH cells AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(value) AS s, sum(value * value) AS ss
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot, sum(s) AS s_tot,
+         sum(ss) AS ss_tot, CAST(count(*) AS BIGINT) AS k
+  FROM cells
+), parts AS (
+  SELECT sum(s * s / n) - max(s_tot) * max(s_tot) / max(n_tot) AS ss_between,
+         max(ss_tot) - sum(s * s / n) AS ss_within,
+         max(n_tot) AS n_tot, max(k) AS k
+  FROM cells, tot
+)
+SELECT CAST(n_tot AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_groups,
+       round(ss_between + 1e-9, 4) AS ss_between,
+       round(ss_within + 1e-9, 4) AS ss_within,
+       round(ss_between / (ss_between + ss_within) + 1e-9, 6) AS eta_squared,
+       round((ss_between / (k - 1)) / (ss_within / (n_tot - k))
+             + 1e-9, 4) AS f_statistic
+FROM parts
+""",
+)
+def q187_anova_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value by type: between-group vs
+    within-group sum of squares, η² (variance explained by the
+    grouping) and the F statistic — the continuous-target sibling of
+    the chi-square (q129) / MI (q160) / Welch (q177) family: does the
+    segmentation explain the metric at all?
+
+    Everything reduces to per-group (n, Σx, Σx²) moment cells in one
+    scan; the decomposition is closed-form arithmetic on the k-row
+    cell frame. Float-sum association order is absorbed by the
+    rounds.
+
+    Scale: one partial-aggregated shuffle on the group key; the
+    decomposition runs on k rows.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    cells = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    ).localCheckpoint(eager=False)
+    tot = cells.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    parts = cells.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(F.col("s") * F.col("s") / F.col("n"))
+            - F.max("s_tot") * F.max("s_tot") / F.max("n_tot")
+        ).alias("ss_between"),
+        (
+            F.max("ss_tot") - F.sum(F.col("s") * F.col("s") / F.col("n"))
+        ).alias("ss_within"),
+        F.max("n_tot").alias("n_tot"),
+        F.max("k").alias("k"),
+    )
+    return parts.select(
+        F.col("n_tot").cast("bigint").alias("n_rows"),
+        F.col("k").cast("bigint").alias("n_groups"),
+        fround(F.col("ss_between"), 4).alias("ss_between"),
+        fround(F.col("ss_within"), 4).alias("ss_within"),
+        fround(
+            F.col("ss_between") / (F.col("ss_between") + F.col("ss_within")),
+            6,
+        ).alias("eta_squared"),
+        fround(
+            (F.col("ss_between") / (F.col("k") - 1))
+            / (F.col("ss_within") / (F.col("n_tot") - F.col("k"))),
+            4,
+        ).alias("f_statistic"),
+    )

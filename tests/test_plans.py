@@ -700,3 +700,23 @@ def test_q184_conformal_rank_on_calibration_slice_only(spark):
 def test_q185_leakage_joins_on_doc_keys(spark):
     plan = physical_plan(_q(spark, "q185_split_leakage_audit"))
     assert "CartesianProduct" not in plan
+
+
+def test_q186_woe_ten_cell_reduction(spark):
+    plan = physical_plan(_q(spark, "q186_woe_information_value"))
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_q187_anova_one_scan_moment_cells(spark):
+    plan = physical_plan(_q(spark, "q187_anova_decomposition"))
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" in plan
+    # the checkpointed cell frame feeds both branches: one file scan
+    assert plan.count("Location: InMemoryFileIndex") <= 1
+
+
+def test_q188_stump_grid_broadcast_collapses_mapside(spark):
+    # the 9-threshold grid broadcasts; partial aggregation collapses
+    # the expanded rows before the single shuffle.
+    plan = physical_plan(_q(spark, "q188_decision_stump"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
