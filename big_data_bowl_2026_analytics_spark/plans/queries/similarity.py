@@ -1067,3 +1067,199 @@ def q169_embedding_quality_audit(
         fround(F.expr("percentile(nrm, 0.5)"), 6).alias("p50_norm"),
         fround(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+@query(
+    "q189_ndcg_retrieval_audit",
+    tags=("similarity", "retrieval", "audit"),
+    oracle=f"""
+WITH {_NORMED_CTE.strip()},
+sums AS (
+  SELECT vec_id, embedding, sqnorm, {_sums_cols_sql()} FROM normed
+), bucketed AS (
+  SELECT vec_id, embedding, sqnorm,
+         CAST({_bucket_sql()} AS BIGINT) AS bucket
+  FROM sums
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, sqnorm AS q_norm
+  FROM normed WHERE vec_id < 5
+), qb AS (
+  SELECT b.vec_id AS query_id, b.embedding AS q_vec, b.sqnorm AS q_norm,
+         b.bucket
+  FROM bucketed b WHERE b.vec_id < 5
+), exact AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_DOT} / (sqrt(q.q_norm) * sqrt(c.sqnorm))
+                      + 1e-9, 6) DESC, c.vec_id) AS r_e
+    FROM q CROSS JOIN normed c WHERE c.vec_id != q.query_id
+  ) t, LATERAL (SELECT CASE WHEN r_e <= 1 THEN 3 WHEN r_e <= 3 THEN 2
+                             WHEN r_e <= 10 THEN 1 ELSE 0 END AS rel) r
+), retrieved AS (
+  SELECT query_id, neighbor_id, pos FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_DOT.replace('q.q_vec', 'q.q_vec')} /
+                            (sqrt(q.q_norm) * sqrt(c.sqnorm)) + 1e-9, 6)
+                      DESC, c.vec_id) AS pos
+    FROM qb q JOIN bucketed c
+      ON c.bucket = q.bucket AND c.vec_id != q.query_id
+  ) WHERE pos <= 5
+), dcg AS (
+  SELECT r.query_id,
+         CAST(count(*) AS BIGINT) AS n_retrieved,
+         sum((pow(2, e.rel) - 1) / log2(r.pos + 1)) AS dcg
+  FROM retrieved r JOIN exact e
+    ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+  GROUP BY r.query_id
+), idcg AS (
+  SELECT query_id,
+         sum((pow(2, rel) - 1) / log2(ideal_pos + 1)) AS idcg
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id) AS ideal_pos
+    FROM exact
+  ) WHERE ideal_pos <= 5
+  GROUP BY query_id
+)
+SELECT d.query_id, d.n_retrieved,
+       round(d.dcg + 1e-9, 6) AS dcg,
+       round(i.idcg + 1e-9, 6) AS idcg,
+       round(d.dcg / i.idcg + 1e-9, 6) AS ndcg
+FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+""",
+)
+def q189_ndcg_retrieval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the LSH bucket-restricted retrieval against exact-
+    cosine relevance grades — the GRADED retrieval-quality metric
+    next to q142's binary recall: recall says whether true neighbors
+    were found at all, NDCG says whether the best ones surface at the
+    top (graded 3/2/1/0 by exact rank ≤1 / ≤3 / ≤10 / beyond).
+
+    Engine-exactness: both rankings order by ROUNDED cosines with id
+    tie-breaks, grades are integer CASE on integer ranks, and the
+    DCG log2 arithmetic is fixed-order over ≤5 terms per query
+    (rounded defensively).
+
+    Scale: the exact ranking exists only to GRADE (at 100 TB the
+    grades come from a labeled eval set); the retrieval side is the
+    production bucket probe. Both are per-query windows over a
+    broadcast query set.
+    """
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bucketed = with_lsh_bucket(emb, "embedding", 8, _DIM).select(
+        "vec_id",
+        "embedding",
+        squared_norm(F.col("embedding")).alias("sqnorm"),
+        "bucket",
+    ).localCheckpoint(eager=False)
+    normed = emb.select(
+        "vec_id", "embedding", squared_norm(F.col("embedding")).alias("sqnorm")
+    )
+    q = normed.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("sqnorm").alias("q_norm"),
+    )
+    d = F.zip_with(
+        F.col("q_vec"),
+        F.col("embedding"),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    dot_col = F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+    cos = fround(dot_col / (F.sqrt("q_norm") * F.sqrt("sqnorm")), 6)
+    exact = (
+        F.broadcast(q)
+        .crossJoin(normed)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("c")
+        )
+        .withColumn(
+            "r_e",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("c"), "neighbor_id"
+                )
+            ),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("r_e") <= 1, 3)
+            .when(F.col("r_e") <= 3, 2)
+            .when(F.col("r_e") <= 10, 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    qb = bucketed.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("sqnorm").alias("q_norm"),
+        "bucket",
+    )
+    retrieved = (
+        F.broadcast(qb)
+        .join(
+            bucketed.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding"),
+                F.col("sqnorm"),
+                "bucket",
+            ),
+            "bucket",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("c"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("c"), "neighbor_id"
+                )
+            ),
+        )
+        .where(F.col("pos") <= 5)
+    )
+    dcg = (
+        retrieved.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            F.sum(
+                (F.pow(2, F.col("rel")) - 1) / F.log2(F.col("pos") + 1)
+            ).alias("dcg"),
+        )
+    )
+    idcg = (
+        exact.withColumn(
+            "ideal_pos",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("rel"), "neighbor_id"
+                )
+            ),
+        )
+        .where(F.col("ideal_pos") <= 5)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(2, F.col("rel")) - 1) / F.log2(F.col("ideal_pos") + 1)
+            ).alias("idcg")
+        )
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "n_retrieved",
+        fround(F.col("dcg"), 6).alias("dcg"),
+        fround(F.col("idcg"), 6).alias("idcg"),
+        fround(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )

@@ -720,3 +720,9 @@ def test_q188_stump_grid_broadcast_collapses_mapside(spark):
     plan = physical_plan(_q(spark, "q188_decision_stump"))
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_q189_ndcg_rankings_partition_by_query(spark):
+    plan = physical_plan(_q(spark, "q189_ndcg_retrieval_audit"))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
