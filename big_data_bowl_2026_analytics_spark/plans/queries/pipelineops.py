@@ -1050,3 +1050,119 @@ def q187_anova_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f_statistic"),
     )
+
+
+@query(
+    "q190_outlier_method_agreement",
+    tags=("statistics", "quality", "audit"),
+    oracle="""
+WITH stats AS (
+  SELECT avg(l_extendedprice) AS mu,
+         stddev_samp(l_extendedprice) AS sigma,
+         quantile_cont(l_extendedprice, 0.5) AS med,
+         quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem
+), mad AS (
+  SELECT quantile_cont(abs(l_extendedprice - (SELECT med FROM stats)), 0.5)
+           AS mad
+  FROM lineitem
+), flags AS (
+  SELECT CASE WHEN abs(l_extendedprice - mu) > 3 * sigma THEN 1 ELSE 0 END
+           AS fz,
+         CASE WHEN mad > 0
+                   AND abs(l_extendedprice - med) / (1.4826 * mad) > 3
+              THEN 1 ELSE 0 END AS fm,
+         CASE WHEN l_extendedprice < p01 OR l_extendedprice > p99
+              THEN 1 ELSE 0 END AS fw
+  FROM lineitem, stats, mad
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(fz) AS BIGINT) AS n_zscore,
+       CAST(sum(fm) AS BIGINT) AS n_mad,
+       CAST(sum(fw) AS BIGINT) AS n_winsor,
+       round(sum(fz * fm) * 1.0 /
+             nullif(sum(CASE WHEN fz = 1 OR fm = 1 THEN 1 ELSE 0 END), 0)
+             + 1e-9, 6) AS jaccard_z_mad,
+       round(sum(fz * fw) * 1.0 /
+             nullif(sum(CASE WHEN fz = 1 OR fw = 1 THEN 1 ELSE 0 END), 0)
+             + 1e-9, 6) AS jaccard_z_winsor,
+       round(sum(fm * fw) * 1.0 /
+             nullif(sum(CASE WHEN fm = 1 OR fw = 1 THEN 1 ELSE 0 END), 0)
+             + 1e-9, 6) AS jaccard_mad_winsor
+FROM flags
+""",
+)
+def q190_outlier_method_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Do the three outlier definitions in this engine (3σ z-score,
+    3-MAD robust z of q113, p01/p99 winsor bounds of q112) agree on
+    WHICH rows are outliers? Pairwise Jaccard of the flag sets — the
+    method-sensitivity audit that tells a pipeline whether its outlier
+    policy is a modeling choice or a no-op.
+
+    Flag decisions compare raw values against broadcast statistics
+    (identical IEEE arithmetic per row — the thresholds sit far from
+    any value at double precision); agreements are integer-count
+    Jaccards.
+
+    Scale: one stats pass (the MAD needs the median first — two
+    bounded aggregate rows broadcast back), one flagging scan with a
+    single global reduction. No row survives the aggregate.
+    """
+    li = read_table(spark, sf_dir, "lineitem", ["l_extendedprice"])
+    x = F.col("l_extendedprice")
+    stats = li.agg(
+        F.avg(x).alias("mu"),
+        F.stddev_samp(x).alias("sigma"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    mad = (
+        li.crossJoin(F.broadcast(stats))
+        .agg(
+            F.expr(
+                "percentile(abs(l_extendedprice - med), 0.5)"
+            ).alias("mad")
+        )
+    )
+    flags = (
+        li.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            F.when(F.abs(x - F.col("mu")) > 3 * F.col("sigma"), 1)
+            .otherwise(0)
+            .alias("fz"),
+            F.when(
+                (F.col("mad") > 0)
+                & (
+                    F.abs(x - F.col("med")) / (1.4826 * F.col("mad")) > 3
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("fm"),
+            F.when((x < F.col("p01")) | (x > F.col("p99")), 1)
+            .otherwise(0)
+            .alias("fw"),
+        )
+    )
+
+    def jac(a, b):
+        inter = F.sum(F.col(a) * F.col(b))
+        union = F.sum(
+            F.when((F.col(a) == 1) | (F.col(b) == 1), 1).otherwise(0)
+        )
+        return fround(inter * 1.0 / F.nullif(union, F.lit(0)), 6)
+
+    return flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("fz").alias("n_zscore"),
+        F.sum("fm").alias("n_mad"),
+        F.sum("fw").alias("n_winsor"),
+        jac("fz", "fm").alias("jaccard_z_mad"),
+        jac("fz", "fw").alias("jaccard_z_winsor"),
+        jac("fm", "fw").alias("jaccard_mad_winsor"),
+    )

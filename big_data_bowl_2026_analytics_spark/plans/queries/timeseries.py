@@ -733,3 +733,85 @@ def q181_hll_intersection_estimate(
             ).alias("ie_within_bound"),
         )
     )
+
+
+@query(
+    "q191_cusum_control_chart",
+    tags=("timeseries", "monitoring", "changepoint"),
+    oracle="""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.ts, e.event_id,
+         round(e.value - s.mu + 1e-9, 6) AS d,
+         s.sigma
+  FROM events e JOIN stats s ON e.event_type = s.event_type
+), walk AS (
+  SELECT event_type, sigma,
+         sum(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM dev
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(abs(c)) + 1e-9, 4) AS max_abs_cusum,
+       round(max(abs(c)) / (any_value(sigma) * sqrt(count(*))) + 1e-9, 6)
+         AS normalized_excursion,
+       max(abs(c)) / (any_value(sigma) * sqrt(count(*))) > 1.36 AS drifted
+FROM walk
+GROUP BY event_type
+""",
+)
+def q191_cusum_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart per series: the maximum excursion of the
+    cumulative sum of mean deviations, normalized Kolmogorov-style by
+    σ√n (≈1.36 is the 5% band) — the ONLINE mean-shift monitor next
+    to q28's offline-optimal PELT: a process whose mean drifts
+    mid-stream shows a large excursion even when start/end means
+    match.
+
+    Deviations are rounded before the running sum so both engines
+    accumulate identical INPUTS; the windowed sums themselves may
+    still differ at the last ulp (DuckDB computes sliding aggregates
+    via segment trees whose association order need not match Spark's
+    sequential frame scan — the q110 lesson), which the output rounds
+    absorb. The drift boolean compares a statistic that sits far from
+    its threshold at double precision.
+
+    Scale: one stats pass broadcast back, one per-series ordered
+    window (partitioned by series, never global), one reduction.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["event_type", "ts", "event_id", "value"]
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    dev = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        fround(F.col("value") - F.col("mu"), 6).alias("d"),
+        "sigma",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = dev.select(
+        "event_type", "sigma", F.sum("d").over(w).alias("c")
+    )
+    excursion = F.max(F.abs("c")) / (
+        F.any_value("sigma") * F.sqrt(F.count(F.lit(1)))
+    )
+    return walk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        fround(F.max(F.abs("c")), 4).alias("max_abs_cusum"),
+        fround(excursion, 6).alias("normalized_excursion"),
+        (excursion > 1.36).alias("drifted"),
+    )

@@ -726,3 +726,14 @@ def test_q189_ndcg_rankings_partition_by_query(spark):
     plan = physical_plan(_q(spark, "q189_ndcg_retrieval_audit"))
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q190_flags_single_scan_broadcast_stats(spark):
+    plan = physical_plan(_q(spark, "q190_outlier_method_agreement"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q191_cusum_partitioned_walk(spark):
+    plan = physical_plan(_q(spark, "q191_cusum_control_chart"))
+    assert "SinglePartition" not in plan
