@@ -936,9 +936,12 @@ def q154_decontamination_span_removal(
 ) -> DataFrame:
     """Span-level benchmark decontamination: q69 asks "how contaminated
     is this doc"; this computes what an actual scrub REMOVES — every
-    token position covered by a benchmark 3-gram, with overlapping
-    hit spans merged (gaps-and-islands) so adjacent matches count each
-    token once. Per doc: span count, tokens removed, clean length.
+    token position covered by a benchmark 3-gram, with OVERLAPPING
+    hit spans merged (gaps-and-islands; spans that touch without
+    overlapping stay separate islands — the removed-token count is
+    exact either way because islands are disjoint, see
+    tests/test_session3_properties.py). Per doc: span count, tokens
+    removed, clean length.
 
     Scale: the benchmark shingle set is tiny (eval suites vs a
     training corpus) and broadcast, so the corpus-side cost is the
