@@ -1166,3 +1166,75 @@ def q190_outlier_method_agreement(
         jac("fz", "fw").alias("jaccard_z_winsor"),
         jac("fm", "fw").alias("jaccard_mad_winsor"),
     )
+
+
+@query(
+    "q194_poisson_goodness_of_fit",
+    tags=("statistics", "distribution", "audit"),
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+  FROM lineitem GROUP BY l_orderkey
+), hist AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_obs FROM per_order GROUP BY k
+), tot AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+         CAST(sum(k * n_obs) AS BIGINT) AS items
+  FROM hist
+)
+SELECT k, n_obs,
+       round(items * 1.0 / n + 1e-9, 6) AS lambda,
+       round(n * exp(-(items * 1.0 / n)) * pow(items * 1.0 / n, k)
+             / factorial(CAST(k AS INTEGER)) + 1e-9, 4) AS expected,
+       round(pow(n_obs - n * exp(-(items * 1.0 / n))
+                 * pow(items * 1.0 / n, k)
+                 / factorial(CAST(k AS INTEGER)), 2)
+             / (n * exp(-(items * 1.0 / n)) * pow(items * 1.0 / n, k)
+                / factorial(CAST(k AS INTEGER)))
+             + 1e-9, 6) AS chi_term
+FROM hist, tot
+""",
+)
+def q194_poisson_goodness_of_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does the items-per-order distribution follow a Poisson law?
+    Observed basket-size histogram against Poisson(λ = mean items),
+    with a chi-square term per size — the distribution-fitting audit
+    that validates (or refutes) the independence assumptions behind
+    cost models and synthetic-data generators. Sum ``chi_term`` for
+    the statistic; tail sizes with tiny expectations are reported
+    unmerged (callers pool them before a formal test).
+
+    λ is an exact integer ratio; pmf terms are fixed-order
+    exp/pow/factorial arithmetic on identical doubles (the pow/exp
+    last-ulp class, absorbed by the rounds); observed counts are
+    integers.
+
+    Scale: two stacked integer aggregations (order grain, then
+    histogram grain — the second is ≤max-basket-size rows) and a
+    one-row total broadcast.
+    """
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey"])
+    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    hist = per_order.groupBy("k").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = hist.agg(
+        F.sum("n_obs").alias("n"),
+        F.sum(F.col("k") * F.col("n_obs")).alias("items"),
+    )
+    lam = F.col("items") * 1.0 / F.col("n")
+    expected = (
+        F.col("n")
+        * F.exp(-lam)
+        * F.pow(lam, F.col("k"))
+        / F.factorial(F.col("k").cast("int"))
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n_obs",
+        fround(lam, 6).alias("lambda"),
+        fround(expected, 4).alias("expected"),
+        fround(
+            F.pow(F.col("n_obs") - expected, 2) / expected, 6
+        ).alias("chi_term"),
+    )

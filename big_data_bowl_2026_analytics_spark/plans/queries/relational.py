@@ -1576,3 +1576,174 @@ def q182_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("state_age_s"),
         (F.col("valid_from") <= F.col("ts")).alias("no_leakage"),
     )
+
+
+@query(
+    "q192_market_concentration",
+    tags=("relational", "statistics", "audit"),
+    oracle="""
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS r
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+), tot AS (
+  SELECT s_nationkey, sum(r) AS t, CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM rev GROUP BY s_nationkey
+), ranked AS (
+  SELECT r.s_nationkey, r.r, t.t, t.n_suppliers,
+         row_number() OVER (PARTITION BY r.s_nationkey
+                            ORDER BY r.r DESC, r.l_suppkey) AS rk
+  FROM rev r JOIN tot t ON r.s_nationkey = t.s_nationkey
+)
+SELECT s_nationkey, n_suppliers,
+       round(sum((r / t) * (r / t)) + 1e-9, 6) AS hhi,
+       round(sum(CASE WHEN rk <= 3 THEN r ELSE 0 END) / any_value(t)
+             + 1e-9, 6) AS cr3
+FROM ranked
+GROUP BY s_nationkey, n_suppliers
+""",
+)
+def q192_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation: Herfindahl-
+    Hirschman index (Σ share²; 1/n even split → 1 monopoly) and the
+    top-3 concentration ratio — the market-structure counterpart of
+    q119's Gini (Gini measures inequality of the whole curve, HHI
+    weights the head). The concentration question behind skew
+    planning, too: a nation at HHI → 1 is a broadcast-or-salt key.
+
+    Per-supplier revenues are rounded to cents FIRST (engine-
+    identical inputs); shares are then ratios of identical doubles,
+    the top-3 selection ranks with a supplier tie-break, and the
+    share-square sum order is absorbed by the round.
+
+    Scale: one fact shuffle to (nation, supplier) grain; rankings
+    partition by nation over supplier-counted rows.
+    """
+    from pyspark.sql import Window
+
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    rev = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("r")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    ranked = rev.join(F.broadcast(tot), "s_nationkey").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("s_nationkey").orderBy(
+                F.desc("r"), "l_suppkey"
+            )
+        ),
+    )
+    share = F.col("r") / F.col("t")
+    return ranked.groupBy("s_nationkey", "n_suppliers").agg(
+        fround(F.sum(share * share), 6).alias("hhi"),
+        fround(
+            F.sum(F.when(F.col("rk") <= 3, F.col("r")).otherwise(0))
+            / F.any_value("t"),
+            6,
+        ).alias("cr3"),
+    )
+
+
+@query(
+    "q193_hierarchical_shares",
+    tags=("relational", "report"),
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2)
+           AS nation_rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+), reg AS (
+  SELECT region, sum(nation_rev) AS region_rev FROM rev GROUP BY region
+), gtot AS (
+  SELECT sum(region_rev) AS global_rev FROM reg
+)
+SELECT v.region, v.nation, v.nation_rev,
+       round(g.region_rev + 1e-9, 2) AS region_rev,
+       round(v.nation_rev / g.region_rev + 1e-9, 6) AS share_of_region,
+       round(g.region_rev / gl.global_rev + 1e-9, 6) AS region_share_global,
+       round(v.nation_rev / gl.global_rev + 1e-9, 6) AS share_of_global
+FROM rev v
+JOIN reg g ON v.region = g.region
+CROSS JOIN gtot gl
+""",
+)
+def q193_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution report: each nation's revenue with
+    its share of region and of global, plus the region's global share
+    — the drill-down percent-of-parent table every BI layer renders
+    from a fact cube (and the multi-level ratio shape q18/q64 roll up
+    without).
+
+    Nation revenues round to cents first, so every ratio level
+    divides engine-identical inputs; parent totals derive from the
+    nation frame (never a second fact scan).
+
+    Scale: one fact shuffle to the nation grain (dims broadcast);
+    region and global totals are ≤|regions|-row broadcast frames.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = read_table(
+        spark, sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = read_table(spark, sf_dir, "region", ["r_regionkey", "r_name"])
+    rev = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("nation_rev")
+        )
+        .localCheckpoint(eager=False)
+    )
+    regs = rev.groupBy("region").agg(F.sum("nation_rev").alias("region_rev"))
+    glob = regs.agg(F.sum("region_rev").alias("global_rev"))
+    return (
+        rev.join(F.broadcast(regs), "region")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "region",
+            "nation",
+            "nation_rev",
+            fround(F.col("region_rev"), 2).alias("region_rev"),
+            fround(F.col("nation_rev") / F.col("region_rev"), 6).alias(
+                "share_of_region"
+            ),
+            fround(F.col("region_rev") / F.col("global_rev"), 6).alias(
+                "region_share_global"
+            ),
+            fround(F.col("nation_rev") / F.col("global_rev"), 6).alias(
+                "share_of_global"
+            ),
+        )
+    )

@@ -737,3 +737,21 @@ def test_q190_flags_single_scan_broadcast_stats(spark):
 def test_q191_cusum_partitioned_walk(spark):
     plan = physical_plan(_q(spark, "q191_cusum_control_chart"))
     assert "SinglePartition" not in plan
+
+
+def test_q192_concentration_ranks_partition_by_nation(spark):
+    plan = physical_plan(_q(spark, "q192_market_concentration"))
+    assert "SinglePartition" not in plan
+
+
+def test_q193_shares_single_fact_scan_dims_broadcast(spark):
+    # the dim joins live below the checkpointed nation-grain frame;
+    # the visible plan must still be broadcast-only.
+    plan = physical_plan(_q(spark, "q193_hierarchical_shares"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q194_gof_two_stacked_integer_aggs(spark):
+    plan = physical_plan(_q(spark, "q194_poisson_goodness_of_fit"))
+    assert "Python" not in plan and "Arrow" not in plan
