@@ -815,3 +815,231 @@ def q191_cusum_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(excursion, 6).alias("normalized_excursion"),
         (excursion > 1.36).alias("drifted"),
     )
+
+
+@query(
+    "q195_calendar_completeness",
+    tags=("timeseries", "quality", "audit"),
+    oracle="""
+WITH buckets AS (
+  SELECT event_type, date_trunc('hour', ts) AS h FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+), spans AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_present,
+         min(h) AS first_hour, max(h) AS last_hour,
+         CAST((epoch_us(max(h)) - epoch_us(min(h))) / 3600000000
+              AS BIGINT) + 1 AS n_expected
+  FROM buckets GROUP BY event_type
+)
+SELECT event_type, first_hour, last_hour, n_expected, n_present,
+       n_expected - n_present AS n_missing,
+       round(n_present * 1.0 / n_expected + 1e-9, 6) AS completeness
+FROM spans
+""",
+)
+def q195_calendar_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-completeness audit per series: of the hourly buckets
+    between each type's first and last event, how many actually
+    contain data — the gap REPORT that decides whether q70's LOCF
+    gap-fill (or an upstream backfill) is needed at all, and the
+    first thing to check when a dashboard shows a dip.
+
+    Hour buckets are exact microsecond truncations, so expected
+    counts are integer interval arithmetic — no float anywhere except
+    the final ratio.
+
+    Scale: one shuffle to the (series, hour) grain, then a per-series
+    reduction of the bucket frame; nothing materializes the calendar.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_type", "ts"])
+    buckets = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.lit(1).alias("_one"))
+    spans = buckets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.min("h").alias("first_hour"),
+        F.max("h").alias("last_hour"),
+        (
+            (F.unix_micros(F.max("h")) - F.unix_micros(F.min("h")))
+            / 3600000000
+        )
+        .cast("bigint")
+        .alias("n_expected"),
+    )
+    return spans.select(
+        "event_type",
+        "first_hour",
+        "last_hour",
+        (F.col("n_expected") + 1).alias("n_expected"),
+        "n_present",
+        (F.col("n_expected") + 1 - F.col("n_present")).alias("n_missing"),
+        fround(
+            F.col("n_present") * 1.0 / (F.col("n_expected") + 1), 6
+        ).alias("completeness"),
+    )
+
+
+@query(
+    "q196_near_duplicate_transactions",
+    tags=("timeseries", "dedup", "quality"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type, user_id, value, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, value ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE gap_us IS NOT NULL
+                             AND gap_us <= 300 * 1000000) AS BIGINT)
+         AS n_suspect,
+       round(count(*) FILTER (WHERE gap_us IS NOT NULL
+                              AND gap_us <= 300 * 1000000) * 1.0
+             / count(*) + 1e-9, 6) AS suspect_rate,
+       round(coalesce(sum(value) FILTER (WHERE gap_us IS NOT NULL
+                                         AND gap_us <= 300 * 1000000), 0)
+             + 1e-9, 2) AS suspect_value
+FROM seq
+GROUP BY event_type
+""",
+)
+def q196_near_duplicate_transactions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate transaction detection: events repeating the
+    SAME (user, value) within five minutes — the time-proximity
+    sibling of q162's exact-replay audit (double-submits, retry
+    storms, double-charges all land here while carrying distinct
+    event ids). Suspect counts and exposure value per event type.
+
+    The proximity test is a lag gap inside a (user, value) partition
+    — integer microseconds, engine-exact — so no self-join and no
+    bucket-boundary blind spot (a bucketed pair join misses pairs
+    straddling a bucket edge; the lag window does not).
+
+    Scale: one window shuffle on the dedup key; the window orders
+    within small (user, value) groups. Money sums use the
+    round-of-sum pattern.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events",
+        ["event_type", "user_id", "value", "ts", "event_id"],
+    )
+    w = Window.partitionBy("user_id", "value").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    )
+    suspect = F.col("gap_us").isNotNull() & (
+        F.col("gap_us") <= 300 * 1_000_000
+    )
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(suspect).alias("n_suspect"),
+        fround(F.count_if(suspect) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "suspect_rate"
+        ),
+        fround(
+            F.coalesce(
+                F.sum(F.when(suspect, F.col("value"))), F.lit(0.0)
+            ),
+            2,
+        ).alias("suspect_value"),
+    )
+
+
+@query(
+    "q197_retention_half_life",
+    tags=("timeseries", "retention", "statistics"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS d0 FROM events GROUP BY user_id
+), aged AS (
+  SELECT e.user_id,
+         CAST((epoch_us(date_trunc('day', e.ts)) - epoch_us(f.d0))
+              / 86400000000 AS BIGINT) AS age
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+), curve AS (
+  SELECT age, CAST(count(DISTINCT user_id) AS BIGINT) AS active
+  FROM aged GROUP BY age
+), fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(age * 1.0) AS sx, sum(ln(CAST(active AS DOUBLE))) AS sy,
+         sum(age * 1.0 * age) AS sxx,
+         sum(age * ln(CAST(active AS DOUBLE))) AS sxy
+  FROM curve WHERE active > 0
+)
+SELECT n AS n_ages,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6) + 0
+         AS decay_slope,
+       round(CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx) >= 0
+                  THEN NULL
+                  ELSE -ln(2) / ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+             END + 1e-9, 4) AS half_life_days
+FROM fit
+""",
+)
+def q197_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: fit ln(active users) against account age
+    in days (the decay curve under q89's cohort matrix) and convert
+    the OLS slope to the half-life ln2/|slope| — the single number
+    product teams quote from a retention table. A non-negative slope
+    (no decay) yields NULL rather than a nonsense negative half-life.
+
+    The curve is integer distinct counts per age; the fit is the q110
+    closed form over ≤|ages| points with the sign-of-zero guard on
+    the slope.
+
+    Scale: first-day frame keyed on user joins the event stream on
+    the same key; the regression runs on the age-grain curve
+    (bounded by the observation window, not by users).
+    """
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts"])
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0")
+    )
+    aged = ev.join(firsts, "user_id").select(
+        "user_id",
+        (
+            (
+                F.unix_micros(F.date_trunc("day", "ts"))
+                - F.unix_micros("d0")
+            )
+            / 86400000000
+        )
+        .cast("bigint")
+        .alias("age"),
+    )
+    curve = aged.groupBy("age").agg(
+        F.countDistinct("user_id").alias("active")
+    )
+    fit = curve.where(F.col("active") > 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("age") * 1.0).alias("sx"),
+        F.sum(F.log(F.col("active").cast("double"))).alias("sy"),
+        F.sum(F.col("age") * 1.0 * F.col("age")).alias("sxx"),
+        F.sum(F.col("age") * F.log(F.col("active").cast("double"))).alias(
+            "sxy"
+        ),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n").alias("n_ages"),
+        (fround(slope, 6) + F.lit(0)).alias("decay_slope"),
+        fround(
+            F.when(slope >= 0, F.lit(None)).otherwise(
+                -F.log(F.lit(2.0)) / slope
+            ),
+            4,
+        ).alias("half_life_days"),
+    )

@@ -755,3 +755,20 @@ def test_q193_shares_single_fact_scan_dims_broadcast(spark):
 def test_q194_gof_two_stacked_integer_aggs(spark):
     plan = physical_plan(_q(spark, "q194_poisson_goodness_of_fit"))
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_q195_completeness_no_calendar_materialization(spark):
+    plan = physical_plan(_q(spark, "q195_calendar_completeness"))
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 2
+
+
+def test_q196_proximity_via_lag_not_selfjoin(spark):
+    plan = physical_plan(_q(spark, "q196_near_duplicate_transactions"))
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q197_fit_on_age_grain(spark):
+    plan = physical_plan(_q(spark, "q197_retention_half_life"))
+    assert "CartesianProduct" not in plan
