@@ -56,3 +56,61 @@ def bucketed_rank(
         .withColumn(out_col, (F.col("_rk_before") + F.col("_rk_in")).cast("bigint"))
         .drop("_rk_bucket", "_rk_in", "_rk_before")
     )
+
+
+def bucketed_rank_cumsum(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: Sequence[str],
+    sum_col: str,
+    rank_out: str = "rank",
+    cum_out: str = "cum_sum",
+) -> DataFrame:
+    """:func:`bucketed_rank` plus the running sum of ``sum_col`` in
+    the same total order — the prefix-SUM generalization of the same
+    two-level trick (in-bucket running sum by a partitioned window,
+    cross-bucket offsets from the ≤64-row bucket summary). The
+    cumulative sum equals a global ``sum() OVER (ORDER BY ...)``
+    without the data-sized single-partition window.
+
+    Same contract as bucketed_rank: positive ``value_col``, total
+    (value, *tiebreaks) order. The running-sum VALUES match a global
+    window's up to float association order within/across buckets —
+    callers round derived shares (CLAUDE.md rule 2).
+    """
+    v = F.col(value_col)
+    bucket = F.when(v <= 1, F.lit(0)).otherwise(
+        F.floor(F.log2(v))
+    ).cast("int")
+    b = df.withColumn("_rk_bucket", bucket)
+    w_in = (
+        Window.partitionBy("_rk_bucket")
+        .orderBy(value_col, *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = b.withColumn("_rk_in", F.count(F.lit(1)).over(w_in)).withColumn(
+        "_cs_in", F.sum(sum_col).over(w_in)
+    )
+    sizes = ranked.groupBy("_rk_bucket").agg(
+        F.count(F.lit(1)).alias("_rk_n"), F.sum(sum_col).alias("_cs_n")
+    )
+    w_b = Window.orderBy("_rk_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        sizes.withColumn(
+            "_rk_before", F.coalesce(F.sum("_rk_n").over(w_b), F.lit(0))
+        )
+        .withColumn(
+            "_cs_before", F.coalesce(F.sum("_cs_n").over(w_b), F.lit(0.0))
+        )
+        .select("_rk_bucket", "_rk_before", "_cs_before")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_rk_bucket")
+        .withColumn(
+            rank_out, (F.col("_rk_before") + F.col("_rk_in")).cast("bigint")
+        )
+        .withColumn(cum_out, F.col("_cs_before") + F.col("_cs_in"))
+        .drop("_rk_bucket", "_rk_in", "_cs_in", "_rk_before", "_cs_before")
+    )

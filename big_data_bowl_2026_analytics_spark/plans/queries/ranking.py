@@ -204,3 +204,158 @@ def q176_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quantile"),
         )
     )
+
+
+@query(
+    "q198_period_over_period",
+    tags=("timeseries", "report"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(value) + 1e-9, 2) AS total
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), seq AS (
+  SELECT event_type, day, n, total,
+         lag(total) OVER (PARTITION BY event_type ORDER BY day)
+           AS prev_total
+  FROM daily
+)
+SELECT event_type, day, n, total, prev_total,
+       round(CASE WHEN prev_total = 0 OR prev_total IS NULL THEN NULL
+                  ELSE (total - prev_total) / prev_total END + 1e-9, 6)
+         + 0 AS pct_change
+FROM seq
+""",
+)
+def q198_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day delta report per series: daily totals, previous
+    day, and percent change with safe division — the most common BI
+    query shape there is, with the footgun treatment it needs
+    (cent-rounded inputs to the delta, NULL on a zero/absent base,
+    sign-of-zero guard on changes that round to zero).
+
+    Scale: one shuffle to the daily grain; the lag partitions by
+    series over the bounded day axis.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["event_type", "ts", "value"])
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        fround(F.sum("value"), 2).alias("total"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.withColumn("prev_total", F.lag("total").over(w))
+    pct = F.when(
+        F.col("prev_total").isNull() | (F.col("prev_total") == 0),
+        F.lit(None),
+    ).otherwise((F.col("total") - F.col("prev_total")) / F.col("prev_total"))
+    return seq.select(
+        "event_type",
+        "day",
+        "n",
+        "total",
+        "prev_total",
+        (fround(pct, 6) + F.lit(0)).alias("pct_change"),
+    )
+
+
+@query(
+    "q199_abc_classification",
+    tags=("ranking", "report", "pareto"),
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, cents,
+         row_number() OVER (ORDER BY cents DESC, l_partkey) AS r,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_cents
+  FROM rev
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS np
+  FROM rev
+)
+SELECT CASE WHEN cum_cents * 1.0 / t <= 0.7 THEN 'A'
+            WHEN cum_cents * 1.0 / t <= 0.9 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS class_cents,
+       round(sum(cents) * 1.0 / any_value(t) + 1e-9, 6) AS revenue_share,
+       round(count(*) * 1.0 / any_value(np) + 1e-9, 6) AS part_share
+FROM ranked, tot
+GROUP BY 1
+""",
+)
+def q199_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank parts by
+    descending revenue, classify by cumulative share (top 70% of
+    revenue → A, next 20% → B, tail → C) and report how few parts
+    carry how much revenue — inventory analytics' bread and butter.
+
+    The cumulative sum comes from
+    ``operators/rankops.py::bucketed_rank_cumsum`` (the prefix-SUM
+    generalization of the two-level rank): a global
+    ``sum() OVER (ORDER BY ...)`` on a 100 TB part dimension is a
+    single-partition funnel, the bucketed form is not. Revenues are
+    EXACT INTEGER CENTS (rounded per item before summing), so the
+    cumulative sums are associativity-proof — identical integers on
+    both engines regardless of accumulation order, and the class
+    boundaries are exact integer-ratio comparisons.
+
+    Scale: one fact shuffle to the part grain; the classification
+    reduces the part frame to three rows. Descending order is the
+    ascending bucketed order flipped off the totals (cum_desc(r) =
+    total − cum_asc_before(r)).
+    """
+    from ...operators.rankops import bucketed_rank_cumsum
+
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("cents")
+    )
+    tot = rev.agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("np")
+    )
+    # ascending two-level running sum, flipped to the descending
+    # (cents DESC, partkey ASC) order: cum_desc = t - (cum_asc - cents)
+    asc = bucketed_rank_cumsum(
+        rev, "cents", [F.desc("l_partkey")], "cents",
+        rank_out="r_asc", cum_out="cs_asc",
+    )
+    ranked = asc.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "cents",
+        "t",
+        "np",
+        (F.col("t") - (F.col("cs_asc") - F.col("cents"))).alias("cum_cents"),
+    )
+    cls = (
+        F.when(F.col("cum_cents") * 1.0 / F.col("t") <= 0.7, "A")
+        .when(F.col("cum_cents") * 1.0 / F.col("t") <= 0.9, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("class_cents"),
+        fround(F.sum("cents") * 1.0 / F.any_value("t"), 6).alias(
+            "revenue_share"
+        ),
+        fround(F.count(F.lit(1)) * 1.0 / F.any_value("np"), 6).alias(
+            "part_share"
+        ),
+    )

@@ -772,3 +772,16 @@ def test_q196_proximity_via_lag_not_selfjoin(spark):
 def test_q197_fit_on_age_grain(spark):
     plan = physical_plan(_q(spark, "q197_retention_half_life"))
     assert "CartesianProduct" not in plan
+
+
+def test_q198_lag_partitions_by_series(spark):
+    plan = physical_plan(_q(spark, "q198_period_over_period"))
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_q199_abc_no_part_sized_funnel(spark):
+    # the running revenue sum uses the two-level bucketed form: only
+    # the <=64-row bucket-offset scan is unpartitioned.
+    plan = physical_plan(_q(spark, "q199_abc_classification"))
+    assert plan.count("SinglePartition") <= 2

@@ -115,3 +115,38 @@ def test_ht_sample_membership_partition_independent(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert [r.asDict() for r in base] == [r.asDict() for r in again]
+
+
+def test_bucketed_cumsum_equals_global_window(spark):
+    from big_data_bowl_2026_analytics_spark.operators.rankops import (
+        bucketed_rank_cumsum,
+    )
+
+    rev = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    two_level = bucketed_rank_cumsum(
+        rev, "cents", ["l_partkey"], "cents", rank_out="r", cum_out="cs"
+    ).select("l_partkey", "r", "cs")
+    w = Window.orderBy("cents", "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    plain = rev.select(
+        "l_partkey",
+        F.count(F.lit(1)).over(w).alias("r_w"),
+        F.sum("cents").over(w).alias("cs_w"),
+    )
+    diff = (
+        two_level.join(plain, "l_partkey")
+        .where((F.col("r") != F.col("r_w")) | (F.col("cs") != F.col("cs_w")))
+        .count()
+    )
+    assert diff == 0
