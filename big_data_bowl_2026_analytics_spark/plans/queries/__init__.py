@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     similarity,
     sketches,
     splits,
+    statlab,
     temporal,
     text,
     timeseries,

@@ -1,0 +1,555 @@
+"""Statistical-rigor-at-scale queries: the inference layer a 100 TB
+deployment runs ON TOP of its aggregates — distribution-law audits,
+survival curves, autocorrelation, closed-form regression, and
+resampling-based uncertainty, all as single-pass integer-exact
+aggregations with the float math confined to a fixed post-aggregation
+expression tree (the q143 lesson: exact BIGINT sums in, identically
+parenthesized double arithmetic out — deterministic on both engines).
+
+- q200: Benford first-digit audit (fraud/synthetic-data tripwire)
+- q201: Kaplan-Meier customer-survival curve (windowed product via
+  exp∘cumsum∘ln — the q110 fround class)
+- q203: lag-1..7 autocorrelation of the daily order series
+- q204: two-predictor OLS by normal equations + Cramer's rule —
+  the closed-form regression that needs ONE aggregation pass however
+  many rows feed it
+- q207: Poisson bootstrap CI for mean order value (hash-seeded
+  replicate weights — the resampling scheme that never shuffles or
+  materializes a resample)
+- q208: temperature-based corpus mixture weights (the LLM data-mixing
+  step between q134's rebalance and a training run)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ...functions.scalar import fround
+from ...sources.readers import read_table
+from ..registry import query
+from .splits import _hash16, _hash16_sql
+
+# P(Poisson(1) <= k) * 65536, floored, for k = 0..5: an integer-exact
+# inverse-CDF lattice for 16-bit uniform hashes. Draws beyond the last
+# threshold (P ≈ 8e-5) clamp to 6 — documented truncation, identical
+# on both engines because the comparison is integer vs literal.
+_POIS1_THRESHOLDS = (24109, 48218, 60273, 64291, 65296, 65497)
+
+
+@query(
+    "q200_benford_first_digit",
+    tags=("statistics", "audit", "distribution"),
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), hist AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+), tot AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM hist
+)
+SELECT digit, n_obs,
+       round(n_obs * 1.0 / n + 1e-9, 6) AS obs_share,
+       round(log10(1 + 1.0 / digit) + 1e-9, 6) AS exp_share,
+       round(pow(n_obs - n * log10(1 + 1.0 / digit), 2)
+             / (n * log10(1 + 1.0 / digit)) + 1e-9, 6) AS chi_term
+FROM hist, tot
+""",
+)
+def q200_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the observed first
+    significant digit distribution against log10(1 + 1/d), with a
+    chi-square term per digit. Fabricated, capped, or unit-mangled
+    monetary columns fall off the Benford curve long before any
+    row-level rule fires — this is the cheapest data-forensics pass
+    over a 100 TB fact table (one map-side digit extraction, a 9-row
+    histogram, a one-row total broadcast).
+
+    First digit is taken from the integer CENTS string (exact), so the
+    digit itself is engine-exact; shares and chi terms are fixed-order
+    arithmetic on (bigint, log10-literal) pairs absorbed by the fround
+    pair.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_totalprice"])
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    hist = (
+        orders.select(
+            F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = hist.agg(F.sum("n_obs").alias("n"))
+    exp_share = F.log10(1 + 1.0 / F.col("digit"))
+    expected = F.col("n") * exp_share
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        fround(F.col("n_obs") * 1.0 / F.col("n"), 6).alias("obs_share"),
+        fround(exp_share, 6).alias("exp_share"),
+        fround(
+            F.pow(F.col("n_obs") - expected, 2) / expected, 6
+        ).alias("chi_term"),
+    )
+
+
+@query(
+    "q201_kaplan_meier",
+    tags=("statistics", "survival", "window"),
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS DATE)) AS first_d,
+         max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+), horizon AS (
+  SELECT max(last_d) AS end_d FROM per_cust
+), life AS (
+  SELECT CAST(last_d - first_d AS BIGINT) AS t,
+         CASE WHEN last_d < end_d - 90 THEN 1 ELSE 0 END AS churned
+  FROM per_cust, horizon
+), hist AS (
+  SELECT t,
+         CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(churned) AS BIGINT) AS n_events
+  FROM life GROUP BY t
+), tot AS (
+  SELECT CAST(sum(n_at) AS BIGINT) AS n_total FROM hist
+), risk AS (
+  SELECT t, n_events,
+         n_total - CAST(coalesce(sum(n_at) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS n_risk
+  FROM hist, tot
+), km AS (
+  SELECT t, n_events, n_risk,
+         exp(sum(ln(1 - n_events * 1.0 / n_risk)) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )) AS s
+  FROM risk
+)
+SELECT t AS t_days, n_risk, n_events,
+       round(s + 1e-9, 6) AS survival
+FROM km WHERE n_events > 0
+""",
+)
+def q201_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for customer lifetime (days between
+    first and last order), right-censoring customers still active in
+    the final 90 days of the observation window. The product-limit
+    estimator is computed as exp(cumulative sum of ln(1 - d/n)) over
+    ordered event times — the distributed form of a running product.
+
+    Risk sets and event counts are exact integer window sums over the
+    lifetime HISTOGRAM (≤ span-days rows, not customer rows), so the
+    single ordered window is bounded by the calendar, never by the
+    customer count — the property that keeps this shape alive at
+    100 TB. Survival values carry the documented windowed-float-sum
+    caveat (q110): the fround pair absorbs ln/exp last-ulp and
+    association-order noise.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    horizon = per_cust.agg(F.max("last_d").alias("end_d"))
+    life = per_cust.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
+        F.when(
+            F.col("last_d") < F.date_sub(F.col("end_d"), 90), 1
+        ).otherwise(0).alias("churned"),
+    )
+    hist = life.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("churned").alias("n_events"),
+    )
+    tot = hist.agg(F.sum("n_at").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n_events",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_at").over(w_prev), F.lit(0))
+        ).cast("bigint").alias("n_risk"),
+    )
+    km = risk.withColumn(
+        "s",
+        F.exp(
+            F.sum(
+                F.log(1 - F.col("n_events") * 1.0 / F.col("n_risk"))
+            ).over(w_cum)
+        ),
+    )
+    return km.where(F.col("n_events") > 0).select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        "n_events",
+        fround(F.col("s"), 6).alias("survival"),
+    )
+
+
+@query(
+    "q203_autocorrelation",
+    tags=("statistics", "timeseries"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), lags AS (
+  SELECT CAST(k AS BIGINT) AS k FROM generate_series(1, 7) t(k)
+), pairs AS (
+  SELECT l.k, a.cnt AS x, b.cnt AS y
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.day_num = a.day_num + l.k
+), sums AS (
+  SELECT k,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY k
+)
+SELECT k, n,
+       round((n * sxy - sx * sy) * 1.0
+             / sqrt(((n * sxx - sx * sx) * 1.0) * ((n * syy - sy * sy) * 1.0))
+             + 1e-9, 6) AS acf
+FROM sums
+""",
+)
+def q203_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily order-count series — the
+    seasonality detector that decides whether q173's seasonal-naive
+    backtest uses lag-1 or lag-7. Pairs are formed by an integer
+    day-number equi-join (never a row-offset lag, which silently skips
+    calendar gaps), and each lag's Pearson correlation comes from six
+    exact BIGINT sums combined in one fixed expression — the
+    integer-sums-then-closed-form pattern that makes the statistic
+    engine-exact up to the final rounded division.
+
+    Scale: the join runs on the DAILY grain (span-days × 7 rows), so
+    the fact-table pass is one date-truncating aggregation.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_orderdate"])
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).cast("bigint").alias("day_num")
+        )
+        .groupBy("day_num")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = daily.select(F.col("day_num"), F.col("cnt").alias("x"))
+    b = daily.select(
+        F.col("day_num").alias("b_day"), F.col("cnt").alias("y")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b_day") == F.col("day_num") + F.col("k"))
+    )
+    sums = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    acf = (n * sxy - sx * sy) * 1.0 / F.sqrt(
+        ((n * sxx - sx * sx) * 1.0) * ((n * syy - sy * sy) * 1.0)
+    )
+    return sums.select("k", "n", fround(acf, 6).alias("acf"))
+
+
+@query(
+    "q204_normal_equation_ols",
+    tags=("statistics", "regression", "ml"),
+    oracle="""
+WITH obs AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), sums AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS s1,
+         CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS s2,
+         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+         CAST(CAST(sum(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+         CAST(CAST(sum(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+         CAST(CAST(sum(x1 * y) AS BIGINT) AS DOUBLE) AS s1y,
+         CAST(CAST(sum(x2 * y) AS BIGINT) AS DOUBLE) AS s2y
+  FROM obs
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s2y * s12)
+              + s2 * (s1y * s12 - s2y * s11))
+             / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s2 * s12)
+                + s2 * (s1 * s12 - s2 * s11)) + 1e-9, 6) AS beta0_cents,
+       round((n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s2 * s12)
+              + s2 * (s1 * s2y - s2 * s1y))
+             / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s2 * s12)
+                + s2 * (s1 * s12 - s2 * s11)) + 1e-9, 6) AS beta_qty_cents,
+       round((n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s2 * s1y)
+              + sy * (s1 * s12 - s2 * s11))
+             / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s2 * s12)
+                + s2 * (s1 * s12 - s2 * s11)) + 1e-9, 6) AS beta_disc_cents
+FROM sums
+""",
+)
+def q204_normal_equation_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predictor OLS (extended price in cents ~ quantity +
+    discount-percent) solved in closed form: one aggregation pass
+    collects the nine normal-equation sums as exact BIGINTs, then
+    Cramer's rule inverts the 3×3 Gram matrix in a fixed expression
+    tree. This is how regression runs at 100 TB — the fit is a
+    map-side-combined aggregate, never an iterative pass, and adding
+    rows never adds stages.
+
+    Exactness: all sums fit int64 at sf ≤ 1 (largest is Σ x1·y ≤
+    3e15); each is cast to double ONCE (exact below 2^53) and every
+    determinant is parenthesized identically on both sides — the q143
+    rule — so the betas agree to the last bit before the final round.
+    l_quantity/l_discount pass through round() before the bigint cast
+    because Spark's int cast truncates while DuckDB's rounds.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_quantity", "l_discount", "l_extendedprice"]
+    )
+    obs = li.select(
+        F.round(F.col("l_quantity")).cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    sums = obs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y = F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s2 * s12)
+        + s2 * (s1 * s12 - s2 * s11)
+    )
+    b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s2y * s12)
+        + s2 * (s1y * s12 - s2y * s11)
+    ) / det
+    b1 = (
+        n * (s1y * s22 - s2y * s12)
+        - sy * (s1 * s22 - s2 * s12)
+        + s2 * (s1 * s2y - s2 * s1y)
+    ) / det
+    b2 = (
+        n * (s11 * s2y - s12 * s1y)
+        - s1 * (s1 * s2y - s2 * s1y)
+        + sy * (s1 * s12 - s2 * s11)
+    ) / det
+    return sums.select(
+        n.cast("bigint").alias("n"),
+        fround(b0, 6).alias("beta0_cents"),
+        fround(b1, 6).alias("beta_qty_cents"),
+        fround(b2, 6).alias("beta_disc_cents"),
+    )
+
+
+def _pois1_sql(h: str) -> str:
+    """Poisson(1) draw from a 16-bit integer hash via literal
+    inverse-CDF thresholds (see _POIS1_THRESHOLDS)."""
+    cases = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS1_THRESHOLDS)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+def _pois1_col(h) -> F.Column:
+    expr = F.lit(6)
+    for k, t in reversed(list(enumerate(_POIS1_THRESHOLDS))):
+        expr = F.when(h < t, k).otherwise(expr)
+    return expr
+
+
+@query(
+    "q207_poisson_bootstrap_ci",
+    tags=("statistics", "sampling", "bootstrap"),
+    oracle=f"""
+WITH reps AS (
+  SELECT CAST(b AS BIGINT) AS b FROM generate_series(0, 31) t(b)
+), weighted AS (
+  SELECT r.b,
+         {_pois1_sql(_hash16_sql("boot|' || CAST(r.b AS VARCHAR) || '|", "o_orderkey"))} AS w,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN reps r
+), rep_means AS (
+  SELECT b,
+         CAST(sum(w * cents) AS BIGINT) * 1.0
+           / (100.0 * CAST(sum(w) AS BIGINT)) AS rep_mean
+  FROM weighted GROUP BY b
+), ranked AS (
+  SELECT rep_mean,
+         row_number() OVER (ORDER BY rep_mean, b) AS r
+  FROM rep_means
+), point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           * 1.0 / (100.0 * count(*)) AS mean_price
+  FROM orders
+)
+SELECT n_orders,
+       CAST(32 AS BIGINT) AS n_replicates,
+       round(mean_price + 1e-9, 6) AS point_mean,
+       round(min(CASE WHEN r = 2 THEN rep_mean END) + 1e-9, 6) AS ci_lo,
+       round(min(CASE WHEN r = 31 THEN rep_mean END) + 1e-9, 6) AS ci_hi
+FROM ranked, point
+GROUP BY n_orders, mean_price
+""",
+)
+def q207_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value:
+    each of 32 replicates reweights every order by an independent
+    Poisson(1) count drawn from a keyed hash, so a "resample" is a
+    weighted aggregate — nothing is ever materialized, shuffled, or
+    ordered at the fact grain, which is exactly how the bootstrap
+    survives 100 TB (the classic trick from the streaming-bootstrap
+    literature). The CI is the rank-2 / rank-31 order statistic of the
+    32 replicate means — an EXACT rank selection (q184 rule), not an
+    interpolated quantile.
+
+    Determinism: weights are integer CASE thresholds on a 16-bit md5
+    hash; replicate means are single divisions of exact BIGINT sums;
+    hash seeding is for verifiability (production swaps in any keyed
+    RNG of its choice, as q149 documents).
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    reps = spark.range(0, 32).select(F.col("id").alias("b"))
+    h = _hash16(
+        "", F.concat(F.lit("boot|"), F.col("b").cast("string"), F.lit("|"),
+                     F.col("o_orderkey").cast("string"))
+    )
+    weighted = orders.crossJoin(F.broadcast(reps)).select(
+        "b",
+        _pois1_col(h).alias("w"),
+        cents.alias("cents"),
+    )
+    rep_means = weighted.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")) * 1.0
+            / (100.0 * F.sum("w"))
+        ).alias("rep_mean")
+    )
+    ranked = rep_means.withColumn(
+        "r", F.row_number().over(Window.orderBy("rep_mean", "b"))
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents) * 1.0 / (100.0 * F.count(F.lit(1)))).alias("mean_price"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("n_orders", "mean_price")
+        .agg(
+            F.lit(32).cast("bigint").alias("n_replicates"),
+            fround(
+                F.min(F.when(F.col("r") == 2, F.col("rep_mean"))), 6
+            ).alias("ci_lo"),
+            fround(
+                F.min(F.when(F.col("r") == 31, F.col("rep_mean"))), 6
+            ).alias("ci_hi"),
+        )
+        .select(
+            "n_orders",
+            "n_replicates",
+            fround(F.col("mean_price"), 6).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+@query(
+    "q208_temperature_mixture",
+    tags=("llm-pipeline", "mixing", "statistics"),
+    oracle="""
+WITH per_lang AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang
+), z AS (
+  SELECT CAST(sum(total_chars) AS BIGINT) AS grand_chars,
+         sum(sqrt(CAST(total_chars AS DOUBLE))) AS z_sqrt
+  FROM per_lang
+)
+SELECT lang, n_docs, total_chars,
+       round(total_chars * 1.0 / grand_chars + 1e-9, 6) AS raw_share,
+       round(sqrt(CAST(total_chars AS DOUBLE)) / z_sqrt + 1e-9, 6)
+         AS temp_share,
+       round((sqrt(CAST(total_chars AS DOUBLE)) / z_sqrt) * 1e9
+             / total_chars + 1e-9, 6) AS epochs_at_1b
+FROM per_lang, z
+""",
+)
+def q208_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (T = 2, i.e. p^(1/2)
+    renormalized): the standard multilingual-pretraining reweighting
+    that lifts low-resource languages without letting any one dominate.
+    Reports each language's raw character share, its temperature-
+    flattened sampling share, and the implied epochs over that
+    language at a 1B-character budget — the number that warns when
+    flattening would cycle a small corpus too many times.
+
+    sqrt(p_i)/Σsqrt(p_j) reduces to sqrt(chars_i)/Σsqrt(chars_j), so
+    the only cross-engine float surface is one sqrt per language and a
+    languages-sized sum, absorbed by the fround pair. One aggregation
+    at the language grain plus a one-row broadcast.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["lang", "n_chars"])
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    z = per_lang.agg(
+        F.sum("total_chars").alias("grand_chars"),
+        F.sum(F.sqrt(F.col("total_chars").cast("double"))).alias("z_sqrt"),
+    )
+    sq = F.sqrt(F.col("total_chars").cast("double"))
+    return per_lang.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        fround(F.col("total_chars") * 1.0 / F.col("grand_chars"), 6).alias(
+            "raw_share"
+        ),
+        fround(sq / F.col("z_sqrt"), 6).alias("temp_share"),
+        fround((sq / F.col("z_sqrt")) * 1e9 / F.col("total_chars"), 6).alias(
+            "epochs_at_1b"
+        ),
+    )
