@@ -58,6 +58,50 @@ def bucketed_rank(
     )
 
 
+def bucketed_cummax_prev(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: Sequence[str],
+    max_col: str,
+    out_col: str = "prev_max",
+) -> DataFrame:
+    """``df`` plus the running maximum of ``max_col`` over all rows
+    STRICTLY BEFORE the current one in ``(value_col, *tiebreak_cols)``
+    ascending order — the prefix-MAX member of the two-level family
+    (rank/cumsum above). NULL on the first row (nothing precedes).
+
+    Skyline/Pareto-front queries are the canonical consumer: a point
+    is dominated iff the prefix max of the competing dimension over
+    strictly-better rows already reaches it. Same contract as
+    bucketed_rank: positive ``value_col``, total order; unlike the
+    float cumsum, MAX is order-insensitive, so the output is exactly
+    the global window's on any engine.
+    """
+    v = F.col(value_col)
+    bucket = F.when(v <= 1, F.lit(0)).otherwise(
+        F.floor(F.log2(v))
+    ).cast("int")
+    b = df.withColumn("_cm_bucket", bucket)
+    w_in = (
+        Window.partitionBy("_cm_bucket")
+        .orderBy(value_col, *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inmax = b.withColumn("_cm_in", F.max(max_col).over(w_in))
+    sizes = inmax.groupBy("_cm_bucket").agg(F.max(max_col).alias("_cm_n"))
+    w_b = Window.orderBy("_cm_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.withColumn(
+        "_cm_before", F.max("_cm_n").over(w_b)
+    ).select("_cm_bucket", "_cm_before")
+    return (
+        inmax.join(F.broadcast(offsets), "_cm_bucket")
+        .withColumn(out_col, F.greatest("_cm_in", "_cm_before"))
+        .drop("_cm_bucket", "_cm_in", "_cm_before")
+    )
+
+
 def bucketed_rank_cumsum(
     df: DataFrame,
     value_col: str,

@@ -1,0 +1,55 @@
+"""Kaplan-Meier product-limit survival estimation, histogram-grain.
+
+The estimator S(t) = Π_{t_j ≤ t} (1 - d_j / n_j) is a running product
+over ordered event times. Distributed form: reduce subjects to the
+duration HISTOGRAM first (so every window is bounded by the number of
+distinct durations — calendar-sized, never subject-sized), derive
+risk sets from the complementary cumulative count (exact integer
+window sums), and compute the product as exp of a running sum of
+logs. The float surface is the ln/exp pair plus a windowed float sum
+— the documented q110 class, absorbed by the caller's fround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kaplan_meier(life: DataFrame) -> DataFrame:
+    """Survival curve for a subject-grain frame with columns
+    ``t`` (non-negative integer duration) and ``churned`` (1 = the
+    terminal event was observed at t, 0 = right-censored at t).
+
+    Returns one row per duration with at least one event:
+    ``(t, n_risk, n_events, survival)`` — ``survival`` UNROUNDED
+    (callers apply the fround pair before any cross-engine compare).
+    """
+    hist = life.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("churned").alias("n_events"),
+    )
+    tot = hist.agg(F.sum("n_at").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n_events",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_at").over(w_prev), F.lit(0))
+        ).cast("bigint").alias("n_risk"),
+    )
+    # When every at-risk subject churns at one time, the factor is 0:
+    # Spark's log(0) is NULL and DuckDB's ln(0) raises, so the term is
+    # pinned to -inf explicitly on both sides (exp(-inf) = 0.0, and 0
+    # correctly absorbs every later factor).
+    term = F.when(
+        F.col("n_events") == F.col("n_risk"), F.lit(float("-inf"))
+    ).otherwise(F.log(1 - F.col("n_events") * 1.0 / F.col("n_risk")))
+    km = risk.withColumn("survival", F.exp(F.sum(term).over(w_cum)))
+    return km.where(F.col("n_events") > 0).select(
+        "t", "n_risk", "n_events", "survival"
+    )

@@ -14,6 +14,7 @@ Modules map to SURVEY.md §2 operator classes:
 from . import (  # noqa: F401
     arrays,
     curation,
+    graphgeo,
     llmdata,
     mlq,
     pipelineops,

@@ -1,0 +1,483 @@
+"""Graph, spatial, and entity-resolution queries — relationship-shaped
+analytics over the same fact tables, each built on a bounding device
+that keeps the quadratic-looking step an equi-join:
+
+- q205: Fellegi-Sunter record-linkage scoring over blocked candidate
+  pairs, with u-probabilities estimated from corpus marginals as
+  exact integer ratios
+- q206: grid-bucketed nearest-neighbor join between hash-placed
+  customers and suppliers (the geohash-cell pattern: 3x3 neighborhood
+  equi-join, never a cross join)
+- q209: U-shaped (position-based) multi-touch attribution over
+  gap-sessionized event journeys — the graded companion to q180's
+  last-touch; reported at the (event_type, role, touches) grain so
+  every credit is a single deterministic multiply, never a float sum
+- q210: 2-D skyline (Pareto front) via prefix-max over the price
+  order — dominance needs ONE ordered pass, not an all-pairs anti
+  join; the Spark side uses the two-level bucketed prefix max
+  (operators/rankops.py::bucketed_cummax_prev) so no data-sized
+  single-partition window exists at any scale
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ...functions.scalar import fround
+from ...operators.rankops import bucketed_cummax_prev
+from ...sources.readers import read_table
+from ..registry import query
+from .splits import _hash16, _hash16_sql
+
+
+@query(
+    "q205_record_linkage_scores",
+    tags=("linkage", "dedup", "llm-pipeline"),
+    oracle="""
+WITH fields AS (
+  SELECT doc_id, lang, source,
+         n_chars // 64 AS lb,
+         string_split(text, ' ')[1] AS ft,
+         list_extract(string_split(text, ' '), -1) AS lt
+  FROM documents
+), n_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM fields
+), u_src AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS num FROM (
+    SELECT count(*) AS c FROM fields GROUP BY source)
+), u_ft AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS num FROM (
+    SELECT count(*) AS c FROM fields GROUP BY ft)
+), u_lt AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS num FROM (
+    SELECT count(*) AS c FROM fields GROUP BY lt)
+), u AS (
+  SELECT u_src.num * 1.0 / (n * n) AS us,
+         u_ft.num * 1.0 / (n * n) AS uf,
+         u_lt.num * 1.0 / (n * n) AS ul
+  FROM n_tot, u_src, u_ft, u_lt
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS agree_source,
+         CASE WHEN a.ft = b.ft THEN 1 ELSE 0 END AS agree_first,
+         CASE WHEN a.lt = b.lt THEN 1 ELSE 0 END AS agree_last
+  FROM fields a JOIN fields b
+    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, agree_source, agree_first, agree_last,
+       round((CASE WHEN agree_source = 1 THEN log2(0.95 / us)
+                   ELSE log2(0.05 / (1 - us)) END)
+             + (CASE WHEN agree_first = 1 THEN log2(0.95 / uf)
+                     ELSE log2(0.05 / (1 - uf)) END)
+             + (CASE WHEN agree_last = 1 THEN log2(0.95 / ul)
+                     ELSE log2(0.05 / (1 - ul)) END) + 1e-9, 6) AS fs_score
+FROM cand, u
+""",
+)
+def q205_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over blocked
+    candidate pairs: documents blocked on (lang, 64-char length
+    bucket), scored by log-likelihood weights on three field
+    agreements (source, first token, last token). u-probabilities —
+    the chance two RANDOM records agree — come from the corpus
+    marginals as Σ n_v² / N² (exact integer numerators, one division);
+    m is the standard 0.95 reviewer prior. The score is the sum each
+    field contributes: log2(m/u) on agreement, log2((1-m)/(1-u)) on
+    disagreement — a fixed three-term expression, so the only float
+    surfaces are the log2 calls on identical doubles.
+
+    This is the scoring half of entity resolution at scale: blocking
+    bounds the candidate set (q32/q116 supply LSH/edit-distance
+    blocks for fuzzier keys), and the weights need ONE pass over the
+    corpus marginals, never labeled pairs.
+    """
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    toks = F.split(F.col("text"), " ")
+    fields = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 64).cast("bigint").alias("lb"),
+        toks.getItem(0).alias("ft"),
+        F.element_at(toks, -1).alias("lt"),
+    ).localCheckpoint(eager=False)
+    n_tot = fields.agg(F.count(F.lit(1)).alias("n"))
+
+    def u_num(col: str, alias: str) -> DataFrame:
+        return (
+            fields.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias(alias))
+        )
+
+    u = (
+        n_tot.crossJoin(F.broadcast(u_num("source", "num_s")))
+        .crossJoin(F.broadcast(u_num("ft", "num_f")))
+        .crossJoin(F.broadcast(u_num("lt", "num_l")))
+        .select(
+            (F.col("num_s") * 1.0 / (F.col("n") * F.col("n"))).alias("us"),
+            (F.col("num_f") * 1.0 / (F.col("n") * F.col("n"))).alias("uf"),
+            (F.col("num_l") * 1.0 / (F.col("n") * F.col("n"))).alias("ul"),
+        )
+    )
+    a = fields.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "lb",
+        F.col("source").alias("src_a"),
+        F.col("ft").alias("ft_a"),
+        F.col("lt").alias("lt_a"),
+    )
+    b = fields.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "lb",
+        F.col("source").alias("src_b"),
+        F.col("ft").alias("ft_b"),
+        F.col("lt").alias("lt_b"),
+    )
+    cand = (
+        a.join(b, ["lang", "lb"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("src_a") == F.col("src_b"), 1).otherwise(0).alias(
+                "agree_source"
+            ),
+            F.when(F.col("ft_a") == F.col("ft_b"), 1).otherwise(0).alias(
+                "agree_first"
+            ),
+            F.when(F.col("lt_a") == F.col("lt_b"), 1).otherwise(0).alias(
+                "agree_last"
+            ),
+        )
+    )
+
+    def w(agree: str, u_col: str) -> F.Column:
+        return F.when(
+            F.col(agree) == 1, F.log2(0.95 / F.col(u_col))
+        ).otherwise(F.log2(0.05 / (1 - F.col(u_col))))
+
+    return cand.crossJoin(F.broadcast(u)).select(
+        "doc_a",
+        "doc_b",
+        "agree_source",
+        "agree_first",
+        "agree_last",
+        fround(
+            w("agree_source", "us")
+            + w("agree_first", "uf")
+            + w("agree_last", "ul"),
+            6,
+        ).alias("fs_score"),
+    )
+
+
+_OFFSETS = [(dlat, dlon) for dlat in (-1, 0, 1) for dlon in (-1, 0, 1)]
+
+
+def _coord_sql(seed: str, key: str, span: int, shift: int) -> str:
+    return (
+        f"(CAST({_hash16_sql(seed, key)} AS DOUBLE) / 65536) * {span} - {shift}"
+    )
+
+
+def _coord_col(key) -> tuple:
+    lat = (_hash16("lat|", key).cast("double") / 65536) * 180 - 90
+    lon = (_hash16("lon|", key).cast("double") / 65536) * 360 - 180
+    return lat, lon
+
+
+@query(
+    "q206_grid_nearest_neighbor",
+    tags=("spatial", "join"),
+    oracle=f"""
+WITH cust AS (
+  SELECT c_custkey,
+         {_coord_sql("lat|", "c_custkey", 180, 90)} AS clat,
+         {_coord_sql("lon|", "c_custkey", 360, 180)} AS clon
+  FROM customer
+), supp AS (
+  SELECT s_suppkey,
+         {_coord_sql("lat|", "s_suppkey", 180, 90)} AS slat,
+         {_coord_sql("lon|", "s_suppkey", 360, 180)} AS slon
+  FROM supplier
+), supp_cells AS (
+  SELECT s_suppkey, slat, slon,
+         CAST(floor((slat + 90) / 30) AS BIGINT) AS cell_lat,
+         CAST(floor((slon + 180) / 30) AS BIGINT) AS cell_lon
+  FROM supp
+), cust_probes AS (
+  SELECT c_custkey, clat, clon,
+         CAST(floor((clat + 90) / 30) AS BIGINT) + o.dlat AS cell_lat,
+         CAST(floor((clon + 180) / 30) AS BIGINT) + o.dlon AS cell_lon
+  FROM cust CROSS JOIN (VALUES {", ".join(f"({a}, {b})" for a, b in _OFFSETS)})
+       o(dlat, dlon)
+), scored AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (c.clat - s.slat) * (c.clat - s.slat)
+         + (c.clon - s.slon) * (c.clon - s.slon) AS dist2,
+         row_number() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY (c.clat - s.slat) * (c.clat - s.slat)
+                    + (c.clon - s.slon) * (c.clon - s.slon), s.s_suppkey
+         ) AS rn
+  FROM cust_probes c
+  JOIN supp_cells s
+    ON c.cell_lat = s.cell_lat AND c.cell_lon = s.cell_lon
+)
+SELECT c_custkey, s_suppkey, round(dist2 + 1e-9, 6) AS dist2_deg
+FROM scored WHERE rn = 1
+""",
+)
+def q206_grid_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier per customer over hash-placed coordinates,
+    via 30-degree grid cells: each customer probes its own cell plus
+    the 8 neighbors (an exploded 9-row offset dimension), suppliers
+    are bucketed once, and the candidate set is a plain two-column
+    equi-join — the geohash-cell pattern that turns spatial
+    nearest-neighbor into the same bucketed-equi-join shape as LSH
+    (q42) and IVF (q62). Customers whose 3x3 neighborhood holds no
+    supplier drop out (bounded-radius semantics, documented).
+
+    Distance is planar squared degrees — a fixed multiply/add tree on
+    identical doubles (haversine's sin/cos are NOT cross-engine
+    reproducible at the last ulp; the grid logic is identical either
+    way). Coordinates reuse the q127 keyed-md5 lattice, so placement
+    is engine-exact.
+    """
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey"])
+    supp = read_table(spark, sf_dir, "supplier", ["s_suppkey"])
+    clat, clon = _coord_col(F.col("c_custkey"))
+    slat, slon = _coord_col(F.col("s_suppkey"))
+    supp_cells = supp.select(
+        "s_suppkey",
+        slat.alias("slat"),
+        slon.alias("slon"),
+    ).select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        F.floor((F.col("slat") + 90) / 30).cast("bigint").alias("cell_lat"),
+        F.floor((F.col("slon") + 180) / 30).cast("bigint").alias("cell_lon"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(a).alias("dlat"), F.lit(b).alias("dlon"))
+            for a, b in _OFFSETS
+        ]
+    )
+    cust_probes = (
+        cust.select(
+            "c_custkey", clat.alias("clat"), clon.alias("clon"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "c_custkey",
+            "clat",
+            "clon",
+            (
+                F.floor((F.col("clat") + 90) / 30).cast("bigint")
+                + F.col("o.dlat")
+            ).alias("cell_lat"),
+            (
+                F.floor((F.col("clon") + 180) / 30).cast("bigint")
+                + F.col("o.dlon")
+            ).alias("cell_lon"),
+        )
+    )
+    dist2 = (F.col("clat") - F.col("slat")) * (
+        F.col("clat") - F.col("slat")
+    ) + (F.col("clon") - F.col("slon")) * (F.col("clon") - F.col("slon"))
+    scored = cust_probes.join(
+        F.broadcast(supp_cells), ["cell_lat", "cell_lon"]
+    ).withColumn("dist2", dist2)
+    rn = F.row_number().over(
+        Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            fround(F.col("dist2"), 6).alias("dist2_deg"),
+        )
+    )
+
+
+@query(
+    "q209_position_attribution",
+    tags=("attribution", "session", "window"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM flagged
+), placed AS (
+  SELECT event_type,
+         CAST(count(*) OVER (PARTITION BY user_id, session_id) AS BIGINT)
+           AS n_touches,
+         row_number() OVER (
+           PARTITION BY user_id, session_id ORDER BY ts, event_id
+         ) AS rn
+  FROM sessions
+), roles AS (
+  SELECT event_type, n_touches,
+         CASE WHEN n_touches = 1 THEN 'only'
+              WHEN rn = 1 THEN 'first'
+              WHEN rn = n_touches THEN 'last'
+              ELSE 'middle' END AS role
+  FROM placed
+)
+SELECT event_type, role, n_touches,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(count(*) * (CASE WHEN role = 'only' THEN 1.0
+                              WHEN n_touches = 2 THEN 0.5
+                              WHEN role = 'middle' THEN 0.2 / (n_touches - 2)
+                              ELSE 0.4 END) + 1e-9, 6) AS credit
+FROM roles
+GROUP BY event_type, role, n_touches
+""",
+)
+def q209_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: within each
+    30-minute-gap session (q24's sessionization), the first and last
+    touches carry 40% each and the middles split the remaining 20% —
+    the industry-standard graded refinement of q180's last-touch.
+
+    Results are reported at the (event_type, role, session-length)
+    grain, so every credit value is count × a single CASE expression —
+    one multiply and at most one divide on identical doubles — never a
+    float sum across sessions of different lengths (whose association
+    order would differ between engines). Downstream roll-ups that want
+    one row per channel sum the exact integer counts first and apply
+    the same algebra.
+
+    Scale: both session windows and the role window share the user_id
+    shuffle family; the final aggregate is at the tiny report grain.
+    """
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    epoch = F.col("ts").cast("double")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (epoch - F.lag(epoch).over(w) > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id")
+    placed = sessions.select(
+        "event_type",
+        F.count(F.lit(1)).over(ws).alias("n_touches"),
+        F.row_number().over(ws.orderBy(F.asc("ts"), F.asc("event_id"))).alias(
+            "rn"
+        ),
+    )
+    role = (
+        F.when(F.col("n_touches") == 1, "only")
+        .when(F.col("rn") == 1, "first")
+        .when(F.col("rn") == F.col("n_touches"), "last")
+        .otherwise("middle")
+    )
+    credit_per = (
+        F.when(F.col("role") == "only", F.lit(1.0))
+        .when(F.col("n_touches") == 2, F.lit(0.5))
+        .when(F.col("role") == "middle", 0.2 / (F.col("n_touches") - 2))
+        .otherwise(F.lit(0.4))
+    )
+    return (
+        placed.select("event_type", "n_touches", role.alias("role"))
+        .groupBy("event_type", "role", "n_touches")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            "role",
+            "n_touches",
+            "n_events",
+            fround(F.col("n_events") * credit_per, 6).alias("credit"),
+        )
+    )
+
+
+@query(
+    "q210_skyline_pareto_front",
+    tags=("skyline", "ranking"),
+    oracle="""
+WITH cents_tbl AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+), grp AS (
+  SELECT cents, max(p_size) AS pmax FROM cents_tbl GROUP BY cents
+), cm AS (
+  SELECT cents, pmax,
+         max(pmax) OVER (
+           ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM grp
+)
+SELECT t.p_partkey, t.p_retailprice, t.p_size
+FROM cents_tbl t JOIN cm ON t.cents = cm.cents
+WHERE t.p_size = cm.pmax
+  AND (cm.prev_max IS NULL OR cm.prev_max < t.p_size)
+""",
+)
+def q210_skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of parts: minimize retail price,
+    maximize size — keep every part no other part beats on both axes
+    (ties kept: equal price AND equal size dominate neither way).
+    Dominance over an ordered dimension is a PREFIX MAX, so the
+    skyline needs one ordered pass instead of the textbook all-pairs
+    NOT-EXISTS anti join; the Spark side computes that prefix max
+    with the two-level bucketed operator
+    (operators/rankops.py::bucketed_cummax_prev), so the only
+    unpartitioned window is the ≤64-row log2-bucket summary — the
+    same funnel contract as every global rank in this repo. MAX is
+    order-insensitive, making the prefix exactly the global window's
+    on both engines (no float caveat).
+    """
+    part = read_table(
+        spark, sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"]
+    )
+    cents_tbl = part.withColumn(
+        "cents", F.round(F.col("p_retailprice") * 100).cast("bigint")
+    )
+    grp = cents_tbl.groupBy("cents").agg(F.max("p_size").alias("pmax"))
+    cm = bucketed_cummax_prev(grp, "cents", [], "pmax", "prev_max")
+    return (
+        cents_tbl.join(cm, "cents")
+        .where(
+            (F.col("p_size") == F.col("pmax"))
+            & (
+                F.col("prev_max").isNull()
+                | (F.col("prev_max") < F.col("p_size"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

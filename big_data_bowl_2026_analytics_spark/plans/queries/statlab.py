@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ...functions.scalar import fround
+from ...operators.survival import kaplan_meier
 from ...sources.readers import read_table
 from ..registry import query
 from .splits import _hash16, _hash16_sql
@@ -126,7 +127,8 @@ WITH per_cust AS (
   FROM hist, tot
 ), km AS (
   SELECT t, n_events, n_risk,
-         exp(sum(ln(1 - n_events * 1.0 / n_risk)) OVER (
+         exp(sum(CASE WHEN n_events = n_risk THEN CAST('-inf' AS DOUBLE)
+                      ELSE ln(1 - n_events * 1.0 / n_risk) END) OVER (
            ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          )) AS s
   FROM risk
@@ -163,36 +165,12 @@ def q201_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_d") < F.date_sub(F.col("end_d"), 90), 1
         ).otherwise(0).alias("churned"),
     )
-    hist = life.groupBy("t").agg(
-        F.count(F.lit(1)).alias("n_at"),
-        F.sum("churned").alias("n_events"),
-    )
-    tot = hist.agg(F.sum("n_at").alias("n_total"))
-    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    w_cum = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    risk = hist.crossJoin(F.broadcast(tot)).select(
-        "t",
-        "n_events",
-        (
-            F.col("n_total")
-            - F.coalesce(F.sum("n_at").over(w_prev), F.lit(0))
-        ).cast("bigint").alias("n_risk"),
-    )
-    km = risk.withColumn(
-        "s",
-        F.exp(
-            F.sum(
-                F.log(1 - F.col("n_events") * 1.0 / F.col("n_risk"))
-            ).over(w_cum)
-        ),
-    )
-    return km.where(F.col("n_events") > 0).select(
+    km = kaplan_meier(life)
+    return km.select(
         F.col("t").alias("t_days"),
         "n_risk",
         "n_events",
-        fround(F.col("s"), 6).alias("survival"),
+        fround(F.col("survival"), 6).alias("survival"),
     )
 
 

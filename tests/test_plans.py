@@ -785,3 +785,74 @@ def test_q199_abc_no_part_sized_funnel(spark):
     # the <=64-row bucket-offset scan is unpartitioned.
     plan = physical_plan(_q(spark, "q199_abc_classification"))
     assert plan.count("SinglePartition") <= 2
+
+
+def test_q200_benford_is_one_scan_no_shuffle_join(spark):
+    # digit histogram + one-row broadcast total: no sort-merge join,
+    # no data-sized funnel (the 9-row final agg may be single-part).
+    plan = physical_plan(_q(spark, "q200_benford_first_digit"))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q201_km_windows_on_histogram_grain(spark):
+    # both ordered windows run on the lifetime histogram (calendar-
+    # bounded), after the per-customer reduce; horizon is broadcast.
+    plan = physical_plan(_q(spark, "q201_kaplan_meier"))
+    assert "BroadcastNestedLoopJoin" in plan  # one-row horizon/total
+    assert "SortMergeJoin" not in plan
+
+
+def test_q203_acf_joins_on_day_grain(spark):
+    # the lag dimension broadcasts; the day-number self-join is an
+    # equi join on the daily aggregate, not on the fact table.
+    plan = physical_plan(_q(spark, "q203_autocorrelation"))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan or plan.count("SinglePartition") <= 1
+
+
+def test_q204_ols_is_single_aggregation_pass(spark):
+    # normal equations: one scan, one partial+final aggregate, zero
+    # joins — the closed-form-regression contract.
+    plan = physical_plan(_q(spark, "q204_normal_equation_ols"))
+    assert "Join" not in plan
+    # formatted mode prints each node twice (tree + detail): one scan.
+    assert plan.count("(1) Scan parquet") == 1 and "(2) Scan" not in plan
+    assert "partial_sum" in plan  # map-side combine before the funnel
+
+
+def test_q205_linkage_blocks_are_equi_joins(spark):
+    # candidate generation is an equi self-join on (lang, length
+    # bucket); marginal frames broadcast.
+    plan = physical_plan(_q(spark, "q205_record_linkage_scores"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q206_grid_join_broadcasts_supplier_cells(spark):
+    plan = physical_plan(_q(spark, "q206_grid_nearest_neighbor"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q207_bootstrap_never_materializes_resamples(spark):
+    # replicate weights are map-side hash expressions over a broadcast
+    # 32-row dimension; the only ordered window is the 32-row rank.
+    plan = physical_plan(_q(spark, "q207_poisson_bootstrap_ci"))
+    assert "SortMergeJoin" not in plan
+    assert "Exchange RoundRobinPartitioning" not in plan
+
+
+def test_q209_attribution_no_global_funnel(spark):
+    # both session windows and the role window partition by user (or
+    # user+session); the final agg is at the tiny report grain.
+    plan = physical_plan(_q(spark, "q209_position_attribution"))
+    assert "SinglePartition" not in plan
+
+
+def test_q210_skyline_uses_bucketed_prefix_max(spark):
+    # dominance via bucketed_cummax_prev: the only unpartitioned
+    # window is the <=64-row log2-bucket summary.
+    plan = physical_plan(_q(spark, "q210_skyline_pareto_front"))
+    assert plan.count("SinglePartition") <= 1
+    assert "CartesianProduct" not in plan

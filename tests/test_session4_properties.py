@@ -1,0 +1,163 @@
+"""Property tests for the fourth-session operators, each against an
+independent brute-force model:
+
+1. triangle_stats (degree-oriented wedge join) equals brute-force
+   triangle enumeration on random small graphs.
+2. bucketed_cummax_prev equals the global-window strict-prefix max.
+3. The q210 skyline construction (group max + prefix max) equals the
+   brute-force dominance filter.
+4. kaplan_meier equals the textbook product-limit estimator computed
+   in plain Python.
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_bowl_2026_analytics_spark.operators.graph import triangle_stats
+from big_data_bowl_2026_analytics_spark.operators.rankops import (
+    bucketed_cummax_prev,
+)
+from big_data_bowl_2026_analytics_spark.operators.survival import kaplan_meier
+
+
+def _brute_triangles(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for trio in combinations(sorted(adj), 3)
+        if trio[1] in adj[trio[0]]
+        and trio[2] in adj[trio[0]]
+        and trio[2] in adj[trio[1]]
+    )
+    wedges = sum(d * (d - 1) // 2 for d in (len(s) for s in adj.values()))
+    return len(adj), len(edges), wedges, tri
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+            lambda p: p[0] < p[1]
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    # hypothesis-randomized complement to test_graph.py's hand-picked
+    # topologies (K4, star, hub-adversarial).
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    row = triangle_stats(df).collect()[0]
+    n_v, n_e, wedges, tri = _brute_triangles(edges)
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        n_v,
+        n_e,
+        wedges,
+        tri,
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 500), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_bucketed_cummax_prev_equals_global_window(spark, rows):
+    # duplicate keys allowed: tiebreak on a unique id makes the order
+    # total, matching the operator contract.
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k long, v long")
+    got = {
+        r.id: r.prev_max
+        for r in bucketed_cummax_prev(df, "k", ["id"], "v", "prev_max").collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.id: r.prev_max
+        for r in df.withColumn("prev_max", F.max("v").over(w)).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 40), st.integers(1, 15)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_construction_matches_dominance_bruteforce(spark, pts):
+    # skyline: minimize price, maximize size; ties (equal on both)
+    # dominate neither way and are all kept.
+    data = [(i, c, s) for i, (c, s) in enumerate(pts)]
+    df = spark.createDataFrame(data, "id long, cents long, size long")
+    grp = df.groupBy("cents").agg(F.max("size").alias("pmax"))
+    cm = bucketed_cummax_prev(grp, "cents", [], "pmax", "prev_max")
+    got = {
+        r.id
+        for r in df.join(cm, "cents")
+        .where(
+            (F.col("size") == F.col("pmax"))
+            & (F.col("prev_max").isNull() | (F.col("prev_max") < F.col("size")))
+        )
+        .collect()
+    }
+    want = {
+        i
+        for i, (c, s) in enumerate(pts)
+        if not any(
+            (c2 <= c and s2 >= s and (c2 < c or s2 > s))
+            for (c2, s2) in pts
+        )
+    }
+    assert got == want
+
+
+def _brute_km(lifetimes):
+    """Textbook product-limit: S(t) multiplies (1 - d/n) at each event
+    time; n counts subjects with duration >= t."""
+    out = []
+    s = 1.0
+    for t in sorted({t for t, ch in lifetimes if ch}):
+        n = sum(1 for t2, _ in lifetimes if t2 >= t)
+        d = sum(1 for t2, ch in lifetimes if t2 == t and ch)
+        s *= 1 - d / n
+        out.append((t, n, d, s))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.booleans()),
+        min_size=1,
+        max_size=60,
+    ).filter(lambda ls: any(ch for _, ch in ls))
+)
+def test_kaplan_meier_matches_product_limit(spark, lifetimes):
+    df = spark.createDataFrame(
+        [(t, int(ch)) for t, ch in lifetimes], "t long, churned int"
+    )
+    got = sorted(
+        (r.t, r.n_risk, r.n_events, r.survival)
+        for r in kaplan_meier(df).collect()
+    )
+    want = _brute_km(lifetimes)
+    assert [(t, n, d) for t, n, d, _ in got] == [
+        (t, n, d) for t, n, d, _ in want
+    ]
+    for (_, _, _, s_got), (_, _, _, s_want) in zip(got, want):
+        assert math.isclose(s_got, s_want, rel_tol=1e-9, abs_tol=1e-12)
