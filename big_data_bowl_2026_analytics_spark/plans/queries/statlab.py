@@ -18,6 +18,16 @@ parenthesized double arithmetic out — deterministic on both engines).
   materializes a resample)
 - q208: temperature-based corpus mixture weights (the LLM data-mixing
   step between q134's rebalance and a training run)
+- q211: tie-corrected Mann-Whitney U over every group pair (the
+  nonparametric sibling of q177's Welch t — rank algebra on the
+  distinct-value histogram, so every sum is exact)
+- q212: Benjamini-Hochberg FDR step-up over the q211 test family
+  (distribution-free Chebyshev p-bounds — monotone in |z|, so the BH
+  ordering matches exact-p BH and the decisions are conservative)
+- q213: seasonal decomposition of the daily order series (day-of-week
+  effect + centered 7-day moving-average trend + residual)
+- q214: Theil-Sen robust trend of monthly revenue (exact median of
+  pairwise slopes on the month grain) vs the OLS slope
 """
 
 from __future__ import annotations
@@ -27,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ...functions.scalar import fround
+from ...operators.stats import mann_whitney_z
 from ...operators.survival import kaplan_meier
 from ...sources.readers import read_table
 from ..registry import query
@@ -529,5 +540,436 @@ def q208_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(sq / F.col("z_sqrt"), 6).alias("temp_share"),
         fround((sq / F.col("z_sqrt")) * 1e9 / F.col("total_chars"), 6).alias(
             "epochs_at_1b"
+        ),
+    )
+
+
+# Shared Mann-Whitney CTE chain (q211 reports it, q212 corrects it):
+# rank algebra on the (pair, distinct-value) histogram — average ranks
+# are prev_count + (tied+1)/2, exact halves, so every rank sum is an
+# exact double and the only float surface is the final z arithmetic.
+_MW_CTES = """
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM (SELECT DISTINCT event_type FROM events) a
+  JOIN (SELECT DISTINCT event_type FROM events) b
+    ON a.event_type < b.event_type
+), tagged AS (
+  SELECT p.ta, p.tb, e.value,
+         CASE WHEN e.event_type = p.ta THEN 1 ELSE 0 END AS is_a
+  FROM events e JOIN pairs p
+    ON e.event_type = p.ta OR e.event_type = p.tb
+), hist AS (
+  SELECT ta, tb, value,
+         CAST(sum(is_a) AS BIGINT) AS ca,
+         CAST(count(*) - sum(is_a) AS BIGINT) AS cb,
+         CAST(count(*) AS BIGINT) AS tot
+  FROM tagged GROUP BY ta, tb, value
+), ranked AS (
+  SELECT ta, tb, ca, cb, tot,
+         CAST(sum(tot) OVER (PARTITION BY ta, tb ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - tot + (tot + 1) / 2.0 AS avg_rank
+  FROM hist
+), stats AS (
+  SELECT ta, tb,
+         CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b,
+         sum(ca * avg_rank) AS r_a,
+         CAST(sum(tot * tot * tot - tot) AS BIGINT) AS ties
+  FROM ranked GROUP BY ta, tb
+), pre AS (
+  SELECT ta, tb, n_a, n_b,
+         r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+         (n_a * n_b / 12.0)
+         * ((n_a + n_b + 1)
+            - ties * 1.0 / ((n_a + n_b) * (n_a + n_b - 1.0))) AS sigma2
+  FROM stats
+), mw AS (
+  SELECT ta AS type_a, tb AS type_b, n_a, n_b, u_a,
+         CASE WHEN sigma2 > 0
+              THEN (u_a - n_a * n_b / 2.0) / sqrt(sigma2) END AS z
+  FROM pre
+)
+"""
+
+
+def _mw_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _MW_CTES: one row per unordered event-type pair
+    with (type_a, type_b, n_a, n_b, u_a, z)."""
+    ev = read_table(spark, sf_dir, "events", ["event_type", "value"])
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(
+            types.select(F.col("event_type").alias("tb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    tagged = ev.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("ta"))
+        | (F.col("event_type") == F.col("tb")),
+    ).select(
+        "ta",
+        "tb",
+        "value",
+        F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0).alias(
+            "is_a"
+        ),
+    )
+    return mann_whitney_z(tagged)
+
+
+@query(
+    "q211_mann_whitney_pairs",
+    tags=("statistics", "hypothesis-test"),
+    oracle=f"""
+WITH {_MW_CTES.strip()}
+SELECT type_a, type_b, n_a, n_b,
+       round(u_a + 1e-9, 6) AS u_stat,
+       round(z + 1e-9, 6) AS z_score
+FROM mw
+""",
+)
+def q211_mann_whitney_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U for every unordered pair of event
+    types (does the `value` distribution differ?) — the nonparametric
+    sibling of q177's Welch t, immune to the heavy tails that break
+    mean-based tests on monetary columns. Ranks are computed on the
+    (pair, distinct-value) histogram: average rank = preceding count +
+    (tied + 1)/2 — an exact half — so the rank sum, U, and the
+    tie-correction term Σ(t³−t) are all exact and the only float
+    surface is the closing z arithmetic (fixed expression tree, q143
+    rule). σ² = 0 (a pair with one distinct value) yields NULL z
+    rather than an ANSI divide error.
+
+    Scale: windows partition by PAIR; the per-pair frame is the
+    distinct-value histogram, which is what bounds work on continuous
+    columns (quantize first if a single pair's support outgrows a
+    partition).
+    """
+    mw = _mw_frame(spark, sf_dir)
+    return mw.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        fround(F.col("u_a"), 6).alias("u_stat"),
+        fround(F.col("z"), 6).alias("z_score"),
+    )
+
+
+@query(
+    "q212_bh_fdr_correction",
+    tags=("statistics", "hypothesis-test", "multiple-testing"),
+    oracle=f"""
+WITH {_MW_CTES.strip()},
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM mw
+), pv AS (
+  SELECT type_a, type_b, z,
+         CASE WHEN z IS NULL THEN 1.0
+              WHEN abs(z) < 1 THEN 1.0
+              ELSE 1.0 / (z * z) END AS p_bound
+  FROM mw
+), ranked_p AS (
+  SELECT type_a, type_b, z, p_bound,
+         CAST(row_number() OVER (ORDER BY p_bound, type_a, type_b)
+              AS BIGINT) AS p_rank
+  FROM pv
+), kstar AS (
+  SELECT CAST(coalesce(max(CASE WHEN p_bound * m <= p_rank * 0.10
+                                THEN p_rank END), 0) AS BIGINT) AS k
+  FROM ranked_p, m
+)
+SELECT type_a, type_b,
+       round(z + 1e-9, 6) AS z_score,
+       round(p_bound + 1e-9, 6) AS p_bound,
+       p_rank,
+       p_rank <= k AS rejected
+FROM ranked_p, kstar
+""",
+)
+def q212_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over the q211 test
+    family: rank the per-pair p-values ascending, find the largest
+    rank k with p ≤ (k/m)·α (α = 0.10), reject ranks 1..k. The
+    p-values are distribution-free Chebyshev bounds p = min(1, 1/z²)
+    — engine-exact arithmetic (no erf, which is NOT cross-engine
+    ulp-stable) and MONOTONE in |z|, so the BH ordering is identical
+    to exact-p BH and every rejection is conservative (a rejected
+    hypothesis would also be rejected under exact normal p-values).
+
+    This is the decision layer every metrics platform needs the
+    moment it runs more than one test per day — without it, m tests
+    at α each yield ~mα false discoveries.
+
+    Scale: the test-family frame has one row per hypothesis (m rows);
+    the rank window and max-k reduction run on that bounded frame.
+    """
+    mw = _mw_frame(spark, sf_dir)
+    m = mw.agg(F.count(F.lit(1)).alias("m"))
+    pv = mw.select(
+        "type_a",
+        "type_b",
+        "z",
+        F.when(F.col("z").isNull(), F.lit(1.0))
+        .when(F.abs(F.col("z")) < 1, F.lit(1.0))
+        .otherwise(1.0 / (F.col("z") * F.col("z")))
+        .alias("p_bound"),
+    )
+    ranked_p = pv.withColumn(
+        "p_rank",
+        F.row_number()
+        .over(Window.orderBy("p_bound", "type_a", "type_b"))
+        .cast("bigint"),
+    ).crossJoin(F.broadcast(m))
+    kstar = ranked_p.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_bound") * F.col("m") <= F.col("p_rank") * 0.10,
+                    F.col("p_rank"),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("k")
+    )
+    return ranked_p.crossJoin(F.broadcast(kstar)).select(
+        "type_a",
+        "type_b",
+        fround(F.col("z"), 6).alias("z_score"),
+        fround(F.col("p_bound"), 6).alias("p_bound"),
+        "p_rank",
+        (F.col("p_rank") <= F.col("k")).alias("rejected"),
+    )
+
+
+@query(
+    "q213_seasonal_decomposition",
+    tags=("statistics", "timeseries"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT day_num, day_num % 7 AS dow, cnt FROM daily
+), ma AS (
+  SELECT day_num, dow, cnt,
+         sum(cnt) OVER w * 1.0 / count(*) OVER w AS trend
+  FROM base
+  WINDOW w AS (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dowm AS (
+  SELECT dow, CAST(sum(cnt) AS BIGINT) AS dsum,
+         CAST(count(*) AS BIGINT) AS dcnt
+  FROM base GROUP BY dow
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS gsum,
+         CAST(count(*) AS BIGINT) AS gcnt
+  FROM base
+)
+SELECT m.day_num, m.dow, m.cnt,
+       round(m.trend + 1e-9, 6) AS trend,
+       round(d.dsum * 1.0 / d.dcnt - t.gsum * 1.0 / t.gcnt + 1e-9, 6)
+         AS seasonal,
+       round(m.cnt - m.trend
+             - (d.dsum * 1.0 / d.dcnt - t.gsum * 1.0 / t.gcnt) + 1e-9, 6)
+         AS residual
+FROM ma m JOIN dowm d ON m.dow = d.dow CROSS JOIN tot t
+""",
+)
+def q213_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily order series:
+    trend = centered 7-day moving average (RANGE frame over the
+    integer day number, so calendar gaps shrink the window identically
+    on both engines instead of sliding over them), seasonal =
+    day-of-week mean minus the grand mean (dow = day_num % 7 — integer
+    arithmetic, because Spark's and DuckDB's dayofweek() disagree on
+    Sunday's index), residual = the rest. The residual series is what
+    q191's CUSUM and q113's robust z-scores should monitor — raw
+    series alarm on every weekend otherwise.
+
+    All means are exact-integer ratios; the ordered window runs on the
+    daily grain (calendar-bounded, the q201 contract).
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_orderdate"])
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).cast("bigint").alias("day_num")
+        )
+        .groupBy("day_num")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    base = daily.select(
+        "day_num", (F.col("day_num") % 7).alias("dow"), "cnt"
+    )
+    w = Window.orderBy("day_num").rangeBetween(-3, 3)
+    ma = base.withColumn(
+        "trend", F.sum("cnt").over(w) * 1.0 / F.count(F.lit(1)).over(w)
+    )
+    dowm = base.groupBy("dow").agg(
+        F.sum("cnt").alias("dsum"), F.count(F.lit(1)).alias("dcnt")
+    )
+    tot = base.agg(
+        F.sum("cnt").alias("gsum"), F.count(F.lit(1)).alias("gcnt")
+    )
+    seasonal = (
+        F.col("dsum") * 1.0 / F.col("dcnt")
+        - F.col("gsum") * 1.0 / F.col("gcnt")
+    )
+    return (
+        ma.join(F.broadcast(dowm), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day_num",
+            "dow",
+            "cnt",
+            fround(F.col("trend"), 6).alias("trend"),
+            fround(seasonal, 6).alias("seasonal"),
+            fround(F.col("cnt") - F.col("trend") - seasonal, 6).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+@query(
+    "q214_theil_sen_trend",
+    tags=("statistics", "timeseries", "regression"),
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m_idx,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), slopes AS (
+  SELECT (b.cents - a.cents) * 1.0 / (b.m_idx - a.m_idx) AS slope,
+         a.m_idx AS m1, b.m_idx AS m2
+  FROM monthly a JOIN monthly b ON a.m_idx < b.m_idx
+), rankedsl AS (
+  SELECT slope,
+         CAST(row_number() OVER (ORDER BY slope, m1, m2) AS BIGINT) AS r
+  FROM slopes
+), np AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM slopes
+), med AS (
+  SELECT n_pairs,
+         CASE WHEN n_pairs % 2 = 1
+              THEN min(CASE WHEN r = CAST(floor((n_pairs + 1) / 2)
+                                         AS BIGINT)
+                            THEN slope END)
+              ELSE (min(CASE WHEN r = CAST(floor(n_pairs / 2) AS BIGINT)
+                             THEN slope END)
+                    + min(CASE WHEN r = CAST(floor(n_pairs / 2) AS BIGINT)
+                                        + 1
+                               THEN slope END)) / 2
+              END AS ts_slope
+  FROM rankedsl, np GROUP BY n_pairs
+), sums AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(m_idx) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(sum(m_idx * m_idx) AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(m_idx * cents) AS BIGINT) AS DOUBLE) AS sxy
+  FROM monthly
+)
+SELECT CAST(n AS BIGINT) AS n_months, n_pairs,
+       round(ts_slope + 1e-9, 6) AS ts_slope_cents,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6)
+         AS ols_slope_cents
+FROM med, sums
+""",
+)
+def q214_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: the EXACT median of
+    all pairwise slopes (rank selection, q184 rule — never an
+    interpolated quantile), reported next to the OLS slope whose
+    sensitivity to outlier months is the reason Theil-Sen exists
+    (up to 29% of months can be corrupt before the estimate moves).
+
+    Slopes are single divisions of exact integer cents by integer
+    month gaps; the pair join and median rank run on the MONTH grain
+    (months² pairs — calendar-bounded, the q201 window contract), so
+    the fact-table cost is one aggregation regardless of row count.
+    OLS sums follow the q204 pattern: exact BIGINTs cast to double
+    once, combined in one fixed expression.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"]
+    )
+    d = F.col("o_orderdate").cast("date")
+    monthly = (
+        orders.select(
+            (F.year(d) * 12 + F.month(d)).cast("bigint").alias("m_idx"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "c1"
+            ),
+        )
+        .groupBy("m_idx")
+        .agg(F.sum("c1").alias("cents"))
+    )
+    a = monthly.select(
+        F.col("m_idx").alias("m1"), F.col("cents").alias("y1")
+    )
+    b = monthly.select(
+        F.col("m_idx").alias("m2"), F.col("cents").alias("y2")
+    )
+    slopes = a.join(b, F.col("m1") < F.col("m2")).select(
+        (
+            (F.col("y2") - F.col("y1")) * 1.0 / (F.col("m2") - F.col("m1"))
+        ).alias("slope"),
+        "m1",
+        "m2",
+    )
+    rankedsl = slopes.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy("slope", "m1", "m2")).cast(
+            "bigint"
+        ),
+    )
+    np_ = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    half_odd = F.floor((F.col("n_pairs") + 1) / 2).cast("bigint")
+    half_even = F.floor(F.col("n_pairs") / 2).cast("bigint")
+    med = (
+        rankedsl.crossJoin(F.broadcast(np_))
+        .groupBy("n_pairs")
+        .agg(
+            F.when(
+                F.col("n_pairs") % 2 == 1,
+                F.min(F.when(F.col("r") == half_odd, F.col("slope"))),
+            )
+            .otherwise(
+                (
+                    F.min(F.when(F.col("r") == half_even, F.col("slope")))
+                    + F.min(
+                        F.when(F.col("r") == half_even + 1, F.col("slope"))
+                    )
+                )
+                / 2
+            )
+            .alias("ts_slope")
+        )
+    )
+    sums = monthly.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("m_idx").cast("double").alias("sx"),
+        F.sum("cents").cast("double").alias("sy"),
+        F.sum(F.col("m_idx") * F.col("m_idx")).cast("double").alias("sxx"),
+        F.sum(F.col("m_idx") * F.col("cents")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    return med.crossJoin(F.broadcast(sums)).select(
+        n.cast("bigint").alias("n_months"),
+        "n_pairs",
+        fround(F.col("ts_slope"), 6).alias("ts_slope_cents"),
+        fround((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "ols_slope_cents"
         ),
     )

@@ -856,3 +856,35 @@ def test_q210_skyline_uses_bucketed_prefix_max(spark):
     plan = physical_plan(_q(spark, "q210_skyline_pareto_front"))
     assert plan.count("SinglePartition") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_q211_mann_whitney_windows_partition_by_pair(spark):
+    # rank windows partition by the test pair; no global funnel.
+    plan = physical_plan(_q(spark, "q211_mann_whitney_pairs"))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q212_bh_rank_runs_on_test_family_grain(spark):
+    # the only unpartitioned stages are the m-row p-value rank and the
+    # one-row k* reduction.
+    plan = physical_plan(_q(spark, "q212_bh_fdr_correction"))
+    # m-count agg, the m-row p-value rank, and the k* reduction — all
+    # bounded by the hypothesis-family size, never the fact grain.
+    assert plan.count("SinglePartition") <= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q213_seasonal_broadcasts_dow_means(spark):
+    # daily-grain window (calendar-bounded); dow means and grand total
+    # broadcast back; no shuffle join.
+    plan = physical_plan(_q(spark, "q213_seasonal_decomposition"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q214_theil_sen_pairs_on_month_grain(spark):
+    # the pair join and median rank run on the month grain; the fact
+    # scan feeds one aggregation.
+    plan = physical_plan(_q(spark, "q214_theil_sen_trend"))
+    assert plan.count("(1) Scan parquet") == 1 and "(2) Scan" not in plan

@@ -161,3 +161,52 @@ def test_kaplan_meier_matches_product_limit(spark, lifetimes):
     ]
     for (_, _, _, s_got), (_, _, _, s_want) in zip(got, want):
         assert math.isclose(s_got, s_want, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def _brute_mann_whitney(xs, ys):
+    """Average-rank U and tie-corrected z computed the textbook way."""
+    pooled = sorted(xs + ys)
+    ranks = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        ranks[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    n1, n2 = len(xs), len(ys)
+    r1 = sum(ranks[v] for v in xs)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(pooled).values())
+    sigma2 = (n1 * n2 / 12.0) * ((n + 1) - ties / (n * (n - 1.0)))
+    z = None if sigma2 <= 0 else (u1 - n1 * n2 / 2.0) / math.sqrt(sigma2)
+    return u1, z
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.integers(0, 8), min_size=1, max_size=40),
+    st.lists(st.integers(0, 8), min_size=1, max_size=40),
+)
+def test_mann_whitney_matches_bruteforce(spark, xs, ys):
+    from big_data_bowl_2026_analytics_spark.operators.stats import (
+        mann_whitney_z,
+    )
+
+    rows = [("g1", "g2", float(v), 1) for v in xs] + [
+        ("g1", "g2", float(v), 0) for v in ys
+    ]
+    df = spark.createDataFrame(
+        rows, "ta string, tb string, value double, is_a int"
+    )
+    got = mann_whitney_z(df).collect()[0]
+    u_want, z_want = _brute_mann_whitney(xs, ys)
+    assert got.n_a == len(xs) and got.n_b == len(ys)
+    assert math.isclose(got.u_a, u_want, rel_tol=0, abs_tol=1e-9)
+    if z_want is None:
+        assert got.z is None
+    else:
+        assert math.isclose(got.z, z_want, rel_tol=1e-9, abs_tol=1e-12)
