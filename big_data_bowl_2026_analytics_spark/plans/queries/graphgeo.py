@@ -481,3 +481,96 @@ def q210_skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+@query(
+    "q215_degree_assortativity",
+    tags=("graph", "statistics"),
+    oracle="""
+WITH hi AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+), e AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM hi a JOIN hi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY v
+), directed AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+  UNION ALL
+  SELECT db.deg AS dx, da.deg AS dy
+  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+), sums AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m,
+         CAST(CAST(sum(dx) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(sum(dy) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(sum(dx * dx) AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(dy * dy) AS BIGINT) AS DOUBLE) AS syy,
+         CAST(CAST(sum(dx * dy) AS BIGINT) AS DOUBLE) AS sxy
+  FROM directed
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       round((m * sxy - sx * sy)
+             / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)) + 1e-9, 6)
+         AS assortativity
+FROM sums
+""",
+)
+def q215_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the high-volume co-supply graph (same
+    edge set as q123): the Pearson correlation of endpoint degrees
+    over all directed edge instances. Positive = hubs link to hubs
+    (core-periphery), negative = hubs link to leaves (star-like) —
+    the one-number summary that predicts whether the wedge joins in
+    q123 and the salted shuffles in q45/q99 will meet hub-hub hot
+    spots at scale.
+
+    The edge list is symmetrized (each edge counted in both
+    directions, the standard estimator), all six sums are exact
+    BIGINTs on the edge grain, and the correlation is one fixed
+    expression — the q204 pattern.
+    """
+    from ...operators.graph import cooccurrence_edges
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+    hi = li.where(F.col("l_quantity") >= 48)
+    edges = cooccurrence_edges(hi, "l_orderkey", "l_suppkey").localCheckpoint(
+        eager=False
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
+    joined = edges.join(da, "a").join(db, "b")
+    directed = joined.select(
+        F.col("dega").alias("dx"), F.col("degb").alias("dy")
+    ).unionAll(
+        joined.select(F.col("degb").alias("dx"), F.col("dega").alias("dy"))
+    )
+    sums = directed.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return sums.select(
+        (m / 2).cast("bigint").alias("n_edges"),
+        fround(
+            (m * sxy - sx * sy)
+            / F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)),
+            6,
+        ).alias("assortativity"),
+    )

@@ -359,3 +359,216 @@ def q199_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_share"
         ),
     )
+
+
+@query(
+    "q217_rfm_segmentation",
+    tags=("ranking", "segmentation", "report"),
+    oracle="""
+WITH horizon AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS end_d FROM orders
+), rfm AS (
+  SELECT o_custkey,
+         CAST(end_d - max(CAST(o_orderdate AS DATE)) AS BIGINT) AS recency,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary
+  FROM orders, horizon GROUP BY o_custkey, end_d
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS nc FROM rfm
+), scored AS (
+  SELECT o_custkey, recency, frequency, monetary,
+         CAST(6 - (floor((row_number() OVER (ORDER BY recency, o_custkey)
+                          - 1) * 5 * 1.0 / nc) + 1) AS BIGINT) AS r_score,
+         CAST(floor((row_number() OVER (ORDER BY frequency, o_custkey)
+                     - 1) * 5 * 1.0 / nc) + 1 AS BIGINT) AS f_score,
+         CAST(floor((row_number() OVER (ORDER BY monetary, o_custkey)
+                     - 1) * 5 * 1.0 / nc) + 1 AS BIGINT) AS m_score
+  FROM rfm, n
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(recency) + 1e-9, 6) AS avg_recency_days,
+       round(avg(frequency) + 1e-9, 6) AS avg_frequency,
+       round(avg(monetary) / 100 + 1e-9, 4) AS avg_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+""",
+)
+def q217_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-5 on Recency (5 =
+    most recent), Frequency, and Monetary value, reported at the
+    (r, f, m) segment grain — the classic marketing-segmentation
+    cube ("champions" = 555, "at risk" = 155, ...).
+
+    Quintiles are NOT ntile(): they are floor((rank−1)·5/n)+1 over
+    the two-level bucketed rank (operators/rankops.py), because
+    ntile's remainder distribution is engine-specific while the rank
+    formula is pure integer-derived arithmetic on both sides — and
+    bucketed_rank removes the customer-sized single-partition window
+    ntile would need. Ranks tie-break on the customer key (total
+    order, footgun 3); monetary ranks integer CENTS (float sums are
+    not a cross-engine sort key, the q144 rule).
+    """
+    from ...operators.rankops import bucketed_rank
+
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    horizon = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("end_d")
+    )
+    rfm = (
+        orders.crossJoin(F.broadcast(horizon))
+        .groupBy("o_custkey", "end_d")
+        .agg(
+            F.datediff(
+                F.col("end_d"), F.max(F.col("o_orderdate").cast("date"))
+            ).cast("bigint").alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("monetary"),
+        )
+        .drop("end_d")
+    )
+    # recency can be 0 (ordered on the horizon date): shift by +1 for
+    # the positive-value contract of bucketed_rank, rank order is
+    # unchanged.
+    rfm = rfm.withColumn("recency1", F.col("recency") + 1)
+    ranked = bucketed_rank(rfm, "recency1", ["o_custkey"], "r_rank")
+    ranked = bucketed_rank(ranked, "frequency", ["o_custkey"], "f_rank")
+    ranked = bucketed_rank(
+        ranked, "monetary", ["o_custkey"], "m_rank"
+    ).localCheckpoint(eager=False)
+    n = ranked.agg(F.count(F.lit(1)).alias("nc"))
+
+    def quint(rank_col: str) -> F.Column:
+        return (
+            F.floor((F.col(rank_col) - 1) * 5 * 1.0 / F.col("nc")) + 1
+        ).cast("bigint")
+
+    scored = ranked.crossJoin(F.broadcast(n)).select(
+        "recency",
+        "frequency",
+        "monetary",
+        (6 - quint("r_rank")).cast("bigint").alias("r_score"),
+        quint("f_rank").alias("f_score"),
+        quint("m_rank").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        fround(F.avg("recency"), 6).alias("avg_recency_days"),
+        fround(F.avg("frequency"), 6).alias("avg_frequency"),
+        fround(F.avg("monetary") / 100, 4).alias("avg_monetary"),
+    )
+
+
+@query(
+    "q218_pareto_knee",
+    tags=("ranking", "pareto", "report"),
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents DESC, l_partkey)
+              AS BIGINT) AS r,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_cents
+  FROM rev
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS np
+  FROM rev
+), gaps AS (
+  SELECT r, cum_cents,
+         cum_cents * 1.0 / t - r * 1.0 / np AS gap
+  FROM ranked, tot
+), mx AS (
+  SELECT max(gap) AS max_gap FROM gaps
+)
+SELECT CAST(min(g.r) AS BIGINT) AS knee_rank,
+       min(np) AS n_parts,
+       round(min(g.r) * 1.0 / min(np) + 1e-9, 6) AS knee_rank_share,
+       round(min(CASE WHEN g.gap = mx.max_gap THEN g.cum_cents END)
+             * 1.0 / min(t) + 1e-9, 6) AS knee_cum_share,
+       round(min(mx.max_gap) + 1e-9, 6) AS max_gap
+FROM gaps g, mx, tot
+WHERE g.gap = mx.max_gap
+""",
+)
+def q218_pareto_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knee of the revenue Pareto curve: the rank where the cumulative
+    revenue share pulls furthest above the uniform diagonal — the
+    principled cut-off that q199's fixed 70/90% ABC thresholds
+    approximate. For a normalized curve the max distance to the
+    (0,0)-(1,1) chord is attained where (cum_share − rank_share)
+    peaks, so the knee needs no geometry beyond one subtraction per
+    rank.
+
+    The running revenue sum reuses the two-level bucketed rank+cumsum
+    (exact integer cents, q199's machinery); the knee is selected by
+    an exact max-then-min-rank pair of reductions, never an
+    order-sensitive argmax (footgun 6: max_by needs a unique key).
+    """
+    from ...operators.rankops import bucketed_rank_cumsum
+
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    rev = (
+        li.select(
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint").alias("c1"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("c1").alias("cents"))
+    )
+    # descending revenue rank == ascending rank of (t - cents) with
+    # reversed tie-break; simpler here: rank ascending on negated
+    # magnitude is not positive, so rank the DESCENDING order via the
+    # established flip — ascending rank on cents with reversed key
+    # gives r_desc = np + 1 - r_asc, and the descending cumsum is
+    # t - (cum_asc - cents) (the q199 identity).
+    asc = bucketed_rank_cumsum(
+        rev.withColumn("neg_key", -F.col("l_partkey")),
+        "cents",
+        ["neg_key"],
+        "cents",
+        rank_out="r_asc",
+        cum_out="cum_asc",
+    )
+    tot = rev.agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("np")
+    )
+    gaps = asc.crossJoin(F.broadcast(tot)).select(
+        (F.col("np") + 1 - F.col("r_asc")).alias("r"),
+        (F.col("t") - (F.col("cum_asc") - F.col("cents"))).cast(
+            "bigint"
+        ).alias("cum_cents"),
+        "t",
+        "np",
+    ).withColumn(
+        "gap", F.col("cum_cents") * 1.0 / F.col("t") - F.col("r") * 1.0 / F.col("np")
+    ).localCheckpoint(eager=False)
+    mx = gaps.agg(F.max("gap").alias("max_gap"))
+    knee = gaps.crossJoin(F.broadcast(mx)).where(
+        F.col("gap") == F.col("max_gap")
+    )
+    return knee.agg(
+        F.min("r").alias("knee_rank"),
+        F.min("np").alias("n_parts"),
+        fround(F.min("r") * 1.0 / F.min("np"), 6).alias("knee_rank_share"),
+        fround(
+            F.min(F.when(F.col("gap") == F.col("max_gap"), F.col("cum_cents")))
+            * 1.0 / F.min("t"),
+            6,
+        ).alias("knee_cum_share"),
+        fround(F.min("max_gap"), 6).alias("max_gap"),
+    )

@@ -973,3 +973,86 @@ def q214_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ols_slope_cents"
         ),
     )
+
+
+@query(
+    "q216_interevent_burstiness",
+    tags=("statistics", "timeseries", "events"),
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS g
+  FROM events
+), moments AS (
+  SELECT user_id,
+         CAST(count(g) AS BIGINT) AS n_gaps,
+         sum(g) AS sg,
+         sum(g * g) AS sg2
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+), pre AS (
+  SELECT user_id, n_gaps,
+         sg / n_gaps AS mean_g,
+         sqrt(greatest(sg2 / n_gaps - (sg / n_gaps) * (sg / n_gaps), 0))
+           AS sd_g
+  FROM moments WHERE n_gaps >= 10
+)
+SELECT user_id, n_gaps,
+       round(mean_g + 1e-9, 4) AS mean_gap_s,
+       round(CASE WHEN sd_g + mean_g > 0
+                  THEN (sd_g - mean_g) / (sd_g + mean_g) END + 1e-9, 6)
+         AS burstiness
+FROM pre
+""",
+)
+def q216_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of each user's
+    inter-event gaps: −1 = metronome, 0 = Poisson, →1 = bursty. The
+    one-number behavioral signature that separates bots (periodic,
+    B < 0) from humans (bursty, B > 0) and calibrates q24's session
+    gap threshold per population.
+
+    One lag window per user (shared user_id shuffle), then a moments
+    aggregate — gaps are epoch-second doubles (the q24 epoch parity
+    pattern; µs-integer squares would overflow int64 on multi-day
+    gaps, the q167 lesson), variance is clamped at zero before the
+    sqrt (catastrophic cancellation on near-constant gaps), and users
+    need ≥ 10 gaps to be scored.
+    """
+    ev = read_table(spark, sf_dir, "events", ["user_id", "event_id", "ts"])
+    epoch = F.col("ts").cast("double")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gaps = ev.select(
+        "user_id", (epoch - F.lag(epoch).over(w)).alias("g")
+    ).where(F.col("g").isNotNull())
+    moments = gaps.groupBy("user_id").agg(
+        F.count("g").alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sg2"),
+    )
+    mean_g = F.col("sg") / F.col("n_gaps")
+    sd_g = F.sqrt(
+        F.greatest(
+            F.col("sg2") / F.col("n_gaps") - mean_g * mean_g, F.lit(0.0)
+        )
+    )
+    pre = moments.where(F.col("n_gaps") >= 10).select(
+        "user_id",
+        "n_gaps",
+        mean_g.alias("mean_g"),
+        sd_g.alias("sd_g"),
+    )
+    return pre.select(
+        "user_id",
+        "n_gaps",
+        fround(F.col("mean_g"), 4).alias("mean_gap_s"),
+        fround(
+            F.when(
+                F.col("sd_g") + F.col("mean_g") > 0,
+                (F.col("sd_g") - F.col("mean_g"))
+                / (F.col("sd_g") + F.col("mean_g")),
+            ),
+            6,
+        ).alias("burstiness"),
+    )

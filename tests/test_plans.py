@@ -888,3 +888,31 @@ def test_q214_theil_sen_pairs_on_month_grain(spark):
     # scan feeds one aggregation.
     plan = physical_plan(_q(spark, "q214_theil_sen_trend"))
     assert plan.count("(1) Scan parquet") == 1 and "(2) Scan" not in plan
+
+
+def test_q215_assortativity_single_aggregation_over_edges(spark):
+    plan = physical_plan(_q(spark, "q215_degree_assortativity"))
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # map-side combine before the funnel
+
+
+def test_q216_burstiness_single_user_shuffle(spark):
+    # the lag window and the moments aggregate share the user_id
+    # partitioning; no global funnel.
+    plan = physical_plan(_q(spark, "q216_interevent_burstiness"))
+    assert "SinglePartition" not in plan
+    import re
+    parts = re.findall(r"hashpartitioning\(([a-z_#0-9]+)", plan)
+    assert parts and all(p.startswith("user_id") for p in parts)
+
+
+def test_q217_rfm_uses_bucketed_ranks_no_customer_funnel(spark):
+    # three quintile ranks all run through the two-level bucketed rank:
+    # only the <=64-row bucket summaries are unpartitioned.
+    plan = physical_plan(_q(spark, "q217_rfm_segmentation"))
+    assert plan.count("SinglePartition") <= 4
+
+
+def test_q218_knee_no_part_sized_funnel(spark):
+    plan = physical_plan(_q(spark, "q218_pareto_knee"))
+    assert plan.count("SinglePartition") <= 3
