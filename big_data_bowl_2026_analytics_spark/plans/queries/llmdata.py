@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ...operators.packing import pack_sequences
 from ...operators.textstats import (
@@ -21,6 +22,7 @@ from ...operators.textstats import (
 from ...functions.scalar import fround
 from ...sources.readers import read_table
 from ..registry import query
+from .splits import _hash16, _hash16_sql
 
 #: context-window capacity for the packing query (tokens). Documents
 #: here run ~30-80 tokens, so 128 yields multi-document bins with
@@ -781,4 +783,299 @@ def q172_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
         .select("k", "covered_tokens", "n_tokens", "n_vocab", "coverage")
+    )
+
+
+@query(
+    "q219_bpe_merge_step",
+    tags=("text", "tokenizer", "llm-pipeline"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), total AS (
+  SELECT CAST(sum(len(w)) AS BIGINT) AS n_tokens_before FROM toks
+), pairs AS (
+  SELECT doc_id,
+         p[1] AS a, p[2] AS b, CAST(p[3] AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_zip(w[1:len(w)-1], w[2:len(w)], range(1, len(w))))
+             AS p
+    FROM toks WHERE len(w) >= 2
+  )
+), top_pair AS (
+  SELECT a AS tok_a, b AS tok_b FROM (
+    SELECT a, b,
+           row_number() OVER (ORDER BY count(*) DESC, a, b) AS rn
+    FROM pairs GROUP BY a, b
+  ) WHERE rn = 1
+), occ AS (
+  SELECT p.doc_id, p.pos, t.tok_a, t.tok_b
+  FROM pairs p JOIN top_pair t ON p.a = t.tok_a AND p.b = t.tok_b
+), islands AS (
+  SELECT doc_id, pos, tok_a, tok_b,
+         CAST(sum(CASE WHEN pos - prev_pos = 1 THEN 0 ELSE 1 END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS island
+  FROM (
+    SELECT doc_id, pos, tok_a, tok_b,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+    FROM occ
+  )
+), kept AS (
+  SELECT tok_a, tok_b,
+         CASE WHEN tok_a != tok_b THEN 1
+              WHEN (row_number() OVER (
+                      PARTITION BY doc_id, island ORDER BY pos
+                    ) - 1) % 2 = 0 THEN 1
+              ELSE 0 END AS merged
+  FROM islands
+)
+SELECT tok_a, tok_b,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(sum(merged) AS BIGINT) AS n_merged,
+       min(n_tokens_before) AS n_tokens_before,
+       CAST(min(n_tokens_before) - sum(merged) AS BIGINT)
+         AS n_tokens_after
+FROM kept, total
+GROUP BY tok_a, tok_b
+""",
+)
+def q219_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE merge round, applied: find the most frequent
+    adjacent token pair (q107's counting step), then compute how many
+    occurrences actually merge under the tokenizer's greedy
+    left-to-right rule. For a pair of distinct tokens occurrences
+    never overlap; for a self-pair (x, x) inside a run of equal
+    tokens, greedy matching merges the 1st, 3rd, 5th... occurrence of
+    each run — expressed distributedly as gaps-and-islands over
+    occurrence positions plus an even-offset filter, no sequential
+    scan anywhere. Reports the corpus token count before and after
+    the merge — the quantity a BPE trainer loop watches converge.
+
+    Everything is integer counting over windows partitioned by
+    document; the top pair broadcasts. An iterative trainer loops
+    this step against a re-tokenized column (the q125 unrolled-
+    iteration pattern).
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    total = toks.agg(F.sum(F.size("w")).alias("n_tokens_before"))
+    pairs = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    F.slice("w", 1, F.size("w") - 1).alias("a"),
+                    F.slice(F.col("w"), 2, F.size("w") - 1).alias("b"),
+                )
+            ).alias("pos0", "p"),
+        )
+        .select(
+            "doc_id",
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        )
+    )
+    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    top_pair = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col("a").alias("tok_a"), F.col("b").alias("tok_b"))
+    )
+    occ = pairs.join(
+        F.broadcast(top_pair),
+        (F.col("a") == F.col("tok_a")) & (F.col("b") == F.col("tok_b")),
+    ).select("doc_id", "pos", "tok_a", "tok_b")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = occ.withColumn(
+        "prev_pos", F.lag("pos").over(w_doc)
+    ).withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pos") - F.col("prev_pos") == 1, 0).otherwise(1)
+        ).over(w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    w_isl = Window.partitionBy("doc_id", "island").orderBy("pos")
+    kept = islands.select(
+        "tok_a",
+        "tok_b",
+        F.when(F.col("tok_a") != F.col("tok_b"), 1)
+        .when((F.row_number().over(w_isl) - 1) % 2 == 0, 1)
+        .otherwise(0)
+        .alias("merged"),
+    )
+    return (
+        kept.crossJoin(F.broadcast(total))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum("merged").alias("n_merged"),
+            F.min("n_tokens_before").alias("n_tokens_before"),
+            (F.min("n_tokens_before") - F.sum("merged")).cast(
+                "bigint"
+            ).alias("n_tokens_after"),
+        )
+    )
+
+
+@query(
+    "q220_span_corruption_plan",
+    tags=("text", "masking", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), positions AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos
+  FROM (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos FROM toks)
+), masked AS (
+  SELECT doc_id, pos
+  FROM positions
+  WHERE {_hash16_sql("mask|", "doc_id || ':' || CAST(pos AS VARCHAR)")}
+        % 100 < 15
+), islands AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN pos - prev_pos = 1 THEN 0 ELSE 1 END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+    FROM masked
+  )
+), spans AS (
+  SELECT doc_id, island, CAST(count(*) AS BIGINT) AS span_len
+  FROM islands GROUP BY doc_id, island
+), totals AS (
+  SELECT (SELECT CAST(sum(len(w)) AS BIGINT) FROM toks) AS n_tokens,
+         (SELECT CAST(count(*) AS BIGINT) FROM masked) AS n_masked
+)
+SELECT span_len,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       min(n_tokens) AS n_tokens,
+       round(min(n_masked) * 1.0 / min(n_tokens) + 1e-9, 6)
+         AS corruption_rate
+FROM spans, totals
+GROUP BY span_len
+""",
+)
+def q220_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning: mask each token position
+    with probability 15% by keyed hash (content-stable — the same doc
+    masks identically on every re-ingestion, the q127 property random
+    masking lacks), then report the masked-SPAN length histogram and
+    realized corruption rate. Denoising objectives care about span
+    statistics, not token counts: adjacent masked positions form one
+    sentinel span, computed as gaps-and-islands per document.
+
+    Integer-exact throughout (hash thresholds, island arithmetic,
+    counts); one token-position stream, windows partitioned by doc.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    positions = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w"))).alias("pos0"),
+    ).select("doc_id", F.col("pos0").cast("bigint").alias("pos"))
+    key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+    )
+    masked = positions.where(_hash16("mask|", key) % 100 < 15)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = masked.withColumn(
+        "prev_pos", F.lag("pos").over(w_doc)
+    ).withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pos") - F.col("prev_pos") == 1, 0).otherwise(1)
+        ).over(w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("span_len")
+    )
+    totals = toks.agg(F.sum(F.size("w")).alias("n_tokens")).crossJoin(
+        masked.agg(F.count(F.lit(1)).alias("n_masked"))
+    )
+    return (
+        spans.crossJoin(F.broadcast(totals))
+        .groupBy("span_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.min("n_tokens").alias("n_tokens"),
+            fround(
+                F.min("n_masked") * 1.0 / F.min("n_tokens"), 6
+            ).alias("corruption_rate"),
+        )
+    )
+
+
+@query(
+    "q221_sliding_window_chunks",
+    tags=("text", "chunking", "llm-pipeline"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), chunks AS (
+  SELECT doc_id, n_tok, CAST(s AS BIGINT) AS start_tok
+  FROM toks, unnest(range(1, greatest(n_tok - 8, 1) + 1, 24)) t(s)
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+            AS BIGINT) AS chunk_id,
+       start_tok,
+       least(start_tok + 31, n_tok) AS end_tok,
+       least(start_tok + 31, n_tok) - start_tok + 1 AS n_chunk_toks
+FROM chunks
+""",
+)
+def q221_sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk plan for retrieval/context pipelines:
+    32-token chunks with 8-token overlap (stride 24). Chunk starts
+    are an integer arithmetic sequence capped at n_tok − overlap, so
+    no final chunk is a pure suffix of its predecessor — each chunk
+    contributes at least stride-worth of new tokens, the rule RAG
+    chunkers apply to avoid duplicate-content embeddings (and exactly
+    the property q133's containment detector would otherwise flag).
+
+    Pure map-side: one sequence-explode per document, no shuffle
+    except the per-doc chunk numbering window. Emitting (start, end)
+    boundaries instead of substrings keeps the plan byte-cheap — the
+    slice happens at read time in whatever worker consumes the chunk.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.lit(1).cast("bigint"),
+                F.greatest(F.col("n_tok") - 8, F.lit(1).cast("bigint")),
+                F.lit(24).cast("bigint"),
+            )
+        ).alias("start_tok"),
+    )
+    end_tok = F.least(F.col("start_tok") + 31, F.col("n_tok"))
+    return chunks.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("start_tok"))
+        .cast("bigint")
+        .alias("chunk_id"),
+        "start_tok",
+        end_tok.alias("end_tok"),
+        (end_tok - F.col("start_tok") + 1).alias("n_chunk_toks"),
     )

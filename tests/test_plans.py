@@ -916,3 +916,25 @@ def test_q217_rfm_uses_bucketed_ranks_no_customer_funnel(spark):
 def test_q218_knee_no_part_sized_funnel(spark):
     plan = physical_plan(_q(spark, "q218_pareto_knee"))
     assert plan.count("SinglePartition") <= 3
+
+
+def test_q219_bpe_merge_windows_partition_by_doc(spark):
+    # pair stream is map-side (slice+zip); the only windows partition
+    # by doc/island; the top pair broadcasts.
+    plan = physical_plan(_q(spark, "q219_bpe_merge_step"))
+    assert "SinglePartition" not in plan or plan.count("SinglePartition") <= 3
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q220_span_plan_no_global_funnel_beyond_totals(spark):
+    plan = physical_plan(_q(spark, "q220_span_corruption_plan"))
+    # islands window partitions by doc; only the two one-row totals
+    # reduce to a single partition.
+    assert plan.count("SinglePartition") <= 2
+
+
+def test_q221_chunks_map_side_sequence_explode(spark):
+    plan = physical_plan(_q(spark, "q221_sliding_window_chunks"))
+    assert "Join" not in plan
+    assert "Generate" in plan  # the sequence explode IS the plan
+    assert "SinglePartition" not in plan
