@@ -533,3 +533,224 @@ def q153_horvitz_thompson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+@query(
+    "q222_class_balance_weights",
+    tags=("ml", "sampling", "llm-pipeline"),
+    oracle="""
+WITH counts AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY label
+), k AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(sum(n) AS BIGINT) AS n_total
+  FROM counts
+), weights AS (
+  SELECT label, n,
+         1.0 / n AS inv_raw,
+         (1 - 0.999) / (1 - pow(0.999, n)) AS eff_raw
+  FROM counts
+), z AS (
+  SELECT sum(inv_raw) AS z_inv, sum(eff_raw) AS z_eff FROM weights
+)
+SELECT label, n,
+       round(n * 1.0 / n_total + 1e-9, 6) AS class_share,
+       round(inv_raw * n_classes / z_inv + 1e-9, 6) AS inv_freq_weight,
+       round(eff_raw * n_classes / z_eff + 1e-9, 6) AS eff_num_weight
+FROM weights, k, z
+""",
+)
+def q222_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-imbalance training weights per label, two estimators
+    side by side: plain inverse frequency and the effective-number
+    reweighting of Cui et al. ((1−β)/(1−β^n), β = 0.999), which
+    saturates for large classes instead of exploding for rare ones.
+    Both are normalized to sum to the class count, so a balanced
+    dataset yields all-1.0 weights under either scheme.
+
+    One label-grain aggregate; β^n is a pow on identical doubles and
+    the class-count normalizers are tiny fixed sums — all absorbed by
+    the fround pair.
+    """
+    emb = read_table(spark, sf_dir, "embeddings", ["label"])
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    k = counts.agg(
+        F.count(F.lit(1)).alias("n_classes"), F.sum("n").alias("n_total")
+    )
+    weights = counts.select(
+        "label",
+        "n",
+        (1.0 / F.col("n")).alias("inv_raw"),
+        ((1 - 0.999) / (1 - F.pow(0.999, F.col("n")))).alias("eff_raw"),
+    )
+    z = weights.agg(
+        F.sum("inv_raw").alias("z_inv"), F.sum("eff_raw").alias("z_eff")
+    )
+    return (
+        weights.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(z))
+        .select(
+            "label",
+            "n",
+            fround(F.col("n") * 1.0 / F.col("n_total"), 6).alias(
+                "class_share"
+            ),
+            fround(
+                F.col("inv_raw") * F.col("n_classes") / F.col("z_inv"), 6
+            ).alias("inv_freq_weight"),
+            fround(
+                F.col("eff_raw") * F.col("n_classes") / F.col("z_eff"), 6
+            ).alias("eff_num_weight"),
+        )
+    )
+
+
+@query(
+    "q223_stratified_kfold_plan",
+    tags=("split", "ml", "llm-pipeline"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT label, {_hash16_sql('fold|', 'vec_id')} % 5 AS fold
+  FROM embeddings
+), cells AS (
+  SELECT fold, label, CAST(count(*) AS BIGINT) AS n
+  FROM assigned GROUP BY fold, label
+), margins AS (
+  SELECT label, CAST(sum(n) AS BIGINT) AS n_label FROM cells GROUP BY label
+), folds AS (
+  SELECT fold, CAST(sum(n) AS BIGINT) AS n_fold FROM cells GROUP BY fold
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells
+)
+SELECT c.fold, c.label, c.n,
+       round(f.n_fold * m.n_label * 1.0 / t.n_total + 1e-9, 4) AS expected,
+       round(pow(c.n - f.n_fold * m.n_label * 1.0 / t.n_total, 2)
+             / (f.n_fold * m.n_label * 1.0 / t.n_total) + 1e-9, 6)
+         AS chi_term
+FROM cells c
+JOIN margins m ON m.label = c.label
+JOIN folds f ON f.fold = c.fold
+CROSS JOIN tot t
+""",
+)
+def q223_stratified_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment by content-stable hash with
+    a per-cell chi-square homogeneity audit: is every fold's label
+    mix statistically indistinguishable from the corpus mix? Hash
+    folds inherit q127's re-ingestion stability; the audit is q129's
+    independence machinery applied to the (fold, label) contingency —
+    sum ``chi_term`` against χ²((k−1)(L−1)) to reject a broken
+    stratification before any training run spends GPUs on it.
+
+    Map-side assignment, one contingency aggregate, label/fold
+    margins broadcast back — integer counts everywhere.
+    """
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "label"])
+    assigned = emb.select(
+        "label", (_hash16("fold|", F.col("vec_id")) % 5).alias("fold")
+    )
+    cells = assigned.groupBy("fold", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
+    margins = cells.groupBy("label").agg(F.sum("n").alias("n_label"))
+    folds = cells.groupBy("fold").agg(F.sum("n").alias("n_fold"))
+    tot = cells.agg(F.sum("n").alias("n_total"))
+    expected = (
+        F.col("n_fold") * F.col("n_label") * 1.0 / F.col("n_total")
+    )
+    return (
+        cells.join(F.broadcast(margins), "label")
+        .join(F.broadcast(folds), "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "label",
+            "n",
+            fround(expected, 4).alias("expected"),
+            fround(
+                F.pow(F.col("n") - expected, 2) / expected, 6
+            ).alias("chi_term"),
+        )
+    )
+
+
+@query(
+    "q224_length_bucketed_batching",
+    tags=("llm-pipeline", "batching", "report"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, n_tok, n_tok // 32 AS bucket FROM toks
+), per_bucket AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(max(n_tok) AS BIGINT) AS bucket_max,
+         CAST(sum(n_tok) AS BIGINT) AS real_tokens
+  FROM bucketed GROUP BY bucket
+), gstats AS (
+  SELECT CAST(max(n_tok) AS BIGINT) AS global_max,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS total_docs
+  FROM toks
+)
+SELECT bucket, n_docs, bucket_max, real_tokens,
+       CAST(n_docs * bucket_max - real_tokens AS BIGINT)
+         AS bucketed_padding,
+       CAST(n_docs * global_max - real_tokens AS BIGINT)
+         AS unbucketed_padding,
+       round((n_docs * bucket_max - real_tokens) * 1.0
+             / (n_docs * bucket_max) + 1e-9, 6) AS waste_share
+FROM per_bucket, gstats
+""",
+)
+def q224_length_bucketed_batching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching: group
+    documents into 32-token length buckets and compare the padding a
+    per-bucket max incurs against padding to the global max (the
+    naive collator). The gap is the GPU-hours length bucketing saves
+    — typically the single cheapest throughput win in a training
+    pipeline, and this query is the evidence a platform team shows
+    for it.
+
+    Pure integer arithmetic on the bucket grain; the one-row global
+    frame broadcasts.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    bucketed = toks.withColumn(
+        "bucket", F.floor(F.col("n_tok") / 32).cast("bigint")
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("bucket_max"),
+        F.sum("n_tok").alias("real_tokens"),
+    )
+    glob = toks.agg(
+        F.max("n_tok").alias("global_max"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.count(F.lit(1)).alias("total_docs"),
+    )
+    padded = F.col("n_docs") * F.col("bucket_max")
+    return per_bucket.crossJoin(F.broadcast(glob)).select(
+        "bucket",
+        "n_docs",
+        "bucket_max",
+        "real_tokens",
+        (padded - F.col("real_tokens")).cast("bigint").alias(
+            "bucketed_padding"
+        ),
+        (
+            F.col("n_docs") * F.col("global_max") - F.col("real_tokens")
+        ).cast("bigint").alias("unbucketed_padding"),
+        fround(
+            (padded - F.col("real_tokens")) * 1.0 / padded, 6
+        ).alias("waste_share"),
+    )

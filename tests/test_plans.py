@@ -938,3 +938,22 @@ def test_q221_chunks_map_side_sequence_explode(spark):
     assert "Join" not in plan
     assert "Generate" in plan  # the sequence explode IS the plan
     assert "SinglePartition" not in plan
+
+
+def test_q222_weights_on_label_grain(spark):
+    plan = physical_plan(_q(spark, "q222_class_balance_weights"))
+    assert "SortMergeJoin" not in plan
+
+
+def test_q223_kfold_margins_broadcast(spark):
+    plan = physical_plan(_q(spark, "q223_stratified_kfold_plan"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q224_batching_single_fact_scan(spark):
+    # toks feeds both the bucket aggregate and the one-row global via
+    # ReuseExchange/scan; no shuffle join anywhere.
+    plan = physical_plan(_q(spark, "q224_length_bucketed_batching"))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
