@@ -15,6 +15,7 @@ import pandas as pd  # module-level: pandas_udf resolves postponed hints here
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ...functions.scalar import fround
 from ...ml.evaluate import binary_metrics, calibration_bins
@@ -22,7 +23,7 @@ from ...ml.inference import score_dataframe
 from ...ml.model import LogisticModel
 from ...sources.readers import read_table
 from ..registry import query
-from .splits import _hash16_sql
+from .splits import _hash16, _hash16_sql
 
 #: The fixed demo model used by the oracle-checked queries.
 DEMO_MODEL = LogisticModel(
@@ -752,4 +753,278 @@ def q188_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.desc("info_gain"), "threshold")
         )
         == 1,
+    )
+
+
+@query(
+    "q225_capture_recapture",
+    tags=("statistics", "sampling", "audit"),
+    oracle=f"""
+WITH marks AS (
+  SELECT doc_id,
+         CASE WHEN {_hash16_sql('cap1|', 'doc_id')} % 100 < 20
+              THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN {_hash16_sql('cap2|', 'doc_id')} % 100 < 20
+              THEN 1 ELSE 0 END AS in_b
+  FROM documents
+), counts AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(in_b) AS BIGINT) AS n_b,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+         CAST(count(*) AS BIGINT) AS true_n
+  FROM marks
+)
+SELECT n_a, n_b, n_both, true_n,
+       round((n_a + 1.0) * (n_b + 1.0) / (n_both + 1.0) - 1 + 1e-9, 4)
+         AS chapman_estimate,
+       round(((n_a + 1.0) * (n_b + 1.0) / (n_both + 1.0) - 1 - true_n)
+             / true_n + 1e-9, 6) AS rel_error
+FROM counts
+""",
+)
+def q225_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture population estimate from two
+    independent 20% hash samples: N ≈ (n_a+1)(n_b+1)/(n_both+1) − 1.
+    The estimator every scale pipeline needs when the true population
+    is too expensive to enumerate (distinct URLs behind a crawl
+    frontier, dedup clusters behind a sampled LSH pass) — two cheap
+    marked samples bound it, and on this closed corpus the known true
+    count pins the estimator's realized error.
+
+    Independence holds because the two membership hashes use
+    different seeds; counts are map-side integer sums and the
+    estimate is one fixed expression.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id"])
+    marks = docs.select(
+        F.when(_hash16("cap1|", F.col("doc_id")) % 100 < 20, 1)
+        .otherwise(0)
+        .alias("in_a"),
+        F.when(_hash16("cap2|", F.col("doc_id")) % 100 < 20, 1)
+        .otherwise(0)
+        .alias("in_b"),
+    )
+    counts = marks.agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.count(F.lit(1)).alias("true_n"),
+    )
+    chapman = (
+        (F.col("n_a") + 1.0) * (F.col("n_b") + 1.0) / (F.col("n_both") + 1.0)
+        - 1
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        "true_n",
+        fround(chapman, 4).alias("chapman_estimate"),
+        fround((chapman - F.col("true_n")) / F.col("true_n"), 6).alias(
+            "rel_error"
+        ),
+    )
+
+
+@query(
+    "q226_lift_gains_table",
+    tags=("ml", "evaluation", "report"),
+    oracle=f"""
+WITH {_SCORED_CTE.strip()},
+ranked AS (
+  SELECT y,
+         CAST(row_number() OVER (ORDER BY p DESC, l_orderkey)
+              AS BIGINT) AS r
+  FROM scored
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS nr,
+         CAST(sum(y) AS BIGINT) AS total_pos
+  FROM ranked
+), deciles AS (
+  SELECT CAST(floor((r - 1) * 10.0 / nr) + 1 AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM ranked, n GROUP BY 1
+), cum AS (
+  SELECT decile, n_rows, n_pos,
+         CAST(sum(n_rows) OVER w AS BIGINT) AS cum_rows,
+         CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos
+  FROM deciles
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT decile, n_rows, n_pos,
+       round(cum_pos * 1.0 / total_pos + 1e-9, 6) AS cum_gain,
+       round((cum_pos * 1.0 / cum_rows) / (total_pos * 1.0 / nr) + 1e-9, 6)
+         AS cum_lift
+FROM cum, n
+""",
+)
+def q226_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift by score decile — the campaign-
+    targeting report next to q51's calibration and q52's AUC: "mailing
+    the top 2 deciles captures X% of responders at Y× random". Deciles
+    are RANK-based (equal population, the marketing convention), not
+    score-value bins: the global rank runs through the two-level
+    bucketed rank with the descending flip's reversed tie-break
+    (the q218 rule), so no row-grain single-partition window exists;
+    the cumulative windows run on the 10-row decile frame.
+
+    All counts are integers; gains/lifts are exact-integer ratios in
+    one fixed expression each.
+    """
+    from ...operators.rankops import bucketed_rank
+
+    scored = _scored(spark, sf_dir, native=True).select(
+        "l_orderkey",
+        F.round(F.col("probability") + 1e-9, 6).alias("p"),
+        F.col("target").alias("y"),
+    )
+    p_int = F.round(F.col("p") * 1e6).cast("bigint")
+    base = scored.select(
+        "y",
+        (p_int + 1).alias("p_key"),
+        (-F.col("l_orderkey")).alias("neg_key"),
+    )
+    asc = bucketed_rank(base, "p_key", ["neg_key"], "r_asc")
+    n = asc.agg(
+        F.count(F.lit(1)).alias("nr"), F.sum("y").cast("bigint").alias(
+            "total_pos"
+        )
+    )
+    ranked = asc.crossJoin(F.broadcast(n)).select(
+        "y",
+        "nr",
+        "total_pos",
+        (F.col("nr") + 1 - F.col("r_asc")).alias("r"),
+    )
+    deciles = (
+        ranked.withColumn(
+            "decile",
+            (F.floor((F.col("r") - 1) * 10.0 / F.col("nr")) + 1).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("decile", "nr", "total_pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = deciles.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        "nr",
+        "total_pos",
+        F.sum("n_rows").over(w).cast("bigint").alias("cum_rows"),
+        F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+    )
+    return cum.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        fround(F.col("cum_pos") * 1.0 / F.col("total_pos"), 6).alias(
+            "cum_gain"
+        ),
+        fround(
+            (F.col("cum_pos") * 1.0 / F.col("cum_rows"))
+            / (F.col("total_pos") * 1.0 / F.col("nr")),
+            6,
+        ).alias("cum_lift"),
+    )
+
+
+@query(
+    "q227_model_ks_separation",
+    tags=("ml", "evaluation"),
+    oracle=f"""
+WITH {_SCORED_CTE.strip()},
+by_p AS (
+  SELECT p,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos_p
+  FROM scored GROUP BY p
+), tot AS (
+  SELECT CAST(sum(n_pos_p) AS BIGINT) AS n_pos,
+         CAST(sum(n - n_pos_p) AS BIGINT) AS n_neg
+  FROM by_p
+), cdf AS (
+  SELECT p,
+         CAST(sum(n_pos_p) OVER w AS BIGINT) AS cum_pos,
+         CAST(sum(n - n_pos_p) OVER w AS BIGINT) AS cum_neg
+  FROM by_p
+  WINDOW w AS (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), d AS (
+  SELECT p,
+         abs(cum_pos * 1.0 / n_pos - cum_neg * 1.0 / n_neg) AS dist
+  FROM cdf, tot
+), mx AS (
+  SELECT max(dist) AS ks FROM d
+)
+SELECT round(min(mx.ks) + 1e-9, 6) AS ks,
+       round(min(d.p) + 1e-9, 6) AS ks_threshold,
+       min(n_pos) AS n_pos,
+       min(n_neg) AS n_neg
+FROM d, mx, tot
+WHERE d.dist = mx.ks
+""",
+)
+def q227_model_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov separation of the model's score
+    distributions for positives vs negatives — the credit-scoring
+    twin of AUC (q52): KS is the largest CDF gap, and its argmax is
+    the natural operating threshold. CDFs are cumulative exact-
+    integer counts over the DISTINCT-SCORE grain: probabilities are
+    6-decimal-rounded, so the ordered window is bounded by ≤ 1e6 + 1
+    distinct values at any data scale (the q121/q165 bounded-domain
+    contract). The threshold is selected by the exact max-then-min-p
+    rule, never an order-sensitive argmax (footgun 6).
+    """
+    scored = _scored(spark, sf_dir, native=True).select(
+        F.round(F.col("probability") + 1e-9, 6).alias("p"),
+        F.col("target").alias("y"),
+    )
+    by_p = scored.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("bigint").alias(
+            "n_pos_p"
+        )
+    )
+    tot = by_p.agg(
+        F.sum("n_pos_p").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n") - F.col("n_pos_p")).cast("bigint").alias("n_neg"),
+    )
+    w = Window.orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = by_p.select(
+        "p",
+        F.sum("n_pos_p").over(w).cast("bigint").alias("cum_pos"),
+        F.sum(F.col("n") - F.col("n_pos_p")).over(w).cast("bigint").alias(
+            "cum_neg"
+        ),
+    )
+    d = cdf.crossJoin(F.broadcast(tot)).select(
+        "p",
+        "n_pos",
+        "n_neg",
+        F.abs(
+            F.col("cum_pos") * 1.0 / F.col("n_pos")
+            - F.col("cum_neg") * 1.0 / F.col("n_neg")
+        ).alias("dist"),
+    ).localCheckpoint(eager=False)
+    mx = d.agg(F.max("dist").alias("ks"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .where(F.col("dist") == F.col("ks"))
+        .agg(
+            fround(F.min("ks"), 6).alias("ks"),
+            fround(F.min("p"), 6).alias("ks_threshold"),
+            F.min("n_pos").alias("n_pos"),
+            F.min("n_neg").alias("n_neg"),
+        )
     )

@@ -957,3 +957,25 @@ def test_q224_batching_single_fact_scan(spark):
     plan = physical_plan(_q(spark, "q224_length_bucketed_batching"))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q225_capture_recapture_map_side_only(spark):
+    plan = physical_plan(_q(spark, "q225_capture_recapture"))
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_q226_gains_rank_via_bucketed_form(spark):
+    # the row-grain rank is the two-level bucketed rank; cumulative
+    # windows run on the 10-row decile frame.
+    plan = physical_plan(_q(spark, "q226_lift_gains_table"))
+    assert plan.count("SinglePartition") <= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q227_ks_on_distinct_score_grain(spark):
+    # the ordered CDF window runs after the by-p reduce (bounded by
+    # 1e6+1 distinct rounded probabilities); scoring stays JVM-native.
+    plan = physical_plan(_q(spark, "q227_model_ks_separation"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
