@@ -1056,3 +1056,221 @@ def q216_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("burstiness"),
     )
+
+
+@query(
+    "q228_randomization_test",
+    tags=("statistics", "hypothesis-test", "resampling"),
+    oracle=f"""
+WITH obs AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'click')
+), observed AS (
+  SELECT sum(CASE WHEN is_a = 1 THEN cents END) * 1.0
+           / sum(is_a)
+         - sum(CASE WHEN is_a = 0 THEN cents END) * 1.0
+           / sum(1 - is_a) AS d_obs
+  FROM obs
+), reps AS (
+  SELECT CAST(b AS BIGINT) AS b FROM generate_series(1, 64) t(b)
+), redrawn AS (
+  SELECT r.b,
+         CASE WHEN {_hash16_sql("perm|' || CAST(r.b AS VARCHAR) || '|", "event_id")}
+                   % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+         cents
+  FROM obs CROSS JOIN reps r
+), perm AS (
+  SELECT b,
+         sum(CASE WHEN in_a = 1 THEN cents END) * 1.0 / sum(in_a)
+         - sum(CASE WHEN in_a = 0 THEN cents END) * 1.0 / sum(1 - in_a)
+           AS d_b
+  FROM redrawn GROUP BY b
+)
+SELECT round(min(d_obs) / 100 + 1e-9, 6) AS observed_diff,
+       CAST(64 AS BIGINT) AS n_replicates,
+       CAST(sum(CASE WHEN round(abs(d_b) + 1e-9, 6)
+                          >= round(abs(d_obs) + 1e-9, 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+       round((1 + sum(CASE WHEN round(abs(d_b) + 1e-9, 6)
+                                >= round(abs(d_obs) + 1e-9, 6)
+                           THEN 1 ELSE 0 END)) * 1.0 / 65 + 1e-9, 6)
+         AS p_value
+FROM perm, observed
+""",
+)
+def q228_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate randomization test for the purchase-vs-click mean
+    value difference: 64 hash-seeded random re-splits of the pooled
+    rows build the null distribution, and the p-value is the
+    add-one-smoothed share of replicates at least as extreme as the
+    observed difference. Distribution-free significance with ZERO
+    data movement — each replicate is a conditional aggregate over
+    map-side hash bits (the q207 resampling contract), so the fact
+    pass stays one scan however many replicates run.
+
+    Engine-exactness: values reduce to integer cents, every replicate
+    difference is a division of exact BIGINT sums (identical doubles
+    on both engines), and the extremity comparison happens on
+    6-decimal-ROUNDED magnitudes on both sides, so a last-ulp
+    difference can never flip the count.
+    """
+    ev = read_table(
+        spark, sf_dir, "events", ["event_id", "event_type", "value"]
+    )
+    obs = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_a"
+        ),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    observed = obs.agg(
+        (
+            F.sum(F.when(F.col("is_a") == 1, F.col("cents"))) * 1.0
+            / F.sum("is_a")
+            - F.sum(F.when(F.col("is_a") == 0, F.col("cents"))) * 1.0
+            / F.sum(1 - F.col("is_a"))
+        ).alias("d_obs")
+    )
+    reps = spark.range(1, 65).select(F.col("id").alias("b"))
+    h = _hash16(
+        "",
+        F.concat(
+            F.lit("perm|"),
+            F.col("b").cast("string"),
+            F.lit("|"),
+            F.col("event_id").cast("string"),
+        ),
+    )
+    redrawn = obs.crossJoin(F.broadcast(reps)).select(
+        "b",
+        F.when(h % 2 == 0, 1).otherwise(0).alias("in_a"),
+        "cents",
+    )
+    perm = redrawn.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("in_a") == 1, F.col("cents"))) * 1.0
+            / F.sum("in_a")
+            - F.sum(F.when(F.col("in_a") == 0, F.col("cents"))) * 1.0
+            / F.sum(1 - F.col("in_a"))
+        ).alias("d_b")
+    )
+    extreme = F.when(
+        fround(F.abs(F.col("d_b")), 6) >= fround(F.abs(F.col("d_obs")), 6), 1
+    ).otherwise(0)
+    return perm.crossJoin(F.broadcast(observed)).agg(
+        fround(F.min("d_obs") / 100, 6).alias("observed_diff"),
+        F.lit(64).cast("bigint").alias("n_replicates"),
+        F.sum(extreme).cast("bigint").alias("n_as_extreme"),
+        fround((1 + F.sum(extreme)) * 1.0 / 65, 6).alias("p_value"),
+    )
+
+
+@query(
+    "q229_mann_kendall_trend",
+    tags=("statistics", "timeseries", "hypothesis-test"),
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m_idx,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM monthly a JOIN monthly b ON a.m_idx < b.m_idx
+), ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+        FROM monthly GROUP BY cents) WHERE t > 1
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS nm FROM monthly
+)
+SELECT s_stat, nm AS n_months,
+       round((CASE WHEN s_stat > 0 THEN s_stat - 1
+                   WHEN s_stat < 0 THEN s_stat + 1
+                   ELSE 0 END)
+             / sqrt((nm * (nm - 1.0) * (2 * nm + 5) - tie_term) / 18)
+             + 1e-9, 6) AS z_mk
+FROM s, ties, n
+""",
+)
+def q229_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on monthly revenue — the significance
+    companion to q214's Theil-Sen slope (same pair frame): S counts
+    concordant minus discordant month pairs, and the tie-corrected
+    normal approximation (with the standard ±1 continuity correction)
+    yields z. Monotone-trend detection with NO distributional
+    assumption on the revenue levels.
+
+    S and the tie term are exact integer sums on the month-pair grain
+    (calendar-bounded, the q214 contract); z is one fixed expression.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"]
+    )
+    d = F.col("o_orderdate").cast("date")
+    monthly = (
+        orders.select(
+            (F.year(d) * 12 + F.month(d)).cast("bigint").alias("m_idx"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c1"),
+        )
+        .groupBy("m_idx")
+        .agg(F.sum("c1").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    a = monthly.select(
+        F.col("m_idx").alias("m1"), F.col("cents").alias("y1")
+    )
+    b = monthly.select(
+        F.col("m_idx").alias("m2"), F.col("cents").alias("y2")
+    )
+    s = a.join(b, F.col("m1") < F.col("m2")).agg(
+        F.sum(
+            F.when(F.col("y2") > F.col("y1"), 1)
+            .when(F.col("y2") < F.col("y1"), -1)
+            .otherwise(0)
+        ).cast("bigint").alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    ties = (
+        monthly.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    n = monthly.agg(F.count(F.lit(1)).alias("nm"))
+    s_cc = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    sigma = F.sqrt(
+        (
+            F.col("nm") * (F.col("nm") - 1.0) * (2 * F.col("nm") + 5)
+            - F.col("tie_term")
+        )
+        / 18
+    )
+    return (
+        s.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "s_stat",
+            F.col("nm").alias("n_months"),
+            fround(s_cc / sigma, 6).alias("z_mk"),
+        )
+    )

@@ -979,3 +979,20 @@ def test_q227_ks_on_distinct_score_grain(spark):
     plan = physical_plan(_q(spark, "q227_model_ks_separation"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q228_randomization_single_fact_pass(spark):
+    # replicates are a broadcast 64-row dim over map-side hash bits;
+    # no shuffle of the fact rows on any permutation key.
+    plan = physical_plan(_q(spark, "q228_randomization_test"))
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_q229_mann_kendall_on_month_grain(spark):
+    # the month frame is checkpointed (reused by the pair join, the
+    # tie histogram, and the count), so the plan scans the truncated
+    # lineage, not the parquet, and no cartesian appears.
+    plan = physical_plan(_q(spark, "q229_mann_kendall_trend"))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
