@@ -1028,3 +1028,55 @@ def q227_model_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_neg").alias("n_neg"),
         )
     )
+
+
+@query(
+    "q230_isotonic_calibration",
+    tags=("ml", "calibration", "applyInPandas"),
+    oracle=None,  # PAV's sequential pooling is not SQL-expressible;
+    # rows-only check, but every row carries the KKT invariants
+    # (block_mean_ok, monotone_ok) — the q28 self-validation pattern —
+    # and tests cross-check PAV against the independent greatest-
+    # convex-minorant construction.
+)
+def q230_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the demo model per return
+    flag: the nonparametric recalibration step that maps raw scores to
+    empirically monotone probabilities — the production alternative to
+    q51's fixed decile bins when the calibration curve is not
+    piecewise-constant-in-deciles. Runs PAV per slice via the grouped
+    Arrow operator (operators/isotonic.py): sequential within a
+    slice's distinct-score series (bounded by 1e6+1 rounded scores),
+    parallel across slices.
+
+    Self-validating output: ``block_mean_ok`` and ``monotone_ok`` are
+    the necessary-and-sufficient optimality conditions of the
+    monotone least-squares program, so the weak rows-only gate still
+    pins correctness.
+    """
+    from ...ml.inference import score_column_native
+    from ...operators.isotonic import isotonic_calibration
+
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_linenumber", "l_quantity", "l_discount", "l_tax", "l_returnflag"],
+    )
+    feats = li.where(F.col("l_linenumber") == 1).select(
+        "l_returnflag",
+        (F.col("l_quantity") / 50).alias("f_qty"),
+        (F.col("l_discount") * 10).alias("f_disc"),
+        (F.col("l_tax") * 12.5).alias("f_tax"),
+        F.when(F.col("l_quantity") > 30, 1.0).otherwise(0.0).alias("target"),
+    )
+    scored = feats.select(
+        "l_returnflag",
+        "target",
+        F.round(
+            score_column_native(
+                DEMO_MODEL, F.col("f_qty"), F.col("f_disc"), F.col("f_tax")
+            )
+            + 1e-9,
+            6,
+        ).alias("p"),
+    )
+    return isotonic_calibration(scored, "l_returnflag", "p", "target")

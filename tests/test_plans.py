@@ -996,3 +996,11 @@ def test_q229_mann_kendall_on_month_grain(spark):
     plan = physical_plan(_q(spark, "q229_mann_kendall_trend"))
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_q230_isotonic_is_grouped_arrow(spark):
+    # PAV runs per slice behind FlatMapGroupsInPandas; the input is
+    # reduced to the distinct-score grain before the Arrow boundary.
+    plan = physical_plan(_q(spark, "q230_isotonic_calibration"))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "HashAggregate" in plan  # the grain reduce precedes Arrow

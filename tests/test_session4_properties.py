@@ -210,3 +210,69 @@ def test_mann_whitney_matches_bruteforce(spark, xs, ys):
         assert got.z is None
     else:
         assert math.isclose(got.z, z_want, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0, 1, allow_nan=False, width=32),
+            st.integers(1, 5),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_pav_equals_gcm(ys):
+    # two independent solvers of the same strictly convex program must
+    # agree exactly (up to float roundoff in different operation
+    # orders).
+    import numpy as np
+
+    from big_data_bowl_2026_analytics_spark.operators.isotonic import (
+        gcm_fit,
+        pav_fit,
+    )
+
+    y = np.array([v for v, _ in ys], dtype=float)
+    w = np.array([c for _, c in ys], dtype=float)
+    x = np.arange(len(y), dtype=float)
+    a = pav_fit(x, y, w)
+    b = gcm_fit(y, w)
+    assert np.allclose(a, b, atol=1e-9)
+    assert np.all(np.diff(a) >= -1e-12)
+
+
+def test_isotonic_operator_matches_local_pav(spark):
+    import numpy as np
+
+    from big_data_bowl_2026_analytics_spark.operators.isotonic import (
+        isotonic_calibration,
+        pav_fit,
+    )
+
+    rows = []
+    rng = [(i * 37 + 11) % 100 for i in range(200)]
+    for i, r in enumerate(rng):
+        rows.append(("g" + str(i % 2), float(r) / 100, float((r * 7) % 2)))
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    out = isotonic_calibration(df, "grp", "x", "y").collect()
+    assert all(r.block_mean_ok and r.monotone_ok for r in out)
+    for g in ("g0", "g1"):
+        sub = sorted(
+            [r for r in out if r.grp == g], key=lambda r: r.x
+        )
+        # recompute locally on the same grain
+        import collections
+
+        grain = collections.OrderedDict()
+        for grp, x, y in rows:
+            if grp != g:
+                continue
+            grain.setdefault(x, []).append(y)
+        xs = sorted(grain)
+        ym = np.array([sum(grain[x]) / len(grain[x]) for x in xs])
+        w = np.array([len(grain[x]) for x in xs], dtype=float)
+        want = pav_fit(np.array(xs), ym, w)
+        got = np.array([r.y_iso for r in sub])
+        assert np.allclose(got, want, atol=1e-12)
