@@ -1043,3 +1043,123 @@ def q197_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("half_life_days"),
     )
+
+
+@query(
+    "q231_peak_concurrency",
+    tags=("timeseries", "session", "sweep-line"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id,
+         epoch(ts) AS t
+  FROM flagged
+), intervals AS (
+  SELECT user_id, session_id, min(t) AS t_start, max(t) + 1 AS t_end
+  FROM sessions GROUP BY user_id, session_id
+), deltas AS (
+  SELECT t_start AS t, 1 AS delta, user_id, session_id FROM intervals
+  UNION ALL
+  SELECT t_end AS t, -1 AS delta, user_id, session_id FROM intervals
+), swept AS (
+  SELECT CAST(floor(t / 3600) AS BIGINT) AS hour_bucket,
+         CAST(sum(delta) OVER (
+           ORDER BY t, delta, user_id, session_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS conc,
+         delta
+  FROM deltas
+)
+SELECT hour_bucket,
+       CAST(count(*) AS BIGINT) AS n_boundaries,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       CAST(sum(delta) AS BIGINT) AS net_change
+FROM swept GROUP BY hour_bucket
+""",
+)
+def q231_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour by sweep line: each session
+    (q24's 30-minute-gap definition, half-open [start, end+1s))
+    contributes +1/−1 boundary events, and the running net sum at any
+    boundary IS the concurrency — the capacity-planning number every
+    serving platform sizes against.
+
+    The textbook form is ONE global running sum over all boundaries —
+    a data-sized single-partition window. Here the sweep is two-level
+    (the q52/q199 machinery shape, hand-rolled over time instead of
+    rank): per-hour net changes roll up through an hours-grain
+    cumulative window (calendar-bounded) to give each hour its
+    entering concurrency, and the within-hour running sum partitions
+    by hour — so no unbounded ordered window exists at any scale.
+    Boundary ties resolve ends-before-starts (delta ascending) with a
+    (user, session) total order, engine-identically.
+
+    All counts are exact integers; the only doubles are epoch-second
+    sort keys (identical on both engines, the q24 parity).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["user_id", "event_id", "ts"])
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    epoch = F.col("ts").cast("double")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (epoch - F.lag(epoch).over(w) > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+        epoch.alias("t"),
+    )
+    intervals = sessions.groupBy("user_id", "session_id").agg(
+        F.min("t").alias("t_start"), (F.max("t") + 1).alias("t_end")
+    )
+    deltas = intervals.select(
+        F.col("t_start").alias("t"), F.lit(1).alias("delta"),
+        "user_id", "session_id",
+    ).unionByName(
+        intervals.select(
+            F.col("t_end").alias("t"), F.lit(-1).alias("delta"),
+            "user_id", "session_id",
+        )
+    ).withColumn("hour_bucket", F.floor(F.col("t") / 3600).cast("bigint"))
+    # level 1: within-hour running sum (partitioned by hour)
+    w_in = (
+        Window.partitionBy("hour_bucket")
+        .orderBy("t", "delta", "user_id", "session_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inhour = deltas.withColumn("run_in", F.sum("delta").over(w_in))
+    # level 2: entering concurrency per hour from the hours-grain
+    # cumulative of net changes (bounded by the calendar)
+    nets = deltas.groupBy("hour_bucket").agg(F.sum("delta").alias("net"))
+    w_h = Window.orderBy("hour_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = nets.withColumn(
+        "base", F.coalesce(F.sum("net").over(w_h), F.lit(0))
+    ).select("hour_bucket", "base")
+    swept = inhour.join(F.broadcast(bases), "hour_bucket").withColumn(
+        "conc", (F.col("base") + F.col("run_in")).cast("bigint")
+    )
+    return swept.groupBy("hour_bucket").agg(
+        F.count(F.lit(1)).alias("n_boundaries"),
+        F.max("conc").cast("bigint").alias("peak_concurrency"),
+        F.sum("delta").cast("bigint").alias("net_change"),
+    )

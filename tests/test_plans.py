@@ -1004,3 +1004,10 @@ def test_q230_isotonic_is_grouped_arrow(spark):
     plan = physical_plan(_q(spark, "q230_isotonic_calibration"))
     assert "FlatMapGroupsInPandas" in plan
     assert "HashAggregate" in plan  # the grain reduce precedes Arrow
+
+
+def test_q231_sweep_has_no_boundary_sized_funnel(spark):
+    # the within-hour running sum partitions by hour; the only
+    # unpartitioned window is the hours-grain base (calendar-bounded).
+    plan = physical_plan(_q(spark, "q231_peak_concurrency"))
+    assert plan.count("SinglePartition") <= 1

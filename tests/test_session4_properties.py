@@ -276,3 +276,46 @@ def test_isotonic_operator_matches_local_pav(spark):
         want = pav_fit(np.array(xs), ym, w)
         got = np.array([r.y_iso for r in sub])
         assert np.allclose(got, want, atol=1e-12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20000), st.integers(1, 4000)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_two_level_sweep_equals_global_running_sum(spark, intervals):
+    # the q231 decomposition: within-hour running sum + hours-grain
+    # base must equal the single global running sum at every boundary.
+    rows = []
+    for i, (s, d) in enumerate(intervals):
+        rows.append((float(s), 1, i))
+        rows.append((float(s + d), -1, i))
+    df = spark.createDataFrame(rows, "t double, delta int, sid long")
+    w_g = Window.orderBy("t", "delta", "sid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r.t, r.delta, r.sid): r.conc
+        for r in df.withColumn("conc", F.sum("delta").over(w_g)).collect()
+    }
+    hb = F.floor(F.col("t") / 3600).cast("bigint")
+    deltas = df.withColumn("hb", hb)
+    w_in = (
+        Window.partitionBy("hb")
+        .orderBy("t", "delta", "sid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inhour = deltas.withColumn("run_in", F.sum("delta").over(w_in))
+    nets = deltas.groupBy("hb").agg(F.sum("delta").alias("net"))
+    w_h = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)
+    bases = nets.withColumn(
+        "base", F.coalesce(F.sum("net").over(w_h), F.lit(0))
+    ).select("hb", "base")
+    got = {
+        (r.t, r.delta, r.sid): r.base + r.run_in
+        for r in inhour.join(bases, "hb").collect()
+    }
+    assert got == want
