@@ -55,7 +55,51 @@ def main() -> None:
         )
         return per_supp.groupBy("l_orderkey").agg(F.min("d"), F.count(F.lit(1)))
 
-    for name, fn in [("groupby_agg", q_agg), ("two_level_agg", q_join_agg)]:
+    ev = read_table(spark, args.sf, "events")
+
+    def q_sweep(k: int) -> DataFrame:
+        # the q231 sweep-line class: boundary events (+1 at t, -1 at
+        # t+300) through the two-level running sum (within-hour window
+        # + hours-grain base) to hourly peaks. Tests that the windowed
+        # class scales like the aggregates do — the within-bucket
+        # window is the hot path.
+        from pyspark.sql import Window
+
+        df = _multiply(ev, k, "user_id").select(
+            "user_id", "event_id", F.col("ts").cast("double").alias("t")
+        )
+        deltas = df.select(
+            "t", F.lit(1).alias("delta"), "user_id", "event_id"
+        ).unionByName(
+            df.select(
+                (F.col("t") + 300).alias("t"),
+                F.lit(-1).alias("delta"),
+                "user_id",
+                "event_id",
+            )
+        ).withColumn("hb", F.floor(F.col("t") / 3600).cast("bigint"))
+        w_in = (
+            Window.partitionBy("hb")
+            .orderBy("t", "delta", "user_id", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        inhour = deltas.withColumn("run_in", F.sum("delta").over(w_in))
+        nets = deltas.groupBy("hb").agg(F.sum("delta").alias("net"))
+        w_h = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)
+        bases = nets.withColumn(
+            "base", F.coalesce(F.sum("net").over(w_h), F.lit(0))
+        ).select("hb", "base")
+        return (
+            inhour.join(F.broadcast(bases), "hb")
+            .groupBy("hb")
+            .agg(F.max(F.col("base") + F.col("run_in")).alias("peak"))
+        )
+
+    for name, fn in [
+        ("groupby_agg", q_agg),
+        ("two_level_agg", q_join_agg),
+        ("two_level_sweep", q_sweep),
+    ]:
         base_rows = None
         for k in [int(x) for x in args.multipliers.split(",")]:
             df = fn(k)
