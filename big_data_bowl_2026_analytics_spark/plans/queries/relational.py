@@ -1747,3 +1747,214 @@ def q193_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q232_price_index",
+    tags=("report", "economics", "agg"),
+    oracle="""
+WITH sold AS (
+  SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+         l.l_partkey,
+         CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), priced AS (
+  SELECT yr, l_partkey, qty, cents,
+         cents * 1.0 / qty AS unit_cents
+  FROM sold WHERE qty > 0
+), base AS (
+  SELECT l_partkey, qty AS q0, unit_cents AS p0
+  FROM priced WHERE yr = (SELECT min(yr) FROM priced)
+), joined AS (
+  SELECT p.yr, p.unit_cents AS pt, p.qty AS qt, b.p0, b.q0
+  FROM priced p JOIN base b ON p.l_partkey = b.l_partkey
+)
+SELECT yr,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(pt * q0) / sum(p0 * q0) + 1e-9, 6) AS laspeyres,
+       round(sum(pt * qt) / sum(p0 * qt) + 1e-9, 6) AS paasche,
+       round(sqrt((sum(pt * q0) / sum(p0 * q0))
+                  * (sum(pt * qt) / sum(p0 * qt))) + 1e-9, 6) AS fisher
+FROM joined GROUP BY yr
+""",
+)
+def q232_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices of the part catalog
+    by year (base = first year, matched parts only): the standard
+    inflation decomposition separating price movement from mix shift —
+    Laspeyres holds the base basket fixed, Paasche uses the current
+    one, Fisher is their geometric mean. Realized unit prices come
+    from exact integer (cents, qty) pairs at the (year, part) grain.
+
+    The float surface: unit price is one division of exact BIGINTs;
+    the index numerators/denominators are sums of unit_price×qty
+    doubles — engine association order differs at the last ulp
+    (the q24 session_value class) and the 6-decimal fround absorbs
+    it. The base-year frame joins on the part key (broadcast when
+    small, shuffle otherwise — AQE's call).
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    sold = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias(
+                "yr"
+            ),
+            "l_partkey",
+            F.round(F.col("l_quantity")).cast("bigint").alias("q1"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+                "c1"
+            ),
+        )
+        .groupBy("yr", "l_partkey")
+        .agg(F.sum("q1").alias("qty"), F.sum("c1").alias("cents"))
+        .where(F.col("qty") > 0)
+        .withColumn("unit_cents", F.col("cents") * 1.0 / F.col("qty"))
+        .localCheckpoint(eager=False)
+    )
+    base_yr = sold.agg(F.min("yr").alias("y0"))
+    base = (
+        sold.crossJoin(F.broadcast(base_yr))
+        .where(F.col("yr") == F.col("y0"))
+        .select(
+            "l_partkey",
+            F.col("qty").alias("q0"),
+            F.col("unit_cents").alias("p0"),
+        )
+    )
+    joined = sold.join(base, "l_partkey").select(
+        "yr",
+        F.col("unit_cents").alias("pt"),
+        F.col("qty").alias("qt"),
+        "p0",
+        "q0",
+    )
+    lasp = F.sum(F.col("pt") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+    paas = F.sum(F.col("pt") * F.col("qt")) / F.sum(F.col("p0") * F.col("qt"))
+    return joined.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        fround(lasp, 6).alias("laspeyres"),
+        fround(paas, 6).alias("paasche"),
+        fround(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+@query(
+    "q233_growth_accounting",
+    tags=("report", "retention", "window"),
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT o_custkey,
+         CAST(year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m
+  FROM orders
+), flags AS (
+  SELECT o_custkey, m,
+         lag(m) OVER (PARTITION BY o_custkey ORDER BY m) AS prev_m,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS rn
+  FROM activity
+), classified AS (
+  SELECT m,
+         CASE WHEN rn = 1 THEN 'new'
+              WHEN prev_m = m - 1 THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM flags
+), active AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS mau FROM classified GROUP BY m
+), churn AS (
+  -- active in m-1, not active in m: count by anti-membership via the
+  -- next activity month of each (customer, month)
+  SELECT f.m + 1 AS m, CAST(count(*) AS BIGINT) AS churned
+  FROM (
+    SELECT o_custkey, m,
+           lead(m) OVER (PARTITION BY o_custkey ORDER BY m) AS next_m
+    FROM activity
+  ) f
+  WHERE f.next_m IS NULL OR f.next_m > f.m + 1
+  GROUP BY f.m + 1
+)
+SELECT c.m AS month_idx,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_customers,
+       CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS retained,
+       CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS resurrected,
+       CAST(coalesce(min(ch.churned), 0) AS BIGINT) AS churned,
+       min(a.mau) AS mau
+FROM classified c
+JOIN active a ON a.m = c.m
+LEFT JOIN churn ch ON ch.m = c.m
+GROUP BY c.m
+""",
+)
+def q233_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting of the customer base: every active
+    customer is NEW (first month), RETAINED (also active last month)
+    or RESURRECTED (active before, skipped at least one month), and
+    CHURNED counts last month's actives who did not return — the MAU
+    decomposition (mau_t = new + retained + resurrected;
+    mau_t = mau_{t-1} + new + resurrected − churned) that separates
+    a growth problem from a retention problem.
+
+    All classification is lag/lead arithmetic on the distinct
+    (customer, month) grain — one customer-keyed shuffle shared by
+    both windows, integer month indices (never month names — sort
+    order must be numeric), exact counts throughout.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    d = F.col("o_orderdate").cast("date")
+    activity = orders.select(
+        "o_custkey",
+        (F.year(d) * 12 + F.month(d)).cast("bigint").alias("m"),
+    ).distinct().localCheckpoint(eager=False)
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    flags = activity.select(
+        "m",
+        F.lag("m").over(w).alias("prev_m"),
+        F.row_number().over(w).alias("rn"),
+    )
+    classified = flags.select(
+        "m",
+        F.when(F.col("rn") == 1, "new")
+        .when(F.col("prev_m") == F.col("m") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    active = classified.groupBy("m").agg(F.count(F.lit(1)).alias("mau"))
+    churn = (
+        activity.select(
+            "m", F.lead("m").over(w).alias("next_m")
+        )
+        .where(F.col("next_m").isNull() | (F.col("next_m") > F.col("m") + 1))
+        .groupBy((F.col("m") + 1).alias("m"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return (
+        classified.join(F.broadcast(active), "m")
+        .join(F.broadcast(churn), "m", "left")
+        .groupBy("m")
+        .agg(
+            F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_customers"),
+            F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+            .cast("bigint")
+            .alias("retained"),
+            F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+            .cast("bigint")
+            .alias("resurrected"),
+            F.coalesce(F.min("churned"), F.lit(0)).cast("bigint").alias(
+                "churned"
+            ),
+            F.min("mau").alias("mau"),
+        )
+        .withColumnRenamed("m", "month_idx")
+    )

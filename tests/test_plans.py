@@ -1011,3 +1011,19 @@ def test_q231_sweep_has_no_boundary_sized_funnel(spark):
     # unpartitioned window is the hours-grain base (calendar-bounded).
     plan = physical_plan(_q(spark, "q231_peak_concurrency"))
     assert plan.count("SinglePartition") <= 1
+
+
+def test_q232_price_index_checkpoints_sold_frame(spark):
+    # the (year, part) frame feeds the base-year slice AND the index
+    # join: lineage is truncated, no cartesian appears.
+    plan = physical_plan(_q(spark, "q232_price_index"))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_q233_growth_accounting_single_customer_shuffle(spark):
+    # lag/lead windows share the customer-key shuffle; month frames
+    # broadcast back.
+    plan = physical_plan(_q(spark, "q233_growth_accounting"))
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan
