@@ -324,3 +324,47 @@ def purchase_click_attribution(
         "click_id",
         "click_ts",
     )
+
+
+def activity_lease_nets(
+    events: DataFrame, lease_secs: int = 300, watermark: str = "2 hours"
+) -> DataFrame:
+    """Hourly session-boundary net changes from activity leases: each
+    event opens a +1 boundary at its timestamp and a −1 boundary when
+    its ``lease_secs`` lease expires, and the stream maintains per-hour
+    (net, boundary, start) counts under the watermark — ONE stateful
+    windowed aggregation, no ordering requirement on arrival.
+
+    This is the streamable HALF of the q231 sweep-line: exact
+    concurrency needs the within-hour prefix sum over ordered
+    boundaries, which a batch pass derives from these nets (entering
+    concurrency per hour = cumulative net of all earlier hours — the
+    two-level decomposition q231 pins by property test). The lambda
+    split is deliberate: the stream keeps the incremental, append-only
+    part; the ordered part stays batch where ordering is free.
+    """
+    starts = events.select(
+        F.col("ts").alias("bt"), F.lit(1).alias("delta")
+    )
+    ends = events.select(
+        (F.col("ts") + F.expr(f"INTERVAL {lease_secs} SECONDS")).alias("bt"),
+        F.lit(-1).alias("delta"),
+    )
+    boundaries = starts.unionByName(ends)
+    return (
+        boundaries.withWatermark("bt", watermark)
+        .groupBy(F.window("bt", "1 hour").alias("w"))
+        .agg(
+            F.sum("delta").alias("net"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "n_starts"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "net",
+            "n_boundaries",
+            "n_starts",
+        )
+    )

@@ -508,3 +508,48 @@ def test_resize_images_end_to_end(spark):
     assert rows[1]["height"] == 2 and rows[1]["width"] == 2
     assert np.allclose(rows[1]["pixels"], want)
     assert len(rows[2]["pixels"]) == 2 * 2 * 1  # fake decode keeps shape
+
+
+def test_activity_lease_nets_stream_equals_batch(spark, events_dir):
+    """The streaming per-hour boundary nets must equal the same
+    aggregation computed in batch over the identical input — the
+    stream-batch contract of the q231 sweep-line's incremental half."""
+    import pyspark.sql.functions as F
+
+    from big_data_bowl_2026_analytics_spark.sources.readers import read_table
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        activity_lease_nets,
+        read_events_stream,
+        run_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, events_dir)
+    run_available_now(activity_lease_nets(stream), "lease_nets_stream")
+    got = {
+        r.hour_start: (r.net, r.n_boundaries, r.n_starts)
+        for r in spark.table("lease_nets_stream").collect()
+    }
+    ev = read_table(spark, sf, "events", ["ts"])
+    boundaries = ev.select(
+        F.col("ts").alias("bt"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("bt"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    want = {
+        r.hour_start: (r.net, r.n_boundaries, r.n_starts)
+        for r in boundaries.groupBy(F.window("bt", "1 hour").alias("w"))
+        .agg(
+            F.sum("delta").alias("net"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "n_starts"
+            ),
+        )
+        .select(F.col("w.start").alias("hour_start"), "net", "n_boundaries", "n_starts")
+        .collect()
+    }
+    assert got == want
