@@ -1455,3 +1455,75 @@ def q185_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_leakage", F.col("split_lo") != F.col("split_hi")
         )
     )
+
+
+@query(
+    "q234_langid_confusion",
+    tags=("text", "langid", "audit"),
+    oracle="""
+WITH scores AS (
+  SELECT doc_id, lang AS declared, s.plang, s.score
+  FROM documents,
+  LATERAL (
+    {lateral}
+  ) s
+), ranked AS (
+  SELECT doc_id, declared, plang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang)
+           AS rn
+  FROM scores
+), pred AS (
+  SELECT declared, plang AS predicted FROM ranked WHERE rn = 1
+), margins AS (
+  SELECT declared, CAST(count(*) AS BIGINT) AS n_declared
+  FROM pred GROUP BY declared
+)
+SELECT p.declared, p.predicted,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0 / min(m.n_declared) + 1e-9, 6) AS row_share
+FROM pred p JOIN margins m ON m.declared = p.declared
+GROUP BY p.declared, p.predicted
+""".format(
+        lateral="\n    UNION ALL ".join(
+            "SELECT '{lang}' AS plang, len(list_filter(string_split(text, ' '), t -> t IN ({marks}))) AS score".format(
+                lang=lang, marks=", ".join(f"'{m}'" for m in marks)
+            )
+            for lang, marks in sorted(LANG_MARKERS.items())
+        )
+    ),
+)
+def q234_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-token language identifier (q35)
+    against the corpus's declared language labels, with each cell's
+    share of its declared-language row — the accuracy audit that
+    decides whether the cheap heuristic is good enough to drive
+    q127's per-language splits and q208's mixture weights, and WHICH
+    confusions (not just how many) need a better model.
+
+    Integer counts and exact row-share ratios; the prediction reuses
+    q35's argmax-with-lang-tie-break exactly, so the two queries can
+    never silently disagree about what the classifier said.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = language_id(docs).select(
+        "doc_id", F.col("pred_lang").alias("predicted")
+    )
+    joined = docs.select(
+        "doc_id", F.col("lang").alias("declared")
+    ).join(pred, "doc_id")
+    margins = joined.groupBy("declared").agg(
+        F.count(F.lit(1)).alias("n_declared")
+    )
+    return (
+        joined.groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(margins), "declared")
+        .select(
+            "declared",
+            "predicted",
+            "n_docs",
+            fround(
+                F.col("n_docs") * 1.0 / F.col("n_declared"), 6
+            ).alias("row_share"),
+        )
+    )

@@ -1163,3 +1163,67 @@ def q231_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").cast("bigint").alias("peak_concurrency"),
         F.sum("delta").cast("bigint").alias("net_change"),
     )
+
+
+@query(
+    "q235_pinball_loss",
+    tags=("timeseries", "forecast", "evaluation"),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(sum(value) + 1e-9, 2) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), joined AS (
+  SELECT a.event_type, a.v, p.v AS pv
+  FROM hourly a
+  JOIN hourly p
+    ON p.event_type = a.event_type
+   AND p.bucket = a.bucket - INTERVAL 24 HOUR
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(CASE WHEN v >= pv THEN 0.5 * (v - pv)
+                      ELSE 0.5 * (pv - v) END) / count(*) + 1e-9, 6)
+         AS pinball_50,
+       round(sum(CASE WHEN v >= pv THEN 0.9 * (v - pv)
+                      ELSE 0.1 * (pv - v) END) / count(*) + 1e-9, 6)
+         AS pinball_90
+FROM joined
+GROUP BY event_type
+""",
+)
+def q235_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive forecast at
+    τ = 0.5 and τ = 0.9 — the metric that scores a forecast AS a
+    quantile estimate: τ = 0.5 halves the MAE (sanity anchor against
+    q173) and τ = 0.9 penalizes under-forecasting 9× more than over,
+    the asymmetry capacity planning actually wants. Same
+    cents-rounded hourly frame and exact lag join as q173, so the two
+    backtests can never diverge on what the forecast was.
+
+    Loss terms are single multiplies of 2-decimal differences; the
+    per-series float sum is the q24 class, absorbed by the fround.
+    """
+    ev = read_table(spark, sf_dir, "events", ["event_type", "ts", "value"])
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(fround(F.sum("value"), 2).alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    pred = hourly.select(
+        "event_type",
+        (F.col("bucket") + F.expr("INTERVAL 24 HOURS")).alias("bucket"),
+        F.col("v").alias("pv"),
+    )
+    joined = hourly.join(pred, ["event_type", "bucket"])
+    p50 = F.when(
+        F.col("v") >= F.col("pv"), 0.5 * (F.col("v") - F.col("pv"))
+    ).otherwise(0.5 * (F.col("pv") - F.col("v")))
+    p90 = F.when(
+        F.col("v") >= F.col("pv"), 0.9 * (F.col("v") - F.col("pv"))
+    ).otherwise(0.1 * (F.col("pv") - F.col("v")))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        fround(F.sum(p50) / F.count(F.lit(1)), 6).alias("pinball_50"),
+        fround(F.sum(p90) / F.count(F.lit(1)), 6).alias("pinball_90"),
+    )

@@ -1027,3 +1027,17 @@ def test_q233_growth_accounting_single_customer_shuffle(spark):
     plan = physical_plan(_q(spark, "q233_growth_accounting"))
     assert "SortMergeJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_q234_confusion_broadcasts_margins(spark):
+    plan = physical_plan(_q(spark, "q234_langid_confusion"))
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q235_pinball_lag_is_series_grain_equi_join(spark):
+    # the hourly frame is checkpointed and self-joined on exact
+    # (series, hour) keys — no window over the raw event stream.
+    plan = physical_plan(_q(spark, "q235_pinball_loss"))
+    assert "Scan ExistingRDD" in plan
+    assert "SinglePartition" not in plan
