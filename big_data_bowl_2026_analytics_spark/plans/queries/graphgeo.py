@@ -574,3 +574,201 @@ def q215_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "q236_item_item_cf",
+    tags=("recommender", "similarity", "graph"),
+    oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), item_n AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.item_a, p.item_b, p.n_ab,
+         p.n_ab / sqrt(na.n * 1.0 * nb.n) AS cosine,
+         row_number() OVER (
+           PARTITION BY p.item_a
+           ORDER BY p.n_ab / sqrt(na.n * 1.0 * nb.n) DESC,
+                    p.n_ab DESC, p.item_b
+         ) AS rk
+  FROM pairs p
+  JOIN item_n na ON na.l_partkey = p.item_a
+  JOIN item_n nb ON nb.l_partkey = p.item_b
+  WHERE p.n_ab >= 2
+)
+SELECT item_a, item_b, n_ab,
+       round(cosine + 1e-9, 6) AS cosine,
+       CAST(rk AS BIGINT) AS rk
+FROM scored WHERE rk <= 3
+""",
+)
+def q236_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 "customers also
+    bought" neighbors per part by co-occurrence cosine
+    n_ab / sqrt(n_a·n_b), with a minimum co-support of 2 baskets —
+    the memory-based recommender that needs no training loop and
+    remains the production baseline ANN rerankers are judged against.
+
+    The pair frame is the same bounded per-basket self-join as the
+    q123 graph family (baskets cap pair fan-out, min-support prunes
+    the noise tail), similarity is an exact integer ratio under one
+    sqrt, and the per-item top-3 window partitions by item with a
+    FULL tie-break (cosine ties broken by support then id — footgun
+    3). At catalog scale the item-count frame is a plain shuffle
+    join, never a broadcast of per-item state.
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    item_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("item_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("item_b"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    na = item_n.select(F.col("l_partkey").alias("item_a"), F.col("n").alias("na"))
+    nb = item_n.select(F.col("l_partkey").alias("item_b"), F.col("n").alias("nb"))
+    cosine = F.col("n_ab") / F.sqrt(F.col("na") * 1.0 * F.col("nb"))
+    scored = (
+        pairs.join(na, "item_a")
+        .join(nb, "item_b")
+        .withColumn("cosine", cosine)
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.desc("cosine"), F.desc("n_ab"), F.asc("item_b")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            fround(F.col("cosine"), 6).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+@query(
+    "q237_grid_density_clusters",
+    tags=("spatial", "clustering", "iterative"),
+    oracle=f"""
+WITH RECURSIVE cust AS (
+  SELECT c_custkey,
+         {_coord_sql("lat|", "c_custkey", 180, 90)} AS clat,
+         {_coord_sql("lon|", "c_custkey", 360, 180)} AS clon
+  FROM customer
+), cells AS (
+  SELECT CAST(floor((clat + 90) / 10) AS BIGINT) AS cell_lat,
+         CAST(floor((clon + 180) / 10) AS BIGINT) AS cell_lon,
+         CAST(count(*) AS BIGINT) AS n_points
+  FROM cust GROUP BY 1, 2
+), dense AS (
+  SELECT cell_lat, cell_lon, n_points,
+         cell_lat * 36 + cell_lon AS cell_id
+  FROM cells WHERE n_points >= 2
+), pairs AS (
+  SELECT a.cell_id AS ca, b.cell_id AS cb
+  FROM dense a JOIN dense b
+    ON abs(a.cell_lat - b.cell_lat) <= 1
+   AND abs(a.cell_lon - b.cell_lon) <= 1
+   AND a.cell_id < b.cell_id
+), edges AS (
+  SELECT ca AS src, cb AS dst FROM pairs
+  UNION ALL SELECT cb, ca FROM pairs
+), reach(src, dst) AS (
+  SELECT cell_id, cell_id FROM dense
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS cell_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(d.n_points) AS BIGINT) AS n_points
+FROM comp c JOIN dense d USING (cell_id)
+GROUP BY c.cluster_id
+""",
+)
+def q237_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density spatial clustering (DBSCAN's grid relaxation):
+    bucket hash-placed customers into 10-degree cells, keep cells with
+    ≥ 2 points (the density threshold), and merge 8-adjacent dense
+    cells into clusters via the large-star/small-star connected-
+    components operator (O(log² n) rounds — the percolated giant
+    component's diameter at high density defeats plain min-label's
+    iteration budget, measured at sf0.01) — density clustering with NO pairwise distance pass,
+    which is how density clustering survives 100 TB (DBSCAN's
+    epsilon-neighborhood query becomes a cell equi-join; the grid
+    resolution is the epsilon).
+
+    The fixpoint is exactly checkable: the oracle computes the same
+    components with a recursive CTE (the q60 pattern). On uniform
+    synthetic placement the cluster structure percolates as density
+    grows — at sf0.1 most dense cells fuse into one giant component,
+    the same tripwire q179 watches for dedup graphs; real deployments
+    tighten the grid as density rises.
+    """
+    from ...operators.dedup import duplicate_clusters_star
+
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey"])
+    clat, clon = _coord_col(F.col("c_custkey"))
+    cells = (
+        cust.select(
+            F.floor((clat + 90) / 10).cast("bigint").alias("cell_lat"),
+            F.floor((clon + 180) / 10).cast("bigint").alias("cell_lon"),
+        )
+        .groupBy("cell_lat", "cell_lon")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    dense = (
+        cells.where(F.col("n_points") >= 2)
+        .withColumn(
+            "cell_id", F.col("cell_lat") * 36 + F.col("cell_lon")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = dense.select(
+        F.col("cell_id").alias("doc_a"),
+        F.col("cell_lat").alias("la"),
+        F.col("cell_lon").alias("lo"),
+    )
+    b = dense.select(
+        F.col("cell_id").alias("doc_b"),
+        F.col("cell_lat").alias("lb"),
+        F.col("cell_lon").alias("lb2"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.abs(F.col("la") - F.col("lb")) <= 1)
+            & (F.abs(F.col("lo") - F.col("lb2")) <= 1)
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+    )
+    comp = duplicate_clusters_star(
+        pairs, dense.select(F.col("cell_id")), id_col="cell_id"
+    )
+    return (
+        comp.join(dense, "cell_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_points").alias("n_points"),
+        )
+    )

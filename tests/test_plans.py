@@ -1041,3 +1041,44 @@ def test_q235_pinball_lag_is_series_grain_equi_join(spark):
     plan = physical_plan(_q(spark, "q235_pinball_loss"))
     assert "Scan ExistingRDD" in plan
     assert "SinglePartition" not in plan
+
+
+def test_q236_cf_topk_partial_before_shuffle(spark):
+    # per-item top-3 plans as WindowGroupLimit (map-side prune).
+    plan = physical_plan(_q(spark, "q236_item_item_cf"))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q237_density_clusters_no_cartesian(spark):
+    # cell adjacency is a bounded non-equi join on the dense-cell
+    # frame; components come from the star operator (checkpointed).
+    plan = physical_plan(_q(spark, "q237_grid_density_clusters"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q238_bm25_query_terms_are_partial_topk(spark):
+    # the 8-term query set comes from orderBy().limit(12) — a
+    # TakeOrderedAndProject, never a global rank over the vocabulary
+    # (the q114 lesson); the final top-20 is the same shape.
+    plan = physical_plan(_q(spark, "q238_bm25_retrieval"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q239_sequence_mining_partitions_by_user(spark):
+    # existence test is events ⋈ bounded per-(user,type) first/last
+    # frame on user_id — no cartesian, no single-partition funnel.
+    # (the only SinglePartition is the bounded global countDistinct
+    # reduce; the only nested-loop join is the one-row totals cross.)
+    plan = physical_plan(_q(spark, "q239_sequence_pattern_mining"))
+    assert "CartesianProduct" not in plan
+    assert plan.count(") BroadcastNestedLoopJoin") == 1
+
+
+def test_q240_brier_decomposition_two_level(spark):
+    # bin partials shuffle once; the 10-row global reduce broadcasts
+    # back — no global window anywhere.
+    plan = physical_plan(_q(spark, "q240_brier_decomposition"))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
