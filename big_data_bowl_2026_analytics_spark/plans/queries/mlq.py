@@ -1080,3 +1080,132 @@ def q230_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     )
     return isotonic_calibration(scored, "l_returnflag", "p", "target")
+
+
+@query(
+    "q240_brier_decomposition",
+    tags=("ml", "evaluation", "calibration"),
+    oracle=f"""
+WITH {_SCORED_CTE.strip()},
+bins AS (
+  SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(p) AS sum_p,
+         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS n_pos,
+         sum((p - y) * (p - y)) AS brier_sum
+  FROM scored
+  GROUP BY CAST(least(floor(p * 10), 9) AS BIGINT)
+), gtot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(sum(n_pos) AS DOUBLE) AS pos
+  FROM bins
+), pre AS (
+  SELECT b.n, g.n_rows,
+         (g.pos * 1.0) / g.n_rows AS obar,
+         b.brier_sum / g.n_rows AS brier_c,
+         (b.n * (((b.sum_p / b.n) - (b.n_pos / b.n))
+               * ((b.sum_p / b.n) - (b.n_pos / b.n)))) / g.n_rows AS rel_c,
+         (b.n * (((b.n_pos / b.n) - ((g.pos * 1.0) / g.n_rows))
+               * ((b.n_pos / b.n) - ((g.pos * 1.0) / g.n_rows)))) / g.n_rows
+           AS res_c
+  FROM bins b CROSS JOIN gtot g
+)
+SELECT max(n_rows) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum(brier_c) + 1e-9, 6) AS brier,
+       round(sum(rel_c) + 1e-9, 6) AS reliability,
+       round(sum(res_c) + 1e-9, 6) AS resolution,
+       round(max(obar) * (1 - max(obar)) + 1e-9, 6) AS uncertainty,
+       round(sum(brier_c)
+             - ((sum(rel_c) - sum(res_c)) + (max(obar) * (1 - max(obar))))
+             + 1e-9, 6) AS decomp_gap
+FROM pre
+""",
+)
+def q240_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score over q51's decile bins:
+    brier = reliability - resolution + uncertainty (+ a within-bin
+    variance gap, reported honestly as ``decomp_gap`` since forecasts
+    inside a decile are not constant) — the diagnostic that says
+    WHETHER a bad Brier score comes from miscalibration (reliability)
+    or from the model simply not separating classes (resolution), which
+    q52's scalar metrics cannot distinguish.
+
+    Two-level aggregate: bin partials (one shuffle on the 10-value bin
+    key), a 10-row global reduce broadcast back, and a single-row
+    output — no global windows, no per-row second pass. The bin frame
+    feeds two branches, so it truncates lineage (q187 rule). Counts
+    are exact integers; float contributions are the q24 sum class,
+    fround-absorbed, with every division/association order written
+    identically in both engines (q143 rule).
+    """
+    from ...ml.inference import score_column_native
+
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+    scored = li.where(F.col("l_linenumber") == 1).select(
+        F.round(
+            score_column_native(
+                DEMO_MODEL,
+                F.col("l_quantity") / 50,
+                F.col("l_discount") * 10,
+                F.col("l_tax") * 12.5,
+            )
+            + 1e-9,
+            6,
+        ).alias("p"),
+        F.when(F.col("l_quantity") > 30, 1.0).otherwise(0.0).alias("y"),
+    )
+    bins = (
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("sum_p"),
+            F.sum("y").cast("bigint").cast("double").alias("n_pos"),
+            F.sum(
+                (F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))
+            ).alias("brier_sum"),
+        )
+        .localCheckpoint(eager=False)  # global reduce + final agg branches
+    )
+    glob = bins.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("n_pos").cast("double").alias("pos"),
+    )
+    obar = (F.col("pos") * 1.0) / F.col("n_rows")
+    fbar = F.col("sum_p") / F.col("n")
+    obar_k = F.col("n_pos") / F.col("n")
+    pre = bins.crossJoin(F.broadcast(glob)).select(
+        "n",
+        "n_rows",
+        obar.alias("obar"),
+        (F.col("brier_sum") / F.col("n_rows")).alias("brier_c"),
+        (
+            (F.col("n") * ((fbar - obar_k) * (fbar - obar_k)))
+            / F.col("n_rows")
+        ).alias("rel_c"),
+        (
+            (F.col("n") * ((obar_k - obar) * (obar_k - obar)))
+            / F.col("n_rows")
+        ).alias("res_c"),
+    )
+    unc = F.max("obar") * (1 - F.max("obar"))
+    return pre.agg(
+        F.max("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        fround(F.sum("brier_c"), 6).alias("brier"),
+        fround(F.sum("rel_c"), 6).alias("reliability"),
+        fround(F.sum("res_c"), 6).alias("resolution"),
+        fround(unc, 6).alias("uncertainty"),
+        fround(
+            F.sum("brier_c")
+            - ((F.sum("rel_c") - F.sum("res_c")) + unc),
+            6,
+        ).alias("decomp_gap"),
+    )

@@ -1527,3 +1527,123 @@ def q234_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("row_share"),
         )
     )
+
+
+@query(
+    "q238_bm25_retrieval",
+    tags=("text", "retrieval", "topk"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), qterms AS (
+  SELECT term, df FROM (
+    SELECT term, df,
+           row_number() OVER (ORDER BY df DESC, term) AS rk
+    FROM dfreq
+  ) WHERE rk BETWEEN 5 AND 12
+), contrib AS (
+  SELECT t.doc_id,
+         ln(1.0 + (c.n_docs - q.df + 0.5) / (q.df + 0.5))
+           * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + (0.75 * d.dl) / c.avgdl)))
+           AS w
+  FROM tf t
+  JOIN qterms q ON t.term = q.term
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN corpus c
+), scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         round(sum(w) + 1e-9, 6) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_hit, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= 20
+""",
+)
+def q238_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, Lucene idf) top-20 documents for a
+    deterministic 8-term query (document-frequency ranks 5-12) — the
+    lexical-retrieval scorer that the RRF fusion (q156) and NDCG audit
+    (q189) presuppose, and the classic sparse side of a hybrid
+    sparse+dense retrieval stack next to the ANN queries (q40/q42).
+
+    Scale: the query-term frame is fixed-k via orderBy().limit(12)
+    (TakeOrderedAndProject — map-side partial top-k, never a global
+    rank over the vocabulary: the q114 lesson) and broadcast into the
+    postings join; the per-document length frame joins by shuffle on
+    doc_id (per-doc frames are never broadcast). idf and the length
+    normalization are built from exact integer counts with the
+    division order written identically in both engines (the q143
+    parenthesization rule); per-term weights float-sum per doc (q24
+    class, fround-absorbed) and the top-20 ranks on the ROUNDED score
+    with a doc_id tie-break (footgun 3).
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tf = tf.localCheckpoint(eager=False)  # three downstream branches
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    top12 = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(12)
+    qterms = (
+        top12.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("df"), F.asc("term"))
+            ),
+        )
+        .where(F.col("rk").between(5, 12))
+        .select("term", "df")
+    )
+    w_expr = (
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (
+            (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + 1.2 * (0.25 + (0.75 * F.col("dl")) / F.col("avgdl"))
+            )
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", w_expr.alias("w"))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        fround(F.sum("w"), 6).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("bigint"),
+    )

@@ -1227,3 +1227,100 @@ def q235_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.sum(p50) / F.count(F.lit(1)), 6).alias("pinball_50"),
         fround(F.sum(p90) / F.count(F.lit(1)), 6).alias("pinball_90"),
     )
+
+
+@query(
+    "q239_sequence_pattern_mining",
+    tags=("timeseries", "sequence", "mining"),
+    oracle="""
+WITH ft AS (
+  SELECT user_id, event_type,
+         min(ts) AS first_ts, max(ts) AS last_ts
+  FROM events GROUP BY user_id, event_type
+), hits AS (
+  SELECT DISTINCT b.user_id,
+         a.event_type AS type_a,
+         b.event_type AS type_b,
+         c.event_type AS type_c
+  FROM events b
+  JOIN ft a ON a.user_id = b.user_id AND a.first_ts < b.ts
+  JOIN ft c ON c.user_id = b.user_id AND c.last_ts > b.ts
+), nu AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+)
+SELECT type_a, type_b, type_c,
+       CAST(count(*) AS BIGINT) AS n_users_matched,
+       round(count(*) * 1.0 / any_value(nu.n_users) + 1e-9, 6) AS support
+FROM hits CROSS JOIN nu
+GROUP BY type_a, type_b, type_c
+""",
+)
+def q239_sequence_pattern_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordered 3-event sequential pattern mining: for every ordered
+    type triple (A, B, C), how many users emitted SOME occurrence of A
+    strictly before SOME B strictly before SOME C — the sequence-
+    support mining behind funnel DISCOVERY (q74 checks one fixed
+    funnel; this surfaces which funnels exist) and PrefixSpan-style
+    behavioral analytics.
+
+    The trick that makes it one pass instead of a cubic self-join:
+    a<b<c exists for (A,B,C) iff some B-occurrence has the user's
+    FIRST A before it and LAST C after it (first_A <= a < b < c <=
+    last_C, and conversely first/last are themselves occurrences), so
+    the existence test is each event joined to the bounded per-(user,
+    type) first/last frame — fan-out is n_events x |types|^2,
+    LINEAR in events for a fixed type vocabulary, partitioned by
+    user_id end to end. Timestamp comparisons are strict on identical
+    microsecond integers (engine-exact, ties resolve identically);
+    support is an integer ratio under the fround pair.
+    """
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "ts", "event_type"]
+    )
+    ev = ev.localCheckpoint(eager=False)  # three downstream branches
+    ft = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    ft = ft.localCheckpoint(eager=False)  # A-side and C-side branches
+    a = ft.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_type").alias("type_a"),
+        "first_ts",
+    )
+    c = ft.select(
+        F.col("user_id").alias("uc"),
+        F.col("event_type").alias("type_c"),
+        "last_ts",
+    )
+    hits = (
+        ev.select("user_id", "ts", F.col("event_type").alias("type_b"))
+        .join(
+            a,
+            (F.col("ua") == F.col("user_id"))
+            & (F.col("first_ts") < F.col("ts")),
+        )
+        .join(
+            c,
+            (F.col("uc") == F.col("user_id"))
+            & (F.col("last_ts") > F.col("ts")),
+        )
+        .select("user_id", "type_a", "type_b", "type_c")
+        .distinct()
+    )
+    nu = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        hits.groupBy("type_a", "type_b", "type_c")
+        .agg(F.count(F.lit(1)).alias("n_users_matched"))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "type_c",
+            "n_users_matched",
+            fround(
+                F.col("n_users_matched") * 1.0 / F.col("n_users"), 6
+            ).alias("support"),
+        )
+    )
