@@ -169,3 +169,95 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.col("n_triangles").cast("bigint").alias("n_triangles"),
         F.round(clustering + 1e-9, 6).alias("global_clustering"),
     )
+
+
+def kcore_profile(
+    edges: DataFrame, k: DataFrame, n_rounds: int = 8
+) -> DataFrame:
+    """Synchronous k-core peeling profile over a distinct undirected
+    ``(a < b)`` edge list: each round drops every node whose CURRENT
+    degree is below ``k`` (a one-row frame with column ``k``,
+    broadcast into the filter), then restricts the edge list to
+    surviving endpoints — the degeneracy ladder behind influence-core
+    extraction and graph-robustness audits. Returns one row per round
+    (0 = the input graph) with node/edge counts and the degree range
+    of the surviving subgraph.
+
+    Exactness: every round is a deterministic function of the previous
+    round's integer state, so any two engines running the same
+    synchronous schedule agree bit-for-bit; the profile after a FIXED
+    round budget is compared, with convergence reported per row
+    (``converged`` = this round removed nothing) rather than assumed —
+    the q28/q125 fixed-iteration contract. Chain-shaped graphs can
+    legitimately still be shrinking at the budget.
+
+    Scale: per round one groupBy(src) degree count plus two
+    co-partitioned semi joins on the surviving-node frame; lineage is
+    truncated per round (the CC-operator lesson). Aggregate stats are
+    9 one-row frames unioned — the final window runs over
+    ``n_rounds + 1`` rows, a bounded funnel.
+    """
+    from pyspark.sql import Window
+
+    directed = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    kb = F.broadcast(k)
+
+    def stats(d: DataFrame, rnd: int) -> DataFrame:
+        deg = d.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
+        agg = deg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.coalesce((F.sum("dg") / 2).cast("bigint"), F.lit(0)).alias(
+                "n_edges"
+            ),
+            F.min("dg").alias("min_deg"),
+            F.max("dg").alias("max_deg"),
+        )
+        return agg.crossJoin(kb).select(
+            F.lit(rnd).cast("bigint").alias("round"),
+            "k",
+            "n_nodes",
+            "n_edges",
+            "min_deg",
+            "max_deg",
+        )
+
+    cur = directed
+    rows = [stats(cur, 0)]
+    for rnd in range(1, n_rounds + 1):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
+        keep = (
+            deg.crossJoin(kb)
+            .where(F.col("dg") >= F.col("k"))
+            .select(F.col("src").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+        cur = (
+            cur.join(keep, cur["src"] == keep["v"], "left_semi")
+            .join(
+                keep.select(F.col("v").alias("v2")),
+                F.col("dst") == F.col("v2"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+        rows.append(stats(cur, rnd))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    w = Window.orderBy("round")
+    return out.select(
+        "round",
+        "k",
+        "n_nodes",
+        "n_edges",
+        "min_deg",
+        "max_deg",
+        (F.col("n_nodes") == F.lag("n_nodes").over(w)).alias("converged"),
+    )

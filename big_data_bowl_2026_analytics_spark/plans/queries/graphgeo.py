@@ -772,3 +772,106 @@ def q237_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_points").alias("n_points"),
         )
     )
+
+
+def _kcore_oracle(n_rounds: int = 8) -> str:
+    """Unrolled synchronous-peeling oracle. Every round's CTE is
+    MATERIALIZED: each round references its predecessor three times
+    (degree count + two endpoint restrictions), so inlined CTEs would
+    expand 3^rounds — the same lattice-unroll discipline as q125's
+    pagerank oracle, plus DuckDB's materialization hint."""
+    cte = [
+        """
+WITH hi AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM hi a JOIN hi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), d0 AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+), degv0 AS MATERIALIZED (
+  SELECT src, count(*) AS dg FROM d0 GROUP BY src
+), kv AS MATERIALIZED (
+  SELECT dg AS k FROM (
+    SELECT dg, row_number() OVER (ORDER BY dg, src) AS rn FROM degv0
+  ), (SELECT count(*) AS n FROM degv0)
+  WHERE rn = greatest(1, n // 4)
+)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        p = i - 1
+        cte.append(
+            f""", keep{i} AS MATERIALIZED (
+  SELECT src AS v FROM degv{p} WHERE dg >= (SELECT k FROM kv)
+), d{i} AS MATERIALIZED (
+  SELECT d.src, d.dst FROM d{p} d
+  JOIN keep{i} a ON d.src = a.v
+  JOIN keep{i} b ON d.dst = b.v
+), degv{i} AS MATERIALIZED (
+  SELECT src, count(*) AS dg FROM d{i} GROUP BY src
+)"""
+        )
+    stats = "\nUNION ALL ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS round, (SELECT k FROM kv) AS k,
+       count(*) AS n_nodes,
+       coalesce(CAST(sum(dg) / 2 AS BIGINT), 0) AS n_edges,
+       min(dg) AS min_deg, max(dg) AS max_deg
+FROM degv{i}"""
+        for i in range(0, n_rounds + 1)
+    )
+    cte.append(
+        f""", allstats AS ({stats})
+SELECT round, k, n_nodes, n_edges, min_deg, max_deg,
+       n_nodes = lag(n_nodes) OVER (ORDER BY round) AS converged
+FROM allstats"""
+    )
+    return "".join(cte)
+
+
+@query(
+    "q241_kcore_profile",
+    tags=("graph", "iterative"),
+    oracle=_kcore_oracle(8),
+)
+def q241_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling profile of the co-supply graph: synchronously
+    drop nodes with degree below k (k = the lower-quartile initial
+    degree, an exact order statistic — rank selection via
+    orderBy().limit(), the q184 pattern, never a quantile
+    interpolation) for 8 rounds and report the degeneracy ladder —
+    node/edge survival and degree range per round, with convergence
+    REPORTED per row rather than assumed (the q28/q125 fixed-budget
+    contract; dense cores stabilize inside the budget, chain graphs
+    may legitimately still be shrinking).
+
+    Scale: per round one degree count plus two co-partitioned
+    left-semi joins, lineage truncated every round; the only driver
+    value is one bounded count() that parameterizes the rank limit,
+    and per-round stats are one-row aggregates unioned into a
+    (rounds+1)-row frame — the closing window is a bounded funnel.
+    """
+    from ...operators.graph import cooccurrence_edges, kcore_profile
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+    hi = li.where(F.col("l_quantity") >= 48)
+    edges = cooccurrence_edges(hi, "l_orderkey", "l_suppkey").localCheckpoint(
+        eager=False
+    )
+    deg0 = (
+        edges.select(F.col("a").alias("src"))
+        .unionAll(edges.select(F.col("b").alias("src")))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .localCheckpoint(eager=False)  # rank-limit branch + count branch
+    )
+    n_nodes = deg0.count()  # bounded scalar: parameterizes the limit
+    rank = max(1, n_nodes // 4)
+    kv = (
+        deg0.orderBy(F.asc("dg"), F.asc("src"))
+        .limit(rank)
+        .agg(F.max("dg").alias("k"))
+    )
+    return kcore_profile(edges, kv, n_rounds=8)

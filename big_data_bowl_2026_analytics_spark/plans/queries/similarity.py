@@ -1263,3 +1263,136 @@ def q189_ndcg_retrieval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("idcg"), 6).alias("idcg"),
         fround(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )
+
+
+def _jl_signs(out_dims: int = 16, in_dims: int = 64) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for the JL sketch — one md5 bit
+    per (out, in) cell, inlined as LITERALS into both the Spark
+    expression tree and the oracle SQL (seedless and engine-exact by
+    construction; the q149 keyed-hash determinism convention)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"jl|{j}|{i}".encode()).digest()[0] & 1
+            else -1.0
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+_JL_SIGNS = _jl_signs()
+
+
+def _jl_oracle() -> str:
+    proj_cols = ",\n         ".join(
+        "list_sum(list_transform(generate_series(1, 64), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ([{', '.join(str(s) for s in _JL_SIGNS[j])}])[i]"
+        f")) / 4.0 AS y{j}"
+        for j in range(16)
+    )
+    proj_d2 = " + ".join(
+        f"(a.y{j} - b.y{j}) * (a.y{j} - b.y{j})" for j in range(16)
+    )
+    return f"""
+WITH proj AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {proj_cols}
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+              * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+         )) AS orig_d2,
+         {proj_d2} AS proj_d2
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+)
+SELECT vec_a, vec_b,
+       round(orig_d2 + 1e-9, 6) AS orig_d2,
+       round(proj_d2 + 1e-9, 6) AS proj_d2,
+       round(proj_d2 / orig_d2 + 1e-9, 6) AS distortion,
+       abs(round(proj_d2 / orig_d2 + 1e-9, 6) - 1.0) <= 0.5 AS within_half
+FROM pairs
+WHERE orig_d2 > 0
+"""
+
+
+@query(
+    "q242_jl_projection_distortion",
+    tags=("similarity", "dimensionality", "audit"),
+    oracle=_jl_oracle(),
+)
+def q242_jl_projection_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss sketch audit: project 64-dim embeddings
+    to 16 dims with a deterministic ±1 sign matrix (scaled 1/√16 = an
+    exact power of two, so the scaling adds no rounding drift) and
+    measure per-pair squared-distance distortion on the consecutive-id
+    pair chain — the empirical check that a cheap sketch preserves
+    geometry before the ANN stack (q40-q42) is pointed at the reduced
+    vectors. ``within_half`` compares the ROUNDED distortion (q228
+    rule: booleans derived from floats threshold rounded magnitudes).
+
+    Scale: the projection is 16 sequential folds per row, map-side
+    only (the JIT-cliff note in operators/similarity.py::dot is why
+    the fold is NOT unrolled); the pair chain is an equi-join on
+    vec_id + 1 (shuffle on the id, no cross join); per-pair output is
+    corpus-linear. The projected frame feeds both sides of the pair
+    join, so it truncates lineage.
+    """
+    from ...operators.similarity import dot
+
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            (
+                dot(
+                    F.col("embedding"),
+                    F.array(*[F.lit(s) for s in _JL_SIGNS[j]]),
+                )
+                / 4.0
+            ).alias(f"y{j}")
+            for j in range(16)
+        ],
+    ).localCheckpoint(eager=False)  # both sides of the pair join
+    a = proj.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        *[F.col(f"y{j}").alias(f"ya{j}") for j in range(16)],
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("vec_a"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        *[F.col(f"y{j}").alias(f"yb{j}") for j in range(16)],
+    )
+    diffs = F.zip_with(
+        F.col("emb_a"),
+        F.col("emb_b"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    orig_d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+    proj_d2 = (F.col("ya0") - F.col("yb0")) * (F.col("ya0") - F.col("yb0"))
+    for j in range(1, 16):
+        proj_d2 = proj_d2 + (F.col(f"ya{j}") - F.col(f"yb{j}")) * (
+            F.col(f"ya{j}") - F.col(f"yb{j}")
+        )
+    pairs = a.join(b, "vec_a").select(
+        "vec_a", "vec_b", orig_d2.alias("orig_d2"), proj_d2.alias("proj_d2")
+    )
+    ratio = fround(F.col("proj_d2") / F.col("orig_d2"), 6)
+    return pairs.where(F.col("orig_d2") > 0).select(
+        "vec_a",
+        "vec_b",
+        fround(F.col("orig_d2"), 6).alias("orig_d2"),
+        fround(F.col("proj_d2"), 6).alias("proj_d2"),
+        ratio.alias("distortion"),
+        (F.abs(ratio - 1.0) <= 0.5).alias("within_half"),
+    )

@@ -1647,3 +1647,83 @@ def q238_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
         .cast("bigint"),
     )
+
+
+@query(
+    "q243_tokenizer_fertility",
+    tags=("text", "tokenizer", "audit"),
+    oracle="""
+WITH base AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang, source
+), toks AS (
+  SELECT lang, source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), vocab AS (
+  SELECT lang, source,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+         CAST(sum(length(term)) AS BIGINT) AS term_chars
+  FROM toks GROUP BY lang, source
+)
+SELECT b.lang, b.source, n_docs, n_tokens, n_types,
+       round(n_bytes * 1.0 / n_tokens + 1e-9, 6) AS bytes_per_token,
+       round(term_chars * 1.0 / n_tokens + 1e-9, 6) AS mean_token_chars,
+       round(n_types * 1.0 / n_tokens + 1e-9, 6) AS type_token_ratio,
+       round(n_bytes * 1.0 / n_chars + 1e-9, 6) AS bytes_per_char
+FROM base b JOIN vocab v ON b.lang = v.lang AND b.source = v.source
+""",
+)
+def q243_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility profile per (lang, source): whitespace
+    tokens per document, BYTES per token (the number that sets context
+    -window cost per language — CJK text buys fewer tokens per byte),
+    mean token length, type-token ratio (vocabulary growth pressure),
+    and the multibyte overhead ratio — the budgeting table a tokenizer
+    retrain starts from, at a grain q37 (global term stats) and q170
+    (per-source byte audit) don't cover.
+
+    Scale: one doc-grain aggregate (all built-in length functions,
+    map-side) plus one token-grain aggregate for the distinct-type
+    count, both shuffling on the bounded (lang, source) key; the
+    join is |langs × sources|-sized. All counts are exact integers;
+    outputs are integer ratios under the fround pair (rule 5).
+    """
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "lang", "source", "text"]
+    )
+    base = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        F.sum(F.octet_length("text")).alias("n_bytes"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    toks = docs.select(
+        "lang", "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    vocab = toks.groupBy("lang", "source").agg(
+        F.countDistinct("term").alias("n_types"),
+        F.sum(F.length("term")).alias("term_chars"),
+    )
+    return base.join(vocab, ["lang", "source"]).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        fround(F.col("n_bytes") * 1.0 / F.col("n_tokens"), 6).alias(
+            "bytes_per_token"
+        ),
+        fround(F.col("term_chars") * 1.0 / F.col("n_tokens"), 6).alias(
+            "mean_token_chars"
+        ),
+        fround(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        fround(F.col("n_bytes") * 1.0 / F.col("n_chars"), 6).alias(
+            "bytes_per_char"
+        ),
+    )

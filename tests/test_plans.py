@@ -1082,3 +1082,29 @@ def test_q240_brier_decomposition_two_level(spark):
     plan = physical_plan(_q(spark, "q240_brier_decomposition"))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_q241_kcore_rank_selection_is_partial_topk(spark):
+    # k comes from orderBy().limit(rank) — TakeOrderedAndProject, and
+    # the per-round endpoint restrictions plan as left-semi joins.
+    # (the per-round semi joins live behind the round checkpoints —
+    # the q229 Scan-ExistingRDD effect — so only the outer shape shows.)
+    plan = physical_plan(_q(spark, "q241_kcore_profile"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q242_jl_pairs_are_equi_join_no_python(spark):
+    # the pair chain is an equi-join on vec_id+1; projection folds are
+    # JVM higher-order functions — no Arrow/Python nodes anywhere.
+    plan = physical_plan(_q(spark, "q242_jl_projection_distortion"))
+    assert "CartesianProduct" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas"):
+        assert node not in plan
+
+
+def test_q243_fertility_single_bounded_grain(spark):
+    # two aggregates on the bounded (lang, source) key; no windows.
+    plan = physical_plan(_q(spark, "q243_tokenizer_fertility"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
