@@ -368,3 +368,36 @@ def activity_lease_nets(
             "n_starts",
         )
     )
+
+
+def hourly_distinct_users_hll(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Hourly APPROXIMATE distinct users as a streaming windowed
+    HLL-sketch aggregation — the incremental face of q146 (exact
+    rolling distinct) and q147 (mergeable HLL columns): registers are
+    a per-window max over hashed observations, so the merge is
+    commutative/idempotent and the estimate is a deterministic
+    function of the input SET — arrival order, partitioning, and
+    micro-batch boundaries cannot change it (that is what makes HLL
+    the streaming-safe distinct, where an exact countDistinct would
+    need unbounded state).
+
+    State per window is one fixed-size sketch (lgConfigK=12 → 4 KiB),
+    bounded by the watermark horizon — not by the user cardinality.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12))
+            ).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "approx_users",
+            "n_events",
+        )
+    )

@@ -553,3 +553,51 @@ def test_activity_lease_nets_stream_equals_batch(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_hourly_distinct_users_hll_stream_equals_batch(spark, events_dir):
+    """The streaming HLL estimate must equal the batch estimate on the
+    identical input set — HLL registers are an order-insensitive max,
+    so stream/batch agreement is exact, not approximate."""
+    import pyspark.sql.functions as F
+
+    from big_data_bowl_2026_analytics_spark.sources.readers import read_table
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        hourly_distinct_users_hll,
+        read_events_stream,
+        run_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, events_dir)
+    run_available_now(hourly_distinct_users_hll(stream), "hll_users_stream")
+    got = {
+        r.hour_start: (r.approx_users, r.n_events)
+        for r in spark.table("hll_users_stream").collect()
+    }
+    ev = read_table(spark, sf, "events", ["ts", "user_id"])
+    want = {
+        r.hour_start: (r.approx_users, r.n_events)
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12))
+            ).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "approx_users", "n_events"
+        )
+        .collect()
+    }
+    assert got == want
+    # sanity: estimates are within the lgK=12 error envelope of exact
+    exact = {
+        r.hour_start: r.u
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("u"))
+        .select(F.col("w.start").alias("hour_start"), "u")
+        .collect()
+    }
+    for h, (est, _) in got.items():
+        assert abs(est - exact[h]) <= max(3, 0.1 * exact[h])
