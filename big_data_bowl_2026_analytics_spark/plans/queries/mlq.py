@@ -1209,3 +1209,94 @@ def q240_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("decomp_gap"),
     )
+
+
+@query(
+    "q245_target_encoding_loo",
+    tags=("ml", "feature-engineering"),
+    oracle="""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey,
+         CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), cat AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_cat,
+         CAST(CAST(sum(y) AS BIGINT) AS BIGINT) AS n_pos
+  FROM base GROUP BY l_suppkey
+), prior AS (
+  SELECT CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)
+           / count(*) AS p_global
+  FROM base
+)
+SELECT b.l_orderkey, b.l_linenumber, b.l_suppkey, CAST(b.y AS BIGINT) AS y,
+       CASE WHEN c.n_cat > 1
+            THEN round((c.n_pos - b.y) * 1.0 / (c.n_cat - 1) + 1e-9, 6)
+            ELSE NULL END AS loo_rate,
+       round(((c.n_pos - b.y) + 10.0 * p.p_global)
+             / ((c.n_cat - 1) + 10.0) + 1e-9, 6) AS loo_smoothed
+FROM base b
+JOIN cat c ON b.l_suppkey = c.l_suppkey
+CROSS JOIN prior p
+""",
+)
+def q245_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of supplier against the q50
+    label: each row's category rate EXCLUDES its own label —
+    (n_pos − y)/(n − 1) raw, plus the m-estimate smoothing
+    ((n_pos − y) + m·prior)/((n − 1) + m) at m=10 — the leakage-free
+    categorical feature every tabular training pipeline derives, and
+    the reason naive per-category means overfit singleton categories
+    (raw LOO is NULL there; the smoothed variant falls back to the
+    global prior, both sides identically).
+
+    Scale: one category aggregate shuffled on the key, joined back to
+    the fact rows (the category frame is |categories|-sized — a
+    shuffle join by default, broadcast only when the optimizer proves
+    it small); the one-row global prior broadcasts. LOO rates are
+    exact integer ratios (rule 5); the smoothed rate's float algebra
+    is written in the identical association on both sides (q143).
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"],
+    )
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.when(F.col("l_quantity") > 30, 1).otherwise(0).alias("y"),
+    ).localCheckpoint(eager=False)  # category agg + prior + fact branches
+    cat = base.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_cat"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    prior = base.agg(
+        (F.sum("y").cast("bigint").cast("double") / F.count(F.lit(1))).alias(
+            "p_global"
+        )
+    )
+    return (
+        base.join(cat, "l_suppkey")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            F.col("y").cast("bigint").alias("y"),
+            F.when(
+                F.col("n_cat") > 1,
+                fround(
+                    (F.col("n_pos") - F.col("y"))
+                    * 1.0
+                    / (F.col("n_cat") - 1),
+                    6,
+                ),
+            ).otherwise(F.lit(None).cast("double")).alias("loo_rate"),
+            fround(
+                ((F.col("n_pos") - F.col("y")) + 10.0 * F.col("p_global"))
+                / ((F.col("n_cat") - 1) + 10.0),
+                6,
+            ).alias("loo_smoothed"),
+        )
+    )

@@ -1324,3 +1324,261 @@ def q239_sequence_pattern_mining(
             ).alias("support"),
         )
     )
+
+
+@query(
+    "q244_session_path_topk",
+    tags=("timeseries", "session", "sequence", "topk"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_id,
+         array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+           AS path,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+), counted AS (
+  SELECT path,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(n_events) AS BIGINT) AS total_events
+  FROM paths GROUP BY path
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS all_sessions FROM paths
+)
+SELECT path, n_sessions, total_events,
+       round(n_sessions * 1.0 / all_sessions + 1e-9, 6) AS session_share,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT)
+         AS rk
+FROM counted CROSS JOIN tot
+QUALIFY rk <= 20
+""",
+)
+def q244_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths: the first five event types of every
+    gap-based session (q24's exact 30-minute session assignment),
+    concatenated in (ts, event_id) order — the clickstream-path table
+    behind UX funnel DISCOVERY and bot detection (machine sessions
+    repeat one path with abnormal share). Complements q239: sequences
+    here are contiguous observed prefixes, not existence patterns.
+
+    Scale: everything through path extraction shuffles ONCE on
+    user_id (sessionization windows, the ordered per-session
+    collect_list, and the first-row filter share the partitioning);
+    the path census shuffles on the path string, and the top-20 is
+    orderBy().limit() (TakeOrderedAndProject) ranked on exact integer
+    counts with the path as total-order tie-break (footgun 3).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    epoch = F.col("ts").cast("double")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (epoch - F.lag(epoch).over(w) > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    per_session = (
+        sessions.select(
+            "user_id",
+            "session_id",
+            F.collect_list("event_type")
+            .over(
+                w2.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("arr"),
+            F.row_number().over(w2).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.array_join(F.slice(F.col("arr"), 1, 5), ">").alias("path"),
+            F.size("arr").cast("bigint").alias("n_events"),
+        )
+        .localCheckpoint(eager=False)  # census + total branches
+    )
+    counted = per_session.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+    )
+    tot = per_session.agg(F.count(F.lit(1)).alias("all_sessions"))
+    ranked = (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n_sessions",
+            "total_events",
+            fround(
+                F.col("n_sessions") * 1.0 / F.col("all_sessions"), 6
+            ).alias("session_share"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+    return ranked.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_sessions"), F.asc("path")))
+        .cast("bigint"),
+    )
+
+
+@query(
+    "q246_cross_correlation",
+    tags=("timeseries", "correlation"),
+    oracle="""
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(h) AS mn, max(h) AS mx FROM counts
+), hours AS (
+  SELECT unnest(generate_series(mn, mx)) AS h FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM counts
+), dense AS MATERIALIZED (
+  SELECT t.event_type, hr.h, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+  FROM hours hr CROSS JOIN types t
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = hr.h
+), lags AS (
+  SELECT unnest([0, 1, 2, 3]) AS lag
+), sums AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.x) AS BIGINT) AS sx,
+         CAST(sum(b.x) AS BIGINT) AS sy,
+         CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+         CAST(sum(b.x * b.x) AS BIGINT) AS syy
+  FROM dense a
+  CROSS JOIN lags l
+  JOIN dense b ON b.h = a.h + l.lag
+  GROUP BY 1, 2, 3
+), stats AS (
+  SELECT type_a, type_b, lag, n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS num,
+         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den2
+  FROM sums
+)
+SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n AS n_hours,
+       CASE WHEN den2 <= 0 THEN NULL
+            ELSE round(num / sqrt(den2) + 1e-9, 6) + 0 END AS xcorr
+FROM stats
+""",
+)
+def q246_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation matrix between event-type hourly
+    series: Pearson r of x_a(t) against x_b(t+L) for every ordered
+    type pair at lags 0-3 hours, on a DENSE hour spine (missing hours
+    count 0 — an inner join over observed hours would silently bias r
+    toward busy periods; the q213 calendar-gap lesson) — the
+    lead-lag screen behind "do views predict purchases?" causal
+    triage, generalizing q203's single-series ACF.
+
+    Scale: hourly pre-aggregation first (the only pass over raw
+    events), then all algebra runs on the |types| x |hours| dense
+    frame; the lag join is an integer equi-join on the hour key. The
+    nine sums are exact BIGINTs cast to double ONCE before the
+    normal-equation algebra (the q204/q214 overflow rule); zero
+    variance yields NULL identically, and the rounded r carries the
+    sign-of-zero `+ 0` guard (footgun 9).
+    """
+    ev = read_table(spark, sf_dir, "events", ["ts", "event_type"])
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 3600)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)  # bounds/types/dense branches
+    )
+    bounds = counts.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h")
+    )
+    types = counts.select("event_type").distinct()
+    dense = (
+        hours.crossJoin(types)
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the lag join
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"),
+        F.col("h").alias("ha"),
+        F.col("x").alias("xa"),
+    ).withColumn("lag", F.explode(F.array(*[F.lit(i) for i in range(4)])))
+    b = dense.select(
+        F.col("event_type").alias("type_b"),
+        F.col("h").alias("hb"),
+        F.col("x").alias("xb"),
+    )
+    sums = (
+        a.join(b, F.col("hb") == F.col("ha") + F.col("lag"))
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    num = n_d * F.col("sxy").cast("double") - sx_d * sy_d
+    den2 = (n_d * F.col("sxx").cast("double") - sx_d * sx_d) * (
+        n_d * F.col("syy").cast("double") - sy_d * sy_d
+    )
+    return sums.select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_hours"),
+        F.when(den2 <= 0, F.lit(None).cast("double"))
+        .otherwise(fround(num / F.sqrt(den2), 6) + 0)
+        .alias("xcorr"),
+    )

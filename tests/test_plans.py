@@ -1108,3 +1108,30 @@ def test_q243_fertility_single_bounded_grain(spark):
     plan = physical_plan(_q(spark, "q243_tokenizer_fertility"))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q244_paths_topk_and_single_user_shuffle_until_census(spark):
+    # top-20 is a TakeOrderedAndProject on exact counts; the session
+    # pipeline shares the user_id partitioning.
+    plan = physical_plan(_q(spark, "q244_session_path_topk"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q245_loo_encoding_no_window_no_python(spark):
+    # LOO rates come from the category aggregate joined back — never a
+    # per-row window over the facts; everything stays JVM-side.
+    plan = physical_plan(_q(spark, "q245_target_encoding_loo"))
+    assert "Window" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+
+
+def test_q246_xcorr_lag_join_is_equi(spark):
+    # the lag join must plan as a hash/merge equi-join on the hour key
+    # (hb = ha + lag is an equality after projection), not nested-loop.
+    plan = physical_plan(_q(spark, "q246_cross_correlation"))
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
