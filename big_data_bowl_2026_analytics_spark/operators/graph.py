@@ -261,3 +261,60 @@ def kcore_profile(
         "max_deg",
         (F.col("n_nodes") == F.lag("n_nodes").over(w)).alias("converged"),
     )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over a distinct
+    ``(a < b)`` edge list: ``lcc(v) = 2·T_v / (deg_v · (deg_v − 1))``
+    where T_v counts triangles incident to v — NULL when deg < 2
+    (no wedge to close). Returns ``(v, deg, n_triangles, lcc)``.
+
+    Same degree-oriented wedge closure as ``triangle_stats`` (each
+    triangle is found exactly once at its minimum-(deg, id) vertex as
+    the ordered triple (src, x, y)), then every closed triple credits
+    all three corners via a 3-way union — counts stay exact integers,
+    the coefficient is an integer ratio (callers round with the fround
+    pair). Join fan-out is bounded by the orientation, never by raw
+    degree; no cartesian anywhere.
+    """
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)  # orientation joins + final join
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    with_deg = edges.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("x"))
+    o2 = oriented.select("src", F.col("dst").alias("y"))
+    wedges = o1.join(o2, "src").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        edges, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b"))
+    ).select("src", "x", "y")
+    corners = (
+        closed.select(F.col("src").alias("v"))
+        .unionAll(closed.select(F.col("x").alias("v")))
+        .unionAll(closed.select(F.col("y").alias("v")))
+    )
+    tri_v = corners.groupBy("v").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return deg.join(tri_v, "v", "left").select(
+        "v",
+        "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("bigint")
+        .alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            (2.0 * F.coalesce(F.col("n_triangles"), F.lit(0)))
+            / (F.col("deg") * (F.col("deg") - F.lit(1))),
+        ).alias("lcc"),
+    )

@@ -875,3 +875,83 @@ def q241_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("dg").alias("k"))
     )
     return kcore_profile(edges, kv, n_rounds=8)
+
+
+@query(
+    "q248_local_clustering",
+    tags=("graph",),
+    oracle="""
+WITH hi AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM hi a JOIN hi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), deg AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY v
+), oriented AS (
+  SELECT CASE WHEN (da.deg < db.deg)
+                OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.deg < db.deg)
+                OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS dst
+  FROM e
+  JOIN deg da ON da.v = e.a
+  JOIN deg db ON db.v = e.b
+), closed AS MATERIALIZED (
+  SELECT w.src, w.x, w.y
+  FROM (
+    SELECT o1.src, o1.dst AS x, o2.dst AS y
+    FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+    WHERE o1.dst < o2.dst
+  ) w
+  JOIN e ON w.x = e.a AND w.y = e.b
+), tri AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT src AS v FROM closed
+    UNION ALL SELECT x FROM closed
+    UNION ALL SELECT y FROM closed
+  ) GROUP BY v
+)
+SELECT d.v, d.deg,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN round((2.0 * coalesce(t.n_triangles, 0))
+                       / (d.deg * (d.deg - 1)) + 1e-9, 6)
+            ELSE NULL END AS lcc
+FROM deg d LEFT JOIN tri t ON t.v = d.v
+""",
+)
+def q248_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the co-supply graph —
+    which suppliers sit inside tightly-knit cliques (their neighbors
+    also co-supply) versus star hubs bridging otherwise-unconnected
+    partners — the node-level refinement of q123's single global
+    coefficient, and the standard structural feature for fraud rings
+    (collusive clusters run lcc ≈ 1) and community seeds.
+
+    Scale: the degree-oriented wedge closure from
+    ``operators/graph.py`` (each triangle found once at its
+    minimum-(deg, id) corner, fan-out bounded by orientation), then a
+    3-way corner union credits each triangle to its three nodes —
+    counts are exact integers and lcc an integer ratio (rule 5).
+    """
+    from ...operators.graph import cooccurrence_edges, local_clustering
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+    hi = li.where(F.col("l_quantity") >= 48)
+    edges = cooccurrence_edges(hi, "l_orderkey", "l_suppkey").localCheckpoint(
+        eager=False
+    )
+    out = local_clustering(edges)
+    return out.select(
+        "v",
+        "deg",
+        "n_triangles",
+        fround(F.col("lcc"), 6).alias("lcc"),
+    )

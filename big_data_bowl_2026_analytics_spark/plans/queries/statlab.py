@@ -1274,3 +1274,349 @@ def q229_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(s_cc / sigma, 6).alias("z_mk"),
         )
     )
+
+
+def _auc_rep_sql(weighted_src: str, b_col: str) -> str:
+    """Per-replicate rank-sum AUC over the (replicate, distinct-p)
+    histogram — 2x the Mann-Whitney numerator stays an exact BIGINT,
+    so every replicate AUC is an exact integer ratio."""
+    return f"""
+  SELECT {b_col},
+         CAST(sum(n_pos_p) AS BIGINT) AS npos,
+         CAST(sum(n_neg_p) AS BIGINT) AS nneg,
+         CAST(sum(n_pos_p * (2 * cum_before + n_neg_p)) AS BIGINT) AS num2
+  FROM (
+    SELECT {b_col}, n_pos_p, n_neg_p,
+           coalesce(CAST(sum(n_neg_p) OVER (
+             PARTITION BY {b_col} ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS cum_before
+    FROM {weighted_src}
+  ) GROUP BY {b_col}
+"""
+
+
+_AUC_SCORED_CTE = """
+scored AS (
+  SELECT l_orderkey,
+         round({sigmoid} + 1e-9, 6) AS p,
+         CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END AS y
+  FROM lineitem
+  WHERE l_linenumber = 1
+)
+"""
+
+
+def _auc_boot_oracle() -> str:
+    from .mlq import _SIGMOID_SQL
+
+    scored = _AUC_SCORED_CTE.format(sigmoid=_SIGMOID_SQL).strip()
+    h = _hash16_sql(
+        "aucboot|' || CAST(r.b AS VARCHAR) || '|", "l_orderkey"
+    )
+    return f"""
+WITH reps AS (
+  SELECT CAST(b AS BIGINT) AS b FROM generate_series(0, 31) t(b)
+), {scored},
+weighted AS (
+  SELECT r.b, {_pois1_sql(h)} AS w, p, y
+  FROM scored CROSS JOIN reps r
+), hist AS (
+  SELECT b, p,
+         CAST(sum(w * y) AS BIGINT) AS n_pos_p,
+         CAST(sum(w * (1 - y)) AS BIGINT) AS n_neg_p
+  FROM weighted GROUP BY b, p
+), rep AS ({_auc_rep_sql("hist", "b")}),
+aucs AS (
+  SELECT b,
+         CAST(num2 AS DOUBLE)
+           / ((2.0 * CAST(npos AS DOUBLE)) * CAST(nneg AS DOUBLE)) AS auc
+  FROM rep
+), ranked AS (
+  SELECT auc, row_number() OVER (ORDER BY auc, b) AS r FROM aucs
+), phist AS (
+  SELECT p,
+         CAST(sum(y) AS BIGINT) AS n_pos_p,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg_p
+  FROM scored GROUP BY p
+), point AS (
+  SELECT CAST(sum(n_pos_p) + sum(n_neg_p) AS BIGINT) AS n_rows,
+         CAST(CAST(sum(n_pos_p * (2 * cum_before + n_neg_p)) AS BIGINT)
+              AS DOUBLE)
+           / ((2.0 * CAST(CAST(sum(n_pos_p) AS BIGINT) AS DOUBLE))
+              * CAST(CAST(sum(n_neg_p) AS BIGINT) AS DOUBLE)) AS point_auc
+  FROM (
+    SELECT n_pos_p, n_neg_p,
+           coalesce(CAST(sum(n_neg_p) OVER (
+             ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS BIGINT), 0) AS cum_before
+    FROM phist
+  )
+)
+SELECT n_rows,
+       CAST(32 AS BIGINT) AS n_replicates,
+       round(point_auc + 1e-9, 6) AS point_auc,
+       round(min(CASE WHEN r = 2 THEN auc END) + 1e-9, 6) AS ci_lo,
+       round(min(CASE WHEN r = 31 THEN auc END) + 1e-9, 6) AS ci_hi
+FROM ranked, point
+GROUP BY n_rows, point_auc
+"""
+
+
+@query(
+    "q247_bootstrap_auc_ci",
+    tags=("ml", "evaluation", "bootstrap"),
+    oracle=_auc_boot_oracle(),
+)
+def q247_bootstrap_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the demo model's AUC:
+    32 replicates reweight every ORDER (cluster bootstrap on the
+    resample unit, q207's keyed-hash Poisson(1) trick), each
+    replicate's AUC is the exact tie-corrected rank-sum on its
+    weighted (replicate, distinct-p) histogram, and the CI is the
+    rank-2/31 order statistic of the replicate AUCs — the uncertainty
+    band q52's point AUC ships without, computed with NOTHING
+    materialized at the fact grain.
+
+    Exactness: 2x the Mann-Whitney numerator is an exact BIGINT
+    (integer weights x integer cumulative counts — exact until
+    N ≈ 3e9 rows, the documented audit bound; past that the per-term
+    product must cast to double first), so replicate AUCs agree
+    bit-for-bit across engines BEFORE rounding. The prefix window runs
+    on the distinct-rounded-p grain — bounded by 1e6 + 1 values per
+    replicate at ANY corpus scale (the q227 argument), partitioned
+    across replicates.
+    """
+    from ...ml.inference import score_column_native
+    from .mlq import DEMO_MODEL
+
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+    scored = li.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        F.round(
+            score_column_native(
+                DEMO_MODEL,
+                F.col("l_quantity") / 50,
+                F.col("l_discount") * 10,
+                F.col("l_tax") * 12.5,
+            )
+            + 1e-9,
+            6,
+        ).alias("p"),
+        F.when(F.col("l_quantity") > 30, 1).otherwise(0).alias("y"),
+    ).localCheckpoint(eager=False)  # replicate fan-out + point branches
+    reps = spark.range(0, 32).select(F.col("id").alias("b"))
+    h = _hash16(
+        "",
+        F.concat(
+            F.lit("aucboot|"),
+            F.col("b").cast("string"),
+            F.lit("|"),
+            F.col("l_orderkey").cast("string"),
+        ),
+    )
+    weighted = scored.crossJoin(F.broadcast(reps)).select(
+        "b", _pois1_col(h).alias("w"), "p", "y"
+    )
+    hist = weighted.groupBy("b", "p").agg(
+        F.sum(F.col("w") * F.col("y")).alias("n_pos_p"),
+        F.sum(F.col("w") * (1 - F.col("y"))).alias("n_neg_p"),
+    )
+    wb = Window.partitionBy("b").orderBy("p")
+    cum = hist.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_neg_p").over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    rep = cum.groupBy("b").agg(
+        F.sum("n_pos_p").alias("npos"),
+        F.sum("n_neg_p").alias("nneg"),
+        F.sum(
+            F.col("n_pos_p") * (2 * F.col("cum_before") + F.col("n_neg_p"))
+        ).alias("num2"),
+    )
+    auc = F.col("num2").cast("double") / (
+        (2.0 * F.col("npos").cast("double")) * F.col("nneg").cast("double")
+    )
+    ranked = rep.select("b", auc.alias("auc")).withColumn(
+        "r", F.row_number().over(Window.orderBy("auc", "b"))
+    )
+    # point estimate: the same histogram machinery at weight 1
+    phist = scored.groupBy("p").agg(
+        F.sum("y").alias("n_pos_p"),
+        F.sum(1 - F.col("y")).alias("n_neg_p"),
+    )
+    pw = Window.orderBy("p")
+    pcum = phist.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_neg_p").over(
+                pw.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    point = pcum.agg(
+        (F.sum("n_pos_p") + F.sum("n_neg_p")).cast("bigint").alias("n_rows"),
+        (
+            F.sum(
+                F.col("n_pos_p")
+                * (2 * F.col("cum_before") + F.col("n_neg_p"))
+            ).cast("double")
+            / (
+                (2.0 * F.sum("n_pos_p").cast("double"))
+                * F.sum("n_neg_p").cast("double")
+            )
+        ).alias("point_auc"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("n_rows", "point_auc")
+        .agg(
+            F.lit(32).cast("bigint").alias("n_replicates"),
+            fround(F.min(F.when(F.col("r") == 2, F.col("auc"))), 6).alias(
+                "ci_lo"
+            ),
+            fround(F.min(F.when(F.col("r") == 31, F.col("auc"))), 6).alias(
+                "ci_hi"
+            ),
+        )
+        .select(
+            "n_rows",
+            "n_replicates",
+            fround(F.col("point_auc"), 6).alias("point_auc"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+@query(
+    "q249_simpson_paradox_screen",
+    tags=("statistics", "regression", "audit"),
+    oracle="""
+WITH obs AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), gsums AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM obs GROUP BY grp
+), pool AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(sx) AS BIGINT) AS sx,
+         CAST(sum(sy) AS BIGINT) AS sy,
+         CAST(sum(sxy) AS BIGINT) AS sxy,
+         CAST(sum(sxx) AS BIGINT) AS sxx
+  FROM gsums
+), slopes AS (
+  SELECT g.grp, g.n,
+         CASE WHEN CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+                   - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE) = 0
+              THEN NULL
+              ELSE round((CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+                          - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+                         / (CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+                            - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE))
+                         + 1e-9, 6) + 0 END AS slope_group,
+         CASE WHEN CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                   - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE) = 0
+              THEN NULL
+              ELSE round((CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+                          - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+                         / (CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                            - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE))
+                         + 1e-9, 6) + 0 END AS slope_pooled
+  FROM gsums g CROSS JOIN pool p
+)
+SELECT grp, n, slope_group, slope_pooled,
+       CASE WHEN slope_group IS NULL OR slope_pooled IS NULL THEN NULL
+            ELSE (slope_group > 0 AND slope_pooled < 0)
+              OR (slope_group < 0 AND slope_pooled > 0) END AS sign_flip
+FROM slopes
+""",
+)
+def q249_simpson_paradox_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's-paradox screen: the within-group OLS slope of
+    extended price (cents) on discount (percent-cents) per return
+    flag, against the pooled slope — a per-group/pooled sign
+    disagreement is the aggregation-reversal warning that any
+    dashboard aggregating over a confounded grouping needs before
+    publishing a "discounts increase revenue" headline.
+
+    Scale: one grouped aggregation collects the five exact-BIGINT
+    normal-equation sums per group; the POOLED sums are the column
+    sums of the group frame (never a second fact scan), broadcast
+    back. Each sum casts to double ONCE (q204 rule), slopes round with
+    the sign-of-zero guard (footgun 9), and the flip flag compares
+    ROUNDED slopes (q228 rule) with NULL propagated explicitly.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_returnflag", "l_discount", "l_extendedprice"],
+    )
+    obs = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    gsums = obs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).localCheckpoint(eager=False)  # pooled reduce + per-group branches
+    pool = gsums.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+        F.sum("sxx").alias("psxx"),
+    )
+
+    def slope(n, sx, sy, sxy, sxx):
+        n_d = F.col(n).cast("double")
+        sx_d = F.col(sx).cast("double")
+        sy_d = F.col(sy).cast("double")
+        sxy_d = F.col(sxy).cast("double")
+        sxx_d = F.col(sxx).cast("double")
+        den = n_d * sxx_d - sx_d * sx_d
+        return F.when(den == 0, F.lit(None).cast("double")).otherwise(
+            fround((n_d * sxy_d - sx_d * sy_d) / den, 6) + 0
+        )
+
+    slopes = gsums.crossJoin(F.broadcast(pool)).select(
+        "grp",
+        "n",
+        slope("n", "sx", "sy", "sxy", "sxx").alias("slope_group"),
+        slope("pn", "psx", "psy", "psxy", "psxx").alias("slope_pooled"),
+    )
+    sg, sp = F.col("slope_group"), F.col("slope_pooled")
+    return slopes.select(
+        "grp",
+        "n",
+        "slope_group",
+        "slope_pooled",
+        F.when(
+            sg.isNull() | sp.isNull(), F.lit(None).cast("boolean")
+        ).otherwise(
+            ((sg > 0) & (sp < 0)) | ((sg < 0) & (sp > 0))
+        ).alias("sign_flip"),
+    )

@@ -1135,3 +1135,24 @@ def test_q246_xcorr_lag_join_is_equi(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_q247_bootstrap_auc_partitions_prefix_by_replicate(spark):
+    # the CDF prefix window is partitioned by replicate over the
+    # bounded distinct-p grain — never a SinglePartition over facts;
+    # the weighted fan-out is a one-row-frame broadcast cross.
+    plan = physical_plan(_q(spark, "q247_bootstrap_auc_ci"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q248_local_clustering_no_cartesian(spark):
+    # wedge closure is all equi-joins bounded by orientation.
+    plan = physical_plan(_q(spark, "q248_local_clustering"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q249_simpson_single_scan_two_level(spark):
+    # pooled sums reduce the GROUP frame — exactly one parquet scan.
+    plan = physical_plan(_q(spark, "q249_simpson_paradox_screen"))
+    assert plan.count("Location: InMemoryFileIndex") <= 1
+    assert "CartesianProduct" not in plan
