@@ -503,3 +503,79 @@ def ann_topk(
         eager=False
     )
     return ann_topk_indexed(bucketed, queries, k, id_col, vec_col)
+
+
+def pq_subspace_frames(
+    emb: DataFrame, n_codes: int = 8, n_sub: int = 4, sub_dim: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization building blocks: ``(subseeds, subvecs)``.
+
+    ``subseeds`` is the per-subspace codebook — the first ``n_codes``
+    vectors by id (the q61 deterministic seed convention; production
+    refines with ivf.py's distributed Lloyd's), sliced into ``n_sub``
+    sub-vectors of ``sub_dim``; ``subvecs`` is every input vector
+    sliced the same way. The codebook is ``n_codes × n_sub`` rows —
+    broadcast-sized at any corpus scale.
+    """
+    from pyspark.sql import Window
+
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(n_codes)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "cid"
+            ),
+            "embedding",
+        )
+    )
+    subs = F.explode(F.array(*[F.lit(i) for i in range(n_sub)])).alias("sub")
+    subseeds = seeds.select("cid", subs, "embedding").select(
+        "cid",
+        "sub",
+        F.slice(
+            F.col("embedding"), 1 + sub_dim * F.col("sub"), sub_dim
+        ).alias("cvec"),
+    )
+    subvecs = emb.select("vec_id", subs, "embedding").select(
+        "vec_id",
+        "sub",
+        F.slice(
+            F.col("embedding"), 1 + sub_dim * F.col("sub"), sub_dim
+        ).alias("v"),
+    )
+    return subseeds, subvecs
+
+
+def pq_sub_sq_l2(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 between two sub-vectors — the same
+    association order as the oracle's list_sum(list_transform(...))."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_best_codes(subvecs: DataFrame, subseeds: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace): returns
+    ``(vec_id, sub, cid, dist)`` with argmin ties broken by code id
+    (footgun 3) via a lexicographic struct-min — one broadcast
+    equi-join on the subspace key plus one groupBy."""
+    scored = subvecs.join(F.broadcast(subseeds), "sub").select(
+        "vec_id",
+        "sub",
+        "cid",
+        pq_sub_sq_l2(F.col("v"), F.col("cvec")).alias("dist"),
+    )
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("dist", "cid")).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        "sub",
+        F.col("m.cid").alias("cid"),
+        F.col("m.dist").alias("dist"),
+    )

@@ -1396,3 +1396,239 @@ def q242_jl_projection_distortion(
         ratio.alias("distortion"),
         (F.abs(ratio - 1.0) <= 0.5).alias("within_half"),
     )
+
+
+def _pq_oracle() -> str:
+    d16 = (
+        "list_sum(list_transform(generate_series(1, 16), "
+        "i -> (CAST(v.v[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))"
+        " * (CAST(v.v[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) s
+), subs AS (
+  SELECT unnest([0, 1, 2, 3]) AS sub
+), subseeds AS MATERIALIZED (
+  SELECT cid, sub,
+         embedding[(1 + 16 * sub):(16 * sub + 16)] AS cvec
+  FROM seeds CROSS JOIN subs
+), subvecs AS (
+  SELECT vec_id, sub,
+         embedding[(1 + 16 * sub):(16 * sub + 16)] AS v
+  FROM embeddings CROSS JOIN subs
+), scored AS (
+  SELECT v.vec_id, v.sub, c.cid, {d16} AS dist
+  FROM subvecs v JOIN subseeds c ON v.sub = c.sub
+), ranked AS (
+  SELECT vec_id, sub, cid, dist,
+         row_number() OVER (
+           PARTITION BY vec_id, sub ORDER BY dist, cid
+         ) AS rk
+  FROM scored
+)
+SELECT vec_id,
+       CAST(sum(cid * (CASE sub WHEN 0 THEN 1 WHEN 1 THEN 8
+                       WHEN 2 THEN 64 ELSE 512 END)) AS BIGINT) AS pq_code,
+       round(sum(dist) + 1e-9, 6) AS recon_err
+FROM ranked WHERE rk = 1
+GROUP BY vec_id
+"""
+
+
+@query(
+    "q250_product_quantization",
+    tags=("similarity", "quantization", "ann"),
+    oracle=_pq_oracle(),
+)
+def q250_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: split each 64-dim vector into 4
+    sub-vectors of 16 dims, assign each to its nearest of 8 per-
+    subspace codebook entries (the q61 deterministic seed convention —
+    the oracle checks the ASSIGNMENT algebra; production refines
+    codebooks with the distributed Lloyd's in operators/ivf.py), and
+    pack the four 3-bit codes into one 12-bit ``pq_code`` — 256 bytes
+    of float32 compressed to 1.5 bytes, the memory trick that lets a
+    1000-executor ANN fleet hold a 100 TB corpus's vectors in RAM
+    (Jégou et al.; complements q143's int8 scalar quantization with a
+    per-vector reconstruction error the re-ranker budget reads).
+
+    Scale: the codebook is 32 rows broadcast into an equi-join on the
+    subspace key; per-vector work is O(4 x 8 x 16) folds, map-side;
+    argmin ties break on the code id (footgun 3); the pack/error
+    reduce is one groupBy(vec_id). Distances are the proven q40-class
+    sequential folds — bit-identical before the defensive round.
+    """
+    from ...operators.similarity import pq_best_codes, pq_subspace_frames
+
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = emb.localCheckpoint(eager=False)  # seeds + assignment branches
+    subseeds, subvecs = pq_subspace_frames(emb)
+    best = pq_best_codes(subvecs, subseeds)
+    weight = (
+        F.when(F.col("sub") == 0, 1)
+        .when(F.col("sub") == 1, 8)
+        .when(F.col("sub") == 2, 64)
+        .otherwise(512)
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum(F.col("cid") * weight).cast("bigint").alias("pq_code"),
+        fround(F.sum("dist"), 6).alias("recon_err"),
+    )
+
+
+def _adc_oracle() -> str:
+    d16 = (
+        "list_sum(list_transform(generate_series(1, 16), "
+        "i -> (CAST(q.v[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))"
+        " * (CAST(q.v[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))"
+    )
+    d64 = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))"
+        " * (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) s
+), subs AS (
+  SELECT unnest([0, 1, 2, 3]) AS sub
+), subseeds AS MATERIALIZED (
+  SELECT cid, sub, embedding[(1 + 16 * sub):(16 * sub + 16)] AS cvec
+  FROM seeds CROSS JOIN subs
+), subvecs AS MATERIALIZED (
+  SELECT vec_id, sub, embedding[(1 + 16 * sub):(16 * sub + 16)] AS v
+  FROM embeddings CROSS JOIN subs
+), codes AS MATERIALIZED (
+  SELECT vec_id, sub, cid FROM (
+    SELECT q.vec_id, q.sub, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id, q.sub ORDER BY {d16}, c.cid
+           ) AS rk
+    FROM subvecs q JOIN subseeds c ON q.sub = c.sub
+  ) WHERE rk = 1
+), dtable AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, q.sub, c.cid, {d16} AS qdist
+  FROM subvecs q JOIN subseeds c ON q.sub = c.sub
+  WHERE q.vec_id < 3
+), adc AS (
+  SELECT t.query_id, d.vec_id, sum(t.qdist) AS approx_d2
+  FROM codes d JOIN dtable t ON d.sub = t.sub AND d.cid = t.cid
+  WHERE d.vec_id != t.query_id
+  GROUP BY t.query_id, d.vec_id
+), approx AS (
+  SELECT query_id, vec_id,
+         round(approx_d2 + 1e-9, 6) AS approx_d2,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(approx_d2 + 1e-9, 6), vec_id
+         ) AS rk
+  FROM adc
+), exact AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round({d64} + 1e-9, 6), e.vec_id
+         ) AS xrk
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < 3
+)
+SELECT a.query_id, CAST(a.rk AS BIGINT) AS rk, a.vec_id, a.approx_d2,
+       coalesce(x.xrk <= 3, FALSE) AS in_exact_top3
+FROM approx a
+LEFT JOIN exact x
+  ON x.query_id = a.query_id AND x.vec_id = a.vec_id AND x.xrk <= 3
+WHERE a.rk <= 3
+"""
+
+
+@query(
+    "q251_pq_adc_recall",
+    tags=("similarity", "quantization", "ann", "audit"),
+    oracle=_adc_oracle(),
+)
+def q251_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) search over the q250 PQ codes with a
+    recall audit: each query precomputes a 4x8 lookup table of
+    sub-distances to the codebook, an approximate distance is the SUM
+    OF FOUR TABLE LOOKUPS per database vector (never a 64-dim fold at
+    search time — the whole point of PQ), and the approximate top-3 is
+    checked against the exact L2 top-3 — closing the encode → search
+    → measure loop the ANN stack needs before trading recall for a
+    16x memory cut (the q142 audit discipline applied to PQ).
+
+    Scale: codes are corpus-linear; the lookup table is |queries| x 32
+    rows broadcast into an equi-join on (subspace, code); the exact
+    side scans once against the 3 broadcast queries. Both rankings
+    order by ROUNDED distance with vec_id tie-break (footgun 3).
+    """
+    from pyspark.sql import Window
+
+    from ...operators.similarity import (
+        pq_best_codes,
+        pq_sub_sq_l2,
+        pq_subspace_frames,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = emb.localCheckpoint(eager=False)  # codes/table/exact branches
+    subseeds, subvecs = pq_subspace_frames(emb)
+    subvecs = subvecs.localCheckpoint(eager=False)  # codes + query table
+    codes = pq_best_codes(subvecs, subseeds).select("vec_id", "sub", "cid")
+    qsub = subvecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "sub", "v"
+    )
+    dtable = qsub.join(F.broadcast(subseeds), "sub").select(
+        "query_id",
+        "sub",
+        "cid",
+        pq_sub_sq_l2(F.col("v"), F.col("cvec")).alias("qdist"),
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["sub", "cid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qdist").alias("approx_d2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        fround(F.col("approx_d2"), 6), F.asc("vec_id")
+    )
+    approx = (
+        adc.select(
+            "query_id",
+            "vec_id",
+            fround(F.col("approx_d2"), 6).alias("approx_d2"),
+        )
+        .withColumn("rk", F.row_number().over(wq).cast("bigint"))
+        .where(F.col("rk") <= 3)
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    diffs = F.zip_with(
+        F.col("qe"),
+        F.col("embedding"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    exact_d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    wx = Window.partitionBy("query_id").orderBy(
+        fround(F.col("exact_d2"), 6), F.asc("vec_id")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", exact_d2.alias("exact_d2"))
+        .withColumn("xrk", F.row_number().over(wx))
+        .where(F.col("xrk") <= 3)
+        .select("query_id", "vec_id", "xrk")
+    )
+    return approx.join(exact, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "rk",
+        "vec_id",
+        "approx_d2",
+        F.coalesce(F.col("xrk") <= 3, F.lit(False)).alias("in_exact_top3"),
+    )

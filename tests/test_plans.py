@@ -1156,3 +1156,19 @@ def test_q249_simpson_single_scan_two_level(spark):
     plan = physical_plan(_q(spark, "q249_simpson_paradox_screen"))
     assert plan.count("Location: InMemoryFileIndex") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_q250_pq_codebook_broadcast_no_python(spark):
+    # codebook assignment is a broadcast equi-join on the subspace
+    # key; folds are JVM higher-order functions.
+    plan = physical_plan(_q(spark, "q250_product_quantization"))
+    assert ") BroadcastHashJoin" in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+
+
+def test_q251_adc_no_cartesian_beyond_broadcast_queries(spark):
+    # the only nested-loop is the bounded 3-query broadcast cross;
+    # ADC itself is an equi-join on (subspace, code).
+    plan = physical_plan(_q(spark, "q251_pq_adc_recall"))
+    assert "CartesianProduct" not in plan
