@@ -1238,3 +1238,111 @@ def q194_poisson_goodness_of_fit(
             F.pow(F.col("n_obs") - expected, 2) / expected, 6
         ).alias("chi_term"),
     )
+
+
+@query(
+    "q252_hierarchical_percentiles",
+    tags=("statistics", "percentiles", "sre"),
+    oracle="""
+WITH cents AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), per_user AS (
+  SELECT user_id, c AS p95_cents, n FROM (
+    SELECT user_id, c,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY c, event_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM cents
+  ) WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+), ranked AS (
+  SELECT p95_cents,
+         row_number() OVER (ORDER BY p95_cents, user_id) AS r
+  FROM per_user
+), u AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users FROM per_user
+)
+SELECT n_users,
+       round(min(CASE WHEN r = CAST(ceil(0.5 * n_users) AS BIGINT)
+                      THEN p95_cents END) / 100.0 + 1e-9, 2)
+         AS median_user_p95,
+       round(min(CASE WHEN r = CAST(ceil(0.99 * n_users) AS BIGINT)
+                      THEN p95_cents END) / 100.0 + 1e-9, 2)
+         AS p99_user_p95
+FROM ranked CROSS JOIN u
+GROUP BY n_users
+""",
+)
+def q252_hierarchical_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Percentile-of-percentiles: the p50 and p99 across USERS of each
+    user's exact p95 event value — the SRE/SLO reporting shape ("99%
+    of users see a per-user p95 under X") that a single global
+    percentile silently misrepresents (it weights heavy users more).
+    Both levels are EXACT order statistics (q184 rule — rank
+    selection, never interpolation), on integer cents (float sums are
+    never sort keys).
+
+    Scale: the user level is a partitioned window (per-user group
+    sizes); the cross-user level runs on the massively REDUCED
+    user-grain frame through ``rankops.bucketed_rank`` — the two-level
+    prefix machinery, no data-sized single-partition window anywhere.
+    The target ranks come from a broadcast one-row user count, not a
+    driver collect.
+    """
+    from ...operators.rankops import bucketed_rank
+
+    ev = read_table(spark, sf_dir, "events", ["user_id", "event_id", "value"])
+    cents = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("c", "event_id")
+    per_user = (
+        cents.select(
+            "user_id",
+            "c",
+            F.row_number().over(wu).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id"))
+            .alias("n"),
+        )
+        .where(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"))
+        .select("user_id", F.col("c").alias("p95_cents"))
+        .localCheckpoint(eager=False)  # rank + count branches
+    )
+    ranked = bucketed_rank(per_user, "p95_cents", ["user_id"], out_col="r")
+    u = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        ranked.crossJoin(F.broadcast(u))
+        .groupBy("n_users")
+        .agg(
+            fround(
+                F.min(
+                    F.when(
+                        F.col("r")
+                        == F.ceil(0.5 * F.col("n_users")).cast("bigint"),
+                        F.col("p95_cents"),
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("median_user_p95"),
+            fround(
+                F.min(
+                    F.when(
+                        F.col("r")
+                        == F.ceil(0.99 * F.col("n_users")).cast("bigint"),
+                        F.col("p95_cents"),
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("p99_user_p95"),
+        )
+        .select("n_users", "median_user_p95", "p99_user_p95")
+    )

@@ -1582,3 +1582,379 @@ def q246_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(fround(num / F.sqrt(den2), 6) + 0)
         .alias("xcorr"),
     )
+
+
+@query(
+    "q253_business_day_normalization",
+    tags=("timeseries", "calendar", "finance"),
+    oracle="""
+WITH ords AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), monthly AS (
+  SELECT CAST(date_trunc('month', d) AS DATE) AS m,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN (d - DATE '1970-01-01') % 7 IN (2, 3)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS weekend_orders
+  FROM ords GROUP BY 1
+), bdays AS (
+  SELECT m,
+         CAST(last_day(m) - m + 1 AS BIGINT) AS n_days,
+         CAST(sum(CASE WHEN ((m - DATE '1970-01-01') + off) % 7 IN (2, 3)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_business_days
+  FROM (
+    SELECT m, unnest(generate_series(0, last_day(m) - m)) AS off
+    FROM (SELECT DISTINCT m FROM monthly)
+  ) GROUP BY m, n_days
+)
+SELECT CAST(year(mo.m) * 12 + month(mo.m) AS BIGINT) AS month_idx,
+       strftime(mo.m, '%Y-%m-%d') AS month_start,
+       mo.n_orders, b.n_days, b.n_business_days,
+       round(mo.cents * 1.0 / (100.0 * b.n_business_days) + 1e-9, 2)
+         AS revenue_per_business_day,
+       round(mo.weekend_orders * 1.0 / mo.n_orders + 1e-9, 6)
+         AS weekend_order_share
+FROM monthly mo JOIN bdays b ON mo.m = b.m
+""",
+)
+def q253_business_day_normalization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Business-day-normalized monthly revenue: raw month totals are
+    confounded by how many Mondays a month happens to contain, so
+    finance reporting divides by the month's BUSINESS-day count —
+    computed from the epoch-day modulus (day_num % 7, the q213 rule;
+    never the engines' disagreeing dayofweek()), with the weekend
+    order share as the sanity column that says how much the
+    normalization matters.
+
+    Scale: one grouped pass over orders at the month grain; the
+    calendar explode runs on the DISTINCT-months frame (bounded by the
+    data's time span, never by row count). The month key ships as an
+    integer index + ISO string (the q146/q233 dtype conventions);
+    money stays integer cents until the final division.
+    """
+    o = read_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    epoch = F.lit("1970-01-01")
+    ords = o.select(
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    monthly = (
+        ords.select(
+            F.trunc("d", "month").alias("m"),
+            "cents",
+            (F.datediff(F.col("d"), epoch) % 7).alias("dow"),
+        )
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+            F.sum(
+                F.when(F.col("dow").isin(2, 3), 1).otherwise(0)
+            ).alias("weekend_orders"),
+        )
+        .localCheckpoint(eager=False)  # calendar + output branches
+    )
+    cal = monthly.select("m").distinct().select(
+        "m",
+        F.datediff(F.col("m"), epoch).alias("mnum"),
+        (F.datediff(F.last_day(F.col("m")), F.col("m")) + 1).alias(
+            "n_days"
+        ),
+    )
+    bdays = (
+        cal.select(
+            "m",
+            "n_days",
+            F.explode(F.sequence(F.lit(0), F.col("n_days") - 1)).alias(
+                "off"
+            ),
+            "mnum",
+        )
+        .groupBy("m", "n_days")
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("mnum") + F.col("off")) % 7).isin(2, 3), 0
+                ).otherwise(1)
+            ).alias("n_business_days")
+        )
+    )
+    return monthly.join(bdays, "m").select(
+        (F.year("m") * 12 + F.month("m")).cast("bigint").alias("month_idx"),
+        F.date_format("m", "yyyy-MM-dd").alias("month_start"),
+        "n_orders",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_business_days").cast("bigint").alias("n_business_days"),
+        fround(
+            F.col("cents") * 1.0 / (100.0 * F.col("n_business_days")), 2
+        ).alias("revenue_per_business_day"),
+        fround(
+            F.col("weekend_orders") * 1.0 / F.col("n_orders"), 6
+        ).alias("weekend_order_share"),
+    )
+
+
+def _markov_attribution_oracle(n_iter: int = 12) -> str:
+    """Unrolled absorption fixed point — each iteration references its
+    predecessor plus the (scenario-adjusted) transition frame, so
+    every CTE is MATERIALIZED (the q241 unroll discipline)."""
+    cte = [
+        """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM flagged
+), pos AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id, session_id ORDER BY ts, event_id
+         ) AS rn
+  FROM sessions
+), fp AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'purchase' THEN rn END) AS fpos
+  FROM pos GROUP BY user_id, session_id
+), kept AS (
+  SELECT p.user_id, p.session_id, p.event_type, p.rn
+  FROM pos p JOIN fp f USING (user_id, session_id)
+  WHERE f.fpos IS NULL OR p.rn <= f.fpos
+), steps AS (
+  SELECT src, dst FROM (
+    SELECT event_type AS src,
+           CASE WHEN lead(event_type) OVER wk IS NOT NULL
+                THEN lead(event_type) OVER wk
+                WHEN event_type != 'purchase' THEN 'END'
+                ELSE NULL END AS dst
+    FROM kept
+    WINDOW wk AS (PARTITION BY user_id, session_id ORDER BY rn)
+  ) WHERE dst IS NOT NULL
+  UNION ALL
+  SELECT 'START', event_type FROM kept WHERE rn = 1
+), trans AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM steps GROUP BY src, dst
+), tot AS (
+  SELECT src, CAST(sum(n) AS BIGINT) AS tn FROM trans GROUP BY src
+), pr AS MATERIALIZED (
+  SELECT t.src, t.dst, t.n * 1.0 / o.tn AS p
+  FROM trans t JOIN tot o ON t.src = o.src
+), scens AS MATERIALIZED (
+  SELECT 'full' AS scen
+  UNION ALL
+  SELECT DISTINCT src FROM trans
+  WHERE src NOT IN ('START')
+), padj AS MATERIALIZED (
+  SELECT s.scen, pr.src, pr.dst,
+         CASE WHEN s.scen != 'full' AND pr.dst = s.scen
+              THEN 0.0 ELSE pr.p END AS p
+  FROM pr CROSS JOIN scens s
+), conv AS MATERIALIZED (
+  SELECT scen, src,
+         sum(CASE WHEN dst = 'purchase' THEN p ELSE 0.0 END) AS p_conv
+  FROM padj GROUP BY scen, src
+), tt AS MATERIALIZED (
+  SELECT scen, src, dst, p FROM padj
+  WHERE dst NOT IN ('purchase', 'END')
+), v1 AS MATERIALIZED (
+  SELECT scen, src, p_conv AS v FROM conv
+)"""
+    ]
+    for k in range(2, n_iter + 1):
+        cte.append(
+            f""", v{k} AS MATERIALIZED (
+  SELECT c.scen, c.src, c.p_conv + coalesce(s.acc, 0.0) AS v
+  FROM conv c LEFT JOIN (
+    SELECT t.scen, t.src, sum(t.p * v.v) AS acc
+    FROM tt t JOIN v{k - 1} v ON t.scen = v.scen AND t.dst = v.src
+    GROUP BY t.scen, t.src
+  ) s ON c.scen = s.scen AND c.src = s.src
+)"""
+        )
+    cte.append(
+        f""", vstart AS (
+  SELECT scen, v FROM v{n_iter} WHERE src = 'START'
+), fullv AS (
+  SELECT v AS vf FROM vstart WHERE scen = 'full'
+)
+SELECT scen AS removed_state,
+       round(v + 1e-9, 6) AS conv_prob,
+       CASE WHEN scen = 'full' THEN NULL
+            ELSE round((vf - v) / vf + 1e-9, 6) END AS removal_effect
+FROM vstart CROSS JOIN fullv"""
+    )
+    return "".join(cte)
+
+
+@query(
+    "q254_markov_attribution",
+    tags=("timeseries", "attribution", "iterative", "marketing"),
+    oracle=_markov_attribution_oracle(12),
+)
+def q254_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: model each q24 session as a
+    first-order chain over event types (START → ... → purchase or
+    END, truncated at the first conversion), compute the absorption
+    probability of converting via 12 fixed-point iterations, then
+    re-run the chain with each channel REMOVED (transitions into it
+    become losses, unrenormalized) — the removal effect
+    (conv_full − conv_removed)/conv_full is the fractional conversion
+    credit marketing attribution assigns each channel, the
+    principled alternative to the positional heuristics of q180/q209.
+
+    Scale: the chain itself is a |types|²-sized frame no matter the
+    corpus (one sessionized pass builds the counts — the only
+    data-sized work); all 5 scenarios iterate TOGETHER as one
+    scenario-keyed frame, 12 bounded joins with lineage truncated per
+    round (q125 discipline; the fixed budget is reported honestly —
+    sessions longer than 12 transient steps contribute residual mass
+    beyond the cutoff identically on both engines). Transition
+    probabilities are exact integer ratios; iterated float sums are
+    fround-absorbed.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    epoch = F.col("ts").cast("double")
+    sessions = ev.withColumn(
+        "new_session",
+        F.when(
+            (epoch - F.lag(epoch).over(w) > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    pos = sessions.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(ws).alias("rn"),
+    )
+    fpos = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("rn"))
+    ).over(Window.partitionBy("user_id", "session_id"))
+    kept = (
+        pos.withColumn("fpos", fpos)
+        .where(F.col("fpos").isNull() | (F.col("rn") <= F.col("fpos")))
+        .localCheckpoint(eager=False)  # steps + starts branches
+    )
+    wk = Window.partitionBy("user_id", "session_id").orderBy("rn")
+    nxt = F.lead("event_type").over(wk)
+    steps = (
+        kept.select(
+            F.col("event_type").alias("src"),
+            F.when(nxt.isNotNull(), nxt)
+            .when(F.col("event_type") != "purchase", F.lit("END"))
+            .otherwise(F.lit(None))
+            .alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .unionByName(
+            kept.where(F.col("rn") == 1).select(
+                F.lit("START").alias("src"),
+                F.col("event_type").alias("dst"),
+            )
+        )
+    )
+    trans = (
+        steps.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # totals + scenarios + p branches
+    )
+    tot = trans.groupBy("src").agg(F.sum("n").alias("tn"))
+    pr = trans.join(tot, "src").select(
+        "src", "dst", (F.col("n") * 1.0 / F.col("tn")).alias("p")
+    )
+    scens = (
+        trans.where(F.col("src") != "START")
+        .select(F.col("src").alias("scen"))
+        .distinct()
+        .unionByName(
+            trans.limit(1).select(F.lit("full").alias("scen"))
+        )
+    )
+    padj = pr.crossJoin(F.broadcast(scens)).select(
+        "scen",
+        "src",
+        "dst",
+        F.when(
+            (F.col("scen") != "full") & (F.col("dst") == F.col("scen")),
+            F.lit(0.0),
+        ).otherwise(F.col("p")).alias("p"),
+    )
+    conv = (
+        padj.groupBy("scen", "src")
+        .agg(
+            F.sum(
+                F.when(F.col("dst") == "purchase", F.col("p")).otherwise(
+                    0.0
+                )
+            ).alias("p_conv")
+        )
+        .localCheckpoint(eager=False)  # reused every iteration
+    )
+    tt = (
+        padj.where(~F.col("dst").isin("purchase", "END"))
+        .localCheckpoint(eager=False)  # reused every iteration
+    )
+    v = conv.select("scen", "src", F.col("p_conv").alias("v"))
+    for _ in range(11):
+        acc = (
+            tt.join(
+                v.select(
+                    F.col("scen").alias("vscen"),
+                    F.col("src").alias("vsrc"),
+                    "v",
+                ),
+                (F.col("scen") == F.col("vscen"))
+                & (F.col("dst") == F.col("vsrc")),
+            )
+            .groupBy("scen", "src")
+            .agg(F.sum(F.col("p") * F.col("v")).alias("acc"))
+        )
+        v = (
+            conv.join(acc, ["scen", "src"], "left")
+            .select(
+                "scen",
+                "src",
+                (F.col("p_conv") + F.coalesce(F.col("acc"), F.lit(0.0))).alias(
+                    "v"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    vstart = v.where(F.col("src") == "START").select("scen", "v")
+    fullv = vstart.where(F.col("scen") == "full").select(
+        F.col("v").alias("vf")
+    )
+    return vstart.crossJoin(F.broadcast(fullv)).select(
+        F.col("scen").alias("removed_state"),
+        fround(F.col("v"), 6).alias("conv_prob"),
+        F.when(F.col("scen") == "full", F.lit(None).cast("double"))
+        .otherwise(fround((F.col("vf") - F.col("v")) / F.col("vf"), 6))
+        .alias("removal_effect"),
+    )

@@ -1172,3 +1172,27 @@ def test_q251_adc_no_cartesian_beyond_broadcast_queries(spark):
     # ADC itself is an equi-join on (subspace, code).
     plan = physical_plan(_q(spark, "q251_pq_adc_recall"))
     assert "CartesianProduct" not in plan
+
+
+def test_q252_two_level_percentile_no_global_data_window(spark):
+    # per-user level is partitioned; the cross-user level runs through
+    # bucketed_rank — SinglePartition only on the bounded bucket-offset
+    # funnel, never the data grain.
+    plan = physical_plan(_q(spark, "q252_hierarchical_percentiles"))
+    assert "CartesianProduct" not in plan
+    assert "_rk_bucket" in plan  # the two-level rank machinery is live
+
+
+def test_q253_calendar_explode_on_months_not_facts(spark):
+    # the Generate (explode) must run on the distinct-months frame;
+    # the fact pass is one grouped aggregate.
+    plan = physical_plan(_q(spark, "q253_business_day_normalization"))
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q254_markov_chain_is_bounded_frame(spark):
+    # all 12 iterations run on the |types|^2 scenario frame behind
+    # checkpoints; the only data-sized work is the sessionized pass.
+    plan = physical_plan(_q(spark, "q254_markov_attribution"))
+    assert "CartesianProduct" not in plan
