@@ -572,3 +572,174 @@ def q218_pareto_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("knee_cum_share"),
         fround(F.min("max_gap"), 6).alias("max_gap"),
     )
+
+
+@query(
+    "q256_abc_xyz_matrix",
+    tags=("ranking", "inventory", "report"),
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev
+), ranked AS (
+  SELECT l_partkey, cents,
+         CAST(sum(cents) OVER (
+           ORDER BY cents DESC, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_cents
+  FROM rev
+), abc AS MATERIALIZED (
+  SELECT l_partkey, cents,
+         CASE WHEN cum_cents * 1.0 / t <= 0.7 THEN 'A'
+              WHEN cum_cents * 1.0 / t <= 0.9 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked CROSS JOIN tot
+), mspan AS (
+  SELECT CAST(count(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT)
+           AS m
+  FROM lineitem
+), pm AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS mo,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), xyz AS MATERIALIZED (
+  SELECT l_partkey,
+         CASE WHEN 4 * disc < s * s THEN 'X'
+              WHEN disc < s * s THEN 'Y'
+              ELSE 'Z' END AS xyz_class,
+         CASE WHEN s > 0 THEN sqrt(CAST(disc AS DOUBLE)) / s END AS cv
+  FROM (
+    SELECT p.l_partkey,
+           CAST(sum(p.q) AS BIGINT) AS s,
+           CAST(m.m * CAST(sum(p.q * p.q) AS BIGINT)
+                - CAST(sum(p.q) AS BIGINT) * CAST(sum(p.q) AS BIGINT)
+                AS BIGINT) AS disc
+    FROM pm p CROSS JOIN mspan m
+    GROUP BY p.l_partkey, m.m
+  )
+), tots AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS np
+  FROM abc
+)
+SELECT a.abc_class, x.xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(count(*) * 1.0 / any_value(tots.np) + 1e-9, 6) AS part_share,
+       round(CAST(sum(a.cents) AS BIGINT) * 1.0 / any_value(tots.t)
+             + 1e-9, 6) AS revenue_share,
+       round(avg(x.cv) + 1e-9, 6) AS mean_cv
+FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+CROSS JOIN tots
+GROUP BY a.abc_class, x.xyz_class
+""",
+)
+def q256_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: q199's exact-cents revenue ABC
+    classes crossed with demand-variability XYZ classes (cv of the
+    part's monthly quantity over the GLOBAL month span — zero-demand
+    months count), the 9-cell planning grid that decides which parts
+    get safety stock (AX: automate) versus which get manual review
+    (CZ: kill). The XYZ boundaries are EXACT integer inequalities —
+    cv < ½ ⇔ 4·(M·Σq² − S²) < S² — so classification can never flip
+    on a cross-engine ulp (the q228 rounded-threshold rule taken one
+    step further: no float threshold at all).
+
+    Scale: the ABC side reuses the two-level bucketed running sum
+    (q199 — no data-sized single-partition window); the XYZ side is
+    one (part, month) aggregate reduced to the part grain; the final
+    matrix is 9 rows. Only the REPORTED mean cv touches floats
+    (one sqrt per part, fround-absorbed).
+    """
+    from ...operators.rankops import bucketed_rank_cumsum
+
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_quantity",
+         "l_shipdate"],
+    )
+    li = li.localCheckpoint(eager=False)  # revenue + monthly branches
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    asc = bucketed_rank_cumsum(
+        rev, "cents", [F.desc("l_partkey")], "cents",
+        rank_out="r_asc", cum_out="cs_asc",
+    )
+    abc = (
+        asc.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "cents",
+            "t",
+            (F.col("t") - (F.col("cs_asc") - F.col("cents"))).alias(
+                "cum_cents"
+            ),
+        )
+        .select(
+            "l_partkey",
+            "cents",
+            F.when(F.col("cum_cents") * 1.0 / F.col("t") <= 0.7, "A")
+            .when(F.col("cum_cents") * 1.0 / F.col("t") <= 0.9, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    mspan = li.agg(
+        F.countDistinct(F.trunc("l_shipdate", "month")).alias("m")
+    )
+    pm = li.groupBy(
+        "l_partkey", F.trunc("l_shipdate", "month").alias("mo")
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"))
+    psums = (
+        pm.groupBy("l_partkey")
+        .agg(
+            F.sum("q").alias("s"),
+            F.sum(F.col("q") * F.col("q")).alias("sq"),
+        )
+        .crossJoin(F.broadcast(mspan))
+        .select(
+            "l_partkey",
+            "s",
+            (F.col("m") * F.col("sq") - F.col("s") * F.col("s")).alias(
+                "disc"
+            ),
+        )
+    )
+    xyz = psums.select(
+        "l_partkey",
+        F.when(4 * F.col("disc") < F.col("s") * F.col("s"), "X")
+        .when(F.col("disc") < F.col("s") * F.col("s"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        F.when(
+            F.col("s") > 0,
+            F.sqrt(F.col("disc").cast("double")) / F.col("s"),
+        ).alias("cv"),
+    )
+    tots = abc.agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            fround(
+                F.count(F.lit(1)) * 1.0 / F.any_value("np"), 6
+            ).alias("part_share"),
+            fround(F.sum("cents") * 1.0 / F.any_value("t"), 6).alias(
+                "revenue_share"
+            ),
+            fround(F.avg("cv"), 6).alias("mean_cv"),
+        )
+    )

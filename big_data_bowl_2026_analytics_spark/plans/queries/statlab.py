@@ -1620,3 +1620,117 @@ def q249_simpson_paradox_screen(
             ((sg > 0) & (sp < 0)) | ((sg < 0) & (sp > 0))
         ).alias("sign_flip"),
     )
+
+
+_QR_GRID_A = [0, 1000000, 2000000, 3000000, 4000000, 5000000, 6000000]
+_QR_GRID_B = [0, 100000, 200000, 300000, 400000, 500000, 600000]
+
+
+def _qr_oracle() -> str:
+    cands = ", ".join(
+        f"({a}, {b})" for a in _QR_GRID_A for b in _QR_GRID_B
+    )
+    return f"""
+WITH obs AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem WHERE l_linenumber = 1
+), cands(a, b) AS (
+  SELECT CAST(a AS BIGINT), CAST(b AS BIGINT)
+  FROM (VALUES {cands}) t(a, b)
+), losses AS MATERIALIZED (
+  SELECT c.a, c.b,
+         CAST(sum(greatest(o.y - (c.a + c.b * o.x),
+                           -(o.y - (c.a + c.b * o.x)))) AS BIGINT)
+           AS loss2,
+         CAST(sum(greatest(9 * (o.y - (c.a + c.b * o.x)),
+                           -(o.y - (c.a + c.b * o.x)))) AS BIGINT)
+           AS loss10,
+         CAST(count(*) AS BIGINT) AS n
+  FROM obs o CROSS JOIN cands c
+  GROUP BY c.a, c.b
+)
+SELECT 'p50' AS tau, a AS best_a, b AS best_b,
+       round(loss2 / (2.0 * n * 100.0) + 1e-9, 4) AS mean_pinball_dollars
+FROM losses
+QUALIFY row_number() OVER (ORDER BY loss2, a, b) = 1
+UNION ALL
+SELECT 'p90' AS tau, a AS best_a, b AS best_b,
+       round(loss10 / (10.0 * n * 100.0) + 1e-9, 4) AS mean_pinball_dollars
+FROM losses
+QUALIFY row_number() OVER (ORDER BY loss10, a, b) = 1
+"""
+
+
+@query(
+    "q257_grid_quantile_regression",
+    tags=("statistics", "regression", "grid-search"),
+    oracle=_qr_oracle(),
+)
+def q257_grid_quantile_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile regression by exhaustive grid search: fit
+    extendedprice-cents = a + b·quantity at τ = 0.5 and 0.9 by
+    evaluating the pinball loss of a 7×7 literal candidate grid in ONE
+    aggregation pass — the distributed model-selection pattern (grid
+    search as a broadcast fan-out + groupBy, q223's philosophy applied
+    to a loss surface) that replaces τ-quantile iterative solvers when
+    the model is low-dimensional; production refines the grid around
+    the argmin recursively.
+
+    Exactness: scaled pinball losses are exact BIGINTs —
+    2·pinball(τ=.5) = |d| and 10·pinball(τ=.9) = max(9d, −d) with
+    integer cents d — so the argmin per τ is an exact integer
+    comparison with an (a, b) total-order tie-break (footgun 3). Only
+    the REPORTED mean loss divides into dollars (exact-ratio class,
+    rule 5). Scale: the fan-out is |facts| × 49 candidate rows,
+    map-side broadcast, one shuffle on the 49-key grid.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    obs = li.where(F.col("l_linenumber") == 1).select(
+        F.round(F.col("l_quantity")).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    cands = spark.createDataFrame(
+        [(a, b) for a in _QR_GRID_A for b in _QR_GRID_B], "a long, b long"
+    )
+    d = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    losses = (
+        obs.crossJoin(F.broadcast(cands))
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.greatest(d, -d)).alias("loss2"),
+            F.sum(F.greatest(9 * d, -d)).alias("loss10"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint(eager=False)  # two argmin branches
+    )
+    p50 = (
+        losses.orderBy("loss2", "a", "b")
+        .limit(1)
+        .select(
+            F.lit("p50").alias("tau"),
+            F.col("a").alias("best_a"),
+            F.col("b").alias("best_b"),
+            fround(
+                F.col("loss2") / (2.0 * F.col("n") * 100.0), 4
+            ).alias("mean_pinball_dollars"),
+        )
+    )
+    p90 = (
+        losses.orderBy("loss10", "a", "b")
+        .limit(1)
+        .select(
+            F.lit("p90").alias("tau"),
+            F.col("a").alias("best_a"),
+            F.col("b").alias("best_b"),
+            fround(
+                F.col("loss10") / (10.0 * F.col("n") * 100.0), 4
+            ).alias("mean_pinball_dollars"),
+        )
+    )
+    return p50.unionByName(p90)

@@ -1958,3 +1958,112 @@ def q254_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(fround((F.col("vf") - F.col("v")) / F.col("vf"), 6))
         .alias("removal_effect"),
     )
+
+
+@query(
+    "q255_behavioral_user_similarity",
+    tags=("similarity", "recommender", "behavioral"),
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+), norms AS (
+  SELECT user_id, CAST(sum(c * c) AS BIGINT) AS sq FROM counts
+  GROUP BY user_id
+), probes AS (
+  SELECT user_id AS probe_id FROM (
+    SELECT DISTINCT user_id FROM counts ORDER BY user_id LIMIT 3
+  )
+), dots AS (
+  SELECT p.probe_id, u.user_id,
+         CAST(sum(pc.c * u.c) AS BIGINT) AS dot
+  FROM probes p
+  JOIN counts pc ON pc.user_id = p.probe_id
+  JOIN counts u ON u.event_type = pc.event_type
+  WHERE u.user_id != p.probe_id
+  GROUP BY p.probe_id, u.user_id
+), scored AS (
+  SELECT d.probe_id, d.user_id, d.dot,
+         round(d.dot / sqrt(np.sq * 1.0 * nu.sq) + 1e-9, 6) AS cosine
+  FROM dots d
+  JOIN norms np ON np.user_id = d.probe_id
+  JOIN norms nu ON nu.user_id = d.user_id
+)
+SELECT probe_id, user_id, dot, cosine,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY probe_id ORDER BY cosine DESC, user_id
+  ) AS rk FROM scored
+) WHERE rk <= 3
+""",
+)
+def q255_behavioral_user_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Behavioral user similarity: each user's event-type count vector
+    (exact integers — no learned embedding needed), cosine-matched
+    against 3 probe users via the SPARSE dot product (a join on the
+    type key — never a dense |types|-wide pivot), top-3 neighbors per
+    probe — the audience look-alike / segmentation primitive, and the
+    exact baseline a learned user-embedding ANN (q40-q42 machinery)
+    would be audited against.
+
+    Scale: counts are one grouped pass; probes are a fixed-k
+    TakeOrderedAndProject broadcast into the type join; norms join at
+    the user grain (shuffle, never broadcast — the q114 rule). Cosine
+    is exact integers under one sqrt (q236 class), ranked on the
+    ROUNDED value with the user id tie-break (footgun 3).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["user_id", "event_type"])
+    counts = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # probes/norms/dot branches
+    )
+    norms = counts.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("sq")
+    )
+    probes = (
+        counts.select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(3)
+        .select(F.col("user_id").alias("probe_id"))
+    )
+    pc = counts.join(
+        F.broadcast(probes),
+        counts["user_id"] == F.col("probe_id"),
+    ).select("probe_id", "event_type", F.col("c").alias("pc"))
+    dots = (
+        counts.join(F.broadcast(pc), "event_type")
+        .where(F.col("user_id") != F.col("probe_id"))
+        .groupBy("probe_id", "user_id")
+        .agg(F.sum(F.col("pc") * F.col("c")).alias("dot"))
+    )
+    np_ = norms.select(
+        F.col("user_id").alias("probe_id"), F.col("sq").alias("psq")
+    )
+    scored = (
+        dots.join(np_, "probe_id")
+        .join(norms, "user_id")
+        .select(
+            "probe_id",
+            "user_id",
+            "dot",
+            fround(
+                F.col("dot")
+                / F.sqrt(F.col("psq") * 1.0 * F.col("sq")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("user_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wp).cast("bigint"))
+        .where(F.col("rk") <= 3)
+    )

@@ -1196,3 +1196,27 @@ def test_q254_markov_chain_is_bounded_frame(spark):
     # checkpoints; the only data-sized work is the sessionized pass.
     plan = physical_plan(_q(spark, "q254_markov_attribution"))
     assert "CartesianProduct" not in plan
+
+
+def test_q255_sparse_dot_no_dense_pivot(spark):
+    # the dot product is a join on the type key — no PivotFirst/dense
+    # vector node, no cartesian.
+    plan = physical_plan(_q(spark, "q255_behavioral_user_similarity"))
+    assert "CartesianProduct" not in plan
+    assert "PivotFirst" not in plan
+
+
+def test_q256_abc_uses_two_level_cumsum(spark):
+    # the ABC running sum must be the bucketed machinery, never a
+    # data-sized single-partition window over parts.
+    plan = physical_plan(_q(spark, "q256_abc_xyz_matrix"))
+    assert "_rk_bucket" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q257_grid_search_single_pass_takeordered(spark):
+    # 49 candidates broadcast into one fact pass; both argmins are
+    # TakeOrderedAndProject over the 49-row loss frame.
+    plan = physical_plan(_q(spark, "q257_grid_quantile_regression"))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 1
