@@ -1637,3 +1637,126 @@ def q175_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+@query(
+    "q260_popularity_recommender_backtest",
+    tags=("recommender", "evaluation", "backtest"),
+    oracle="""
+WITH lastord AS (
+  SELECT o_custkey, o_orderkey AS test_order FROM (
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC
+           ) AS rk
+    FROM orders
+  ) WHERE rk = 1
+), trainord AS (
+  SELECT o.o_orderkey
+  FROM orders o LEFT JOIN lastord l ON o.o_orderkey = l.test_order
+  WHERE l.test_order IS NULL
+), pop AS (
+  SELECT l_partkey,
+         CAST(count(DISTINCT li.l_orderkey) AS BIGINT) AS n_orders,
+         row_number() OVER (
+           ORDER BY count(DISTINCT li.l_orderkey) DESC, l_partkey
+         ) AS rk
+  FROM lineitem li JOIN trainord t ON li.l_orderkey = t.o_orderkey
+  GROUP BY l_partkey
+  QUALIFY rk <= 10
+), testparts AS (
+  SELECT l.o_custkey, li.l_partkey
+  FROM lastord l JOIN lineitem li ON li.l_orderkey = l.test_order
+), custhit AS (
+  SELECT t.o_custkey, min(p.rk) AS min_rk
+  FROM testparts t LEFT JOIN pop p ON t.l_partkey = p.l_partkey
+  GROUP BY t.o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(CASE WHEN min_rk <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1.0 / count(*) + 1e-9, 6) AS hit_rate_1,
+       round(CAST(sum(CASE WHEN min_rk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1.0 / count(*) + 1e-9, 6) AS hit_rate_3,
+       round(CAST(sum(CASE WHEN min_rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1.0 / count(*) + 1e-9, 6) AS hit_rate_10
+FROM custhit
+""",
+)
+def q260_popularity_recommender_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-last-order-out backtest of the popularity-baseline
+    recommender: hold out each customer's LAST order (temporal split —
+    never a random one, which leaks future popularity), rank parts by
+    how many TRAINING orders contain them, and measure hit-rate@1/3/10
+    against the held-out baskets — the floor every personalized
+    recommender (q236's item-item CF among them) must beat to justify
+    its complexity.
+
+    Scale: the holdout is one per-customer window; popularity is one
+    grouped count over training lineitems with a fixed-k
+    TakeOrderedAndProject top-10 broadcast into the test-basket probe;
+    hit rates are exact integer ratios (rule 5). No per-customer state
+    beyond a groupBy.
+    """
+    from pyspark.sql import Window
+
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    wl = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    lastord = (
+        orders.withColumn("rk", F.row_number().over(wl))
+        .where(F.col("rk") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("test_order"))
+        .localCheckpoint(eager=False)  # train anti-join + test baskets
+    )
+    trainord = orders.join(
+        lastord.select(F.col("test_order").alias("o_orderkey")),
+        "o_orderkey",
+        "left_anti",
+    ).select("o_orderkey")
+    pop = (
+        li.join(
+            trainord.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    pop = pop.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("n_orders"), F.asc("l_partkey"))
+        ),
+    ).select("l_partkey", "rk")
+    testparts = lastord.join(
+        li.select(
+            F.col("l_orderkey").alias("test_order"), "l_partkey"
+        ),
+        "test_order",
+    )
+    custhit = (
+        testparts.join(F.broadcast(pop), "l_partkey", "left")
+        .groupBy("o_custkey")
+        .agg(F.min("rk").alias("min_rk"))
+    )
+    hits = lambda k: fround(
+        F.sum(F.when(F.col("min_rk") <= k, 1).otherwise(0))
+        * 1.0
+        / F.count(F.lit(1)),
+        6,
+    )
+    return custhit.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        hits(1).alias("hit_rate_1"),
+        hits(3).alias("hit_rate_3"),
+        hits(10).alias("hit_rate_10"),
+    )

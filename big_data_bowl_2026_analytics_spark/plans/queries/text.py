@@ -1727,3 +1727,201 @@ def q243_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_char"
         ),
     )
+
+
+_CC_CONFLICT_ORACLE = (
+    _CC_REACH_CTES
+    + """
+, comp AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), joined AS (
+  SELECT c.cluster_id, d.doc_id, d.lang, d.source
+  FROM comp c JOIN documents d USING (doc_id)
+), stats AS (
+  SELECT cluster_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM joined GROUP BY cluster_id
+), maj AS (
+  SELECT cluster_id, lang AS majority_lang FROM (
+    SELECT cluster_id, lang,
+           row_number() OVER (
+             PARTITION BY cluster_id ORDER BY count(*) DESC, lang
+           ) AS rk
+    FROM joined GROUP BY cluster_id, lang
+  ) WHERE rk = 1
+)
+SELECT s.cluster_id, s.n_docs, s.n_langs, s.n_sources,
+       m.majority_lang,
+       s.n_langs > 1 AS lang_conflict,
+       s.n_sources > 1 AS source_conflict
+FROM stats s JOIN maj m USING (cluster_id)
+WHERE s.n_docs >= 2
+"""
+)
+
+
+@query(
+    "q258_dedup_cluster_conflicts",
+    tags=("dedup", "audit", "quality"),
+    oracle=_CC_CONFLICT_ORACLE,
+)
+def q258_dedup_cluster_conflicts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-conflict audit over near-duplicate clusters: for every
+    q60 cluster of size ≥ 2, do its members AGREE on language and
+    source? Disagreement means either the LSH graph over-merged
+    (cross-language false positives — tighten bands) or the metadata
+    is wrong (mislabeled mirror feeds) — the audit that decides
+    whether q98's survivor can safely inherit its cluster's metadata.
+
+    Scale: clustering is the existing min-label operator; the audit is
+    one cluster-grain aggregate plus a per-cluster majority window
+    (partitioned by cluster, tie-broken on the lang string — footgun
+    3). Same recursive-CTE fixpoint oracle family as q60/q91/q98.
+    """
+    from ...operators.dedup import duplicate_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    bands = lsh_bands(sig, n_hashes=8, band_size=2)
+    pairs = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
+    comp = duplicate_clusters(pairs, docs, id_col="doc_id")
+    joined = comp.join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    ).localCheckpoint(eager=False)  # stats + majority branches
+    stats = joined.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n"), F.asc("lang")
+    )
+    maj = (
+        joined.groupBy("cluster_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(wc))
+        .where(F.col("rk") == 1)
+        .select("cluster_id", F.col("lang").alias("majority_lang"))
+    )
+    return (
+        stats.join(maj, "cluster_id")
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "cluster_id",
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            "majority_lang",
+            (F.col("n_langs") > 1).alias("lang_conflict"),
+            (F.col("n_sources") > 1).alias("source_conflict"),
+        )
+    )
+
+
+@query(
+    "q259_kwic_snippets",
+    tags=("text", "retrieval", "snippets"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tf AS (
+  SELECT doc_id, unnest(w) AS term FROM toks
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY term
+), qterms AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk
+    FROM dfreq
+  ) WHERE rk BETWEEN 5 AND 12
+), hits AS (
+  SELECT t.doc_id, q.term,
+         CAST(list_position(t.w, q.term) AS BIGINT) AS pos,
+         CAST(len(t.w) AS BIGINT) AS n_tok,
+         t.w
+  FROM toks t CROSS JOIN qterms q
+  WHERE list_position(t.w, q.term) > 0
+), sel AS (
+  SELECT doc_id, term, pos, n_tok, w,
+         row_number() OVER (
+           PARTITION BY term ORDER BY doc_id
+         ) AS rk
+  FROM hits
+)
+SELECT term, doc_id, pos,
+       array_to_string(
+         w[CAST(greatest(1, pos - 3) AS BIGINT):
+           CAST(least(n_tok, pos + 3) AS BIGINT)], ' '
+       ) AS snippet
+FROM sel WHERE rk <= 5
+""",
+)
+def q259_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets: for each of the q238 query terms
+    (document-frequency ranks 5-12), the FIRST occurrence position and
+    a ±3-token context window from the 5 lowest-id matching documents
+    — the search-result presentation layer that completes the BM25
+    retrieval stack (ranked ids alone are not a search product).
+
+    Scale: the token array is bound ONCE in a projection (the CSE
+    rule — split() must not be re-evaluated inside position/slice
+    expressions); query terms are a bounded broadcast; the
+    per-term document cap plans as WindowGroupLimit (map-side prune).
+    Position/slice arithmetic is exact integers; boundary clamping is
+    written identically on both sides so edge-of-document snippets
+    shorten the same way.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    ).localCheckpoint(eager=False)  # df-rank branch + hit branch
+    tf = toks.select("doc_id", F.explode("w").alias("term"))
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    top12 = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(12)
+    qterms = (
+        top12.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("df"), F.asc("term"))),
+        )
+        .where(F.col("rk").between(5, 12))
+        .select("term")
+    )
+    pos = F.array_position(F.col("w"), F.col("term")).cast("bigint")
+    hits = (
+        toks.crossJoin(F.broadcast(qterms))
+        .select(
+            "doc_id",
+            "term",
+            pos.alias("pos"),
+            F.size("w").cast("bigint").alias("n_tok"),
+            "w",
+        )
+        .where(F.col("pos") > 0)
+    )
+    wt = Window.partitionBy("term").orderBy("doc_id")
+    start = F.greatest(F.lit(1), F.col("pos") - 3)
+    length = (
+        F.least(F.col("n_tok"), F.col("pos") + 3) - start + 1
+    ).cast("int")
+    return (
+        hits.withColumn("rk", F.row_number().over(wt))
+        .where(F.col("rk") <= 5)
+        .select(
+            "term",
+            "doc_id",
+            "pos",
+            F.array_join(
+                F.slice(F.col("w"), start.cast("int"), length), " "
+            ).alias("snippet"),
+        )
+    )

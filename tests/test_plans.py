@@ -1220,3 +1220,23 @@ def test_q257_grid_search_single_pass_takeordered(spark):
     plan = physical_plan(_q(spark, "q257_grid_quantile_regression"))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Location: InMemoryFileIndex") <= 1
+
+
+def test_q258_conflict_audit_no_cartesian(spark):
+    plan = physical_plan(_q(spark, "q258_dedup_cluster_conflicts"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q259_kwic_per_term_cap_is_window_group_limit(spark):
+    # the 5-docs-per-term cap prunes map-side; query terms broadcast.
+    plan = physical_plan(_q(spark, "q259_kwic_snippets"))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q260_popularity_topk_and_semi_join(spark):
+    # training restriction is a semi join; the top-10 is partial top-k.
+    plan = physical_plan(_q(spark, "q260_popularity_recommender_backtest"))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
