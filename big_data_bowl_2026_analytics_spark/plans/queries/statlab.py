@@ -1734,3 +1734,147 @@ def q257_grid_quantile_regression(
         )
     )
     return p50.unionByName(p90)
+
+
+@query(
+    "q261_difference_in_differences",
+    tags=("statistics", "causal", "ab-test"),
+    oracle=f"""
+WITH span AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+         max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+), assigned AS (
+  SELECT CASE WHEN {_hash16_sql("did|", "o_custkey")} < 32768
+              THEN 'treat' ELSE 'control' END AS grp,
+         CASE WHEN CAST(o_orderdate AS DATE) - d0
+                   >= CAST((d1 - d0) / 2 AS BIGINT)
+              THEN 'post' ELSE 'pre' END AS period,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN span
+), cells AS (
+  SELECT grp, period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         sum(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)) AS sq
+  FROM assigned GROUP BY grp, period
+), m AS (
+  SELECT grp, period, n,
+         CAST(s AS DOUBLE) / n AS mean,
+         (CAST(n AS DOUBLE) * sq
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var
+  FROM cells
+), wide AS (
+  SELECT
+    min(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean END) AS tp0,
+    min(CASE WHEN grp = 'treat' AND period = 'post' THEN mean END) AS tp1,
+    min(CASE WHEN grp = 'control' AND period = 'pre' THEN mean END) AS cp0,
+    min(CASE WHEN grp = 'control' AND period = 'post' THEN mean END) AS cp1,
+    min(CASE WHEN grp = 'treat' AND period = 'pre' THEN var / n END) AS v1,
+    min(CASE WHEN grp = 'treat' AND period = 'post' THEN var / n END) AS v2,
+    min(CASE WHEN grp = 'control' AND period = 'pre' THEN var / n END) AS v3,
+    min(CASE WHEN grp = 'control' AND period = 'post' THEN var / n END) AS v4,
+    CAST(sum(n) AS BIGINT) AS n_orders
+  FROM m
+)
+SELECT n_orders,
+       round(tp0 / 100.0 + 1e-9, 4) AS treat_pre,
+       round(tp1 / 100.0 + 1e-9, 4) AS treat_post,
+       round(cp0 / 100.0 + 1e-9, 4) AS control_pre,
+       round(cp1 / 100.0 + 1e-9, 4) AS control_post,
+       round(((tp1 - tp0) - (cp1 - cp0)) / 100.0 + 1e-9, 4) + 0 AS did,
+       round(sqrt(((v1 + v2) + v3) + v4) / 100.0 + 1e-9, 4) AS se,
+       round(((tp1 - tp0) - (cp1 - cp0)) / sqrt(((v1 + v2) + v3) + v4)
+             + 1e-9, 4) + 0 AS t_stat
+FROM wide
+""",
+)
+def q261_difference_in_differences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Difference-in-differences estimator: keyed-hash treatment
+    assignment on the customer (the q127 split), pre/post periods at
+    the data's midpoint date (integer day arithmetic), DiD =
+    (ΔTreat − ΔControl) on mean order value with a four-cell Welch
+    standard error — the quasi-experimental workhorse for launches
+    that can't be randomized per event; on a null assignment (this
+    hash split changes nothing) t should hover near 0, making the
+    query its own A/A calibration (q177's discipline).
+
+    Exactness: count/sum cells are exact BIGINTs cast to double once
+    (q204 rule); the SQUARE sum alone is a float sum of exact double
+    products — cents < 2^26 so each square is exact, but Σcents² would
+    overflow int64 at sf0.1 (measured), the q204 bound inverted —
+    and its ordering ulp is fround-absorbed. did/t carry the
+    sign-of-zero `+ 0` guard (footgun 9). One grouped pass over
+    orders; everything after is a 4-row frame.
+    """
+    o = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_totalprice"],
+    )
+    span = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    h = _hash16("did|", F.col("o_custkey"))
+    assigned = o.crossJoin(F.broadcast(span)).select(
+        F.when(h < 32768, "treat").otherwise("control").alias("grp"),
+        F.when(
+            F.datediff(F.to_date("o_orderdate"), F.col("d0"))
+            >= F.floor(
+                F.datediff(F.col("d1"), F.col("d0")) / 2
+            ).cast("bigint"),
+            "post",
+        ).otherwise("pre").alias("period"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cells = assigned.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(
+            F.col("cents").cast("double") * F.col("cents").cast("double")
+        ).alias("sq"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        n_d * F.col("sq")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (n_d * (n_d - 1.0))
+    m = cells.select(
+        "grp", "period", "n", mean.alias("mean"), var.alias("var")
+    )
+
+    def cell(g, p, col):
+        return F.min(
+            F.when(
+                (F.col("grp") == g) & (F.col("period") == p), F.col(col)
+            )
+        )
+
+    m2 = m.withColumn("var_n", F.col("var") / F.col("n"))
+    wide = m2.agg(
+        cell("treat", "pre", "mean").alias("tp0"),
+        cell("treat", "post", "mean").alias("tp1"),
+        cell("control", "pre", "mean").alias("cp0"),
+        cell("control", "post", "mean").alias("cp1"),
+        cell("treat", "pre", "var_n").alias("v1"),
+        cell("treat", "post", "var_n").alias("v2"),
+        cell("control", "pre", "var_n").alias("v3"),
+        cell("control", "post", "var_n").alias("v4"),
+        F.sum("n").alias("n_orders"),
+    )
+    did = (F.col("tp1") - F.col("tp0")) - (F.col("cp1") - F.col("cp0"))
+    sev = ((F.col("v1") + F.col("v2")) + F.col("v3")) + F.col("v4")
+    return wide.select(
+        "n_orders",
+        fround(F.col("tp0") / 100.0, 4).alias("treat_pre"),
+        fround(F.col("tp1") / 100.0, 4).alias("treat_post"),
+        fround(F.col("cp0") / 100.0, 4).alias("control_pre"),
+        fround(F.col("cp1") / 100.0, 4).alias("control_post"),
+        (fround(did / 100.0, 4) + 0).alias("did"),
+        fround(F.sqrt(sev) / 100.0, 4).alias("se"),
+        (fround(did / F.sqrt(sev), 4) + 0).alias("t_stat"),
+    )

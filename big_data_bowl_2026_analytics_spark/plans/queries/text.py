@@ -1925,3 +1925,120 @@ def q259_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("snippet"),
         )
     )
+
+
+@query(
+    "q262_source_ablation_diversity",
+    tags=("llm-pipeline", "mixing", "audit"),
+    oracle="""
+WITH cont AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+), langs AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM cont GROUP BY lang
+), srcs AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM cont GROUP BY source
+), tot AS (
+  SELECT CAST(sum(nl) AS BIGINT) AS nt FROM langs
+), hfull AS (
+  SELECT -sum(CASE WHEN nl > 0
+                   THEN (nl * 1.0 / nt) * ln(nl * 1.0 / nt)
+                   ELSE 0.0 END) AS h
+  FROM langs CROSS JOIN tot
+), cells AS (
+  SELECT s.source, l.lang, s.ns,
+         l.nl - coalesce(c.n, 0) AS m
+  FROM langs l CROSS JOIN srcs s
+  LEFT JOIN cont c ON c.lang = l.lang AND c.source = s.source
+), hwo AS (
+  SELECT source, any_value(ns) AS ns,
+         -sum(CASE WHEN m > 0
+                   THEN (m * 1.0 / (nt - any_ns)) * ln(m * 1.0 / (nt - any_ns))
+                   ELSE 0.0 END) AS h_without
+  FROM (
+    SELECT c.source, c.lang, c.ns, c.m, t.nt, c.ns AS any_ns
+    FROM cells c CROSS JOIN tot t
+  ) GROUP BY source
+)
+SELECT w.source, w.ns AS n_docs,
+       round(w.ns * 1.0 / t.nt + 1e-9, 6) AS corpus_share,
+       round(f.h + 1e-9, 6) AS h_full,
+       round(w.h_without + 1e-9, 6) AS h_without,
+       round(f.h - w.h_without + 1e-9, 6) + 0 AS delta_h
+FROM hwo w CROSS JOIN hfull f CROSS JOIN tot t
+""",
+)
+def q262_source_ablation_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Source-ablation diversity audit: the Shannon entropy of the
+    corpus language distribution, recomputed WITHOUT each ingest
+    source — ΔH per source is the data-valuation number that says
+    which feeds actually buy linguistic diversity (the thing q208's
+    temperature mixing needs) versus which just add more of the
+    majority language (ΔH ≤ 0: removing them would RAISE diversity).
+
+    Scale: everything runs on the |langs × sources| contingency frame
+    from ONE grouped pass; ablated counts are the margin minus the
+    cell (never a per-source re-scan of documents). 0·ln0 terms are
+    excluded by explicit CASE (the q188 rule); ΔH can round to zero
+    from below, so it carries the sign-of-zero guard (footgun 9).
+    """
+    docs = read_table(spark, sf_dir, "documents", ["lang", "source"])
+    cont = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # margins + cells branches
+    )
+    langs = cont.groupBy("lang").agg(F.sum("n").alias("nl"))
+    langs = langs.localCheckpoint(eager=False)  # hfull + cells branches
+    srcs = cont.groupBy("source").agg(F.sum("n").alias("ns"))
+    tot = langs.agg(F.sum("nl").alias("nt"))
+    p_full = F.col("nl") * 1.0 / F.col("nt")
+    hfull = (
+        langs.crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(
+                F.when(F.col("nl") > 0, p_full * F.log(p_full)).otherwise(
+                    0.0
+                )
+            )).alias("h")
+        )
+    )
+    cells = (
+        langs.crossJoin(srcs)
+        .join(cont, ["lang", "source"], "left")
+        .select(
+            "source",
+            "lang",
+            "ns",
+            (F.col("nl") - F.coalesce(F.col("n"), F.lit(0))).alias("m"),
+        )
+    )
+    p_wo = F.col("m") * 1.0 / (F.col("nt") - F.col("ns"))
+    hwo = (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.any_value("ns").alias("ns"),
+            (-F.sum(
+                F.when(F.col("m") > 0, p_wo * F.log(p_wo)).otherwise(0.0)
+            )).alias("h_without"),
+        )
+    )
+    return (
+        hwo.crossJoin(F.broadcast(hfull))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("ns").alias("n_docs"),
+            fround(F.col("ns") * 1.0 / F.col("nt"), 6).alias(
+                "corpus_share"
+            ),
+            fround(F.col("h"), 6).alias("h_full"),
+            fround(F.col("h_without"), 6).alias("h_without"),
+            (fround(F.col("h") - F.col("h_without"), 6) + 0).alias(
+                "delta_h"
+            ),
+        )
+    )

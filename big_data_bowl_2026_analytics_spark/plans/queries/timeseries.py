@@ -2067,3 +2067,111 @@ def q255_behavioral_user_similarity(
         scored.withColumn("rk", F.row_number().over(wp).cast("bigint"))
         .where(F.col("rk") <= 3)
     )
+
+
+@query(
+    "q263_peak_detection",
+    tags=("timeseries", "anomaly", "monitoring"),
+    oracle="""
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(h) AS mn, max(h) AS mx FROM counts
+), dense AS MATERIALIZED (
+  SELECT g.h, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series(mn, mx)) AS h FROM bounds) g
+  LEFT JOIN counts c ON c.h = g.h
+), thresh AS (
+  SELECT x AS p90 FROM (
+    SELECT x, row_number() OVER (ORDER BY x, h) AS rn,
+           count(*) OVER () AS n
+    FROM dense
+  ) WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+), nbr AS (
+  SELECT h, x,
+         lag(x) OVER (ORDER BY h) AS x_prev,
+         lead(x) OVER (ORDER BY h) AS x_next
+  FROM dense
+)
+SELECT n.h AS hour_num, n.x, n.x_prev, n.x_next, t.p90
+FROM nbr n CROSS JOIN thresh t
+WHERE n.x_prev IS NOT NULL AND n.x_next IS NOT NULL
+  AND n.x > n.x_prev AND n.x > n.x_next AND n.x >= t.p90
+""",
+)
+def q263_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-peak detection: hours that are strict local maxima of
+    the event-rate series AND sit at or above the exact p90 of hourly
+    volume — the alerting primitive behind spike review (every peak
+    row is an incident candidate with its neighbors attached for
+    triage). The series runs on the DENSE hour spine (q246 rule —
+    gaps are real zeros, and a missing hour must be able to END a
+    peak), and the threshold is an exact order statistic (q184 rule),
+    never an interpolated or approximate quantile.
+
+    Scale: one hourly pre-aggregation over events; everything after
+    runs on the hours-grain frame (bounded by the time span — the
+    q227 bounded-grain argument covers its windows). Integer counts
+    end to end; no floats anywhere in the detection logic.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["ts"])
+    counts = (
+        ev.select(
+            F.floor(F.col("ts").cast("double") / 3600)
+            .cast("bigint")
+            .alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = counts.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    dense = (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h")
+        )
+        .join(counts, "h", "left")
+        .select(
+            "h", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x")
+        )
+        .localCheckpoint(eager=False)  # threshold + neighbor branches
+    )
+    wr = Window.orderBy("x", "h")
+    thresh = (
+        dense.select(
+            "x",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy()
+            ).alias("n"),
+        )
+        .where(F.col("rn") == F.ceil(0.9 * F.col("n")).cast("bigint"))
+        .select(F.col("x").alias("p90"))
+    )
+    wh = Window.orderBy("h")
+    nbr = dense.select(
+        "h",
+        "x",
+        F.lag("x").over(wh).alias("x_prev"),
+        F.lead("x").over(wh).alias("x_next"),
+    )
+    return (
+        nbr.crossJoin(F.broadcast(thresh))
+        .where(
+            F.col("x_prev").isNotNull()
+            & F.col("x_next").isNotNull()
+            & (F.col("x") > F.col("x_prev"))
+            & (F.col("x") > F.col("x_next"))
+            & (F.col("x") >= F.col("p90"))
+        )
+        .select(
+            F.col("h").alias("hour_num"),
+            "x",
+            "x_prev",
+            "x_next",
+            "p90",
+        )
+    )

@@ -1240,3 +1240,23 @@ def test_q260_popularity_topk_and_semi_join(spark):
     assert "TakeOrderedAndProject" in plan
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q261_did_single_scan_four_cells(spark):
+    # one grouped pass over orders; the span is a broadcast one-row.
+    plan = physical_plan(_q(spark, "q261_difference_in_differences"))
+    assert plan.count("Location: InMemoryFileIndex") <= 2  # orders + span
+    assert "CartesianProduct" not in plan
+
+
+def test_q262_ablation_runs_on_contingency_frame(spark):
+    # ablated entropies come from margin-minus-cell algebra — no
+    # per-source re-scan of documents.
+    plan = physical_plan(_q(spark, "q262_source_ablation_diversity"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q263_peaks_on_bounded_hour_grain(spark):
+    # hourly pre-aggregation first; windows run on the hours frame.
+    plan = physical_plan(_q(spark, "q263_peak_detection"))
+    assert "CartesianProduct" not in plan
