@@ -1760,3 +1760,136 @@ def q260_popularity_recommender_backtest(
         hits(3).alias("hit_rate_3"),
         hits(10).alias("hit_rate_10"),
     )
+
+
+@query(
+    "q266_customer_feature_assembly",
+    tags=("ml", "feature-engineering", "feature-store"),
+    oracle="""
+WITH horizon AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS end_d FROM orders
+), ofeat AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(any_value(h.end_d) - max(CAST(o_orderdate AS DATE))
+              AS BIGINT) AS recency_days,
+         CAST(max(CAST(o_orderdate AS DATE))
+              - min(CAST(o_orderdate AS DATE)) AS BIGINT) AS tenure_days,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders CROSS JOIN horizon h
+  GROUP BY o_custkey
+), lfeat AS (
+  SELECT o.o_custkey,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+         CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returned
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey
+)
+SELECT f.o_custkey,
+       f.n_orders, f.recency_days, f.tenure_days, f.total_cents,
+       round(f.total_cents * 1.0 / (100.0 * f.n_orders) + 1e-9, 2)
+         AS mean_order_value,
+       CASE WHEN f.n_orders > 1
+            THEN round(f.tenure_days * 1.0 / (f.n_orders - 1) + 1e-9, 4)
+            ELSE NULL END AS mean_interorder_days,
+       l.n_items, l.n_parts, l.n_suppliers,
+       round(l.n_returned * 1.0 / l.n_items + 1e-9, 6) AS return_share,
+       round(l.n_parts * 1.0 / l.n_items + 1e-9, 6) AS part_diversity,
+       f.recency_days <= 90 AS active_last_quarter
+FROM ofeat f JOIN lfeat l ON f.o_custkey = l.o_custkey
+""",
+)
+def q266_customer_feature_assembly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer feature-store materialization: one row per customer
+    assembling RFM-style order features (recency, tenure, value,
+    inter-order cadence) with basket-grain behavior features (item
+    volume, part/supplier diversity, return share) and a churn-label
+    candidate (active_last_quarter) — the canonical wide-table
+    "assemble features at the entity grain from N source grains" job
+    every training pipeline runs nightly (q217 buckets these; this is
+    the raw feature surface a model trains on).
+
+    Scale: one aggregate per source grain, both shuffled on the
+    customer key, one equi-join at the entity grain, one broadcast
+    horizon row — adding a feature source adds ONE aggregate + join,
+    never a per-customer loop. Counts/cents are exact integers; every
+    derived ratio is the exact-ratio class (rule 5); singleton-order
+    customers yield NULL cadence identically on both sides.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"],
+    )
+    horizon = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("end_d")
+    )
+    d = F.to_date("o_orderdate")
+    ofeat = (
+        orders.crossJoin(F.broadcast(horizon))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.datediff(F.any_value("end_d"), F.max(d))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.datediff(F.max(d), F.min(d)).cast("bigint").alias(
+                "tenure_days"
+            ),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("total_cents"),
+        )
+    )
+    lfeat = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_returned"),
+        )
+    )
+    return ofeat.join(lfeat, "o_custkey").select(
+        "o_custkey",
+        "n_orders",
+        "recency_days",
+        "tenure_days",
+        "total_cents",
+        fround(
+            F.col("total_cents") * 1.0 / (100.0 * F.col("n_orders")), 2
+        ).alias("mean_order_value"),
+        F.when(
+            F.col("n_orders") > 1,
+            fround(
+                F.col("tenure_days") * 1.0 / (F.col("n_orders") - 1), 4
+            ),
+        ).otherwise(F.lit(None).cast("double")).alias(
+            "mean_interorder_days"
+        ),
+        "n_items",
+        "n_parts",
+        "n_suppliers",
+        fround(F.col("n_returned") * 1.0 / F.col("n_items"), 6).alias(
+            "return_share"
+        ),
+        fround(F.col("n_parts") * 1.0 / F.col("n_items"), 6).alias(
+            "part_diversity"
+        ),
+        (F.col("recency_days") <= 90).alias("active_last_quarter"),
+    )

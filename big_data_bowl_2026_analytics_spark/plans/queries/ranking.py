@@ -743,3 +743,129 @@ def q256_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.avg("cv"), 6).alias("mean_cv"),
         )
     )
+
+
+@query(
+    "q264_price_volume_mix",
+    tags=("finance", "report", "decomposition"),
+    oracle="""
+WITH span AS (
+  SELECT min(CAST(l_shipdate AS DATE)) AS d0,
+         max(CAST(l_shipdate AS DATE)) AS d1
+  FROM lineitem
+), base AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN CAST(l.l_shipdate AS DATE) - s.d0
+                   >= CAST((s.d1 - s.d0) / 2 AS BIGINT)
+              THEN 2 ELSE 1 END AS period,
+         CAST(round(l.l_quantity) AS BIGINT) AS q,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  CROSS JOIN span s
+), cells AS MATERIALIZED (
+  SELECT brand,
+         CAST(sum(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN period = 2 THEN q ELSE 0 END) AS BIGINT) AS q2,
+         CAST(sum(CASE WHEN period = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS r1,
+         CAST(sum(CASE WHEN period = 2 THEN cents ELSE 0 END) AS BIGINT)
+           AS r2
+  FROM base GROUP BY brand
+  HAVING sum(CASE WHEN period = 1 THEN q ELSE 0 END) > 0
+     AND sum(CASE WHEN period = 2 THEN q ELSE 0 END) > 0
+)
+SELECT brand,
+       r2 - r1 AS delta_cents,
+       round(((r2 * 1.0 / q2) - (r1 * 1.0 / q1)) * q2 / 100.0 + 1e-9, 2)
+         + 0 AS price_effect,
+       round((q2 - q1) * (r1 * 1.0 / q1) / 100.0 + 1e-9, 2) + 0
+         AS volume_effect,
+       round((r2 - r1) / 100.0
+             - (((r2 * 1.0 / q2) - (r1 * 1.0 / q1)) * q2 / 100.0
+                + (q2 - q1) * (r1 * 1.0 / q1) / 100.0)
+             + 1e-9, 2) + 0 AS decomposition_check
+FROM cells
+""",
+)
+def q264_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of period-over-period revenue per
+    brand (first vs second half of the shipping span): ΔR =
+    (p₂ − p₁)·q₂ + (q₂ − q₁)·p₁ with realized prices p = R/Q — the
+    finance waterfall that answers "did revenue move because we
+    charged more or because we sold more", per brand. The
+    ``decomposition_check`` column re-derives the identity residual
+    and must round to 0.00 — the self-validating output pattern (q28's
+    discipline applied to an exact algebraic identity).
+
+    Scale: one fact pass with a broadcast part-dimension join and a
+    one-row span broadcast; both periods aggregate in the SAME
+    grouped pass (conditional sums — never two scans). Quantities and
+    cents are exact BIGINTs; realized prices are exact-ratio divisions
+    written identically on both sides (q143), and every effect carries
+    the sign-of-zero guard (footgun 9).
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"],
+    )
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    span = li.agg(
+        F.min(F.to_date("l_shipdate")).alias("d0"),
+        F.max(F.to_date("l_shipdate")).alias("d1"),
+    )
+    base = (
+        li.join(
+            F.broadcast(part),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.when(
+                F.datediff(F.to_date("l_shipdate"), F.col("d0"))
+                >= F.floor(
+                    F.datediff(F.col("d1"), F.col("d0")) / 2
+                ).cast("bigint"),
+                2,
+            ).otherwise(1).alias("period"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    cells = (
+        base.groupBy("brand")
+        .agg(
+            F.sum(F.when(F.col("period") == 1, F.col("q")).otherwise(0))
+            .alias("q1"),
+            F.sum(F.when(F.col("period") == 2, F.col("q")).otherwise(0))
+            .alias("q2"),
+            F.sum(
+                F.when(F.col("period") == 1, F.col("cents")).otherwise(0)
+            ).alias("r1"),
+            F.sum(
+                F.when(F.col("period") == 2, F.col("cents")).otherwise(0)
+            ).alias("r2"),
+        )
+        .where((F.col("q1") > 0) & (F.col("q2") > 0))
+    )
+    p1 = F.col("r1") * 1.0 / F.col("q1")
+    p2 = F.col("r2") * 1.0 / F.col("q2")
+    price_eff = (p2 - p1) * F.col("q2") / 100.0
+    vol_eff = (F.col("q2") - F.col("q1")) * p1 / 100.0
+    return cells.select(
+        "brand",
+        (F.col("r2") - F.col("r1")).alias("delta_cents"),
+        (fround(price_eff, 2) + 0).alias("price_effect"),
+        (fround(vol_eff, 2) + 0).alias("volume_effect"),
+        (
+            fround(
+                (F.col("r2") - F.col("r1")) / 100.0
+                - (price_eff + vol_eff),
+                2,
+            )
+            + 0
+        ).alias("decomposition_check"),
+    )

@@ -2042,3 +2042,92 @@ def q262_source_ablation_diversity(
             ),
         )
     )
+
+
+_DEDUP_SAVINGS_ORACLE = (
+    _CC_REACH_CTES
+    + """
+, comp AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), ranked AS (
+  SELECT c.cluster_id, d.doc_id, d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+         row_number() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY d.n_chars DESC, d.doc_id ASC
+         ) AS rk
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_raw,
+       CAST(sum(CASE WHEN rk = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       round(1.0 - CAST(sum(CASE WHEN rk = 1 THEN n_tok ELSE 0 END)
+                        AS BIGINT) * 1.0
+                   / CAST(sum(n_tok) AS BIGINT) + 1e-9, 6) + 0
+         AS token_savings
+FROM ranked
+GROUP BY source
+"""
+)
+
+
+@query(
+    "q265_dedup_savings_report",
+    tags=("dedup", "report", "llm-pipeline"),
+    oracle=_DEDUP_SAVINGS_ORACLE,
+)
+def q265_dedup_savings_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup savings report: for each ingest source, how many
+    documents and TOKENS survive near-duplicate collapse (q60
+    clusters, q98's survivor convention: longest text, doc_id
+    tie-break) — the per-feed KPI that prices each source's real
+    contribution to the training corpus (a feed that is 40% duplicate
+    tokens costs 40% more per useful token than its invoice says).
+
+    Scale: clustering is the existing min-label operator; the report
+    is one window (partitioned by cluster) plus one source-grain
+    aggregate. Counts are exact integers; the savings ratio is an
+    integer ratio with the sign-of-zero guard (a dup-free source
+    rounds to exactly +0.0 on both engines).
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    bands = lsh_bands(sig, n_hashes=8, band_size=2)
+    pairs = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
+    from ...operators.dedup import duplicate_clusters
+
+    comp = duplicate_clusters(pairs, docs, id_col="doc_id")
+    joined = comp.join(
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias(
+                "n_tok"
+            ),
+        ),
+        "doc_id",
+    )
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = joined.withColumn("rk", F.row_number().over(wc))
+    kept_tok = F.sum(
+        F.when(F.col("rk") == 1, F.col("n_tok")).otherwise(0)
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum("n_tok").alias("tokens_raw"),
+        kept_tok.alias("tokens_kept"),
+        (
+            fround(1.0 - kept_tok * 1.0 / F.sum("n_tok"), 6) + 0
+        ).alias("token_savings"),
+    )

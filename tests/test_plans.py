@@ -1260,3 +1260,24 @@ def test_q263_peaks_on_bounded_hour_grain(spark):
     # hourly pre-aggregation first; windows run on the hours frame.
     plan = physical_plan(_q(spark, "q263_peak_detection"))
     assert "CartesianProduct" not in plan
+
+
+def test_q264_pvm_broadcasts_part_dim_single_fact_pass(spark):
+    # both periods aggregate in one grouped pass (conditional sums);
+    # part dim is a broadcast hash join.
+    plan = physical_plan(_q(spark, "q264_price_volume_mix"))
+    assert ") BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q265_dedup_savings_single_cluster_window(spark):
+    plan = physical_plan(_q(spark, "q265_dedup_savings_report"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q266_feature_assembly_one_agg_per_grain(spark):
+    # one aggregate per source grain + one entity-grain join — no
+    # window, no per-customer iteration.
+    plan = physical_plan(_q(spark, "q266_customer_feature_assembly"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
