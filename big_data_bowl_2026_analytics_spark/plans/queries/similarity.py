@@ -1632,3 +1632,157 @@ def q251_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_d2",
         F.coalesce(F.col("xrk") <= 3, F.lit(False)).alias("in_exact_top3"),
     )
+
+
+@query(
+    "q267_lsh_1nn_label_coherence",
+    tags=("similarity", "ann", "audit", "ml"),
+    oracle=f"""
+WITH {_NORMED_CTE.strip()},
+sums AS (
+  SELECT vec_id, embedding, sqnorm, label, {_sums_cols_sql()}
+  FROM (
+    SELECT n.vec_id, n.embedding, n.sqnorm, e.label
+    FROM normed n JOIN embeddings e ON e.vec_id = n.vec_id
+  )
+),
+bucketed AS MATERIALIZED (
+  SELECT vec_id, embedding, sqnorm, label,
+         CAST({_bucket_sql(0, 4)} AS BIGINT) AS bucket
+  FROM sums
+), scored AS (
+  SELECT a.vec_id, a.label,
+         b.vec_id AS nbr_id, b.label AS nbr_label,
+         round(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(a.sqnorm) * sqrt(b.sqnorm)) + 1e-9, 6) AS cosine
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+  WHERE b.vec_id != a.vec_id
+), nn AS (
+  SELECT vec_id, label, nbr_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, nbr_id
+    ) AS rk FROM scored
+  ) WHERE rk = 1
+), perlabel AS (
+  SELECT b.label,
+         CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(count(n.vec_id) AS BIGINT) AS n_matched,
+         CAST(sum(CASE WHEN n.nbr_label = b.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM bucketed b LEFT JOIN nn n ON n.vec_id = b.vec_id
+  GROUP BY b.label
+)
+SELECT label, n_vectors, n_matched, n_correct,
+       CASE WHEN n_matched > 0
+            THEN round(n_correct * 1.0 / n_matched + 1e-9, 6) END
+         AS nn_accuracy,
+       round(n_matched * 1.0 / n_vectors + 1e-9, 6) AS coverage
+FROM perlabel
+""",
+)
+def q267_lsh_1nn_label_coherence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-out 1-NN label coherence through the PRODUCTION ANN
+    path: every vector's nearest bucket-mate (4-plane LSH — the q142
+    lesson: 8 planes shatter these synthetic vectors) votes a label,
+    and per-label agreement + coverage says whether the embedding
+    space actually clusters by label — the go/no-go audit before
+    anyone trains a classifier head on these vectors, measured on the
+    same index the deployment would serve from (recall losses count
+    against it, honestly).
+
+    Scale: the self-join is bucket-bounded (the whole point of LSH);
+    the 1-NN is a per-vector WindowGroupLimit on the ROUNDED cosine
+    with an id tie-break (footgun 3); accuracies are integer ratios
+    with unmatched vectors reported as coverage, not silently
+    dropped.
+    """
+    from pyspark.sql import Window
+
+    emb = read_table(
+        spark, sf_dir, "embeddings", ["vec_id", "embedding", "label"]
+    )
+    idx = (
+        with_lsh_bucket(emb, "embedding", 4, _DIM)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "bucket",
+            squared_norm(F.col("embedding")).alias("sqnorm"),
+        )
+        .localCheckpoint(eager=False)  # both join sides + census
+    )
+    a = idx.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_vec"),
+        F.col("sqnorm").alias("a_norm"),
+        "bucket",
+    )
+    b = idx.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("embedding").alias("b_vec"),
+        F.col("sqnorm").alias("b_norm"),
+        "bucket",
+    )
+    from ...operators.similarity import cosine
+
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("nbr_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "a_label",
+            "nbr_id",
+            "nbr_label",
+            fround(
+                cosine(
+                    F.col("a_vec"),
+                    F.col("b_vec"),
+                    F.col("a_norm"),
+                    F.col("b_norm"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wn = Window.partitionBy("a_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    nn = (
+        scored.withColumn("rk", F.row_number().over(wn))
+        .where(F.col("rk") == 1)
+        .select(F.col("a_id").alias("vec_id"), "nbr_label")
+    )
+    per = (
+        idx.select("vec_id", "label")
+        .join(nn, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("nbr_label").alias("n_matched"),
+            F.sum(
+                F.when(F.col("nbr_label") == F.col("label"), 1).otherwise(
+                    0
+                )
+            ).alias("n_correct"),
+        )
+    )
+    return per.select(
+        "label",
+        "n_vectors",
+        "n_matched",
+        "n_correct",
+        F.when(
+            F.col("n_matched") > 0,
+            fround(F.col("n_correct") * 1.0 / F.col("n_matched"), 6),
+        ).alias("nn_accuracy"),
+        fround(F.col("n_matched") * 1.0 / F.col("n_vectors"), 6).alias(
+            "coverage"
+        ),
+    )

@@ -1878,3 +1878,137 @@ def q261_difference_in_differences(
         fround(F.sqrt(sev) / 100.0, 4).alias("se"),
         (fround(did / F.sqrt(sev), 4) + 0).alias("t_stat"),
     )
+
+
+@query(
+    "q268_friedman_dow_test",
+    tags=("statistics", "nonparametric", "seasonality"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT min(day_num) AS mn, max(day_num) AS mx FROM daily
+), spine AS (
+  SELECT g.d AS day_num, CAST(coalesce(dd.cents, 0) AS BIGINT) AS cents,
+         CAST(g.d // 7 AS BIGINT) AS week,
+         CAST(g.d % 7 AS BIGINT) AS dow
+  FROM (SELECT unnest(generate_series(mn, mx)) AS d FROM bounds) g
+  LEFT JOIN daily dd ON dd.day_num = g.d
+), full_weeks AS MATERIALIZED (
+  SELECT * FROM spine
+  WHERE week IN (
+    SELECT week FROM spine GROUP BY week HAVING count(*) = 7
+  )
+), ranked AS (
+  SELECT week, dow,
+         rank() OVER (PARTITION BY week ORDER BY cents)
+           + (count(*) OVER (PARTITION BY week, cents) - 1) / 2.0
+           AS avg_rank
+  FROM full_weeks
+), rj AS (
+  SELECT dow,
+         sum(avg_rank) AS sum_rank,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM ranked GROUP BY dow
+), stat AS (
+  SELECT any_value(n_blocks) AS n_blocks,
+         (12.0 / (any_value(n_blocks) * 7.0 * 8.0)) * sum(sum_rank * sum_rank)
+           - (3.0 * any_value(n_blocks)) * 8.0 AS fr
+  FROM rj
+)
+SELECT r.dow, r.n_blocks,
+       round(r.sum_rank / r.n_blocks + 1e-9, 6) AS mean_rank,
+       round(s.fr + 1e-9, 6) + 0 AS friedman_stat
+FROM rj r CROSS JOIN stat s
+""",
+)
+def q268_friedman_dow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test for day-of-week seasonality: each complete
+    calendar week is a block, the 7 days are treatments, daily revenue
+    ranks WITHIN its week (ties as exact-half average ranks — the q211
+    rank-algebra class), and FR = 12/(n·k·(k+1))·ΣR_j² − 3n(k+1)
+    measures whether some weekday systematically out-earns the others
+    without assuming any distribution — the nonparametric complement
+    to q213's moving-average decomposition and q229's monotone-trend
+    test. dow is the epoch-day modulus (q213 rule); the day spine is
+    DENSE with partial boundary weeks dropped so every block has
+    exactly k = 7 treatments.
+
+    Scale: one daily aggregate, then everything runs on the days
+    grain (bounded by the time span); the rank window partitions by
+    week. Average ranks are exact halves (integer cents compare
+    exactly), so ΣR_j² diverges across engines only at the float-sum
+    ulp, absorbed by the fround pair.
+    """
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+            "day_num"
+        )
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    bounds = daily.agg(
+        F.min("day_num").alias("mn"), F.max("day_num").alias("mx")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+        )
+        .join(daily, F.col("d") == F.col("day_num"), "left")
+        .select(
+            F.coalesce(F.col("cents"), F.lit(0)).cast("bigint").alias(
+                "cents"
+            ),
+            F.floor(F.col("d") / 7).cast("bigint").alias("week"),
+            (F.col("d") % 7).cast("bigint").alias("dow"),
+        )
+        .localCheckpoint(eager=False)  # full-week filter + rank branches
+    )
+    full = spine.join(
+        spine.groupBy("week")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") == 7)
+        .select("week"),
+        "week",
+        "left_semi",
+    )
+    wr = Window.partitionBy("week").orderBy("cents")
+    wt = Window.partitionBy("week", "cents")
+    ranked = full.select(
+        "week",
+        "dow",
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    rj = ranked.groupBy("dow").agg(
+        F.sum("avg_rank").alias("sum_rank"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    rj = rj.localCheckpoint(eager=False)  # stat reduce + output branches
+    stat = rj.agg(
+        F.any_value("n_blocks").alias("nb"),
+        (
+            (12.0 / (F.any_value("n_blocks") * 7.0 * 8.0))
+            * F.sum(F.col("sum_rank") * F.col("sum_rank"))
+            - (3.0 * F.any_value("n_blocks")) * 8.0
+        ).alias("fr"),
+    )
+    return rj.crossJoin(F.broadcast(stat)).select(
+        "dow",
+        "n_blocks",
+        fround(F.col("sum_rank") / F.col("n_blocks"), 6).alias(
+            "mean_rank"
+        ),
+        (fround(F.col("fr"), 6) + 0).alias("friedman_stat"),
+    )

@@ -2175,3 +2175,99 @@ def q263_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90",
         )
     )
+
+
+@query(
+    "q269_ship_sla_attainment",
+    tags=("timeseries", "sla", "report"),
+    oracle="""
+WITH lat AS (
+  SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+           AS month_idx,
+         strftime(CAST(date_trunc('month', o.o_orderdate) AS DATE),
+                  '%Y-%m-%d') AS month_start,
+         CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+              AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), ranked AS (
+  SELECT month_idx, month_start, days,
+         row_number() OVER (PARTITION BY month_idx ORDER BY days) AS rn,
+         count(*) OVER (PARTITION BY month_idx) AS n
+  FROM lat
+)
+SELECT month_idx, any_value(month_start) AS month_start,
+       CAST(any_value(n) AS BIGINT) AS n_items,
+       round(CAST(sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1.0 / any_value(n) + 1e-9, 6) AS attainment_30d,
+       CAST(min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN days END) AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                     THEN days END) AS BIGINT) AS p90_days
+FROM ranked
+GROUP BY month_idx
+""",
+)
+def q269_ship_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA attainment by order month: share of line
+    items shipped within 30 days plus the EXACT p50/p90 latency
+    (rank selection per month — q184 rule; with duplicate latencies
+    the k-th smallest VALUE is invariant to tie order, so no
+    tie-break column is needed for value selection) — the monthly ops
+    scorecard that catches fulfillment regressions before customers
+    do, with percentiles that an approx-quantile would smear right at
+    the SLA boundary.
+
+    Scale: one fact join shuffled on the order key, then all windows
+    partition by month (per-partition size is one month of data);
+    integer day latencies end to end; attainment is an exact integer
+    ratio (rule 5); month ships as index + ISO string (q253
+    convention).
+    """
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    lat = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("month_idx"),
+        F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("days"),
+    )
+    wm = Window.partitionBy("month_idx").orderBy("days")
+    wc = Window.partitionBy("month_idx")
+    ranked = lat.select(
+        "month_idx",
+        "month_start",
+        "days",
+        F.row_number().over(wm).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.groupBy("month_idx").agg(
+        F.any_value("month_start").alias("month_start"),
+        F.any_value("n").cast("bigint").alias("n_items"),
+        fround(
+            F.sum(F.when(F.col("days") <= 30, 1).otherwise(0))
+            * 1.0
+            / F.any_value("n"),
+            6,
+        ).alias("attainment_30d"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint"),
+                F.col("days"),
+            )
+        ).cast("bigint").alias("p50_days"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.9 * F.col("n")).cast("bigint"),
+                F.col("days"),
+            )
+        ).cast("bigint").alias("p90_days"),
+    )

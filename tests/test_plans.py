@@ -1281,3 +1281,22 @@ def test_q266_feature_assembly_one_agg_per_grain(spark):
     plan = physical_plan(_q(spark, "q266_customer_feature_assembly"))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q267_1nn_is_bucket_bounded_equi_join(spark):
+    # the self-join keys on the LSH bucket; 1-NN prunes map-side.
+    plan = physical_plan(_q(spark, "q267_lsh_1nn_label_coherence"))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q268_friedman_runs_on_day_grain(spark):
+    # windows partition by week over the bounded day spine.
+    plan = physical_plan(_q(spark, "q268_friedman_dow_test"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q269_sla_windows_partition_by_month(spark):
+    plan = physical_plan(_q(spark, "q269_ship_sla_attainment"))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
