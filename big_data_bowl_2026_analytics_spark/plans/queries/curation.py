@@ -1893,3 +1893,88 @@ def q266_customer_feature_assembly(
         ),
         (F.col("recency_days") <= 90).alias("active_last_quarter"),
     )
+
+
+@query(
+    "q270_deletion_impact_report",
+    tags=("compliance", "audit", "report"),
+    oracle=f"""
+WITH sampled AS (
+  SELECT c_custkey FROM customer
+  WHERE {_hash16_sql("erase|", "c_custkey")} < 655
+), ords AS (
+  SELECT s.c_custkey, o.o_orderkey
+  FROM sampled s LEFT JOIN orders o ON o.o_custkey = s.c_custkey
+), items AS (
+  SELECT o.c_custkey, count(l.l_orderkey) AS n_items
+  FROM ords o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.c_custkey
+), percust AS (
+  SELECT o.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+         CAST(any_value(i.n_items) AS BIGINT) AS n_items
+  FROM ords o JOIN items i ON i.c_custkey = o.c_custkey
+  GROUP BY o.c_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers_sampled,
+       CAST(sum(n_orders) AS BIGINT) AS orders_affected,
+       CAST(sum(n_items) AS BIGINT) AS lineitems_affected,
+       round(avg(n_orders) + 1e-9, 6) AS mean_orders_per_customer,
+       CAST(max(n_orders) AS BIGINT) AS max_orders,
+       CAST(max(n_items) AS BIGINT) AS max_lineitems,
+       CAST(sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS customers_with_no_data
+FROM percust
+""",
+)
+def q270_deletion_impact_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-be-forgotten impact sizing: for a deterministic ~1%
+    customer sample (keyed hash — the q127 split, standing in for a
+    real deletion-request batch), how many orders and line items a
+    cascade delete would touch, with the per-customer tail (max) that
+    decides whether the erasure job needs its own skew handling — the
+    compliance pre-flight every GDPR/CCPA pipeline runs BEFORE
+    rewriting data files, and the sizing input to q136's partition
+    planner for the rewrite itself.
+
+    Scale: the sample frame is customer-grain; cascades are two
+    equi-joins counted per customer (no row ever materializes twice);
+    customers with zero footprint are counted, not dropped (LEFT
+    joins end to end). All outputs are exact integers except one
+    exact-ratio mean.
+    """
+    from .splits import _hash16
+
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey"])
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey"])
+    sampled = cust.where(
+        _hash16("erase|", F.col("c_custkey")) < 655
+    ).select("c_custkey")
+    ords = sampled.join(
+        orders, sampled["c_custkey"] == orders["o_custkey"], "left"
+    ).select("c_custkey", "o_orderkey")
+    ords = ords.localCheckpoint(eager=False)  # order count + item cascade
+    items = (
+        ords.join(li, ords["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+    percust = (
+        ords.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .join(items, "c_custkey")
+    )
+    return percust.agg(
+        F.count(F.lit(1)).alias("n_customers_sampled"),
+        F.sum("n_orders").cast("bigint").alias("orders_affected"),
+        F.sum("n_items").cast("bigint").alias("lineitems_affected"),
+        fround(F.avg("n_orders"), 6).alias("mean_orders_per_customer"),
+        F.max("n_orders").cast("bigint").alias("max_orders"),
+        F.max("n_items").cast("bigint").alias("max_lineitems"),
+        F.sum(F.when(F.col("n_orders") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("customers_with_no_data"),
+    )

@@ -1529,10 +1529,11 @@ def q234_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q238_bm25_retrieval",
-    tags=("text", "retrieval", "topk"),
-    oracle="""
+#: Shared BM25 postings CTE prefix (toks → tf → dl → dfreq → corpus →
+#: qterms → contrib with per-(doc, term) weights) — q238 sums it per
+#: doc, q271 ranks it per term. One definition so the two retrieval
+#: queries can never disagree about the scoring algebra.
+_BM25_CONTRIB_CTES = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ), tf AS (
@@ -1553,7 +1554,7 @@ WITH toks AS (
     FROM dfreq
   ) WHERE rk BETWEEN 5 AND 12
 ), contrib AS (
-  SELECT t.doc_id,
+  SELECT t.doc_id, t.term,
          ln(1.0 + (c.n_docs - q.df + 0.5) / (q.df + 0.5))
            * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + (0.75 * d.dl) / c.avgdl)))
            AS w
@@ -1561,35 +1562,15 @@ WITH toks AS (
   JOIN qterms q ON t.term = q.term
   JOIN dl d ON t.doc_id = d.doc_id
   CROSS JOIN corpus c
-), scored AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
-         round(sum(w) + 1e-9, 6) AS score
-  FROM contrib GROUP BY doc_id
 )
-SELECT doc_id, n_hit, score,
-       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-FROM scored
-QUALIFY rk <= 20
-""",
-)
-def q238_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (k1=1.2, b=0.75, Lucene idf) top-20 documents for a
-    deterministic 8-term query (document-frequency ranks 5-12) — the
-    lexical-retrieval scorer that the RRF fusion (q156) and NDCG audit
-    (q189) presuppose, and the classic sparse side of a hybrid
-    sparse+dense retrieval stack next to the ANN queries (q40/q42).
+"""
 
-    Scale: the query-term frame is fixed-k via orderBy().limit(12)
-    (TakeOrderedAndProject — map-side partial top-k, never a global
-    rank over the vocabulary: the q114 lesson) and broadcast into the
-    postings join; the per-document length frame joins by shuffle on
-    doc_id (per-doc frames are never broadcast). idf and the length
-    normalization are built from exact integer counts with the
-    division order written identically in both engines (the q143
-    parenthesization rule); per-term weights float-sum per doc (q24
-    class, fround-absorbed) and the top-20 ranks on the ROUNDED score
-    with a doc_id tie-break (footgun 3).
-    """
+
+def _bm25_contrib(spark: SparkSession, sf_dir: str):
+    """Spark twin of _BM25_CONTRIB_CTES: returns the per-(doc, term)
+    BM25 weight frame (doc_id, term, w). Same scale properties as
+    documented on q238 (fixed-k term selection, broadcast terms,
+    shuffle-joined doc lengths)."""
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
@@ -1630,12 +1611,50 @@ def q238_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    contrib = (
+    return (
         tf.join(F.broadcast(qterms), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
-        .select("doc_id", w_expr.alias("w"))
+        .select("doc_id", "term", w_expr.alias("w"))
     )
+
+
+@query(
+    "q238_bm25_retrieval",
+    tags=("text", "retrieval", "topk"),
+    oracle=_BM25_CONTRIB_CTES
+    + """, scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         round(sum(w) + 1e-9, 6) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_hit, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= 20
+""",
+)
+def q238_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, Lucene idf) top-20 documents for a
+    deterministic 8-term query (document-frequency ranks 5-12) — the
+    lexical-retrieval scorer that the RRF fusion (q156) and NDCG audit
+    (q189) presuppose, and the classic sparse side of a hybrid
+    sparse+dense retrieval stack next to the ANN queries (q40/q42).
+
+    Scale: the query-term frame is fixed-k via orderBy().limit(12)
+    (TakeOrderedAndProject — map-side partial top-k, never a global
+    rank over the vocabulary: the q114 lesson) and broadcast into the
+    postings join; the per-document length frame joins by shuffle on
+    doc_id (per-doc frames are never broadcast). idf and the length
+    normalization are built from exact integer counts with the
+    division order written identically in both engines (the q143
+    parenthesization rule); per-term weights float-sum per doc (q24
+    class, fround-absorbed) and the top-20 ranks on the ROUNDED score
+    with a doc_id tie-break (footgun 3).
+    """
+    from pyspark.sql import Window
+
+    contrib = _bm25_contrib(spark, sf_dir)
     scored = contrib.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hit"),
         fround(F.sum("w"), 6).alias("score"),
@@ -2130,4 +2149,117 @@ def q265_dedup_savings_report(
         (
             fround(1.0 - kept_tok * 1.0 / F.sum("n_tok"), 6) + 0
         ).alias("token_savings"),
+    )
+
+
+@query(
+    "q271_retrieval_mrr_map",
+    tags=("text", "retrieval", "evaluation"),
+    oracle=_BM25_CONTRIB_CTES
+    + """, langs AS (
+  SELECT doc_id, lang FROM documents
+), ranked AS (
+  SELECT c.term, c.doc_id,
+         l.lang = 'en' AS rel,
+         row_number() OVER (
+           PARTITION BY c.term
+           ORDER BY round(c.w + 1e-9, 6) DESC, c.doc_id
+         ) AS rk
+  FROM contrib c JOIN langs l ON l.doc_id = c.doc_id
+), top10 AS (
+  SELECT term, rk, rel,
+         CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+           PARTITION BY term ORDER BY rk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS rel_cum
+  FROM ranked WHERE rk <= 10
+), totals AS (
+  SELECT c.term,
+         CAST(sum(CASE WHEN l.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel
+  FROM contrib c JOIN langs l ON l.doc_id = c.doc_id
+  GROUP BY c.term
+), metrics AS (
+  SELECT t.term,
+         CAST(min(CASE WHEN rel THEN rk END) AS BIGINT) AS first_rel_rank,
+         sum(CASE WHEN rel THEN rel_cum * 1.0 / rk ELSE 0.0 END) AS ap_num
+  FROM top10 t GROUP BY t.term
+)
+SELECT m.term, tt.n_rel, m.first_rel_rank,
+       round(coalesce(1.0 / m.first_rel_rank, 0.0) + 1e-9, 6)
+         AS reciprocal_rank,
+       round(CASE WHEN least(tt.n_rel, 10) > 0
+                  THEN m.ap_num / least(tt.n_rel, 10) ELSE 0.0 END
+             + 1e-9, 6) AS ap_at_10
+FROM metrics m JOIN totals tt ON tt.term = m.term
+""",
+)
+def q271_retrieval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and MAP@10 for the per-term BM25 rankings against an
+    engine-independent relevance proxy (English documents) —
+    completing the retrieval-evaluation suite (q189's NDCG measures
+    graded gain, this measures first-hit latency and ranked
+    precision) on the IDENTICAL scoring algebra as q238 (shared
+    contrib frame — the q234 can-never-disagree discipline).
+
+    Scale: rankings partition per query term with the top-10
+    pruned map-side; precision@k comes from a cumulative window over
+    ≤10 rows per term; totals are one grouped pass. Ranking orders by
+    the ROUNDED weight with doc_id tie-break (footgun 3); reciprocal
+    ranks and AP terms are exact integer ratios float-summed over ≤10
+    terms (fround-absorbed).
+    """
+    from pyspark.sql import Window
+
+    contrib = _bm25_contrib(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # ranking + totals branches
+    langs = read_table(spark, sf_dir, "documents", ["doc_id", "lang"])
+    joined = contrib.join(langs, "doc_id").select(
+        "term", "doc_id", (F.col("lang") == "en").alias("rel"), "w"
+    )
+    joined = joined.localCheckpoint(eager=False)  # two branches
+    wt = Window.partitionBy("term").orderBy(
+        F.desc(fround(F.col("w"), 6)), F.asc("doc_id")
+    )
+    ranked = joined.withColumn("rk", F.row_number().over(wt))
+    top10 = ranked.where(F.col("rk") <= 10).withColumn(
+        "rel_cum",
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .over(
+            Window.partitionBy("term")
+            .orderBy("rk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint"),
+    )
+    totals = joined.groupBy("term").agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel")
+    )
+    metrics = top10.groupBy("term").agg(
+        F.min(F.when(F.col("rel"), F.col("rk")))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+        F.sum(
+            F.when(
+                F.col("rel"), F.col("rel_cum") * 1.0 / F.col("rk")
+            ).otherwise(0.0)
+        ).alias("ap_num"),
+    )
+    return metrics.join(totals, "term").select(
+        "term",
+        "n_rel",
+        "first_rel_rank",
+        fround(
+            F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0)), 6
+        ).alias("reciprocal_rank"),
+        fround(
+            F.when(
+                F.least(F.col("n_rel"), F.lit(10)) > 0,
+                F.col("ap_num") / F.least(F.col("n_rel"), F.lit(10)),
+            ).otherwise(0.0),
+            6,
+        ).alias("ap_at_10"),
     )

@@ -2271,3 +2271,160 @@ def q269_ship_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("p90_days"),
     )
+
+
+@query(
+    "q272_eb_shrunk_path_conversion",
+    tags=("timeseries", "session", "statistics", "report"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM flagged
+), pos AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id, session_id ORDER BY ts, event_id
+         ) AS rn
+  FROM sessions
+), fp AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'purchase' THEN rn END) AS fpos
+  FROM pos GROUP BY user_id, session_id
+), sess AS MATERIALIZED (
+  SELECT p.user_id, p.session_id,
+         max(f.fpos) IS NOT NULL AS converted,
+         coalesce(array_to_string(
+           (list(p.event_type ORDER BY p.rn) FILTER (
+              p.rn < coalesce(f.fpos, 1000000000)
+           ))[1:3], '>'), '') AS path
+  FROM pos p JOIN fp f USING (user_id, session_id)
+  GROUP BY p.user_id, p.session_id
+), paths AS (
+  SELECT path,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM sess GROUP BY path
+), prior AS (
+  SELECT CAST(sum(k) AS BIGINT) * 1.0 / CAST(sum(n) AS BIGINT) AS m,
+         CAST(sum(n) AS BIGINT) * 1.0 / count(*) AS nu
+  FROM paths
+)
+SELECT p.path, p.n, p.k,
+       round(p.k * 1.0 / p.n + 1e-9, 6) AS raw_rate,
+       round((p.k + pr.m * pr.nu) / (p.n + pr.nu) + 1e-9, 6)
+         AS shrunk_rate,
+       round(pr.nu / (p.n + pr.nu) + 1e-9, 6) AS shrink_weight
+FROM paths p CROSS JOIN prior pr
+""",
+)
+def q272_eb_shrunk_path_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical-Bayes shrunk conversion rate per pre-conversion
+    session path (first 3 event types BEFORE the first purchase):
+    raw k/n rates on rare paths are noise, so each path's rate shrinks
+    toward the global mean with prior strength ν = mean sessions per
+    path — the dashboard-safe version of q244's path table (a
+    1-session path can never top the leaderboard at rate 1.0), and
+    the closed-form cousin of a beta-binomial posterior mean.
+
+    Scale: sessionization shuffles once on user_id; the
+    shrinkage algebra runs on the path-grain frame with a broadcast
+    one-row prior. Counts are exact integers; m and ν are exact
+    integer ratios, and the shrunk rate's float expression is written
+    in the identical association on both sides (q143).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    epoch = F.col("ts").cast("double")
+    sessions = ev.withColumn(
+        "new_session",
+        F.when(
+            (epoch - F.lag(epoch).over(w) > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wsa = Window.partitionBy("user_id", "session_id")
+    pos = sessions.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(ws).alias("rn"),
+    )
+    fpos = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("rn"))
+    ).over(wsa)
+    ws2 = Window.partitionBy("user_id", "session_id").orderBy("rn")
+    pre = pos.withColumn("fpos", fpos).withColumn(
+        "arr",
+        F.collect_list(
+            F.when(
+                F.col("rn")
+                < F.coalesce(F.col("fpos"), F.lit(1000000000)),
+                F.col("event_type"),
+            )
+        ).over(
+            ws2.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    sess = (
+        pre.withColumn("rrn", F.row_number().over(ws2))
+        .where(F.col("rrn") == 1)
+        .select(
+            F.col("fpos").isNotNull().alias("converted"),
+            F.array_join(F.slice(F.col("arr"), 1, 3), ">").alias("path"),
+        )
+    )
+    paths = sess.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("k"),
+    )
+    paths = paths.localCheckpoint(eager=False)  # prior + output branches
+    prior = paths.agg(
+        (
+            F.sum("k").cast("bigint") * 1.0 / F.sum("n").cast("bigint")
+        ).alias("m"),
+        (
+            F.sum("n").cast("bigint") * 1.0 / F.count(F.lit(1))
+        ).alias("nu"),
+    )
+    return paths.crossJoin(F.broadcast(prior)).select(
+        "path",
+        "n",
+        "k",
+        fround(F.col("k") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+        fround(
+            (F.col("k") + F.col("m") * F.col("nu"))
+            / (F.col("n") + F.col("nu")),
+            6,
+        ).alias("shrunk_rate"),
+        fround(F.col("nu") / (F.col("n") + F.col("nu")), 6).alias(
+            "shrink_weight"
+        ),
+    )

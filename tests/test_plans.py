@@ -1300,3 +1300,21 @@ def test_q269_sla_windows_partition_by_month(spark):
     plan = physical_plan(_q(spark, "q269_ship_sla_attainment"))
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q270_deletion_cascade_no_cartesian(spark):
+    plan = physical_plan(_q(spark, "q270_deletion_impact_report"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q271_mrr_map_per_term_windows(spark):
+    # rankings partition by query term; top-10 prunes map-side.
+    plan = physical_plan(_q(spark, "q271_retrieval_mrr_map"))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q272_eb_shrinkage_on_path_grain(spark):
+    # shrinkage algebra runs on the path frame + a broadcast prior.
+    plan = physical_plan(_q(spark, "q272_eb_shrunk_path_conversion"))
+    assert "CartesianProduct" not in plan
