@@ -574,6 +574,47 @@ def q218_pareto_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _abc_classes(li: DataFrame) -> DataFrame:
+    """q199's exact-cents ABC classification (0.7/0.9 cumulative
+    revenue thresholds, two-level bucketed running sum — never a
+    data-sized single-partition window) as a reusable part-grain
+    frame ``(l_partkey, cents, abc_class)``; q256 and q274 share it
+    so the two inventory reports can never disagree about classes."""
+    from ...operators.rankops import bucketed_rank_cumsum
+
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    asc = bucketed_rank_cumsum(
+        rev, "cents", [F.desc("l_partkey")], "cents",
+        rank_out="r_asc", cum_out="cs_asc",
+    )
+    return (
+        asc.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "cents",
+            "t",
+            (F.col("t") - (F.col("cs_asc") - F.col("cents"))).alias(
+                "cum_cents"
+            ),
+        )
+        .select(
+            "l_partkey",
+            "cents",
+            F.when(F.col("cum_cents") * 1.0 / F.col("t") <= 0.7, "A")
+            .when(F.col("cum_cents") * 1.0 / F.col("t") <= 0.9, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
 @query(
     "q256_abc_xyz_matrix",
     tags=("ranking", "inventory", "report"),
@@ -662,37 +703,7 @@ def q256_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
          "l_shipdate"],
     )
     li = li.localCheckpoint(eager=False)  # revenue + monthly branches
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-            ).cast("bigint")
-        ).alias("cents")
-    )
-    tot = rev.agg(F.sum("cents").alias("t"))
-    asc = bucketed_rank_cumsum(
-        rev, "cents", [F.desc("l_partkey")], "cents",
-        rank_out="r_asc", cum_out="cs_asc",
-    )
-    abc = (
-        asc.crossJoin(F.broadcast(tot))
-        .select(
-            "l_partkey",
-            "cents",
-            "t",
-            (F.col("t") - (F.col("cs_asc") - F.col("cents"))).alias(
-                "cum_cents"
-            ),
-        )
-        .select(
-            "l_partkey",
-            "cents",
-            F.when(F.col("cum_cents") * 1.0 / F.col("t") <= 0.7, "A")
-            .when(F.col("cum_cents") * 1.0 / F.col("t") <= 0.9, "B")
-            .otherwise("C")
-            .alias("abc_class"),
-        )
-    )
+    abc = _abc_classes(li)
     mspan = li.agg(
         F.countDistinct(F.trunc("l_shipdate", "month")).alias("m")
     )
@@ -868,4 +879,109 @@ def q264_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 0
         ).alias("decomposition_check"),
+    )
+
+
+@query(
+    "q274_newsvendor_stock_levels",
+    tags=("inventory", "report", "percentiles"),
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev
+), abc AS MATERIALIZED (
+  SELECT l_partkey,
+         CASE WHEN cum_cents * 1.0 / t <= 0.7 THEN 'A'
+              WHEN cum_cents * 1.0 / t <= 0.9 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM (
+    SELECT l_partkey, cents,
+           CAST(sum(cents) OVER (
+             ORDER BY cents DESC, l_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_cents
+    FROM rev
+  ) CROSS JOIN tot
+), pm AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS mo,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), obs AS MATERIALIZED (
+  SELECT a.abc_class, p.q,
+         row_number() OVER (
+           PARTITION BY a.abc_class ORDER BY p.q, p.l_partkey, p.mo
+         ) AS rn,
+         count(*) OVER (PARTITION BY a.abc_class) AS n
+  FROM pm p JOIN abc a ON a.l_partkey = p.l_partkey
+)
+SELECT abc_class,
+       CAST(any_value(n) AS BIGINT) AS n_part_months,
+       round(CAST(sum(q) AS BIGINT) * 1.0 / any_value(n) + 1e-9, 6)
+         AS mean_demand,
+       CAST(min(CASE WHEN rn = CAST(ceil(0.8 * n) AS BIGINT)
+                     THEN q END) AS BIGINT) AS p80_demand,
+       round(min(CASE WHEN rn = CAST(ceil(0.8 * n) AS BIGINT)
+                      THEN q END)
+             - CAST(sum(q) AS BIGINT) * 1.0 / any_value(n) + 1e-9, 6)
+         + 0 AS implied_safety_stock
+FROM obs GROUP BY abc_class
+""",
+)
+def q274_newsvendor_stock_levels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newsvendor order-up-to levels per ABC class: at a critical
+    ratio of 0.8 (stockout costs 4× holding), the optimal stocking
+    level is the EXACT p80 of the class's part-month demand
+    distribution (rank selection — q184 rule; an interpolated
+    quantile would mis-state the order point right where the demand
+    histogram is stepped), reported with the implied safety stock
+    over mean demand — the inventory-policy table that q256's ABC-XYZ
+    matrix feeds (shared `_abc_classes` frame: the two reports can
+    never disagree about which part is an A).
+
+    Scale: revenue ABC reuses the two-level bucketed running sum; the
+    demand distribution is one (part, month) aggregate; the per-class
+    rank windows partition on 3 classes over the part-month grain.
+    Demands are exact integers; outputs are exact ratios (rule 5)
+    with the sign-of-zero guard on the safety-stock difference.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_quantity",
+         "l_shipdate"],
+    )
+    li = li.localCheckpoint(eager=False)  # revenue + monthly branches
+    abc = _abc_classes(li).select("l_partkey", "abc_class")
+    pm = li.groupBy(
+        "l_partkey", F.trunc("l_shipdate", "month").alias("mo")
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"))
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("abc_class").orderBy(
+        "q", "l_partkey", "mo"
+    )
+    wn = Window.partitionBy("abc_class")
+    obs = pm.join(abc, "l_partkey").select(
+        "abc_class",
+        "q",
+        F.row_number().over(wc).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    p80 = F.min(
+        F.when(
+            F.col("rn") == F.ceil(0.8 * F.col("n")).cast("bigint"),
+            F.col("q"),
+        )
+    )
+    mean_d = F.sum("q").cast("bigint") * 1.0 / F.any_value("n")
+    return obs.groupBy("abc_class").agg(
+        F.any_value("n").cast("bigint").alias("n_part_months"),
+        fround(mean_d, 6).alias("mean_demand"),
+        p80.cast("bigint").alias("p80_demand"),
+        (fround(p80 - mean_d, 6) + 0).alias("implied_safety_stock"),
     )

@@ -2428,3 +2428,223 @@ def q272_eb_shrunk_path_conversion(
             "shrink_weight"
         ),
     )
+
+
+@query(
+    "q273_haar_energy_decomposition",
+    tags=("timeseries", "signal", "decomposition"),
+    oracle="""
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(h) AS mn,
+         CAST(((max(h) - min(h) + 1) // 16) * 16 AS BIGINT) AS span
+  FROM counts
+), dense AS MATERIALIZED (
+  SELECT g.i, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+  FROM (
+    SELECT unnest(generate_series(0, span - 1)) AS i, mn FROM bounds
+  ) g
+  LEFT JOIN counts c ON c.h = g.mn + g.i
+), lv AS (
+  SELECT unnest([1, 2, 3, 4]) AS l
+), coeffs AS (
+  SELECT l.l, d.i // (1 << l.l) AS j,
+         CAST(sum(CASE WHEN (d.i >> (l.l - 1)) % 2 = 0
+                       THEN d.x ELSE -d.x END) AS BIGINT) AS d
+  FROM dense d CROSS JOIN lv l
+  GROUP BY l.l, d.i // (1 << l.l)
+), energy AS (
+  SELECT l, CAST(count(*) AS BIGINT) AS n_coeffs,
+         CAST(sum(d * d) AS BIGINT) AS energy
+  FROM coeffs GROUP BY l
+), tot AS (
+  SELECT CAST(sum(energy) AS BIGINT) AS te FROM energy
+)
+SELECT CAST(e.l AS BIGINT) AS level,
+       CAST(2 AS BIGINT) << (e.l - 1) AS scale_hours,
+       e.n_coeffs, e.energy,
+       round(e.energy * 1.0 / t.te + 1e-9, 6) AS energy_share
+FROM energy e CROSS JOIN tot t
+""",
+)
+def q273_haar_energy_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unnormalized Haar wavelet energy decomposition of the hourly
+    event-rate series over 4 dyadic levels (2 h / 4 h / 8 h / 16 h
+    scales): which timescale carries the variability — hour-to-hour
+    jitter, intra-shift swings, or daily structure — the
+    multiresolution screen that tells capacity planning WHERE the
+    volatility lives (q263 finds individual peaks; this profiles the
+    spectrum). Unnormalized detail coefficients are SIGNED INTEGER
+    sums of hourly counts, so every energy is an exact BIGINT —
+    no float enters until the final share ratio.
+
+    The slick bit: all four levels come from ONE grouped pass — the
+    detail coefficient at level l, block j is a sign-sum over hours
+    with the sign read off bit (l − 1) of the hour index, so the
+    whole transform is groupBy((level, index >> level)) — no
+    iterative halving passes, and the construction parallelizes over
+    blocks at any series length. The series truncates to a multiple
+    of 16 hours so every level is complete.
+    """
+    ev = read_table(spark, sf_dir, "events", ["ts"])
+    counts = (
+        ev.select(
+            F.floor(F.col("ts").cast("double") / 3600)
+            .cast("bigint")
+            .alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = counts.agg(
+        F.min("h").alias("mn"),
+        (
+            F.floor((F.max("h") - F.min("h") + 1) / 16) * 16
+        ).cast("bigint").alias("span"),
+    )
+    dense = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.col("span") - 1)).alias("i"),
+            "mn",
+        )
+        .join(
+            counts,
+            F.col("h") == F.col("mn") + F.col("i"),
+            "left",
+        )
+        .select(
+            "i",
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    lv = F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("l")
+    half = (
+        F.when(F.col("l") == 1, 1)
+        .when(F.col("l") == 2, 2)
+        .when(F.col("l") == 3, 4)
+        .otherwise(8)
+    )
+    sign = F.when(
+        F.floor(F.col("i") / half) % 2 == 0, F.col("x")
+    ).otherwise(-F.col("x"))
+    coeffs = (
+        dense.select("i", "x", lv)
+        .groupBy(
+            "l",
+            F.floor(F.col("i") / (half * 2)).alias("j"),
+        )
+        .agg(F.sum(sign).cast("bigint").alias("d"))
+    )
+    energy = coeffs.groupBy("l").agg(
+        F.count(F.lit(1)).alias("n_coeffs"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("energy"),
+    )
+    energy = energy.localCheckpoint(eager=False)  # total + output branches
+    tot = energy.agg(F.sum("energy").alias("te"))
+    return energy.crossJoin(F.broadcast(tot)).select(
+        F.col("l").cast("bigint").alias("level"),
+        F.when(F.col("l") == 1, 2)
+        .when(F.col("l") == 2, 4)
+        .when(F.col("l") == 3, 8)
+        .otherwise(16)
+        .cast("bigint")
+        .alias("scale_hours"),
+        "n_coeffs",
+        "energy",
+        fround(F.col("energy") * 1.0 / F.col("te"), 6).alias(
+            "energy_share"
+        ),
+    )
+
+
+@query(
+    "q275_feed_uptime_nines",
+    tags=("timeseries", "sla", "monitoring"),
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         epoch(ts) - lag(epoch(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) AS gap
+  FROM events
+), span AS (
+  SELECT event_type,
+         epoch(max(ts)) - epoch(min(ts)) AS horizon,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+), down AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN gap > 600 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outages,
+         sum(CASE WHEN gap > 600 THEN gap - 600 ELSE 0.0 END)
+           AS downtime
+  FROM gaps WHERE gap IS NOT NULL
+  GROUP BY event_type
+)
+SELECT s.event_type, s.n_events, d.n_outages,
+       round(d.downtime + 1e-9, 3) AS downtime_secs,
+       round(1.0 - d.downtime / s.horizon + 1e-9, 6) AS uptime_share,
+       CASE WHEN d.n_outages = 0 THEN NULL
+            ELSE round(-log10(d.downtime / s.horizon) + 1e-9, 4) END
+         AS nines
+FROM span s JOIN down d ON d.event_type = s.event_type
+""",
+)
+def q275_feed_uptime_nines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed availability report: treating each event type as a
+    heartbeat stream, any inter-event gap beyond 600 s counts its
+    excess as downtime, yielding uptime share and the "nines"
+    (−log₁₀ of the downtime fraction) per feed — the SLA scorecard
+    that turns q159's raw lateness audit into the number executives
+    actually quote, with outage COUNT separated from outage DURATION
+    (one 2-hour hole and 120 one-minute blips are different
+    incidents).
+
+    Gap arithmetic runs in epoch SECONDS (the q216 overflow lesson);
+    a gap-free feed reports NULL nines explicitly on both engines
+    (log of zero diverges between engines — the q201 ln(0) lesson,
+    guarded by the outage count, an exact integer). One window + two
+    aggregates, all partitioned by the bounded feed key.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["event_id", "ts", "event_type"])
+    ev = ev.localCheckpoint(eager=False)  # gaps + span branches
+    epoch = F.col("ts").cast("double")
+    wt = Window.partitionBy("event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    gaps = ev.select(
+        "event_type", (epoch - F.lag(epoch).over(wt)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    span = ev.groupBy("event_type").agg(
+        (F.max(epoch) - F.min(epoch)).alias("horizon"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    down = gaps.groupBy("event_type").agg(
+        F.sum(F.when(F.col("gap") > 600, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outages"),
+        F.sum(
+            F.when(F.col("gap") > 600, F.col("gap") - 600).otherwise(0.0)
+        ).alias("downtime"),
+    )
+    return span.join(down, "event_type").select(
+        "event_type",
+        "n_events",
+        "n_outages",
+        fround(F.col("downtime"), 3).alias("downtime_secs"),
+        fround(1.0 - F.col("downtime") / F.col("horizon"), 6).alias(
+            "uptime_share"
+        ),
+        F.when(F.col("n_outages") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            fround(-F.log10(F.col("downtime") / F.col("horizon")), 4)
+        )
+        .alias("nines"),
+    )

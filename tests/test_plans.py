@@ -1318,3 +1318,22 @@ def test_q272_eb_shrinkage_on_path_grain(spark):
     # shrinkage algebra runs on the path frame + a broadcast prior.
     plan = physical_plan(_q(spark, "q272_eb_shrunk_path_conversion"))
     assert "CartesianProduct" not in plan
+
+
+def test_q273_haar_single_grouped_pass(spark):
+    # all four levels come from one groupBy over the (hour, level)
+    # fan-out of the bounded dense spine — no iterative halving.
+    plan = physical_plan(_q(spark, "q273_haar_energy_decomposition"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q274_newsvendor_windows_partition_by_class(spark):
+    plan = physical_plan(_q(spark, "q274_newsvendor_stock_levels"))
+    assert "CartesianProduct" not in plan
+    assert "_rk_bucket" in plan  # ABC reuses the two-level cumsum
+
+
+def test_q275_uptime_partitions_by_feed(spark):
+    plan = physical_plan(_q(spark, "q275_feed_uptime_nines"))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
