@@ -1346,3 +1346,119 @@ def q252_hierarchical_percentiles(
         )
         .select("n_users", "median_user_p95", "p99_user_p95")
     )
+
+
+@query(
+    "q276_consistent_hash_balance",
+    tags=("infrastructure", "sharding", "audit"),
+    oracle=f"""
+WITH ring AS (
+  SELECT shard, v,
+         {_hash16_sql("ring|' || CAST(shard AS VARCHAR) || '|", "v")} AS pt
+  FROM (SELECT unnest(generate_series(0, 15)) AS shard),
+       (SELECT unnest(generate_series(0, 7)) AS v)
+), keys AS (
+  SELECT c_custkey, {_hash16_sql("key|", "c_custkey")} AS kh
+  FROM customer
+), assigned AS (
+  SELECT k.c_custkey,
+         coalesce(
+           min(CASE WHEN r.pt >= k.kh THEN r.pt END),
+           min(r.pt)
+         ) AS owner_pt
+  FROM keys k CROSS JOIN ring r
+  GROUP BY k.c_custkey, k.kh
+), owners AS (
+  SELECT pt, min(shard) AS shard FROM ring GROUP BY pt
+), pershard AS (
+  SELECT o.shard, CAST(count(*) AS BIGINT) AS n_keys
+  FROM assigned a JOIN owners o ON o.pt = a.owner_pt
+  GROUP BY o.shard
+), tot AS (
+  SELECT CAST(sum(n_keys) AS BIGINT) AS nt,
+         CAST(max(n_keys) AS BIGINT) AS mx
+  FROM pershard
+)
+SELECT p.shard, p.n_keys,
+       round(p.n_keys * 1.0 / t.nt + 1e-9, 6) AS share,
+       round(p.n_keys * 16.0 / t.nt + 1e-9, 6) AS load_factor,
+       round(t.mx * 16.0 / t.nt + 1e-9, 6) AS peak_load_factor
+FROM pershard p CROSS JOIN tot t
+""",
+)
+def q276_consistent_hash_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Consistent-hash ring balance audit: 16 shards × 8 virtual
+    nodes on a 16-bit md5 ring, every customer key assigned to the
+    first ring point clockwise (with wraparound), and per-shard load
+    factors reported against the uniform ideal — the pre-flight that
+    says whether THIS vnode count keeps the hottest shard under its
+    capacity before anyone re-partitions 100 TB (the peak load factor
+    is the number that pages someone).
+
+    Scale: the ring is 128 broadcast rows; assignment is a map-side
+    conditional-min over the fan-out (no sort, no window); ring-point
+    collisions resolve to the lowest shard id deterministically on
+    both engines. Counts are exact integers; load factors are exact
+    ratios (rule 5).
+    """
+    from .splits import _hash16
+
+    ring = (
+        spark.range(0, 16)
+        .select(F.col("id").alias("shard"))
+        .crossJoin(spark.range(0, 8).select(F.col("id").alias("v")))
+        .select(
+            "shard",
+            "v",
+            _hash16(
+                "",
+                F.concat(
+                    F.lit("ring|"),
+                    F.col("shard").cast("string"),
+                    F.lit("|"),
+                    F.col("v").cast("string"),
+                ),
+            ).alias("pt"),
+        )
+        .localCheckpoint(eager=False)  # assignment + owner branches
+    )
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey"])
+    keys = cust.select(
+        "c_custkey",
+        _hash16("key|", F.col("c_custkey")).alias("kh"),
+    )
+    assigned = (
+        keys.crossJoin(F.broadcast(ring))
+        .groupBy("c_custkey", "kh")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(F.col("pt") >= F.col("kh"), F.col("pt"))
+                ),
+                F.min("pt"),
+            ).alias("owner_pt")
+        )
+    )
+    owners = ring.groupBy("pt").agg(F.min("shard").alias("shard"))
+    pershard = (
+        assigned.join(F.broadcast(owners), F.col("pt") == F.col("owner_pt"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+    pershard = pershard.localCheckpoint(eager=False)  # totals + output
+    tot = pershard.agg(
+        F.sum("n_keys").alias("nt"), F.max("n_keys").alias("mx")
+    )
+    return pershard.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_keys",
+        fround(F.col("n_keys") * 1.0 / F.col("nt"), 6).alias("share"),
+        fround(F.col("n_keys") * 16.0 / F.col("nt"), 6).alias(
+            "load_factor"
+        ),
+        fround(F.col("mx") * 16.0 / F.col("nt"), 6).alias(
+            "peak_load_factor"
+        ),
+    )

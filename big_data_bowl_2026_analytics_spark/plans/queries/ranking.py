@@ -985,3 +985,111 @@ def q274_newsvendor_stock_levels(
         p80.cast("bigint").alias("p80_demand"),
         (fround(p80 - mean_d, 6) + 0).alias("implied_safety_stock"),
     )
+
+
+@query(
+    "q278_sku_lifecycle_census",
+    tags=("inventory", "lifecycle", "report"),
+    oracle="""
+WITH horizon AS (
+  SELECT max(CAST(l_shipdate AS DATE)) AS h FROM lineitem
+), perpart AS (
+  SELECT l_partkey,
+         min(CAST(l_shipdate AS DATE)) AS first_sale,
+         max(CAST(l_shipdate AS DATE)) AS last_sale,
+         CAST(count(*) AS BIGINT) AS n_sales,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), staged AS MATERIALIZED (
+  SELECT p.*,
+         CASE WHEN h.h - p.first_sale <= 60 THEN 'new'
+              WHEN h.h - p.last_sale > 60 THEN 'dormant'
+              ELSE 'active' END AS state,
+         CAST(p.last_sale - p.first_sale AS BIGINT) AS lifetime_days
+  FROM perpart p CROSS JOIN horizon h
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS np,
+         CAST(sum(cents) AS BIGINT) AS tc
+  FROM staged
+)
+SELECT s.state,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(count(*) * 1.0 / any_value(t.np) + 1e-9, 6) AS part_share,
+       round(CAST(sum(s.cents) AS BIGINT) * 1.0 / any_value(t.tc)
+             + 1e-9, 6) AS revenue_share,
+       round(avg(s.lifetime_days) + 1e-9, 4) AS mean_lifetime_days,
+       round(avg(s.n_sales) + 1e-9, 4) AS mean_sales
+FROM staged s CROSS JOIN tot t
+GROUP BY s.state
+""",
+)
+def q278_sku_lifecycle_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SKU lifecycle census: every part classified new / active /
+    dormant by integer day arithmetic against the data horizon (first
+    sale within 60 days → new; no sale in the last 60 days → dormant;
+    otherwise active), with each state's part and revenue share — the
+    assortment-management table that prices how much catalog is dead
+    weight (dormant revenue share ≈ what a cleanup frees) and feeds
+    q274's stocking policy (dormant SKUs get order-up-to zero).
+
+    Scale: one part-grain aggregate, a broadcast one-row horizon, a
+    3-row output. Day arithmetic is exact integers (never
+    engine-local date formatting); shares are exact ratios (rule 5).
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    d = F.to_date("l_shipdate")
+    horizon = li.agg(F.max(d).alias("h"))
+    perpart = li.groupBy("l_partkey").agg(
+        F.min(d).alias("first_sale"),
+        F.max(d).alias("last_sale"),
+        F.count(F.lit(1)).alias("n_sales"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("cents"),
+    )
+    staged = (
+        perpart.crossJoin(F.broadcast(horizon))
+        .select(
+            "*",
+            F.when(
+                F.datediff(F.col("h"), F.col("first_sale")) <= 60, "new"
+            )
+            .when(
+                F.datediff(F.col("h"), F.col("last_sale")) > 60, "dormant"
+            )
+            .otherwise("active")
+            .alias("state"),
+            F.datediff(F.col("last_sale"), F.col("first_sale"))
+            .cast("bigint")
+            .alias("lifetime_days"),
+        )
+        .localCheckpoint(eager=False)  # totals + census branches
+    )
+    tot = staged.agg(
+        F.count(F.lit(1)).alias("np"), F.sum("cents").alias("tc")
+    )
+    return (
+        staged.crossJoin(F.broadcast(tot))
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            fround(
+                F.count(F.lit(1)) * 1.0 / F.any_value("np"), 6
+            ).alias("part_share"),
+            fround(
+                F.sum("cents") * 1.0 / F.any_value("tc"), 6
+            ).alias("revenue_share"),
+            fround(F.avg("lifetime_days"), 4).alias(
+                "mean_lifetime_days"
+            ),
+            fround(F.avg("n_sales"), 4).alias("mean_sales"),
+        )
+    )

@@ -2263,3 +2263,142 @@ def q271_retrieval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ap_at_10"),
     )
+
+
+@query(
+    "q277_heaps_law_growth",
+    tags=("text", "tokenizer", "scaling-law"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), firstseen AS MATERIALIZED (
+  SELECT term, CAST(min(doc_id) AS BIGINT) AS first_doc FROM toks
+  GROUP BY term
+), doctok AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks
+  GROUP BY doc_id
+), ids AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+         count(*) OVER () AS nd
+  FROM doctok
+), cutoffs AS MATERIALIZED (
+  SELECT CAST(decile AS BIGINT) AS decile, doc_id AS cutoff
+  FROM ids, (SELECT unnest(generate_series(1, 10)) AS decile)
+  WHERE rn = CAST(ceil(decile * nd / 10.0) AS BIGINT)
+), growth AS (
+  SELECT c.decile, c.cutoff,
+         (SELECT CAST(sum(d.n_tok) AS BIGINT) FROM doctok d
+          WHERE d.doc_id <= c.cutoff) AS n_tokens,
+         (SELECT CAST(count(*) AS BIGINT) FROM firstseen f
+          WHERE f.first_doc <= c.cutoff) AS n_types
+  FROM cutoffs c
+), fit AS (
+  SELECT count(*) AS k,
+         sum(ln(CAST(n_tokens AS DOUBLE))) AS sx,
+         sum(ln(CAST(n_types AS DOUBLE))) AS sy,
+         sum(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_types AS DOUBLE)))
+           AS sxy,
+         sum(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_tokens AS DOUBLE)))
+           AS sxx
+  FROM growth
+)
+SELECT g.decile, g.cutoff, g.n_tokens, g.n_types,
+       round((f.k * f.sxy - f.sx * f.sy)
+             / (f.k * f.sxx - f.sx * f.sx) + 1e-9, 6) AS heaps_beta,
+       round(exp((f.sy - ((f.k * f.sxy - f.sx * f.sy)
+                          / (f.k * f.sxx - f.sx * f.sx)) * f.sx) / f.k)
+             + 1e-9, 4) AS heaps_k
+FROM growth g CROSS JOIN fit f
+""",
+)
+def q277_heaps_law_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-type count versus token
+    count at ten corpus prefixes (doc-id deciles), with the fitted
+    V = k·N^β power law (log-log OLS) — the scaling curve that
+    predicts how big the tokenizer vocabulary must be at 100× the
+    corpus, and the reason q108's OOV rate moves when a new feed
+    lands (β ≈ 0.5 is natural text; β near 1 means the corpus never
+    stops minting types — an id-leak smell).
+
+    The single-pass trick: a term contributes to every prefix after
+    its FIRST document, so prefix vocabulary sizes are rank counts
+    over the (term, first_doc) frame — ten cutoff comparisons against
+    a 10-row broadcast, never ten corpus re-scans. Cutoffs are exact
+    doc-id order statistics; the β fit follows the q204 fixed
+    expression tree on shared log sums (fround-absorbed).
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).localCheckpoint(eager=False)  # firstseen + doctok branches
+    firstseen = toks.groupBy("term").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    doctok = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    from ...operators.rankops import bucketed_rank
+
+    doctok = doctok.localCheckpoint(eager=False)  # cutoffs + sums
+    nd = doctok.agg(F.count(F.lit(1)).alias("nd"))
+    # +1 shift: bucketed_rank needs a positive value column (q217
+    # contract) and doc ids start at 0; the shift is order-preserving.
+    ids = bucketed_rank(
+        doctok.select("doc_id", (F.col("doc_id") + 1).alias("docp1")),
+        "docp1",
+        [],
+        out_col="rn",
+    ).crossJoin(F.broadcast(nd))
+    deciles = F.explode(
+        F.array(*[F.lit(i) for i in range(1, 11)])
+    ).alias("decile")
+    cutoffs = (
+        ids.select("doc_id", "rn", "nd", deciles)
+        .where(
+            F.col("rn")
+            == F.ceil(F.col("decile") * F.col("nd") / 10.0).cast("bigint")
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("doc_id").alias("cutoff"),
+        )
+        .localCheckpoint(eager=False)  # tokens + types branches
+    )
+    n_tokens = (
+        doctok.crossJoin(F.broadcast(cutoffs))
+        .where(F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("decile", "cutoff")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    n_types = (
+        firstseen.crossJoin(F.broadcast(cutoffs))
+        .where(F.col("first_doc") <= F.col("cutoff"))
+        .groupBy("decile", "cutoff")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    )
+    growth = n_tokens.join(n_types, ["decile", "cutoff"])
+    growth = growth.localCheckpoint(eager=False)  # fit + output branches
+    lx = F.log(F.col("n_tokens").cast("double"))
+    ly = F.log(F.col("n_types").cast("double"))
+    fit = growth.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return growth.crossJoin(F.broadcast(fit)).select(
+        "decile",
+        "cutoff",
+        "n_tokens",
+        "n_types",
+        fround(beta, 6).alias("heaps_beta"),
+        fround(
+            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("k")), 4
+        ).alias("heaps_k"),
+    )

@@ -1337,3 +1337,25 @@ def test_q275_uptime_partitions_by_feed(spark):
     plan = physical_plan(_q(spark, "q275_feed_uptime_nines"))
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q276_ring_is_broadcast_fanout(spark):
+    # the 128-point ring broadcasts; assignment is a conditional-min
+    # aggregate, no sort/window over keys.
+    plan = physical_plan(_q(spark, "q276_consistent_hash_balance"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q277_heaps_cutoffs_use_two_level_rank(spark):
+    # decile cutoffs come from bucketed_rank over the doc grain —
+    # never a data-sized single-partition row_number (q114 lesson);
+    # the machinery itself hides behind the cutoffs checkpoint (q229
+    # Scan-ExistingRDD effect), so assert the shape, not the label.
+    plan = physical_plan(_q(spark, "q277_heaps_law_growth"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q278_lifecycle_single_part_grain_pass(spark):
+    plan = physical_plan(_q(spark, "q278_sku_lifecycle_census"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
