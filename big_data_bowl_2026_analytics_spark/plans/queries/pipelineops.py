@@ -1462,3 +1462,203 @@ def q276_consistent_hash_balance(
             "peak_load_factor"
         ),
     )
+
+
+@query(
+    "q279_shuffle_skew_forecast",
+    tags=("infrastructure", "skew", "planning"),
+    oracle="""
+WITH perkey AS (
+  SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_orderkey
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n, key) AS rn,
+         count(*) OVER () AS nk
+  FROM perkey
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS rows_total,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n) AS BIGINT) AS max_key
+  FROM perkey
+), p99 AS (
+  SELECT CAST(min(CASE WHEN rn = CAST(ceil(0.99 * nk) AS BIGINT)
+                       THEN n END) AS BIGINT) AS p99_key
+  FROM ranked
+)
+SELECT t.n_keys, t.rows_total, t.max_key, p.p99_key,
+       round(t.rows_total * 1.0 / t.n_keys + 1e-9, 6) AS mean_key,
+       round(t.max_key * 1.0 * t.n_keys / t.rows_total + 1e-9, 4)
+         AS max_over_mean,
+       round(t.max_key * 32.0 / t.rows_total + 1e-9, 6)
+         AS max_partition_load_32,
+       CAST(greatest(1, CAST(ceil(t.max_key * 32.0 / t.rows_total)
+                             AS BIGINT)) AS BIGINT)
+         AS recommended_salt_factor
+FROM tot t CROSS JOIN p99 p
+""",
+)
+def q279_shuffle_skew_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shuffle-skew forecast for a planned groupBy/join key: the
+    per-key row distribution (max, exact p99, max/mean ratio), the
+    hottest key's load factor at 32 shuffle partitions, and the salt
+    factor that would flatten it — the planning query you run BEFORE
+    shipping a new aggregation over 100 TB, and the quantitative
+    input to operators/skew.py's salting (q45/q99 apply the cure;
+    this sizes the dose).
+
+    Scale: one grouped pass to the key grain; the p99 is an exact
+    order statistic over keys (rank selection); every output after
+    the key frame is a one-row reduce. The recommended factor is
+    ceil(max_key_rows × partitions / total_rows) — the smallest salt
+    that bounds the hottest (key, salt) cell by the mean partition.
+    """
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey"])
+    perkey = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    perkey = perkey.localCheckpoint(eager=False)  # rank + totals branches
+    from ...operators.rankops import bucketed_rank
+
+    ranked = bucketed_rank(perkey, "n", ["key"], out_col="rn")
+    tot = perkey.agg(
+        F.sum("n").cast("bigint").alias("rows_total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_key"),
+    )
+    p99 = (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("rn")
+            == F.ceil(0.99 * F.col("n_keys")).cast("bigint")
+        )
+        .agg(F.min("n").cast("bigint").alias("p99_key"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(p99))
+        .select(
+            "n_keys",
+            "rows_total",
+            "max_key",
+            "p99_key",
+            fround(
+                F.col("rows_total") * 1.0 / F.col("n_keys"), 6
+            ).alias("mean_key"),
+            fround(
+                F.col("max_key")
+                * 1.0
+                * F.col("n_keys")
+                / F.col("rows_total"),
+                4,
+            ).alias("max_over_mean"),
+            fround(
+                F.col("max_key") * 32.0 / F.col("rows_total"), 6
+            ).alias("max_partition_load_32"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.col("max_key") * 32.0 / F.col("rows_total")
+                ).cast("bigint"),
+            )
+            .cast("bigint")
+            .alias("recommended_salt_factor"),
+        )
+    )
+
+
+@query(
+    "q281_storage_tiering_plan",
+    tags=("infrastructure", "cost", "planning"),
+    oracle="""
+WITH horizon AS (
+  SELECT max(CAST(l_shipdate AS DATE)) AS h FROM lineitem
+), parts AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+), staged AS MATERIALIZED (
+  SELECT p.mo, p.n_rows,
+         CASE WHEN h.h - p.mo <= 90 THEN 'hot'
+              WHEN h.h - p.mo <= 365 THEN 'warm'
+              ELSE 'cold' END AS tier,
+         CASE WHEN h.h - p.mo <= 90 THEN 0.023
+              WHEN h.h - p.mo <= 365 THEN 0.01
+              ELSE 0.004 END AS rate
+  FROM parts p CROSS JOIN horizon h
+), tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows FROM staged
+)
+SELECT s.tier,
+       CAST(count(*) AS BIGINT) AS n_partitions,
+       CAST(sum(s.n_rows) AS BIGINT) AS n_rows,
+       round(sum(s.n_rows) * 128.0 / 1073741824.0 + 1e-9, 6) AS est_gb,
+       round((sum(s.n_rows) * 128.0 / 1073741824.0)
+             * any_value(s.rate) + 1e-9, 6) AS monthly_cost,
+       round((sum(s.n_rows) * 128.0 / 1073741824.0)
+             * (0.023 - any_value(s.rate)) + 1e-9, 6)
+         AS monthly_savings_vs_hot,
+       round(sum(s.n_rows) * 1.0 / any_value(t.total_rows) + 1e-9, 6)
+         AS row_share
+FROM staged s CROSS JOIN tot t
+GROUP BY s.tier
+""",
+)
+def q281_storage_tiering_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Storage tiering plan over month partitions: hot (≤90 days) /
+    warm (≤1 year) / cold tiers by partition age, with estimated
+    bytes (128 B/row planning constant), per-tier monthly cost at
+    published object-store rates, and the savings a lifecycle policy
+    buys versus keeping everything hot — at 100 TB the cold tier is
+    usually >80% of bytes, and THIS table is what justifies the
+    lifecycle rules q136's partition planner then implements.
+
+    Scale: one month-grain aggregate, a broadcast horizon, a 3-row
+    output. Age arithmetic is exact integer days; the rate is
+    constant within a tier by construction (any_value is safe); all
+    shares are exact ratios (rule 5).
+    """
+    li = read_table(spark, sf_dir, "lineitem", ["l_shipdate"])
+    horizon = li.agg(F.max(F.to_date("l_shipdate")).alias("h"))
+    parts = li.groupBy(
+        F.trunc("l_shipdate", "month").alias("mo")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    age = F.datediff(F.col("h"), F.col("mo"))
+    staged = (
+        parts.crossJoin(F.broadcast(horizon))
+        .select(
+            "mo",
+            "n_rows",
+            F.when(age <= 90, "hot")
+            .when(age <= 365, "warm")
+            .otherwise("cold")
+            .alias("tier"),
+            F.when(age <= 90, 0.023)
+            .when(age <= 365, 0.01)
+            .otherwise(0.004)
+            .alias("rate"),
+        )
+        .localCheckpoint(eager=False)  # totals + census branches
+    )
+    tot = staged.agg(F.sum("n_rows").cast("bigint").alias("total_rows"))
+    gb = F.sum("n_rows") * 128.0 / 1073741824.0
+    return (
+        staged.crossJoin(F.broadcast(tot))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            fround(gb, 6).alias("est_gb"),
+            fround(gb * F.any_value("rate"), 6).alias("monthly_cost"),
+            fround(gb * (0.023 - F.any_value("rate")), 6).alias(
+                "monthly_savings_vs_hot"
+            ),
+            fround(
+                F.sum("n_rows") * 1.0 / F.any_value("total_rows"), 6
+            ).alias("row_share"),
+        )
+    )

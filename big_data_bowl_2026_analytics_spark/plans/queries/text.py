@@ -2402,3 +2402,92 @@ def q277_heaps_law_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp((F.col("sy") - beta * F.col("sx")) / F.col("k")), 4
         ).alias("heaps_k"),
     )
+
+
+@query(
+    "q280_dedup_threshold_sweep",
+    tags=("dedup", "calibration", "audit"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n_toks FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM tok a
+  JOIN tok b ON a.tok = b.tok AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b,
+         inter / (sa.n_toks + sb.n_toks - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.n_toks + sb.n_toks - inter) >= 0.2
+), taus AS (
+  SELECT unnest(['0.2', '0.3', '0.4', '0.5', '0.6', '0.7', '0.8'])
+    AS tau_label,
+  unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS tau
+), hits AS (
+  SELECT t.tau_label, p.doc_a, p.doc_b
+  FROM pairs p JOIN taus t ON p.jaccard >= t.tau
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT h.tau_label AS tau,
+       CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_docs_flagged,
+       round(count(DISTINCT d) * 1.0 / any_value(nd.n_docs) + 1e-9, 6)
+         AS flagged_share
+FROM (
+  SELECT tau_label, doc_a AS d FROM hits
+  UNION ALL SELECT tau_label, doc_b FROM hits
+) h CROSS JOIN nd
+GROUP BY h.tau_label
+""",
+)
+def q280_dedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup threshold calibration sweep: exact word-set Jaccard pairs
+    (q33's language-blocked verifier, floored at 0.2) evaluated at
+    seven candidate thresholds in ONE pass — pair counts and the
+    share of the corpus that would be flagged at each τ, the curve a
+    data curator reads to pick the dedup threshold (the elbow where
+    flagged-share stops falling is where near-dups end and topical
+    similarity begins; q178 then audits LSH recall AT the chosen τ).
+
+    Scale: the expensive part (exact pair verification) runs once;
+    the sweep is a ≤7× fan-out of the already-tiny pair frame against
+    a broadcast threshold list. Jaccards are exact integer ratios
+    compared against identical float literals on both engines;
+    thresholds ship as string labels (never a double group key).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_similar_pairs(
+        docs, threshold=0.2, block_col="lang"
+    ).localCheckpoint(eager=False)  # 7 threshold branches
+    taus = spark.createDataFrame(
+        [(f"{t:.1f}", t) for t in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)],
+        "tau_label string, tau double",
+    )
+    hits = pairs.join(
+        F.broadcast(taus), F.col("jaccard") >= F.col("tau")
+    )
+    exploded = hits.select(
+        "tau_label", F.col("doc_a").alias("d")
+    ).unionByName(hits.select("tau_label", F.col("doc_b").alias("d")))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        exploded.crossJoin(F.broadcast(nd))
+        .groupBy(F.col("tau_label").alias("tau"))
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("d").alias("n_docs_flagged"),
+            fround(
+                F.countDistinct("d") * 1.0 / F.any_value("n_docs"), 6
+            ).alias("flagged_share"),
+        )
+    )

@@ -1359,3 +1359,22 @@ def test_q278_lifecycle_single_part_grain_pass(spark):
     plan = physical_plan(_q(spark, "q278_sku_lifecycle_census"))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q279_skew_forecast_two_level_rank(spark):
+    plan = physical_plan(_q(spark, "q279_shuffle_skew_forecast"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q280_sweep_reuses_one_pair_verification(spark):
+    # the threshold fan-out joins the checkpointed pair frame — the
+    # exact verification never re-runs per tau.
+    plan = physical_plan(_q(spark, "q280_dedup_threshold_sweep"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") >= 1  # checkpointed pairs
+
+
+def test_q281_tiering_month_grain_only(spark):
+    plan = physical_plan(_q(spark, "q281_storage_tiering_plan"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
