@@ -1978,3 +1978,118 @@ def q270_deletion_impact_report(
         .cast("bigint")
         .alias("customers_with_no_data"),
     )
+
+
+@query(
+    "q284_token_budget_waterfill",
+    tags=("llm-pipeline", "mixing", "optimization"),
+    oracle="""
+WITH srcs AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(cap) AS BIGINT) AS total,
+         CAST(floor(0.2 * sum(cap)) AS BIGINT) AS budget,
+         CAST(count(*) AS BIGINT) AS m
+  FROM srcs
+), sorted AS MATERIALIZED (
+  SELECT source, cap,
+         row_number() OVER (ORDER BY cap, source) AS i,
+         CAST(coalesce(sum(cap) OVER (
+           ORDER BY cap, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS prefix,
+         lag(cap) OVER (ORDER BY cap, source) AS prev_cap
+  FROM srcs
+), lvl AS (
+  SELECT min((CAST(t.budget AS DOUBLE) - s.prefix) / (t.m - s.i + 1))
+           AS lam
+  FROM sorted s CROSS JOIN tot t
+  WHERE (s.prev_cap IS NULL
+         OR (CAST(t.budget AS DOUBLE) - s.prefix) / (t.m - s.i + 1)
+            >= s.prev_cap)
+    AND (CAST(t.budget AS DOUBLE) - s.prefix) / (t.m - s.i + 1) <= s.cap
+)
+SELECT s.source, s.cap,
+       CAST(round(least(CAST(s.cap AS DOUBLE),
+                        coalesce(l.lam, 1e18))) AS BIGINT)
+         AS allocated_tokens,
+       round(least(CAST(s.cap AS DOUBLE), coalesce(l.lam, 1e18))
+             / s.cap + 1e-9, 6) AS utilization,
+       least(CAST(s.cap AS DOUBLE), coalesce(l.lam, 1e18)) = s.cap
+         AS saturated,
+       round(coalesce(l.lam, 1e18) + 1e-9, 4) AS water_level
+FROM sorted s CROSS JOIN lvl l
+""",
+)
+def q284_token_budget_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget waterfilling: allocate a 20%-of-corpus training
+    budget across sources as evenly as the per-source caps allow —
+    small feeds are taken whole (saturated), large feeds are clipped
+    at a common water level λ with Σ min(cap, λ) = budget — the
+    closed-form fair mixer that q208's temperature weighting
+    approximates and a dataset-curation run executes as its sampling
+    quota table.
+
+    The level solves in closed form on the SORTED source frame
+    (bounded by |sources|, never data-sized): for each prefix k,
+    λ_k = (B − prefix_k)/(m − k), and exactly one k satisfies the
+    bracketing condition when B < total — selected by filter, no
+    iteration. Caps are exact integers; λ is an exact-integer-ratio
+    double compared identically on both engines.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    srcs = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("cap")
+    )
+    srcs = srcs.localCheckpoint(eager=False)  # totals + sorted branches
+    tot = srcs.agg(
+        F.sum("cap").cast("bigint").alias("total"),
+        F.floor(0.2 * F.sum("cap")).cast("bigint").alias("budget"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    wv = Window.orderBy("cap", "source")
+    sorted_ = srcs.select(
+        "source",
+        "cap",
+        F.row_number().over(wv).alias("i"),
+        F.coalesce(
+            F.sum("cap").over(
+                wv.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("prefix"),
+        F.lag("cap").over(wv).alias("prev_cap"),
+    ).localCheckpoint(eager=False)  # level + allocation branches
+    lam_expr = (
+        F.col("budget").cast("double") - F.col("prefix")
+    ) / (F.col("m") - F.col("i") + 1)
+    lvl = (
+        sorted_.crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("prev_cap").isNull() | (lam_expr >= F.col("prev_cap")))
+            & (lam_expr <= F.col("cap"))
+        )
+        .agg(F.min(lam_expr).alias("lam"))
+    )
+    alloc = F.least(
+        F.col("cap").cast("double"),
+        F.coalesce(F.col("lam"), F.lit(1e18)),
+    )
+    return sorted_.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        "cap",
+        F.round(alloc).cast("bigint").alias("allocated_tokens"),
+        fround(alloc / F.col("cap"), 6).alias("utilization"),
+        (alloc == F.col("cap")).alias("saturated"),
+        fround(F.coalesce(F.col("lam"), F.lit(1e18)), 4).alias(
+            "water_level"
+        ),
+    )

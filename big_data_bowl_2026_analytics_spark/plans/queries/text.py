@@ -29,6 +29,7 @@ from ...operators.textstats import (
     quality_scores,
     shingle_fingerprints,
     token_stats,
+    unigram_logprob_scores,
 )
 from ...functions.scalar import fround
 from ...sources.readers import read_table
@@ -2490,4 +2491,251 @@ def q280_dedup_threshold_sweep(
                 F.countDistinct("d") * 1.0 / F.any_value("n_docs"), 6
             ).alias("flagged_share"),
         )
+    )
+
+
+_QUALITY_SCORE_SQL = """
+round(0.5 * (len(list_distinct(w)) / len(w))
+    + 0.3 * (1.0 - len(list_filter(w, t -> t IN ('the','a','and','of','to')))
+                   / len(w))
+    + 0.2 * least((len(text) - (len(w) - 1)) / len(w) / 10.0, 1.0)
+    + 1e-9, 6)
+"""
+
+
+@query(
+    "q282_quality_filter_yield",
+    tags=("text", "quality", "calibration", "llm-pipeline"),
+    oracle=f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         {_QUALITY_SCORE_SQL.strip()} AS q
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+), taus AS (
+  SELECT unnest(['0.40','0.45','0.50','0.55','0.60','0.65','0.70','0.75'])
+    AS tau_label,
+  unnest([0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70, 0.75]) AS tau
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(n_tokens) AS BIGINT) AS nt
+  FROM scored
+)
+SELECT t.tau_label AS tau,
+       CAST(count(CASE WHEN s.q >= t.tau THEN 1 END) AS BIGINT)
+         AS docs_kept,
+       round(count(CASE WHEN s.q >= t.tau THEN 1 END) * 1.0
+             / any_value(tot.nd) + 1e-9, 6) AS doc_yield,
+       CAST(coalesce(sum(CASE WHEN s.q >= t.tau THEN s.n_tokens END), 0)
+            AS BIGINT) AS tokens_kept,
+       round(coalesce(sum(CASE WHEN s.q >= t.tau THEN s.n_tokens END), 0)
+             * 1.0 / any_value(tot.nt) + 1e-9, 6) AS token_yield,
+       round(avg(CASE WHEN s.q >= t.tau THEN s.q END) + 1e-9, 6)
+         AS mean_kept_quality
+FROM scored s CROSS JOIN taus t CROSS JOIN tot
+GROUP BY t.tau_label
+""",
+)
+def q282_quality_filter_yield(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-filter yield curve: document and TOKEN survival at
+    eight quality-score thresholds in one pass — the curve a curator
+    reads against the training-token budget before locking the q36
+    filter (doc yield and token yield diverge when quality correlates
+    with length, and the TOKEN axis is the one the loss curve cares
+    about). Thresholds compare against the ROUNDED score (identical
+    doubles both engines — the q228 rule) and ship as string labels.
+
+    Scale: scoring is the map-side q36 arithmetic, computed once
+    (checkpointed); the sweep is an 8× broadcast fan-out of the
+    doc-grain frame. Counts exact; yields exact ratios (rule 5).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    scored = (
+        quality_scores(docs)
+        .select("doc_id", "n_tokens", F.col("quality_score").alias("q"))
+        .localCheckpoint(eager=False)  # totals + sweep branches
+    )
+    taus = spark.createDataFrame(
+        [(f"{t:.2f}", t) for t in
+         (0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70, 0.75)],
+        "tau_label string, tau double",
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n_tokens").cast("bigint").alias("nt"),
+    )
+    kept = F.when(F.col("q") >= F.col("tau"), 1)
+    kept_tok = F.when(F.col("q") >= F.col("tau"), F.col("n_tokens"))
+    return (
+        scored.crossJoin(F.broadcast(taus))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("tau_label").alias("tau"))
+        .agg(
+            F.count(kept).cast("bigint").alias("docs_kept"),
+            fround(F.count(kept) * 1.0 / F.any_value("nd"), 6).alias(
+                "doc_yield"
+            ),
+            F.coalesce(F.sum(kept_tok), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            fround(
+                F.coalesce(F.sum(kept_tok), F.lit(0))
+                * 1.0
+                / F.any_value("nt"),
+                6,
+            ).alias("token_yield"),
+            fround(
+                F.avg(F.when(F.col("q") >= F.col("tau"), F.col("q"))), 6
+            ).alias("mean_kept_quality"),
+        )
+    )
+
+
+@query(
+    "q283_quality_perplexity_spearman",
+    tags=("text", "quality", "statistics", "llm-pipeline"),
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), qscore AS (
+  SELECT doc_id, {_QUALITY_SCORE_SQL.strip()} AS q FROM base
+), words AS (
+  SELECT doc_id, unnest(w) AS wd FROM base
+), doc_word AS (
+  SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS c
+  FROM words GROUP BY doc_id, wd
+), corpus AS (
+  SELECT wd, CAST(sum(c) AS BIGINT) AS cw FROM doc_word GROUP BY wd
+), totw AS (
+  SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM corpus
+), lp AS (
+  SELECT d.doc_id,
+         round(ln(CAST(t.n_total AS DOUBLE))
+               - sum(d.c * ln(CAST(c2.cw AS DOUBLE)))
+                 / CAST(sum(d.c) AS BIGINT) + 1e-9, 6) AS nlp
+  FROM doc_word d JOIN corpus c2 ON c2.wd = d.wd
+  CROSS JOIN totw t
+  GROUP BY d.doc_id, t.n_total
+), joined AS MATERIALIZED (
+  SELECT q.doc_id, q.q, l.nlp FROM qscore q JOIN lp l USING (doc_id)
+), rq AS (
+  SELECT q AS v, CAST(count(*) AS BIGINT) AS c FROM joined GROUP BY q
+), rq2 AS (
+  SELECT v,
+         CAST(2 * coalesce(sum(c) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) + c + 1 AS BIGINT) AS r2
+  FROM rq
+), rl AS (
+  SELECT nlp AS v, CAST(count(*) AS BIGINT) AS c FROM joined GROUP BY nlp
+), rl2 AS (
+  SELECT v,
+         CAST(2 * coalesce(sum(c) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) + c + 1 AS BIGINT) AS r2
+  FROM rl
+), ranked AS (
+  SELECT j.doc_id, a.r2 AS ra, b.r2 AS rb
+  FROM joined j
+  JOIN rq2 a ON a.v = j.q
+  JOIN rl2 b ON b.v = j.nlp
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ra) AS BIGINT) AS sa,
+         CAST(sum(rb) AS BIGINT) AS sb,
+         CAST(sum(ra * rb) AS BIGINT) AS sab,
+         CAST(sum(ra * ra) AS BIGINT) AS saa,
+         CAST(sum(rb * rb) AS BIGINT) AS sbb
+  FROM ranked
+)
+SELECT n AS n_docs,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                    - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) <= 0
+            THEN NULL
+            ELSE round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                       + 1e-9, 6) + 0 END AS spearman_rho
+FROM sums
+""",
+)
+def q283_quality_perplexity_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between the corpus-perplexity proxy
+    (q101's average negative unigram log-probability) and the q36
+    quality score — the audit that says whether the cheap heuristic
+    filter and the statistical one actually AGREE on ordering (if
+    |ρ| is low, the two filters keep different corpora and the
+    pipeline needs both; monotone-only association, so Spearman, not
+    Pearson — no linearity assumption across two unrelated scales).
+
+    Exactness: average ranks with ties come from the distinct-ROUNDED
+    -value histogram (bounded by 1e6+1 values at any corpus — the
+    q227 grain argument; never a doc-sized global window), doubled to
+    stay integer (2·avg_rank = 2·F + c + 1 — the q211 rank algebra),
+    so every Pearson-of-ranks sum is an exact BIGINT cast to double
+    once (q204 rule) with the sign-of-zero guard on ρ.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = quality_scores(docs).select(
+        "doc_id", F.col("quality_score").alias("qv")
+    )
+    lp = unigram_logprob_scores(docs).select(
+        "doc_id", F.col("avg_neg_logprob").alias("nlp")
+    )
+    joined = q.join(lp, "doc_id").localCheckpoint(
+        eager=False
+    )  # two histogram branches + rank join
+
+    def ranks(col: str, out: str):
+        hist = joined.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        wv = Window.orderBy("v")
+        return hist.select(
+            "v",
+            (
+                2
+                * F.coalesce(
+                    F.sum("c").over(
+                        wv.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                + F.col("c")
+                + 1
+            ).cast("bigint").alias(out),
+        )
+
+    ra = ranks("qv", "ra").withColumnRenamed("v", "qv")
+    rb = ranks("nlp", "rb").withColumnRenamed("v", "nlp")
+    ranked = joined.join(ra, "qv").join(rb, "nlp")
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+    )
+    n_d = F.col("n").cast("double")
+    sa_d, sb_d = F.col("sa").cast("double"), F.col("sb").cast("double")
+    va = n_d * F.col("saa").cast("double") - sa_d * sa_d
+    vb = n_d * F.col("sbb").cast("double") - sb_d * sb_d
+    num = n_d * F.col("sab").cast("double") - sa_d * sb_d
+    return sums.select(
+        F.col("n").alias("n_docs"),
+        F.when(va * vb <= 0, F.lit(None).cast("double"))
+        .otherwise(fround(num / F.sqrt(va * vb), 6) + 0)
+        .alias("spearman_rho"),
     )

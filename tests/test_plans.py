@@ -1378,3 +1378,23 @@ def test_q281_tiering_month_grain_only(spark):
     plan = physical_plan(_q(spark, "q281_storage_tiering_plan"))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q282_yield_curve_scores_once(spark):
+    # quality scoring runs once (checkpointed); the sweep is a
+    # broadcast fan-out.
+    plan = physical_plan(_q(spark, "q282_quality_filter_yield"))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_q283_spearman_histogram_grain(spark):
+    # rank windows run on the distinct-rounded-value histogram, never
+    # the doc grain; all sums exact BIGINT.
+    plan = physical_plan(_q(spark, "q283_quality_perplexity_spearman"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q284_waterfill_bounded_source_frame(spark):
+    plan = physical_plan(_q(spark, "q284_token_budget_waterfill"))
+    assert "CartesianProduct" not in plan
