@@ -2093,3 +2093,95 @@ def q284_token_budget_waterfill(
             "water_level"
         ),
     )
+
+
+@query(
+    "q287_order_velocity_screen",
+    tags=("fraud", "audit", "report"),
+    oracle="""
+WITH weekly AS (
+  SELECT o_custkey,
+         CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7
+              AS BIGINT) AS wk,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), percust AS MATERIALIZED (
+  SELECT o_custkey,
+         CAST(sum(n) AS BIGINT) AS n_orders,
+         CAST(max(n) AS BIGINT) AS peak_week,
+         CAST(max(wk) - min(wk) + 1 AS BIGINT) AS span_weeks
+  FROM weekly GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, n_orders, peak_week, span_weeks,
+         round(peak_week * 1.0 * span_weeks / n_orders + 1e-9, 6)
+           AS velocity_ratio
+  FROM percust
+)
+SELECT o_custkey, n_orders, peak_week, span_weeks, velocity_ratio,
+       velocity_ratio >= 3.0 AND n_orders >= 5 AS flagged,
+       CAST(row_number() OVER (
+         ORDER BY velocity_ratio DESC, o_custkey
+       ) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= 20
+""",
+)
+def q287_order_velocity_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-velocity screen: each customer's peak WEEK of ordering
+    against their own average weekly rate over their active span —
+    velocity_ratio = peak · span / total, the burst statistic behind
+    promo-abuse and account-takeover triage (a steady customer sits
+    near 1–2; a burster spikes) — reported as a top-20 leaderboard on
+    the ROUNDED ratio with a flag at the ≥3×-and-≥5-orders policy
+    (q228 rule: the flag thresholds the rounded value).
+
+    Scale: one (customer, week) aggregate reduced to the customer
+    grain; the leaderboard is orderBy().limit(). Week indices are
+    epoch-day integer division (q213 rule); the ratio is an exact
+    integer ratio (rule 5).
+    """
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    weekly = o.groupBy(
+        "o_custkey",
+        F.floor(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) / 7
+        ).cast("bigint").alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    percust = weekly.groupBy("o_custkey").agg(
+        F.sum("n").cast("bigint").alias("n_orders"),
+        F.max("n").cast("bigint").alias("peak_week"),
+        (F.max("wk") - F.min("wk") + 1).cast("bigint").alias(
+            "span_weeks"
+        ),
+    )
+    scored = percust.select(
+        "*",
+        fround(
+            F.col("peak_week")
+            * 1.0
+            * F.col("span_weeks")
+            / F.col("n_orders"),
+            6,
+        ).alias("velocity_ratio"),
+    )
+    top = scored.orderBy(
+        F.desc("velocity_ratio"), F.asc("o_custkey")
+    ).limit(20)
+    return top.select(
+        "o_custkey",
+        "n_orders",
+        "peak_week",
+        "span_weeks",
+        "velocity_ratio",
+        (
+            (F.col("velocity_ratio") >= 3.0) & (F.col("n_orders") >= 5)
+        ).alias("flagged"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("velocity_ratio"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("rk"),
+    )

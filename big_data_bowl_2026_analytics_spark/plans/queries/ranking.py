@@ -1093,3 +1093,150 @@ def q278_sku_lifecycle_census(
             fround(F.avg("n_sales"), 4).alias("mean_sales"),
         )
     )
+
+
+@query(
+    "q285_lmdi_revenue_drivers",
+    tags=("finance", "decomposition", "report"),
+    oracle="""
+WITH li AS (
+  SELECT l.l_orderkey, o.o_custkey,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), monthly AS MATERIALIZED (
+  SELECT m,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS users,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS orders,
+         CAST(count(*) AS BIGINT) AS items,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM li GROUP BY m
+), paired AS (
+  SELECT m, users, orders, items, cents,
+         lag(users) OVER w AS p_users,
+         lag(orders) OVER w AS p_orders,
+         lag(items) OVER w AS p_items,
+         lag(cents) OVER w AS p_cents
+  FROM monthly WINDOW w AS (ORDER BY m)
+), factors AS (
+  SELECT m,
+         cents / 100.0 AS rev, p_cents / 100.0 AS p_rev,
+         CAST(users AS DOUBLE) AS f1, CAST(p_users AS DOUBLE) AS p1,
+         orders * 1.0 / users AS f2, p_orders * 1.0 / p_users AS p2,
+         items * 1.0 / orders AS f3, p_items * 1.0 / p_orders AS p3,
+         cents * 1.0 / (100.0 * items) AS f4,
+         p_cents * 1.0 / (100.0 * p_items) AS p4
+  FROM paired WHERE p_cents IS NOT NULL
+), lm AS (
+  SELECT m, rev, p_rev, f1, p1, f2, p2, f3, p3, f4, p4,
+         CASE WHEN rev = p_rev THEN rev
+              ELSE (rev - p_rev) / (ln(rev) - ln(p_rev)) END AS lw
+  FROM factors
+)
+SELECT strftime(m, '%Y-%m-%d') AS month_start,
+       round(rev - p_rev + 1e-9, 2) + 0 AS delta_revenue,
+       round(lw * (ln(f1) - ln(p1)) + 1e-9, 2) + 0 AS users_effect,
+       round(lw * (ln(f2) - ln(p2)) + 1e-9, 2) + 0
+         AS orders_per_user_effect,
+       round(lw * (ln(f3) - ln(p3)) + 1e-9, 2) + 0
+         AS items_per_order_effect,
+       round(lw * (ln(f4) - ln(p4)) + 1e-9, 2) + 0
+         AS price_per_item_effect,
+       round((rev - p_rev)
+             - (((lw * (ln(f1) - ln(p1)) + lw * (ln(f2) - ln(p2)))
+                 + lw * (ln(f3) - ln(p3))) + lw * (ln(f4) - ln(p4)))
+             + 1e-9, 2) + 0 AS decomposition_check
+FROM lm
+""",
+)
+def q285_lmdi_revenue_drivers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LMDI (log-mean Divisia) month-over-month revenue driver tree:
+    revenue = users × orders/user × items/order × price/item, with
+    each factor's month-over-month contribution weighted by the
+    logarithmic mean L(R, R') = ΔR/Δln R — the decomposition with NO
+    residual by construction (the identity Σ effects = ΔR is re-
+    derived as ``decomposition_check`` and must round to 0.00 — the
+    q264 self-validation pattern; additive 4-factor trees with naive
+    weights leak a cross-term, LMDI provably doesn't).
+
+    Scale: one joined fact pass to the month grain; the lag pairing
+    and all log algebra run on the bounded months frame. Counts are
+    exact integers; factor ratios are exact-ratio doubles; ln is the
+    proven cross-engine surface (q95/q158 class) under the fround
+    pair with sign-of-zero guards on every signed effect.
+    """
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                             "o_orderdate"])
+    l = read_table(spark, sf_dir, "lineitem", ["l_orderkey",
+                                               "l_extendedprice"])
+    li = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "o_custkey",
+        F.trunc("o_orderdate", "month").alias("m"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    monthly = li.groupBy("m").agg(
+        F.countDistinct("o_custkey").alias("users"),
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.count(F.lit(1)).alias("items"),
+        F.sum("cents").alias("cents"),
+    )
+    wm = Window.orderBy("m")
+    paired = monthly.select(
+        "m",
+        "users",
+        "orders",
+        "items",
+        "cents",
+        F.lag("users").over(wm).alias("p_users"),
+        F.lag("orders").over(wm).alias("p_orders"),
+        F.lag("items").over(wm).alias("p_items"),
+        F.lag("cents").over(wm).alias("p_cents"),
+    ).where(F.col("p_cents").isNotNull())
+    rev = F.col("cents") / 100.0
+    p_rev = F.col("p_cents") / 100.0
+    lw = F.when(rev == p_rev, rev).otherwise(
+        (rev - p_rev) / (F.log(rev) - F.log(p_rev))
+    )
+    f = {
+        "f1": F.col("users").cast("double"),
+        "p1": F.col("p_users").cast("double"),
+        "f2": F.col("orders") * 1.0 / F.col("users"),
+        "p2": F.col("p_orders") * 1.0 / F.col("p_users"),
+        "f3": F.col("items") * 1.0 / F.col("orders"),
+        "p3": F.col("p_items") * 1.0 / F.col("p_orders"),
+        "f4": F.col("cents") * 1.0 / (100.0 * F.col("items")),
+        "p4": F.col("p_cents") * 1.0 / (100.0 * F.col("p_items")),
+    }
+    bound = paired.select(
+        "m",
+        rev.alias("rev"),
+        p_rev.alias("p_rev"),
+        lw.alias("lw"),
+        *[v.alias(k) for k, v in f.items()],
+    )
+    eff = {
+        i: F.col("lw")
+        * (F.log(F.col(f"f{i}")) - F.log(F.col(f"p{i}")))
+        for i in (1, 2, 3, 4)
+    }
+    total_eff = ((eff[1] + eff[2]) + eff[3]) + eff[4]
+    return bound.select(
+        F.date_format("m", "yyyy-MM-dd").alias("month_start"),
+        (fround(F.col("rev") - F.col("p_rev"), 2) + 0).alias(
+            "delta_revenue"
+        ),
+        (fround(eff[1], 2) + 0).alias("users_effect"),
+        (fround(eff[2], 2) + 0).alias("orders_per_user_effect"),
+        (fround(eff[3], 2) + 0).alias("items_per_order_effect"),
+        (fround(eff[4], 2) + 0).alias("price_per_item_effect"),
+        (
+            fround((F.col("rev") - F.col("p_rev")) - total_eff, 2) + 0
+        ).alias("decomposition_check"),
+    )

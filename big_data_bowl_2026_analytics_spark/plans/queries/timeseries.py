@@ -2648,3 +2648,121 @@ def q275_feed_uptime_nines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("nines"),
     )
+
+
+@query(
+    "q286_queue_backlog_curve",
+    tags=("timeseries", "queueing", "capacity"),
+    oracle="""
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS a
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(h) AS mn, max(h) AS mx FROM counts
+), dense AS MATERIALIZED (
+  SELECT g.h - b.mn AS i, CAST(coalesce(c.x, 0) AS BIGINT) AS a
+  FROM (SELECT unnest(generate_series(mn, mx)) AS h, mn FROM bounds) g
+  CROSS JOIN bounds b
+  LEFT JOIN (SELECT h, a AS x FROM counts) c ON c.h = g.h
+), cap AS (
+  SELECT a AS c FROM (
+    SELECT a, row_number() OVER (ORDER BY a, i) AS rn,
+           count(*) OVER () AS n
+    FROM dense
+  ) WHERE rn = CAST(ceil(0.75 * n) AS BIGINT)
+), s AS (
+  SELECT d.i, d.a, cap.c,
+         CAST(sum(d.a - cap.c) OVER (
+           ORDER BY d.i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS st
+  FROM dense d CROSS JOIN cap
+), w AS (
+  SELECT i, a, c, st,
+         CAST(least(0, min(st) OVER (
+           ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )) AS BIGINT) AS floor_min
+  FROM s
+)
+SELECT i AS hour_idx, a AS arrivals, c AS capacity,
+       st - floor_min AS backlog,
+       st - floor_min > 0 AS queued
+FROM w
+""",
+)
+def q286_queue_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue-backlog curve under a fixed service capacity (the exact
+    p75 hourly arrival rate): the Lindley recursion
+    W_t = max(0, W_{t−1} + a_t − c) computed WITHOUT a sequential
+    scan via the reflection identity W_t = S_t − min(0, min_{τ≤t} S_τ)
+    with S = Σ(a − c) — a cumulative sum and a running minimum, both
+    plain windows — the capacity-planning curve that says how deep
+    the backlog gets and how long drains take when arrivals burst
+    past service rate (q263 finds the bursts; this prices them).
+
+    Exactness: arrivals and capacity are integers, so S, the running
+    minimum, and every backlog value are EXACT BIGINTs — the
+    recursion-to-prefix-extremum transform is the same trick as
+    q199's descending cumulative flip, applied to queueing. Windows
+    run on the bounded dense hour grain (q227 argument).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["ts"])
+    counts = (
+        ev.select(
+            F.floor(F.col("ts").cast("double") / 3600)
+            .cast("bigint")
+            .alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = counts.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    dense = (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h"),
+            "mn",
+        )
+        .join(counts, "h", "left")
+        .select(
+            (F.col("h") - F.col("mn")).alias("i"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("a"),
+        )
+        .localCheckpoint(eager=False)  # capacity + recursion branches
+    )
+    wr = Window.orderBy("a", "i")
+    cap = (
+        dense.select(
+            "a",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .where(F.col("rn") == F.ceil(0.75 * F.col("n")).cast("bigint"))
+        .select(F.col("a").alias("c"))
+    )
+    wi = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = dense.crossJoin(F.broadcast(cap)).select(
+        "i",
+        "a",
+        "c",
+        F.sum(F.col("a") - F.col("c")).over(wi).cast("bigint").alias("st"),
+    )
+    w = s.select(
+        "i",
+        "a",
+        "c",
+        "st",
+        F.least(F.lit(0), F.min("st").over(wi))
+        .cast("bigint")
+        .alias("floor_min"),
+    )
+    return w.select(
+        F.col("i").alias("hour_idx"),
+        F.col("a").alias("arrivals"),
+        F.col("c").alias("capacity"),
+        (F.col("st") - F.col("floor_min")).alias("backlog"),
+        (F.col("st") - F.col("floor_min") > 0).alias("queued"),
+    )

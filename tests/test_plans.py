@@ -1398,3 +1398,23 @@ def test_q283_spearman_histogram_grain(spark):
 def test_q284_waterfill_bounded_source_frame(spark):
     plan = physical_plan(_q(spark, "q284_token_budget_waterfill"))
     assert "CartesianProduct" not in plan
+
+
+def test_q285_lmdi_month_grain_after_one_join(spark):
+    plan = physical_plan(_q(spark, "q285_lmdi_revenue_drivers"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q286_lindley_as_prefix_windows(spark):
+    # the recursion resolves to cumsum + running min on the bounded
+    # hour grain — no sequential/Python pass anywhere.
+    plan = physical_plan(_q(spark, "q286_queue_backlog_curve"))
+    assert "CartesianProduct" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+
+
+def test_q287_velocity_topk(spark):
+    plan = physical_plan(_q(spark, "q287_order_velocity_screen"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
