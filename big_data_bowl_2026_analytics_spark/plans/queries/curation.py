@@ -2185,3 +2185,81 @@ def q287_order_velocity_screen(
         .cast("bigint")
         .alias("rk"),
     )
+
+
+@query(
+    "q290_small_cell_suppression",
+    tags=("privacy", "report", "compliance"),
+    oracle="""
+WITH cells AS MATERIALIZED (
+  SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+           AS month_idx,
+         n.n_name AS nation,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT month_idx,
+       CASE WHEN n_orders < 5 THEN 'OTHER' ELSE nation END AS nation,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       round(CAST(sum(cents) AS BIGINT) / 100.0 + 1e-9, 2) AS revenue,
+       CAST(sum(CASE WHEN n_orders < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppressed_cells
+FROM cells
+GROUP BY month_idx, CASE WHEN n_orders < 5 THEN 'OTHER' ELSE nation END
+""",
+)
+def q290_small_cell_suppression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Small-cell suppression for published reports: the nation ×
+    month order table with every cell under k = 5 re-labeled into a
+    per-month OTHER bucket and re-aggregated — the disclosure-control
+    step between q152's k-anonymity AUDIT and actually shipping a
+    public dashboard (tiny cells re-identify customers; merging, not
+    dropping, keeps the monthly totals exactly reconcilable with the
+    unsuppressed books).
+
+    Scale: one fact pass with two broadcast dimension joins to the
+    cell grain; suppression is a relabel + second aggregate on the
+    bounded (month, nation) frame. Counts and cents stay exact
+    integers through both aggregations (rule 5 on the one division).
+    """
+    o = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    c = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    n = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_idx"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    label = F.when(F.col("n_orders") < 5, "OTHER").otherwise(
+        F.col("nation")
+    )
+    return (
+        cells.groupBy("month_idx", label.alias("nation"))
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            fround(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.sum(F.when(F.col("n_orders") < 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_suppressed_cells"),
+        )
+    )

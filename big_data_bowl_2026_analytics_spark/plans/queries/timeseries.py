@@ -2766,3 +2766,241 @@ def q286_queue_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("st") - F.col("floor_min")).alias("backlog"),
         (F.col("st") - F.col("floor_min") > 0).alias("queued"),
     )
+
+
+@query(
+    "q288_calendar_outlier_days",
+    tags=("timeseries", "anomaly", "calendar"),
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num,
+         CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7
+              AS BIGINT) AS dow,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+), med AS MATERIALIZED (
+  SELECT dow, cents AS med_cents FROM (
+    SELECT dow, cents,
+           row_number() OVER (PARTITION BY dow ORDER BY cents, day_num)
+             AS rn,
+           count(*) OVER (PARTITION BY dow) AS n
+    FROM daily
+  ) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+), dev AS (
+  SELECT d.day_num, d.dow, d.cents, m.med_cents,
+         abs(d.cents - m.med_cents) AS adev
+  FROM daily d JOIN med m ON m.dow = d.dow
+), mad AS (
+  SELECT dow, adev AS mad_cents FROM (
+    SELECT dow, adev,
+           row_number() OVER (PARTITION BY dow ORDER BY adev, day_num)
+             AS rn,
+           count(*) OVER (PARTITION BY dow) AS n
+    FROM dev
+  ) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+)
+SELECT d.day_num, d.dow,
+       round(d.cents / 100.0 + 1e-9, 2) AS revenue,
+       round(d.med_cents / 100.0 + 1e-9, 2) AS dow_median,
+       round((d.cents - d.med_cents) / 100.0 + 1e-9, 2) + 0
+         AS deviation,
+       CASE WHEN m.mad_cents = 0 THEN NULL
+            ELSE round((d.cents - d.med_cents) * 1.0 / m.mad_cents
+                       + 1e-9, 4) + 0 END AS mad_score
+FROM dev d JOIN mad m ON m.dow = d.dow
+WHERE m.mad_cents > 0
+  AND abs(round((d.cents - d.med_cents) * 1.0 / m.mad_cents
+                + 1e-9, 4)) >= 5.0
+""",
+)
+def q288_calendar_outlier_days(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calendar outlier days: daily revenue compared against ITS OWN
+    day-of-week median (a Monday is judged against Mondays — the q213
+    seasonality lesson applied to anomaly detection), deviations
+    scored in day-of-week MAD units (q113's robust scale, immune to
+    the outliers being hunted), days with |score| ≥ 5 flagged — the
+    "what happened on the 14th?" screen that a global z-score floods
+    with weekend false positives.
+
+    Exactness: medians and MADs are exact order statistics per dow
+    (rank selection over the bounded day grain — q184 rule); the
+    score thresholds its own ROUNDED value (q228 rule) with
+    sign-of-zero guards; zero-MAD groups yield NULL and drop
+    identically on both sides (the q113 guard).
+    """
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_num = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    daily = (
+        o.groupBy(
+            day_num.alias("day_num"), (day_num % 7).alias("dow")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=False)  # median + deviation branches
+    )
+
+    def per_dow_median(df, value_col, out_col):
+        wd = Window.partitionBy("dow").orderBy(value_col, "day_num")
+        wn = Window.partitionBy("dow")
+        return (
+            df.select(
+                "dow",
+                F.col(value_col),
+                F.row_number().over(wd).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            .where(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("bigint")
+            )
+            .select("dow", F.col(value_col).alias(out_col))
+        )
+
+    med = per_dow_median(daily, "cents", "med_cents")
+    dev = daily.join(med, "dow").select(
+        "day_num",
+        "dow",
+        "cents",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    dev = dev.localCheckpoint(eager=False)  # MAD + scoring branches
+    mad = per_dow_median(
+        dev.select("dow", "day_num", F.col("adev")), "adev", "mad_cents"
+    )
+    score = fround(
+        (F.col("cents") - F.col("med_cents")) * 1.0 / F.col("mad_cents"),
+        4,
+    )
+    return (
+        dev.join(mad, "dow")
+        .where(F.col("mad_cents") > 0)
+        .where(F.abs(score) >= 5.0)
+        .select(
+            "day_num",
+            "dow",
+            fround(F.col("cents") / 100.0, 2).alias("revenue"),
+            fround(F.col("med_cents") / 100.0, 2).alias("dow_median"),
+            (
+                fround(
+                    (F.col("cents") - F.col("med_cents")) / 100.0, 2
+                )
+                + 0
+            ).alias("deviation"),
+            F.when(
+                F.col("mad_cents") == 0, F.lit(None).cast("double")
+            ).otherwise(score + 0).alias("mad_score"),
+        )
+    )
+
+
+@query(
+    "q289_behavior_predictability",
+    tags=("timeseries", "sequence", "entropy", "fraud"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS f,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS t
+  FROM events
+), trans AS (
+  SELECT user_id, f, t, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE t IS NOT NULL GROUP BY user_id, f, t
+), fromtot AS (
+  SELECT user_id, f, CAST(sum(n) AS BIGINT) AS nf
+  FROM trans GROUP BY user_id, f
+), usertot AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS nu
+  FROM trans GROUP BY user_id
+), ent AS (
+  SELECT t.user_id, any_value(u.nu) AS n_trans,
+         -sum((t.n * 1.0 / u.nu) * ln(t.n * 1.0 / ft.nf)) AS h_rate
+  FROM trans t
+  JOIN fromtot ft ON ft.user_id = t.user_id AND ft.f = t.f
+  JOIN usertot u ON u.user_id = t.user_id
+  GROUP BY t.user_id
+)
+SELECT user_id, n_trans,
+       round(h_rate + 1e-9, 6) AS entropy_rate_nats,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY round(h_rate + 1e-9, 6), user_id
+  ) AS rk
+  FROM ent WHERE n_trans >= 20
+) WHERE rk <= 20
+""",
+)
+def q289_behavior_predictability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Behavioral predictability leaderboard: each user's first-order
+    Markov conditional entropy rate H(next | current) over their own
+    event stream — near-zero means the account repeats one mechanical
+    loop (bot/script smell; q216's burstiness flags WHEN they act,
+    this flags WHAT they do), reported as the 20 most predictable
+    users with ≥ 20 transitions. Weighting is the stationary
+    empirical distribution: H = −Σ p(f,t)·ln p(t|f) with exact
+    integer count ratios.
+
+    Scale: one lead window on (user, time), transition counts at the
+    (user, from, to) grain, entropy as a per-user aggregate — state
+    is |types|² per user, never sequence-length. Ranking orders by
+    the ROUNDED entropy with the user id tie-break (footgun 3).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).where(F.col("t").isNotNull())
+    trans = seq.groupBy("user_id", "f", "t").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    trans = trans.localCheckpoint(eager=False)  # three margin branches
+    fromtot = trans.groupBy("user_id", "f").agg(F.sum("n").alias("nf"))
+    usertot = trans.groupBy("user_id").agg(F.sum("n").alias("nu"))
+    ent = (
+        trans.join(fromtot, ["user_id", "f"])
+        .join(usertot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value("nu").cast("bigint").alias("n_trans"),
+            (
+                -F.sum(
+                    (F.col("n") * 1.0 / F.col("nu"))
+                    * F.log(F.col("n") * 1.0 / F.col("nf"))
+                )
+            ).alias("h_rate"),
+        )
+    )
+    ranked = (
+        ent.where(F.col("n_trans") >= 20)
+        .select(
+            "user_id",
+            "n_trans",
+            fround(F.col("h_rate"), 6).alias("entropy_rate_nats"),
+        )
+        .orderBy(F.asc("entropy_rate_nats"), F.asc("user_id"))
+        .limit(20)
+    )
+    return ranked.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.asc("entropy_rate_nats"), F.asc("user_id")))
+        .cast("bigint"),
+    )

@@ -1418,3 +1418,23 @@ def test_q287_velocity_topk(spark):
     plan = physical_plan(_q(spark, "q287_order_velocity_screen"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q288_outliers_rank_per_dow(spark):
+    # medians/MADs are rank selections partitioned by dow.
+    plan = physical_plan(_q(spark, "q288_calendar_outlier_days"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q289_predictability_bounded_state(spark):
+    # per-user state is the |types|^2 transition frame; leaderboard is
+    # partial top-k.
+    plan = physical_plan(_q(spark, "q289_behavior_predictability"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q290_suppression_broadcast_dims(spark):
+    plan = physical_plan(_q(spark, "q290_small_cell_suppression"))
+    assert plan.count(") BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
