@@ -955,3 +955,108 @@ def q248_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_triangles",
         fround(F.col("lcc"), 6).alias("lcc"),
     )
+
+
+@query(
+    "q292_rich_club_coefficient",
+    tags=("graph",),
+    oracle="""
+WITH hi AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM hi a JOIN hi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), deg AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY v
+), ks AS (
+  SELECT unnest([2, 4, 8, 16]) AS k
+), clubn AS (
+  SELECT k.k, CAST(count(*) AS BIGINT) AS n_club
+  FROM deg d JOIN ks k ON d.deg > k.k
+  GROUP BY k.k
+), clube AS (
+  SELECT k.k, CAST(count(*) AS BIGINT) AS e_club
+  FROM e
+  JOIN deg da ON da.v = e.a
+  JOIN deg db ON db.v = e.b
+  JOIN ks k ON da.deg > k.k AND db.deg > k.k
+  GROUP BY k.k
+)
+SELECT CAST(n.k AS BIGINT) AS k, n.n_club,
+       CAST(coalesce(c.e_club, 0) AS BIGINT) AS e_club,
+       CASE WHEN n.n_club >= 2
+            THEN round(2.0 * coalesce(c.e_club, 0)
+                       / (n.n_club * (n.n_club - 1)) + 1e-9, 6) END
+         AS phi
+FROM clubn n LEFT JOIN clube c ON c.k = n.k
+""",
+)
+def q292_rich_club_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rich-club coefficient of the co-supply graph at degree cutoffs
+    k ∈ {2, 4, 8, 16}: the edge density φ(k) = 2·E_k / (N_k·(N_k−1))
+    among nodes of degree > k — rising φ with k means the hubs form
+    their own tight club (supply-chain oligopoly structure; flat φ
+    means hubs connect broadly), the global complement to q248's
+    per-node clustering. Raw (unnormalized) φ is reported — the
+    degree-preserving null model needs rewiring, out of SQL scope and
+    stated so.
+
+    Scale: degrees once, then club membership is a broadcast k-grid
+    fan-out of the node frame and club edges one endpoints join —
+    never a per-k re-scan. Counts exact; φ an exact integer ratio
+    with the N_k < 2 guard identical on both sides.
+    """
+    from ...operators.graph import cooccurrence_edges
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+    hi = li.where(F.col("l_quantity") >= 48)
+    edges = cooccurrence_edges(hi, "l_orderkey", "l_suppkey").localCheckpoint(
+        eager=False
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)  # club-n + club-e branches
+    )
+    ks = spark.createDataFrame([(2,), (4,), (8,), (16,)], "k long")
+    clubn = (
+        deg.crossJoin(F.broadcast(ks))
+        .where(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_club"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    clube = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .crossJoin(F.broadcast(ks))
+        .where((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_club"))
+    )
+    return clubn.join(clube, "k", "left").select(
+        F.col("k").cast("bigint").alias("k"),
+        "n_club",
+        F.coalesce(F.col("e_club"), F.lit(0))
+        .cast("bigint")
+        .alias("e_club"),
+        F.when(
+            F.col("n_club") >= 2,
+            fround(
+                2.0
+                * F.coalesce(F.col("e_club"), F.lit(0))
+                / (F.col("n_club") * (F.col("n_club") - 1)),
+                6,
+            ),
+        ).alias("phi"),
+    )

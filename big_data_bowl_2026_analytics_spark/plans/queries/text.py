@@ -2739,3 +2739,89 @@ def q283_quality_perplexity_spearman(
         .otherwise(fround(num / F.sqrt(va * vb), 6) + 0)
         .alias("spearman_rho"),
     )
+
+
+@query(
+    "q291_good_turing_unseen_mass",
+    tags=("text", "tokenizer", "statistics", "llm-pipeline"),
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, term
+), fof AS MATERIALIZED (
+  SELECT source, c, CAST(count(*) AS BIGINT) AS n_c
+  FROM tf GROUP BY source, c
+), stats AS (
+  SELECT source,
+         CAST(sum(c * n_c) AS BIGINT) AS n_tokens,
+         CAST(sum(n_c) AS BIGINT) AS n_types,
+         CAST(coalesce(sum(CASE WHEN c = 1 THEN n_c END), 0) AS BIGINT)
+           AS n1,
+         CAST(coalesce(sum(CASE WHEN c = 2 THEN n_c END), 0) AS BIGINT)
+           AS n2
+  FROM fof GROUP BY source
+)
+SELECT source, n_tokens, n_types, n1, n2,
+       round(n1 * 1.0 / n_tokens + 1e-9, 6) AS p_unseen,
+       round(n1 * 1.0 / n_types + 1e-9, 6) AS singleton_type_share,
+       CASE WHEN n1 > 0
+            THEN round(2.0 * n2 / n1 + 1e-9, 6) END
+         AS gt_adjusted_count_1
+FROM stats
+""",
+)
+def q291_good_turing_unseen_mass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Good-Turing unseen-mass estimate per source: the probability
+    that the NEXT token drawn from each feed is a never-seen type is
+    N₁/N (the singleton share — Good 1953), with the first adjusted
+    count r* = 2·N₂/N₁ as the smoothing diagnostic — the
+    missing-species number that says how under-sampled each feed's
+    vocabulary still is (high unseen mass → q277's Heaps curve hasn't
+    bent yet → expect OOV pain, q108). A singleton-free source yields
+    NULL r* explicitly on both engines.
+
+    Scale: term frequencies reduce to the frequency-of-frequencies
+    grain (bounded by max count, tiny) BEFORE any statistics — the
+    per-source table never touches raw tokens twice. All counts are
+    exact integers; outputs are exact ratios (rule 5).
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = tf.groupBy("source", "c").agg(F.count(F.lit(1)).alias("n_c"))
+    stats = fof.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("n_c")).cast("bigint").alias("n_tokens"),
+        F.sum("n_c").cast("bigint").alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 1, F.col("n_c"))), F.lit(0)
+        ).cast("bigint").alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 2, F.col("n_c"))), F.lit(0)
+        ).cast("bigint").alias("n2"),
+    )
+    return stats.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n1",
+        "n2",
+        fround(F.col("n1") * 1.0 / F.col("n_tokens"), 6).alias(
+            "p_unseen"
+        ),
+        fround(F.col("n1") * 1.0 / F.col("n_types"), 6).alias(
+            "singleton_type_share"
+        ),
+        F.when(
+            F.col("n1") > 0, fround(2.0 * F.col("n2") / F.col("n1"), 6)
+        ).alias("gt_adjusted_count_1"),
+    )

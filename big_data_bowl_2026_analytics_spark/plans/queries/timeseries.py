@@ -3004,3 +3004,147 @@ def q289_behavior_predictability(
         .over(Window.orderBy(F.asc("entropy_rate_nats"), F.asc("user_id")))
         .cast("bigint"),
     )
+
+
+@query(
+    "q293_forecast_ensemble",
+    tags=("timeseries", "forecast", "ensemble"),
+    oracle="""
+WITH hourly AS MATERIALIZED (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), back AS MATERIALIZED (
+  SELECT c.event_type, c.h, c.y,
+         l1.y AS y1, l24.y AS y24, l25.y AS y25,
+         CAST(l1.y AS DOUBLE)
+           + (CAST(l1.y AS DOUBLE) - CAST(l25.y AS DOUBLE)) / 24.0
+           AS drift_pred
+  FROM hourly c
+  JOIN hourly l1 ON l1.event_type = c.event_type AND l1.h = c.h - 1
+  JOIN hourly l24 ON l24.event_type = c.event_type AND l24.h = c.h - 24
+  JOIN hourly l25 ON l25.event_type = c.event_type AND l25.h = c.h - 25
+), maes AS MATERIALIZED (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         avg(abs(y - y1)) AS mae_naive,
+         avg(abs(y - y24)) AS mae_seasonal,
+         avg(abs(y - drift_pred)) AS mae_drift
+  FROM back GROUP BY event_type
+), ens AS (
+  SELECT b.event_type,
+         avg(abs(b.y
+                 - ((b.y1 / m.mae_naive + b.y24 / m.mae_seasonal
+                     + b.drift_pred / m.mae_drift)
+                    / ((1.0 / m.mae_naive + 1.0 / m.mae_seasonal)
+                       + 1.0 / m.mae_drift)))) AS mae_ens
+  FROM back b JOIN maes m ON m.event_type = b.event_type
+  GROUP BY b.event_type
+)
+SELECT m.event_type, m.n_hours,
+       round(m.mae_naive / 100.0 + 1e-9, 4) AS mae_naive,
+       round(m.mae_seasonal / 100.0 + 1e-9, 4) AS mae_seasonal,
+       round(m.mae_drift / 100.0 + 1e-9, 4) AS mae_drift,
+       round(e.mae_ens / 100.0 + 1e-9, 4) AS mae_ensemble,
+       round(1.0 - e.mae_ens
+                   / least(m.mae_naive,
+                           least(m.mae_seasonal, m.mae_drift))
+             + 1e-9, 6) + 0 AS ensemble_gain
+FROM maes m JOIN ens e ON e.event_type = m.event_type
+""",
+)
+def q293_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-MAE forecast-combination backtest per event type:
+    three lag-based forecasters (naive t−1, seasonal-naive t−24, and
+    a drift corrector) scored on hourly cents, then blended with
+    weights ∝ 1/MAE — Bates–Granger's classic result that the
+    combination usually beats every member, reported as the
+    ensemble's gain over the best single model (negative gain = the
+    blend hurt; in-sample weights, stated honestly — production
+    re-fits them on a rolling window).
+
+    Exactness: lag joins are integer-hour equi-joins (q203 rule,
+    never row offsets); hourly totals are cents-rounded BEFORE
+    differencing (q173 rule); naive/seasonal errors are exact
+    integers, drift/ensemble float algebra is written in the
+    identical association on both sides (q143) under the fround pair
+    with the sign-of-zero guard on the gain.
+    """
+    ev = read_table(spark, sf_dir, "events", ["ts", "event_type", "value"])
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 3600)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y")
+        )
+        .localCheckpoint(eager=False)  # four self-join branches
+    )
+
+    def lag(name, k):
+        return hourly.select(
+            "event_type",
+            (F.col("h") + k).alias("h"),
+            F.col("y").alias(name),
+        )
+
+    back = (
+        hourly.join(lag("y1", 1), ["event_type", "h"])
+        .join(lag("y24", 24), ["event_type", "h"])
+        .join(lag("y25", 25), ["event_type", "h"])
+        .select(
+            "event_type",
+            "h",
+            "y",
+            "y1",
+            "y24",
+            "y25",
+            (
+                F.col("y1").cast("double")
+                + (
+                    F.col("y1").cast("double")
+                    - F.col("y25").cast("double")
+                )
+                / 24.0
+            ).alias("drift_pred"),
+        )
+        .localCheckpoint(eager=False)  # MAE + ensemble branches
+    )
+    maes = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.avg(F.abs(F.col("y") - F.col("y1"))).alias("mae_naive"),
+        F.avg(F.abs(F.col("y") - F.col("y24"))).alias("mae_seasonal"),
+        F.avg(F.abs(F.col("y") - F.col("drift_pred"))).alias("mae_drift"),
+    )
+    maes = maes.localCheckpoint(eager=False)  # ensemble + output branches
+    wsum = (
+        1.0 / F.col("mae_naive") + 1.0 / F.col("mae_seasonal")
+    ) + 1.0 / F.col("mae_drift")
+    ens_pred = (
+        F.col("y1") / F.col("mae_naive")
+        + F.col("y24") / F.col("mae_seasonal")
+        + F.col("drift_pred") / F.col("mae_drift")
+    ) / wsum
+    ens = (
+        back.join(maes, "event_type")
+        .groupBy("event_type")
+        .agg(F.avg(F.abs(F.col("y") - ens_pred)).alias("mae_ens"))
+    )
+    best = F.least(
+        F.col("mae_naive"), F.least(F.col("mae_seasonal"), F.col("mae_drift"))
+    )
+    return maes.join(ens, "event_type").select(
+        "event_type",
+        "n_hours",
+        fround(F.col("mae_naive") / 100.0, 4).alias("mae_naive"),
+        fround(F.col("mae_seasonal") / 100.0, 4).alias("mae_seasonal"),
+        fround(F.col("mae_drift") / 100.0, 4).alias("mae_drift"),
+        fround(F.col("mae_ens") / 100.0, 4).alias("mae_ensemble"),
+        (fround(1.0 - F.col("mae_ens") / best, 6) + 0).alias(
+            "ensemble_gain"
+        ),
+    )

@@ -1438,3 +1438,23 @@ def test_q290_suppression_broadcast_dims(spark):
     plan = physical_plan(_q(spark, "q290_small_cell_suppression"))
     assert plan.count(") BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q291_good_turing_fof_grain(spark):
+    # statistics run on the frequency-of-frequencies grain; one token
+    # pass only.
+    plan = physical_plan(_q(spark, "q291_good_turing_unseen_mass"))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_q292_rich_club_broadcast_grid(spark):
+    plan = physical_plan(_q(spark, "q292_rich_club_coefficient"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q293_ensemble_lag_equi_joins(spark):
+    # all three forecasters join on integer hours — no row-offset lag.
+    plan = physical_plan(_q(spark, "q293_forecast_ensemble"))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
