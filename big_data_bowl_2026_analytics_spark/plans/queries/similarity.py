@@ -1786,3 +1786,111 @@ def q267_lsh_1nn_label_coherence(
             "coverage"
         ),
     )
+
+
+@query(
+    "q294_ivf_pq_index_census",
+    tags=("similarity", "ann", "quantization", "report"),
+    oracle=f"""
+WITH {_SEEDS_CTE.strip()},
+ivf_scored AS (
+  SELECT e.vec_id, s.cluster_id,
+         {_sq_l2_sql('e.embedding', 's.centroid')} AS dist
+  FROM embeddings e CROSS JOIN seeds s
+), cells AS MATERIALIZED (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY dist, cluster_id
+           ) AS rn
+    FROM ivf_scored
+  ) WHERE rn = 1
+), pqseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) s
+), subs AS (
+  SELECT unnest([0, 1, 2, 3]) AS sub
+), subseeds AS MATERIALIZED (
+  SELECT cid, sub, embedding[(1 + 16 * sub):(16 * sub + 16)] AS cvec
+  FROM pqseeds CROSS JOIN subs
+), subvecs AS (
+  SELECT vec_id, sub, embedding[(1 + 16 * sub):(16 * sub + 16)] AS v
+  FROM embeddings CROSS JOIN subs
+), pqscored AS (
+  SELECT v.vec_id, v.sub, c.cid, list_sum(list_transform(generate_series(1, 16), i -> (CAST(v.v[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) * (CAST(v.v[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS dist
+  FROM subvecs v JOIN subseeds c ON v.sub = c.sub
+), pqranked AS (
+  SELECT vec_id, sub, cid, dist,
+         row_number() OVER (
+           PARTITION BY vec_id, sub ORDER BY dist, cid
+         ) AS rk
+  FROM pqscored
+), pq AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(sum(cid * (CASE sub WHEN 0 THEN 1 WHEN 1 THEN 8
+                         WHEN 2 THEN 64 ELSE 512 END)) AS BIGINT)
+           AS pq_code,
+         round(sum(dist) + 1e-9, 6) AS recon_err
+  FROM pqranked WHERE rk = 1
+  GROUP BY vec_id
+)
+SELECT c.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT p.pq_code) AS BIGINT) AS n_distinct_codes,
+       round(count(DISTINCT p.pq_code) * 1.0 / count(*) + 1e-9, 6)
+         AS code_diversity,
+       round(avg(p.recon_err) + 1e-9, 6) AS mean_recon_err,
+       round(max(p.recon_err) + 1e-9, 6) AS max_recon_err
+FROM cells c JOIN pq p ON p.vec_id = c.vec_id
+GROUP BY c.cluster_id
+""",
+)
+def q294_ivf_pq_index_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ composed index census — the FAISS-style layout: vectors
+    partitioned into IVF cells (q61's assignment) and compressed to
+    q250's 12-bit PQ codes, reported per cell as size, code
+    diversity (distinct codes / vectors — near 1 means the codebook
+    still separates the cell's residents; near 0 means ADC can't
+    discriminate inside it and the cell needs its own codebook), and
+    the reconstruction-error envelope the re-ranker must absorb. The
+    go/no-go table before committing a 100 TB corpus to a
+    quantized-index memory budget.
+
+    Scale: both stages are the proven broadcast-codebook equi-join
+    patterns; the census is one join of two vector-grain frames on
+    vec_id plus a cell-grain aggregate.
+    """
+    from ...operators.ivf import assign_clusters, seed_centroids
+    from ...operators.similarity import pq_best_codes, pq_subspace_frames
+
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = emb.localCheckpoint(eager=False)  # IVF + PQ branches
+    cents = seed_centroids(emb, 8)
+    cells = assign_clusters(emb, cents).select("vec_id", "cluster_id")
+    subseeds, subvecs = pq_subspace_frames(emb)
+    best = pq_best_codes(subvecs, subseeds)
+    weight = (
+        F.when(F.col("sub") == 0, 1)
+        .when(F.col("sub") == 1, 8)
+        .when(F.col("sub") == 2, 64)
+        .otherwise(512)
+    )
+    pq = best.groupBy("vec_id").agg(
+        F.sum(F.col("cid") * weight).cast("bigint").alias("pq_code"),
+        fround(F.sum("dist"), 6).alias("recon_err"),
+    )
+    return (
+        cells.join(pq, "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("pq_code").alias("n_distinct_codes"),
+            fround(
+                F.countDistinct("pq_code") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("code_diversity"),
+            fround(F.avg("recon_err"), 6).alias("mean_recon_err"),
+            fround(F.max("recon_err"), 6).alias("max_recon_err"),
+        )
+    )

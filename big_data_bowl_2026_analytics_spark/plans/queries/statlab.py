@@ -2012,3 +2012,133 @@ def q268_friedman_dow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (fround(F.col("fr"), 6) + 0).alias("friedman_stat"),
     )
+
+
+@query(
+    "q295_breusch_pagan_screen",
+    tags=("statistics", "regression", "diagnostics"),
+    oracle="""
+WITH obs AS MATERIALIZED (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), s1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM obs
+), beta AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b1,
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS b0
+  FROM s1
+), resid AS (
+  SELECT o.x,
+         (CAST(o.y AS DOUBLE) - (b.b0 + b.b1 * CAST(o.x AS DOUBLE)))
+         * (CAST(o.y AS DOUBLE) - (b.b0 + b.b1 * CAST(o.x AS DOUBLE)))
+           AS e2
+  FROM obs o CROSS JOIN beta b
+), s2 AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         sum(e2) AS se,
+         sum(CAST(x AS DOUBLE) * e2) AS sxe,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         sum(e2 * e2) AS see
+  FROM resid
+)
+SELECT CAST(b.n AS BIGINT) AS n_rows,
+       round(b.b0 / 100.0 + 1e-9, 4) + 0 AS beta0_dollars,
+       round(b.b1 / 100.0 + 1e-9, 4) + 0 AS beta1_dollars,
+       round(s.n * (((s.n * s.sxe - s.sx * s.se)
+                     * (s.n * s.sxe - s.sx * s.se))
+                    / ((s.n * s.sxx - s.sx * s.sx)
+                       * (s.n * s.see - s.se * s.se)))
+             + 1e-9, 4) AS bp_stat,
+       round(s.n * (((s.n * s.sxe - s.sx * s.se)
+                     * (s.n * s.sxe - s.sx * s.se))
+                    / ((s.n * s.sxx - s.sx * s.sx)
+                       * (s.n * s.see - s.se * s.se)))
+             + 1e-9, 4) >= 3.84 AS heteroscedastic
+FROM beta b CROSS JOIN s2 s
+""",
+)
+def q295_breusch_pagan_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Breusch–Pagan (Koenker form) heteroscedasticity screen on the
+    price~quantity regression: fit the line from exact BIGINT sums,
+    square the residuals, and test whether e² correlates with the
+    regressor — BP = n·R²_aux = n·corr(x, e²)², flagged at the χ²₁
+    95% critical value — the diagnostic that says whether q204-class
+    OLS standard errors can be trusted or need robust (sandwich)
+    errors; on this data variance grows mechanically with quantity,
+    so the screen doubles as a known-positive self-check.
+
+    Scale: two aggregation passes over the fact (sums, then residual
+    sums with the one-row beta broadcast), everything else one-row
+    algebra. First-stage sums are exact BIGINTs; residual products
+    are doubles in the identical association on both sides (q143),
+    and the flag thresholds the ROUNDED statistic (q228 rule).
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]
+    )
+    obs = li.select(
+        F.round(F.col("l_quantity")).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    ).localCheckpoint(eager=False)  # two regression passes
+    s1 = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    b1 = (n_d * F.col("sxy").cast("double") - sx_d * sy_d) / (
+        n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    )
+    beta = s1.select(
+        "n", b1.alias("b1"), ((sy_d - b1 * sx_d) / n_d).alias("b0")
+    )
+    e = F.col("y").cast("double") - (
+        F.col("b0") + F.col("b1") * F.col("x").cast("double")
+    )
+    resid = obs.crossJoin(F.broadcast(beta)).select(
+        "x", (e * e).alias("e2")
+    )
+    s2 = resid.agg(
+        F.count(F.lit(1)).cast("double").alias("n2"),
+        F.sum("x").cast("double").alias("sx2"),
+        F.sum("e2").alias("se"),
+        F.sum(F.col("x").cast("double") * F.col("e2")).alias("sxe"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx2"),
+        F.sum(F.col("e2") * F.col("e2")).alias("see"),
+    )
+    num = F.col("n2") * F.col("sxe") - F.col("sx2") * F.col("se")
+    bp = F.col("n2") * (
+        (num * num)
+        / (
+            (F.col("n2") * F.col("sxx2") - F.col("sx2") * F.col("sx2"))
+            * (F.col("n2") * F.col("see") - F.col("se") * F.col("se"))
+        )
+    )
+    return beta.crossJoin(F.broadcast(s2)).select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        (fround(F.col("b0") / 100.0, 4) + 0).alias("beta0_dollars"),
+        (fround(F.col("b1") / 100.0, 4) + 0).alias("beta1_dollars"),
+        fround(bp, 4).alias("bp_stat"),
+        (fround(bp, 4) >= 3.84).alias("heteroscedastic"),
+    )

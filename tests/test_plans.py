@@ -1458,3 +1458,18 @@ def test_q293_ensemble_lag_equi_joins(spark):
     plan = physical_plan(_q(spark, "q293_forecast_ensemble"))
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_q294_ivf_pq_census_no_python_no_cartesian(spark):
+    plan = physical_plan(_q(spark, "q294_ivf_pq_index_census"))
+    assert "CartesianProduct" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+
+
+def test_q295_bp_two_fact_passes_only(spark):
+    # the regression is two aggregation passes over the checkpointed
+    # obs frame; no windows, no per-row second model.
+    plan = physical_plan(_q(spark, "q295_breusch_pagan_screen"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
