@@ -2263,3 +2263,72 @@ def q290_small_cell_suppression(
             .alias("n_suppressed_cells"),
         )
     )
+
+
+@query(
+    "q297_new_vs_returning_revenue",
+    tags=("report", "growth", "finance"),
+    oracle="""
+WITH firstmo AS (
+  SELECT o_custkey,
+         CAST(min(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT)
+           AS first_m
+  FROM orders GROUP BY o_custkey
+), labeled AS MATERIALIZED (
+  SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+           AS month_idx,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+           = f.first_m AS is_new
+  FROM orders o JOIN firstmo f ON f.o_custkey = o.o_custkey
+)
+SELECT month_idx,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(CASE WHEN is_new THEN cents ELSE 0 END) / 100.0
+             + 1e-9, 2) AS new_revenue,
+       round(sum(CASE WHEN is_new THEN 0 ELSE cents END) / 100.0
+             + 1e-9, 2) AS returning_revenue,
+       round(CAST(sum(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT)
+             * 1.0 / CAST(sum(cents) AS BIGINT) + 1e-9, 6)
+         AS new_revenue_share
+FROM labeled
+GROUP BY month_idx
+""",
+)
+def q297_new_vs_returning_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """New-versus-returning REVENUE split by month: every order
+    labeled by whether its month is the customer's FIRST — the
+    revenue-quality complement to q233's growth accounting (q233
+    counts heads; this weighs wallets — a month can add users while
+    returning revenue quietly erodes). Month indices are integers
+    (q233 rule, never month names).
+
+    Scale: one customer-grain first-month aggregate joined back to
+    orders (shuffle on the customer key), then a month-grain
+    conditional sum. Cents exact; the share is an exact integer ratio
+    (rule 5) with the HUGEINT casts (footgun 8).
+    """
+    o = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast(
+        "bigint"
+    )
+    firstmo = o.groupBy("o_custkey").agg(F.min(midx).alias("first_m"))
+    labeled = o.join(firstmo, "o_custkey").select(
+        midx.alias("month_idx"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (midx == F.col("first_m")).alias("is_new"),
+    )
+    new_c = F.sum(F.when(F.col("is_new"), F.col("cents")).otherwise(0))
+    ret_c = F.sum(F.when(F.col("is_new"), 0).otherwise(F.col("cents")))
+    return labeled.groupBy("month_idx").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fround(new_c / 100.0, 2).alias("new_revenue"),
+        fround(ret_c / 100.0, 2).alias("returning_revenue"),
+        fround(
+            new_c.cast("bigint") * 1.0 / F.sum("cents").cast("bigint"), 6
+        ).alias("new_revenue_share"),
+    )

@@ -1894,3 +1894,88 @@ def q294_ivf_pq_index_census(
             fround(F.max("recon_err"), 6).alias("max_recon_err"),
         )
     )
+
+
+@query(
+    "q298_embedding_dimension_health",
+    tags=("similarity", "audit", "ml"),
+    oracle="""
+WITH comps AS (
+  SELECT u.dim, CAST(u.x AS DOUBLE) AS x
+  FROM (
+    SELECT unnest(embedding) AS x,
+           unnest(generate_series(1, len(embedding))) AS dim
+    FROM embeddings
+  ) u
+), perdim AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx,
+         sum(x * x) AS sxx,
+         CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero
+  FROM comps GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+       round(sx / n + 1e-9, 6) + 0 AS mean,
+       round((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n) + 1e-9, 6)
+         AS variance,
+       round(n_zero * 1.0 / n + 1e-9, 6) AS zero_share,
+       CASE WHEN n * sxx - sx * sx <= 0 THEN NULL
+            ELSE round(abs(sx / n)
+                       / sqrt((n * sxx - sx * sx)
+                              / (CAST(n AS DOUBLE) * n)) + 1e-9, 4) END
+         AS mean_to_std
+FROM perdim
+""",
+)
+def q298_embedding_dimension_health(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-DIMENSION embedding health: mean, population variance,
+    zero share, and |mean|/std per coordinate — the anisotropy screen
+    that catches dead dimensions (zero variance — wasted index
+    bytes), rogue bias dimensions (large |mean|/std dominate every
+    cosine — the known anisotropy failure of contrastive encoders),
+    and sparsity drift, at the grain q169's vector-level hygiene
+    can't see. Flag candidates feed q242's projection (drop dead
+    dims before sketching).
+
+    Scale: posexplode is a 64× map-side fan-out reduced immediately
+    to the 64-row dimension grain — one shuffle on a bounded key.
+    Component sums are float sums of identical doubles
+    (fround-absorbed); zero tests compare exact float32 bits; the
+    degenerate-variance guard is NULL on both sides.
+    """
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    comps = emb.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        (F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    perdim = comps.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.when(F.col("x") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    var = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
+        F.col("n").cast("double") * F.col("n")
+    )
+    return perdim.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        (fround(F.col("sx") / F.col("n"), 6) + 0).alias("mean"),
+        fround(var, 6).alias("variance"),
+        fround(F.col("n_zero") * 1.0 / F.col("n"), 6).alias("zero_share"),
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") <= 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            fround(F.abs(F.col("sx") / F.col("n")) / F.sqrt(var), 4)
+        )
+        .alias("mean_to_std"),
+    )

@@ -3148,3 +3148,89 @@ def q293_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ensemble_gain"
         ),
     )
+
+
+@query(
+    "q296_rapid_repeat_runs",
+    tags=("timeseries", "behavior", "fraud"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch(ts) AS es,
+         CASE WHEN lag(event_type) OVER w = event_type
+                   AND epoch(ts) - lag(epoch(ts)) OVER w <= 3600
+              THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, event_type, es,
+         CAST(sum(brk) OVER (
+           PARTITION BY user_id ORDER BY es, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS run_id
+  FROM seq
+), runstats AS (
+  SELECT user_id, run_id,
+         any_value(event_type) AS event_type,
+         CAST(count(*) AS BIGINT) AS run_len,
+         round(max(es) - min(es) + 1e-9, 3) AS span_secs
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, event_type, run_len, span_secs
+FROM runstats WHERE run_len >= 2
+""",
+)
+def q296_rapid_repeat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-repeat ("rage") runs: maximal streaks of the SAME event
+    type by one user with ≤ 1 h between consecutive events, runs of
+    length ≥ 2 reported (thresholds sized to this corpus's cadence;
+    UX-telemetry deployments tighten to seconds) — rage-clicks, retry storms
+    in API logs, scripted abuse in order flows; the gaps-and-islands
+    construction (break flag → running-sum run id) is the q24
+    sessionization machinery specialized to same-type micro-bursts.
+
+    Exactness: the break flag compares identical epoch-second doubles
+    and type strings; run ids are integer running sums over the
+    (ts, event_id) total order (footgun 6 rule); run lengths are
+    exact counts and the span is a difference of identical doubles
+    (fround defensively). One shuffle on user_id end to end.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    es = F.col("ts").cast("double")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        es.alias("es"),
+        F.when(
+            (F.lag("event_type").over(w) == F.col("event_type"))
+            & (es - F.lag(es).over(w) <= 3600),
+            0,
+        ).otherwise(1).alias("brk"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.asc("es"), F.asc("event_id")
+    )
+    runs = seq.select(
+        "user_id",
+        "event_type",
+        "es",
+        F.sum("brk")
+        .over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("run_id"),
+    )
+    return (
+        runs.groupBy("user_id", "run_id")
+        .agg(
+            F.any_value("event_type").alias("event_type"),
+            F.count(F.lit(1)).alias("run_len"),
+            fround(F.max("es") - F.min("es"), 3).alias("span_secs"),
+        )
+        .where(F.col("run_len") >= 2)
+        .select("user_id", "event_type", "run_len", "span_secs")
+    )

@@ -1473,3 +1473,23 @@ def test_q295_bp_two_fact_passes_only(spark):
     plan = physical_plan(_q(spark, "q295_breusch_pagan_screen"))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q296_rage_runs_single_user_shuffle(spark):
+    plan = physical_plan(_q(spark, "q296_rapid_repeat_runs"))
+    import re
+    parts = re.findall(r"hashpartitioning\(([a-z_#0-9]+)", plan)
+    assert parts and all(p.startswith("user_id") for p in parts)
+
+
+def test_q297_revenue_split_no_window(spark):
+    plan = physical_plan(_q(spark, "q297_new_vs_returning_revenue"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q298_dim_health_bounded_key(spark):
+    # posexplode reduces straight to the 64-row dimension grain.
+    plan = physical_plan(_q(spark, "q298_embedding_dimension_health"))
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
