@@ -1060,3 +1060,197 @@ def q292_rich_club_coefficient(
             ),
         ).alias("phi"),
     )
+
+
+def _bradley_terry_oracle(n_iter: int = 10) -> str:
+    """Unrolled minorize-maximize Bradley-Terry oracle; every
+    iteration references the match frame and its predecessor, so all
+    round CTEs are MATERIALIZED (the q241/q254 unroll discipline)."""
+    cte = [
+        """
+WITH rev AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), duels AS (
+  SELECT a.l_suppkey AS w, b.l_suppkey AS l
+  FROM rev a JOIN rev b
+    ON a.l_orderkey = b.l_orderkey
+   AND a.l_suppkey != b.l_suppkey
+   AND a.cents > b.cents
+), wins AS MATERIALIZED (
+  SELECT w AS i, CAST(count(*) AS BIGINT) AS n_wins
+  FROM duels GROUP BY w
+), matches AS MATERIALIZED (
+  SELECT i, j, CAST(sum(n) AS BIGINT) AS n_ij FROM (
+    SELECT w AS i, l AS j, count(*) AS n FROM duels GROUP BY w, l
+    UNION ALL
+    SELECT l, w, count(*) FROM duels GROUP BY l, w
+  ) GROUP BY i, j
+), players AS MATERIALIZED (
+  SELECT m.i, coalesce(w.n_wins, 0) AS n_wins,
+         CAST(sum(m.n_ij) AS BIGINT) AS n_matches
+  FROM matches m LEFT JOIN wins w ON w.i = m.i
+  GROUP BY m.i, w.n_wins
+), w0 AS MATERIALIZED (
+  SELECT i, 1.0 AS s FROM players
+)"""
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        cte.append(
+            f""", raw{k} AS MATERIALIZED (
+  SELECT p.i,
+         CASE WHEN p.n_wins = 0 THEN 0.0
+              ELSE p.n_wins
+                   / sum(m.n_ij / (si.s + sj.s)) END AS s
+  FROM players p
+  JOIN matches m ON m.i = p.i
+  JOIN w{p} si ON si.i = m.i
+  JOIN w{p} sj ON sj.i = m.j
+  GROUP BY p.i, p.n_wins
+), norm{k} AS (
+  SELECT sum(s) AS z FROM raw{k}
+), w{k} AS MATERIALIZED (
+  SELECT r.i, r.s * (SELECT count(*) FROM players) / n.z AS s
+  FROM raw{k} r CROSS JOIN norm{k} n
+)"""
+        )
+    cte.append(
+        f"""
+SELECT p.i AS l_suppkey, p.n_wins, p.n_matches,
+       round(w.s + 1e-9, 6) AS bt_strength,
+       CAST(row_number() OVER (
+         ORDER BY round(w.s + 1e-9, 6) DESC, p.i
+       ) AS BIGINT) AS rk
+FROM players p JOIN w{n_iter} w ON w.i = p.i
+QUALIFY rk <= 20"""
+    )
+    return "".join(cte)
+
+
+@query(
+    "q299_bradley_terry_strength",
+    tags=("graph", "ranking", "iterative", "ml"),
+    oracle=_bradley_terry_oracle(10),
+)
+def q299_bradley_terry_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise duels: within
+    each order, the supplier with more item revenue "beats" the
+    other(s), and ten minorize-maximize iterations
+    w_i ← W_i / Σ_j n_ij/(w_i + w_j) (normalized to mean 1 each
+    round) turn the win matrix into a maximum-likelihood strength
+    leaderboard — the paired-comparison model behind Elo-style
+    ratings, LLM arena boards, and search-result preference learning,
+    here over the bounded supplier-duel graph.
+
+    Scale: duels reduce to the |suppliers|²-bounded match frame
+    before ANY iteration; each round is two equi-joins on that frame
+    with lineage truncated (q125/q254 discipline). Win/match counts
+    are exact integers; the MM ratio iterates on floats whose
+    cross-engine drift stays ulp-scale under the contraction and is
+    fround-absorbed (q125's argument); never-winners pin to exactly
+    0.0 on both sides. Ranked on the ROUNDED strength (footgun 3).
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    rev = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("cents")
+    )
+    a = rev.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_suppkey").alias("w"),
+        F.col("cents").alias("cw"),
+    )
+    b = rev.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_suppkey").alias("l"),
+        F.col("cents").alias("cl"),
+    )
+    duels = (
+        a.join(b, "k")
+        .where((F.col("w") != F.col("l")) & (F.col("cw") > F.col("cl")))
+        .select("w", "l")
+    )
+    duels = duels.localCheckpoint(eager=False)  # wins + matches branches
+    wins = duels.groupBy(F.col("w").alias("i")).agg(
+        F.count(F.lit(1)).alias("n_wins")
+    )
+    matches = (
+        duels.select(F.col("w").alias("i"), F.col("l").alias("j"))
+        .unionAll(duels.select(F.col("l").alias("i"), F.col("w").alias("j")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+        .localCheckpoint(eager=False)  # reused every iteration
+    )
+    players = (
+        matches.groupBy("i")
+        .agg(F.sum("n_ij").alias("n_matches"))
+        .join(wins, "i", "left")
+        .select(
+            "i",
+            F.coalesce(F.col("n_wins"), F.lit(0)).alias("n_wins"),
+            "n_matches",
+        )
+        .localCheckpoint(eager=False)  # reused every iteration
+    )
+    n_players = players.agg(F.count(F.lit(1)).alias("np"))
+    w = players.select("i", F.lit(1.0).alias("s"))
+    for _ in range(10):
+        si = w.select(F.col("i").alias("mi"), F.col("s").alias("si"))
+        sj = w.select(F.col("i").alias("mj"), F.col("s").alias("sj"))
+        raw = (
+            players.join(matches, "i")
+            .join(si, F.col("i") == F.col("mi"))
+            .join(sj, F.col("j") == F.col("mj"))
+            .groupBy("i", "n_wins")
+            .agg(
+                F.sum(
+                    F.col("n_ij") / (F.col("si") + F.col("sj"))
+                ).alias("denom")
+            )
+            .select(
+                "i",
+                F.when(F.col("n_wins") == 0, F.lit(0.0))
+                .otherwise(F.col("n_wins") / F.col("denom"))
+                .alias("s"),
+            )
+        )
+        z = raw.agg(F.sum("s").alias("z"))
+        w = (
+            raw.crossJoin(F.broadcast(z))
+            .crossJoin(F.broadcast(n_players))
+            .select(
+                "i",
+                (F.col("s") * F.col("np") / F.col("z")).alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    from pyspark.sql import Window
+
+    out = (
+        players.join(w, "i")
+        .select(
+            F.col("i").alias("l_suppkey"),
+            "n_wins",
+            "n_matches",
+            fround(F.col("s"), 6).alias("bt_strength"),
+        )
+        .orderBy(F.desc("bt_strength"), F.asc("l_suppkey"))
+        .limit(20)
+    )
+    return out.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bt_strength"), F.asc("l_suppkey")))
+        .cast("bigint"),
+    )

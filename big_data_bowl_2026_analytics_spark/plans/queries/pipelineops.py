@@ -1662,3 +1662,131 @@ def q281_storage_tiering_plan(
             ).alias("row_share"),
         )
     )
+
+
+@query(
+    "q300_sampling_accuracy_planner",
+    tags=("sampling", "planning", "statistics"),
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         {_hash16_sql("acc|' || CAST(l_orderkey AS VARCHAR) || '|", "l_linenumber")} AS h
+  FROM lineitem
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM base
+), eps AS (
+  SELECT unnest(['0.050', '0.020', '0.010', '0.005']) AS eps_label,
+         unnest([0.05, 0.02, 0.01, 0.005]) AS eps
+), plan_ AS (
+  SELECT e.eps_label, e.eps, t.n, t.pos,
+         CAST(ceil(ln(2.0 / 0.05) / (2.0 * e.eps * e.eps)) AS BIGINT)
+           AS n_required,
+         CAST(least(65536.0,
+                    ceil(ceil(ln(2.0 / 0.05) / (2.0 * e.eps * e.eps))
+                         * 65536.0 / t.n)) AS BIGINT) AS thresh
+  FROM eps e CROSS JOIN tot t
+), sampled AS (
+  SELECT p.eps_label, p.eps, p.n, p.pos, p.n_required, p.thresh,
+         CAST(count(CASE WHEN b.h < p.thresh THEN 1 END) AS BIGINT)
+           AS n_sampled,
+         CAST(sum(CASE WHEN b.h < p.thresh THEN b.y ELSE 0 END)
+              AS BIGINT) AS pos_sampled
+  FROM base b CROSS JOIN plan_ p
+  GROUP BY p.eps_label, p.eps, p.n, p.pos, p.n_required, p.thresh
+)
+SELECT eps_label AS epsilon, n_required, n_sampled,
+       round(pos_sampled * 1.0 / n_sampled + 1e-9, 6) AS sample_share,
+       round(pos * 1.0 / n + 1e-9, 6) AS true_share,
+       round(abs(pos_sampled * 1.0 / n_sampled - pos * 1.0 / n)
+             + 1e-9, 6) AS abs_error,
+       round(abs(pos_sampled * 1.0 / n_sampled - pos * 1.0 / n)
+             + 1e-9, 6) <= eps AS within_eps
+FROM sampled
+""",
+)
+def q300_sampling_accuracy_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampling accuracy planner: the Hoeffding sample size
+    n ≥ ln(2/δ)/(2ε²) for estimating a population share within ±ε at
+    95% confidence, evaluated at four ε targets, each executed as a
+    deterministic keyed-hash sample with the REALIZED error against
+    the full-corpus truth reported next to the guarantee — the
+    planner that says how small a pilot can be before a 100 TB
+    full-scan is justified, with its own promise checked in the same
+    result (the q225 realized-error discipline).
+
+    Scale: one hash per row computed once; all four sample rates
+    evaluate in a single conditional-count pass (broadcast ε grid) —
+    never four scans. Counts exact; shares exact ratios; the
+    within_eps flag thresholds ROUNDED magnitudes (q228 rule).
+    """
+    from .splits import _hash16
+
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_returnflag"],
+    )
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        _hash16(
+            "",
+            F.concat(
+                F.lit("acc|"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("l_linenumber").cast("string"),
+            ),
+        ).alias("h"),
+    ).localCheckpoint(eager=False)  # totals + sweep branches
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("bigint").alias("pos")
+    )
+    eps = spark.createDataFrame(
+        [("0.050", 0.05), ("0.020", 0.02), ("0.010", 0.01),
+         ("0.005", 0.005)],
+        "eps_label string, eps double",
+    )
+    n_req = F.ceil(
+        F.log(2.0 / F.lit(0.05)) / (2.0 * F.col("eps") * F.col("eps"))
+    ).cast("bigint")
+    plan = eps.crossJoin(F.broadcast(tot)).select(
+        "eps_label",
+        "eps",
+        "n",
+        "pos",
+        n_req.alias("n_required"),
+        F.least(
+            F.lit(65536.0),
+            F.ceil(n_req * 65536.0 / F.col("n")),
+        ).cast("bigint").alias("thresh"),
+    )
+    in_s = F.col("h") < F.col("thresh")
+    sampled = (
+        base.crossJoin(F.broadcast(plan))
+        .groupBy("eps_label", "eps", "n", "pos", "n_required", "thresh")
+        .agg(
+            F.count(F.when(in_s, 1)).cast("bigint").alias("n_sampled"),
+            F.sum(F.when(in_s, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("pos_sampled"),
+        )
+    )
+    err = F.abs(
+        F.col("pos_sampled") * 1.0 / F.col("n_sampled")
+        - F.col("pos") * 1.0 / F.col("n")
+    )
+    return sampled.select(
+        F.col("eps_label").alias("epsilon"),
+        "n_required",
+        "n_sampled",
+        fround(
+            F.col("pos_sampled") * 1.0 / F.col("n_sampled"), 6
+        ).alias("sample_share"),
+        fround(F.col("pos") * 1.0 / F.col("n"), 6).alias("true_share"),
+        fround(err, 6).alias("abs_error"),
+        (fround(err, 6) <= F.col("eps")).alias("within_eps"),
+    )

@@ -1493,3 +1493,18 @@ def test_q298_dim_health_bounded_key(spark):
     plan = physical_plan(_q(spark, "q298_embedding_dimension_health"))
     assert "Generate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q299_bt_iterations_on_bounded_match_frame(spark):
+    # duels reduce to the suppliers-bounded match frame before any MM
+    # round; iterations live behind checkpoints.
+    plan = physical_plan(_q(spark, "q299_bradley_terry_strength"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q300_sampling_single_conditional_pass(spark):
+    # all four sample rates evaluate in one grouped pass over the
+    # hashed base frame.
+    plan = physical_plan(_q(spark, "q300_sampling_accuracy_planner"))
+    assert "CartesianProduct" not in plan
