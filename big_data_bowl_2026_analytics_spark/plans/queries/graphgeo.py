@@ -576,6 +576,50 @@ def q215_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q236's item-item CF construction (basket-bounded pair join,
+    min-support 2, per-item top-3 with the full tie-break) as a
+    reusable frame — q303's coverage audit runs on the IDENTICAL
+    recommendations (the q234 can-never-disagree discipline)."""
+    li = (
+        read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    item_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("item_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("item_b"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    na = item_n.select(F.col("l_partkey").alias("item_a"), F.col("n").alias("na"))
+    nb = item_n.select(F.col("l_partkey").alias("item_b"), F.col("n").alias("nb"))
+    cosine = F.col("n_ab") / F.sqrt(F.col("na") * 1.0 * F.col("nb"))
+    scored = (
+        pairs.join(na, "item_a")
+        .join(nb, "item_b")
+        .withColumn("cosine", cosine)
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.desc("cosine"), F.desc("n_ab"), F.asc("item_b")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            fround(F.col("cosine"), 6).alias("cosine"),
+            "rk",
+        )
+    )
+
+
 @query(
     "q236_item_item_cf",
     tags=("recommender", "similarity", "graph"),
@@ -624,43 +668,7 @@ def q236_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     3). At catalog scale the item-count frame is a plain shuffle
     join, never a broadcast of per-item state.
     """
-    li = (
-        read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    item_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("item_a"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("item_b"))
-    pairs = (
-        a.join(b, "k")
-        .where(F.col("item_a") != F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= 2)
-    )
-    na = item_n.select(F.col("l_partkey").alias("item_a"), F.col("n").alias("na"))
-    nb = item_n.select(F.col("l_partkey").alias("item_b"), F.col("n").alias("nb"))
-    cosine = F.col("n_ab") / F.sqrt(F.col("na") * 1.0 * F.col("nb"))
-    scored = (
-        pairs.join(na, "item_a")
-        .join(nb, "item_b")
-        .withColumn("cosine", cosine)
-    )
-    w = Window.partitionBy("item_a").orderBy(
-        F.desc("cosine"), F.desc("n_ab"), F.asc("item_b")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= 3)
-        .select(
-            "item_a",
-            "item_b",
-            "n_ab",
-            fround(F.col("cosine"), 6).alias("cosine"),
-            "rk",
-        )
-    )
+    return _cf_top3(spark, sf_dir)
 
 
 @query(
@@ -1253,4 +1261,115 @@ def q299_bradley_terry_strength(
         F.row_number()
         .over(Window.orderBy(F.desc("bt_strength"), F.asc("l_suppkey")))
         .cast("bigint"),
+    )
+
+
+@query(
+    "q303_recommender_coverage_audit",
+    tags=("recommender", "audit", "report"),
+    oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), item_n AS MATERIALIZED (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+  GROUP BY 1, 2
+), recs AS MATERIALIZED (
+  SELECT item_b FROM (
+    SELECT p.item_a, p.item_b, p.n_ab,
+           row_number() OVER (
+             PARTITION BY p.item_a
+             ORDER BY p.n_ab / sqrt(na.n * 1.0 * nb.n) DESC,
+                      p.n_ab DESC, p.item_b
+           ) AS rk
+    FROM pairs p
+    JOIN item_n na ON na.l_partkey = p.item_a
+    JOIN item_n nb ON nb.l_partkey = p.item_b
+    WHERE p.n_ab >= 2
+  ) WHERE rk <= 3
+), pop AS MATERIALIZED (
+  SELECT l_partkey, n,
+         row_number() OVER (ORDER BY n, l_partkey) AS pr,
+         count(*) OVER () AS np
+  FROM item_n
+), catalog AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM item_n
+), recstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_recs,
+         CAST(count(DISTINCT r.item_b) AS BIGINT) AS n_distinct,
+         sum((p.pr - 1) * 1.0 / (p.np - 1)) AS pct_sum,
+         CAST(sum(CASE WHEN p.pr * 10 > p.np * 9 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_top_decile
+  FROM recs r JOIN pop p ON p.l_partkey = r.item_b
+)
+SELECT c.n_catalog, r.n_recs, r.n_distinct,
+       round(r.n_distinct * 1.0 / c.n_catalog + 1e-9, 6) AS coverage,
+       round(r.pct_sum / r.n_recs + 1e-9, 6) AS mean_pop_percentile,
+       round(r.n_top_decile * 1.0 / r.n_recs + 1e-9, 6)
+         AS top_decile_share
+FROM recstats r CROSS JOIN catalog c
+""",
+)
+def q303_recommender_coverage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Coverage and popularity-bias audit of the q236 item-item CF
+    recommender (IDENTICAL recommendations via the shared _cf_top3
+    frame): what share of the catalog is ever recommended, the mean
+    popularity PERCENTILE of recommended items (an unbiased
+    recommender sits near the catalog's weighted mean; CF famously
+    drifts toward the head), and the share of slots taken by
+    top-decile-popular items — the audit that quantifies the
+    filter-bubble q260's popularity baseline would score 1.0 on.
+
+    Scale: popularity percentiles come from a rank over the bounded
+    item grain (q279's two-level machinery behind a checkpoint on the
+    Spark side); the audit is one join of the recommendation slots to
+    the item frame. Percentile arithmetic is exact integer ratios,
+    float-summed over slots (fround-absorbed); the decile test
+    ``pr·10 > np·9`` is a pure integer inequality (q256 discipline).
+    """
+    from ...operators.rankops import bucketed_rank
+
+    recs = _cf_top3(spark, sf_dir).select("item_b")
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"]
+    ).distinct()
+    item_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    item_n = item_n.localCheckpoint(eager=False)  # pop + catalog branches
+    pop = bucketed_rank(item_n, "n", ["l_partkey"], out_col="pr")
+    np_ = item_n.agg(F.count(F.lit(1)).alias("np"))
+    pop = pop.crossJoin(F.broadcast(np_))
+    catalog = item_n.agg(F.count(F.lit(1)).alias("n_catalog"))
+    joined = recs.join(
+        pop.select("l_partkey", "pr", "np"),
+        recs["item_b"] == pop["l_partkey"],
+    )
+    recstats = joined.agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        F.countDistinct("item_b").alias("n_distinct"),
+        F.sum(
+            (F.col("pr") - 1) * 1.0 / (F.col("np") - 1)
+        ).alias("pct_sum"),
+        F.sum(
+            F.when(F.col("pr") * 10 > F.col("np") * 9, 1).otherwise(0)
+        ).cast("bigint").alias("n_top_decile"),
+    )
+    return recstats.crossJoin(F.broadcast(catalog)).select(
+        "n_catalog",
+        "n_recs",
+        "n_distinct",
+        fround(F.col("n_distinct") * 1.0 / F.col("n_catalog"), 6).alias(
+            "coverage"
+        ),
+        fround(F.col("pct_sum") / F.col("n_recs"), 6).alias(
+            "mean_pop_percentile"
+        ),
+        fround(F.col("n_top_decile") * 1.0 / F.col("n_recs"), 6).alias(
+            "top_decile_share"
+        ),
     )

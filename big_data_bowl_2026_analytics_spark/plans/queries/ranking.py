@@ -1240,3 +1240,87 @@ def q285_lmdi_revenue_drivers(
             fround((F.col("rev") - F.col("p_rev")) - total_eff, 2) + 0
         ).alias("decomposition_check"),
     )
+
+
+@query(
+    "q301_single_sourcing_risk",
+    tags=("inventory", "risk", "report"),
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(cents) AS BIGINT) AS t
+  FROM ps
+), staged AS (
+  SELECT CASE WHEN n_suppliers = 1 THEN 'single'
+              WHEN n_suppliers = 2 THEN 'dual'
+              ELSE 'multi' END AS sourcing,
+         cents
+  FROM ps
+)
+SELECT s.sourcing,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(count(*) * 1.0 / any_value(t.n_parts) + 1e-9, 6)
+         AS part_share,
+       round(CAST(sum(s.cents) AS BIGINT) / 100.0 + 1e-9, 2)
+         AS revenue,
+       round(CAST(sum(s.cents) AS BIGINT) * 1.0 / any_value(t.t)
+             + 1e-9, 6) AS revenue_at_risk_share
+FROM staged s CROSS JOIN tot t
+GROUP BY s.sourcing
+""",
+)
+def q301_single_sourcing_risk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-sourcing risk census: parts bucketed by how many
+    distinct suppliers have EVER shipped them (single / dual / multi),
+    with the revenue share riding on each bucket — the supply-chain
+    resilience table where 'single' × high revenue is the board-level
+    risk number (one supplier failure strands that revenue), the
+    per-part counterpart to q192's market-level concentration.
+
+    Scale: one part-grain aggregate with a distinct-supplier count,
+    a broadcast one-row total, a 3-row output. Integer counts/cents
+    throughout; shares are exact ratios (rule 5).
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("cents"),
+    )
+    ps = ps.localCheckpoint(eager=False)  # totals + census branches
+    tot = ps.agg(
+        F.count(F.lit(1)).alias("n_parts"), F.sum("cents").alias("t")
+    )
+    sourcing = (
+        F.when(F.col("n_suppliers") == 1, "single")
+        .when(F.col("n_suppliers") == 2, "dual")
+        .otherwise("multi")
+    )
+    return (
+        ps.crossJoin(F.broadcast(tot))
+        .groupBy(sourcing.alias("sourcing"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            fround(
+                F.count(F.lit(1)) * 1.0 / F.any_value("n_parts"), 6
+            ).alias("part_share"),
+            fround(F.sum("cents") / 100.0, 2).alias("revenue"),
+            fround(
+                F.sum("cents").cast("bigint") * 1.0 / F.any_value("t"), 6
+            ).alias("revenue_at_risk_share"),
+        )
+    )

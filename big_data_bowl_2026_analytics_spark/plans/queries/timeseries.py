@@ -3234,3 +3234,105 @@ def q296_rapid_repeat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("run_len") >= 2)
         .select("user_id", "event_type", "run_len", "span_secs")
     )
+
+
+@query(
+    "q302_hour_of_day_envelope",
+    tags=("timeseries", "seasonality", "capacity"),
+    oracle="""
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(h) AS mn, max(h) AS mx FROM counts
+), dense AS MATERIALIZED (
+  SELECT g.h, CAST(g.h % 24 AS BIGINT) AS hod,
+         CAST(coalesce(c.x, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series(mn, mx)) AS h FROM bounds) g
+  LEFT JOIN counts c ON c.h = g.h
+), ranked AS (
+  SELECT hod, x,
+         row_number() OVER (PARTITION BY hod ORDER BY x, h) AS rn,
+         count(*) OVER (PARTITION BY hod) AS n
+  FROM dense
+)
+SELECT hod,
+       CAST(any_value(n) AS BIGINT) AS n_days,
+       round(CAST(sum(x) AS BIGINT) * 1.0 / any_value(n) + 1e-9, 4)
+         AS mean_rate,
+       CAST(min(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT)
+                     THEN x END) AS BIGINT) AS p10,
+       CAST(min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN x END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                     THEN x END) AS BIGINT) AS p90
+FROM ranked
+GROUP BY hod
+""",
+)
+def q302_hour_of_day_envelope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Typical-day traffic envelope: exact p10/p50/p90 of hourly
+    event volume PER HOUR-OF-DAY over the dense hour spine (zero
+    hours count — a gap at 3am is real capacity truth) — the band
+    chart behind autoscaling schedules and the baseline q263's peak
+    detector should really alarm against (an 11pm spike can be
+    normal, a 3am one never is). Hour-of-day is the epoch-hour
+    modulus, never the engines' timezone-dependent hour().
+
+    Scale: one hourly pre-aggregation, then rank selection (q184
+    rule) inside 24 bounded partitions over the days grain. Integer
+    counts end to end; one exact-ratio mean (rule 5).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["ts"])
+    counts = (
+        ev.select(
+            F.floor(F.col("ts").cast("double") / 3600)
+            .cast("bigint")
+            .alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = counts.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    dense = (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h")
+        )
+        .join(counts, "h", "left")
+        .select(
+            "h",
+            (F.col("h") % 24).cast("bigint").alias("hod"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    wr = Window.partitionBy("hod").orderBy("x", "h")
+    wn = Window.partitionBy("hod")
+    ranked = dense.select(
+        "hod",
+        "x",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q):
+        return F.min(
+            F.when(
+                F.col("rn") == F.ceil(q * F.col("n")).cast("bigint"),
+                F.col("x"),
+            )
+        ).cast("bigint")
+
+    return ranked.groupBy("hod").agg(
+        F.any_value("n").cast("bigint").alias("n_days"),
+        fround(
+            F.sum("x").cast("bigint") * 1.0 / F.any_value("n"), 4
+        ).alias("mean_rate"),
+        pick(0.1).alias("p10"),
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+    )

@@ -1508,3 +1508,19 @@ def test_q300_sampling_single_conditional_pass(spark):
     # hashed base frame.
     plan = physical_plan(_q(spark, "q300_sampling_accuracy_planner"))
     assert "CartesianProduct" not in plan
+
+
+def test_q301_sourcing_single_part_grain(spark):
+    plan = physical_plan(_q(spark, "q301_single_sourcing_risk"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q302_envelope_24_partitions(spark):
+    plan = physical_plan(_q(spark, "q302_hour_of_day_envelope"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q303_coverage_bounded_item_grain(spark):
+    plan = physical_plan(_q(spark, "q303_recommender_coverage_audit"))
+    assert "CartesianProduct" not in plan
