@@ -1324,3 +1324,201 @@ def q301_single_sourcing_risk(
             ).alias("revenue_at_risk_share"),
         )
     )
+
+
+@query(
+    "q305_substitution_screen",
+    tags=("retail-science", "correlation", "report"),
+    oracle="""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 7
+              AS BIGINT) AS wk,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY l_partkey
+), top_parts AS MATERIALIZED (
+  SELECT p_partkey, p_brand, p_size FROM (
+    SELECT p.p_partkey, p.p_brand, p.p_size,
+           row_number() OVER (
+             PARTITION BY p.p_brand ORDER BY r.cents DESC, p.p_partkey
+           ) AS rk
+    FROM part p JOIN rev r ON r.l_partkey = p.p_partkey
+  ) WHERE rk <= 50
+), cands AS MATERIALIZED (
+  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+  FROM top_parts a JOIN top_parts b
+    ON a.p_brand = b.p_brand
+   AND abs(a.p_size - b.p_size) <= 2
+   AND a.p_partkey < b.p_partkey
+), wk_bounds AS (
+  SELECT min(wk) AS w0, max(wk) AS w1 FROM pr
+), weeks AS (
+  SELECT unnest(generate_series(w0, w1)) AS wk FROM wk_bounds
+), sums AS (
+  SELECT c.pa, c.pb,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(coalesce(qa.q, 0)) AS BIGINT) AS sx,
+         CAST(sum(coalesce(qb.q, 0)) AS BIGINT) AS sy,
+         CAST(sum(coalesce(qa.q, 0) * coalesce(qb.q, 0)) AS BIGINT)
+           AS sxy,
+         CAST(sum(coalesce(qa.q, 0) * coalesce(qa.q, 0)) AS BIGINT)
+           AS sxx,
+         CAST(sum(coalesce(qb.q, 0) * coalesce(qb.q, 0)) AS BIGINT)
+           AS syy
+  FROM cands c
+  CROSS JOIN weeks w
+  LEFT JOIN pr qa ON qa.l_partkey = c.pa AND qa.wk = w.wk
+  LEFT JOIN pr qb ON qb.l_partkey = c.pb AND qb.wk = w.wk
+  GROUP BY c.pa, c.pb
+), scored AS (
+  SELECT pa, pb, n,
+         CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+              THEN NULL
+              ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE)))
+                         + 1e-9, 6) + 0 END AS wk_corr
+  FROM sums
+)
+SELECT pa, pb, n AS n_weeks, wk_corr,
+       CAST(row_number() OVER (ORDER BY wk_corr, pa, pb) AS BIGINT) AS rk
+FROM scored WHERE wk_corr IS NOT NULL
+QUALIFY rk <= 20
+""",
+)
+def q305_substitution_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Substitution screen: among candidate substitute pairs (same
+    brand, size within ±2 — blocked to each brand's top-50 revenue
+    parts so the pair set is bounded at any catalog scale), the 20
+    most NEGATIVELY correlated weekly demand series — when one sells,
+    the other doesn't, the statistical signature of substitution that
+    assortment pruning and promo planning act on (complements q236:
+    CF finds complements, this finds cannibals).
+
+    Scale: candidate blocking is per-brand WindowGroupLimit; weekly
+    series correlate on the dense week spine (zeros are the signal —
+    q246 rule) with q204-class exact-BIGINT sums cast once. Ranked
+    ascending on the ROUNDED correlation with a full tie-break; NULL
+    (degenerate-variance) pairs drop identically.
+    """
+    from pyspark.sql import Window
+
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"],
+    )
+    li = li.localCheckpoint(eager=False)  # weekly + revenue branches
+    part = read_table(
+        spark, sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+    )
+    pr = li.groupBy(
+        "l_partkey",
+        F.floor(
+            F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01")) / 7
+        ).cast("bigint").alias("wk"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q"))
+    pr = pr.localCheckpoint(eager=False)  # bounds + two join sides
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    wb = Window.partitionBy("p_brand").orderBy(
+        F.desc("cents"), F.asc("p_partkey")
+    )
+    top_parts = (
+        part.join(rev, part["p_partkey"] == rev["l_partkey"])
+        .withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") <= 50)
+        .select("p_partkey", "p_brand", "p_size")
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a = top_parts.select(
+        F.col("p_partkey").alias("pa"),
+        F.col("p_brand").alias("ba"),
+        F.col("p_size").alias("sa"),
+    )
+    b = top_parts.select(
+        F.col("p_partkey").alias("pb"),
+        F.col("p_brand").alias("bb"),
+        F.col("p_size").alias("sb"),
+    )
+    cands = a.join(
+        b,
+        (F.col("ba") == F.col("bb"))
+        & (F.abs(F.col("sa") - F.col("sb")) <= 2)
+        & (F.col("pa") < F.col("pb")),
+    ).select("pa", "pb")
+    wk_bounds = pr.agg(F.min("wk").alias("w0"), F.max("wk").alias("w1"))
+    weeks = wk_bounds.select(
+        F.explode(F.sequence(F.col("w0"), F.col("w1"))).alias("wk")
+    )
+    qa = pr.select(
+        F.col("l_partkey").alias("pa"), "wk", F.col("q").alias("xq")
+    )
+    qb = pr.select(
+        F.col("l_partkey").alias("pbx"),
+        F.col("wk").alias("wkb"),
+        F.col("q").alias("yq"),
+    )
+    grid = cands.crossJoin(F.broadcast(weeks))
+    joined = (
+        grid.join(qa, ["pa", "wk"], "left")
+        .join(
+            qb,
+            (F.col("pb") == F.col("pbx")) & (F.col("wk") == F.col("wkb")),
+            "left",
+        )
+        .select(
+            "pa",
+            "pb",
+            F.coalesce(F.col("xq"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("yq"), F.lit(0)).alias("y"),
+        )
+    )
+    sums = joined.groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    va = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    vb = n_d * F.col("syy").cast("double") - sy_d * sy_d
+    corr = F.when(va * vb <= 0, F.lit(None).cast("double")).otherwise(
+        fround(
+            (n_d * F.col("sxy").cast("double") - sx_d * sy_d)
+            / F.sqrt(va * vb),
+            6,
+        )
+        + 0
+    )
+    scored = sums.select(
+        "pa", "pb", F.col("n").alias("n_weeks"), corr.alias("wk_corr")
+    ).where(F.col("wk_corr").isNotNull())
+    top = scored.orderBy(
+        F.asc("wk_corr"), F.asc("pa"), F.asc("pb")
+    ).limit(20)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.asc("wk_corr"), F.asc("pa"), F.asc("pb")))
+        .cast("bigint"),
+    )

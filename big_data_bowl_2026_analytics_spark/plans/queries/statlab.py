@@ -2142,3 +2142,116 @@ def q295_breusch_pagan_screen(
         fround(bp, 4).alias("bp_stat"),
         (fround(bp, 4) >= 3.84).alias("heteroscedastic"),
     )
+
+
+@query(
+    "q304_effective_sample_size",
+    tags=("statistics", "timeseries", "experiment-design"),
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), lags AS (
+  SELECT unnest(generate_series(1, 7)) AS k
+), sums AS (
+  SELECT l.k,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.cnt) AS BIGINT) AS sx,
+         CAST(sum(b.cnt) AS BIGINT) AS sy,
+         CAST(sum(a.cnt * b.cnt) AS BIGINT) AS sxy,
+         CAST(sum(a.cnt * a.cnt) AS BIGINT) AS sxx,
+         CAST(sum(b.cnt * b.cnt) AS BIGINT) AS syy
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.day_num = a.day_num + l.k
+  GROUP BY l.k
+), rhos AS (
+  SELECT k,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt(((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+           AS rho
+  FROM sums
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+)
+SELECT nd.n_days,
+       round(1.0 + 2.0 * sum(greatest(r.rho, 0.0)) + 1e-9, 6)
+         AS inflation_factor,
+       round(nd.n_days / (1.0 + 2.0 * sum(greatest(r.rho, 0.0)))
+             + 1e-9, 4) AS effective_n,
+       round(sum(greatest(r.rho, 0.0)) + 1e-9, 6) AS rho_sum_pos
+FROM rhos r CROSS JOIN nd
+GROUP BY nd.n_days
+""",
+)
+def q304_effective_sample_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Effective sample size of the daily order series under
+    autocorrelation: ESS = n / (1 + 2·Σₖ ρₖ⁺) over lags 1-7 (positive
+    ρ only — the conservative truncation; Kish/Newey-West family) —
+    the number that deflates q177's A/B test denominator when the
+    unit of randomization is time: n "days of data" are worth far
+    fewer independent observations when days autocorrelate, and
+    tests that ignore it overstate significance.
+
+    Scale: the daily frame is bounded; ACF at 7 lags is q203's exact
+    integer-hour/day equi-join machinery (never row offsets), sums
+    exact BIGINTs cast once (q204), ρ algebra in the identical
+    association on both sides.
+    """
+    o = read_table(spark, sf_dir, "orders", ["o_orderdate"])
+    daily = (
+        o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "day_num"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # lag-join sides + count
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = daily.select("day_num", F.col("cnt").alias("x"))
+    b = daily.select(
+        F.col("day_num").alias("bd"), F.col("cnt").alias("y")
+    )
+    sums = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bd") == F.col("day_num") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    rho = (n_d * F.col("sxy").cast("double") - sx_d * sy_d) / F.sqrt(
+        (n_d * F.col("sxx").cast("double") - sx_d * sx_d)
+        * (n_d * F.col("syy").cast("double") - sy_d * sy_d)
+    )
+    rhos = sums.select("k", rho.alias("rho"))
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    rsum = F.sum(F.greatest(F.col("rho"), F.lit(0.0)))
+    return (
+        rhos.crossJoin(F.broadcast(nd))
+        .groupBy("n_days")
+        .agg(
+            fround(1.0 + 2.0 * rsum, 6).alias("inflation_factor"),
+            fround(F.col("n_days") / (1.0 + 2.0 * rsum), 4).alias(
+                "effective_n"
+            ),
+            fround(rsum, 6).alias("rho_sum_pos"),
+        )
+        .select("n_days", "inflation_factor", "effective_n", "rho_sum_pos")
+    )

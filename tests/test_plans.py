@@ -1524,3 +1524,16 @@ def test_q302_envelope_24_partitions(spark):
 def test_q303_coverage_bounded_item_grain(spark):
     plan = physical_plan(_q(spark, "q303_recommender_coverage_audit"))
     assert "CartesianProduct" not in plan
+
+
+def test_q304_ess_bounded_daily_grain(spark):
+    plan = physical_plan(_q(spark, "q304_effective_sample_size"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q305_substitution_blocked_candidates(spark):
+    # per-brand top-50 blocking keeps the pair set bounded; the final
+    # leaderboard is partial top-k.
+    plan = physical_plan(_q(spark, "q305_substitution_screen"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
