@@ -2255,3 +2255,77 @@ def q304_effective_sample_size(
         )
         .select("n_days", "inflation_factor", "effective_n", "rho_sum_pos")
     )
+
+
+@query(
+    "q307_price_ending_census",
+    tags=("statistics", "pricing", "audit"),
+    oracle="""
+WITH endings AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS ending,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS n_endings
+  FROM endings
+)
+SELECT CAST(e.ending AS BIGINT) AS ending_cents, e.n,
+       round(e.n * 1.0 / t.t + 1e-9, 6) AS share,
+       round((e.n - t.t / 100.0) * (e.n - t.t / 100.0)
+             / (t.t / 100.0) + 1e-9, 4) AS chi2_contribution,
+       CAST(row_number() OVER (ORDER BY e.n DESC, e.ending) AS BIGINT)
+         AS rk
+FROM endings e CROSS JOIN tot t
+QUALIFY rk <= 10
+""",
+)
+def q307_price_ending_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Price-ending census: the 10 most common cent endings of order
+    totals with their uniform-expectation chi-square contributions —
+    the q200 Benford discipline applied to the LAST digits, where
+    psychological pricing (.99/.95 clustering) is legitimate but a
+    single spiked ending in machine-generated totals is a rounding
+    bug or fabricated-data fingerprint (forensic accounting's other
+    classic screen).
+
+    Scale: one grouped pass to the ≤100-row endings frame; everything
+    after is bounded. Counts exact; shares exact ratios; ranked on
+    exact counts with the ending as tie-break (footgun 3).
+    """
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders", ["o_totalprice"])
+    endings = o.groupBy(
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") % 100).alias(
+            "ending"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))
+    endings = endings.localCheckpoint(eager=False)  # totals + ranking
+    tot = endings.agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.count(F.lit(1)).alias("n_endings"),
+    )
+    exp = F.col("t") / 100.0
+    ranked = (
+        endings.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ending").cast("bigint").alias("ending_cents"),
+            "n",
+            fround(F.col("n") * 1.0 / F.col("t"), 6).alias("share"),
+            fround(
+                (F.col("n") - exp) * (F.col("n") - exp) / exp, 4
+            ).alias("chi2_contribution"),
+        )
+        .orderBy(F.desc("n"), F.asc("ending_cents"))
+        .limit(10)
+    )
+    return ranked.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("ending_cents")))
+        .cast("bigint"),
+    )

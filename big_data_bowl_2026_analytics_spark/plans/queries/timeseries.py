@@ -3336,3 +3336,138 @@ def q302_hour_of_day_envelope(
         pick(0.5).alias("p50"),
         pick(0.9).alias("p90"),
     )
+
+
+@query(
+    "q306_session_unicity_sweep",
+    tags=("privacy", "session", "audit"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM flagged
+), sess AS MATERIALIZED (
+  SELECT user_id, session_id,
+         list(event_type ORDER BY ts, event_id)[1:5] AS arr,
+         CAST(floor(epoch(min(ts)) / 3600) % 24 AS BIGINT) AS hod
+  FROM sessions GROUP BY user_id, session_id
+), ks AS (
+  SELECT unnest([1, 2, 3, 4, 5]) AS k
+), fps AS (
+  SELECT k.k,
+         array_to_string(s.arr[1:CAST(k.k AS BIGINT)], '>')
+           || '@' || CAST(s.hod AS VARCHAR) AS fp
+  FROM sess s CROSS JOIN ks k
+), census AS (
+  SELECT k, fp, CAST(count(*) AS BIGINT) AS n FROM fps GROUP BY k, fp
+)
+SELECT CAST(k AS BIGINT) AS prefix_len,
+       CAST(sum(n) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / sum(n)
+             + 1e-9, 6) AS unicity_share
+FROM census GROUP BY k
+""",
+)
+def q306_session_unicity_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session unicity sweep (de Montjoye's mobility-unicity question
+    asked of clickstreams): what share of q24 sessions is UNIQUELY
+    identified by its first k event types plus its start hour, for
+    k = 1..5 — the re-identification risk curve that says how few
+    released "anonymous" behavioral points pin a session to one
+    person, and the quantitative trigger for q290's suppression
+    policy (release prefixes only up to the k where unicity stays
+    tolerable).
+
+    Scale: one sessionized pass (user_id shuffle), a ≤5× broadcast
+    prefix fan-out of the session-grain frame, and a fingerprint
+    census. Counts exact; the share is an exact ratio (rule 5); the
+    start hour is the epoch-hour modulus (q302 rule).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    epoch = F.col("ts").cast("double")
+    sessions = ev.withColumn(
+        "new_session",
+        F.when(
+            (epoch - F.lag(epoch).over(w) > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    per = (
+        sessions.select(
+            "user_id",
+            "session_id",
+            F.collect_list("event_type")
+            .over(
+                ws.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("arr_full"),
+            F.min(epoch)
+            .over(Window.partitionBy("user_id", "session_id"))
+            .alias("start_es"),
+            F.row_number().over(ws).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.slice(F.col("arr_full"), 1, 5).alias("arr"),
+            (F.floor(F.col("start_es") / 3600) % 24)
+            .cast("bigint")
+            .alias("hod"),
+        )
+        .localCheckpoint(eager=False)  # k-sweep branches
+    )
+    ks = spark.createDataFrame([(k,) for k in range(1, 6)], "k long")
+    fps = per.crossJoin(F.broadcast(ks)).select(
+        "k",
+        F.concat(
+            F.array_join(
+                F.slice(F.col("arr"), 1, F.col("k").cast("int")), ">"
+            ),
+            F.lit("@"),
+            F.col("hod").cast("string"),
+        ).alias("fp"),
+    )
+    census = fps.groupBy("k", "fp").agg(F.count(F.lit(1)).alias("n"))
+    return census.groupBy(F.col("k").cast("bigint").alias("prefix_len")).agg(
+        F.sum("n").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unique"),
+        fround(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            * 1.0
+            / F.sum("n"),
+            6,
+        ).alias("unicity_share"),
+    )

@@ -1537,3 +1537,14 @@ def test_q305_substitution_blocked_candidates(spark):
     plan = physical_plan(_q(spark, "q305_substitution_screen"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q306_unicity_sweep_session_grain(spark):
+    plan = physical_plan(_q(spark, "q306_session_unicity_sweep"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q307_endings_bounded_frame(spark):
+    plan = physical_plan(_q(spark, "q307_price_ending_census"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
