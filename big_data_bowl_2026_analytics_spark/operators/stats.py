@@ -75,3 +75,63 @@ def mann_whitney_z(tagged: DataFrame) -> DataFrame:
             (F.col("u_a") - n_a * n_b / 2.0) / F.sqrt(F.col("sigma2")),
         ).alias("z"),
     )
+
+
+def spearman_rho(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """One-row frame with Spearman rank correlation of two ROUNDED
+    metric columns: ``(n, spearman_rho)``.
+
+    Average ranks with ties come from each metric's distinct-value
+    histogram (windows bounded by the distinct-rounded-value grain —
+    the q227 argument, never a data-sized global window), doubled to
+    stay integer (2·avg_rank = 2·cum_before + c + 1 — the q211 rank
+    algebra), so the Pearson-of-ranks sums are exact BIGINTs cast to
+    double once (q204 rule). ρ carries the sign-of-zero guard; a
+    degenerate (constant) metric yields NULL identically.
+    """
+    from pyspark.sql import Window
+
+    joined = df.select(col_a, col_b).localCheckpoint(eager=False)
+
+    def ranks(col: str, out: str):
+        hist = joined.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        wv = Window.orderBy("v")
+        return hist.select(
+            F.col("v").alias(col),
+            (
+                2
+                * F.coalesce(
+                    F.sum("c").over(
+                        wv.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                + F.col("c")
+                + 1
+            ).cast("bigint").alias(out),
+        )
+
+    ranked = joined.join(ranks(col_a, "ra"), col_a).join(
+        ranks(col_b, "rb"), col_b
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+    )
+    n_d = F.col("n").cast("double")
+    sa_d, sb_d = F.col("sa").cast("double"), F.col("sb").cast("double")
+    va = n_d * F.col("saa").cast("double") - sa_d * sa_d
+    vb = n_d * F.col("sbb").cast("double") - sb_d * sb_d
+    num = n_d * F.col("sab").cast("double") - sa_d * sb_d
+    rho = F.when(va * vb <= 0, F.lit(None).cast("double")).otherwise(
+        F.round(num / F.sqrt(va * vb) + 1e-9, 6) + 0
+    )
+    return sums.select(F.col("n").cast("bigint").alias("n"), rho.alias("spearman_rho"))

@@ -2332,3 +2332,114 @@ def q297_new_vs_returning_revenue(
             new_c.cast("bigint") * 1.0 / F.sum("cents").cast("bigint"), 6
         ).alias("new_revenue_share"),
     )
+
+
+@query(
+    "q308_first_order_ltv_signal",
+    tags=("growth", "statistics", "ml"),
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+         ) AS rn
+  FROM orders
+), percust AS MATERIALIZED (
+  SELECT o_custkey,
+         CAST(min(CASE WHEN rn = 1 THEN cents END) AS BIGINT)
+           AS first_cents,
+         CAST(sum(cents) AS BIGINT) AS ltv_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM ranked GROUP BY o_custkey
+), rq AS (
+  SELECT first_cents AS v, CAST(count(*) AS BIGINT) AS c
+  FROM percust GROUP BY first_cents
+), rq2 AS (
+  SELECT v,
+         CAST(2 * coalesce(sum(c) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) + c + 1 AS BIGINT) AS r2
+  FROM rq
+), rl AS (
+  SELECT ltv_cents AS v, CAST(count(*) AS BIGINT) AS c
+  FROM percust GROUP BY ltv_cents
+), rl2 AS (
+  SELECT v,
+         CAST(2 * coalesce(sum(c) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) + c + 1 AS BIGINT) AS r2
+  FROM rl
+), rr AS (
+  SELECT p.o_custkey, a.r2 AS ra, b.r2 AS rb
+  FROM percust p
+  JOIN rq2 a ON a.v = p.first_cents
+  JOIN rl2 b ON b.v = p.ltv_cents
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ra) AS BIGINT) AS sa,
+         CAST(sum(rb) AS BIGINT) AS sb,
+         CAST(sum(ra * rb) AS BIGINT) AS sab,
+         CAST(sum(ra * ra) AS BIGINT) AS saa,
+         CAST(sum(rb * rb) AS BIGINT) AS sbb
+  FROM rr
+)
+SELECT n AS n_customers,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                    - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) <= 0
+            THEN NULL
+            ELSE round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                 - CAST(sb AS DOUBLE)
+                                   * CAST(sb AS DOUBLE)))
+                       + 1e-9, 6) + 0 END AS spearman_rho
+FROM sums
+""",
+)
+def q308_first_order_ltv_signal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does the FIRST order predict lifetime value? Spearman rank
+    correlation between each customer's first-order amount and their
+    total LTV — the acquisition-quality signal that decides whether
+    first-purchase size belongs in the q266 feature table and whether
+    high-first-order cohorts deserve different onboarding spend
+    (monotone-only association: big-spenders-stay-big is an ordering
+    claim, not a linear one — the q283 discipline on a new domain,
+    via the shared operators/stats.py::spearman_rho).
+
+    Scale: one per-customer window (first order) + aggregate, then
+    the histogram-rank machinery on integer cents — exact BIGINT rank
+    sums end to end.
+    """
+    from pyspark.sql import Window
+
+    from ...operators.stats import spearman_rho
+
+    o = read_table(
+        spark, sf_dir, "orders",
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    wc = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    ranked = o.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.row_number().over(wc).alias("rn"),
+    )
+    percust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("first_cents"),
+        F.sum("cents").cast("bigint").alias("ltv_cents"),
+    )
+    return spearman_rho(percust, "first_cents", "ltv_cents").select(
+        F.col("n").alias("n_customers"), "spearman_rho"
+    )

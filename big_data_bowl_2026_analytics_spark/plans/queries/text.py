@@ -2684,7 +2684,7 @@ def q283_quality_perplexity_spearman(
     so every Pearson-of-ranks sum is an exact BIGINT cast to double
     once (q204 rule) with the sign-of-zero guard on ρ.
     """
-    from pyspark.sql import Window
+    from ...operators.stats import spearman_rho
 
     docs = read_table(spark, sf_dir, "documents")
     q = quality_scores(docs).select(
@@ -2693,51 +2693,9 @@ def q283_quality_perplexity_spearman(
     lp = unigram_logprob_scores(docs).select(
         "doc_id", F.col("avg_neg_logprob").alias("nlp")
     )
-    joined = q.join(lp, "doc_id").localCheckpoint(
-        eager=False
-    )  # two histogram branches + rank join
-
-    def ranks(col: str, out: str):
-        hist = joined.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        wv = Window.orderBy("v")
-        return hist.select(
-            "v",
-            (
-                2
-                * F.coalesce(
-                    F.sum("c").over(
-                        wv.rowsBetween(Window.unboundedPreceding, -1)
-                    ),
-                    F.lit(0),
-                )
-                + F.col("c")
-                + 1
-            ).cast("bigint").alias(out),
-        )
-
-    ra = ranks("qv", "ra").withColumnRenamed("v", "qv")
-    rb = ranks("nlp", "rb").withColumnRenamed("v", "nlp")
-    ranked = joined.join(ra, "qv").join(rb, "nlp")
-    sums = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("ra").alias("sa"),
-        F.sum("rb").alias("sb"),
-        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
-        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
-        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
-    )
-    n_d = F.col("n").cast("double")
-    sa_d, sb_d = F.col("sa").cast("double"), F.col("sb").cast("double")
-    va = n_d * F.col("saa").cast("double") - sa_d * sa_d
-    vb = n_d * F.col("sbb").cast("double") - sb_d * sb_d
-    num = n_d * F.col("sab").cast("double") - sa_d * sb_d
-    return sums.select(
-        F.col("n").alias("n_docs"),
-        F.when(va * vb <= 0, F.lit(None).cast("double"))
-        .otherwise(fround(num / F.sqrt(va * vb), 6) + 0)
-        .alias("spearman_rho"),
+    joined = q.join(lp, "doc_id")
+    return spearman_rho(joined, "qv", "nlp").select(
+        F.col("n").alias("n_docs"), "spearman_rho"
     )
 
 

@@ -1548,3 +1548,8 @@ def test_q307_endings_bounded_frame(spark):
     plan = physical_plan(_q(spark, "q307_price_ending_census"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q308_ltv_signal_histogram_ranks(spark):
+    plan = physical_plan(_q(spark, "q308_first_order_ltv_signal"))
+    assert "CartesianProduct" not in plan
