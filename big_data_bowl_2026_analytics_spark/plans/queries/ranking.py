@@ -1522,3 +1522,228 @@ def q305_substitution_screen(
         .over(Window.orderBy(F.asc("wk_corr"), F.asc("pa"), F.asc("pb")))
         .cast("bigint"),
     )
+
+
+@query(
+    "q309_trade_flow_matrix",
+    tags=("report", "supply-chain", "olap"),
+    oracle="""
+WITH flows AS MATERIALIZED (
+  SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2
+), outbound AS (
+  SELECT supp_nation AS nation, CAST(sum(cents) AS BIGINT) AS exp
+  FROM flows GROUP BY 1
+), inbound AS (
+  SELECT cust_nation AS nation, CAST(sum(cents) AS BIGINT) AS imp
+  FROM flows GROUP BY 1
+)
+SELECT f.cust_nation, f.supp_nation, f.n_items,
+       round(f.cents / 100.0 + 1e-9, 2) AS flow_revenue,
+       round((ob.exp - ib.imp) / 100.0 + 1e-9, 2) + 0
+         AS supp_nation_net_balance,
+       CAST(row_number() OVER (
+         ORDER BY f.cents DESC, f.cust_nation, f.supp_nation
+       ) AS BIGINT) AS rk
+FROM flows f
+JOIN outbound ob ON ob.nation = f.supp_nation
+JOIN inbound ib ON ib.nation = f.supp_nation
+QUALIFY rk <= 20
+""",
+)
+def q309_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-flow matrix: net revenue flows from supplier nations to
+    customer nations (the cust-nation × supp-nation OLAP cube), top
+    20 corridors with each supplier nation's NET trade balance
+    (exports − imports) attached — the cross-border exposure table
+    behind tariff what-ifs and supply-chain regionalization
+    decisions, the bilateral refinement of q03's one-sided rollup.
+
+    Scale: one fact pass with four broadcast dimension joins to the
+    bounded nation-pair grain; balances are margins of the flow
+    frame, never a second fact scan. Exact cents; ranked on exact
+    integers with a full tie-break (footgun 3); the signed balance
+    carries the sign-of-zero guard.
+    """
+    from pyspark.sql import Window
+
+    l = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    o = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    c = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    s = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    n = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    nc = n.select(
+        F.col("n_nationkey").alias("nk_c"), F.col("n_name").alias("cust_nation")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("nk_s"), F.col("n_name").alias("supp_nation")
+    )
+    flows = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), c["c_nationkey"] == F.col("nk_c"))
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == F.col("nk_s"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("bigint")
+            ).alias("cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .localCheckpoint(eager=False)  # margins + ranking branches
+    )
+    outbound = flows.groupBy(
+        F.col("supp_nation").alias("nation")
+    ).agg(F.sum("cents").alias("exp"))
+    inbound = flows.groupBy(
+        F.col("cust_nation").alias("nation")
+    ).agg(F.sum("cents").alias("imp"))
+    bal = outbound.join(inbound, "nation").select(
+        F.col("nation").alias("supp_nation"),
+        ((F.col("exp") - F.col("imp")) / 100.0).alias("net_bal"),
+    )
+    top = (
+        flows.join(F.broadcast(bal), "supp_nation")
+        .select(
+            "cust_nation",
+            "supp_nation",
+            "n_items",
+            fround(F.col("cents") / 100.0, 2).alias("flow_revenue"),
+            (fround(F.col("net_bal"), 2) + 0).alias(
+                "supp_nation_net_balance"
+            ),
+            F.col("cents"),
+        )
+        .orderBy(F.desc("cents"), F.asc("cust_nation"), F.asc("supp_nation"))
+        .limit(20)
+    )
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc("cents"), F.asc("cust_nation"), F.asc("supp_nation")
+            )
+        )
+        .cast("bigint"),
+    ).drop("cents")
+
+
+@query(
+    "q310_supplier_reliability_scorecard",
+    tags=("supply-chain", "sla", "report"),
+    oracle="""
+WITH lat AS (
+  SELECT l.l_suppkey,
+         CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+              AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), persupp AS MATERIALIZED (
+  SELECT l_suppkey, days,
+         row_number() OVER (
+           PARTITION BY l_suppkey ORDER BY days
+         ) AS rn,
+         count(*) OVER (PARTITION BY l_suppkey) AS n
+  FROM lat
+), scored AS (
+  SELECT l_suppkey,
+         CAST(any_value(n) AS BIGINT) AS n_shipments,
+         CAST(min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                       THEN days END) AS BIGINT) AS p50_days,
+         CAST(min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                       THEN days END) AS BIGINT) AS p90_days,
+         round(CAST(sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END)
+                    AS BIGINT) * 1.0 / any_value(n) + 1e-9, 6)
+           AS attainment_30d
+  FROM persupp GROUP BY l_suppkey
+  HAVING any_value(n) >= 20
+)
+SELECT l_suppkey, n_shipments, p50_days, p90_days, attainment_30d,
+       CAST(row_number() OVER (
+         ORDER BY p90_days DESC, l_suppkey
+       ) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= 20
+""",
+)
+def q310_supplier_reliability_scorecard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier reliability scorecard: exact p50/p90 order-to-ship
+    latency and 30-day attainment PER SUPPLIER (volume floor ≥ 20
+    shipments so one bad day can't top the list), worst p90 first —
+    the vendor-management league table that q269's monthly aggregate
+    hides (an on-time month can conceal one chronically slow
+    supplier), and the input to dual-sourcing decisions with q301.
+
+    Scale: one fact join, rank selection inside supplier partitions
+    (q184 rule; tie order irrelevant to selected VALUES), and a
+    partial top-20 on exact integers with the supplier id tie-break.
+    """
+    from pyspark.sql import Window
+
+    l = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                               "l_shipdate"])
+    o = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    lat = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("days"),
+    )
+    wr = Window.partitionBy("l_suppkey").orderBy("days")
+    wn = Window.partitionBy("l_suppkey")
+    persupp = lat.select(
+        "l_suppkey",
+        "days",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q):
+        return F.min(
+            F.when(
+                F.col("rn") == F.ceil(q * F.col("n")).cast("bigint"),
+                F.col("days"),
+            )
+        ).cast("bigint")
+
+    scored = (
+        persupp.groupBy("l_suppkey")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n_shipments"),
+            pick(0.5).alias("p50_days"),
+            pick(0.9).alias("p90_days"),
+            fround(
+                F.sum(F.when(F.col("days") <= 30, 1).otherwise(0))
+                * 1.0
+                / F.any_value("n"),
+                6,
+            ).alias("attainment_30d"),
+        )
+        .where(F.col("n_shipments") >= 20)
+    )
+    top = scored.orderBy(F.desc("p90_days"), F.asc("l_suppkey")).limit(20)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("p90_days"), F.asc("l_suppkey")))
+        .cast("bigint"),
+    )

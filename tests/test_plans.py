@@ -1553,3 +1553,15 @@ def test_q307_endings_bounded_frame(spark):
 def test_q308_ltv_signal_histogram_ranks(spark):
     plan = physical_plan(_q(spark, "q308_first_order_ltv_signal"))
     assert "CartesianProduct" not in plan
+
+
+def test_q309_trade_flows_broadcast_dims(spark):
+    plan = physical_plan(_q(spark, "q309_trade_flow_matrix"))
+    assert plan.count(") BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q310_supplier_scorecard_partitioned_ranks(spark):
+    plan = physical_plan(_q(spark, "q310_supplier_reliability_scorecard"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
