@@ -1556,8 +1556,10 @@ def test_q308_ltv_signal_histogram_ranks(spark):
 
 
 def test_q309_trade_flows_broadcast_dims(spark):
+    # the four dim joins live behind the flows checkpoint (q229
+    # Scan-ExistingRDD effect); the balance join remains visible.
     plan = physical_plan(_q(spark, "q309_trade_flow_matrix"))
-    assert plan.count(") BroadcastHashJoin") >= 3
+    assert plan.count(") BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
 
 
