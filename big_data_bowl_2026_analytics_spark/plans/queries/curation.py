@@ -2443,3 +2443,97 @@ def q308_first_order_ltv_signal(
     return spearman_rho(percust, "first_cents", "ltv_cents").select(
         F.col("n").alias("n_customers"), "spearman_rho"
     )
+
+
+@query(
+    "q311_order_consolidation",
+    tags=("logistics", "report", "optimization"),
+    oracle="""
+WITH ords AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS d,
+         o_orderkey
+  FROM orders
+), flagged AS (
+  SELECT o_custkey, d, o_orderkey,
+         CASE WHEN d - lag(d) OVER w <= 7 THEN 0 ELSE 1 END AS brk
+  FROM ords
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+), grp AS (
+  SELECT o_custkey,
+         CAST(sum(brk) OVER (
+           PARTITION BY o_custkey ORDER BY d, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS grp_id
+  FROM flagged
+), groups AS MATERIALIZED (
+  SELECT o_custkey, grp_id, CAST(count(*) AS BIGINT) AS n_orders
+  FROM grp GROUP BY o_custkey, grp_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS consolidatable_groups,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN n_orders - 1 ELSE 0 END)
+            AS BIGINT) AS shipments_saved,
+       round(sum(CASE WHEN n_orders >= 2 THEN n_orders - 1 ELSE 0 END)
+             * 1.0 / sum(n_orders) + 1e-9, 6) AS shipment_reduction
+FROM groups
+""",
+)
+def q311_order_consolidation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-consolidation opportunity: chains of a customer's orders
+    with ≤ 7 days between consecutive orders (gaps-and-islands on
+    integer day numbers) could have shipped together — the logistics
+    sizing that prices a "hold and combine" policy (shipments saved =
+    Σ(chain − 1)), the operations cousin of q287's velocity screen
+    (same bursts, opposite verdict: there they're suspicious, here
+    they're savings).
+
+    Scale: one customer-partitioned island pass; the census runs on
+    the chain grain. Integer day arithmetic; the reduction share is
+    an exact ratio (rule 5).
+    """
+    from pyspark.sql import Window
+
+    o = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+    ords = o.select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+            "d"
+        ),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    flagged = ords.withColumn(
+        "brk",
+        F.when(F.col("d") - F.lag("d").over(w) <= 7, 0).otherwise(1),
+    )
+    grp = flagged.withColumn(
+        "grp_id",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    groups = grp.groupBy("o_custkey", "grp_id").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    saved = F.sum(
+        F.when(F.col("n_orders") >= 2, F.col("n_orders") - 1).otherwise(0)
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("consolidatable_groups"),
+        saved.cast("bigint").alias("shipments_saved"),
+        fround(saved * 1.0 / F.sum("n_orders"), 6).alias(
+            "shipment_reduction"
+        ),
+    )

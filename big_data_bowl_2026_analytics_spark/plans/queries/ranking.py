@@ -1747,3 +1747,93 @@ def q310_supplier_reliability_scorecard(
         .over(Window.orderBy(F.desc("p90_days"), F.asc("l_suppkey")))
         .cast("bigint"),
     )
+
+
+@query(
+    "q312_discount_ladder",
+    tags=("pricing", "report", "finance"),
+    oracle="""
+WITH base AS MATERIALIZED (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS net_cents,
+         CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+           AS given_cents
+  FROM lineitem
+), ladder AS MATERIALIZED (
+  SELECT disc_pct,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(q) AS BIGINT) AS units,
+         CAST(sum(net_cents) AS BIGINT) AS net_cents,
+         CAST(sum(given_cents) AS BIGINT) AS given_cents
+  FROM base GROUP BY disc_pct
+), base0 AS (
+  SELECT units * 1.0 / n_items AS upi0 FROM ladder WHERE disc_pct = 0
+)
+SELECT l.disc_pct, l.n_items, l.units,
+       round(l.net_cents / 100.0 + 1e-9, 2) AS net_revenue,
+       round(l.given_cents / 100.0 + 1e-9, 2) AS discount_given,
+       round(l.units * 1.0 / l.n_items + 1e-9, 6) AS units_per_item,
+       round((l.units * 1.0 / l.n_items) / b.upi0 + 1e-9, 6)
+         AS uplift_vs_no_discount,
+       CASE WHEN l.given_cents = 0 THEN NULL
+            ELSE round(l.net_cents * 1.0 / l.given_cents + 1e-9, 4) END
+         AS net_per_discount_dollar
+FROM ladder l CROSS JOIN base0 b
+""",
+)
+def q312_discount_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-effectiveness ladder: per discount level, units per
+    line item versus the zero-discount baseline (the naive uplift a
+    promo dashboard shows — q249's Simpson screen says when to
+    distrust it), the discount dollars given, and net revenue per
+    discount dollar — the promo-ROI readout finance argues about,
+    with the zero-discount tier carrying a NULL ratio explicitly.
+
+    Scale: one grouped pass to the ≤ 11-row discount grain, one-row
+    baseline broadcast. Cents/units exact; every ratio exact (rule
+    5); net and given cents are rounded PER ROW before summing so
+    both engines difference identical integers (q173 rule).
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_discount", "l_quantity", "l_extendedprice"],
+    )
+    base = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint").alias("net_cents"),
+        F.round(
+            F.col("l_extendedprice") * F.col("l_discount") * 100
+        ).cast("bigint").alias("given_cents"),
+    )
+    ladder = base.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("q").cast("bigint").alias("units"),
+        F.sum("net_cents").cast("bigint").alias("net_cents"),
+        F.sum("given_cents").cast("bigint").alias("given_cents"),
+    )
+    ladder = ladder.localCheckpoint(eager=False)  # baseline + output
+    base0 = ladder.where(F.col("disc_pct") == 0).select(
+        (F.col("units") * 1.0 / F.col("n_items")).alias("upi0")
+    )
+    upi = F.col("units") * 1.0 / F.col("n_items")
+    return ladder.crossJoin(F.broadcast(base0)).select(
+        "disc_pct",
+        "n_items",
+        "units",
+        fround(F.col("net_cents") / 100.0, 2).alias("net_revenue"),
+        fround(F.col("given_cents") / 100.0, 2).alias("discount_given"),
+        fround(upi, 6).alias("units_per_item"),
+        fround(upi / F.col("upi0"), 6).alias("uplift_vs_no_discount"),
+        F.when(
+            F.col("given_cents") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            fround(
+                F.col("net_cents") * 1.0 / F.col("given_cents"), 4
+            )
+        ).alias("net_per_discount_dollar"),
+    )

@@ -1567,3 +1567,16 @@ def test_q310_supplier_scorecard_partitioned_ranks(spark):
     plan = physical_plan(_q(spark, "q310_supplier_reliability_scorecard"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q311_consolidation_single_customer_shuffle(spark):
+    plan = physical_plan(_q(spark, "q311_order_consolidation"))
+    import re
+    parts = re.findall(r"hashpartitioning\(([a-z_#0-9]+)", plan)
+    assert parts and all(p.startswith("o_custkey") for p in parts)
+
+
+def test_q312_ladder_bounded_discount_grain(spark):
+    plan = physical_plan(_q(spark, "q312_discount_ladder"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
