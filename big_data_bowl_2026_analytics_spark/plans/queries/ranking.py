@@ -1837,3 +1837,121 @@ def q312_discount_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("net_per_discount_dollar"),
     )
+
+
+@query(
+    "q313_returns_interaction",
+    tags=("report", "quality", "statistics"),
+    oracle="""
+WITH base AS MATERIALIZED (
+  SELECT CASE WHEN CAST(round(l_discount * 100) AS BIGINT) = 0
+              THEN 'none'
+              WHEN CAST(round(l_discount * 100) AS BIGINT) <= 5
+              THEN 'low' ELSE 'high' END AS disc_tier,
+         CASE WHEN l_extendedprice < 20000 THEN 'budget'
+              WHEN l_extendedprice < 60000 THEN 'mid'
+              ELSE 'premium' END AS price_tier,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem
+), cells AS MATERIALIZED (
+  SELECT disc_tier, price_tier,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ret) AS BIGINT) AS n_ret
+  FROM base GROUP BY disc_tier, price_tier
+), margins AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(n_ret) AS BIGINT) AS rt
+  FROM cells
+), dmarg AS (
+  SELECT disc_tier,
+         CAST(sum(n_ret) AS BIGINT) AS dr,
+         CAST(sum(n) AS BIGINT) AS dn
+  FROM cells GROUP BY disc_tier
+), pmarg AS (
+  SELECT price_tier,
+         CAST(sum(n_ret) AS BIGINT) AS pr,
+         CAST(sum(n) AS BIGINT) AS pn
+  FROM cells GROUP BY price_tier
+)
+SELECT c.disc_tier, c.price_tier, c.n,
+       round(c.n_ret * 1.0 / c.n + 1e-9, 6) AS return_rate,
+       round((d.dr * 1.0 / d.dn) * ((p.pr * 1.0 / p.pn)
+             / (m.rt * 1.0 / m.nt)) + 1e-9, 6) AS expected_rate,
+       round(c.n_ret * 1.0 / c.n
+             - (d.dr * 1.0 / d.dn) * ((p.pr * 1.0 / p.pn)
+               / (m.rt * 1.0 / m.nt)) + 1e-9, 6) + 0
+         AS interaction_residual
+FROM cells c
+JOIN dmarg d ON d.disc_tier = c.disc_tier
+JOIN pmarg p ON p.price_tier = c.price_tier
+CROSS JOIN margins m
+""",
+)
+def q313_returns_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate interaction table: observed return rate per
+    (discount tier × price tier) cell against the
+    independence-of-factors expectation r_d·r_p/r̄ — a non-zero
+    residual is an INTERACTION (deep-discounted premium items coming
+    back more than either factor predicts = markdown-quality or
+    wardrobing signal), the 2-factor screen q129's one-factor
+    chi-square can't see.
+
+    Scale: one fact pass to the 9-cell grid; margins are sums of the
+    cell frame. All rates are exact integer ratios (rule 5) with the
+    expected-rate expression in identical association (q143) and the
+    signed residual sign-of-zero-guarded (footgun 9).
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_discount", "l_extendedprice", "l_returnflag"],
+    )
+    disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    base = li.select(
+        F.when(disc == 0, "none")
+        .when(disc <= 5, "low")
+        .otherwise("high")
+        .alias("disc_tier"),
+        F.when(F.col("l_extendedprice") < 20000, "budget")
+        .when(F.col("l_extendedprice") < 60000, "mid")
+        .otherwise("premium")
+        .alias("price_tier"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    cells = base.groupBy("disc_tier", "price_tier").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ret").cast("bigint").alias("n_ret")
+    )
+    cells = cells.localCheckpoint(eager=False)  # three margin branches
+    margins = cells.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("n_ret").cast("bigint").alias("rt"),
+    )
+    dmarg = cells.groupBy("disc_tier").agg(
+        F.sum("n_ret").alias("dr"), F.sum("n").alias("dn")
+    )
+    pmarg = cells.groupBy("price_tier").agg(
+        F.sum("n_ret").alias("pr"), F.sum("n").alias("pn")
+    )
+    expected = (F.col("dr") * 1.0 / F.col("dn")) * (
+        (F.col("pr") * 1.0 / F.col("pn"))
+        / (F.col("rt") * 1.0 / F.col("nt"))
+    )
+    return (
+        cells.join(F.broadcast(dmarg), "disc_tier")
+        .join(F.broadcast(pmarg), "price_tier")
+        .crossJoin(F.broadcast(margins))
+        .select(
+            "disc_tier",
+            "price_tier",
+            "n",
+            fround(F.col("n_ret") * 1.0 / F.col("n"), 6).alias(
+                "return_rate"
+            ),
+            fround(expected, 6).alias("expected_rate"),
+            (
+                fround(
+                    F.col("n_ret") * 1.0 / F.col("n") - expected, 6
+                )
+                + 0
+            ).alias("interaction_residual"),
+        )
+    )

@@ -2783,3 +2783,89 @@ def q291_good_turing_unseen_mass(
             F.col("n1") > 0, fround(2.0 * F.col("n2") / F.col("n1"), 6)
         ).alias("gt_adjusted_count_1"),
     )
+
+
+@query(
+    "q314_hapax_gibberish_screen",
+    tags=("text", "quality", "llm-pipeline"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY doc_id, term
+), corpus AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS cw FROM tf GROUP BY term
+), perdoc AS (
+  SELECT t.doc_id,
+         CAST(sum(t.c) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c2.cw = 1 THEN t.c ELSE 0 END) AS BIGINT)
+           AS hapax_tokens
+  FROM tf t JOIN corpus c2 ON c2.term = t.term
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, hapax_tokens,
+       round(hapax_tokens * 1.0 / n_tokens + 1e-9, 6) AS hapax_share,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY round(hapax_tokens * 1.0 / n_tokens + 1e-9, 6) DESC,
+             doc_id
+  ) AS rk
+  FROM perdoc
+) WHERE rk <= 20
+""",
+)
+def q314_hapax_gibberish_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hapax-dominated document screen: the 20 documents whose tokens
+    are most dominated by corpus-singletons (words NOBODY else ever
+    uses) — the cheap gibberish/binary-spill/ID-dump detector that
+    catches what q36's surface heuristics miss (such text has
+    perfectly normal lengths and stopword ratios), the document-grain
+    application of q291's Good-Turing singleton mass.
+
+    Scale: the doc-term frame joins the corpus counts on the term key
+    (the canonical skew shuffle); everything reduces at the doc
+    grain. Counts exact; the share is an exact ratio ranked ROUNDED
+    with doc_id tie-break (footgun 3).
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = tf.localCheckpoint(eager=False)  # corpus + per-doc branches
+    corpus = tf.groupBy("term").agg(F.sum("c").alias("cw"))
+    perdoc = (
+        tf.join(corpus, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("cw") == 1, F.col("c")).otherwise(0)
+            ).cast("bigint").alias("hapax_tokens"),
+        )
+    )
+    share = fround(
+        F.col("hapax_tokens") * 1.0 / F.col("n_tokens"), 6
+    )
+    top = (
+        perdoc.select(
+            "doc_id", "n_tokens", "hapax_tokens", share.alias("hapax_share")
+        )
+        .orderBy(F.desc("hapax_share"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("hapax_share"), F.asc("doc_id")))
+        .cast("bigint"),
+    )

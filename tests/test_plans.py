@@ -1580,3 +1580,15 @@ def test_q312_ladder_bounded_discount_grain(spark):
     plan = physical_plan(_q(spark, "q312_discount_ladder"))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q313_interaction_nine_cell_grid(spark):
+    plan = physical_plan(_q(spark, "q313_returns_interaction"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q314_hapax_topk(spark):
+    plan = physical_plan(_q(spark, "q314_hapax_gibberish_screen"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
