@@ -1955,3 +1955,101 @@ def q313_returns_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("interaction_residual"),
         )
     )
+
+
+@query(
+    "q316_basket_expander_score",
+    tags=("recommender", "report", "retail-science"),
+    oracle="""
+WITH bsize AS MATERIALIZED (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS basket_n
+  FROM lineitem GROUP BY l_orderkey
+), pres AS (
+  SELECT DISTINCT l_partkey, l_orderkey FROM lineitem
+), gtot AS (
+  SELECT CAST(sum(basket_n) AS BIGINT) AS tot_items,
+         CAST(count(*) AS BIGINT) AS n_baskets
+  FROM bsize
+), perpart AS (
+  SELECT p.l_partkey,
+         CAST(count(*) AS BIGINT) AS n_baskets,
+         CAST(sum(b.basket_n) AS BIGINT) AS items_in_baskets
+  FROM pres p JOIN bsize b ON b.l_orderkey = p.l_orderkey
+  GROUP BY p.l_partkey
+  HAVING count(*) >= 20
+)
+SELECT p.l_partkey, p.n_baskets,
+       round(p.items_in_baskets * 1.0 / p.n_baskets + 1e-9, 6)
+         AS mean_basket_size,
+       round(g.tot_items * 1.0 / g.n_baskets + 1e-9, 6)
+         AS global_mean_size,
+       round((p.items_in_baskets * 1.0 / p.n_baskets)
+             / (g.tot_items * 1.0 / g.n_baskets) + 1e-9, 6)
+         AS expander_ratio,
+       CAST(row_number() OVER (
+         ORDER BY round((p.items_in_baskets * 1.0 / p.n_baskets)
+                        / (g.tot_items * 1.0 / g.n_baskets)
+                        + 1e-9, 6) DESC, p.l_partkey
+       ) AS BIGINT) AS rk
+FROM perpart p CROSS JOIN gtot g
+QUALIFY rk <= 20
+""",
+)
+def q316_basket_expander_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Basket-expander leaderboard: parts whose baskets run largest
+    relative to the global mean basket size (support floor ≥ 20
+    baskets) — the merchandising signal for anchor items that pull
+    other products into the cart (descriptive and selection-biased,
+    stated plainly: q261's DiD is how you'd PROVE causation before
+    moving shelf space; q236 finds WHICH items ride along).
+
+    Scale: one basket-size frame, a distinct presence frame joined on
+    the order key, a part-grain reduce, a broadcast global row, and a
+    partial top-20 ranked on the ROUNDED ratio with the part id
+    tie-break (footgun 3). All exact integer ratios (rule 5).
+    """
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    li = li.localCheckpoint(eager=False)  # size + presence branches
+    bsize = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("basket_n")
+    )
+    bsize = bsize.localCheckpoint(eager=False)  # global + join branches
+    pres = li.select("l_partkey", "l_orderkey").distinct()
+    glob = bsize.agg(
+        F.sum("basket_n").cast("bigint").alias("tot_items"),
+        F.count(F.lit(1)).alias("n_baskets_g"),
+    )
+    perpart = (
+        pres.join(bsize, "l_orderkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_baskets"),
+            F.sum("basket_n").cast("bigint").alias("items_in_baskets"),
+        )
+        .where(F.col("n_baskets") >= 20)
+    )
+    mean_p = F.col("items_in_baskets") * 1.0 / F.col("n_baskets")
+    mean_g = F.col("tot_items") * 1.0 / F.col("n_baskets_g")
+    ratio = fround(mean_p / mean_g, 6)
+    top = (
+        perpart.crossJoin(F.broadcast(glob))
+        .select(
+            "l_partkey",
+            "n_baskets",
+            fround(mean_p, 6).alias("mean_basket_size"),
+            fround(mean_g, 6).alias("global_mean_size"),
+            ratio.alias("expander_ratio"),
+        )
+        .orderBy(F.desc("expander_ratio"), F.asc("l_partkey"))
+        .limit(20)
+    )
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("expander_ratio"), F.asc("l_partkey")))
+        .cast("bigint"),
+    )

@@ -1979,3 +1979,144 @@ def q298_embedding_dimension_health(
         )
         .alias("mean_to_std"),
     )
+
+
+@query(
+    "q315_ivf_partition_stability",
+    tags=("similarity", "ann", "audit"),
+    oracle=f"""
+WITH seeds_a AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         embedding AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) s
+), seeds_b AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         embedding AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 8) s
+), cells_a AS MATERIALIZED (
+  SELECT vec_id, cluster_id AS ca FROM (
+    SELECT e.vec_id, s.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sq_l2_sql('e.embedding', 's.centroid')}, s.cluster_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN seeds_a s
+  ) WHERE rn = 1
+), cells_b AS MATERIALIZED (
+  SELECT vec_id, cluster_id AS cb FROM (
+    SELECT e.vec_id, s.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sq_l2_sql('e.embedding', 's.centroid')}, s.cluster_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN seeds_b s
+  ) WHERE rn = 1
+), cont AS MATERIALIZED (
+  SELECT a.ca, b.cb, CAST(count(*) AS BIGINT) AS nij
+  FROM cells_a a JOIN cells_b b ON b.vec_id = a.vec_id
+  GROUP BY a.ca, b.cb
+), sums AS (
+  SELECT CAST(sum(nij) AS BIGINT) AS n,
+         CAST(sum(nij * (nij - 1) / 2) AS BIGINT) AS s_both
+  FROM cont
+), ma AS (
+  SELECT CAST(sum(sa * (sa - 1) / 2) AS BIGINT) AS s_a FROM (
+    SELECT CAST(sum(nij) AS BIGINT) AS sa FROM cont GROUP BY ca
+  )
+), mb AS (
+  SELECT CAST(sum(sb * (sb - 1) / 2) AS BIGINT) AS s_b FROM (
+    SELECT CAST(sum(nij) AS BIGINT) AS sb FROM cont GROUP BY cb
+  )
+)
+SELECT s.n AS n_vectors, s.s_both AS pairs_both,
+       ma.s_a AS pairs_a, mb.s_b AS pairs_b,
+       round(s.s_both * 1.0 / (ma.s_a + mb.s_b - s.s_both) + 1e-9, 6)
+         AS pair_jaccard,
+       round((CAST(s.n AS DOUBLE) * (s.n - 1) / 2.0
+              - (ma.s_a + mb.s_b) + 2.0 * s.s_both)
+             / (CAST(s.n AS DOUBLE) * (s.n - 1) / 2.0) + 1e-9, 6)
+         AS rand_index
+FROM sums s CROSS JOIN ma CROSS JOIN mb
+""",
+)
+def q315_ivf_partition_stability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF partition-stability audit: assign every vector under two
+    deterministic seed sets (the standard lowest-id seeds vs an
+    odd-id-only alternative — standing in for "index built last
+    month" vs "index built today") and measure agreement as the EXACT
+    pair-level Jaccard and Rand index, computed from the 8×8
+    contingency table's cell sizes — never by materializing vector
+    pairs (Σ n_ij·(n_ij−1)/2 IS the co-located pair count; the
+    same counting trick as q44's exact side). Low stability means
+    cell routing is sensitive to seeding and nprobe must rise (q168's
+    balance audit says cells are even; this says they're REPEATABLE).
+
+    Scale: two broadcast-seed assignments, one vec_id join to the
+    contingency grain, then pure integer algebra on ≤64 cells.
+    """
+    from pyspark.sql import Window
+
+    from ...operators.ivf import assign_clusters, seed_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = emb.localCheckpoint(eager=False)  # two assignment branches
+    cells_a = assign_clusters(emb, seed_centroids(emb, 8)).select(
+        "vec_id", F.col("cluster_id").alias("ca")
+    )
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    cells_b = assign_clusters(emb, seed_centroids(odd, 8)).select(
+        "vec_id", F.col("cluster_id").alias("cb")
+    )
+    cont = (
+        cells_a.join(cells_b, "vec_id")
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=False)  # three margin branches
+    )
+    pairs = lambda c: F.sum(F.col(c) * (F.col(c) - 1) / 2).cast("bigint")
+    sums = cont.agg(
+        F.sum("nij").cast("bigint").alias("n"),
+        F.sum(F.col("nij") * (F.col("nij") - 1) / 2)
+        .cast("bigint")
+        .alias("s_both"),
+    )
+    ma = (
+        cont.groupBy("ca")
+        .agg(F.sum("nij").alias("sa"))
+        .agg(pairs("sa").alias("s_a"))
+    )
+    mb = (
+        cont.groupBy("cb")
+        .agg(F.sum("nij").alias("sb"))
+        .agg(pairs("sb").alias("s_b"))
+    )
+    n_d = F.col("n").cast("double")
+    total_pairs = n_d * (F.col("n") - 1) / 2.0
+    return (
+        sums.crossJoin(F.broadcast(ma))
+        .crossJoin(F.broadcast(mb))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("s_both").alias("pairs_both"),
+            F.col("s_a").alias("pairs_a"),
+            F.col("s_b").alias("pairs_b"),
+            fround(
+                F.col("s_both")
+                * 1.0
+                / (F.col("s_a") + F.col("s_b") - F.col("s_both")),
+                6,
+            ).alias("pair_jaccard"),
+            fround(
+                (
+                    total_pairs
+                    - (F.col("s_a") + F.col("s_b"))
+                    + 2.0 * F.col("s_both")
+                )
+                / total_pairs,
+                6,
+            ).alias("rand_index"),
+        )
+    )

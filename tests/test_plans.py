@@ -1592,3 +1592,16 @@ def test_q314_hapax_topk(spark):
     plan = physical_plan(_q(spark, "q314_hapax_gibberish_screen"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q315_stability_contingency_grain(spark):
+    # agreement statistics come from the 8x8 contingency cell sizes —
+    # vector pairs are never materialized.
+    plan = physical_plan(_q(spark, "q315_ivf_partition_stability"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q316_expander_topk(spark):
+    plan = physical_plan(_q(spark, "q316_basket_expander_score"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
