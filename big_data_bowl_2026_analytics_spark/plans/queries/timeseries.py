@@ -3471,3 +3471,173 @@ def q306_session_unicity_sweep(
             6,
         ).alias("unicity_share"),
     )
+
+
+@query(
+    "q317_suspected_outage_hours",
+    tags=("timeseries", "monitoring", "anomaly"),
+    oracle="""
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(h) AS mn, max(h) AS mx FROM counts
+), dense AS MATERIALIZED (
+  SELECT g.h, CAST(g.h % 24 AS BIGINT) AS hod,
+         CAST(coalesce(c.x, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series(mn, mx)) AS h FROM bounds) g
+  LEFT JOIN counts c ON c.h = g.h
+), env AS (
+  SELECT hod, x AS p25 FROM (
+    SELECT hod, x,
+           row_number() OVER (PARTITION BY hod ORDER BY x, h) AS rn,
+           count(*) OVER (PARTITION BY hod) AS n
+    FROM dense
+  ) WHERE rn = CAST(ceil(0.25 * n) AS BIGINT)
+)
+SELECT d.h AS hour_num, d.hod, d.x AS observed, e.p25 AS expected_floor,
+       d.x * 2 < e.p25 AS severe
+FROM dense d JOIN env e ON e.hod = d.hod
+WHERE e.p25 > 0 AND d.x < e.p25
+""",
+)
+def q317_suspected_outage_hours(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Suspected-outage hours: hours whose traffic falls below the
+    lower-quartile floor of their own hour-of-day envelope (q302's band), with a
+    ``severe`` flag at half the floor — the silent-failure detector
+    that q263's peak alarm is blind to (pipelines page on spikes and
+    sleep through drops; a 3am hour at zero is normal only if 3am's
+    p10 is zero). Both tests are pure integer inequalities
+    (``x < p25``, ``2·x < p25`` — the q256 discipline, no float
+    threshold).
+
+    Scale: the dense spine + per-hod rank selection (q302 machinery),
+    one join back on the 24-row envelope. Integer end to end.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["ts"])
+    counts = (
+        ev.select(
+            F.floor(F.col("ts").cast("double") / 3600)
+            .cast("bigint")
+            .alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = counts.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    dense = (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h")
+        )
+        .join(counts, "h", "left")
+        .select(
+            "h",
+            (F.col("h") % 24).cast("bigint").alias("hod"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .localCheckpoint(eager=False)  # envelope + scan branches
+    )
+    wr = Window.partitionBy("hod").orderBy("x", "h")
+    wn = Window.partitionBy("hod")
+    env = (
+        dense.select(
+            "hod",
+            "x",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .where(F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint"))
+        .select("hod", F.col("x").alias("p25"))
+    )
+    return (
+        dense.join(F.broadcast(env), "hod")
+        .where((F.col("p25") > 0) & (F.col("x") < F.col("p25")))
+        .select(
+            F.col("h").alias("hour_num"),
+            "hod",
+            F.col("x").alias("observed"),
+            F.col("p25").alias("expected_floor"),
+            (F.col("x") * 2 < F.col("p25")).alias("severe"),
+        )
+    )
+
+
+@query(
+    "q318_shipment_fragmentation",
+    tags=("logistics", "report", "timeseries"),
+    oracle="""
+WITH perorder AS MATERIALIZED (
+  SELECT o.o_orderkey,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+           AS month_idx,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(count(DISTINCT CAST(l.l_shipdate AS DATE)) AS BIGINT)
+           AS n_ship_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+)
+SELECT month_idx,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(n_items) + 1e-9, 4) AS mean_items,
+       round(avg(n_ship_days) + 1e-9, 4) AS mean_ship_days,
+       round(CAST(sum(CASE WHEN n_ship_days = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1.0 / count(*) + 1e-9, 6)
+         AS single_shipment_share,
+       round(CAST(sum(n_ship_days - 1) AS BIGINT) * 1.0 / count(*)
+             + 1e-9, 6) AS extra_shipments_per_order
+FROM perorder
+GROUP BY month_idx
+""",
+)
+def q318_shipment_fragmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shipment fragmentation by order month: how many distinct ship
+    DAYS each order needed (1 = fulfilled whole; each extra day is an
+    extra shipment cost and a worse unboxing), tracked as the
+    single-shipment share and mean extra shipments per order — the
+    warehouse-consolidation KPI that q311 sizes the fix for on the
+    inbound side and this measures on the outbound side.
+
+    Scale: one order-grain aggregate with a distinct-day count, one
+    month-grain reduce. Integer counts; exact ratios (rule 5); month
+    as integer index (q233 rule).
+    """
+    o = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    l = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    perorder = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "o_orderkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct(F.to_date("l_shipdate")).alias("n_ship_days"),
+        )
+    )
+    return perorder.groupBy("month_idx").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fround(F.avg("n_items"), 4).alias("mean_items"),
+        fround(F.avg("n_ship_days"), 4).alias("mean_ship_days"),
+        fround(
+            F.sum(F.when(F.col("n_ship_days") == 1, 1).otherwise(0))
+            .cast("bigint")
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("single_shipment_share"),
+        fround(
+            F.sum(F.col("n_ship_days") - 1).cast("bigint")
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("extra_shipments_per_order"),
+    )

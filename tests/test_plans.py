@@ -1605,3 +1605,14 @@ def test_q316_expander_topk(spark):
     plan = physical_plan(_q(spark, "q316_basket_expander_score"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q317_outage_floor_integer_tests(spark):
+    plan = physical_plan(_q(spark, "q317_suspected_outage_hours"))
+    assert "CartesianProduct" not in plan
+
+
+def test_q318_fragmentation_two_grains(spark):
+    plan = physical_plan(_q(spark, "q318_shipment_fragmentation"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
