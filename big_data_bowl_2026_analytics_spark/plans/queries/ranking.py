@@ -2053,3 +2053,76 @@ def q316_basket_expander_score(
         .over(Window.orderBy(F.desc("expander_ratio"), F.asc("l_partkey")))
         .cast("bigint"),
     )
+
+
+@query(
+    "q319_assortment_breadth_trend",
+    tags=("inventory", "report", "timeseries"),
+    oracle="""
+WITH pm AS MATERIALIZED (
+  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+           AS month_idx,
+         l_partkey, l_suppkey
+  FROM lineitem
+), firstpart AS (
+  SELECT l_partkey, CAST(min(month_idx) AS BIGINT) AS first_m
+  FROM pm GROUP BY l_partkey
+)
+SELECT p.month_idx,
+       CAST(count(DISTINCT p.l_partkey) AS BIGINT) AS active_parts,
+       CAST(count(DISTINCT p.l_suppkey) AS BIGINT) AS active_suppliers,
+       CAST(count(DISTINCT CASE WHEN f.first_m = p.month_idx
+                                THEN p.l_partkey END) AS BIGINT)
+         AS debut_parts,
+       round(count(DISTINCT CASE WHEN f.first_m = p.month_idx
+                                 THEN p.l_partkey END) * 1.0
+             / count(DISTINCT p.l_partkey) + 1e-9, 6) AS debut_share
+FROM pm p JOIN firstpart f ON f.l_partkey = p.l_partkey
+GROUP BY p.month_idx
+""",
+)
+def q319_assortment_breadth_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Assortment breadth trend: distinct parts and suppliers active
+    each shipping month, with the DEBUT share (parts shipping for the
+    first time ever) — the catalog-growth curve that pairs with
+    q278's lifecycle census (breadth growing while dormancy grows too
+    means churn, not expansion) and gives q274's stocking policy its
+    time axis.
+
+    Scale: one fact projection to the (month, part, supplier) grain,
+    a part-grain first-month aggregate joined back on the part key,
+    one month-grain distinct reduce. Integer month indices (q233
+    rule); the debut share is an exact ratio (rule 5).
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_shipdate"]
+    )
+    pm = li.select(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("month_idx"),
+        "l_partkey",
+        "l_suppkey",
+    ).localCheckpoint(eager=False)  # first-month + trend branches
+    firstpart = pm.groupBy("l_partkey").agg(
+        F.min("month_idx").alias("first_m")
+    )
+    debut = F.countDistinct(
+        F.when(
+            F.col("first_m") == F.col("month_idx"), F.col("l_partkey")
+        )
+    )
+    return (
+        pm.join(firstpart, "l_partkey")
+        .groupBy("month_idx")
+        .agg(
+            F.countDistinct("l_partkey").alias("active_parts"),
+            F.countDistinct("l_suppkey").alias("active_suppliers"),
+            debut.cast("bigint").alias("debut_parts"),
+            fround(
+                debut * 1.0 / F.countDistinct("l_partkey"), 6
+            ).alias("debut_share"),
+        )
+    )

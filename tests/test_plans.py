@@ -1616,3 +1616,9 @@ def test_q318_fragmentation_two_grains(spark):
     plan = physical_plan(_q(spark, "q318_shipment_fragmentation"))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q319_breadth_trend_part_key_join(spark):
+    plan = physical_plan(_q(spark, "q319_assortment_breadth_trend"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
