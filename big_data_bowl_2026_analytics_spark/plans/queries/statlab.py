@@ -2329,3 +2329,172 @@ def q307_price_ending_census(
         .over(Window.orderBy(F.desc("n"), F.asc("ending_cents")))
         .cast("bigint"),
     )
+
+
+@query(
+    "q322_cooks_distance_screen",
+    tags=("statistics", "regression", "influence"),
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syyd
+  FROM cust
+), coefs AS (
+  SELECT n, sx, sy,
+         CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS sxxc,
+         CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n AS sxyc,
+         syyd - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS syyc
+  FROM sums
+), coefs2 AS (
+  SELECT n, sx, sxxc,
+         sxyc / sxxc AS slope,
+         CAST(sy AS DOUBLE) / n
+           - sxyc / sxxc * (CAST(sx AS DOUBLE) / n) AS icept,
+         (syyc - sxyc / sxxc * sxyc) / (n - 2) AS s2
+  FROM coefs
+), scored AS (
+  SELECT o_custkey, x, y,
+         y - (icept + slope * x) AS e,
+         1.0 / n + (x - CAST(sx AS DOUBLE) / n)
+                   * (x - CAST(sx AS DOUBLE) / n) / sxxc AS h,
+         s2
+  FROM cust, coefs2
+), cooked AS (
+  SELECT o_custkey, x, y, e, h,
+         e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) AS d
+  FROM scored
+), ranked AS (
+  SELECT o_custkey, x AS n_orders,
+         round(y / 100.0 + 1e-9, 2) AS spend,
+         round(e / 100.0 + 1e-9, 2) AS resid,
+         round(h + 1e-9, 6) AS leverage,
+         round(d + 1e-9, 6) AS cook_d,
+         CAST(row_number() OVER (
+           ORDER BY round(d + 1e-9, 6) DESC, o_custkey
+         ) AS BIGINT) AS rk
+  FROM cooked
+)
+SELECT o_custkey, n_orders, spend, resid, leverage, cook_d, rk
+FROM ranked WHERE rk <= 30
+""",
+)
+def q322_cooks_distance_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out influence screen with NO refitting: Cook's
+    distance for the per-customer regression spend ~ order_count,
+    computed entirely from the closed-form hat values
+    h_ii = 1/n + (x_i − x̄)²/Sxx — the Sherman-Morrison identity makes
+    n leave-one-out refits a single aggregation pass plus one
+    broadcast-back map (the q204 normal-equation family extended from
+    coefficients to per-point influence). Reports the 30 most
+    influential customers: the accounts whose removal moves the fitted
+    spend to order-count relationship the most — the screen that runs
+    before any revenue model is trusted at 100 TB.
+
+    Exactness: all first-order sums are BIGINT; Σy² (which q204
+    proved overflows int64 at scale) is summed as HUGEINT in DuckDB
+    and decimal(38,0) in Spark — both exact integers — then cast to
+    double ONCE, so both engines round the same exact value (a new
+    instance of the cast-once rule that sidesteps the q261 overflow).
+    Downstream double arithmetic uses identical expression trees; the
+    top-30 selection orders by the ROUNDED distance with a unique key
+    tie-break (footguns 2/3).
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    cust = cust.localCheckpoint(eager=False)  # sums + scored branches
+    sums = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syyd"),
+    )
+    nd = F.col("n")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    coefs = sums.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("sxx").cast("double") - sxd * sxd / nd).alias("sxxc"),
+        (F.col("sxy").cast("double") - sxd * syd / nd).alias("sxyc"),
+        (F.col("syyd") - syd * syd / nd).alias("syyc"),
+    ).select(
+        "n",
+        "sx",
+        "sxxc",
+        (F.col("sxyc") / F.col("sxxc")).alias("slope"),
+        (
+            syd / nd - F.col("sxyc") / F.col("sxxc") * (sxd / nd)
+        ).alias("icept"),
+        (
+            (F.col("syyc") - F.col("sxyc") / F.col("sxxc") * F.col("sxyc"))
+            / (nd - 2)
+        ).alias("s2"),
+    )
+    scored = cust.crossJoin(F.broadcast(coefs)).select(
+        "o_custkey",
+        "x",
+        "y",
+        (F.col("y") - (F.col("icept") + F.col("slope") * F.col("x"))).alias(
+            "e"
+        ),
+        (
+            F.lit(1.0) / nd
+            + (F.col("x") - sxd / nd) * (F.col("x") - sxd / nd)
+            / F.col("sxxc")
+        ).alias("h"),
+        "s2",
+    )
+    cooked = scored.select(
+        "o_custkey",
+        "x",
+        "y",
+        "e",
+        "h",
+        (
+            F.col("e") * F.col("e") * F.col("h")
+            / (
+                2.0
+                * F.col("s2")
+                * (F.lit(1.0) - F.col("h"))
+                * (F.lit(1.0) - F.col("h"))
+            )
+        ).alias("d"),
+    )
+    ranked = cooked.select(
+        "o_custkey",
+        F.col("x").alias("n_orders"),
+        fround(F.col("y") / 100.0, 2).alias("spend"),
+        fround(F.col("e") / 100.0, 2).alias("resid"),
+        fround(F.col("h"), 6).alias("leverage"),
+        fround(F.col("d"), 6).alias("cook_d"),
+    )
+    top = ranked.orderBy(F.desc("cook_d"), F.asc("o_custkey")).limit(30)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cook_d"), F.asc("o_custkey")))
+        .cast("bigint"),
+    )

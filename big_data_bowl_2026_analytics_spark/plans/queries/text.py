@@ -2869,3 +2869,198 @@ def q314_hapax_gibberish_screen(
         .over(Window.orderBy(F.desc("hapax_share"), F.asc("doc_id")))
         .cast("bigint"),
     )
+
+
+def _hash32_sql(seed: str, expr: str) -> str:
+    """First 32 bits of md5(seed || expr) as a BIGINT (DuckDB side).
+
+    Eight instr-nibble terms — the 8-nibble extension of the q34
+    pattern `_hash16_sql` proves engine-exact; 32 bits keep winnowing
+    fingerprint collisions negligible at corpus scale.
+    """
+    h = f"md5('{seed}' || {expr})"
+    terms = [
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hash32(seed: str, col):
+    """Spark twin of :func:`_hash32_sql`."""
+    h = F.md5(F.concat(F.lit(seed), col))
+    v = F.lit(0).cast("bigint")
+    for i in range(8):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+        v = v * 16 + nib
+    return v
+
+
+@query(
+    "q320_winnowing_fingerprints",
+    tags=("text", "dedup", "fingerprint", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 6
+), grams AS (
+  SELECT doc_id, CAST(m AS BIGINT) AS m, CAST(p[4] AS BIGINT) AS pos,
+         p[1] || ' ' || p[2] || ' ' || p[3] AS gram
+  FROM (
+    SELECT doc_id, len(w) - 2 AS m,
+           unnest(list_zip(w[1:len(w)-2], w[2:len(w)-1], w[3:len(w)],
+                           range(1, len(w)-1))) AS p
+    FROM toks
+  )
+), keyed AS (
+  SELECT doc_id, m, pos, gram,
+         {_hash32_sql('winnow|', 'gram')} * 16777216
+           + (16777215 - pos) AS key
+  FROM grams
+), wins AS (
+  SELECT doc_id, m,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+           AS minkey,
+         pos
+  FROM keyed
+), fp AS (
+  SELECT DISTINCT doc_id, m,
+         16777215 - (minkey % 16777216) AS sel_pos
+  FROM wins WHERE pos <= m - 3
+), fpg AS (
+  SELECT f.doc_id, f.m, g.gram
+  FROM fp f JOIN grams g
+    ON g.doc_id = f.doc_id AND g.pos = f.sel_pos
+), gshared AS (
+  SELECT gram FROM fpg GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= 2
+), prof AS (
+  SELECT doc_id, any_value(m) AS n_grams,
+         CAST(count(*) AS BIGINT) AS n_fp
+  FROM fpg GROUP BY doc_id
+), sharedcnt AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+  FROM fpg f JOIN gshared s ON f.gram = s.gram
+  GROUP BY f.doc_id
+)
+SELECT p.doc_id, p.n_grams, p.n_fp,
+       CAST(coalesce(c.n_shared_fp, 0) AS BIGINT) AS n_shared_fp,
+       round(p.n_fp * 1.0 / p.n_grams + 1e-9, 6) AS fp_density,
+       round(coalesce(c.n_shared_fp, 0) * 1.0 / p.n_fp + 1e-9, 6)
+         AS shared_share
+FROM prof p LEFT JOIN sharedcnt c ON p.doc_id = c.doc_id
+""",
+)
+def q320_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every 3-token shingle,
+    slide a window of 4 consecutive shingle hashes over each document,
+    and keep the minimum hash per window (rightmost on ties). The
+    selected set is a deterministic, position-robust fingerprint with
+    the winnowing guarantee: any verbatim overlap of at least
+    w + k - 1 = 6 tokens between two documents shares at least one
+    fingerprint. Reports, per document, the shingle count, fingerprint
+    count, fingerprint density (~2/(w+1) in expectation), and the
+    share of its fingerprints that also appear in another document —
+    the plagiarism/boilerplate exposure signal the LSH stack (q32,
+    q178) cannot give per-position.
+
+    Engine-exactness: the rightmost-min-tie selection is encoded in
+    ONE integer key per shingle, ``h32 * 2^24 + (2^24 - 1 - pos)`` —
+    an integer window-min then decodes back to the selected position,
+    so both engines pick identical fingerprints (md5 nibble hash,
+    rule 4). The window is bounded (4 rows) and partitioned by
+    document; the shared-gram frame is a groupBy on fingerprint text
+    — everything shuffles on keys, nothing is all-pairs.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).where(F.size("w") >= 6)
+    grams = (
+        toks.select(
+            "doc_id",
+            (F.size("w") - 2).cast("bigint").alias("m"),
+            F.posexplode(
+                F.arrays_zip(
+                    F.slice("w", 1, F.size("w") - 2).alias("a"),
+                    F.slice(F.col("w"), 2, F.size("w") - 2).alias("b"),
+                    F.slice(F.col("w"), 3, F.size("w") - 2).alias("c"),
+                )
+            ).alias("pos0", "p"),
+        )
+        .select(
+            "doc_id",
+            "m",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.concat_ws(
+                " ", F.col("p.a"), F.col("p.b"), F.col("p.c")
+            ).alias("gram"),
+        )
+    )
+    grams = grams.localCheckpoint(eager=False)  # keyed + fingerprint-join reuse
+    keyed = grams.withColumn(
+        "key",
+        _hash32("winnow|", F.col("gram")) * F.lit(16777216).cast("bigint")
+        + (F.lit(16777215) - F.col("pos")),
+    )
+    w_win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wins = keyed.select(
+        "doc_id", "m", "pos", F.min("key").over(w_win).alias("minkey")
+    )
+    fp = (
+        wins.where(F.col("pos") <= F.col("m") - 3)
+        .select(
+            "doc_id",
+            "m",
+            (F.lit(16777215) - F.col("minkey") % 16777216).alias("sel_pos"),
+        )
+        .distinct()
+    )
+    gsel = grams.select(
+        F.col("doc_id").alias("gdoc"),
+        F.col("pos").alias("gpos"),
+        "gram",
+    )
+    fpg = fp.join(
+        gsel,
+        (F.col("doc_id") == F.col("gdoc"))
+        & (F.col("sel_pos") == F.col("gpos")),
+    ).select("doc_id", "m", "gram")
+    fpg = fpg.localCheckpoint(eager=False)  # profile + shared branches
+    gshared = (
+        fpg.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    prof = fpg.groupBy("doc_id").agg(
+        F.any_value("m").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+    )
+    sharedcnt = (
+        fpg.join(gshared, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
+    )
+    return (
+        prof.join(sharedcnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fp",
+            F.coalesce(F.col("n_shared_fp"), F.lit(0)).cast("bigint")
+              .alias("n_shared_fp"),
+            fround(F.col("n_fp") * 1.0 / F.col("n_grams"), 6)
+              .alias("fp_density"),
+            fround(
+                F.coalesce(F.col("n_shared_fp"), F.lit(0)) * 1.0
+                / F.col("n_fp"),
+                6,
+            ).alias("shared_share"),
+        )
+    )

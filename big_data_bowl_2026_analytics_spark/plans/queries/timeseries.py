@@ -3641,3 +3641,138 @@ def q318_shipment_fragmentation(
             6,
         ).alias("extra_shipments_per_order"),
     )
+
+
+@query(
+    "q321_shapley_attribution",
+    tags=("attribution", "statistics", "exact"),
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END) AS hc,
+         max(CASE WHEN event_type = 'view'   THEN 1 ELSE 0 END) AS hv,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+         max(CASE WHEN event_type = 'error'  THEN 1 ELSE 0 END) AS he,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), mframe AS (
+  SELECT hc + 2 * hv + 4 * hs + 8 * he AS mask,
+         CAST(sum(conv) AS BIGINT) AS n_conv
+  FROM per_user GROUP BY 1
+), subsets AS (
+  SELECT unnest(range(0, 16)) AS s
+), vals AS (
+  SELECT s,
+         CAST(coalesce(sum(n_conv), 0) AS BIGINT) AS v
+  FROM subsets LEFT JOIN mframe ON (mask & s) = mask
+  GROUP BY s
+), chan AS (
+  SELECT * FROM (VALUES (1, 'click'), (2, 'view'), (4, 'signup'),
+                        (8, 'error')) AS t(bit, channel)
+), lift AS (
+  SELECT CAST(24 * (vf.v - v0.v) AS BIGINT) AS tot24
+  FROM vals vf, vals v0 WHERE vf.s = 15 AND v0.s = 0
+), contrib AS (
+  SELECT channel,
+         CAST(sum(CASE bit_count(a.s)
+                    WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+                    ELSE 6 END * (b.v - a.v)) AS BIGINT) AS phi24
+  FROM chan c
+  JOIN vals a ON (a.s & c.bit) = 0
+  JOIN vals b ON b.s = a.s + c.bit
+  GROUP BY channel
+)
+SELECT channel, phi24,
+       round(phi24 / 24.0 + 1e-9, 6) AS phi,
+       round(phi24 * 1.0 / tot24 + 1e-9, 6) AS phi_share,
+       CAST(tot24 // 24 AS BIGINT) AS total_lift
+FROM contrib, lift
+""",
+)
+def q321_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution (Shapley 1953; the
+    marketing formulation of Zhao et al. 2018): channels are the four
+    non-purchase event types a user was exposed to, the coalition
+    value v(S) is the number of converting (purchasing) users whose
+    exposure set is contained in S, and each channel's credit is its
+    exact Shapley value — not the heuristic U-shaped (q209) or Markov
+    removal-effect (q254) approximations. With n = 4 channels the
+    2^4 = 16 coalition values reduce from one groupBy(user) pass, and
+    the Shapley weights |S|!(n-|S|-1)!/n! scale to INTEGERS by 4! = 24
+    ({6, 2, 2, 6} for |S| = 0..3), so phi24 = 24·φ is an exact BIGINT
+    on both engines — the efficiency axiom Σφ = v(N) − v(∅) holds in
+    integer arithmetic, and `phi_share` divides exact integers.
+
+    Scale: one shuffle on user_id, one on the 16-row mask frame;
+    everything after the first aggregation is a constant-size (16-row)
+    subset lattice — the same plan at 100 TB.
+    """
+    ev = read_table(spark, sf_dir, "events", ["user_id", "event_type"])
+    pres = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    per_user = ev.groupBy("user_id").agg(
+        pres("click").alias("hc"),
+        pres("view").alias("hv"),
+        pres("signup").alias("hs"),
+        pres("error").alias("he"),
+        pres("purchase").alias("conv"),
+    )
+    mframe = (
+        per_user.select(
+            (
+                F.col("hc") + 2 * F.col("hv") + 4 * F.col("hs")
+                + 8 * F.col("he")
+            ).alias("mask"),
+            "conv",
+        )
+        .groupBy("mask")
+        .agg(F.sum("conv").cast("bigint").alias("n_conv"))
+    )
+    subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    vals = (
+        subsets.join(
+            F.broadcast(mframe),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    vals = vals.localCheckpoint(eager=False)  # a/b/lift branches
+    chan = spark.createDataFrame(
+        [(1, "click"), (2, "view"), (4, "signup"), (8, "error")],
+        "bit INT, channel STRING",
+    )
+    a = vals.select(F.col("s").alias("sa"), F.col("v").alias("va"))
+    b = vals.select(F.col("s").alias("sb"), F.col("v").alias("vb"))
+    weight = (
+        F.when(F.expr("bit_count(sa)") == 0, 6)
+        .when(F.expr("bit_count(sa)") == 1, 2)
+        .when(F.expr("bit_count(sa)") == 2, 2)
+        .otherwise(6)
+    )
+    contrib = (
+        chan.join(F.broadcast(a), F.expr("(sa & bit) = 0"))
+        .join(F.broadcast(b), F.expr("sb = sa + bit"))
+        .groupBy("channel")
+        .agg(
+            F.sum(weight * (F.col("vb") - F.col("va")))
+            .cast("bigint")
+            .alias("phi24")
+        )
+    )
+    lift = (
+        vals.where(F.col("s") == 15)
+        .crossJoin(
+            vals.where(F.col("s") == 0).select(F.col("v").alias("v0"))
+        )
+        .select((24 * (F.col("v") - F.col("v0"))).cast("bigint").alias("tot24"))
+    )
+    return contrib.crossJoin(F.broadcast(lift)).select(
+        "channel",
+        "phi24",
+        fround(F.col("phi24") / 24.0, 6).alias("phi"),
+        fround(F.col("phi24") * 1.0 / F.col("tot24"), 6).alias("phi_share"),
+        (F.col("tot24") / F.lit(24)).cast("bigint").alias("total_lift"),
+    )

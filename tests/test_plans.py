@@ -1622,3 +1622,24 @@ def test_q319_breadth_trend_part_key_join(spark):
     plan = physical_plan(_q(spark, "q319_assortment_breadth_trend"))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q320_winnowing_no_allpairs(spark):
+    plan = physical_plan(_q(spark, "q320_winnowing_fingerprints"))
+    # fingerprint machinery is behind the localCheckpoint (q229/q309
+    # effect); the visible shape must stay key-partitioned joins
+    assert "CartesianProduct" not in plan
+
+
+def test_q321_shapley_bounded_lattice(spark):
+    plan = physical_plan(_q(spark, "q321_shapley_attribution"))
+    # the 16-row subset lattice joins are broadcast/nested-loop on
+    # constant-size frames; no shuffle-side sort joins anywhere
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q322_cooks_topk_and_single_agg_pass(spark):
+    plan = physical_plan(_q(spark, "q322_cooks_distance_screen"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
