@@ -2498,3 +2498,518 @@ def q322_cooks_distance_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("cook_d"), F.asc("o_custkey")))
         .cast("bigint"),
     )
+
+
+@query(
+    "q323_kendall_tau",
+    tags=("statistics", "correlation", "exact"),
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM monthly a JOIN monthly b ON a.m < b.m
+), counted AS (
+  SELECT CAST(sum(CASE WHEN (ax < bx AND ay < by)
+                         OR (ax > bx AND ay > by) THEN 1 ELSE 0 END)
+              AS BIGINT) AS concordant,
+         CAST(sum(CASE WHEN (ax < bx AND ay > by)
+                         OR (ax > bx AND ay < by) THEN 1 ELSE 0 END)
+              AS BIGINT) AS discordant,
+         CAST(sum(CASE WHEN ax = bx THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+         CAST(sum(CASE WHEN ay = by THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs
+), months AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_months FROM monthly
+)
+SELECT n_months, n_pairs, concordant, discordant, ties_x, ties_y,
+       CASE WHEN (n_pairs - ties_x) * (n_pairs - ties_y) > 0
+            THEN round((concordant - discordant) * 1.0
+                       / sqrt((n_pairs - ties_x) * 1.0
+                              * (n_pairs - ties_y)) + 1e-9, 6)
+            END AS tau_b
+FROM counted, months
+""",
+)
+def q323_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between monthly revenue and
+    monthly active customers — the concordance-based sibling of the
+    q283/q308 Spearman rho, preferred when the series are short and
+    tie-heavy because every ingredient is an exact INTEGER pair count
+    (concordant, discordant, tie-in-x, tie-in-y); the only float op is
+    one sqrt of an exact integer product (IEEE correctly-rounded on
+    both engines) and one division, absorbed by the fround pair.
+
+    Scale: the pair join is over the MONTH grain — bounded by the
+    calendar (n_pairs = months·(months−1)/2), never by row count, so
+    the quadratic enumeration is a constant-size frame at any corpus
+    size; the data-sized work is one groupBy(month) pass.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("m")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x"),
+            F.countDistinct("o_custkey").cast("bigint").alias("y"),
+        )
+    )
+    monthly = monthly.localCheckpoint(eager=False)  # pair + count branches
+    a = monthly.select(
+        F.col("m").alias("ma"), F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    b = monthly.select(
+        F.col("m").alias("mb"), F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    pairs = a.join(F.broadcast(b), F.col("ma") < F.col("mb"))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    counted = pairs.agg(
+        cnt(
+            ((F.col("ax") < F.col("bx")) & (F.col("ay") < F.col("by")))
+            | ((F.col("ax") > F.col("bx")) & (F.col("ay") > F.col("by")))
+        ).alias("concordant"),
+        cnt(
+            ((F.col("ax") < F.col("bx")) & (F.col("ay") > F.col("by")))
+            | ((F.col("ax") > F.col("bx")) & (F.col("ay") < F.col("by")))
+        ).alias("discordant"),
+        cnt(F.col("ax") == F.col("bx")).alias("ties_x"),
+        cnt(F.col("ay") == F.col("by")).alias("ties_y"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    months = monthly.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    denom_ok = (
+        (F.col("n_pairs") - F.col("ties_x"))
+        * (F.col("n_pairs") - F.col("ties_y"))
+        > 0
+    )
+    tau = fround(
+        (F.col("concordant") - F.col("discordant"))
+        * 1.0
+        / F.sqrt(
+            (F.col("n_pairs") - F.col("ties_x"))
+            * 1.0
+            * (F.col("n_pairs") - F.col("ties_y"))
+        ),
+        6,
+    )
+    return counted.crossJoin(F.broadcast(months)).select(
+        "n_months",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.when(denom_ok, tau).alias("tau_b"),
+    )
+
+
+@query(
+    "q325_logrank_test",
+    tags=("statistics", "survival", "hypothesis-test"),
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS DATE)) AS first_d,
+         max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+), horizon AS (
+  SELECT max(last_d) AS end_d FROM per_cust
+), life AS (
+  SELECT CAST(p.last_d - p.first_d AS BIGINT) AS t,
+         CASE WHEN p.last_d < h.end_d - 90 THEN 1 ELSE 0 END AS churned,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp
+  FROM per_cust p
+  JOIN customer c ON c.c_custkey = p.o_custkey, horizon h
+), hist AS (
+  SELECT t,
+         CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(grp) AS BIGINT) AS n1_at,
+         CAST(sum(churned) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN grp = 1 THEN churned ELSE 0 END) AS BIGINT)
+           AS d1
+  FROM life GROUP BY t
+), tot AS (
+  SELECT CAST(sum(n_at) AS BIGINT) AS n_total,
+         CAST(sum(n1_at) AS BIGINT) AS n1_total
+  FROM hist
+), risk AS (
+  SELECT t, d, d1,
+         n_total - CAST(coalesce(sum(n_at) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS n_risk,
+         n1_total - CAST(coalesce(sum(n1_at) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS n1_risk
+  FROM hist, tot
+), terms AS (
+  SELECT d, d1,
+         d * n1_risk * 1.0 / n_risk AS e1,
+         CASE WHEN n_risk > 1
+              THEN d * (n1_risk * 1.0 / n_risk)
+                     * (1.0 - n1_risk * 1.0 / n_risk)
+                     * ((n_risk - d) * 1.0 / (n_risk - 1))
+              ELSE 0.0 END AS v
+  FROM risk WHERE d > 0
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+         CAST(sum(d1) AS BIGINT) AS o1,
+         sum(e1) AS e1, sum(v) AS v
+  FROM terms
+)
+SELECT t.n1_total AS n_group1,
+       t.n_total - t.n1_total AS n_group0,
+       a.n_event_times, a.o1,
+       round(a.e1 + 1e-9, 6) AS e1,
+       round(a.v + 1e-9, 6) AS var_o1,
+       CASE WHEN a.v > 0
+            THEN round((a.o1 - a.e1) / sqrt(a.v) + 1e-9, 6) END AS z
+FROM agg a, tot t
+""",
+)
+def q325_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Cox): does the BUILDING market
+    segment churn on a different survival curve than everyone else?
+    Uses q201's exact survival convention (duration = first→last order
+    span, churned = inactive in the final 90 days) and compares
+    observed group-1 events against the hypergeometric expectation at
+    every event time. The at-risk counts come from suffix sums over
+    the DURATION grain — the window is bounded by the calendar span
+    (q201/q227 argument), not by customer count, so the plan is two
+    key-partitioned aggregations plus a constant-size window at any
+    scale.
+
+    Event/at-risk counts are exact BIGINTs; the E[O1] and variance
+    accumulations are the documented q24 float-sum class (sums of
+    O(1)-magnitude terms over a calendar-bounded frame), absorbed by
+    the fround pair; z divides once and guards V = 0 with NULL on
+    both engines.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderdate"]
+    )
+    customer = read_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    per_cust = per_cust.localCheckpoint(eager=False)  # horizon + life
+    horizon = per_cust.agg(F.max("last_d").alias("end_d"))
+    life = (
+        per_cust.join(
+            F.broadcast(customer),
+            per_cust["o_custkey"] == customer["c_custkey"],
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_d", "first_d").cast("bigint").alias("t"),
+            F.when(
+                F.col("last_d") < F.date_sub(F.col("end_d"), 90), 1
+            )
+            .otherwise(0)
+            .alias("churned"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("grp"),
+        )
+    )
+    hist = life.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at"),
+        F.sum("grp").cast("bigint").alias("n1_at"),
+        F.sum("churned").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, F.col("churned")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+    )
+    hist = hist.localCheckpoint(eager=False)  # tot + risk branches
+    tot = hist.agg(
+        F.sum("n_at").cast("bigint").alias("n_total"),
+        F.sum("n1_at").cast("bigint").alias("n1_total"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = hist.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "d1",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_at").over(w_prev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+        (
+            F.col("n1_total")
+            - F.coalesce(F.sum("n1_at").over(w_prev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n1_risk"),
+    )
+    share = F.col("n1_risk") * 1.0 / F.col("n_risk")
+    terms = risk.where(F.col("d") > 0).select(
+        "d",
+        "d1",
+        (F.col("d") * F.col("n1_risk") * 1.0 / F.col("n_risk")).alias("e1"),
+        F.when(
+            F.col("n_risk") > 1,
+            F.col("d")
+            * share
+            * (F.lit(1.0) - share)
+            * (
+                (F.col("n_risk") - F.col("d"))
+                * 1.0
+                / (F.col("n_risk") - 1)
+            ),
+        )
+        .otherwise(0.0)
+        .alias("v"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1").alias("e1"),
+        F.sum("v").alias("v"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("n1_total").alias("n_group1"),
+        (F.col("n_total") - F.col("n1_total")).alias("n_group0"),
+        "n_event_times",
+        "o1",
+        fround(F.col("e1"), 6).alias("e1"),
+        fround(F.col("v"), 6).alias("var_o1"),
+        F.when(
+            F.col("v") > 0,
+            fround((F.col("o1") - F.col("e1")) / F.sqrt("v"), 6),
+        ).alias("z"),
+    )
+
+
+@query(
+    "q328_cuped_adjustment",
+    tags=("statistics", "experimentation", "variance-reduction"),
+    oracle=f"""
+WITH span AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+         max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+), cutoff AS (
+  SELECT d0 + CAST((d1 - d0) // 2 AS INTEGER) AS cd FROM span
+), cust AS (
+  SELECT o_custkey,
+         CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < cd
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) >= cd
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM orders, cutoff GROUP BY o_custkey
+), arms AS (
+  SELECT x, y,
+         CASE WHEN {_hash16_sql('cuped|', 'o_custkey')} % 2 = 1
+              THEN 1 ELSE 0 END AS arm
+  FROM cust
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxxd,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxyd,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syyd,
+         CAST(sum(arm) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+  FROM arms
+), cent AS (
+  SELECT n, sx, sy, nb, sxb, syb, n - nb AS na,
+         sx - sxb AS sxa, sy - syb AS sya,
+         sxxd - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS sxxc,
+         sxyd - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n AS sxyc,
+         syyd - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS syyc
+  FROM sums
+), coefs AS (
+  SELECT n, sx, na, nb, sxa, sya, sxb, syb,
+         sxyc / sxxc AS theta,
+         sxyc * sxyc / (sxxc * syyc) AS rho2
+  FROM cent
+), adj AS (
+  SELECT na, nb, theta, rho2,
+         CAST(sya AS DOUBLE) / na AS raw_a,
+         CAST(syb AS DOUBLE) / nb AS raw_b,
+         CAST(sya AS DOUBLE) / na
+           - theta * (CAST(sxa AS DOUBLE) / na
+                      - CAST(sx AS DOUBLE) / n) AS madj_a,
+         CAST(syb AS DOUBLE) / nb
+           - theta * (CAST(sxb AS DOUBLE) / nb
+                      - CAST(sx AS DOUBLE) / n) AS madj_b
+  FROM coefs
+)
+SELECT na AS n_a, nb AS n_b,
+       round(theta + 1e-9, 6) AS theta,
+       round(rho2 + 1e-9, 6) AS rho2,
+       round(raw_a / 100.0 + 1e-9, 2) AS mean_raw_a,
+       round(raw_b / 100.0 + 1e-9, 2) AS mean_raw_b,
+       round((raw_b - raw_a) / 100.0 + 1e-9, 2) AS diff_raw,
+       round(madj_a / 100.0 + 1e-9, 2) AS mean_adj_a,
+       round(madj_b / 100.0 + 1e-9, 2) AS mean_adj_b,
+       round((madj_b - madj_a) / 100.0 + 1e-9, 2) AS diff_adj
+FROM adj
+""",
+)
+def q328_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout (Deng, Xu, Kohavi,
+    Walker, WSDM 2013): customers hash-split into two arms (the q127
+    content-stable assignment), post-period spend adjusted by the
+    pre-period covariate, ŷ = y − θ(x − x̄) with θ = Cov(x,y)/Var(x).
+    Reports raw vs adjusted arm means and deltas plus ρ² — the
+    fraction of metric variance the covariate removes, i.e. how much
+    smaller the experiment needs to be. On a null split (no real
+    treatment) diff_adj shrinks toward zero exactly when pre- and
+    post-period spend correlate.
+
+    One groupBy(customer) pass then ONE global aggregation; θ and the
+    adjusted means are pure algebra on exact sums (no second data
+    pass — the same closed-form trick as q322). First-order sums stay
+    BIGINT; the three second-order sums use the q322 HUGEINT /
+    decimal(38,0) exact path, cast to double once.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    span = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    cutoff = span.select(
+        F.date_add(
+            F.col("d0"),
+            F.floor(F.datediff("d1", "d0") / 2).cast("int"),
+        ).alias("cd")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cust = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.to_date("o_orderdate") < F.col("cd"), cents)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.to_date("o_orderdate") >= F.col("cd"), cents)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    arms = cust.select(
+        "x",
+        "y",
+        F.when(_hash16("cuped|", F.col("o_custkey")) % 2 == 1, 1)
+        .otherwise(0)
+        .alias("arm"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = arms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dec("x") * F.col("x")).cast("double").alias("sxxd"),
+        F.sum(dec("x") * F.col("y")).cast("double").alias("sxyd"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syyd"),
+        F.sum("arm").cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sxb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("syb"),
+    )
+    sxd, syd, nd = (
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+        F.col("n"),
+    )
+    cent = sums.select(
+        "n",
+        "sx",
+        "sy",
+        "nb",
+        "sxb",
+        "syb",
+        (F.col("n") - F.col("nb")).alias("na"),
+        (F.col("sx") - F.col("sxb")).alias("sxa"),
+        (F.col("sy") - F.col("syb")).alias("sya"),
+        (F.col("sxxd") - sxd * sxd / nd).alias("sxxc"),
+        (F.col("sxyd") - sxd * syd / nd).alias("sxyc"),
+        (F.col("syyd") - syd * syd / nd).alias("syyc"),
+    )
+    coefs = cent.select(
+        "n",
+        "sx",
+        "na",
+        "nb",
+        "sxa",
+        "sya",
+        "sxb",
+        "syb",
+        (F.col("sxyc") / F.col("sxxc")).alias("theta"),
+        (
+            F.col("sxyc") * F.col("sxyc")
+            / (F.col("sxxc") * F.col("syyc"))
+        ).alias("rho2"),
+    )
+    adj = coefs.select(
+        "na",
+        "nb",
+        "theta",
+        "rho2",
+        (F.col("sya").cast("double") / F.col("na")).alias("raw_a"),
+        (F.col("syb").cast("double") / F.col("nb")).alias("raw_b"),
+        (
+            F.col("sya").cast("double") / F.col("na")
+            - F.col("theta")
+            * (
+                F.col("sxa").cast("double") / F.col("na")
+                - F.col("sx").cast("double") / F.col("n")
+            )
+        ).alias("madj_a"),
+        (
+            F.col("syb").cast("double") / F.col("nb")
+            - F.col("theta")
+            * (
+                F.col("sxb").cast("double") / F.col("nb")
+                - F.col("sx").cast("double") / F.col("n")
+            )
+        ).alias("madj_b"),
+    )
+    return adj.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        fround(F.col("theta"), 6).alias("theta"),
+        fround(F.col("rho2"), 6).alias("rho2"),
+        fround(F.col("raw_a") / 100.0, 2).alias("mean_raw_a"),
+        fround(F.col("raw_b") / 100.0, 2).alias("mean_raw_b"),
+        fround((F.col("raw_b") - F.col("raw_a")) / 100.0, 2).alias(
+            "diff_raw"
+        ),
+        fround(F.col("madj_a") / 100.0, 2).alias("mean_adj_a"),
+        fround(F.col("madj_b") / 100.0, 2).alias("mean_adj_b"),
+        fround((F.col("madj_b") - F.col("madj_a")) / 100.0, 2).alias(
+            "diff_adj"
+        ),
+    )

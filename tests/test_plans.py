@@ -1643,3 +1643,27 @@ def test_q322_cooks_topk_and_single_agg_pass(spark):
     plan = physical_plan(_q(spark, "q322_cooks_distance_screen"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q323_kendall_pairs_on_month_grain(spark):
+    plan = physical_plan(_q(spark, "q323_kendall_tau"))
+    # the quadratic pair enumeration must be the broadcast month
+    # frame, never a shuffle join on the data grain
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q325_logrank_window_on_duration_grain(spark):
+    plan = physical_plan(_q(spark, "q325_logrank_test"))
+    # at-risk suffix sums run over the duration-grain hist frame
+    # (behind the localCheckpoint); no range shuffle appears
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q328_cuped_single_pass(spark):
+    plan = physical_plan(_q(spark, "q328_cuped_adjustment"))
+    # one data-sized groupBy(customer) then constant-size algebra:
+    # no window at all, no sort join
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
