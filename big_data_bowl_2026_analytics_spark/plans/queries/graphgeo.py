@@ -1373,3 +1373,140 @@ def q303_recommender_coverage_audit(
             "top_decile_share"
         ),
     )
+
+
+@query(
+    "q324_link_prediction",
+    tags=("graph", "recommendation", "similarity"),
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), und AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL
+  SELECT pb AS u, pa AS v FROM edges
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+), paths AS (
+  SELECT j1.u AS a, j1.v AS z, j2.v AS b
+  FROM und j1
+  JOIN deg dz ON dz.u = j1.v AND dz.d <= 200
+  JOIN und j2 ON j2.u = j1.v AND j1.u < j2.v
+), cand AS (
+  SELECT p.a, p.b,
+         CAST(count(*) AS BIGINT) AS cn,
+         sum(1.0 / ln(dz.d)) AS aa
+  FROM paths p JOIN deg dz ON dz.u = p.z
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.pa = p.a AND e.pb = p.b
+  )
+  GROUP BY p.a, p.b
+), scored AS (
+  SELECT c.a AS p1, c.b AS p2, c.cn AS common_neighbors,
+         round(c.cn * 1.0 / (da.d + db.d - c.cn) + 1e-9, 6) AS jaccard,
+         round(c.aa + 1e-9, 6) AS adamic_adar
+  FROM cand c
+  JOIN deg da ON da.u = c.a
+  JOIN deg db ON db.u = c.b
+), ranked AS (
+  SELECT p1, p2, common_neighbors, jaccard, adamic_adar,
+         CAST(row_number() OVER (
+           ORDER BY common_neighbors DESC, adamic_adar DESC, p1, p2
+         ) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT p1, p2, common_neighbors, jaccard, adamic_adar, rk
+FROM ranked WHERE rk <= 30
+""",
+)
+def q324_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph (Liben-Nowell
+    & Kleinberg 2003): for every non-adjacent part pair reachable in
+    two hops, the three classic neighborhood scores — common-neighbor
+    count, neighborhood Jaccard, and Adamic-Adar Σ 1/ln(deg(z)) — and
+    the 30 strongest predicted links. This is the assortment-gap
+    recommender ("parts that should co-sell but never have"), the
+    graph sibling of q236's item-item CF.
+
+    Scale: edges come from the per-order grain (order size is
+    bounded, so the pair explode is linear); the 2-hop enumeration is
+    Σ deg(z)² — bounded by the documented degree cap on the VIA node
+    (deg ≤ 200, the q305-style hub block that keeps the frontier from
+    going quadratic on a celebrity part at 100 TB). Counts are exact
+    integers; Adamic-Adar sums O(1/ln·deg-capped) terms (the q24
+    float-sum class) and orders only after the fround pair, with the
+    (p1, p2) key as final tie-break.
+    """
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a_side = op.select(F.col("o"), F.col("p").alias("pa"))
+    b_side = op.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    edges = (
+        a_side.join(
+            b_side,
+            (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")),
+        )
+        .select("pa", "pb")
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=False)  # und + anti-join branches
+    und = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionByName(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    und = und.localCheckpoint(eager=False)  # deg + two path branches
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    deg = deg.localCheckpoint(eager=False)  # via-cap + aa + jaccard joins
+    j1 = und.select(F.col("u").alias("a"), F.col("v").alias("z"))
+    j2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
+    dz = deg.select(F.col("u").alias("zu"), F.col("d").alias("dz"))
+    paths = (
+        j1.join(dz.where(F.col("dz") <= 200), F.col("z") == F.col("zu"))
+        .join(j2, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b")))
+        .select("a", "z", "b", "dz")
+    )
+    cand = (
+        paths.join(
+            edges,
+            (paths["a"] == edges["pa"]) & (paths["b"] == edges["pb"]),
+            "left_anti",
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(F.lit(1.0) / F.log(F.col("dz"))).alias("aa"),
+        )
+    )
+    da = deg.select(F.col("u").alias("au"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("bu"), F.col("d").alias("db"))
+    scored = (
+        cand.join(da, F.col("a") == F.col("au"))
+        .join(db, F.col("b") == F.col("bu"))
+        .select(
+            F.col("a").alias("p1"),
+            F.col("b").alias("p2"),
+            F.col("cn").alias("common_neighbors"),
+            fround(
+                F.col("cn") * 1.0 / (F.col("da") + F.col("db") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            fround(F.col("aa"), 6).alias("adamic_adar"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("common_neighbors"), F.desc("adamic_adar"), "p1", "p2"
+    ).limit(30)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc("common_neighbors"), F.desc("adamic_adar"), "p1", "p2"
+            )
+        )
+        .cast("bigint"),
+    )

@@ -2120,3 +2120,147 @@ def q315_ivf_partition_stability(
             ).alias("rand_index"),
         )
     )
+
+
+@query(
+    "q330_matryoshka_truncation_recall",
+    tags=("similarity", "embedding", "audit"),
+    oracle="""
+WITH dims AS (
+  SELECT CAST(unnest([64, 32, 16]) AS INTEGER) AS dim
+), q3 AS (
+  SELECT d.dim, e.vec_id AS query_id, e.embedding AS q_vec,
+         list_sum(list_transform(generate_series(1, d.dim),
+           i -> CAST(e.embedding[i] AS DOUBLE)
+                * CAST(e.embedding[i] AS DOUBLE))) AS q_norm
+  FROM embeddings e, dims d WHERE e.vec_id < 20
+), c3 AS (
+  SELECT d.dim, e.vec_id AS neighbor_id, e.embedding,
+         list_sum(list_transform(generate_series(1, d.dim),
+           i -> CAST(e.embedding[i] AS DOUBLE)
+                * CAST(e.embedding[i] AS DOUBLE))) AS c_norm
+  FROM embeddings e, dims d
+), scored AS (
+  SELECT q.dim, q.query_id, c.neighbor_id,
+         round(list_sum(list_transform(generate_series(1, q.dim),
+                 i -> CAST(q.q_vec[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)))
+               / (sqrt(q.q_norm) * sqrt(c.c_norm)) + 1e-9, 6) AS cosine
+  FROM q3 q JOIN c3 c
+    ON c.dim = q.dim AND c.neighbor_id != q.query_id
+), ranked AS (
+  SELECT dim, query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY dim, query_id ORDER BY cosine DESC, neighbor_id
+         ) AS rnk
+  FROM scored
+), sel AS (
+  SELECT dim, query_id, neighbor_id FROM ranked WHERE rnk <= 3
+), truth AS (
+  SELECT query_id, neighbor_id FROM sel WHERE dim = 64
+), hits AS (
+  SELECT s.dim, CAST(count(*) AS BIGINT) AS n_hits
+  FROM sel s JOIN truth t
+    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+  GROUP BY s.dim
+), nq AS (
+  SELECT dim, CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+  FROM sel GROUP BY dim
+)
+SELECT n.dim AS dim, n.n_queries, h.n_hits,
+       round(h.n_hits * 1.0 / (3.0 * n.n_queries) + 1e-9, 6) AS recall_at3
+FROM nq n JOIN hits h ON h.dim = n.dim
+""",
+)
+def q330_matryoshka_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka embedding audit (Kusupati et al. 2022): if the
+    store served only the first 32 (or 16) of the 64 embedding
+    dimensions, how much of the exact top-3 cosine neighborhood
+    survives? Recall@3 of prefix-truncated search against the
+    full-dimension truth — the measurement that decides whether a
+    deployment can halve its vector-store footprint. Synthetic random
+    embeddings concentrate similarity in no prefix, so truncation
+    recall here is the pessimistic floor (a trained MRL model fronts
+    this same query with far better numbers).
+
+    Prefix dot products and norms are the q40 sequential-fold
+    contract on SLICED arrays (zip_with+aggregate ↔
+    list_sum∘list_transform — bit-identical doubles), rounded before
+    the rank with a neighbor-id tie-break. Scale: queries and the
+    3-row dim frame broadcast; the corpus side streams once per dim
+    and WindowGroupLimit keeps 3 rows per (dim, query).
+    """
+    from pyspark.sql.window import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = spark.createDataFrame([(64,), (32,), (16,)], "dim INT")
+    q3 = (
+        emb.where(F.col("vec_id") < 20)
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "dim",
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            squared_norm(F.expr("slice(embedding, 1, dim)")).alias("q_norm"),
+        )
+    )
+    c3 = emb.crossJoin(F.broadcast(dims)).select(
+        F.col("dim").alias("cdim"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        squared_norm(F.expr("slice(embedding, 1, dim)")).alias("c_norm"),
+    )
+    from ...operators.similarity import dot as _dot
+
+    scored = c3.join(
+        F.broadcast(q3),
+        (F.col("cdim") == F.col("dim"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "dim",
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(
+                F.expr("slice(q_vec, 1, dim)"),
+                F.expr("slice(c_vec, 1, dim)"),
+            )
+            / (F.sqrt("q_norm") * F.sqrt("c_norm"))
+            + 1e-9,
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    sel = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    sel = sel.localCheckpoint(eager=False)  # truth + hits + nq branches
+    truth = sel.where(F.col("dim") == 64).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    hits = (
+        sel.join(
+            truth,
+            (F.col("query_id") == F.col("tq"))
+            & (F.col("neighbor_id") == F.col("tn")),
+        )
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    nq = sel.groupBy("dim").agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries")
+    )
+    return nq.join(hits, "dim").select(
+        "dim",
+        "n_queries",
+        "n_hits",
+        fround(
+            F.col("n_hits") * 1.0 / (3.0 * F.col("n_queries")), 6
+        ).alias("recall_at3"),
+    )

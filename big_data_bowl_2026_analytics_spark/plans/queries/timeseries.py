@@ -3776,3 +3776,125 @@ def q321_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("phi24") * 1.0 / F.col("tot24"), 6).alias("phi_share"),
         (F.col("tot24") / F.lit(24)).cast("bigint").alias("total_lift"),
     )
+
+
+@query(
+    "q326_ttl_cache_planner",
+    tags=("infra", "cache", "planning"),
+    oracle="""
+WITH acc AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+), span AS (
+  SELECT CAST((max(tus) - min(tus)) // 1000000 AS BIGINT) AS span_s
+  FROM acc
+), gaps AS (
+  SELECT tus - lag(tus) OVER w AS gap_prev,
+         lead(tus) OVER w - tus AS gap_next
+  FROM acc
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+), ttl AS (
+  SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(3600000000 AS BIGINT)),
+                        (CAST(6 AS BIGINT), CAST(21600000000 AS BIGINT)),
+                        (CAST(24 AS BIGINT), CAST(86400000000 AS BIGINT)))
+         t(ttl_hours, tau_us)
+), per AS (
+  SELECT ttl_hours,
+         CAST(count(*) AS BIGINT) AS n_accesses,
+         CAST(sum(CASE WHEN gap_prev IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_reuses,
+         CAST(sum(CASE WHEN gap_prev IS NOT NULL AND gap_prev <= tau_us
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         CAST(sum((CASE WHEN gap_next IS NULL OR gap_next > tau_us
+                        THEN tau_us ELSE gap_next END) // 1000000)
+              AS BIGINT) AS resident_s
+  FROM gaps, ttl GROUP BY ttl_hours
+)
+SELECT ttl_hours, n_accesses, n_reuses, n_hits,
+       round(n_hits * 1.0 / n_reuses + 1e-9, 6) AS hit_rate,
+       resident_s,
+       round(resident_s * 1.0 / span_s + 1e-9, 6) AS avg_entries
+FROM per, span
+""",
+)
+def q326_ttl_cache_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL cache sizing from the access stream: for a
+    time-to-idle cache keyed by user (entry evicted τ after its last
+    access), the hit rate is EXACTLY the fraction of re-accesses whose
+    reuse gap is ≤ τ — no LRU simulation or stack-distance machinery
+    needed, just one lag window per key (the working-set theory of
+    Denning 1968, exact for TTL policies). Reports, per candidate τ
+    (1h / 6h / 24h): hit rate, and the average number of resident
+    entries (per-access residency min(next_gap, τ), integrated and
+    divided by the stream span) — the memory-vs-hit-rate tradeoff
+    curve an online feature store is provisioned from.
+
+    All quantities are exact integer microseconds (the q216 lesson:
+    epoch µs gaps stay in BIGINT, no float time math); residency is
+    floored to whole seconds per access on both engines before
+    summing. Scale: one window partitioned by user_id, one constant
+    3-row TTL cross join, one aggregation — no global window, no
+    simulation state.
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events", ["user_id", "event_id", "ts"])
+    acc = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    acc = acc.localCheckpoint(eager=False)  # span + gaps branches
+    span = acc.agg(
+        ((F.max("tus") - F.min("tus")) / 1000000)
+        .cast("bigint")
+        .alias("span_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gaps = acc.select(
+        (F.col("tus") - F.lag("tus").over(w)).alias("gap_prev"),
+        (F.lead("tus").over(w) - F.col("tus")).alias("gap_next"),
+    )
+    ttl = spark.createDataFrame(
+        [(1, 3600000000), (6, 21600000000), (24, 86400000000)],
+        "ttl_hours BIGINT, tau_us BIGINT",
+    )
+    resident = (
+        F.when(
+            F.col("gap_next").isNull() | (F.col("gap_next") > F.col("tau_us")),
+            F.col("tau_us"),
+        ).otherwise(F.col("gap_next"))
+        / 1000000
+    ).cast("bigint")
+    per = (
+        gaps.crossJoin(F.broadcast(ttl))
+        .groupBy("ttl_hours")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_accesses"),
+            F.sum(
+                F.when(F.col("gap_prev").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_reuses"),
+            F.sum(
+                F.when(
+                    F.col("gap_prev").isNotNull()
+                    & (F.col("gap_prev") <= F.col("tau_us")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hits"),
+            F.sum(resident).cast("bigint").alias("resident_s"),
+        )
+    )
+    return per.crossJoin(F.broadcast(span)).select(
+        "ttl_hours",
+        "n_accesses",
+        "n_reuses",
+        "n_hits",
+        fround(F.col("n_hits") * 1.0 / F.col("n_reuses"), 6).alias(
+            "hit_rate"
+        ),
+        "resident_s",
+        fround(F.col("resident_s") * 1.0 / F.col("span_s"), 6).alias(
+            "avg_entries"
+        ),
+    )

@@ -1667,3 +1667,22 @@ def test_q328_cuped_single_pass(spark):
     # no window at all, no sort join
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q324_linkpred_keyed_joins_and_topk(spark):
+    plan = physical_plan(_q(spark, "q324_link_prediction"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q326_ttl_user_partitioned_window(spark):
+    plan = physical_plan(_q(spark, "q326_ttl_cache_planner"))
+    # gap windows partition by user; the only nested-loop is the
+    # 3-row TTL frame broadcast
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q330_matryoshka_partial_topk(spark):
+    plan = physical_plan(_q(spark, "q330_matryoshka_truncation_recall"))
+    # per-(dim, query) top-3 prunes map-side before checkpoint
+    assert "CartesianProduct" not in plan
