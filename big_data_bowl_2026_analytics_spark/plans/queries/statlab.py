@@ -3013,3 +3013,316 @@ def q328_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "diff_adj"
         ),
     )
+
+
+@query(
+    "q332_pca_2x2_closed_form",
+    tags=("statistics", "pca", "exact"),
+    oracle="""
+WITH joined AS (
+  SELECT n.n_name,
+         CAST(l.l_quantity AS BIGINT) AS q,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+), sums AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(p) AS BIGINT) AS sp,
+         CAST(sum(q * q) AS BIGINT) AS sqq,
+         CAST(sum(q * p) AS BIGINT) AS sqp,
+         CAST(sum(CAST(p AS HUGEINT) * p) AS DOUBLE) AS sppd
+  FROM joined GROUP BY n_name
+), comps AS (
+  SELECT n_name, n,
+         (CAST(sqq AS DOUBLE)
+            - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1) AS a,
+         (CAST(sqp AS DOUBLE)
+            - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n) / (n - 1) AS b,
+         (sppd
+            - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n) / (n - 1) AS c
+  FROM sums
+), eig AS (
+  SELECT n_name, n, a, b, c,
+         sqrt((a - c) * (a - c) + 4.0 * b * b) AS disc
+  FROM comps
+)
+SELECT n_name, n,
+       round(a + 1e-9, 2) AS var_qty,
+       round(c + 1e-9, 2) AS var_price,
+       round(b + 1e-9, 2) AS cov_qp,
+       round((a + c + disc) / 2.0 + 1e-9, 2) AS lambda1,
+       round((a + c - disc) / 2.0 + 1e-9, 2) AS lambda2,
+       round((a + c + disc) / 2.0 / (a + c) + 1e-9, 6)
+         AS explained_ratio
+FROM eig
+""",
+)
+def q332_pca_2x2_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation 2-feature PCA by closed-form symmetric eigenvalues:
+    the covariance matrix of (quantity, price-in-cents) per supplier
+    nation and its exact eigen decomposition
+    λ = ((a+c) ± √((a−c)² + 4b²))/2 — principal components at any
+    scale WITHOUT an iterative solver, because a 2×2 symmetric matrix
+    has a radical solution and IEEE sqrt is correctly rounded on both
+    engines (the same reason q323's tau denominator is safe, and the
+    reason this stops at 2×2: bigger eigenproblems need iteration,
+    which is q299/q125 unrolling territory). `explained_ratio`
+    (λ1 / trace) is the one-number "is this 2-D data really 1-D"
+    screen that runs before any projection decision.
+
+    Covariance ingredients are exact: quantity and cents are integer
+    sums in BIGINT, the price square sum uses the q322 HUGEINT /
+    decimal(38,0) path, and every double expression tree is mirrored
+    verbatim. One groupBy(nation) pass over the fact table; the two
+    dims broadcast.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_suppkey", "l_quantity", "l_extendedprice"],
+    )
+    supp = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    joined = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .select(
+            "n_name",
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("p"),
+        )
+    )
+    sums = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("p").cast("bigint").alias("sp"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+        F.sum(F.col("q") * F.col("p")).cast("bigint").alias("sqp"),
+        F.sum(F.col("p").cast("decimal(38,0)") * F.col("p"))
+        .cast("double")
+        .alias("sppd"),
+    )
+    nd = F.col("n")
+    sqd, spd = F.col("sq").cast("double"), F.col("sp").cast("double")
+    comps = sums.select(
+        "n_name",
+        "n",
+        (
+            (F.col("sqq").cast("double") - sqd * sqd / nd) / (nd - 1)
+        ).alias("a"),
+        (
+            (F.col("sqp").cast("double") - sqd * spd / nd) / (nd - 1)
+        ).alias("b"),
+        ((F.col("sppd") - spd * spd / nd) / (nd - 1)).alias("c"),
+    )
+    eig = comps.select(
+        "n_name",
+        "n",
+        "a",
+        "b",
+        "c",
+        F.sqrt(
+            (F.col("a") - F.col("c")) * (F.col("a") - F.col("c"))
+            + 4.0 * F.col("b") * F.col("b")
+        ).alias("disc"),
+    )
+    return eig.select(
+        "n_name",
+        "n",
+        fround(F.col("a"), 2).alias("var_qty"),
+        fround(F.col("c"), 2).alias("var_price"),
+        fround(F.col("b"), 2).alias("cov_qp"),
+        fround((F.col("a") + F.col("c") + F.col("disc")) / 2.0, 2).alias(
+            "lambda1"
+        ),
+        fround((F.col("a") + F.col("c") - F.col("disc")) / 2.0, 2).alias(
+            "lambda2"
+        ),
+        fround(
+            (F.col("a") + F.col("c") + F.col("disc"))
+            / 2.0
+            / (F.col("a") + F.col("c")),
+            6,
+        ).alias("explained_ratio"),
+    )
+
+
+def _ransac_key_sql(seed: str) -> str:
+    """BIGINT selection key ``hash16 * 2^32 + custkey`` — a unique
+    total order per hypothesis usable by DuckDB's scalar arg_min
+    (struct ordering keys are Spark-only)."""
+    h = _hash16_sql(
+        seed, "(CAST(hyp AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR))"
+    )
+    return f"({h} * 4294967296 + o_custkey)"
+
+
+@query(
+    "q333_ransac_line_fit",
+    tags=("statistics", "robust", "regression"),
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(max(CAST(o_orderdate AS DATE))
+              - min(CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders GROUP BY o_custkey
+), hyps AS (
+  SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS hyp
+), pa AS (
+  SELECT hyp,
+         arg_min(x, {_ransac_key_sql('ransacA|')}) AS xa,
+         arg_min(y, {_ransac_key_sql('ransacA|')}) AS ya
+  FROM cust, hyps GROUP BY hyp
+), pb AS (
+  SELECT hyp,
+         arg_min(x, {_ransac_key_sql('ransacB|')}) AS xb,
+         arg_min(y, {_ransac_key_sql('ransacB|')}) AS yb
+  FROM cust, hyps GROUP BY hyp
+), hypf AS (
+  SELECT pa.hyp, xa, ya, xb, yb, xb != xa AS valid
+  FROM pa JOIN pb ON pa.hyp = pb.hyp
+), counted AS (
+  SELECT h.hyp,
+         CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(sum(CASE WHEN abs((c.y - h.ya) * (h.xb - h.xa)
+                                - (h.yb - h.ya) * (c.x - h.xa))
+                            <= 55000000 * abs(h.xb - h.xa)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+  FROM hypf h JOIN cust c ON h.valid
+  GROUP BY h.hyp
+), report AS (
+  SELECT h.hyp, h.xa, h.xb, h.valid,
+         round(h.ya / 100.0 + 1e-9, 2) AS ya_dollars,
+         round(h.yb / 100.0 + 1e-9, 2) AS yb_dollars,
+         c.n_inliers,
+         round(c.n_inliers * 1.0 / c.n_pts + 1e-9, 6) AS inlier_share,
+         coalesce(c.n_inliers, -1) AS ord_key
+  FROM hypf h LEFT JOIN counted c ON c.hyp = h.hyp
+)
+SELECT hyp, xa, ya_dollars, xb, yb_dollars, valid, n_inliers,
+       inlier_share,
+       CAST(row_number() OVER (ORDER BY ord_key DESC, hyp) AS BIGINT) = 1
+         AS is_best
+FROM report
+""",
+)
+def q333_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANSAC (Fischler & Bolles 1981) for the robust
+    customer spend ~ tenure line: 16 hypothesis point-pairs drawn by
+    keyed-hash ranking (the q207/q228 resampling contract — seeded,
+    partition-independent, reproducible at any parallelism), each
+    scored by its exact inlier count. The inlier test cross-multiplies
+    |（y−ya)(xb−xa) − (yb−ya)(x−xa)| ≤ t·|xb−xa| so membership is an
+    INTEGER comparison — no division, no float residual, engine-exact
+    (products are ≤ 2^40, far inside int64). The band half-width t =
+    $550k in cents is sized to the corpus's median absolute residual
+    (probed per the q296/q317 lesson: thresholds are measured, not
+    guessed). Degenerate pairs (xa = xb) stay in the report flagged
+    invalid with NULL counts.
+
+    Scale: hypothesis selection is a map-side min_by per hypothesis
+    (16 accumulators, no data-grain window); scoring broadcasts the
+    16-row hypothesis frame over one pass of the customer grain.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max(F.to_date("o_orderdate")), F.min(F.to_date("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    cust = cust.localCheckpoint(eager=False)  # selection + scoring branches
+    hyps = spark.range(16).select(F.col("id").cast("bigint").alias("hyp"))
+    ch = cust.crossJoin(F.broadcast(hyps))
+
+    def _key(seed: str):
+        return (
+            _hash16(
+                seed,
+                F.concat(
+                    F.col("hyp").cast("string"),
+                    F.lit("|"),
+                    F.col("o_custkey").cast("string"),
+                ),
+            ).cast("bigint")
+            * F.lit(4294967296).cast("bigint")
+            + F.col("o_custkey")
+        )
+
+    pa = ch.groupBy("hyp").agg(
+        F.min_by("x", _key("ransacA|")).alias("xa"),
+        F.min_by("y", _key("ransacA|")).alias("ya"),
+    )
+    pb = ch.groupBy("hyp").agg(
+        F.min_by("x", _key("ransacB|")).alias("xb"),
+        F.min_by("y", _key("ransacB|")).alias("yb"),
+    )
+    hypf = pa.join(pb, "hyp").withColumn(
+        "valid", F.col("xb") != F.col("xa")
+    )
+    hypf = hypf.localCheckpoint(eager=False)  # scoring + report branches
+    inlier = (
+        F.abs(
+            (F.col("y") - F.col("ya")) * (F.col("xb") - F.col("xa"))
+            - (F.col("yb") - F.col("ya")) * (F.col("x") - F.col("xa"))
+        )
+        <= F.lit(55000000) * F.abs(F.col("xb") - F.col("xa"))
+    )
+    counted = (
+        hypf.where("valid")
+        .crossJoin(cust)
+        .groupBy("hyp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+            F.sum(F.when(inlier, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inliers"),
+        )
+    )
+    report = hypf.join(
+        counted.select(
+            F.col("hyp").alias("chyp"), "n_pts", "n_inliers"
+        ),
+        F.col("hyp") == F.col("chyp"),
+        "left",
+    ).select(
+        "hyp",
+        "xa",
+        fround(F.col("ya") / 100.0, 2).alias("ya_dollars"),
+        "xb",
+        fround(F.col("yb") / 100.0, 2).alias("yb_dollars"),
+        "valid",
+        "n_inliers",
+        fround(F.col("n_inliers") * 1.0 / F.col("n_pts"), 6).alias(
+            "inlier_share"
+        ),
+        F.coalesce(F.col("n_inliers"), F.lit(-1)).alias("ord_key"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    return report.select(
+        "hyp",
+        "xa",
+        "ya_dollars",
+        "xb",
+        "yb_dollars",
+        "valid",
+        "n_inliers",
+        "inlier_share",
+        (
+            F.row_number().over(_W.orderBy(F.desc("ord_key"), F.asc("hyp")))
+            == 1
+        ).alias("is_best"),
+    )

@@ -1686,3 +1686,17 @@ def test_q330_matryoshka_partial_topk(spark):
     plan = physical_plan(_q(spark, "q330_matryoshka_truncation_recall"))
     # per-(dim, query) top-3 prunes map-side before checkpoint
     assert "CartesianProduct" not in plan
+
+
+def test_q332_pca_broadcast_dims_single_agg(spark):
+    plan = physical_plan(_q(spark, "q332_pca_2x2_closed_form"))
+    assert plan.count(") BroadcastHashJoin") == 2  # lineitem never shuffles wide
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q333_ransac_mapside_selection(spark):
+    plan = physical_plan(_q(spark, "q333_ransac_line_fit"))
+    # hypothesis selection must be a groupBy(min_by), never a
+    # 16-partition data-grain window funnel
+    assert "Exchange rangepartitioning" not in plan
