@@ -401,3 +401,63 @@ def hourly_distinct_users_hll(
             "n_events",
         )
     )
+
+
+def hourly_cms_grid(
+    events: DataFrame,
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hourly count-min sketch as a streaming windowed aggregation —
+    the incremental face of q151 / operators/sketches.py: each event
+    contributes one increment per hash row, so the per-window grid is
+    a plain windowed COUNT in tall (window, j, bucket) form. Counting
+    is commutative/associative, which makes the sketch a deterministic
+    function of the window's input SET — micro-batch boundaries,
+    arrival order and partitioning cannot change it, and the
+    stream-drained grid is bit-equal to the batch build (asserted in
+    tests).
+
+    State per window is bounded by depth × width cells (4 × 256 keyed
+    counters ≈ a few KiB), never by key cardinality — the reason a
+    frequency monitor over a 100 TB/day stream carries a CMS and not
+    a groupBy(key). Point lookups over the drained grid reuse
+    ``operators.sketches.cms_estimate`` (min over depth rows, the
+    one-sided error contract q151 audits).
+    """
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_bucket
+
+    rows = events.withWatermark("ts", watermark).select(
+        "ts",
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(
+            F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+        ).alias("j"),
+    )
+    return (
+        rows.select(
+            "ts",
+            "j",
+            cms_bucket_dyn("j", F.col("k"), CMS_WIDTH, CMS_DEPTH).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "j", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell_total"))
+        .select(
+            F.col("w.start").alias("hour_start"), "j", "bucket", "cell_total"
+        )
+    )
+
+
+def cms_bucket_dyn(j_col, key, width: int, depth: int):
+    """cms_bucket with the hash-row index as a COLUMN: one md5 per
+    (event, j) pair selected by CASE over the (small, static) depth —
+    keeps the explode+bucket pipeline a single JVM projection."""
+    from ..operators.sketches import cms_bucket
+
+    j = F.col(j_col) if isinstance(j_col, str) else j_col
+    expr = F.lit(None).cast("int")
+    for jj in range(depth):
+        expr = F.when(j == jj, cms_bucket(jj, key, width)).otherwise(expr)
+    return expr

@@ -601,3 +601,75 @@ def test_hourly_distinct_users_hll_stream_equals_batch(spark, events_dir):
     }
     for h, (est, _) in got.items():
         assert abs(est - exact[h]) <= max(3, 0.1 * exact[h])
+
+
+def test_hourly_cms_grid_stream_equals_batch(spark, events_dir):
+    """The stream-drained hourly CMS grid must be cell-for-cell equal
+    to the batch build on the identical input — counting is
+    order-insensitive, so stream/batch agreement is exact. Estimates
+    off the drained grid keep the one-sided CMS error contract."""
+    import pyspark.sql.functions as F
+
+    from big_data_bowl_2026_analytics_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_estimate,
+    )
+    from big_data_bowl_2026_analytics_spark.sources.readers import read_table
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        cms_bucket_dyn,
+        hourly_cms_grid,
+        read_events_stream,
+        run_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, events_dir)
+    run_available_now(hourly_cms_grid(stream), "cms_grid_stream")
+    got = {
+        (r.hour_start, r.j, r.bucket): r.cell_total
+        for r in spark.table("cms_grid_stream").collect()
+    }
+    ev = read_table(spark, sf, "events", ["ts", "user_id"])
+    batch = (
+        ev.select(
+            "ts",
+            F.col("user_id").cast("string").alias("k"),
+            F.explode(
+                F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+            ).alias("j"),
+        )
+        .select(
+            "ts",
+            "j",
+            cms_bucket_dyn("j", F.col("k"), CMS_WIDTH, CMS_DEPTH).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "j", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell_total"))
+        .select(
+            F.col("w.start").alias("hour_start"), "j", "bucket", "cell_total"
+        )
+    )
+    want = {
+        (r.hour_start, r.j, r.bucket): r.cell_total for r in batch.collect()
+    }
+    assert got == want
+
+    # point-query contract on one drained hour: never underestimates
+    hour = min(h for (h, _, _) in got)
+    grid = (
+        spark.table("cms_grid_stream")
+        .where(F.col("hour_start") == hour)
+        .select("j", "bucket", "cell_total")
+    )
+    truth = (
+        ev.where(F.window("ts", "1 hour").start == hour)
+        .groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    est = cms_estimate(truth.select("key"), grid, "key")
+    joined = {r.key: r.cms_est for r in est.collect()}
+    for r in truth.collect():
+        assert joined[r.key] >= r.true_n
