@@ -2537,3 +2537,132 @@ def q311_order_consolidation(
             "shipment_reduction"
         ),
     )
+
+
+def _hilbert_oracle() -> str:
+    from ...operators.layout import hilbert_steps_sql
+
+    terms = []
+    for i in range(8):
+        terms.append(f"((qx >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((qy >> {i}) & 1) * {1 << (2 * i + 1)}")
+    zv = " + ".join(terms)
+    steps = hilbert_steps_sql("z", "qx, qy, natchunk, zv", bits=8)
+    return f"""
+WITH s AS (
+  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+         min(l_suppkey) AS mins, max(l_suppkey) AS maxs,
+         min(l_orderkey) AS mino, max(l_orderkey) AS maxo
+  FROM lineitem
+), q AS (
+  SELECT CASE WHEN maxp = minp THEN 0
+              ELSE ((l_partkey - minp) * 255) // (maxp - minp) END AS qx,
+         CASE WHEN maxs = mins THEN 0
+              ELSE ((l_suppkey - mins) * 255) // (maxs - mins) END AS qy,
+         CASE WHEN maxo = mino THEN 0
+              ELSE ((l_orderkey - mino) * 1023) // (maxo - mino) END
+           AS natchunk
+  FROM lineitem CROSS JOIN s
+), z AS (
+  SELECT qx, qy, natchunk, ({zv}) AS zv FROM q
+),
+{steps},
+chunks AS (
+  SELECT 'hilbert' AS layout, hd >> 6 AS chunk, qx, qy FROM hstep8
+  UNION ALL
+  SELECT 'zorder', zv >> 6, qx, qy FROM hstep8
+  UNION ALL
+  SELECT 'natural', natchunk, qx, qy FROM hstep8
+), per AS (
+  SELECT layout, chunk, count(*) AS cnt,
+         max(qx) - min(qx) + 1 AS span_x,
+         max(qy) - min(qy) + 1 AS span_y
+  FROM chunks GROUP BY layout, chunk
+)
+SELECT layout, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       round(avg(CAST(span_x AS DOUBLE) / 256) + 1e-9, 6) AS avg_span_part,
+       round(avg(CAST(span_y AS DOUBLE) / 256) + 1e-9, 6) AS avg_span_supp
+FROM per GROUP BY layout
+"""
+
+
+@query(
+    "q327_hilbert_layout_audit",
+    tags=("layout", "lakehouse", "pruning"),
+    oracle=_hilbert_oracle(),
+)
+def q327_hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering audit — q126 extended with the curve
+    Delta Lake liquid clustering actually uses: the Hilbert index
+    visits every cell of the 256×256 quantized (partkey, suppkey)
+    grid through unit steps (no Z-curve diagonal jumps), so
+    fixed-width chunks carved from it have provably tighter per-file
+    min/max rectangles. The three output rows (hilbert / zorder /
+    natural) put numbers on that hierarchy for THIS table — the
+    evidence behind choosing a clustering curve before a 100 TB
+    rewrite.
+
+    The xy→d transform is 8 unrolled rotation steps of pure integer
+    CASE arithmetic, each BOUND in its own projection on both engines
+    (operators/layout.py::with_hilbert_value / hilbert_steps_sql —
+    symbolic composition would grow the expression ~4× per step; the
+    bind-in-projection rule). Everything downstream is the q126
+    machinery: integer quantization, integer chunk ids, dyadic span
+    fractions — no float path at all until the final averages.
+    """
+    from ...operators.layout import quantize, with_hilbert_value, zorder_value
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_orderkey"]
+    )
+    stats = li.agg(
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"),
+        F.max("l_suppkey").alias("maxs"),
+        F.min("l_orderkey").alias("mino"),
+        F.max("l_orderkey").alias("maxo"),
+    )
+    q = li.crossJoin(F.broadcast(stats)).select(
+        quantize(
+            F.col("l_partkey"), F.col("minp"), F.col("maxp") - F.col("minp")
+        ).alias("qx"),
+        quantize(
+            F.col("l_suppkey"), F.col("mins"), F.col("maxs") - F.col("mins")
+        ).alias("qy"),
+        quantize(
+            F.col("l_orderkey"),
+            F.col("mino"),
+            F.col("maxo") - F.col("mino"),
+            levels=1024,
+        ).alias("natchunk"),
+    )
+    z = q.select(
+        "qx", "qy", "natchunk",
+        zorder_value(F.col("qx"), F.col("qy")).alias("zv"),
+    )
+    h = with_hilbert_value(z, "qx", "qy", bits=8, out="hv")
+    chunks = h.select(
+        "qx",
+        "qy",
+        F.expr(
+            "stack(3, 'hilbert', hv >> 6, 'zorder', zv >> 6,"
+            " 'natural', natchunk) as (layout, chunk)"
+        ),
+    )
+    per = chunks.groupBy("layout", "chunk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.max("qx") - F.min("qx") + 1).alias("span_x"),
+        (F.max("qy") - F.min("qy") + 1).alias("span_y"),
+    )
+    return per.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        fround(F.avg(F.col("span_x").cast("double") / 256), 6).alias(
+            "avg_span_part"
+        ),
+        fround(F.avg(F.col("span_y").cast("double") / 256), 6).alias(
+            "avg_span_supp"
+        ),
+    )

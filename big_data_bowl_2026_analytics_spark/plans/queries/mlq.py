@@ -1300,3 +1300,270 @@ def q245_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loo_smoothed"),
         )
     )
+
+
+@query(
+    "q331_boosted_stumps",
+    tags=("ml", "training", "boosting"),
+    oracle="""
+WITH cust AS MATERIALIZED (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS x1,
+         CAST(max(CAST(o_orderdate AS DATE))
+              - min(CAST(o_orderdate AS DATE)) AS BIGINT) AS x2,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders GROUP BY o_custkey
+), gt AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syyd
+  FROM cust
+), c1 AS (
+  SELECT CAST(unnest([2, 4, 6, 8, 10, 12, 15, 20]) AS BIGINT) AS t1
+), s1 AS (
+  SELECT t1,
+         CAST(sum(CASE WHEN x1 <= t1 THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         CAST(sum(CASE WHEN x1 <= t1 THEN y ELSE 0 END) AS BIGINT) AS syl
+  FROM cust, c1 GROUP BY t1
+), g1 AS (
+  SELECT t1, nl, syl,
+         CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE) / nl
+           + (CAST(sy AS DOUBLE) - CAST(syl AS DOUBLE))
+             * (CAST(sy AS DOUBLE) - CAST(syl AS DOUBLE)) / (n - nl)
+           AS gain1
+  FROM s1, gt WHERE nl > 0 AND nl < n
+), b1 AS (
+  SELECT t1, nl, syl, gain1 FROM (
+    SELECT *, row_number() OVER (ORDER BY gain1 DESC, t1) AS rn FROM g1
+  ) WHERE rn = 1
+), m1 AS (
+  SELECT t1, nl, syl, gain1,
+         CAST(syl AS DOUBLE) / nl AS mul,
+         (CAST(sy AS DOUBLE) - CAST(syl AS DOUBLE)) / (n - nl) AS mur
+  FROM b1, gt
+), c2 AS (
+  SELECT CAST(unnest([300, 600, 900, 1200, 1500, 1800, 2100]) AS BIGINT)
+           AS t2
+), s2 AS (
+  SELECT t2,
+         CAST(sum(CASE WHEN x2 <= t2 THEN 1 ELSE 0 END) AS BIGINT) AS n2l,
+         CAST(sum(CASE WHEN x2 <= t2 THEN y ELSE 0 END) AS BIGINT) AS sy2l,
+         CAST(sum(CASE WHEN x2 <= t2 AND x1 <= t1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c11
+  FROM cust, c2, m1 GROUP BY t2
+), g2 AS (
+  SELECT t2, n2l, sy2l, c11,
+         CAST(sy AS DOUBLE) - (CAST(nl AS DOUBLE) * mul
+                               + CAST(n - nl AS DOUBLE) * mur) AS rtot,
+         CAST(sy2l AS DOUBLE) - (CAST(c11 AS DOUBLE) * mul
+                                 + CAST(n2l - c11 AS DOUBLE) * mur) AS rl
+  FROM s2, m1, gt WHERE n2l > 0 AND n2l < n
+), g3 AS (
+  SELECT t2, n2l, rl, rtot,
+         rl * rl / n2l
+           + (rtot - rl) * (rtot - rl) / (n - n2l) AS gain2
+  FROM g2, gt
+), b2 AS (
+  SELECT t2, n2l, rl, rtot, gain2 FROM (
+    SELECT *, row_number() OVER (ORDER BY gain2 DESC, t2) AS rn FROM g3
+  ) WHERE rn = 1
+)
+SELECT m1.t1,
+       round(mul / 100.0 + 1e-9, 2) AS left_mean,
+       round(mur / 100.0 + 1e-9, 2) AS right_mean,
+       b2.t2,
+       round(rl / n2l / 100.0 + 1e-9, 2) AS g_left,
+       round((rtot - rl) / (n - n2l) / 100.0 + 1e-9, 2) AS g_right,
+       n,
+       round(1.0 - (syyd - gain1)
+             / (syyd - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             + 1e-9, 6) AS r2_round1,
+       round(1.0 - (syyd - gain1 - gain2)
+             / (syyd - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             + 1e-9, 6) AS r2_round2
+FROM m1, b2, gt
+""",
+)
+def q331_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled rounds of gradient boosting with decision stumps
+    (Friedman 2001, squared loss): round 1 fits a stump on order
+    count, round 2 fits a stump on tenure to the RESIDUALS — without
+    ever materializing a residual column. The key identity: a sum of
+    residuals over any cell is pure algebra on integer sums
+    (Σr = Σy − n∩L·μL − n∩R·μR), so the round-2 split search needs
+    only per-candidate counts and y-sums from one aggregation pass —
+    the residual pass that makes naive boosting sequential is gone,
+    and each extra round is one more groupBy (the q125/q299 unrolled-
+    iteration family, applied to model fitting). Both split searches
+    use fixed candidate grids (probed to the corpus: order counts
+    2-20, tenure 300-2100 days) and square-sum gain, selected by
+    gain with a threshold tie-break; variance explained after each
+    round comes from the q322 HUGEINT/decimal(38,0) Σy² path.
+
+    Every gain is arithmetic on exact BIGINT sums with mirrored
+    expression trees, so even the argmax compares bit-identical
+    doubles; rounding only formats the report.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x1"),
+        F.datediff(
+            F.max(F.to_date("o_orderdate")), F.min(F.to_date("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("x2"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    cust = cust.localCheckpoint(eager=False)  # glob + two split passes
+    glob = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syyd"),
+    )
+    c1 = spark.createDataFrame(
+        [(t,) for t in (2, 4, 6, 8, 10, 12, 15, 20)], "t1 BIGINT"
+    )
+    s1 = (
+        cust.crossJoin(F.broadcast(c1))
+        .groupBy("t1")
+        .agg(
+            F.sum(F.when(F.col("x1") <= F.col("t1"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nl"),
+            F.sum(F.when(F.col("x1") <= F.col("t1"), F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("syl"),
+        )
+    )
+    syd = F.col("sy").cast("double")
+    syld = F.col("syl").cast("double")
+    g1 = (
+        s1.crossJoin(F.broadcast(glob))
+        .where((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
+        .withColumn(
+            "gain1",
+            syld * syld / F.col("nl")
+            + (syd - syld) * (syd - syld) / (F.col("n") - F.col("nl")),
+        )
+    )
+    b1 = (
+        g1.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("gain1"), "t1")),
+        )
+        .where(F.col("rn") == 1)
+        .select("t1", "nl", "syl", "gain1")
+    )
+    m1 = b1.crossJoin(F.broadcast(glob.select("n", "sy"))).select(
+        "t1",
+        "nl",
+        "syl",
+        "gain1",
+        (syld / F.col("nl")).alias("mul"),
+        ((syd - syld) / (F.col("n") - F.col("nl"))).alias("mur"),
+    )
+    m1 = m1.localCheckpoint(eager=False)  # round-2 agg + report branches
+    c2 = spark.createDataFrame(
+        [(t,) for t in (300, 600, 900, 1200, 1500, 1800, 2100)], "t2 BIGINT"
+    )
+    s2 = (
+        cust.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(m1.select("t1")))
+        .groupBy("t2")
+        .agg(
+            F.sum(F.when(F.col("x2") <= F.col("t2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n2l"),
+            F.sum(F.when(F.col("x2") <= F.col("t2"), F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("sy2l"),
+            F.sum(
+                F.when(
+                    (F.col("x2") <= F.col("t2"))
+                    & (F.col("x1") <= F.col("t1")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c11"),
+        )
+    )
+    g2 = (
+        s2.crossJoin(F.broadcast(m1.select("nl", "mul", "mur")))
+        .crossJoin(F.broadcast(glob.select("n", "sy")))
+        .where((F.col("n2l") > 0) & (F.col("n2l") < F.col("n")))
+        .select(
+            "t2",
+            "n2l",
+            (
+                syd
+                - (
+                    F.col("nl").cast("double") * F.col("mul")
+                    + (F.col("n") - F.col("nl")).cast("double")
+                    * F.col("mur")
+                )
+            ).alias("rtot"),
+            (
+                F.col("sy2l").cast("double")
+                - (
+                    F.col("c11").cast("double") * F.col("mul")
+                    + (F.col("n2l") - F.col("c11")).cast("double")
+                    * F.col("mur")
+                )
+            ).alias("rl"),
+        )
+    )
+    g3 = g2.crossJoin(F.broadcast(glob.select(F.col("n").alias("ng")))).select(
+        "t2",
+        "n2l",
+        "rl",
+        "rtot",
+        (
+            F.col("rl") * F.col("rl") / F.col("n2l")
+            + (F.col("rtot") - F.col("rl"))
+            * (F.col("rtot") - F.col("rl"))
+            / (F.col("ng") - F.col("n2l"))
+        ).alias("gain2"),
+    )
+    b2 = (
+        g3.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("gain2"), "t2")),
+        )
+        .where(F.col("rn") == 1)
+        .select("t2", "n2l", "rl", "rtot", "gain2")
+    )
+    sse0 = F.col("syyd") - syd * syd / F.col("n")
+    return (
+        m1.crossJoin(F.broadcast(b2))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "t1",
+            fround(F.col("mul") / 100.0, 2).alias("left_mean"),
+            fround(F.col("mur") / 100.0, 2).alias("right_mean"),
+            "t2",
+            fround(F.col("rl") / F.col("n2l") / 100.0, 2).alias("g_left"),
+            fround(
+                (F.col("rtot") - F.col("rl"))
+                / (F.col("n") - F.col("n2l"))
+                / 100.0,
+                2,
+            ).alias("g_right"),
+            "n",
+            fround(
+                F.lit(1.0) - (F.col("syyd") - F.col("gain1")) / sse0, 6
+            ).alias("r2_round1"),
+            fround(
+                F.lit(1.0)
+                - (F.col("syyd") - F.col("gain1") - F.col("gain2")) / sse0,
+                6,
+            ).alias("r2_round2"),
+        )
+    )

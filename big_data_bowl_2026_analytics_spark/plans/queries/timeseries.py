@@ -3898,3 +3898,97 @@ def q326_ttl_cache_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_entries"
         ),
     )
+
+
+def _ewma_chain_sql() -> str:
+    """32-term truncated EWMA(α=1/2) over lagged hourly counts: each
+    weight 2^-i is an exact binary double, each product is exact, and
+    the left-associated sum order is identical on both engines — the
+    doubles agree bit-for-bit (not just after rounding)."""
+    terms = [
+        f"coalesce(lag(x, {i}) OVER w, 0) * {0.5 ** i!r}"
+        for i in range(1, 33)
+    ]
+    return "\n           + ".join(terms)
+
+
+@query(
+    "q334_ewma_control_chart",
+    tags=("timeseries", "monitoring", "control-chart"),
+    oracle=f"""
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(h) AS mn, max(h) AS mx FROM counts
+), hours AS (
+  SELECT unnest(generate_series(mn, mx)) AS h, mn FROM bounds
+), dense AS (
+  SELECT hr.h, hr.mn, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+  FROM hours hr LEFT JOIN counts c ON c.h = hr.h
+), ew AS (
+  SELECT h, mn, x,
+         {_ewma_chain_sql()} AS ewma
+  FROM dense WINDOW w AS (ORDER BY h)
+)
+SELECT h - mn AS hour_idx, x AS n_events,
+       round(ewma + 1e-9, 6) AS ewma_prev,
+       round(x - ewma + 1e-9, 6) AS deviation,
+       round(3.0 * sqrt(greatest(ewma, 1.0)) + 1e-9, 6) AS sigma3,
+       abs(x - ewma) > 3.0 * sqrt(greatest(ewma, 1.0)) AS is_alarm
+FROM ew WHERE h >= mn + 32
+""",
+)
+def q334_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the hourly event-rate series (Roberts
+    1959, the SPC chart behind most rate monitors): smoothing factor
+    α = 1/2 makes every weight 2^-i an EXACT binary double, so the
+    32-term truncated recursion (residual mass 2^-32 — far below one
+    event) is a fixed left-associated expression whose value is
+    bit-identical on both engines — an EWMA with NO float-ordering
+    caveat, unlike a running aggregate (the q110/q191 windowed-sum
+    lesson: never claim bit-identity for engine-ordered sums; here
+    the order is in the expression tree, not the engine). Alarms fire
+    outside ±3σ with σ = √max(EWMA, 1) — the Poisson approximation
+    for count data.
+
+    The hour spine is dense (q213/q246 calendar-gap lesson) and the
+    window is the calendar-bounded hours grain; the 32-lag chain is
+    one window pass, map-side arithmetic after it.
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events", ["ts"])
+    counts = (
+        ev.select(
+            F.floor(F.col("ts").cast("double") / 3600)
+            .cast("bigint")
+            .alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    counts = counts.localCheckpoint(eager=False)  # bounds + dense branches
+    bounds = counts.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h"), "mn"
+    )
+    dense = hours.join(counts, "h", "left").select(
+        "h", "mn", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("h")
+    ewma = None
+    for i in range(1, 33):
+        term = F.coalesce(F.lag("x", i).over(w), F.lit(0)) * F.lit(0.5 ** i)
+        ewma = term if ewma is None else ewma + term
+    ew = dense.select("h", "mn", "x", ewma.alias("ewma"))
+    sigma = 3.0 * F.sqrt(F.greatest(F.col("ewma"), F.lit(1.0)))
+    return ew.where(F.col("h") >= F.col("mn") + 32).select(
+        (F.col("h") - F.col("mn")).alias("hour_idx"),
+        F.col("x").alias("n_events"),
+        fround(F.col("ewma"), 6).alias("ewma_prev"),
+        fround(F.col("x") - F.col("ewma"), 6).alias("deviation"),
+        fround(sigma, 6).alias("sigma3"),
+        (F.abs(F.col("x") - F.col("ewma")) > sigma).alias("is_alarm"),
+    )

@@ -134,3 +134,77 @@ def test_write_zordered_files_cover_compact_rectangles(spark, tmp_path):
     assert ny >= 60
     # schema untouched (the _z key never reaches the files)
     assert set(spark.read.parquet(zpath).columns) == {"x", "y"}
+
+
+def _hilbert_model(n, x, y):
+    """Canonical Wikipedia xy2d (rot-n variant) — the pinned model."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_value_bijective_and_unit_adjacent(spark):
+    """The defining Hilbert properties on the full 16x16 grid: the
+    index is a bijection and consecutive indices are unit neighbors
+    (|dx|+|dy| = 1 — the locality Z-order's diagonal jumps lack)."""
+    import pyspark.sql.functions as F
+
+    from big_data_bowl_2026_analytics_spark.operators.layout import (
+        with_hilbert_value,
+    )
+
+    grid = spark.range(256).select(
+        (F.col("id") % 16).alias("qx"),
+        (F.col("id") / 16).cast("bigint").alias("qy"),
+    )
+    got = {
+        (r.qx, r.qy): r.hv
+        for r in with_hilbert_value(grid, bits=4).collect()
+    }
+    assert all(
+        got[(x, y)] == _hilbert_model(16, x, y)
+        for x in range(16)
+        for y in range(16)
+    )
+    inv = {d: xy for xy, d in got.items()}
+    assert len(inv) == 256  # bijective
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(255)
+    )
+
+
+def test_hilbert_sql_matches_spark(spark):
+    """hilbert_steps_sql is the exact DuckDB mirror of
+    with_hilbert_value — engine-exact integers, per cell."""
+    import duckdb
+
+    from big_data_bowl_2026_analytics_spark.operators.layout import (
+        hilbert_steps_sql,
+    )
+
+    steps = hilbert_steps_sql("g", "qx, qy", bits=4)
+    sql = f"""
+    WITH g AS (
+      SELECT CAST(i % 16 AS BIGINT) AS qx, CAST(i // 16 AS BIGINT) AS qy
+      FROM (SELECT unnest(range(0, 256)) AS i)
+    ),
+    {steps}
+    SELECT qx, qy, hd FROM hstep4
+    """
+    got = {
+        (r[0], r[1]): r[2] for r in duckdb.connect().execute(sql).fetchall()
+    }
+    assert all(
+        got[(x, y)] == _hilbert_model(16, x, y)
+        for x in range(16)
+        for y in range(16)
+    )

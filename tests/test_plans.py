@@ -1700,3 +1700,27 @@ def test_q333_ransac_mapside_selection(spark):
     # hypothesis selection must be a groupBy(min_by), never a
     # 16-partition data-grain window funnel
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_q327_hilbert_bound_projections_no_shuffle_before_agg(spark):
+    plan = physical_plan(_q(spark, "q327_hilbert_layout_audit"))
+    # the 8 rotation steps are map-side projections: exactly the two
+    # aggregation exchanges (chunk grain, layout grain) plus the
+    # one-row stats broadcast — no window, no sort join
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q331_boosting_no_residual_pass(spark):
+    plan = physical_plan(_q(spark, "q331_boosted_stumps"))
+    # residuals are never materialized: no join back to the customer
+    # grain after round 1 — only broadcast one-row frames
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q334_ewma_window_on_hours_grain(spark):
+    plan = physical_plan(_q(spark, "q334_ewma_control_chart"))
+    # the 32-lag chain is ONE window pass over the calendar-bounded
+    # dense spine
+    assert plan.count("WindowExec") <= 1 or plan.count(" Window ") <= 1
