@@ -1790,3 +1790,93 @@ def q300_sampling_accuracy_planner(
         fround(err, 6).alias("abs_error"),
         (fround(err, 6) <= F.col("eps")).alias("within_eps"),
     )
+
+
+@query(
+    "q336_broadcast_planner",
+    tags=("infra", "planning", "join"),
+    oracle="""
+WITH est AS (
+  SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(8 + 4 + strlen(r_name) + 4) AS BIGINT) AS est_bytes
+  FROM region
+  UNION ALL
+  SELECT 'nation', CAST(count(*) AS BIGINT),
+         CAST(sum(8 + 4 + strlen(n_name) + 4 + 4) AS BIGINT)
+  FROM nation
+  UNION ALL
+  SELECT 'customer', CAST(count(*) AS BIGINT),
+         CAST(sum(8 + 8 + strlen(c_name) + 4 + 4 + 8
+                  + strlen(c_mktsegment) + 4) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'supplier', CAST(count(*) AS BIGINT),
+         CAST(sum(8 + 8 + strlen(s_name) + 4 + 4 + 8) AS BIGINT)
+  FROM supplier
+  UNION ALL
+  SELECT 'part', CAST(count(*) AS BIGINT),
+         CAST(sum(8 + 8 + strlen(p_name) + 4 + strlen(p_brand) + 4
+                  + strlen(p_type) + 4 + 4 + 8) AS BIGINT)
+  FROM part
+)
+SELECT tbl, n_rows, est_bytes,
+       round(est_bytes / 1048576.0 + 1e-9, 6) AS est_mib,
+       est_bytes <= 10485760 AS fits_default_threshold,
+       est_bytes <= 104857600 AS fits_tuned_threshold,
+       CASE WHEN est_bytes <= 10485760 THEN 'broadcast'
+            WHEN est_bytes <= 104857600 THEN 'broadcast_tuned'
+            ELSE 'shuffle' END AS join_strategy
+FROM est
+""",
+)
+def q336_broadcast_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join planner over the dimension tables: estimate
+    each dim's in-memory row footprint from its ACTUAL data (8 bytes
+    per 64-bit column, 4 per 32-bit, measured byte length + 4-byte
+    header per string, 8 per row object overhead) and classify it
+    against Spark's 10 MiB default `autoBroadcastJoinThreshold` and a
+    100 MiB tuned ceiling. This is the capacity check behind every
+    `F.broadcast()` hint in this repo: at 100 TB the FACT side grows
+    but these verdicts are what keep the dim sides shuffle-free —
+    and the planner flags the first dim (usually `part`) that
+    outgrows the hint as the corpus scales.
+
+    String bytes are exact integers on both engines (Spark
+    octet_length ↔ DuckDB strlen — the q170 byte-length pairing);
+    everything else is constant-per-row arithmetic, so the whole
+    report is integer-exact. One scan per dim, five-row output.
+    """
+    def est(tbl: str, fixed: int, strings: list[str], keybytes: int):
+        df = read_table(spark, sf_dir, tbl)
+        size = F.lit(keybytes + fixed)
+        for s in strings:
+            size = size + F.octet_length(F.col(s)) + F.lit(4)
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(size).cast("bigint").alias("est_bytes"),
+        )
+
+    est_all = (
+        est("region", 4, ["r_name"], 8)
+        .unionByName(est("nation", 4 + 4, ["n_name"], 8))
+        .unionByName(
+            est("customer", 4 + 8, ["c_name", "c_mktsegment"], 8 + 8)
+        )
+        .unionByName(est("supplier", 4 + 8, ["s_name"], 8 + 8))
+        .unionByName(
+            est("part", 4 + 8, ["p_name", "p_brand", "p_type"], 8 + 8)
+        )
+    )
+    return est_all.select(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        fround(F.col("est_bytes") / 1048576.0, 6).alias("est_mib"),
+        (F.col("est_bytes") <= 10485760).alias("fits_default_threshold"),
+        (F.col("est_bytes") <= 104857600).alias("fits_tuned_threshold"),
+        F.when(F.col("est_bytes") <= 10485760, "broadcast")
+        .when(F.col("est_bytes") <= 104857600, "broadcast_tuned")
+        .otherwise("shuffle")
+        .alias("join_strategy"),
+    )

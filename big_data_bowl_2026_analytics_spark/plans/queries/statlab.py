@@ -3326,3 +3326,120 @@ def q333_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 1
         ).alias("is_best"),
     )
+
+
+@query(
+    "q337_theil_decomposition",
+    tags=("statistics", "inequality", "economics"),
+    oracle="""
+WITH cust AS (
+  SELECT o.o_custkey, c.c_nationkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o.o_custkey, c.c_nationkey
+), gt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s,
+         sum(y * ln(y)) AS l
+  FROM cust
+), grp AS (
+  SELECT n.n_name,
+         CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(y) AS BIGINT) AS sg,
+         sum(y * ln(y)) AS lg
+  FROM cust JOIN nation n ON n.n_nationkey = cust.c_nationkey
+  GROUP BY n.n_name
+)
+SELECT g.n_name, g.ng,
+       round(CAST(g.sg AS DOUBLE) / g.ng / 100.0 + 1e-9, 2)
+         AS mean_spend,
+       round(CAST(g.sg AS DOUBLE) / t.s + 1e-9, 6) AS revenue_share,
+       round(g.lg / (g.ng * (CAST(g.sg AS DOUBLE) / g.ng))
+             - ln(CAST(g.sg AS DOUBLE) / g.ng) + 1e-9, 6) AS theil_g,
+       round(CAST(g.sg AS DOUBLE) / t.s
+             * (g.lg / (g.ng * (CAST(g.sg AS DOUBLE) / g.ng))
+                - ln(CAST(g.sg AS DOUBLE) / g.ng)) + 1e-9, 6)
+         AS within_contrib,
+       round(CAST(g.sg AS DOUBLE) / t.s
+             * ln((CAST(g.sg AS DOUBLE) / g.ng)
+                  / (CAST(t.s AS DOUBLE) / t.n)) + 1e-9, 6)
+         AS between_contrib,
+       round(t.l / (t.n * (CAST(t.s AS DOUBLE) / t.n))
+             - ln(CAST(t.s AS DOUBLE) / t.n) + 1e-9, 6) AS theil_total
+FROM grp g, gt t
+""",
+)
+def q337_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of customer revenue, decomposed by
+    nation (Theil 1967): T = Σ(y/μ)ln(y/μ)/n splits EXACTLY into a
+    within-group and a between-group part — the only standard
+    inequality index with a clean additive decomposition (Gini, q119,
+    has none), which is what makes it the revenue-concentration
+    monitor you can drill by region: `within_contrib` says "how
+    unequal inside this nation", `between_contrib` says "how much
+    this nation's mean diverges from the global mean", and the two
+    columns sum (over nations) to `theil_total` up to float dust.
+
+    T reduces to (Σ y·ln y)/(n·μ) − ln μ, so ONE groupBy pass
+    per grain suffices: integer cent sums (exact) plus a y·ln(y)
+    accumulation (the documented q24 float-sum class — relative error
+    ~1e-15, absorbed by the fround pair; ln on identical doubles is
+    the q95/q158 precedent). No per-row second pass, no window.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    )
+    customer = read_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_nationkey"]
+    )
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = (
+        orders.join(
+            F.broadcast(customer),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    cust = cust.localCheckpoint(eager=False)  # global + group branches
+    gt = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.log("y")).alias("l"),
+    )
+    grp = (
+        cust.join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ng"),
+            F.sum("y").cast("bigint").alias("sg"),
+            F.sum(F.col("y") * F.log("y")).alias("lg"),
+        )
+    )
+    sgd = F.col("sg").cast("double")
+    sd = F.col("s").cast("double")
+    mu_g = sgd / F.col("ng")
+    mu = sd / F.col("n")
+    theil_g = F.col("lg") / (F.col("ng") * mu_g) - F.log(mu_g)
+    return grp.crossJoin(F.broadcast(gt)).select(
+        "n_name",
+        "ng",
+        fround(mu_g / 100.0, 2).alias("mean_spend"),
+        fround(sgd / F.col("s"), 6).alias("revenue_share"),
+        fround(theil_g, 6).alias("theil_g"),
+        fround(sgd / F.col("s") * theil_g, 6).alias("within_contrib"),
+        fround(sgd / F.col("s") * F.log(mu_g / mu), 6).alias(
+            "between_contrib"
+        ),
+        fround(
+            F.col("l") / (F.col("n") * mu) - F.log(mu), 6
+        ).alias("theil_total"),
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ...functions.scalar import fround
 from ...sources.readers import read_table
 from ..registry import query
+from .splits import _hash16_sql
 
 
 @query(
@@ -3991,4 +3992,262 @@ def q334_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("x") - F.col("ewma"), 6).alias("deviation"),
         fround(sigma, 6).alias("sigma3"),
         (F.abs(F.col("x") - F.col("ewma")) > sigma).alias("is_alarm"),
+    )
+
+
+@query(
+    "q329_policy_replay_eval",
+    tags=("ml", "bandit", "evaluation"),
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tus
+  FROM events
+), bounds AS (
+  SELECT (min(tus) + max(tus)) // 2 AS cutoff FROM ev
+), arms AS (
+  SELECT event_type AS arm,
+         CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+           AS arm_idx
+  FROM (SELECT DISTINCT event_type FROM ev)
+), trainstats AS (
+  SELECT e.event_type AS arm,
+         round(sum(e.value) / count(*) + 1e-9, 6) AS train_mean
+  FROM ev e, bounds b WHERE e.tus < b.cutoff
+  GROUP BY e.event_type
+), best AS (
+  SELECT arm AS best_arm FROM (
+    SELECT arm, row_number() OVER (ORDER BY train_mean DESC, arm) AS rn
+    FROM trainstats
+  ) WHERE rn = 1
+), evale AS (
+  SELECT e.event_id, e.event_type, e.value,
+         CASE WHEN {_hash16_sql('egreedy|', 'e.event_id')} < 4096
+              THEN 1 ELSE 0 END AS explored,
+         {_hash16_sql('earm|', 'e.event_id')} % 5 AS earm_idx
+  FROM ev e, bounds b WHERE e.tus >= b.cutoff
+), chosen AS (
+  SELECT ev2.event_id, ev2.event_type, ev2.value, ev2.explored,
+         CASE WHEN ev2.explored = 1 THEN a.arm ELSE bb.best_arm END
+           AS chosen_arm
+  FROM evale ev2
+  JOIN arms a ON a.arm_idx = ev2.earm_idx
+  CROSS JOIN best bb
+)
+SELECT any_value(bb2.best_arm) AS best_arm,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN event_type = chosen_arm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       round(sum(CASE WHEN event_type = chosen_arm THEN 1 ELSE 0 END)
+             * 1.0 / count(*) + 1e-9, 6) AS match_share,
+       round(sum(CASE WHEN event_type = chosen_arm THEN value ELSE 0 END)
+             / sum(CASE WHEN event_type = chosen_arm THEN 1 ELSE 0 END)
+             + 1e-9, 6) AS replay_value,
+       round(sum(value) / count(*) + 1e-9, 6) AS logging_value
+FROM chosen, best bb2
+""",
+)
+def q329_policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline bandit policy evaluation by replay (Li, Chu, Langford,
+    Wang, WSDM 2011): evaluate an ε-greedy target policy (exploit the
+    best train-period arm, explore uniformly with ε = 1/16) against
+    the logged event stream WITHOUT deploying it — keep exactly the
+    logged steps whose action matches what the policy would have
+    chosen, and average their rewards. The replay estimate is
+    unbiased when logging is uniform; match_share reports the
+    effective sample the estimate stands on.
+
+    Determinism: the train/eval split is the stream's µs midpoint,
+    exploration and the explored arm come from the event-id keyed
+    hash (the q207/q228 resampling contract — no RNG, identical on
+    both engines), and the best arm is selected on the ROUNDED train
+    mean with an arm-name tie-break. Scale: one pass for train means
+    (5 groups), one pass for replay (broadcast 5-row arm frame +
+    1-row best/cutoff frames); reward sums are the documented q24
+    float-sum class, absorbed by the fround pair.
+    """
+    from .splits import _hash16
+
+    ev = read_table(
+        spark, sf_dir, "events",
+        ["event_id", "user_id", "event_type", "value", "ts"],
+    ).select(
+        "event_id", "event_type", "value",
+        F.unix_micros("ts").alias("tus"),
+    )
+    ev = ev.localCheckpoint(eager=False)  # bounds/train/eval branches
+    bounds = ev.agg(
+        ((F.min("tus") + F.max("tus")) / 2).cast("bigint").alias("cutoff")
+    )
+    from pyspark.sql.window import Window
+
+    arms = (
+        ev.select("event_type").distinct()
+        .withColumn(
+            "arm_idx",
+            (F.row_number().over(Window.orderBy("event_type")) - 1)
+            .cast("bigint"),
+        )
+        .select(F.col("event_type").alias("arm"), "arm_idx")
+    )
+    trainstats = (
+        ev.crossJoin(F.broadcast(bounds))
+        .where(F.col("tus") < F.col("cutoff"))
+        .groupBy(F.col("event_type").alias("arm"))
+        .agg(
+            fround(F.sum("value") / F.count(F.lit(1)), 6).alias("train_mean")
+        )
+    )
+    best = (
+        trainstats.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("train_mean"), F.asc("arm"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col("arm").alias("best_arm"))
+    )
+    evale = (
+        ev.crossJoin(F.broadcast(bounds))
+        .where(F.col("tus") >= F.col("cutoff"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(_hash16("egreedy|", F.col("event_id")) < 4096, 1)
+            .otherwise(0)
+            .alias("explored"),
+            (_hash16("earm|", F.col("event_id")) % 5)
+            .cast("bigint")
+            .alias("earm_idx"),
+        )
+    )
+    chosen = (
+        evale.join(F.broadcast(arms), F.col("arm_idx") == F.col("earm_idx"))
+        .crossJoin(F.broadcast(best))
+        .select(
+            "event_type",
+            "value",
+            F.when(F.col("explored") == 1, F.col("arm"))
+            .otherwise(F.col("best_arm"))
+            .alias("chosen_arm"),
+        )
+    )
+    matched = F.when(F.col("event_type") == F.col("chosen_arm"), 1).otherwise(0)
+    mvalue = F.when(
+        F.col("event_type") == F.col("chosen_arm"), F.col("value")
+    ).otherwise(0)
+    return chosen.crossJoin(F.broadcast(best)).agg(
+        F.any_value("best_arm").alias("best_arm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(matched).cast("bigint").alias("n_matched"),
+        fround(F.sum(matched) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "match_share"
+        ),
+        fround(F.sum(mvalue) / F.sum(matched), 6).alias("replay_value"),
+        fround(F.sum("value") / F.count(F.lit(1)), 6).alias("logging_value"),
+    )
+
+
+@query(
+    "q335_overdispersion_audit",
+    tags=("statistics", "timeseries", "audit"),
+    oracle="""
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(h) AS mn, max(h) AS mx FROM counts
+), hours AS (
+  SELECT unnest(generate_series(mn, mx)) AS h FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM counts
+), dense AS (
+  SELECT t.event_type, hr.h, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+  FROM hours hr CROSS JOIN types t
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = hr.h
+), sums AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM dense GROUP BY event_type
+)
+SELECT event_type, n, sx AS n_events,
+       round(CAST(sx AS DOUBLE) / n + 1e-9, 6) AS mean_per_hour,
+       round((CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)
+             + 1e-9, 6) AS var_per_hour,
+       round(((CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+             / (CAST(sx AS DOUBLE) / n) + 1e-9, 6) AS dispersion,
+       ((CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+         / (CAST(sx AS DOUBLE) / n)
+         > 1.0 + 3.0 * sqrt(2.0 / (n - 1)) AS overdispersed
+FROM sums
+""",
+)
+def q335_overdispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion audit of the hourly arrival process,
+    per event type: the index of dispersion D = Var/Mean of hourly
+    counts on the DENSE hour spine (q213/q246 calendar-gap lesson),
+    flagged when D exceeds 1 + 3·√(2/(n−1)) — the three-sigma bound
+    of D's null sampling distribution. D ≈ 1 is the Poisson
+    fingerprint; D ≫ 1 means bursty arrivals (capacity planning needs
+    peak-to-mean, not mean — the q302/q317 envelope queries become
+    mandatory) and D < 1 means rate-limited/scheduled traffic. The
+    cheap first question to ask any event stream before modeling it.
+
+    Count sums are exact BIGINTs (hourly counts are small — x² is
+    nowhere near the q261 overflow class); the variance algebra is
+    the q204 cast-once tree; the flag compares identically-derived
+    doubles on both engines.
+    """
+    ev = read_table(spark, sf_dir, "events", ["ts", "event_type"])
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 3600)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    counts = counts.localCheckpoint(eager=False)  # bounds/types/dense
+    bounds = counts.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h")
+    )
+    types = counts.select("event_type").distinct()
+    dense = (
+        hours.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    sums = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n")
+    sxd = F.col("sx").cast("double")
+    var = (F.col("sxx").cast("double") - sxd * sxd / nd) / (nd - 1)
+    mean = sxd / nd
+    disp = var / mean
+    return sums.select(
+        "event_type",
+        "n",
+        F.col("sx").alias("n_events"),
+        fround(mean, 6).alias("mean_per_hour"),
+        fround(var, 6).alias("var_per_hour"),
+        fround(disp, 6).alias("dispersion"),
+        (disp > 1.0 + 3.0 * F.sqrt(2.0 / (nd - 1))).alias("overdispersed"),
     )

@@ -1724,3 +1724,28 @@ def test_q334_ewma_window_on_hours_grain(spark):
     # the 32-lag chain is ONE window pass over the calendar-bounded
     # dense spine
     assert plan.count("WindowExec") <= 1 or plan.count(" Window ") <= 1
+
+
+def test_q329_replay_broadcast_frames(spark):
+    plan = physical_plan(_q(spark, "q329_policy_replay_eval"))
+    # arm/best/cutoff frames broadcast; the eval pass never sort-joins
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q335_overdispersion_dense_spine(spark):
+    plan = physical_plan(_q(spark, "q335_overdispersion_audit"))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q336_planner_five_scans_no_joins(spark):
+    plan = physical_plan(_q(spark, "q336_broadcast_planner"))
+    # pure per-table aggregation + union: no join of any kind
+    assert "Join" not in plan
+
+
+def test_q337_theil_single_pass_per_grain(spark):
+    plan = physical_plan(_q(spark, "q337_theil_decomposition"))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
