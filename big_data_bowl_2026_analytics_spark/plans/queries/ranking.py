@@ -2126,3 +2126,118 @@ def q319_assortment_breadth_trend(
             ).alias("debut_share"),
         )
     )
+
+
+@query(
+    "q338_cohort_ltv_triangle",
+    tags=("retail", "cohort", "ltv"),
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+         min(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+           AS cohort
+  FROM orders GROUP BY o_custkey
+), sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+  FROM firsts GROUP BY cohort
+), aged AS (
+  SELECT f.cohort,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+           - f.cohort AS age,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+), rev AS (
+  SELECT cohort, age, CAST(sum(cents) AS BIGINT) AS rev_cents
+  FROM aged GROUP BY cohort, age
+), maxage AS (
+  SELECT cohort, max(age) AS mx FROM rev GROUP BY cohort
+), spine AS (
+  SELECT m.cohort, unnest(generate_series(0, m.mx)) AS age FROM maxage m
+), dense AS (
+  SELECT s.cohort, s.age,
+         CAST(coalesce(r.rev_cents, 0) AS BIGINT) AS rev_cents
+  FROM spine s LEFT JOIN rev r
+    ON r.cohort = s.cohort AND r.age = s.age
+), cum AS (
+  SELECT cohort, age, rev_cents,
+         CAST(sum(rev_cents) OVER (
+           PARTITION BY cohort ORDER BY age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_cents
+  FROM dense
+)
+SELECT c.cohort, c.age, z.n_customers,
+       round(c.rev_cents / 100.0 + 1e-9, 2) AS revenue,
+       round(CAST(c.cum_cents AS DOUBLE) / z.n_customers / 100.0 + 1e-9, 2)
+         AS cum_ltv_per_customer
+FROM cum c JOIN sizes z ON z.cohort = c.cohort
+""",
+)
+def q338_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by
+    first-order month, revenue tracked by months-since-acquisition,
+    cumulative LTV per customer filled on a DENSE age spine (a cohort
+    with a quiet month still gets its row — the q213/q246 calendar
+    lesson applied to cohort age). This is the classic triangle
+    finance reads diagonally (calendar) and product reads
+    horizontally (maturation): the q233 growth-accounting and q197
+    retention views are its marginal slices; q308's first-order
+    signal is its age-0 column.
+
+    All revenue is integer cents; the cumulative sum runs over the
+    month-grain age axis partitioned by cohort (windows bounded by
+    the calendar, never by row count) and stays in BIGINT, so every
+    cell is engine-exact before the final dollar formatting.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    month = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast(
+        "bigint"
+    )
+    firsts = orders.groupBy("o_custkey").agg(F.min(month).alias("cohort"))
+    firsts = firsts.localCheckpoint(eager=False)  # sizes + aged branches
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    aged = orders.join(F.broadcast(firsts), "o_custkey").select(
+        "cohort",
+        (month - F.col("cohort")).alias("age"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rev = aged.groupBy("cohort", "age").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents")
+    )
+    rev = rev.localCheckpoint(eager=False)  # maxage + dense branches
+    spine = (
+        rev.groupBy("cohort")
+        .agg(F.max("age").alias("mx"))
+        .select(
+            "cohort", F.explode(F.sequence(F.lit(0), F.col("mx"))).alias("age")
+        )
+    )
+    dense = spine.join(rev, ["cohort", "age"], "left").select(
+        "cohort",
+        "age",
+        F.coalesce(F.col("rev_cents"), F.lit(0)).cast("bigint").alias(
+            "rev_cents"
+        ),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.withColumn(
+        "cum_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "age",
+        "n_customers",
+        fround(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        fround(
+            F.col("cum_cents").cast("double") / F.col("n_customers") / 100.0,
+            2,
+        ).alias("cum_ltv_per_customer"),
+    )

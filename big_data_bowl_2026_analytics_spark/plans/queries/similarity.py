@@ -2264,3 +2264,125 @@ def q330_matryoshka_truncation_recall(
             F.col("n_hits") * 1.0 / (3.0 * F.col("n_queries")), 6
         ).alias("recall_at3"),
     )
+
+
+@query(
+    "q339_mutual_nearest_neighbors",
+    tags=("similarity", "dedup", "graph"),
+    oracle=f"""
+WITH {_NORMED_CTE.strip()},
+sums AS (
+  SELECT vec_id, embedding, sqnorm, {_sums_cols_sql()} FROM normed
+),
+bucketed AS (
+  SELECT vec_id, embedding, sqnorm,
+         CAST({_bucket_sql(0, 4)} AS BIGINT) AS bucket
+  FROM sums
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+         round(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(q.embedding[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)))
+               / (sqrt(q.sqnorm) * sqrt(c.sqnorm)) + 1e-9, 6) AS cosine
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+  WHERE c.vec_id != q.vec_id
+), nn AS (
+  SELECT query_id, neighbor_id, bucket, cosine FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rn FROM scored
+  ) WHERE rn = 1
+)
+SELECT x.query_id AS p1, x.neighbor_id AS p2, x.bucket, x.cosine
+FROM nn x JOIN nn y
+  ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
+WHERE x.query_id < x.neighbor_id
+""",
+)
+def q339_mutual_nearest_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reciprocal (mutual) nearest-neighbor pairs within LSH buckets:
+    vector pairs where EACH is the other's top-1 cosine neighbor —
+    the high-precision matching rule behind bitext mining (Artetxe &
+    Schwenk 2019) and near-duplicate canonicalization: a one-sided
+    top-1 can be a hub artifact, a reciprocal one almost never is.
+    Buckets use the 4-plane hyperplane family (q142's measured
+    setting: 16 buckets keeps recall meaningful on synthetic vectors
+    where 8 planes shatter the space), so the quadratic scoring is
+    per-bucket, never corpus-wide — the q32/q63 candidate-blocking
+    discipline applied to mutual-NN.
+
+    Cosine is the q40 fold contract; the tie-broken top-1 makes the
+    NN relation a function, and symmetry of the fold (term-wise
+    commutative products, identical sum order) means both directions
+    carry the same rounded score — the mutual join needs no score
+    reconciliation.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    bucketed = with_lsh_bucket(emb, "embedding", 4, _DIM).select(
+        "vec_id",
+        "embedding",
+        squared_norm(F.col("embedding")).alias("sqnorm"),
+        "bucket",
+    )
+    bucketed = bucketed.localCheckpoint(eager=False)  # self-join sides
+    q = bucketed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("sqnorm").alias("q_norm"),
+        "bucket",
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("sqnorm").alias("c_norm"),
+        F.col("bucket").alias("cbucket"),
+    )
+    from ...operators.similarity import cosine as _cosine
+
+    scored = q.join(
+        c,
+        (F.col("bucket") == F.col("cbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "bucket",
+        F.round(
+            _cosine(
+                F.col("q_vec"), F.col("c_vec"),
+                F.col("q_norm"), F.col("c_norm"),
+            )
+            + 1e-9,
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "bucket", "cosine")
+    )
+    nn = nn.localCheckpoint(eager=False)  # mutual self-join sides
+    y = nn.select(
+        F.col("query_id").alias("yq"), F.col("neighbor_id").alias("yn")
+    )
+    return (
+        nn.join(
+            y,
+            (F.col("query_id") == F.col("yn"))
+            & (F.col("neighbor_id") == F.col("yq")),
+        )
+        .where(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("p1"),
+            F.col("neighbor_id").alias("p2"),
+            "bucket",
+            "cosine",
+        )
+    )
