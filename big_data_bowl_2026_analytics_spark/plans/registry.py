@@ -55,67 +55,66 @@ def query(
 
 #: Explicit registry ordering for external harnesses. The driver
 #: verifies the FIRST 50 registry entries per round, so the order is
-#: rotated each round. Round-5 rotation: the r04 window (31 r01-only
-#: re-certifications + round-4-changed + watch slots) came back 49/50
-#: green (q28 is the declared no-oracle row), so those slots are
-#: released. This round rotates in the oldest never-driver-certified
-#: batch: q116-q150 (33 queries, round-4 first/second session) plus
-#: the head of the third-session batch (q151-q167). All pass the
+#: rotated each round. Round-6 rotation: the r05 window (q116-q167)
+#: came back 50/50 green — the first perfect window — so those slots
+#: are released. This round rotates in the next never-driver-certified
+#: batch in number order: q168-q199 (third-session tail) plus
+#: q200-q218 (fourth-session head; no q202 exists). All pass the
 #: local strict checker at sf0.001/0.01/0.1 and driver_sim on current
 #: data; this is certification exposure, not known bugs. Remaining
-#: never-certified queries (q168-q199 tail, q200-q235, q236-q319)
-#: rotate in over rounds 6-9 per CLAUDE.md.
+#: never-certified queries (q219-q339, 121 queries) rotate in over
+#: rounds 7-9 per CLAUDE.md.
 _DRIVER_ORDER = [
-    "q116_levenshtein_neardup",
-    "q117_bigram_pmi",
-    "q118_sorted_neighborhood_pairs",
-    "q119_key_skew_gini",
-    "q120_drift_audit",
-    "q121_approx_percentile_audit",
-    "q122_correlation_matrix",
-    "q123_triangle_count",
-    "q124_lsh_blocked_levenshtein",
-    "q125_pagerank",
-    "q126_zorder_layout_audit",
-    "q127_hash_split_assignment",
-    "q128_stratified_hash_sample",
-    "q129_chi_square_homogeneity",
-    "q131_join_cardinality_forecast",
-    "q132_bloom_filter_audit",
-    "q133_containment_pairs",
-    "q134_mixture_rebalance",
-    "q136_partition_size_planner",
-    "q137_idf_weighted_jaccard",
-    "q138_event_transition_matrix",
-    "q139_community_modularity",
-    "q140_ann_topk_multitable",
-    "q141_inverted_index",
-    "q142_ann_recall_audit",
-    "q143_int8_quantization_audit",
-    "q144_spend_quintile_mobility",
-    "q145_weighted_median_grouped_agg",
-    "q146_rolling_distinct_users",
-    "q147_hll_sketch_merge",
-    "q148_join_preserving_pseudonymization",
-    "q149_laplace_noisy_counts",
-    "q150_per_slice_metrics",
-    "q151_count_min_sketch_audit",
-    "q152_k_anonymity_audit",
-    "q153_horvitz_thompson_audit",
-    "q154_decontamination_span_removal",
-    "q155_m4_downsampling",
-    "q156_reciprocal_rank_fusion",
-    "q157_diversity_capped_topk",
-    "q158_bigram_perplexity",
-    "q159_out_of_order_audit",
-    "q160_mutual_information_screen",
-    "q161_label_centroid_separation",
-    "q162_event_dedup_audit",
-    "q163_zipf_law_audit",
-    "q164_cross_source_duplication",
-    "q165_ks_drift_per_source",
-    "q166_referential_integrity",
-    "q167_funnel_latency",
+    "q168_ivf_balance_audit",
+    "q169_embedding_quality_audit",
+    "q170_encoding_audit",
+    "q171_order_total_consistency",
+    "q172_vocab_coverage_curve",
+    "q173_seasonal_naive_backtest",
+    "q174_psi_score_stability",
+    "q175_association_rules",
+    "q176_quantile_transform",
+    "q177_ab_test_welch",
+    "q178_lsh_recall_audit",
+    "q179_component_size_distribution",
+    "q180_last_touch_attribution",
+    "q181_hll_intersection_estimate",
+    "q182_point_in_time_join",
+    "q183_labeler_agreement_kappa",
+    "q184_conformal_calibration",
+    "q185_split_leakage_audit",
+    "q186_woe_information_value",
+    "q187_anova_decomposition",
+    "q188_decision_stump",
+    "q189_ndcg_retrieval_audit",
+    "q190_outlier_method_agreement",
+    "q191_cusum_control_chart",
+    "q192_market_concentration",
+    "q193_hierarchical_shares",
+    "q194_poisson_goodness_of_fit",
+    "q195_calendar_completeness",
+    "q196_near_duplicate_transactions",
+    "q197_retention_half_life",
+    "q198_period_over_period",
+    "q199_abc_classification",
+    "q200_benford_first_digit",
+    "q201_kaplan_meier",
+    "q203_autocorrelation",
+    "q204_normal_equation_ols",
+    "q205_record_linkage_scores",
+    "q206_grid_nearest_neighbor",
+    "q207_poisson_bootstrap_ci",
+    "q208_temperature_mixture",
+    "q209_position_attribution",
+    "q210_skyline_pareto_front",
+    "q211_mann_whitney_pairs",
+    "q212_bh_fdr_correction",
+    "q213_seasonal_decomposition",
+    "q214_theil_sen_trend",
+    "q215_degree_assortativity",
+    "q216_interevent_burstiness",
+    "q217_rfm_segmentation",
+    "q218_pareto_knee",
 ]
 
 
