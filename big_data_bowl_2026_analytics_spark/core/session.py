@@ -48,6 +48,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # PySpark 4's DataFrame-debugging call-site capture costs THREE
+        # py4j round trips per wrapped DataFrame-API call (conf.get +
+        # PySparkCurrentOrigin.set/clear in pyspark/errors/utils.py::
+        # _with_origin) — measured ~30% of the sf0.1 serial bench, and
+        # pure plan-construction overhead at any scale. It only
+        # enriches error messages with user line numbers; disable it
+        # in engine sessions. (The value is cached process-wide at the
+        # first wrapped call, so it must be set at session build.)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     if extra_conf:
