@@ -39,9 +39,16 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
 EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, options: dict[str, str] | None = None
+) -> DataFrame:
     """File-based stream of the events table, normalized to a µs
     session-zone timestamp exactly like the batch reader.
+
+    ``options`` passes file-source options through (e.g.
+    ``maxFilesPerTrigger`` to bound each micro-batch — which is also
+    how a finite drain gets its watermark ADVANCED between batches,
+    a prerequisite for outer-join null emission and state eviction).
 
     A stream source needs its schema declared up front, but the events
     testdata has shipped both as TIMESTAMP(NANOS) (read as raw-nanos
@@ -57,7 +64,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         pass
     probe_type = dict(spark.read.parquet(path).dtypes).get("ts")
     if probe_type == "bigint":
-        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        raw = spark.readStream.options(**(options or {})).schema(EVENTS_RAW_SCHEMA).parquet(path)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if probe_type == "timestamp":
         # Same graded handling as sources/readers.py::read_table — a
@@ -68,7 +75,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
             "encoding; re-verify events queries before trusting it.",
             stacklevel=2,
         )
-        raw = spark.readStream.schema(
+        raw = spark.readStream.options(**(options or {})).schema(
             _events_raw_schema(T.TimestampType())
         ).parquet(path)
         return raw
@@ -78,7 +85,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
             "extend the streaming probe (and read_table) before "
             "streaming this generation."
         )
-    raw = spark.readStream.schema(
+    raw = spark.readStream.options(**(options or {})).schema(
         _events_raw_schema(T.TimestampNTZType())
     ).parquet(path)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -316,6 +323,65 @@ def purchase_click_attribution(
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
         ),
         "inner",
+    ).select(
+        "purchase_id",
+        F.col("purchase_user").alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
+def purchase_click_attribution_outer(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    joined to each preceding click in ``attribution_window`` when one
+    exists, and exactly once with NULL click columns otherwise.
+
+    The null row for an unmatched purchase cannot be emitted when the
+    purchase arrives (a matching late click may still be in flight);
+    Structured Streaming holds the purchase in the state store and
+    emits the null-padded row only when the event-time watermark
+    passes the point where a matching click is no longer admissible.
+    Consequence for finite drains (and the drain test): purchases
+    inside the final watermark horizon of the stream's max event time
+    are never finalized — their unmatched rows are legitimately
+    withheld, which is the streaming-correct answer, not data loss.
+    State is bounded exactly as in the inner variant: both sides carry
+    watermarks and the join condition bounds click_ts on both ends.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("purchase_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "left_outer",
     ).select(
         "purchase_id",
         F.col("purchase_user").alias("user_id"),

@@ -443,6 +443,96 @@ def test_stream_stream_attribution_matches_batch(spark, events_dir):
     assert got == want and len(want) > 0
 
 
+def test_stream_stream_outer_attribution_matches_batch(spark, tmp_path_factory):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    inner join exactly; unmatched purchases emit exactly one
+    null-click row each, once the watermark finalizes them.
+
+    The input is split into two time-ordered files drained with
+    maxFilesPerTrigger=1 so the watermark ADVANCES between
+    micro-batches — on a single-batch drain the watermark never moves
+    and zero outer rows would (correctly) be emitted. Purchases inside
+    the final watermark horizon are legitimately withheld, so the
+    completeness assertion stops at the first batch's horizon:
+    wm1 − attribution_window, with wm1 = maxts(file1) − watermark.
+    """
+    import os
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        purchase_click_attribution_outer,
+    )
+
+    d = tmp_path_factory.mktemp("events_split")
+    t = pq.read_table(f"{SF}/events.parquet")
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "a.parquet")
+    pq.write_table(t.slice(half), d / "b.parquet")
+    now = _time.time()
+    os.utime(d / "a.parquet", (now - 100, now - 100))
+    os.utime(d / "b.parquet", (now, now))
+
+    stream = read_events_stream(
+        spark, str(d), options={"maxFilesPerTrigger": "1"}
+    )
+    _drain_append(
+        purchase_click_attribution_outer(stream), "attribution_outer_stream"
+    )
+    rows = spark.table("attribution_outer_stream").collect()
+    got_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in rows
+        if r["click_id"] is not None
+    }
+    got_nulls = {r["purchase_id"] for r in rows if r["click_id"] is None}
+
+    ev = read_table(spark, SF, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts")).alias("pts_us"),
+        F.col("ts").alias("pts"),
+    )
+    want_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+
+    matched = {p for (p, _) in want_pairs}
+    purchase_ts = {
+        r["purchase_id"]: r["pts_us"] for r in purchases.collect()
+    }
+    unmatched = set(purchase_ts) - matched
+
+    # Exactly-once: a purchase never appears both matched and null.
+    assert not (got_nulls & matched)
+    # Soundness: every null row is a genuinely unmatched purchase.
+    assert got_nulls <= unmatched
+    # Completeness up to the first batch's watermark horizon. The ntz
+    # µs int64 in the arrow file equals unix_micros after the reader's
+    # UTC cast, so the horizon math stays in integers end to end.
+    HOUR_US = 3_600_000_000
+    wm1 = t.column("ts").slice(0, half)[-1].cast("int64").as_py() - 2 * HOUR_US
+    horizon = wm1 - HOUR_US - 10_000_000
+    must_emit = {p for p in unmatched if purchase_ts[p] < horizon}
+    assert must_emit and must_emit <= got_nulls
+
+
 def test_dedup_within_watermark_drops_replayed_file(spark, tmp_path_factory):
     """Replayed input (same parquet delivered twice) dedups back to
     the original event_id set at ingest."""
