@@ -2666,3 +2666,150 @@ def q327_hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_span_supp"
         ),
     )
+
+
+@query(
+    "q340_wasserstein_source_drift",
+    tags=("audit", "drift", "statistics"),
+    oracle="""
+WITH cnt AS (
+  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars
+), gcnt AS (
+  SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY n_chars
+), sup AS (
+  SELECT x,
+         coalesce(lead(x) OVER (ORDER BY x) - x, 0) AS gap,
+         CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_g
+  FROM gcnt
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ns,
+         CAST(sum(n_chars) AS BIGINT) AS ts
+  FROM documents GROUP BY source
+), gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS t
+  FROM documents
+), grid AS (
+  SELECT tt.source, tt.ns, tt.ts, s.x, s.gap, s.cum_g,
+         coalesce(c.c, 0) AS c
+  FROM tot tt CROSS JOIN sup s
+  LEFT JOIN cnt c ON c.source = tt.source AND c.x = s.x
+), cum AS (
+  SELECT source, ns, ts, x, gap, cum_g,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY x
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s
+  FROM grid
+)
+SELECT cu.source, cu.ns AS n_docs,
+       round(CAST(sum(abs(cum_s * (n - ns) - (cum_g - cum_s) * ns)
+                      * gap) AS DOUBLE)
+             / (ns * (n - ns)) + 1e-9, 6) AS w1_chars,
+       round(CAST(ts AS DOUBLE) / ns
+             - CAST(t - ts AS DOUBLE) / (n - ns) + 1e-9, 4) + 0
+         AS mean_shift_chars
+FROM cum cu CROSS JOIN gtot
+GROUP BY cu.source, cu.ns, cu.ts, n, t
+""",
+)
+def q340_wasserstein_source_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between each source's
+    document-length distribution and the pooled distribution of every
+    OTHER source — the integral drift metric next to q165's KS
+    supremum: KS sees the single worst CDF gap, W1 integrates |F_s −
+    F_rest| over the support, so a source whose lengths shifted a
+    little EVERYWHERE scores high here while staying invisible to KS
+    (and vice versa for one sharp truncation point).
+
+    Exactness: on a discrete support, W1 = Σ |F_s(x) − F_rest(x)| ·
+    gap(x). With integer counts both CDFs are rationals over
+    n_s·n_rest, so the whole integral is ONE exact BIGINT sum,
+    Σ |cum_s·n_rest − cum_rest·n_s| · gap, divided once at the end
+    (each term ≤ n_s·n_rest·gap; the sum telescopes to ≤
+    n_s·n_rest·range ≈ 1e17 at sf10 — no overflow). The complement
+    CDF needs no second scan: cum_rest = cum_g − cum_s. The
+    mean-shift column can round to zero from below, hence the q110
+    sign-of-zero ``+ 0`` guard on both engines.
+
+    Scale: everything past the two groupBys lives on the
+    (source × distinct-length) grid — domain-sized, not corpus-sized;
+    the one unpartitioned window is the support histogram (bounded by
+    the distinct length count), the same funnel q165 uses.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "n_chars"])
+    cnt = docs.groupBy("source", F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gcnt = (
+        docs.groupBy(F.col("n_chars").alias("x"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # support + global-CDF branches
+    )
+    w_g = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sup = gcnt.select(
+        "x",
+        F.coalesce(
+            F.lead("x").over(Window.orderBy("x")) - F.col("x"), F.lit(0)
+        ).alias("gap"),
+        F.sum("c").over(w_g).cast("bigint").alias("cum_g"),
+    )
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("n_chars").cast("bigint").alias("ts"),
+    )
+    gtot = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("t"),
+    )
+    grid = (
+        tot.crossJoin(F.broadcast(sup))
+        .join(cnt, ["source", "x"], "left")
+        .select(
+            "source", "ns", "ts", "x", "gap", "cum_g",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source", "ns", "ts", "x", "gap", "cum_g",
+        F.sum("c").over(w_s).cast("bigint").alias("cum_s"),
+    )
+    n, ns = F.col("n"), F.col("ns")
+    return (
+        cum.crossJoin(F.broadcast(gtot))
+        .groupBy("source", "ns", "ts", "n", "t")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_s") * (n - ns)
+                    - (F.col("cum_g") - F.col("cum_s")) * ns
+                )
+                * F.col("gap")
+            ).alias("s1")
+        )
+        .select(
+            "source",
+            ns.alias("n_docs"),
+            fround(
+                F.col("s1").cast("double") / (ns * (n - ns)), 6
+            ).alias("w1_chars"),
+            (
+                fround(
+                    F.col("ts").cast("double") / ns
+                    - (F.col("t") - F.col("ts")).cast("double") / (n - ns),
+                    4,
+                )
+                + F.lit(0)
+            ).alias("mean_shift_chars"),
+        )
+    )

@@ -1880,3 +1880,104 @@ def q336_broadcast_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("shuffle")
         .alias("join_strategy"),
     )
+
+
+@query(
+    "q343_hamilton_sampling_allocation",
+    tags=("sampling", "planning", "exact"),
+    oracle="""
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(9973 * c // s) AS BIGINT) AS base_total
+  FROM (SELECT c, CAST(sum(c) OVER () AS BIGINT) AS s FROM cells)
+  GROUP BY s
+), ranked AS (
+  SELECT ce.source, ce.lang, ce.c,
+         9973 * ce.c // t.s AS base,
+         CAST(row_number() OVER (
+           ORDER BY (9973 * ce.c) % t.s DESC, ce.source, ce.lang
+         ) AS BIGINT) AS rk,
+         9973 - t.base_total AS leftover
+  FROM cells ce CROSS JOIN tot t
+)
+SELECT source, lang, c AS n_docs,
+       CAST(base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+            AS BIGINT) AS alloc,
+       rk <= leftover AS got_bonus
+FROM ranked
+""",
+)
+def q343_hamilton_sampling_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a 9,973-sample
+    budget across the (source × lang) corpus cells — the exact-integer
+    answer to 'how many examples does each stratum get', where naive
+    per-cell round(B·c/N) either over- or under-spends the budget.
+    Each cell gets ⌊B·c/N⌋, then the B − Σ⌊·⌋ leftover units go to
+    the cells with the LARGEST division remainders (ties broken by
+    cell id): Σ alloc == B exactly, every cell within 1 of its exact
+    quota — the same scheme q134's mixture rebalance consumes
+    downstream and legislatures use for seats.
+
+    Exactness: quota numerators B·c, integer-division bases, and
+    remainders (B·c mod N) are all BIGINT — no float appears anywhere,
+    so both engines agree bit-for-bit with no rounding convention at
+    all (the strongest form of the q256 integer-inequality pattern).
+    DuckDB's `/` is FLOAT division even on integers, so the oracle
+    spells integer division `//` (floor) — identical to Spark's `div`
+    (truncation) because every operand here is non-negative. The
+    budget is PRIME (9973) so it never divides the corpus size and
+    the remainder stage is always exercised — a round budget against
+    a round corpus count degenerates to zero remainders and would
+    leave the tie-break path untested.
+
+    Scale: one corpus-sized groupBy to the bounded cell grain
+    (|sources|×|langs| ≈ 100); the unpartitioned rank window runs on
+    that bounded frame only (the q168 funnel policy).
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "lang"])
+    cells = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # total + ranked branches
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("s"))
+    base_total = (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.expr("9973 * c div s")).cast("bigint").alias(
+                "base_total"
+            ),
+            F.first("s").alias("s"),
+        )
+    )
+    ranked = cells.crossJoin(F.broadcast(base_total)).select(
+        "source", "lang", "c",
+        F.expr("9973 * c div s").alias("base"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc(F.expr("(9973 * c) % s")),
+                F.asc("source"),
+                F.asc("lang"),
+            )
+        )
+        .cast("bigint")
+        .alias("rk"),
+        (F.lit(9973) - F.col("base_total")).alias("leftover"),
+    )
+    return ranked.select(
+        "source", "lang",
+        F.col("c").alias("n_docs"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+        (F.col("rk") <= F.col("leftover")).alias("got_bonus"),
+    )

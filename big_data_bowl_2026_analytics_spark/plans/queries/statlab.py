@@ -3443,3 +3443,135 @@ def q337_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l") / (F.col("n") * mu) - F.log(mu), 6
         ).alias("theil_total"),
     )
+
+
+@query(
+    "q342_sprt_return_rate_monitor",
+    tags=("statistics", "sequential", "monitoring"),
+    oracle="""
+WITH day AS (
+  SELECT o.o_orderpriority AS priority, l.l_shipdate AS d,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderpriority, l.l_shipdate
+), scored AS (
+  SELECT priority, d, n, r,
+         CAST(sum(2877 * r - 1542 * (n - r))
+              OVER (PARTITION BY priority ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_llr
+  FROM day
+), flagged AS (
+  SELECT priority, d, n, r, cum_llr,
+         CASE WHEN abs(cum_llr) >= 29444 THEN 1 ELSE 0 END AS crossed,
+         coalesce(CAST(sum(CASE WHEN abs(cum_llr) >= 29444 THEN 1
+                                ELSE 0 END)
+                       OVER (PARTITION BY priority ORDER BY d
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS BIGINT), 0)
+           AS prior_crossings
+  FROM scored
+)
+SELECT priority, strftime(d, '%Y-%m-%d') AS day, n, r, cum_llr,
+       CASE WHEN cum_llr >= 29444 THEN 'accept_drift'
+            WHEN cum_llr <= -29444 THEN 'accept_null'
+            ELSE 'continue' END AS decision,
+       (crossed = 1 AND prior_crossings = 0) AS is_decision_day
+FROM flagged
+""",
+)
+def q342_sprt_return_rate_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wald's sequential probability ratio test (SPRT) run per order
+    priority over the daily ship stream: is the return-flag rate at
+    its baseline p0=0.30 or drifted to p1=0.40? Unlike the
+    fixed-horizon tests (q177 Welch, q228 randomization), the SPRT is
+    the MONITORING shape — it inspects the cumulative log-likelihood
+    ratio after every day and stops the first time it leaves the
+    (log B, log A) corridor, with both error rates controlled at
+    α=β=0.05 by Wald's boundaries.
+
+    Integer lattice: the per-day LLR increment r·ln(p1/p0) +
+    (n−r)·ln(q1/q0) is rescaled to units of 1e-4 nats and ROUNDED TO
+    INTEGERS ONCE, at design time (2877 = round(1e4·ln(4/3)), −1542 =
+    round(1e4·ln(6/7)); boundary 29444 = round(1e4·ln(19))). The
+    running statistic is then an exact BIGINT prefix sum — no float
+    cumsum, so no segment-tree-vs-fold ulp divergence (the q110/q191
+    class is designed out, not rounded away), and the ~5e-5-nat/step
+    lattice error is orders below the boundary scale.
+
+    `is_decision_day` marks the FIRST boundary crossing per priority
+    (a real monitor freezes there; the full path after it is reported
+    for audit). Aggregate-over-window is computed in a prior
+    projection on both engines (the q272 DuckDB restriction).
+
+    Scale: one corpus-sized groupBy to the (priority × day) grain;
+    both windows run on that bounded frame (5 × |days|), partitioned
+    by priority.
+    """
+    from pyspark.sql import Window
+
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_shipdate"],
+    )
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+    )
+    day = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("l_shipdate").alias("d"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = day.select(
+        "priority", "d", "n", "r",
+        F.sum(
+            F.lit(2877) * F.col("r")
+            - F.lit(1542) * (F.col("n") - F.col("r"))
+        )
+        .over(w_cum)
+        .cast("bigint")
+        .alias("cum_llr"),
+    )
+    w_prev = (
+        Window.partitionBy("priority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    crossed = F.when(F.abs(F.col("cum_llr")) >= 29444, 1).otherwise(0)
+    flagged = scored.select(
+        "priority", "d", "n", "r", "cum_llr",
+        crossed.alias("crossed"),
+        F.coalesce(
+            F.sum(crossed).over(w_prev).cast("bigint"), F.lit(0)
+        ).alias("prior_crossings"),
+    )
+    return flagged.select(
+        "priority",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n", "r", "cum_llr",
+        F.when(F.col("cum_llr") >= 29444, "accept_drift")
+        .when(F.col("cum_llr") <= -29444, "accept_null")
+        .otherwise("continue")
+        .alias("decision"),
+        (
+            (F.col("crossed") == 1) & (F.col("prior_crossings") == 0)
+        ).alias("is_decision_day"),
+    )

@@ -4251,3 +4251,120 @@ def q335_overdispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(disp, 6).alias("dispersion"),
         (disp > 1.0 + 3.0 * F.sqrt(2.0 / (nd - 1))).alias("overdispersed"),
     )
+
+
+@query(
+    "q341_revenue_recognition",
+    tags=("timeseries", "finance", "calendar"),
+    oracle="""
+WITH li AS (
+  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS net4,
+         least(o.o_orderdate, l.l_shipdate) AS d0,
+         greatest(o.o_orderdate, l.l_shipdate) AS d1,
+         date_diff('day', least(o.o_orderdate, l.l_shipdate),
+                   greatest(o.o_orderdate, l.l_shipdate)) + 1 AS td
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), ex AS (
+  SELECT net4, d0, d1, td,
+         CAST(unnest(generate_series(date_trunc('month', d0),
+                                     date_trunc('month', d1),
+                                     INTERVAL 1 MONTH)) AS DATE) AS mstart
+  FROM li
+), seg AS (
+  SELECT strftime(mstart, '%Y-%m') AS month,
+         mstart > date_trunc('month', d0) AS carry,
+         CAST(net4 * (date_diff('day', greatest(d0, mstart),
+                                least(d1, last_day(mstart))) + 1)
+              AS DOUBLE) / td AS portion
+  FROM ex
+)
+SELECT month, CAST(count(*) AS BIGINT) AS n_line_months,
+       round(sum(portion) / 10000.0 + 1e-9, 2) AS recognized_rev,
+       round(coalesce(sum(portion) FILTER (WHERE carry), 0.0)
+             / 10000.0 + 1e-9, 2) AS carryover_rev
+FROM seg GROUP BY month
+""",
+)
+def q341_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar revenue recognition: each line's net revenue is
+    prorated day-weighted across every calendar month its service
+    period touches (accrual accounting's proration schedule, also the
+    generic interval-to-calendar-grain allocator behind SLA credits
+    and subscription amortization). The service period is
+    least→greatest of order and ship date: this generator draws the
+    two independently (47% of lines 'ship' before booking — the q171
+    class; the query defines the span direction-free and reports it).
+
+    `recognized_rev` is the month's accrued revenue; `carryover_rev`
+    is the part accrued from lines BOOKED in an earlier month — the
+    deferred-revenue tail a finance close watches.
+
+    Exactness: net revenue in 1e-4-dollar integer units (cents ×
+    (100−disc) — exact), day counts integer, so each line-month
+    portion is one exact BIGINT product divided once by the span
+    length; the per-month float sums are the documented q24 class,
+    absorbed by the fround pair. The empty-FILTER month coalesces to
+    0.0 (the q272 NULL-vs-[] lesson, scalar form).
+
+    Scale: the explode multiplies rows by the span's month count
+    (bounded by the date domain, ~84), then immediately funnels into
+    a month-grain groupBy — map-side combine reduces each partition
+    to ≤ |months| rows before the one shuffle; no window anywhere.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("net4"),
+        F.least("o_orderdate", "l_shipdate").alias("d0"),
+        F.greatest("o_orderdate", "l_shipdate").alias("d1"),
+        (
+            F.datediff(
+                F.greatest("o_orderdate", "l_shipdate"),
+                F.least("o_orderdate", "l_shipdate"),
+            )
+            + 1
+        ).alias("td"),
+    )
+    ex = j.select(
+        "net4", "d0", "d1", "td",
+        F.explode(
+            F.sequence(
+                F.trunc("d0", "MM"),
+                F.trunc("d1", "MM"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("mstart"),
+    )
+    portion = (
+        F.col("net4")
+        * (
+            F.datediff(
+                F.least(F.col("d1"), F.last_day(F.col("mstart"))),
+                F.greatest(F.col("d0"), F.col("mstart")),
+            )
+            + 1
+        )
+    ).cast("double") / F.col("td")
+    seg = ex.select(
+        F.date_format("mstart", "yyyy-MM").alias("month"),
+        (F.col("mstart") > F.trunc("d0", "MM")).alias("carry"),
+        portion.alias("portion"),
+    )
+    return seg.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_line_months"),
+        fround(F.sum("portion") / 10000.0, 2).alias("recognized_rev"),
+        fround(
+            F.coalesce(
+                F.sum(F.when(F.col("carry"), F.col("portion"))), F.lit(0.0)
+            )
+            / 10000.0,
+            2,
+        ).alias("carryover_rev"),
+    )

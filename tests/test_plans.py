@@ -1749,3 +1749,39 @@ def test_q337_theil_single_pass_per_grain(spark):
     plan = physical_plan(_q(spark, "q337_theil_decomposition"))
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q340_wasserstein_domain_grid_no_sort_join(spark):
+    plan = physical_plan(_q(spark, "q340_wasserstein_source_drift"))
+    # support/global frames broadcast into the (source x length) grid;
+    # the per-source CDF window is hash-partitioned by source (the
+    # checkpointed histogram shows as Scan ExistingRDD — q229 effect)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q341_revenue_recognition_explode_then_agg_no_window(spark):
+    plan = physical_plan(_q(spark, "q341_revenue_recognition"))
+    # month spine explode feeds straight into a month-grain partial
+    # aggregation: no window, no range exchange anywhere
+    assert "Generate" in plan and "explode" in plan
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q342_sprt_windows_partitioned_by_priority(spark):
+    plan = physical_plan(_q(spark, "q342_sprt_return_rate_monitor"))
+    # both prefix windows run partitioned on the bounded
+    # (priority x day) grain — never a single-partition data window
+    assert "Window" in plan
+    assert "hashpartitioning(priority" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q343_hamilton_bounded_funnel(spark):
+    plan = physical_plan(_q(spark, "q343_hamilton_sampling_allocation"))
+    # cell-grain frames cross-join as broadcast one-row funnels; the
+    # single-partition rank window sits on the <=|sources|x|langs|
+    # cell frame (the PLANS.md SinglePartition policy), never on rows
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
