@@ -19,6 +19,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ...functions.scalar import fround
+from ...operators.dedup import (
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles_of,
+    simhash,
+)
 from ...sources.readers import read_table
 from ..registry import query
 from .splits import _hash16_sql
@@ -2811,5 +2818,191 @@ def q340_wasserstein_source_drift(
                 )
                 + F.lit(0)
             ).alias("mean_shift_chars"),
+        )
+    )
+
+
+_Q346_SIM_SUMS = ",\n    ".join(
+    "sum((CAST(floor((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+    " / {div}) AS BIGINT) % 2) * 2 - 1) AS s{b}".format(
+        pos=b // 4 + 1, div=2 ** (b % 4), b=b
+    )
+    for b in range(16)
+)
+_Q346_SIM_FP = " + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN {2 ** b} ELSE 0 END)" for b in range(16)
+)
+
+
+@query(
+    "q346_neardup_evidence_pairs",
+    tags=("dedup", "lsh", "simhash"),
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]
+         ))) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sig AS (
+  SELECT doc_id,
+         min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+         min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+         min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+         min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
+  FROM grams GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(concat(h0, h1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+         CAST(count(*) AS BIGINT) AS n_shared_shingles
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.sh = ga.sh
+  GROUP BY c.doc_a, c.doc_b, c.n_shared_bands
+), tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), bits AS (
+  SELECT doc_id, md5(tok) AS h FROM tok
+), sums AS (
+  SELECT doc_id,
+    {_Q346_SIM_SUMS}
+  FROM bits GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, CAST({_Q346_SIM_FP} AS BIGINT) AS simhash FROM sums
+)
+SELECT i.doc_a, i.doc_b, i.n_shared_bands, i.n_shared_shingles,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
+         AS simhash_hamming,
+       round(i.n_shared_shingles
+             / (za.n_sh + zb.n_sh - i.n_shared_shingles) + 1e-9, 6)
+         AS jaccard,
+       bit_count(xor(sa.simhash, sb.simhash)) <= 3 AS simhash_close,
+       i.n_shared_shingles * 2
+         >= (za.n_sh + zb.n_sh - i.n_shared_shingles) AS jaccard_half
+FROM inter i
+JOIN sim sa ON sa.doc_id = i.doc_a
+JOIN sim sb ON sb.doc_id = i.doc_b
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+""",
+)
+def q346_neardup_evidence_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-evidence near-duplicate verification: every MinHash-LSH
+    candidate pair (4 bands x 2 rows, the q32 generator) scored by the
+    TWO independent verifiers a curation pipeline cross-checks before
+    dropping a document — 16-bit SimHash Hamming distance and exact
+    distinct-3-gram-shingle Jaccard — plus the per-verifier verdicts
+    (Hamming <= 3; Jaccard >= 1/2). Disagreement rows are the audit
+    queue: band collisions with low Jaccard are LSH false positives,
+    low Hamming with low Jaccard are SimHash's short-text blind spot.
+
+    The shingle-intersection inner join is total on the candidate set:
+    equal band buckets mean equal min-hash values, and an equal min
+    over md5-seeded shingle hashes implies the argmin SHINGLE is
+    common to both sets (md5 collisions aside) — so every candidate
+    shares >= 1 shingle and no pair drops.
+
+    Exactness: shared-band/shingle counts and Hamming distances are
+    exact integers; the Jaccard threshold is the cross-multiplied
+    integer inequality 2*inter >= union (q256 pattern — no float in
+    the verdict at all); the reported Jaccard is an integer-count
+    ratio (rule 5), rounded anyway. DuckDB's ``^`` is POWER, so the
+    oracle spells bitwise XOR as ``xor()``; its bit_count returns
+    TINYINT-class ints, CAST to BIGINT (rule 8).
+
+    Scale: pair universe is LSH-bucket-bounded (max_bucket_size caps
+    skew upstream); the verification joins fan out candidates by
+    per-doc shingle count, never all-pairs. Shingle/size frames reuse
+    one bound token-array projection (CSE does not reach lambdas).
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    cand = lsh_candidate_pairs(lsh_bands(sig, n_hashes=8, band_size=2))
+    bound = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    ).where(F.size("_toks") >= 3)
+    shing = bound.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of(F.col("_toks"), 3))).alias(
+            "sh"
+        ),
+    ).localCheckpoint(eager=False)  # sizes + two intersection branches
+    sizes = shing.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    inter = (
+        cand.join(
+            shing.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+        )
+        .join(
+            shing.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b", "n_shared_bands")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+    )
+    sim = simhash(docs, bits=16)
+    ham = F.expr("simhash_a ^ simhash_b")
+    union_sz = F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_shared_shingles")
+    return (
+        inter.join(
+            sim.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("simhash").alias("simhash_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sim.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("simhash").alias("simhash_b"),
+            ),
+            "doc_b",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            "n_shared_shingles",
+            F.bit_count(ham).cast("bigint").alias("simhash_hamming"),
+            fround(F.col("n_shared_shingles") / union_sz, 6).alias(
+                "jaccard"
+            ),
+            (F.bit_count(ham) <= 3).alias("simhash_close"),
+            (F.col("n_shared_shingles") * 2 >= union_sz).alias(
+                "jaccard_half"
+            ),
         )
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ...operators.dedup import shingles_of
 from ...operators.packing import pack_sequences
 from ...operators.textstats import (
     boilerplate_ngram_stats,
@@ -1078,4 +1079,162 @@ def q221_sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_tok",
         end_tok.alias("end_tok"),
         (end_tok - F.col("start_tok") + 1).alias("n_chunk_toks"),
+    )
+
+
+@query(
+    "q344_negative_sampling_plan",
+    tags=("llm-pipeline", "sampling"),
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM tok GROUP BY token
+), w AS (
+  SELECT token, n_occurrences,
+         sqrt(sqrt((CAST(n_occurrences AS DOUBLE)
+                    * CAST(n_occurrences AS DOUBLE))
+                   * CAST(n_occurrences AS DOUBLE))) AS wgt
+  FROM cnt
+), tot AS (
+  SELECT CAST(sum(n_occurrences) AS BIGINT) AS t, sum(wgt) AS wsum
+  FROM w
+)
+SELECT token, n_occurrences,
+       round(n_occurrences / t + 1e-9, 8) AS p_unigram,
+       round(wgt / wsum + 1e-9, 8) AS p_smoothed,
+       round(100000.0 * wgt / wsum + 1e-9, 4) AS expected_draws,
+       round((wgt / wsum) / (n_occurrences / t) + 1e-9, 6) AS rare_boost
+FROM w CROSS JOIN tot
+""",
+)
+def q344_negative_sampling_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """word2vec-style negative-sampling table: per-token draw
+    probability proportional to count^{3/4} (Mikolov's unigram
+    smoothing), the expected draw count for a 100k-draw budget, and
+    the rare-token boost factor p_smoothed / p_unigram (> 1 below the
+    mean frequency — the whole point of the 3/4 power).
+
+    Exactness: count^0.75 is spelled ``sqrt(sqrt((d*d)*d))`` — NEVER
+    ``pow(d, 0.75)`` — because IEEE-754 requires sqrt to be correctly
+    rounded but makes no such promise for pow, so two correctly-
+    rounded sqrts of the identically-associated cube are bit-equal
+    across engines while libm pow may differ in the last ulp. The
+    float weight sum is partial-order-dependent (q24 class), so every
+    column that divides by it carries the fround pair. Integer-count
+    ratios (p_unigram) are engine-exact (rule 5) but rounded anyway.
+
+    Scale: one corpus scan to a vocabulary-bounded count frame; the
+    two scalar totals broadcast back — no window, no driver collect.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["text"])
+    cnt = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    d = F.col("n_occurrences").cast("double")
+    wt = cnt.select(
+        "token", "n_occurrences", F.sqrt(F.sqrt((d * d) * d)).alias("wgt")
+    ).localCheckpoint(eager=False)  # totals + per-row branches
+    tot = wt.agg(
+        F.sum("n_occurrences").cast("bigint").alias("t"),
+        F.sum("wgt").alias("wsum"),
+    )
+    p_uni = F.col("n_occurrences") / F.col("t")
+    p_sm = F.col("wgt") / F.col("wsum")
+    return wt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n_occurrences",
+        fround(p_uni, 8).alias("p_unigram"),
+        fround(p_sm, 8).alias("p_smoothed"),
+        fround(F.lit(100000.0) * F.col("wgt") / F.col("wsum"), 4).alias(
+            "expected_draws"
+        ),
+        fround(p_sm / p_uni, 6).alias("rare_boost"),
+    )
+
+
+@query(
+    "q345_novel_trigram_rate",
+    tags=("llm-pipeline", "text", "dedup"),
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), tri AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         )) AS sh
+  FROM base
+), occ AS (
+  SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS occ
+  FROM tri GROUP BY doc_id, sh
+), firstd AS (
+  SELECT sh, min(doc_id) AS first_doc FROM occ GROUP BY sh
+)
+SELECT o.doc_id,
+       CAST(sum(o.occ) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN o.doc_id = f.first_doc THEN o.occ ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN o.doc_id = f.first_doc THEN o.occ
+                      ELSE 0 END) AS BIGINT)
+             / CAST(sum(o.occ) AS BIGINT) + 1e-9, 6) AS novelty_rate
+FROM occ o JOIN firstd f USING (sh)
+GROUP BY o.doc_id
+""",
+)
+def q345_novel_trigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novel-trigram rate — the fraction of a document's
+    word-trigram occurrences never seen in any LOWER-doc_id document
+    (the corpus-order memorization/novelty metric used to audit how
+    much of a crawl is recombination vs new text). A trigram's debut
+    document gets credit for ALL its occurrences of it; every later
+    document scores 0 on that trigram.
+
+    Exactness: occurrence counts and the min-doc_id debut are exact
+    integers; the single derived ratio is an integer-count division
+    (engine-exact, rule 5) rounded anyway, with the DuckDB HUGEINT
+    sums cast to BIGINT (rule 8). Docs under 3 tokens are excluded on
+    both sides (zero trigrams — the rate is undefined, not 0).
+
+    Scale: trigram explode is corpus-token-sized; one shuffle to the
+    (doc, trigram) grain, one to the trigram grain for the debut
+    frame, then an equi-join back on the trigram key. No window, no
+    all-pairs anything; the occ frame feeds two branches so lineage
+    is truncated.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    bound = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    ).where(F.size("w") >= 3)
+    tri = bound.select(
+        "doc_id", F.explode(shingles_of(F.col("w"), 3)).alias("sh")
+    )
+    occ = (
+        tri.groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+        .localCheckpoint(eager=False)  # debut + join branches
+    )
+    firstd = occ.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("doc_id") == F.col("first_doc"), F.col("occ")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        occ.join(firstd, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_trigrams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            fround(
+                F.sum(novel).cast("bigint")
+                / F.sum("occ").cast("bigint"),
+                6,
+            ).alias("novelty_rate"),
+        )
     )
