@@ -2718,6 +2718,7 @@ SELECT cu.source, cu.ns AS n_docs,
              - CAST(t - ts AS DOUBLE) / (n - ns) + 1e-9, 4) + 0
          AS mean_shift_chars
 FROM cum cu CROSS JOIN gtot
+WHERE cu.ns < n
 GROUP BY cu.source, cu.ns, cu.ts, n, t
 """,
 )
@@ -2745,7 +2746,10 @@ def q340_wasserstein_source_drift(
     Scale: everything past the two groupBys lives on the
     (source × distinct-length) grid — domain-sized, not corpus-sized;
     the one unpartitioned window is the support histogram (bounded by
-    the distinct length count), the same funnel q165 uses.
+    the distinct length count), the same funnel q165 uses. A source
+    that IS the whole corpus (ns == n) has no complement distribution
+    — both sides drop that row (ns < n) rather than divide by zero,
+    where Spark would yield NULL but DuckDB raises/infs divergently.
     """
     docs = read_table(spark, sf_dir, "documents", ["source", "n_chars"])
     cnt = docs.groupBy("source", F.col("n_chars").alias("x")).agg(
@@ -2804,6 +2808,7 @@ def q340_wasserstein_source_drift(
                 * F.col("gap")
             ).alias("s1")
         )
+        .where(ns < n)  # single-source corpus: no complement to compare
         .select(
             "source",
             ns.alias("n_docs"),
@@ -2930,10 +2935,13 @@ def q346_neardup_evidence_pairs(
     oracle spells bitwise XOR as ``xor()``; its bit_count returns
     TINYINT-class ints, CAST to BIGINT (rule 8).
 
-    Scale: pair universe is LSH-bucket-bounded (max_bucket_size caps
-    skew upstream); the verification joins fan out candidates by
-    per-doc shingle count, never all-pairs. Shingle/size frames reuse
-    one bound token-array projection (CSE does not reach lambdas).
+    Scale: pair universe is LSH-bucket-bounded — here run UNCAPPED so
+    the oracle's pair set matches exactly; at production scale pass
+    ``max_bucket_size`` to lsh_candidate_pairs to cap hot-bucket skew
+    (at the cost of dropping pairs inside oversize buckets). The
+    verification joins fan out candidates by per-doc shingle count,
+    never all-pairs. Shingle/size frames reuse one bound token-array
+    projection (CSE does not reach lambdas).
     """
     docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)

@@ -55,66 +55,68 @@ def query(
 
 #: Explicit registry ordering for external harnesses. The driver
 #: verifies the FIRST 50 registry entries per round, so the order is
-#: rotated each round. Round-6 rotation: the r05 window (q116-q167)
-#: came back 50/50 green — the first perfect window — so those slots
-#: are released. This round rotates in the next never-driver-certified
-#: batch in number order: q168-q199 (third-session tail) plus
-#: q200-q218 (fourth-session head; no q202 exists). All pass the
+#: rotated each round. Round-7 rotation: the r06 window (q168-q218)
+#: came back 50/50 green, so those slots are released. This round
+#: rotates in the next never-driver-certified batch in number order:
+#: q219-q268 (fourth-session tail + fifth-session head). All pass the
 #: local strict checker at sf0.001/0.01/0.1 and driver_sim on current
-#: data; this is certification exposure, not known bugs. Remaining
-#: never-certified queries (q219-q339, 121 queries) rotate in over
-#: rounds 7-9 per CLAUDE.md.
+#: data; this is certification exposure, not known bugs. Note q230
+#: (isotonic/PAV) is a declared no-oracle entry (rows-only driver
+#: check; sequential pooling is not SQL-expressible — KKT invariants
+#: + cross-algorithm hypothesis tests stand in). Remaining
+#: never-certified queries (q269-q346, 78 queries) rotate in over
+#: rounds 8-9 per CLAUDE.md.
 _DRIVER_ORDER = [
-    "q168_ivf_balance_audit",
-    "q169_embedding_quality_audit",
-    "q170_encoding_audit",
-    "q171_order_total_consistency",
-    "q172_vocab_coverage_curve",
-    "q173_seasonal_naive_backtest",
-    "q174_psi_score_stability",
-    "q175_association_rules",
-    "q176_quantile_transform",
-    "q177_ab_test_welch",
-    "q178_lsh_recall_audit",
-    "q179_component_size_distribution",
-    "q180_last_touch_attribution",
-    "q181_hll_intersection_estimate",
-    "q182_point_in_time_join",
-    "q183_labeler_agreement_kappa",
-    "q184_conformal_calibration",
-    "q185_split_leakage_audit",
-    "q186_woe_information_value",
-    "q187_anova_decomposition",
-    "q188_decision_stump",
-    "q189_ndcg_retrieval_audit",
-    "q190_outlier_method_agreement",
-    "q191_cusum_control_chart",
-    "q192_market_concentration",
-    "q193_hierarchical_shares",
-    "q194_poisson_goodness_of_fit",
-    "q195_calendar_completeness",
-    "q196_near_duplicate_transactions",
-    "q197_retention_half_life",
-    "q198_period_over_period",
-    "q199_abc_classification",
-    "q200_benford_first_digit",
-    "q201_kaplan_meier",
-    "q203_autocorrelation",
-    "q204_normal_equation_ols",
-    "q205_record_linkage_scores",
-    "q206_grid_nearest_neighbor",
-    "q207_poisson_bootstrap_ci",
-    "q208_temperature_mixture",
-    "q209_position_attribution",
-    "q210_skyline_pareto_front",
-    "q211_mann_whitney_pairs",
-    "q212_bh_fdr_correction",
-    "q213_seasonal_decomposition",
-    "q214_theil_sen_trend",
-    "q215_degree_assortativity",
-    "q216_interevent_burstiness",
-    "q217_rfm_segmentation",
-    "q218_pareto_knee",
+    "q219_bpe_merge_step",
+    "q220_span_corruption_plan",
+    "q221_sliding_window_chunks",
+    "q222_class_balance_weights",
+    "q223_stratified_kfold_plan",
+    "q224_length_bucketed_batching",
+    "q225_capture_recapture",
+    "q226_lift_gains_table",
+    "q227_model_ks_separation",
+    "q228_randomization_test",
+    "q229_mann_kendall_trend",
+    "q230_isotonic_calibration",
+    "q231_peak_concurrency",
+    "q232_price_index",
+    "q233_growth_accounting",
+    "q234_langid_confusion",
+    "q235_pinball_loss",
+    "q236_item_item_cf",
+    "q237_grid_density_clusters",
+    "q238_bm25_retrieval",
+    "q239_sequence_pattern_mining",
+    "q240_brier_decomposition",
+    "q241_kcore_profile",
+    "q242_jl_projection_distortion",
+    "q243_tokenizer_fertility",
+    "q244_session_path_topk",
+    "q245_target_encoding_loo",
+    "q246_cross_correlation",
+    "q247_bootstrap_auc_ci",
+    "q248_local_clustering",
+    "q249_simpson_paradox_screen",
+    "q250_product_quantization",
+    "q251_pq_adc_recall",
+    "q252_hierarchical_percentiles",
+    "q253_business_day_normalization",
+    "q254_markov_attribution",
+    "q255_behavioral_user_similarity",
+    "q256_abc_xyz_matrix",
+    "q257_grid_quantile_regression",
+    "q258_dedup_cluster_conflicts",
+    "q259_kwic_snippets",
+    "q260_popularity_recommender_backtest",
+    "q261_difference_in_differences",
+    "q262_source_ablation_diversity",
+    "q263_peak_detection",
+    "q264_price_volume_mix",
+    "q265_dedup_savings_report",
+    "q266_customer_feature_assembly",
+    "q267_lsh_1nn_label_coherence",
+    "q268_friedman_dow_test",
 ]
 
 

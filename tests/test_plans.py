@@ -1785,3 +1785,34 @@ def test_q343_hamilton_bounded_funnel(spark):
     # cell frame (the PLANS.md SinglePartition policy), never on rows
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q344_negative_sampling_vocab_funnel(spark):
+    plan = physical_plan(_q(spark, "q344_negative_sampling_plan"))
+    # vocabulary-bounded count frame (checkpointed -> Scan ExistingRDD)
+    # with the two scalar totals broadcast back as a one-row cross
+    # join; no window, no sort-merge anywhere
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q345_novel_trigram_two_shuffles_no_window(spark):
+    plan = physical_plan(_q(spark, "q345_novel_trigram_rate"))
+    # debut frame joins back on the trigram key (broadcast at test SF,
+    # shuffled-hash at scale — never a cartesian pair blow-up), and
+    # the final rate aggregates on the doc grain
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" in plan or "hashpartitioning(sh" in plan
+
+
+def test_q346_neardup_evidence_no_allpairs(spark):
+    plan = physical_plan(_q(spark, "q346_neardup_evidence_pairs"))
+    # every pair comes from an LSH band-bucket equi-join; the two
+    # verifiers fan out by per-doc shingle count — no cartesian
+    # product, no window, and no Python node anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

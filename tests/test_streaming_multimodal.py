@@ -523,11 +523,21 @@ def test_stream_stream_outer_attribution_matches_batch(spark, tmp_path_factory):
     assert not (got_nulls & matched)
     # Soundness: every null row is a genuinely unmatched purchase.
     assert got_nulls <= unmatched
-    # Completeness up to the first batch's watermark horizon. The ntz
-    # µs int64 in the arrow file equals unix_micros after the reader's
-    # UTC cast, so the horizon math stays in integers end to end.
+    # Completeness up to the first batch's watermark horizon. The
+    # events.parquet ts encoding CHANGES between testdata generations
+    # (NANOS vs MICROS-ntz, CLAUDE.md footgun 7) — normalize the raw
+    # int64 to µs by the arrow unit, mirroring read_events_stream's
+    # footer probe, so the horizon math stays integer-exact under
+    # either encoding instead of inflating wm1 by 1000x.
     HOUR_US = 3_600_000_000
-    wm1 = t.column("ts").slice(0, half)[-1].cast("int64").as_py() - 2 * HOUR_US
+    raw_last = t.column("ts").slice(0, half)[-1].cast("int64").as_py()
+    unit = getattr(t.column("ts").type, "unit", "ns")  # raw int64 = nanos
+    wm1 = {
+        "s": raw_last * 1_000_000,
+        "ms": raw_last * 1_000,
+        "us": raw_last,
+        "ns": raw_last // 1_000,
+    }[unit] - 2 * HOUR_US
     horizon = wm1 - HOUR_US - 10_000_000
     must_emit = {p for p in unmatched if purchase_ts[p] < horizon}
     assert must_emit and must_emit <= got_nulls
