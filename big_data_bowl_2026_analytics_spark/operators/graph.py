@@ -318,3 +318,42 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             / (F.col("deg") * (F.col("deg") - F.lit(1))),
         ).alias("lcc"),
     )
+
+
+def bfs_hops(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
+    """Level-synchronous single-source BFS over a distinct undirected
+    ``(a < b)`` edge list from the graph's minimum node id (a
+    deterministic landmark — no driver collect): returns ``(v, d)``
+    with the exact hop distance for every node reached within
+    ``n_rounds``; unreached nodes are absent (callers left-join and
+    coalesce). Distances are exact integers, so unlike pagerank the
+    result is engine-hashable with NO rounding.
+
+    Each round relaxes dist through one co-partitioned join + a
+    min-groupBy — the textbook message-passing step — with lineage
+    truncated per round (the CC-operator lesson). The edge frame is
+    symmetrized and checkpointed once, pre-partitioned on ``src`` so
+    every round's join reuses the same partitioning.
+    """
+    dsym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    dist = dsym.agg(F.min("src").alias("v")).select(
+        "v", F.lit(0).cast("bigint").alias("d")
+    )
+    for _ in range(n_rounds):
+        relaxed = dist.join(dsym, dist.v == dsym.src).select(
+            F.col("dst").alias("v"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

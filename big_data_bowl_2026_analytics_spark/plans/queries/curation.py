@@ -3014,3 +3014,356 @@ def q346_neardup_evidence_pairs(
             ),
         )
     )
+
+
+@query(
+    "q355_ot_transport_plan",
+    tags=("statistics", "drift", "audit"),
+    oracle="""
+WITH a AS (
+  SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE source = 'src0' GROUP BY 1
+), b AS (
+  SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE source = 'src1' GROUP BY 1
+), ta AS (SELECT CAST(sum(c) AS BIGINT) AS na FROM a),
+tb AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM b),
+ca AS (
+  SELECT x, CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM a
+), cb AS (
+  SELECT x, CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM b
+), u AS (
+  SELECT ca.cum * nb AS s, 0 AS side, x,
+         x AS ax, CAST(NULL AS BIGINT) AS bx
+  FROM ca CROSS JOIN tb
+  UNION ALL
+  SELECT cb.cum * na, 1, x, CAST(NULL AS BIGINT), x
+  FROM cb CROSS JOIN ta
+), seg AS (
+  SELECT
+    first_value(ax IGNORE NULLS) OVER w AS from_len,
+    first_value(bx IGNORE NULLS) OVER w AS to_len,
+    s - coalesce(lag(s) OVER (ORDER BY s, side, x), 0) AS mass_i
+  FROM u
+  WINDOW w AS (ORDER BY s, side, x
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT from_len, to_len,
+       CAST(sum(mass_i) AS BIGINT) AS mass_units,
+       round(CAST(sum(mass_i) AS BIGINT)
+             / CAST(na * nb AS DOUBLE) + 1e-9, 8) AS mass,
+       round(CAST(abs(from_len - to_len) * sum(mass_i) AS BIGINT)
+             / CAST(na * nb AS DOUBLE) + 1e-9, 6) AS cost_contrib
+FROM seg CROSS JOIN ta CROSS JOIN tb
+GROUP BY from_len, to_len, na, nb
+HAVING CAST(sum(mass_i) AS BIGINT) > 0
+""",
+)
+def q355_ot_transport_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D optimal-transport PLAN between the src0 and src1
+    document-length distributions — not just the W1 distance (q340)
+    but the monotone coupling itself: which length bins must send how
+    much mass where to turn one distribution into the other. The
+    actionable form of a drift report: "src1 is src0 with ~x% of the
+    300-char mass moved to 450+" is a resampling recipe, a number like
+    W1=12.3 is not.
+
+    The exact trick: in 1-D the optimal coupling is the monotone one,
+    and on discrete support it is COMPUTABLE BY A MERGE — scale both
+    CDFs to the common integer mass grid M = n_a*n_b (cum_a*n_b vs
+    cum_b*n_a, exact BIGINTs — no rational rounding anywhere), take
+    the sorted union of breakpoints, and every inter-breakpoint
+    segment belongs to exactly one (from,to) pair: the next A-value
+    and next B-value at-or-after the breakpoint (first_value IGNORE
+    NULLS over the forward frame, on both engines). Segment masses
+    are integer diffs; the plan aggregates them per pair and divides
+    by M once (rule 5). Σ cost_contrib reproduces W1 exactly.
+
+    Scale: the corpus-sized work is two filtered groupBys; the merge
+    lives on the bounded (|support_a| + |support_b|)-row frame — the
+    q340/q165 domain-grid funnel, where the unpartitioned windows are
+    by design.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "n_chars"])
+    a = (
+        docs.where(F.col("source") == "src0")
+        .groupBy(F.col("n_chars").alias("x"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    b = (
+        docs.where(F.col("source") == "src1")
+        .groupBy(F.col("n_chars").alias("x"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_cum = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ca = a.select("x", F.sum("c").over(w_cum).cast("bigint").alias("cum"))
+    cb = b.select("x", F.sum("c").over(w_cum).cast("bigint").alias("cum"))
+    ta = a.agg(F.sum("c").cast("bigint").alias("na"))
+    tb = b.agg(F.sum("c").cast("bigint").alias("nb"))
+    u = (
+        ca.crossJoin(F.broadcast(tb))
+        .select(
+            (F.col("cum") * F.col("nb")).alias("s"),
+            F.lit(0).alias("side"),
+            "x",
+            F.col("x").alias("ax"),
+            F.lit(None).cast("bigint").alias("bx"),
+        )
+        .unionAll(
+            cb.crossJoin(F.broadcast(ta)).select(
+                (F.col("cum") * F.col("na")).alias("s"),
+                F.lit(1).alias("side"),
+                "x",
+                F.lit(None).cast("bigint").alias("ax"),
+                F.col("x").alias("bx"),
+            )
+        )
+    )
+    w_ord = Window.orderBy("s", "side", "x")
+    w_fwd = w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    seg = u.select(
+        F.first("ax", ignorenulls=True).over(w_fwd).alias("from_len"),
+        F.first("bx", ignorenulls=True).over(w_fwd).alias("to_len"),
+        (
+            F.col("s") - F.coalesce(F.lag("s").over(w_ord), F.lit(0))
+        ).alias("mass_i"),
+    )
+    m = (F.col("na") * F.col("nb")).cast("double")
+    return (
+        seg.groupBy("from_len", "to_len")
+        .agg(F.sum("mass_i").cast("bigint").alias("mass_units"))
+        .where(F.col("mass_units") > 0)
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "from_len", "to_len", "mass_units",
+            fround(F.col("mass_units") / m, 8).alias("mass"),
+            fround(
+                (
+                    F.abs(F.col("from_len") - F.col("to_len"))
+                    * F.col("mass_units")
+                ).cast("bigint")
+                / m,
+                6,
+            ).alias("cost_contrib"),
+        )
+    )
+
+
+@query(
+    "q356_triangle_bound_audit",
+    tags=("dedup", "lsh", "audit"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]
+         ))) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sig AS (
+  SELECT doc_id,
+         min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+         min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+         min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+         min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
+  FROM grams GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(concat(h0, h1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM grams GROUP BY doc_id
+), pj AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(count(*) AS BIGINT) AS i,
+         za.n_sh + zb.n_sh - CAST(count(*) AS BIGINT) AS u
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.sh = ga.sh
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+  GROUP BY c.doc_a, c.doc_b, za.n_sh, zb.n_sh
+), sym AS (
+  SELECT doc_a AS x, doc_b AS m, i, u FROM pj
+  UNION ALL SELECT doc_b, doc_a, i, u FROM pj
+), wedge AS (
+  SELECT p.x AS a, p.m AS mid, q.x AS c,
+         p.i AS i1, p.u AS u1, q.i AS i2, q.u AS u2,
+         p.i * q.u + q.i * p.u - p.u * q.u AS bnum,
+         p.u * q.u AS bden
+  FROM sym p JOIN sym q ON p.m = q.m AND p.x < q.x
+  WHERE p.i * q.u + q.i * p.u - p.u * q.u > 0
+), scored AS (
+  SELECT w.a, w.c, w.bnum, w.bden,
+         (10 * w.bnum) // w.bden AS bucket,
+         o.i AS i3, o.u AS u3
+  FROM wedge w LEFT JOIN pj o ON o.doc_a = w.a AND o.doc_b = w.c
+)
+SELECT CAST(bucket AS BIGINT) AS bound_decile,
+       CAST(count(*) AS BIGINT) AS n_wedges,
+       CAST(count(DISTINCT (a, c)) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN i3 IS NOT NULL THEN (a, c) END)
+            AS BIGINT) AS n_observed_pairs,
+       CAST(count(DISTINCT CASE WHEN i3 IS NULL THEN (a, c) END)
+            AS BIGINT) AS n_proven_missing_pairs,
+       CAST(sum(CASE WHEN i3 IS NOT NULL
+                      AND i3 * bden < u3 * bnum THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_metric_violations
+FROM scored
+GROUP BY bucket
+""",
+)
+def q356_triangle_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provable-recall audit of the LSH candidate generator via the
+    Jaccard triangle inequality — NO ground truth needed: Jaccard
+    distance is a metric (Steinhaus), so two observed similarities
+    J(a,m) and J(m,c) force J(a,c) >= J(a,m) + J(m,c) - 1. Every
+    wedge whose bound is positive but whose (a,c) pair the LSH stage
+    never produced is a PROVEN missed near-duplicate (its similarity
+    is mathematically at least bnum/bden > 0), and the audit reports
+    them by bound decile — the high-decile rows are recall holes no
+    sampling argument can explain away. n_metric_violations counts
+    observed pairs below their own bound: structurally impossible for
+    true Jaccard, so any nonzero value is a tripwire on the shingle /
+    intersection machinery itself (the q28-style self-certifying
+    column).
+
+    Exactness: similarities stay INTEGER FRACTIONS (i/u) end to end —
+    the bound positivity (i1*u2 + i2*u1 - u1*u2 > 0), the decile
+    ((10*bnum) // bden), and the violation test (i3*bden < u3*bnum)
+    are all exact BIGINT cross-multiplications; there is NO float
+    column in the whole query. Products stay under ~1e15 for shingle
+    sets up to 1e5 (u <= n_sh_a + n_sh_b).
+
+    Scale: wedges come from a per-middle-node self-join of the
+    LSH-bounded candidate list (the q248 wedge machinery — bounded by
+    candidate degree, never corpus-quadratic); the verification joins
+    fan out by per-doc shingle count like q346. The pj frame feeds
+    the wedge join twice plus the observation lookup, so lineage is
+    truncated.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    cand = (
+        lsh_candidate_pairs(lsh_bands(sig, n_hashes=8, band_size=2))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    bound = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    ).where(F.size("_toks") >= 3)
+    shing = bound.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of(F.col("_toks"), 3))).alias(
+            "sh"
+        ),
+    ).localCheckpoint(eager=False)  # sizes + intersection branches
+    sizes = shing.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    pj = (
+        cand.join(
+            shing.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+        )
+        .join(
+            shing.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "i",
+            (F.col("na") + F.col("nb") - F.col("i")).alias("u"),
+        )
+        .localCheckpoint(eager=False)  # two wedge sides + obs lookup
+    )
+    sym = pj.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("m"), "i", "u"
+    ).unionAll(
+        pj.select(
+            F.col("doc_b").alias("x"), F.col("doc_a").alias("m"), "i", "u"
+        )
+    )
+    p = sym.select(
+        F.col("x").alias("a"), F.col("m").alias("mid"),
+        F.col("i").alias("i1"), F.col("u").alias("u1"),
+    )
+    q = sym.select(
+        F.col("x").alias("c"), F.col("m").alias("mid"),
+        F.col("i").alias("i2"), F.col("u").alias("u2"),
+    )
+    bnum = (
+        F.col("i1") * F.col("u2")
+        + F.col("i2") * F.col("u1")
+        - F.col("u1") * F.col("u2")
+    )
+    wedge = (
+        p.join(q, "mid")
+        .where(F.col("a") < F.col("c"))
+        .select(
+            "a", "c",
+            bnum.alias("bnum"),
+            (F.col("u1") * F.col("u2")).alias("bden"),
+        )
+        .where(F.col("bnum") > 0)
+    )
+    scored = wedge.join(
+        pj.select(
+            F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("c"),
+            F.col("i").alias("i3"),
+            F.col("u").alias("u3"),
+        ),
+        ["a", "c"],
+        "left",
+    ).select(
+        "a", "c", "bnum", "bden", "i3", "u3",
+        F.expr("(10 * bnum) DIV bden").alias("bucket"),
+    )
+    return scored.groupBy(
+        F.col("bucket").cast("bigint").alias("bound_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+        F.countDistinct("a", "c").cast("bigint").alias("n_pairs"),
+        F.countDistinct(
+            F.when(F.col("i3").isNotNull(), F.struct("a", "c"))
+        ).cast("bigint").alias("n_observed_pairs"),
+        F.countDistinct(
+            F.when(F.col("i3").isNull(), F.struct("a", "c"))
+        ).cast("bigint").alias("n_proven_missing_pairs"),
+        F.sum(
+            F.when(
+                F.col("i3").isNotNull()
+                & (F.col("i3") * F.col("bden") < F.col("u3") * F.col("bnum")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_metric_violations"),
+    )

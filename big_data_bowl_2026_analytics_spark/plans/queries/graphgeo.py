@@ -1510,3 +1510,107 @@ def q324_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint"),
     )
+
+
+def _bfs_oracle(n_rounds: int = 8) -> str:
+    """Unrolled level-synchronous BFS oracle from the minimum node of
+    the q215/q241 supplier co-occurrence graph. Every round references
+    its predecessor twice (carry + relax), so each CTE is MATERIALIZED
+    per the q241 lattice-unroll discipline."""
+    parts = [
+        """
+WITH hi AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM hi a JOIN hi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), dsym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+), dist0 AS MATERIALIZED (
+  SELECT min(src) AS v, CAST(0 AS BIGINT) AS d FROM dsym
+)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        p = i - 1
+        parts.append(
+            f""", dist{i} AS MATERIALIZED (
+  SELECT v, min(d) AS d FROM (
+    SELECT v, d FROM dist{p}
+    UNION ALL
+    SELECT s.dst AS v, t.d + 1 AS d FROM dist{p} t JOIN dsym s ON s.src = t.v
+  ) GROUP BY v
+)"""
+        )
+    parts.append(
+        f""", nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS v FROM dsym
+), hist AS (
+  SELECT coalesce(d.d, -1) AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM nodes n LEFT JOIN dist{n_rounds} d ON d.v = n.v
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+)
+SELECT CAST(hop AS BIGINT) AS hop, n_nodes,
+       round(CAST(n_nodes AS DOUBLE) / n + 1e-9, 6) AS share
+FROM hist CROSS JOIN tot"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "q350_bfs_hop_profile",
+    tags=("graph", "iterative"),
+    oracle=_bfs_oracle(8),
+)
+def q350_bfs_hop_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop-distance profile of the supplier
+    co-occurrence graph (the q215/q241/q248 edge frame) from the
+    deterministic minimum-id landmark: how much of the graph is
+    reachable in 1, 2, ... 8 hops, with unreached nodes reported as
+    hop -1 — the small-world / fragmentation fingerprint that says
+    whether multi-hop graph features are even worth computing on this
+    corpus (a giant 2-hop ball means 2 message-passing rounds already
+    mix everything; a fat -1 row means the q179 component story
+    dominates). Completes the iterative family (pagerank/k-core/CC/
+    Bradley-Terry) with DISTANCE semantics none of them produce.
+
+    Exactness: hop counts are exact integers (min over exact integer
+    relaxations — no float anywhere until the share ratio, rule 5);
+    the oracle unrolls the same 8 synchronous rounds with
+    MATERIALIZED CTEs (q241 discipline: each round is referenced
+    twice per successor).
+
+    Scale: operators/graph.py::bfs_hops — the symmetrized edge frame
+    checkpoints ONCE pre-partitioned on src; each round is one
+    co-partitioned join + min-groupBy with per-round lineage
+    truncation. Frontier size is bounded by the reached set, never
+    the edge count.
+    """
+    from ...operators.graph import bfs_hops, cooccurrence_edges
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+    hi = li.where(F.col("l_quantity") >= 48)
+    edges = cooccurrence_edges(hi, "l_orderkey", "l_suppkey")
+    dist = bfs_hops(edges, n_rounds=8)
+    nodes = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    hist = (
+        nodes.join(dist, "v", "left")
+        .select(F.coalesce("d", F.lit(-1).cast("bigint")).alias("hop"))
+        .groupBy("hop")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    tot = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "hop", "n_nodes",
+        fround(F.col("n_nodes").cast("double") / F.col("n"), 6).alias(
+            "share"
+        ),
+    )

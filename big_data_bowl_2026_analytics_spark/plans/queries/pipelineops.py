@@ -1981,3 +1981,269 @@ def q343_hamilton_sampling_allocation(
         .alias("alloc"),
         (F.col("rk") <= F.col("leftover")).alias("got_bonus"),
     )
+
+
+@query(
+    "q351_encoding_advisor",
+    tags=("planning", "audit", "report"),
+    oracle="""
+WITH flagged AS (
+  SELECT
+    CASE WHEN lag(l_returnflag) OVER ww IS NULL
+           OR lag(l_returnflag) OVER ww <> l_returnflag
+         THEN 1 ELSE 0 END AS b_rf,
+    CASE WHEN lag(l_linestatus) OVER ww IS NULL
+           OR lag(l_linestatus) OVER ww <> l_linestatus
+         THEN 1 ELSE 0 END AS b_ls,
+    CASE WHEN lag(l_shipdate) OVER ww IS NULL
+           OR lag(l_shipdate) OVER ww <> l_shipdate
+         THEN 1 ELSE 0 END AS b_sd,
+    CASE WHEN lag(l_partkey) OVER ww IS NULL
+           OR lag(l_partkey) OVER ww <> l_partkey
+         THEN 1 ELSE 0 END AS b_pk,
+    CASE WHEN lag(l_quantity) OVER ww IS NULL
+           OR lag(l_quantity) OVER ww <> l_quantity
+         THEN 1 ELSE 0 END AS b_qt,
+    l_returnflag, l_linestatus, l_shipdate, l_partkey, l_quantity
+  FROM lineitem
+  WINDOW ww AS (
+    PARTITION BY l_orderkey
+    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+             l_extendedprice, l_discount, l_tax, l_returnflag,
+             l_linestatus, l_shipdate
+  )
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(b_rf) AS BIGINT) AS r_rf,
+         CAST(sum(b_ls) AS BIGINT) AS r_ls,
+         CAST(sum(b_sd) AS BIGINT) AS r_sd,
+         CAST(sum(b_pk) AS BIGINT) AS r_pk,
+         CAST(sum(b_qt) AS BIGINT) AS r_qt,
+         CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d_rf,
+         CAST(count(DISTINCT l_linestatus) AS BIGINT) AS d_ls,
+         CAST(count(DISTINCT l_shipdate) AS BIGINT) AS d_sd,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_pk,
+         CAST(count(DISTINCT l_quantity) AS BIGINT) AS d_qt
+  FROM flagged
+), rows_out AS (
+  SELECT 'l_returnflag' AS col_name, n, d_rf AS n_distinct, r_rf AS n_runs
+    FROM agg
+  UNION ALL SELECT 'l_linestatus', n, d_ls, r_ls FROM agg
+  UNION ALL SELECT 'l_shipdate', n, d_sd, r_sd FROM agg
+  UNION ALL SELECT 'l_partkey', n, d_pk, r_pk FROM agg
+  UNION ALL SELECT 'l_quantity', n, d_qt, r_qt FROM agg
+)
+SELECT col_name, n, n_distinct, n_runs,
+       round(CAST(n AS DOUBLE) / n_runs + 1e-9, 4) AS avg_run_len,
+       CASE WHEN n_runs * 8 <= n THEN 'rle'
+            WHEN n_distinct * 20 <= n THEN 'dict'
+            ELSE 'plain' END AS advice
+FROM rows_out
+""",
+)
+def q351_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor: per column, the run count the writer
+    would see under the table's natural (order, line) clustering plus
+    the distinct-value count, reduced to the RLE / dictionary / plain
+    recommendation a 100 TB parquet rewrite wants BEFORE it rewrites
+    anything (runs*8 <= n: runs pay off; distinct*20 <= n: a
+    dictionary pays; both thresholds integer-exact so the verdict can
+    never flip on a float boundary).
+
+    Runs are counted WITHIN each l_orderkey partition under a
+    total intra-order sort (every remaining column in the key —
+    synthetic lineitem has duplicate l_linenumber per order, footgun
+    6, and any order-ambiguity between non-identical rows would make
+    the run count engine-dependent). Cross-order boundaries count as
+    run starts on both engines identically (lag IS NULL).
+
+    Scale: ONE fact pass — the five lag flags share one window spec
+    (one hash-partition shuffle on the order key), and the five
+    distinct counts ride the same aggregation (Expand); output is the
+    fixed 5-row advisory.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    ww = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    )
+
+    def boundary(c: str):
+        prev = F.lag(F.col(c)).over(ww)
+        return (
+            F.when(prev.isNull() | (prev != F.col(c)), 1).otherwise(0)
+        )
+
+    cols = {
+        "l_returnflag": "rf",
+        "l_linestatus": "ls",
+        "l_shipdate": "sd",
+        "l_partkey": "pk",
+        "l_quantity": "qt",
+    }
+    flagged = li.select(
+        *[F.col(c) for c in cols],
+        *[boundary(c).alias(f"b_{tag}") for c, tag in cols.items()],
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(f"b_{tag}").cast("bigint").alias(f"r_{tag}")
+            for tag in cols.values()
+        ],
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"d_{tag}")
+            for c, tag in cols.items()
+        ],
+    )
+    stacked = agg.select(
+        "n",
+        F.expr(
+            "stack(5,"
+            + ",".join(
+                f"'{c}', d_{tag}, r_{tag}" for c, tag in cols.items()
+            )
+            + ") AS (col_name, n_distinct, n_runs)"
+        ),
+    )
+    return stacked.select(
+        "col_name", "n", "n_distinct", "n_runs",
+        fround(
+            F.col("n").cast("double") / F.col("n_runs"), 4
+        ).alias("avg_run_len"),
+        F.when(F.col("n_runs") * 8 <= F.col("n"), "rle")
+        .when(F.col("n_distinct") * 20 <= F.col("n"), "dict")
+        .otherwise("plain")
+        .alias("advice"),
+    )
+
+
+@query(
+    "q357_filter_attribution_audit",
+    tags=("llm-pipeline", "quality", "audit"),
+    oracle="""
+WITH base AS (
+  SELECT n_chars, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+), flags AS (
+  SELECT
+    CASE WHEN n_chars < 100 THEN 1 ELSE 0 END
+    + CASE WHEN n_uniq * 2 < n_tok THEN 2 ELSE 0 END
+    + CASE WHEN (n_chars - n_tok + 1) * 10 < n_tok * 45 THEN 4 ELSE 0 END
+    + CASE WHEN lang NOT IN ('en', 'es') THEN 8 ELSE 0 END AS mask
+  FROM base
+), grp AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS cnt FROM flags GROUP BY mask
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN mask <> 0 THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_dropped
+  FROM grp
+), filters AS (
+  SELECT * FROM (VALUES
+    ('too_short', 1), ('repetitive', 2),
+    ('short_tokens', 4), ('lang_other', 8)
+  ) f(filter_name, bit)
+)
+SELECT f.filter_name,
+       CAST(coalesce(sum(CASE WHEN (g.mask & f.bit) <> 0
+                               THEN g.cnt END), 0) AS BIGINT) AS n_flagged,
+       CAST(coalesce(sum(CASE WHEN g.mask = f.bit THEN g.cnt END), 0)
+            AS BIGINT) AS n_unique_drops,
+       t.n_docs, t.n_dropped,
+       round(CAST(coalesce(sum(CASE WHEN (g.mask & f.bit) <> 0
+                                     THEN g.cnt END), 0) AS BIGINT)
+             / CAST(t.n_docs AS DOUBLE) + 1e-9, 6) AS flag_share,
+       round(CAST(coalesce(sum(CASE WHEN g.mask = f.bit THEN g.cnt END), 0)
+                  AS BIGINT)
+             / CAST(t.n_docs AS DOUBLE) + 1e-9, 6) AS unique_share
+FROM filters f CROSS JOIN grp g CROSS JOIN tot t
+GROUP BY f.filter_name, t.n_docs, t.n_dropped
+""",
+)
+def q357_filter_attribution_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cleaning-filter attribution: for each of four deterministic
+    quality rules (too short, heavy token repetition, short average
+    tokens, non-core language), how many documents it flags and — the
+    number that actually drives pipeline tuning — how many it alone
+    would drop (n_unique_drops: docs no other rule catches). A rule
+    with large n_flagged but near-zero unique drops is redundant; one
+    with large unique drops is the rule to re-examine before a 100 TB
+    run deletes that slice. The q354 bitmask-lattice machinery
+    pointed at filter predicates instead of sources.
+
+    Exactness: every predicate is an integer inequality (avg token
+    length < 4.5 is cross-multiplied to (n_chars - n_tok + 1)*10 <
+    n_tok*45 — no float threshold, the q256 rule); masks and counts
+    are exact integers, the two shares integer ratios (rule 5).
+
+    Scale: ONE corpus scan to a <=16-row mask histogram; attribution
+    is a broadcast cross of the fixed 4-row filter frame against that
+    bounded histogram — re-auditing after a threshold change never
+    rescans the corpus if the mask frame is cached.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["n_chars", "lang", "text"])
+    base = docs.select(
+        "n_chars", "lang", F.split(F.col("text"), " ").alias("_toks")
+    ).select(
+        "n_chars", "lang",
+        F.size("_toks").alias("n_tok"),
+        F.size(F.array_distinct("_toks")).alias("n_uniq"),
+    )
+    mask = (
+        F.when(F.col("n_chars") < 100, 1).otherwise(0)
+        + F.when(F.col("n_uniq") * 2 < F.col("n_tok"), 2).otherwise(0)
+        + F.when(
+            (F.col("n_chars") - F.col("n_tok") + 1) * 10
+            < F.col("n_tok") * 45,
+            4,
+        ).otherwise(0)
+        + F.when(~F.col("lang").isin("en", "es"), 8).otherwise(0)
+    )
+    grp = (
+        base.select(mask.alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # totals + attribution branches
+    )
+    tot = grp.agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("mask") != 0, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+    filters = spark.createDataFrame(
+        [("too_short", 1), ("repetitive", 2), ("short_tokens", 4),
+         ("lang_other", 8)],
+        "filter_name string, bit int",
+    )
+    flagged = F.sum(
+        F.when(F.col("mask").bitwiseAND(F.col("bit")) != 0, F.col("cnt"))
+    )
+    unique = F.sum(F.when(F.col("mask") == F.col("bit"), F.col("cnt")))
+    return (
+        filters.crossJoin(F.broadcast(grp))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("filter_name", "n_docs", "n_dropped")
+        .agg(
+            F.coalesce(flagged, F.lit(0)).cast("bigint").alias("n_flagged"),
+            F.coalesce(unique, F.lit(0)).cast("bigint").alias(
+                "n_unique_drops"
+            ),
+        )
+        .select(
+            "filter_name", "n_flagged", "n_unique_drops", "n_docs",
+            "n_dropped",
+            fround(
+                F.col("n_flagged") / F.col("n_docs").cast("double"), 6
+            ).alias("flag_share"),
+            fround(
+                F.col("n_unique_drops") / F.col("n_docs").cast("double"), 6
+            ).alias("unique_share"),
+        )
+    )

@@ -2241,3 +2241,116 @@ def q338_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("cum_ltv_per_customer"),
     )
+
+
+@query(
+    "q352_safety_stock_planner",
+    tags=("inventory", "planning", "statistics"),
+    oracle="""
+WITH daily AS (
+  SELECT p.p_brand AS brand,
+         CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), s AS (
+  SELECT brand,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(d * d) AS BIGINT) AS sd2,
+         CAST(min(day_num) AS BIGINT) AS d0,
+         CAST(max(day_num) AS BIGINT) AS d1
+  FROM daily GROUP BY brand
+), m AS (
+  SELECT brand, n_days,
+         CAST(sd AS DOUBLE) / n_days AS mu,
+         sqrt(greatest(
+           (CAST(n_days AS DOUBLE) * sd2 - CAST(sd AS DOUBLE) * sd)
+             / (CAST(n_days AS DOUBLE) * n_days),
+           0.0)) AS sigma,
+         CAST(d1 - d0 AS DOUBLE) / (n_days - 1) AS cyc
+  FROM s WHERE n_days > 1
+)
+SELECT brand, n_days,
+       round(mu + 1e-9, 4) AS mu_daily,
+       round(sigma + 1e-9, 4) AS sigma_daily,
+       round(cyc + 1e-9, 4) AS cycle_days,
+       round(1.645 * sigma * sqrt(cyc) + 1e-9, 2) AS safety_stock,
+       round(mu * cyc + 1.645 * sigma * sqrt(cyc) + 1e-9, 2)
+         AS reorder_point
+FROM m
+""",
+)
+def q352_safety_stock_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand safety-stock / reorder-point plan from the demand
+    series the warehouse actually observed: daily shipped quantity
+    gives mu and sigma, the mean gap between active days (telescoping
+    (max-min)/(n-1) — NO window needed) proxies the replenishment
+    cycle, and the classic z * sigma_d * sqrt(cycle) at z = 1.645
+    (95% service level) sets the buffer; reorder point = demand over
+    a cycle + buffer. The ops-planning companion to q310's supplier
+    scorecard.
+
+    Exactness: quantities are integer-valued doubles CAST to BIGINT on
+    both engines, so every input to the float block is an exact
+    integer sum; sigma^2 uses the one-pass (n*sd2 - sd^2)/n^2 form
+    with each BIGINT cast to double ONCE (the q204 rule), clamped at 0
+    before sqrt (q216). Daily brand sums at sf100 stay ~1e6, squares
+    ~1e12, well inside int64. The z literal appears as 1.645 on both
+    sides; sqrt is correctly rounded per IEEE-754 (the q344 rule).
+
+    Scale: one fact pass to the (brand x day) grain with a broadcast
+    dim join, then a 25-row brand frame — no window anywhere.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_shipdate"]
+    )
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    daily = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01")
+            ).cast("bigint").alias("day_num"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("brand", "day_num")
+        .agg(F.sum("q").cast("bigint").alias("d"))
+    )
+    s = daily.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sd2"),
+        F.min("day_num").cast("bigint").alias("d0"),
+        F.max("day_num").cast("bigint").alias("d1"),
+    )
+    nd = F.col("n_days").cast("double")
+    mu = F.col("sd").cast("double") / F.col("n_days")
+    sigma = F.sqrt(
+        F.greatest(
+            (nd * F.col("sd2") - F.col("sd").cast("double") * F.col("sd"))
+            / (nd * F.col("n_days")),
+            F.lit(0.0),
+        )
+    )
+    cyc = (F.col("d1") - F.col("d0")).cast("double") / (F.col("n_days") - 1)
+    m = s.where(F.col("n_days") > 1).select(
+        "brand", "n_days",
+        mu.alias("mu"), sigma.alias("sigma"), cyc.alias("cyc"),
+    )
+    return m.select(
+        "brand", "n_days",
+        fround(F.col("mu"), 4).alias("mu_daily"),
+        fround(F.col("sigma"), 4).alias("sigma_daily"),
+        fround(F.col("cyc"), 4).alias("cycle_days"),
+        fround(
+            F.lit(1.645) * F.col("sigma") * F.sqrt(F.col("cyc")), 2
+        ).alias("safety_stock"),
+        fround(
+            F.col("mu") * F.col("cyc")
+            + F.lit(1.645) * F.col("sigma") * F.sqrt(F.col("cyc")),
+            2,
+        ).alias("reorder_point"),
+    )

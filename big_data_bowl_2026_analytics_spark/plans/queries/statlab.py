@@ -3575,3 +3575,344 @@ def q342_sprt_return_rate_monitor(
             (F.col("crossed") == 1) & (F.col("prior_crossings") == 0)
         ).alias("is_decision_day"),
     )
+
+
+@query(
+    "q347_hill_tail_index",
+    tags=("statistics", "distribution", "topk"),
+    oracle="""
+WITH top AS (
+  SELECT o_totalprice AS x,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey DESC)
+           AS i
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey DESC
+  LIMIT 101
+), s AS (
+  SELECT
+    sum(CASE WHEN i <= 25 THEN ln(x) END) AS s25,
+    max(CASE WHEN i = 26 THEN x END) AS x25,
+    sum(CASE WHEN i <= 50 THEN ln(x) END) AS s50,
+    max(CASE WHEN i = 51 THEN x END) AS x50,
+    sum(CASE WHEN i <= 100 THEN ln(x) END) AS s100,
+    max(CASE WHEN i = 101 THEN x END) AS x100
+  FROM top
+)
+SELECT CAST(k AS BIGINT) AS k, xmin,
+       round(h + 1e-9, 6) AS hill_gamma,
+       round(1.0 / h + 1e-9, 6) AS tail_alpha
+FROM (
+  SELECT 25 AS k, x25 AS xmin, s25 / 25.0 - ln(x25) AS h FROM s
+  UNION ALL SELECT 50, x50, s50 / 50.0 - ln(x50) FROM s
+  UNION ALL SELECT 100, x100, s100 / 100.0 - ln(x100) FROM s
+) t
+""",
+)
+def q347_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator of the order-value distribution at
+    k = 25/50/100 upper order statistics — the quantitative answer to
+    "HOW heavy is the revenue tail" that q163's Zipf slope and q218's
+    Pareto knee only eyeball: gamma_k = (1/k)*sum_{i<=k} ln(x_(i)) -
+    ln(x_(k+1)), alpha = 1/gamma (alpha < 2: variance-infinite regime
+    where mean-based capacity planning breaks). Reporting three k
+    values IS the method — a stable plateau across k is the evidence
+    the tail is genuinely Pareto rather than log-normal.
+
+    Exactness: the top-101 selection is a total order (price desc,
+    orderkey desc — rule 3) feeding TakeOrderedAndProject; ln() of
+    bit-identical doubles is engine-stable by the repo's q158/q186
+    precedent, and the <=100-term float sums land far inside the
+    fround-6 absorption band (sum error ~1e-11 vs 5e-7 threshold).
+
+    Scale: the ONLY data-sized operation is the top-k scan (partial
+    per-partition top-101, no shuffle of the fact table); the rank
+    window and the unpivot run on the 101-row bounded frame (the
+    PLANS.md SinglePartition funnel policy).
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"]
+    )
+    top = (
+        orders.orderBy(F.desc("o_totalprice"), F.desc("o_orderkey"))
+        .limit(101)
+        .select(F.col("o_totalprice").alias("x"), "o_orderkey")
+    )
+    w = Window.orderBy(F.desc("x"), F.desc("o_orderkey"))
+    ranked = top.select("x", F.row_number().over(w).alias("i"))
+    s = ranked.agg(
+        F.sum(F.when(F.col("i") <= 25, F.log("x"))).alias("s25"),
+        F.max(F.when(F.col("i") == 26, F.col("x"))).alias("x25"),
+        F.sum(F.when(F.col("i") <= 50, F.log("x"))).alias("s50"),
+        F.max(F.when(F.col("i") == 51, F.col("x"))).alias("x50"),
+        F.sum(F.when(F.col("i") <= 100, F.log("x"))).alias("s100"),
+        F.max(F.when(F.col("i") == 101, F.col("x"))).alias("x100"),
+    )
+    stacked = s.select(
+        F.expr(
+            "stack(3,"
+            " CAST(25 AS BIGINT), x25, s25 / 25.0 - ln(x25),"
+            " CAST(50 AS BIGINT), x50, s50 / 50.0 - ln(x50),"
+            " CAST(100 AS BIGINT), x100, s100 / 100.0 - ln(x100)"
+            ") AS (k, xmin, h)"
+        )
+    )
+    return stacked.select(
+        "k",
+        "xmin",
+        fround(F.col("h"), 6).alias("hill_gamma"),
+        fround(F.lit(1.0) / F.col("h"), 6).alias("tail_alpha"),
+    )
+
+
+@query(
+    "q348_wilson_lower_bound",
+    tags=("statistics", "ranking", "quality"),
+    oracle="""
+WITH j AS (
+  SELECT p.p_brand AS brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+), w AS (
+  SELECT brand, n, r,
+         CAST(r AS DOUBLE) / n AS phat,
+         CAST(n AS DOUBLE) AS nd
+  FROM j
+), b AS (
+  SELECT brand, n, r, phat,
+         (phat + (1.96 * 1.96) / (2.0 * nd)
+          - 1.96 * sqrt(phat * (1.0 - phat) / nd
+                        + (1.96 * 1.96) / (4.0 * nd * nd)))
+         / (1.0 + (1.96 * 1.96) / nd) AS lb
+  FROM w
+)
+SELECT brand, n, r,
+       round(phat + 1e-9, 6) AS return_rate,
+       round(lb + 1e-9, 6) AS wilson_lb,
+       CAST(row_number() OVER (ORDER BY round(lb + 1e-9, 6) DESC, brand)
+            AS BIGINT) AS wilson_rank,
+       CAST(row_number() OVER (ORDER BY round(phat + 1e-9, 6) DESC, brand)
+            AS BIGINT) AS naive_rank,
+       row_number() OVER (ORDER BY round(lb + 1e-9, 6) DESC, brand)
+         <> row_number() OVER (ORDER BY round(phat + 1e-9, 6) DESC, brand)
+         AS rank_moved
+FROM b
+""",
+)
+def q348_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound ranking of per-brand return rates —
+    the small-sample-honest league table: ranking by the raw rate lets
+    a brand with 3 returns out of 5 lines outrank one with 400 out of
+    1000, while the 95% Wilson lower bound shrinks small-n estimates
+    toward zero exactly as hard as their evidence is thin (the
+    Agresti-style interval behind "sort by best" comment ranking).
+    rank_moved flags every brand whose position changes between the
+    two orderings — the rows where naive ranking would mislead.
+
+    Exactness: n and r are exact BIGINTs from one grouped pass; the
+    bound is a fixed, identically-parenthesized double expression of
+    (r, n) and the 1.96 literal (z^2 spelled 1.96*1.96 so both engines
+    fold the SAME product — never a 3.8416 literal that may differ in
+    the last ulp from the fold). Both rank windows order by the
+    ROUNDED bound with the brand as tie-break (rules 2/3) so the sort
+    key is cross-engine bit-identical.
+
+    Scale: one fact-table pass with a broadcast dim join; every
+    window sits on the 25-row brand frame (bounded funnel).
+    """
+    li = read_table(spark, sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("bigint").alias("r"),
+        )
+    )
+    phat = F.col("r").cast("double") / F.col("n")
+    nd = F.col("n").cast("double")
+    z2 = F.lit(1.96) * F.lit(1.96)
+    lb = (
+        phat
+        + z2 / (F.lit(2.0) * nd)
+        - F.lit(1.96)
+        * F.sqrt(
+            phat * (F.lit(1.0) - phat) / nd
+            + z2 / (F.lit(4.0) * nd * nd)
+        )
+    ) / (F.lit(1.0) + z2 / nd)
+    b = j.select(
+        "brand", "n", "r",
+        fround(phat, 6).alias("return_rate"),
+        fround(lb, 6).alias("wilson_lb"),
+    )
+    w_lb = Window.orderBy(F.desc("wilson_lb"), F.asc("brand"))
+    w_naive = Window.orderBy(F.desc("return_rate"), F.asc("brand"))
+    return b.select(
+        "brand", "n", "r", "return_rate", "wilson_lb",
+        F.row_number().over(w_lb).cast("bigint").alias("wilson_rank"),
+        F.row_number().over(w_naive).cast("bigint").alias("naive_rank"),
+        (
+            F.row_number().over(w_lb) != F.row_number().over(w_naive)
+        ).alias("rank_moved"),
+    )
+
+
+@query(
+    "q349_matched_cohort_uplift",
+    tags=("statistics", "causal", "join"),
+    oracle="""
+WITH outc AS (
+  SELECT l_orderkey AS okey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+), o AS (
+  SELECT o_orderkey, o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         coalesce(n_lines, 0) AS n_lines
+  FROM orders LEFT JOIN outc ON okey = o_orderkey
+), treated AS (
+  SELECT * FROM o WHERE priority IN ('1-URGENT', '2-HIGH')
+), control AS (
+  SELECT o_orderkey AS c_key, cents AS c_cents, n_lines AS c_lines,
+         cents // 50000 AS c_cell
+  FROM o WHERE priority = '5-LOW'
+), cells AS (
+  SELECT c_key, c_cents, c_lines, c_cell + d AS cell
+  FROM control CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)
+), cand AS (
+  SELECT t.o_orderkey, t.priority, t.cents, t.n_lines,
+         c.c_key, c.c_cents, c.c_lines,
+         abs(t.cents - c.c_cents) AS gap
+  FROM treated t JOIN cells c ON c.cell = t.cents // 50000
+  WHERE abs(t.cents - c.c_cents) <= 50000
+), best AS (
+  SELECT o_orderkey, priority, n_lines, c_lines, gap
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY gap, c_key) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), m AS (
+  SELECT priority,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(n_lines - c_lines) AS BIGINT) AS d_lines,
+         CAST(sum(gap) AS BIGINT) AS sgap
+  FROM best GROUP BY priority
+), nt AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n_treated
+  FROM treated GROUP BY priority
+)
+SELECT nt.priority, n_treated, coalesce(n_matched, 0) AS n_matched,
+       round(CAST(d_lines AS DOUBLE) / n_matched + 1e-9, 4) AS att_lines,
+       round(CAST(sgap AS DOUBLE) / n_matched / 100.0 + 1e-9, 4)
+         AS mean_gap_dollars
+FROM nt LEFT JOIN m USING (priority)
+""",
+)
+def q349_matched_cohort_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-cohort uplift: every urgent/high-priority order is
+    matched (with replacement) to its nearest '5-LOW' order by total
+    price within a $500 caliper, and the average line-count difference
+    over matched pairs estimates the priority effect with the
+    order-size confounder held fixed — nearest-neighbor matching, the
+    design-based sibling of q261's DiD (which needs a time dimension
+    this comparison doesn't have).
+
+    The nearest-within-caliper search never goes all-pairs: prices
+    are bucketed into caliper-width integer-cent cells, controls
+    explode to their 3 adjacent cells, and the equi-join on cell
+    provably covers every pair within the caliper. Per-treated argmin
+    is totally ordered by (gap, control key) — rule 3/footgun 6 — via
+    one grouped min-struct (the q07 machinery) on the Spark side and
+    the equivalent rn=1 window in the oracle.
+
+    Exactness: cents, gaps, line counts, and their sums are exact
+    BIGINTs end to end; the two reported averages are single integer
+    ratios rounded per rule 2. Matching WITH replacement keeps the
+    estimator order-free (greedy without-replacement matching is
+    sequential and engine-dependent — deliberately not this query).
+
+    Scale: one fact pass for outcomes, a x3 explode of the control
+    side, and a cell equi-join whose fan-in per cell is bounded by
+    the price histogram, not the table size.
+    """
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey"])
+    outc = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    orders = read_table(
+        spark, sf_dir, "orders",
+        ["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    o = (
+        orders.join(outc, orders.o_orderkey == outc.okey, "left")
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+            F.coalesce("n_lines", F.lit(0).cast("bigint")).alias("n_lines"),
+        )
+        .localCheckpoint(eager=False)  # treated + control branches
+    )
+    treated = o.where(F.col("priority").isin("1-URGENT", "2-HIGH"))
+    control = o.where(F.col("priority") == "5-LOW").select(
+        F.col("o_orderkey").alias("c_key"),
+        F.col("cents").alias("c_cents"),
+        F.col("n_lines").alias("c_lines"),
+        F.expr("cents DIV 50000").alias("c_cell"),
+    )
+    cells = control.select(
+        "c_key", "c_cents", "c_lines",
+        F.explode(
+            F.array(
+                F.col("c_cell") - 1, F.col("c_cell"), F.col("c_cell") + 1
+            )
+        ).alias("cell"),
+    )
+    cand = (
+        treated.join(
+            cells, F.col("cell") == F.expr("cents DIV 50000")
+        )
+        .where(F.abs(F.col("cents") - F.col("c_cents")) <= 50000)
+        .select(
+            "o_orderkey", "priority", "n_lines", "c_lines", "c_key",
+            F.abs(F.col("cents") - F.col("c_cents")).alias("gap"),
+        )
+    )
+    best = (
+        cand.groupBy("o_orderkey", "priority", "n_lines")
+        .agg(F.min(F.struct("gap", "c_key", "c_lines")).alias("b"))
+        .select(
+            "priority", "n_lines",
+            F.col("b.gap").alias("gap"),
+            F.col("b.c_lines").alias("c_lines"),
+        )
+    )
+    m = best.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.sum(F.col("n_lines") - F.col("c_lines")).cast("bigint").alias(
+            "d_lines"
+        ),
+        F.sum("gap").cast("bigint").alias("sgap"),
+    )
+    nt = treated.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated")
+    )
+    return nt.join(m, "priority", "left").select(
+        "priority", "n_treated",
+        F.coalesce("n_matched", F.lit(0).cast("bigint")).alias("n_matched"),
+        fround(
+            F.col("d_lines").cast("double") / F.col("n_matched"), 4
+        ).alias("att_lines"),
+        fround(
+            F.col("sgap").cast("double") / F.col("n_matched") / F.lit(100.0),
+            4,
+        ).alias("mean_gap_dollars"),
+    )

@@ -3064,3 +3064,124 @@ def q320_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_share"),
         )
     )
+
+
+@query(
+    "q354_vocab_source_upset",
+    tags=("text", "report", "audit"),
+    oracle="""
+WITH srcidx AS (
+  SELECT source,
+         CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT source FROM documents)
+), toksrc AS (
+  SELECT tok, source, CAST(count(*) AS BIGINT) AS occ
+  FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok, source FROM documents
+  ) GROUP BY tok, source
+), tokmask AS (
+  SELECT t.tok,
+         CAST(sum(CAST(1 AS BIGINT) << s.idx) AS BIGINT) AS mask,
+         CAST(sum(t.occ) AS BIGINT) AS total_occ
+  FROM toksrc t JOIN srcidx s USING (source)
+  GROUP BY t.tok
+), grp AS (
+  SELECT mask,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(total_occ) AS BIGINT) AS n_occurrences
+  FROM tokmask GROUP BY mask
+)
+SELECT g.mask,
+       CAST(bit_count(g.mask) AS BIGINT) AS n_sources,
+       string_agg(s.source, ',' ORDER BY s.idx) AS members,
+       g.n_tokens, g.n_occurrences
+FROM grp g JOIN srcidx s ON ((g.mask >> s.idx) & 1) = 1
+GROUP BY g.mask, g.n_tokens, g.n_occurrences
+""",
+)
+def q354_vocab_source_upset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpSet-style vocabulary overlap profile: every EXACT combination
+    of sources a token appears in becomes one row (the intersection
+    lattice Venn diagrams can't draw past 3 sets), with its token
+    count and total corpus occurrences. The mixing-audit answer to
+    "which feeds share a vocabulary and which contribute exclusive
+    tokens" — a feed whose tokens all sit in all-sources masks adds
+    no lexical coverage (the q262 diversity story at the membership
+    grain rather than the distribution grain).
+
+    The combination is encoded as an exact integer bitmask: sources
+    get dense bit indices by name order (a bounded <=|sources|-row
+    rank window), and a token's mask is the sum of 1 << idx over the
+    DISTINCT sources containing it — one grouped integer sum, no
+    set-of-strings comparison anywhere. Membership lists are decoded
+    by the bit-test join ((mask >> idx) & 1) = 1 against the bounded
+    source frame, ordered by bit index on both engines.
+
+    Exactness: masks/counts are exact integers end to end (DuckDB's
+    HUGEINT sum of shifts is cast back, rule 8); no float column at
+    all.
+
+    Scale: the corpus-sized work is one token explode + two grouped
+    reductions ((token x source), then token); mask groups are
+    bounded by min(vocab, 2^|sources|) and the decode join touches
+    only that bounded frame against the |sources|-row index.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    srcidx = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.row_number().over(Window.orderBy("source")) - 1
+            ).cast("bigint").alias("idx"),
+        )
+    )
+    toksrc = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("tok"), "source"
+        )
+        .groupBy("tok", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    )
+    tokmask = (
+        toksrc.join(F.broadcast(srcidx), "source")
+        .groupBy("tok")
+        .agg(
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))")
+            )
+            .cast("bigint")
+            .alias("mask"),
+            F.sum("occ").cast("bigint").alias("total_occ"),
+        )
+    )
+    grp = tokmask.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("total_occ").cast("bigint").alias("n_occurrences"),
+    )
+    decoded = grp.join(
+        F.broadcast(srcidx),
+        F.expr("(shiftright(mask, CAST(idx AS INT)) & 1) = 1"),
+    )
+    return (
+        decoded.groupBy("mask", "n_tokens", "n_occurrences")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "source"))),
+                    lambda s: s["source"],
+                ),
+                ",",
+            ).alias("members")
+        )
+        .select(
+            "mask",
+            F.bit_count("mask").cast("bigint").alias("n_sources"),
+            "members",
+            "n_tokens",
+            "n_occurrences",
+        )
+    )

@@ -4368,3 +4368,93 @@ def q341_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("carryover_rev"),
     )
+
+
+@query(
+    "q353_transition_predictability",
+    tags=("timeseries", "sequence", "statistics"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS prev_type, next_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT prev_type, CAST(sum(c) AS BIGINT) AS t,
+         CAST(max(c) AS BIGINT) AS cmax
+  FROM pairs GROUP BY prev_type
+)
+SELECT p.prev_type,
+       t AS n_transitions,
+       round(sum(-(CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t))
+             + 1e-9, 6) AS entropy_nats,
+       round(CAST(cmax AS DOUBLE) / t + 1e-9, 6) AS top_share,
+       min(CASE WHEN c = cmax THEN next_type END) AS top_next
+FROM pairs p JOIN tot USING (prev_type)
+GROUP BY p.prev_type, t, cmax
+""",
+)
+def q353_transition_predictability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Next-event predictability per prior event type: the Shannon
+    entropy of each row of q138's transition matrix, the modal next
+    event and its share. Low entropy + high top_share = a transition
+    worth prefetching/caching for; entropy near ln(|types|) = the
+    prior type carries no signal. The per-row summary q138's raw
+    matrix makes the reader compute by eye.
+
+    Exactness: transition counts are exact integers from the
+    user-partitioned (ts, event_id)-ordered lead (total order per
+    footgun 6); every entropy term is -(c/t)*ln(c/t) on an
+    integer-count ratio (rule 5), c >= 1 by construction so 0*ln0
+    never arises (the q188 rule satisfied structurally); the <=5-term
+    float sum sits far inside fround-6 absorption. The modal type
+    needs no argmax tie-break machinery: min(next_type) over the
+    c = cmax slice IS the deterministic tie-break (footgun 6).
+
+    Scale: one user-partitioned lag pass (the q138 shuffle), then
+    everything lives on the <=|types|^2 = 25-cell frame with the
+    5-row totals broadcast back.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("prev_type"), "next_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = pairs.groupBy("prev_type").agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.max("c").cast("bigint").alias("cmax"),
+    )
+    p = F.col("c").cast("double") / F.col("t")
+    return (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .groupBy("prev_type", "t", "cmax")
+        .agg(
+            F.sum((-p) * F.log(p)).alias("h"),
+            F.min(
+                F.when(F.col("c") == F.col("cmax"), F.col("next_type"))
+            ).alias("top_next"),
+        )
+        .select(
+            "prev_type",
+            F.col("t").alias("n_transitions"),
+            fround(F.col("h"), 6).alias("entropy_nats"),
+            fround(F.col("cmax").cast("double") / F.col("t"), 6).alias(
+                "top_share"
+            ),
+            "top_next",
+        )
+    )

@@ -1816,3 +1816,120 @@ def test_q346_neardup_evidence_no_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_q347_hill_topk_partial_no_join(spark):
+    plan = physical_plan(_q(spark, "q347_hill_tail_index"))
+    # top-101 selection is a partial per-partition top-k, never a
+    # global sort; the rank window sits on the 101-row bounded frame
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q348_wilson_broadcast_dim_brand_grain(spark):
+    plan = physical_plan(_q(spark, "q348_wilson_lower_bound"))
+    # part dim broadcasts into the fact scan; both rank windows run on
+    # the 25-row brand frame (bounded SinglePartition funnel)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(p_brand" in plan
+
+
+def test_q349_matching_cell_equijoin_no_allpairs(spark):
+    plan = physical_plan(_q(spark, "q349_matched_cohort_uplift"))
+    # the nearest-within-caliper search is a cell equi-join over the
+    # x3 exploded control side — never a cartesian/theta join; argmin
+    # is a grouped min-struct, no window
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan and "explode" in plan
+    assert "Window" not in plan
+
+
+def test_q350_bfs_rounds_checkpointed(spark):
+    plan = physical_plan(_q(spark, "q350_bfs_hop_profile"))
+    # 8 relaxation rounds truncate lineage per round: the final plan
+    # hangs off Scan ExistingRDD, aggregates on the hop grain, and
+    # never crosses a Python boundary
+    assert "Scan ExistingRDD" in plan
+    assert "hashpartitioning(hop" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_q351_encoding_advisor_single_window_spec(spark):
+    plan = physical_plan(_q(spark, "q351_encoding_advisor"))
+    # the five lag flags share ONE window spec -> exactly one Window
+    # node partitioned by the order key; distinct counts ride the same
+    # aggregation via Expand
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "hashpartitioning(l_orderkey" in plan
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_q352_safety_stock_no_window_broadcast_dim(spark):
+    plan = physical_plan(_q(spark, "q352_safety_stock_planner"))
+    # cycle length is the telescoping (max-min)/(n-1) -- NO window
+    # anywhere; part dim broadcasts; brand-grain aggregation
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(brand" in plan
+
+
+def test_q353_predictability_user_partitioned_lead(spark):
+    plan = physical_plan(_q(spark, "q353_transition_predictability"))
+    # the lead runs partitioned by user (never a single-partition data
+    # window); totals broadcast back onto the 25-cell pair frame
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q354_upset_bounded_decode_join(spark):
+    plan = physical_plan(_q(spark, "q354_vocab_source_upset"))
+    # corpus-sized work is the token explode + two grouped reductions;
+    # the bit-test decode join is broadcast against the bounded source
+    # index (BNLJ on the non-equi bit predicate)
+    assert "Generate" in plan and "explode" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(tok" in plan
+
+
+def test_q355_ot_plan_domain_grid_funnel(spark):
+    plan = physical_plan(_q(spark, "q355_ot_transport_plan"))
+    # both histogram groupBys shuffle on n_chars; the merge windows
+    # live on the bounded support union (SinglePartition by design,
+    # the q340 funnel policy); totals broadcast
+    assert "hashpartitioning(n_chars" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q356_triangle_audit_no_cartesian_checkpointed_pairs(spark):
+    plan = physical_plan(_q(spark, "q356_triangle_bound_audit"))
+    # the pj frame (3 downstream consumers) is checkpointed; wedges
+    # come from an equi-join on the middle node, never a cartesian;
+    # the whole audit is integer-exact (no Window either)
+    assert "Scan ExistingRDD" in plan
+    assert "hashpartitioning(mid" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_q357_filter_attribution_bounded_cross(spark):
+    plan = physical_plan(_q(spark, "q357_filter_attribution_audit"))
+    # one corpus scan to the <=16-row mask histogram (checkpointed);
+    # attribution crosses the fixed 4-row filter frame against it by
+    # broadcast — no shuffle join, no window
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
