@@ -2354,3 +2354,260 @@ def q352_safety_stock_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("reorder_point"),
     )
+
+
+@query(
+    "q359_price_elasticity",
+    tags=("statistics", "regression", "finance"),
+    oracle="""
+WITH monthly AS (
+  SELECT p.p_brand AS brand,
+         CAST(date_trunc('month', CAST(l.l_shipdate AS DATE)) AS DATE) AS mo,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), obs AS (
+  SELECT brand,
+         ln(CAST(rev_cents AS DOUBLE) / (100.0 * qty)) AS x,
+         ln(CAST(qty AS DOUBLE)) AS y,
+         round(CAST(rev_cents AS DOUBLE) / (100.0 * qty) + 1e-9, 6) AS plevel
+  FROM monthly WHERE qty > 0
+), s AS (
+  SELECT brand,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(count(DISTINCT plevel) AS BIGINT) AS n_price_levels,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM obs GROUP BY brand
+)
+SELECT brand, m AS n_months, n_price_levels,
+       round((m * sxy - sx * sy) / (m * sxx - sx * sx) + 1e-9, 4)
+         AS elasticity
+FROM s
+WHERE m >= 24 AND n_price_levels >= 12
+""",
+)
+def q359_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: the log-log OLS slope of
+    monthly quantity on monthly average effective unit price (list
+    price net of discount) — elasticity < -1 marks brands where a
+    price cut grows revenue, > -1 where it just gives margin away.
+    The econometric reading of the variation q312's discount ladder
+    only tabulates.
+
+    Exactness: monthly quantity and revenue are exact BIGINTs
+    (per-line cents rounded BEFORE summing, the fixed-point money
+    rule), so each month's (x, y) = (ln price, ln qty) is a
+    deterministic double on both engines; the <=84-term OLS sums sit
+    inside fround absorption and the slope is one fixed expression
+    (q204 pattern). Degenerate fits are excluded by EXACT integer
+    guards (month count, distinct rounded price levels) — never by a
+    float-variance threshold that could flip cross-engine at the ulp
+    (the q212 lesson applied to WHERE clauses).
+
+    Scale: one fact pass to the (brand x month) grain with a
+    broadcast dim join; the regression runs on the 25-row brand
+    frame.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+         "l_shipdate"],
+    )
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("l_shipdate").cast("date"))
+            .cast("date")
+            .alias("mo"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                    * 100
+                ).cast("bigint")
+            ).cast("bigint").alias("rev_cents"),
+        )
+    )
+    price = F.col("rev_cents").cast("double") / (
+        F.lit(100.0) * F.col("qty")
+    )
+    obs = monthly.where(F.col("qty") > 0).select(
+        "brand",
+        F.log(price).alias("x"),
+        F.log(F.col("qty").cast("double")).alias("y"),
+        fround(price, 6).alias("plevel"),
+    )
+    s = obs.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.countDistinct("plevel").cast("bigint").alias("n_price_levels"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    return s.where((m >= 24) & (F.col("n_price_levels") >= 12)).select(
+        "brand",
+        m.alias("n_months"),
+        "n_price_levels",
+        fround(
+            (m * F.col("sxy") - sx * sy) / (m * F.col("sxx") - sx * sx), 4
+        ).alias("elasticity"),
+    )
+
+
+@query(
+    "q360_service_level_backtest",
+    tags=("inventory", "planning", "evaluation"),
+    oracle="""
+WITH daily AS (
+  SELECT p.p_brand AS brand,
+         CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), b AS (
+  SELECT brand,
+         CAST(min(day_num) AS BIGINT) AS d0,
+         CAST(max(day_num) AS BIGINT) AS d1,
+         CAST(max(day_num) - min(day_num) + 1 AS BIGINT) AS span,
+         CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(d * d) AS BIGINT) AS sd2
+  FROM daily GROUP BY brand
+), rop AS (
+  SELECT brand, d0, d1, span,
+         CAST(sd AS DOUBLE) / span * 7.0
+         + 1.645 * sqrt(greatest(
+             (CAST(span AS DOUBLE) * sd2 - CAST(sd AS DOUBLE) * sd)
+               / (CAST(span AS DOUBLE) * span), 0.0)) * sqrt(7.0)
+           AS reorder_point
+  FROM b WHERE span >= 14
+), weekly AS (
+  SELECT d.brand, d.day_num + off AS w,
+         CAST(sum(d.d) AS BIGINT) AS wd
+  FROM daily d
+  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off)
+  GROUP BY 1, 2
+), win AS (
+  SELECT r.brand, r.reorder_point, w.wd
+  FROM rop r JOIN weekly w
+    ON w.brand = r.brand AND w.w >= r.d0 + 6 AND w.w <= r.d1
+)
+SELECT brand,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN CAST(wd AS DOUBLE) > reorder_point
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stockouts,
+       round(1.0 - CAST(sum(CASE WHEN CAST(wd AS DOUBLE) > reorder_point
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                   / CAST(count(*) AS DOUBLE) + 1e-9, 6)
+         AS achieved_service,
+       CAST(sum(CASE WHEN CAST(wd AS DOUBLE) > reorder_point
+                     THEN 1 ELSE 0 END) AS BIGINT) * 20
+         <= CAST(count(*) AS BIGINT) AS target_met
+FROM win GROUP BY brand
+""",
+)
+def q360_service_level_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backtest of the q352 inventory model against the series it was
+    fit on: slide a 7-day demand window over each brand's calendar
+    (zero-demand days counting as zero — the window set is DENSE, not
+    active-days-only) and report how often demand exceeded the
+    normal-theory reorder point. A 95%-service model whose achieved
+    service lands far under 0.95 is the evidence the demand tail is
+    heavier than normal (q347's regime) and safety stock needs the
+    empirical quantile (q274) instead.
+
+    The rolling sums never use a window function: each active day
+    contributes to its 7 covering windows by a bounded x7 explode and
+    one grouped sum (the q146 contribution pattern), so missing
+    calendar days implicitly add zero on both engines. The 95% target
+    check is the exact integer inequality 20*stockouts <= windows
+    (q256 rule). The reorder point is a deterministic double from
+    exact integer sums; comparing the integer weekly demand against
+    it is bit-stable cross-engine.
+
+    Scale: one fact pass to the (brand x day) grain, a x7 explode of
+    that bounded frame, and 25-row reporting.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_shipdate"]
+    )
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    daily = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01")
+            ).cast("bigint").alias("day_num"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .localCheckpoint(eager=False)  # stats + weekly-window branches
+    )
+    b = daily.groupBy("brand").agg(
+        F.min("day_num").cast("bigint").alias("d0"),
+        F.max("day_num").cast("bigint").alias("d1"),
+        (F.max("day_num") - F.min("day_num") + 1)
+        .cast("bigint")
+        .alias("span"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sd2"),
+    )
+    spand = F.col("span").cast("double")
+    rop_expr = F.col("sd").cast("double") / F.col("span") * F.lit(
+        7.0
+    ) + F.lit(1.645) * F.sqrt(
+        F.greatest(
+            (spand * F.col("sd2") - F.col("sd").cast("double") * F.col("sd"))
+            / (spand * F.col("span")),
+            F.lit(0.0),
+        )
+    ) * F.sqrt(F.lit(7.0))
+    rop = b.where(F.col("span") >= 14).select(
+        "brand", "d0", "d1", rop_expr.alias("reorder_point")
+    )
+    weekly = (
+        daily.select(
+            "brand", "d",
+            F.explode(
+                F.sequence(F.col("day_num"), F.col("day_num") + 6)
+            ).alias("w"),
+        )
+        .groupBy("brand", "w")
+        .agg(F.sum("d").cast("bigint").alias("wd"))
+    )
+    win = weekly.join(F.broadcast(rop), "brand").where(
+        (F.col("w") >= F.col("d0") + 6) & (F.col("w") <= F.col("d1"))
+    )
+    exceed = F.sum(
+        F.when(F.col("wd").cast("double") > F.col("reorder_point"), 1)
+        .otherwise(0)
+    ).cast("bigint")
+    return win.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        exceed.alias("n_stockouts"),
+        fround(
+            F.lit(1.0)
+            - exceed / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("achieved_service"),
+        (exceed * 20 <= F.count(F.lit(1)).cast("bigint")).alias(
+            "target_met"
+        ),
+    )

@@ -4458,3 +4458,132 @@ def q353_transition_predictability(
             "top_next",
         )
     )
+
+
+@query(
+    "q358_erlang_staffing_planner",
+    tags=("timeseries", "queueing", "capacity", "planning"),
+    oracle="""
+WITH hrs AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, event_type
+  FROM events
+), span AS (
+  SELECT CAST(max(h) - min(h) + 1 AS BIGINT) AS span_h FROM hrs
+), byt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM hrs GROUP BY event_type
+), base AS (
+  SELECT event_type, n, span_h,
+         CAST(n AS DOUBLE) / (CAST(span_h AS DOUBLE) * 30.0) AS a
+  FROM byt CROSS JOIN span
+), e1 AS (SELECT *, a AS t1 FROM base),
+e2 AS (SELECT *, t1 * a / 2.0 AS t2 FROM e1),
+e3 AS (SELECT *, t2 * a / 3.0 AS t3 FROM e2),
+e4 AS (SELECT *, t3 * a / 4.0 AS t4 FROM e3),
+e5 AS (SELECT *, t4 * a / 5.0 AS t5 FROM e4),
+e6 AS (SELECT *, t5 * a / 6.0 AS t6 FROM e5),
+e7 AS (SELECT *, t6 * a / 7.0 AS t7 FROM e6),
+ec AS (
+  SELECT *, t7 * a / 8.0 AS tc,
+         1.0 + t1 + t2 + t3 + t4 + t5 + t6 + t7 AS s
+  FROM e7
+), fin AS (
+  SELECT event_type, n, span_h, a, tc, s,
+         CASE WHEN a < 8.0
+              THEN (tc * (8.0 / (8.0 - a)))
+                   / (s + tc * (8.0 / (8.0 - a)))
+              ELSE 1.0 END AS pw
+  FROM ec
+)
+SELECT event_type, n AS n_events, span_h,
+       round(CAST(n AS DOUBLE) / CAST(span_h AS DOUBLE) + 1e-9, 4)
+         AS lambda_hr,
+       round(a + 1e-9, 6) AS offered_load,
+       round(a / 8.0 + 1e-9, 6) AS utilization,
+       round(pw + 1e-9, 6) AS wait_probability,
+       round(CASE WHEN a < 8.0
+                  THEN pw * 60.0
+                       / (240.0 - CAST(n AS DOUBLE) / CAST(span_h AS DOUBLE))
+                  ELSE NULL END + 1e-9, 4) AS avg_wait_minutes,
+       a >= 8.0 AS understaffed
+FROM fin
+""",
+)
+def q358_erlang_staffing_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Erlang-C staffing planner per event type: treat each type's
+    event stream as an M/M/c arrival process (c = 8 handlers, service
+    rate 30/hour each) and compute the offered load, utilization, the
+    Erlang-C probability an arrival waits, and the mean queueing delay
+    — the closed-form capacity math a support/ops team runs BEFORE
+    q286's empirical backlog curve tells them they were understaffed.
+    The queueing family's analytic member (q286 is the trace-driven
+    one).
+
+    Exactness: lambda is an integer-count ratio over the global hour
+    span; the factorial series a^k/k! is built by the SEQUENTIAL
+    recurrence t_k = t_{k-1} * a / k with one projection per step on
+    both engines (each CTE/withColumn binds its term, so the
+    float-operation ORDER is pinned — never pow(), whose libm results
+    are not cross-engine ulp-stable, the q344 rule). The final
+    expressions are identically parenthesized; a >= c rows degrade to
+    wait_probability 1 and NULL delay on both sides.
+
+    Scale: one fact pass to the per-type counts plus a broadcast
+    1-row span; the series runs on the 5-row type frame.
+    """
+    ev = read_table(spark, sf_dir, "events", ["ts", "event_type"])
+    hrs = ev.select(
+        F.floor(F.col("ts").cast("double") / 3600).cast("bigint").alias("h"),
+        "event_type",
+    ).localCheckpoint(eager=False)  # span + per-type branches
+    span = hrs.agg(
+        (F.max("h") - F.min("h") + 1).cast("bigint").alias("span_h")
+    )
+    byt = hrs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    base = byt.crossJoin(F.broadcast(span)).withColumn(
+        "a",
+        F.col("n").cast("double")
+        / (F.col("span_h").cast("double") * F.lit(30.0)),
+    )
+    cur = base.withColumn("t1", F.col("a"))
+    for k in range(2, 8):
+        cur = cur.withColumn(
+            f"t{k}", F.col(f"t{k-1}") * F.col("a") / F.lit(float(k))
+        )
+    ec = cur.withColumn(
+        "tc", F.col("t7") * F.col("a") / F.lit(8.0)
+    ).withColumn(
+        "s",
+        F.lit(1.0) + F.col("t1") + F.col("t2") + F.col("t3")
+        + F.col("t4") + F.col("t5") + F.col("t6") + F.col("t7"),
+    )
+    croom = F.lit(8.0) / (F.lit(8.0) - F.col("a"))
+    fin = ec.withColumn(
+        "pw",
+        F.when(
+            F.col("a") < 8.0,
+            (F.col("tc") * croom) / (F.col("s") + F.col("tc") * croom),
+        ).otherwise(F.lit(1.0)),
+    )
+    lam = F.col("n").cast("double") / F.col("span_h").cast("double")
+    return fin.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "span_h",
+        fround(lam, 4).alias("lambda_hr"),
+        fround(F.col("a"), 6).alias("offered_load"),
+        fround(F.col("a") / F.lit(8.0), 6).alias("utilization"),
+        fround(F.col("pw"), 6).alias("wait_probability"),
+        fround(
+            F.when(
+                F.col("a") < 8.0,
+                F.col("pw") * F.lit(60.0) / (F.lit(240.0) - lam),
+            ),
+            4,
+        ).alias("avg_wait_minutes"),
+        (F.col("a") >= 8.0).alias("understaffed"),
+    )

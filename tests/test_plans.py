@@ -1933,3 +1933,35 @@ def test_q357_filter_attribution_bounded_cross(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_q358_erlang_bounded_series_no_window(spark):
+    plan = physical_plan(_q(spark, "q358_erlang_staffing_planner"))
+    # one fact pass to per-type counts; the factorial series runs as
+    # chained projections on the 5-row type frame with the 1-row span
+    # broadcast — no window, no pow(), no shuffle join
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "pow" not in plan.lower() or "POWER" not in plan
+
+
+def test_q359_elasticity_brand_grain_broadcast_dim(spark):
+    plan = physical_plan(_q(spark, "q359_price_elasticity"))
+    # part dim broadcasts into the fact pass; the regression is a
+    # grouped aggregation on the brand grain — no window anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "hashpartitioning(brand" in plan
+
+
+def test_q360_backtest_explode_windows_broadcast_rop(spark):
+    plan = physical_plan(_q(spark, "q360_service_level_backtest"))
+    # rolling 7-day sums come from the x7 contribution explode + one
+    # grouped sum (never a window); the 25-row reorder-point frame
+    # broadcasts into the weekly grain
+    assert "Generate" in plan and "explode" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
