@@ -2247,3 +2247,110 @@ def q357_filter_attribution_audit(
             ).alias("unique_share"),
         )
     )
+
+
+_Q361_FD_SQL = """
+  SELECT '{fd}' AS fd,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_keys,
+         round((CAST(sum(c) AS BIGINT) - CAST(sum(mx) AS BIGINT))
+               / CAST(sum(c) AS DOUBLE) + 1e-9, 6) AS g3_error,
+         CAST(sum(c) AS BIGINT) = CAST(sum(mx) AS BIGINT) AS holds
+  FROM (
+    SELECT lhs, CAST(sum(cnt) AS BIGINT) AS c, CAST(max(cnt) AS BIGINT)
+             AS mx, CAST(count(*) AS BIGINT) AS nv
+    FROM (
+      SELECT {lhs} AS lhs, {rhs} AS rhs, count(*) AS cnt
+      FROM {table} GROUP BY 1, 2
+    ) GROUP BY lhs
+  )"""
+
+_Q361_FDS = [
+    ("o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("o_custkey->o_orderstatus", "orders", "o_custkey", "o_orderstatus"),
+    ("l_partkey->l_returnflag", "lineitem", "l_partkey", "l_returnflag"),
+    ("c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("user_id->event_type", "events", "user_id", "event_type"),
+]
+
+
+@query(
+    "q361_functional_dependency_audit",
+    tags=("audit", "quality", "report"),
+    oracle="\nUNION ALL".join(
+        _Q361_FD_SQL.format(fd=fd, table=t, lhs=l, rhs=r)
+        for fd, t, l, r in _Q361_FDS
+    ),
+)
+def q361_functional_dependency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate functional-dependency profile: for five candidate
+    FDs (does a customer always order at one priority? is a part's
+    return behavior part-determined?), the g3 error — the MINIMUM
+    fraction of rows to delete for the FD to hold exactly, computed as
+    (n - sum over keys of the modal count) / n, the standard AFD
+    discovery metric (Kivinen-Mannila). g3 near 0 marks a dependency
+    worth enforcing as a constraint or exploiting for normalization /
+    dictionary encoding (q351's advisor at the SEMANTIC level);
+    n_violating_keys localizes the cleanup.
+
+    Exactness: everything up to the final ratio is exact integer
+    counting on the (lhs, rhs) contingency grain — the modal count
+    needs max(), never argmax, so no tie-break subtlety exists (the
+    count is unique even when the modal VALUE is tied); the g3 ratio
+    is an integer ratio (rule 5) and the holds flag an exact integer
+    equality.
+
+    Scale: each FD is one grouped pass to its domain-sized
+    contingency frame, then a key-grain reduction; the five one-row
+    results union. No joins, no windows, nothing row-scale past the
+    first groupBy.
+    """
+    # a table can appear in >1 FD: read once with the union of columns
+    cols_by_table: dict[str, set] = {}
+    for _fd, t, l, r in _Q361_FDS:
+        cols_by_table.setdefault(t, set()).update((l, r))
+    tables = {
+        t: read_table(spark, sf_dir, t, sorted(cols))
+        for t, cols in cols_by_table.items()
+    }
+    outs = []
+    for fd, t, l, r in _Q361_FDS:
+        pair = (
+            tables[t]
+            .groupBy(F.col(l).alias("lhs"), F.col(r).alias("rhs"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        per_key = pair.groupBy("lhs").agg(
+            F.sum("cnt").cast("bigint").alias("c"),
+            F.max("cnt").cast("bigint").alias("mx"),
+            F.count(F.lit(1)).cast("bigint").alias("nv"),
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(fd).alias("fd"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum(F.when(F.col("nv") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating_keys"),
+                fround(
+                    (
+                        F.sum("c").cast("bigint")
+                        - F.sum("mx").cast("bigint")
+                    )
+                    / F.sum("c").cast("double"),
+                    6,
+                ).alias("g3_error"),
+                (
+                    F.sum("c").cast("bigint") == F.sum("mx").cast("bigint")
+                ).alias("holds"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -25,6 +25,7 @@ from pyspark.sql.streaming.stateful_processor import (
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -151,3 +152,78 @@ try:  # pragma: no cover - exercised via worker round-trips in tests
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # noqa: BLE001
     pass
+
+
+_TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+_TRANSITION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("prev_type", StringType()),
+        StructField("next_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def transition_increments(events: DataFrame) -> DataFrame:
+    """Streaming twin of q353's transition counting: per user, the
+    state store keeps only the LAST seen event (ts, id, type) — O(1)
+    state per key — and each micro-batch emits the (prev_type,
+    next_type) pair-count increments it completes, including the
+    stitch pair across the batch boundary. Summing the emitted
+    increments reproduces the batch lead()-pair counts exactly,
+    PROVIDED each user's events arrive in (ts, event_id) order across
+    micro-batches (the in-order-ingest contract a per-key-ordered
+    source like Kafka-keyed-by-user provides; within a batch the
+    operator sorts, so only cross-batch disorder can misattribute a
+    transition). The drain test feeds time-split files to honor the
+    contract.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.assign(
+            _us=batch["ts"].astype("datetime64[us]").astype("int64")
+        ).sort_values(["_us", "event_id"], kind="mergesort")
+        types = batch["event_type"].tolist()
+        if state.exists:
+            _ts, _eid, last_type = state.get
+            seq = [last_type, *types]
+        else:
+            seq = types
+        pairs: dict[tuple[str, str], int] = {}
+        for a, b in zip(seq, seq[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        tail = batch.iloc[-1]
+        state.update(
+            (int(tail["_us"]), int(tail["event_id"]), str(tail["event_type"]))
+        )
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(pairs),
+                    "prev_type": [k[0] for k in pairs],
+                    "next_type": [k[1] for k in pairs],
+                    "n": list(pairs.values()),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=_TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

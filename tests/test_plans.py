@@ -1965,3 +1965,13 @@ def test_q360_backtest_explode_windows_broadcast_rop(spark):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q361_fd_audit_pure_aggregation_funnels(spark):
+    plan = physical_plan(_q(spark, "q361_functional_dependency_audit"))
+    # five FD pipelines = five partial/final aggregation funnels into
+    # one Union: no join, no window, every reduction map-side-combined
+    assert "Union" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "hashpartitioning(lhs" in plan

@@ -773,3 +773,60 @@ def test_hourly_cms_grid_stream_equals_batch(spark, events_dir):
     joined = {r.key: r.cms_est for r in est.collect()}
     for r in truth.collect():
         assert joined[r.key] >= r.true_n
+
+
+def test_stateful_transition_increments_match_batch(
+    spark, tmp_path_factory
+):
+    """Summed streaming transition increments equal the batch
+    lead()-pair counts exactly, across a multi-batch drain with the
+    per-user in-order-ingest contract honored (time-split files)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        transition_increments,
+    )
+
+    d = tmp_path_factory.mktemp("events_transition_split")
+    t = pq.read_table(f"{SF}/events.parquet")
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+    )
+    third = t.num_rows // 3
+    pq.write_table(t.slice(0, third), d / "a.parquet")
+    pq.write_table(t.slice(third, third), d / "b.parquet")
+    pq.write_table(t.slice(2 * third), d / "c.parquet")
+
+    stream = read_events_stream(
+        spark, str(d), options={"maxFilesPerTrigger": "1"}
+    )
+    _drain_append(transition_increments(stream), "transition_stream")
+    got = (
+        spark.table("transition_stream")
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    got_counts = {(r["prev_type"], r["next_type"]): r["n"] for r in got}
+
+    from pyspark.sql import Window
+
+    ev = read_table(spark, SF, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .count()
+        .collect()
+    )
+    want_counts = {
+        (r["prev_type"], r["next_type"]): r["count"] for r in batch
+    }
+    assert got_counts == want_counts and len(want_counts) > 0
