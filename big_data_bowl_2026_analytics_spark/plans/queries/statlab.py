@@ -3916,3 +3916,116 @@ def q349_matched_cohort_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_gap_dollars"),
     )
+
+
+@query(
+    "q363_empirical_bayes_shrinkage",
+    tags=("statistics", "ranking", "quality"),
+    oracle="""
+WITH j AS (
+  SELECT p.p_brand AS brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+), pool1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS nb,
+         avg(CAST(r AS DOUBLE) / n) AS mrate
+  FROM j
+), pool2 AS (
+  SELECT nb, mrate,
+         sum((CAST(r AS DOUBLE) / n - mrate)
+             * (CAST(r AS DOUBLE) / n - mrate)) / (nb - 1) AS s2
+  FROM j CROSS JOIN pool1
+  GROUP BY nb, mrate
+), prior AS (
+  SELECT mrate,
+         round(CASE WHEN round(s2 + 1e-9, 12) > 0
+               THEN mrate * (1.0 - mrate) / s2 - 1.0
+               ELSE 0.0 END + 1e-9, 6) AS m_strength
+  FROM pool2
+)
+SELECT brand, n, r,
+       round(CAST(r AS DOUBLE) / n + 1e-9, 6) AS raw_rate,
+       m_strength,
+       round((r + m_strength * mrate) / (n + m_strength) + 1e-9, 6)
+         AS shrunk_rate,
+       round((r + m_strength * mrate) / (n + m_strength)
+             - CAST(r AS DOUBLE) / n + 1e-9, 6) + 0 AS shrink_delta
+FROM j CROSS JOIN prior
+""",
+)
+def q363_empirical_bayes_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, moment-matched) shrinkage of
+    per-brand return rates: the prior strength M is estimated from the
+    BETWEEN-brand rate dispersion (M = p(1-p)/s^2 - 1), and each
+    brand's rate shrinks to (r + M*pbar)/(n + M) — small-n brands move
+    hardest, the large-n brands barely move. The parametric companion
+    to q348's Wilson bound: Wilson widens uncertainty per brand in
+    isolation; EB borrows strength ACROSS brands.
+
+    Exactness: (n, r) are exact BIGINTs; the between-brand variance
+    is the TWO-PASS centered form sum((rate - mrate)^2)/(nb-1) — the
+    one-pass m2 - nb*mrate^2 form cancels catastrophically on this
+    data (brand rates nearly equal), and M = p(1-p)/s^2 amplifies the
+    cross-engine sum-order ulp by ~1e9 (measured: a real sf0.1 ULP
+    failure). Centered terms are positive, so the float sum carries
+    full relative precision and M lands well inside fround-6. The s^2 > 0 branch tests the ROUNDED
+    variance (12 dp) so an engine-ulp on an exactly-degenerate
+    all-equal-rates corpus can never flip the CASE (the q212 NULL-
+    ordering lesson generalized to comparisons); M itself ships
+    rounded and the shrunk rates reuse that rounded M on both sides.
+    shrink_delta can round to -0.0 (footgun 9), hence the +0 guard.
+
+    Scale: one fact pass with a broadcast dim, then everything on the
+    25-row brand frame crossed with a 1-row prior.
+    """
+    li = read_table(spark, sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("bigint").alias("r"),
+        )
+        .localCheckpoint(eager=False)  # pool + per-brand branches
+    )
+    rate = F.col("r").cast("double") / F.col("n")
+    pool1 = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.avg(rate).alias("mrate"),
+    )
+    dev = rate - F.col("mrate")
+    pool2 = (
+        j.crossJoin(F.broadcast(pool1))
+        .groupBy("nb", "mrate")
+        .agg((F.sum(dev * dev) / (F.col("nb") - 1)).alias("s2"))
+    )
+    prior = pool2.select(
+        "mrate",
+        fround(
+            F.when(
+                fround(F.col("s2"), 12) > 0,
+                F.col("mrate") * (F.lit(1.0) - F.col("mrate"))
+                / F.col("s2")
+                - F.lit(1.0),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("m_strength"),
+    )
+    shrunk = (F.col("r") + F.col("m_strength") * F.col("mrate")) / (
+        F.col("n") + F.col("m_strength")
+    )
+    return j.crossJoin(F.broadcast(prior)).select(
+        "brand", "n", "r",
+        fround(rate, 6).alias("raw_rate"),
+        "m_strength",
+        fround(shrunk, 6).alias("shrunk_rate"),
+        (fround(shrunk - rate, 6) + F.lit(0)).alias("shrink_delta"),
+    )

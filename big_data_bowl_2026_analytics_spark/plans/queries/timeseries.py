@@ -4587,3 +4587,139 @@ def q358_erlang_staffing_planner(
         ).alias("avg_wait_minutes"),
         (F.col("a") >= 8.0).alias("understaffed"),
     )
+
+
+def _q362_oracle(n_rounds: int = 12) -> str:
+    """Unrolled power-iteration oracle on the |types|x|types| transition
+    matrix. Each round references the prior pi once and the matrix
+    once; MATERIALIZED per the q241/q350 lattice-unroll discipline."""
+    parts = [
+        """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), pairs AS MATERIALIZED (
+  SELECT event_type AS prev_type, next_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), tot AS MATERIALIZED (
+  SELECT prev_type, CAST(sum(c) AS BIGINT) AS t FROM pairs GROUP BY 1
+), pmat AS MATERIALIZED (
+  SELECT p.prev_type, p.next_type, CAST(c AS DOUBLE) / t AS p
+  FROM pairs p JOIN tot USING (prev_type)
+), types AS MATERIALIZED (
+  SELECT prev_type AS ty, CAST(count(*) OVER () AS BIGINT) AS k FROM tot
+), pi0 AS MATERIALIZED (
+  SELECT ty, 1.0 / k AS pi FROM types
+)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        p = i - 1
+        parts.append(
+            f""", pi{i} AS MATERIALIZED (
+  SELECT m.next_type AS ty, sum(pi * p) AS pi
+  FROM pi{p} v JOIN pmat m ON m.prev_type = v.ty
+  GROUP BY m.next_type
+)"""
+        )
+    last, prev = n_rounds, n_rounds - 1
+    parts.append(
+        f""", delta AS (
+  SELECT sum(abs(a.pi - b.pi)) AS l1_delta
+  FROM pi{last} a JOIN pi{prev} b USING (ty)
+)
+SELECT a.ty AS event_type,
+       round(a.pi + 1e-9, 8) AS stationary_share,
+       round(CAST(t AS DOUBLE)
+             / (SELECT sum(t) FROM tot) + 1e-9, 8) AS observed_share,
+       round((SELECT l1_delta FROM delta) + 1e-9, 8) AS l1_delta
+FROM pi{last} a JOIN tot ON tot.prev_type = a.ty"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "q362_markov_stationary_mix",
+    tags=("timeseries", "iterative", "statistics"),
+    oracle=_q362_oracle(12),
+)
+def q362_markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (q138's
+    matrix) by 12 unrolled power-iteration rounds from the uniform
+    start, next to the OBSERVED type mix — the long-run load forecast
+    under current navigation behavior: a type whose stationary share
+    exceeds its observed share is still accumulating traffic; l1_delta
+    between rounds 11 and 12 certifies convergence in-band (the q241
+    convergence-reported pattern). Completes the bounded-frame
+    iterative family (q254 does removal-effect absorption; this is
+    the plain ergodic limit).
+
+    Exactness: transition probabilities are integer-count ratios
+    (rule 5, deterministic doubles); each round is one 25-cell join +
+    5-row groupBy, and stochastic-matrix multiplication is
+    L1-non-expanding, so cross-engine float-order noise cannot
+    amplify across 12 rounds — fround-8 absorbs it. The oracle
+    unrolls the SAME 12 rounds with MATERIALIZED CTEs.
+
+    Scale: the fact-table pass is q353's user-partitioned lead;
+    every iteration lives on the bounded |types|^2 frame (no
+    checkpoint needed — the lineage is 12 joins over a 25-row frame).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = (
+        seq.groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # matrix + totals + 12 rounds
+    )
+    tot = pairs.groupBy("prev_type").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    pmat = pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type", "next_type",
+        (F.col("c").cast("double") / F.col("t")).alias("p"),
+    )
+    k = tot.agg(F.count(F.lit(1)).alias("k"))
+    pi = tot.crossJoin(F.broadcast(k)).select(
+        F.col("prev_type").alias("ty"),
+        (F.lit(1.0) / F.col("k")).alias("pi"),
+    )
+    prev_pi = None
+    for _ in range(12):
+        prev_pi = pi
+        pi = (
+            pi.join(pmat, pi.ty == pmat.prev_type)
+            .groupBy(F.col("next_type").alias("ty2"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+            .select(F.col("ty2").alias("ty"), "pi")
+        )
+    delta = (
+        pi.join(
+            prev_pi.select(F.col("ty"), F.col("pi").alias("pi_prev")), "ty"
+        )
+        .agg(F.sum(F.abs(F.col("pi") - F.col("pi_prev"))).alias("l1_delta"))
+    )
+    gt = tot.agg(F.sum("t").cast("bigint").alias("gt"))
+    return (
+        pi.join(tot, pi.ty == tot.prev_type)
+        .crossJoin(F.broadcast(gt))
+        .crossJoin(F.broadcast(delta))
+        .select(
+            F.col("ty").alias("event_type"),
+            fround(F.col("pi"), 8).alias("stationary_share"),
+            fround(F.col("t").cast("double") / F.col("gt"), 8).alias(
+                "observed_share"
+            ),
+            fround(F.col("l1_delta"), 8).alias("l1_delta"),
+        )
+    )

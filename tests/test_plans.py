@@ -1975,3 +1975,24 @@ def test_q361_fd_audit_pure_aggregation_funnels(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "hashpartitioning(lhs" in plan
+
+
+def test_q362_stationary_bounded_iteration(spark):
+    plan = physical_plan(_q(spark, "q362_markov_stationary_mix"))
+    # 12 power-iteration rounds on the checkpointed 25-cell matrix:
+    # every join is broadcast (5-row pi against 25-cell pmat), never a
+    # shuffle join or cartesian
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q363_eb_shrinkage_two_pass_no_window(spark):
+    plan = physical_plan(_q(spark, "q363_empirical_bayes_shrinkage"))
+    # checkpointed brand frame feeds pool + attribution branches; the
+    # 1-row prior broadcasts back; no window, no shuffle join
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
