@@ -320,7 +320,9 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     )
 
 
-def bfs_hops(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
+def bfs_hops(
+    edges: DataFrame, n_rounds: int = 8, source: DataFrame | None = None
+) -> DataFrame:
     """Level-synchronous single-source BFS over a distinct undirected
     ``(a < b)`` edge list from the graph's minimum node id (a
     deterministic landmark — no driver collect): returns ``(v, d)``
@@ -343,9 +345,9 @@ def bfs_hops(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
         .repartition("src")
         .localCheckpoint(eager=False)
     )
-    dist = dsym.agg(F.min("src").alias("v")).select(
-        "v", F.lit(0).cast("bigint").alias("d")
-    )
+    if source is None:
+        source = dsym.agg(F.min("src").alias("v"))
+    dist = source.select("v", F.lit(0).cast("bigint").alias("d"))
     for _ in range(n_rounds):
         relaxed = dist.join(dsym, dist.v == dsym.src).select(
             F.col("dst").alias("v"), (F.col("d") + 1).alias("d")

@@ -3367,3 +3367,167 @@ def q356_triangle_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("bigint").alias("n_metric_violations"),
     )
+
+
+@query(
+    "q364_hard_negative_mining",
+    tags=("llm-pipeline", "similarity", "lsh"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]
+         ))) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sig AS (
+  SELECT doc_id,
+         min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+         min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+         min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+         min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
+  FROM grams GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(concat(h0, h1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM grams GROUP BY doc_id
+), pj AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(count(*) AS BIGINT) AS i,
+         za.n_sh + zb.n_sh - CAST(count(*) AS BIGINT) AS u
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.sh = ga.sh
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+  GROUP BY c.doc_a, c.doc_b, za.n_sh, zb.n_sh
+), sym AS (
+  SELECT doc_a AS anchor, doc_b AS partner, i, u FROM pj WHERE 2 * i < u
+  UNION ALL
+  SELECT doc_b, doc_a, i, u FROM pj WHERE 2 * i < u
+), ranked AS (
+  SELECT anchor, partner, i, u,
+         row_number() OVER (
+           PARTITION BY anchor
+           ORDER BY CAST(i AS DOUBLE) / u DESC, partner
+         ) AS rn
+  FROM sym
+)
+SELECT anchor, partner AS hard_negative,
+       i AS n_shared_shingles, u AS union_size,
+       round(CAST(i AS DOUBLE) / u + 1e-9, 6) AS jaccard
+FROM ranked WHERE rn = 1
+""",
+)
+def q364_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining plan for contrastive/embedding training:
+    for every document, the single most-similar OTHER document that is
+    still provably NOT a near-duplicate (exact shingle Jaccard < 1/2,
+    the q346 dup threshold) — the "close but wrong" partner that makes
+    a contrastive batch informative, where a random negative would be
+    trivially separable. Candidates come from the LSH band generator,
+    which is exactly the right sampler here: band collisions
+    concentrate on high-similarity pairs, so the mined negatives sit
+    just under the dup threshold by construction.
+
+    Exactness: the negative filter 2*i < u is an exact integer
+    inequality; the per-anchor argmax orders by the DETERMINISTIC
+    double i/u (one division of exact integers — identical bits both
+    engines) with the partner id as total-order tie-break (rule 3),
+    via one grouped min-struct on the Spark side (the q07 machinery,
+    negated for argmax) and the rn=1 window in the oracle.
+
+    Scale: candidate-bounded like q346 (band equi-joins, shingle-count
+    fan-out); the argmax is map-side-combined — no window over data.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
+    cand = (
+        lsh_candidate_pairs(lsh_bands(sig, n_hashes=8, band_size=2))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    bound = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    ).where(F.size("_toks") >= 3)
+    shing = bound.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of(F.col("_toks"), 3))).alias(
+            "sh"
+        ),
+    ).localCheckpoint(eager=False)  # sizes + intersection branches
+    sizes = shing.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    pj = (
+        cand.join(
+            shing.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+        )
+        .join(
+            shing.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "i",
+            (F.col("na") + F.col("nb") - F.col("i")).alias("u"),
+        )
+        .where(2 * F.col("i") < F.col("u"))
+    )
+    sym = pj.select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("partner"),
+        "i", "u",
+    ).unionAll(
+        pj.select(
+            F.col("doc_b").alias("anchor"), F.col("doc_a").alias("partner"),
+            "i", "u",
+        )
+    )
+    jd = F.col("i").cast("double") / F.col("u")
+    best = (
+        sym.groupBy("anchor")
+        .agg(
+            F.max(
+                F.struct(
+                    jd.alias("jd"),
+                    (-F.col("partner")).alias("negp"),
+                    F.col("partner").alias("partner"),
+                    F.col("i").alias("i"),
+                    F.col("u").alias("u"),
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "anchor",
+        F.col("b.partner").alias("hard_negative"),
+        F.col("b.i").alias("n_shared_shingles"),
+        F.col("b.u").alias("union_size"),
+        fround(F.col("b.i").cast("double") / F.col("b.u"), 6).alias(
+            "jaccard"
+        ),
+    )

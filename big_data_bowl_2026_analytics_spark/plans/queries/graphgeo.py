@@ -1614,3 +1614,141 @@ def q350_bfs_hop_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+def _q365_oracle(n_rounds: int = 8) -> str:
+    """Double-sweep oracle: two unrolled BFS chains; sweep 2 seeds at
+    sweep 1's farthest node (max d, tie-broken min v). MATERIALIZED
+    per the q350 unroll discipline."""
+
+    def rounds(prefix: str) -> str:
+        out = []
+        for i in range(1, n_rounds + 1):
+            p = i - 1
+            out.append(
+                f""", {prefix}{i} AS MATERIALIZED (
+  SELECT v, min(d) AS d FROM (
+    SELECT v, d FROM {prefix}{p}
+    UNION ALL
+    SELECT s.dst AS v, t.d + 1 AS d
+    FROM {prefix}{p} t JOIN dsym s ON s.src = t.v
+  ) GROUP BY v
+)"""
+            )
+        return "".join(out)
+
+    last = n_rounds
+    return (
+        """
+WITH hi AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM hi a JOIN hi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), dsym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS v FROM dsym
+), s1d0 AS MATERIALIZED (
+  SELECT min(src) AS v, CAST(0 AS BIGINT) AS d FROM dsym
+)"""
+        + rounds("s1d")
+        + f""", far AS MATERIALIZED (
+  SELECT v, CAST(0 AS BIGINT) AS d FROM (
+    SELECT v, row_number() OVER (ORDER BY d DESC, v) AS rn FROM s1d{last}
+  ) WHERE rn = 1
+), s2d0 AS MATERIALIZED (SELECT * FROM far)"""
+        + rounds("s2d")
+        + f""", stats AS (
+  SELECT CAST(1 AS BIGINT) AS sweep,
+         (SELECT v FROM s1d0) AS source_node,
+         CAST(max(d) AS BIGINT) AS max_hop,
+         CAST(count(*) AS BIGINT) AS n_reached
+  FROM s1d{last}
+  UNION ALL
+  SELECT CAST(2 AS BIGINT),
+         (SELECT v FROM s2d0),
+         CAST(max(d) AS BIGINT), CAST(count(*) AS BIGINT)
+  FROM s2d{last}
+)
+SELECT sweep, source_node, max_hop, n_reached,
+       (SELECT CAST(max(d) AS BIGINT) FROM s2d{last}) AS diameter_lb,
+       (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes
+FROM stats"""
+    )
+
+
+@query(
+    "q365_double_sweep_diameter",
+    tags=("graph", "iterative"),
+    oracle=_q365_oracle(8),
+)
+def q365_double_sweep_diameter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Double-sweep diameter lower bound of the supplier co-occurrence
+    graph: BFS from the deterministic min-id landmark, re-seed at the
+    farthest node found (max hop, min-id tie-break), BFS again — the
+    second eccentricity is the classic 2-sweep diameter bound that is
+    exact on trees and empirically tight on real graphs (Magnien et
+    al.), at the cost of exactly TWO BFS passes instead of the
+    all-pairs O(n·m) exact diameter. The answer to "how many
+    message-passing rounds could this graph ever need" that q350's
+    single profile only bounds from one vantage point.
+
+    Exactness: hop distances and the argmax re-seed are exact
+    integers with a total-order tie-break (rule 3); both sweeps
+    unroll the same 8 MATERIALIZED rounds in the oracle.
+
+    Scale: two runs of operators/graph.py::bfs_hops over one shared
+    checkpointed edge frame; the re-seed is a 1-row argmax reduction
+    (never a collect) flowing into sweep 2's init frame.
+    """
+    from ...operators.graph import bfs_hops, cooccurrence_edges
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+    hi = li.where(F.col("l_quantity") >= 48)
+    edges = cooccurrence_edges(hi, "l_orderkey", "l_suppkey").localCheckpoint(
+        eager=False
+    )  # two sweeps + node census share it
+    s1 = bfs_hops(edges, n_rounds=8)
+    src1 = edges.select(F.col("a").alias("v")).unionAll(
+        edges.select(F.col("b").alias("v"))
+    ).agg(F.min("v").alias("v"))
+    far = (
+        s1.agg(
+            F.max(F.struct(F.col("d"), (-F.col("v")).alias("nv"))).alias("m")
+        )
+        .select((-F.col("m.nv")).alias("v"))
+    )
+    s2 = bfs_hops(edges, n_rounds=8, source=far)
+    nodes = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    diam = s2.agg(F.max("d").cast("bigint").alias("diameter_lb"))
+
+    def stats(sweep_id: int, dist, src):
+        return (
+            dist.agg(
+                F.max("d").cast("bigint").alias("max_hop"),
+                F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            )
+            .crossJoin(F.broadcast(src.select(F.col("v").alias("source_node"))))
+            .select(
+                F.lit(sweep_id).cast("bigint").alias("sweep"),
+                "source_node", "max_hop", "n_reached",
+            )
+        )
+
+    return (
+        stats(1, s1, src1)
+        .unionByName(stats(2, s2, far))
+        .crossJoin(F.broadcast(diam))
+        .crossJoin(F.broadcast(nodes))
+    )

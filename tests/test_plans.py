@@ -1996,3 +1996,23 @@ def test_q363_eb_shrinkage_two_pass_no_window(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_q364_hard_negatives_grouped_argmax_no_window(spark):
+    plan = physical_plan(_q(spark, "q364_hard_negative_mining"))
+    # candidate-bounded like q346; the per-anchor argmax is a grouped
+    # min-struct (map-side combined), never a window over data
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(anchor" in plan
+
+
+def test_q365_double_sweep_shared_checkpointed_edges(spark):
+    plan = physical_plan(_q(spark, "q365_double_sweep_diameter"))
+    # both sweeps + node census hang off the one checkpointed edge
+    # frame; the re-seed and the summary scalars broadcast (1-row
+    # funnels), no data-sized window anywhere
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
