@@ -2354,3 +2354,129 @@ def q361_functional_dependency_audit(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def _q366_oracle(n_rounds: int = 5) -> str:
+    """Unrolled IPF (raking) oracle: each round is a row-scaling step
+    then a column-scaling step; every CTE is MATERIALIZED (each round
+    references its predecessor twice — the q241 discipline)."""
+    parts = [
+        """
+WITH cells AS MATERIALIZED (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+), tot AS MATERIALIZED (
+  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         CAST(count(DISTINCT source) AS BIGINT) AS ns
+  FROM cells
+), rowt AS MATERIALIZED (
+  SELECT source, CAST(nt AS DOUBLE) / ns AS rt FROM
+    (SELECT DISTINCT source FROM cells) CROSS JOIN tot
+), colt AS MATERIALIZED (
+  SELECT lang, CAST(sum(n) AS DOUBLE) AS ct FROM cells GROUP BY lang
+), w0 AS MATERIALIZED (
+  SELECT source, lang, CAST(n AS DOUBLE) AS w FROM cells
+)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        p = i - 1
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+  SELECT w.source, w.lang, w.w * rt / rsum AS w
+  FROM w{p} w
+  JOIN (SELECT source, sum(w) AS rsum FROM w{p} GROUP BY source) s
+    USING (source)
+  JOIN rowt USING (source)
+), w{i} AS MATERIALIZED (
+  SELECT r.source, r.lang, r.w * ct / csum AS w
+  FROM r{i} r
+  JOIN (SELECT lang, sum(w) AS csum FROM r{i} GROUP BY lang) c
+    USING (lang)
+  JOIN colt USING (lang)
+)"""
+        )
+    last = n_rounds
+    parts.append(
+        f"""
+SELECT w.source, w.lang, c.n AS n_docs,
+       round(w.w + 1e-9, 6) AS raked_weight,
+       round(w.w / c.n + 1e-9, 6) AS sampling_rate
+FROM w{last} w JOIN cells c USING (source, lang)"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "q366_raking_ipf_plan",
+    tags=("sampling", "planning", "iterative"),
+    oracle=_q366_oracle(5),
+)
+def q366_raking_ipf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative-proportional-fitting (raking) resampling plan: rake
+    the (source x lang) document contingency table to UNIFORM source
+    marginals while PRESERVING the observed language mix — the 2-D
+    generalization of q343's one-dimensional Hamilton allocation, and
+    the standard survey-statistics answer to "balance the feeds
+    without distorting the language distribution". Five unrolled
+    row-then-column scaling rounds; the per-cell sampling_rate is the
+    multiplier a weighted sampler applies downstream (q134's
+    rebalance consumes exactly this shape).
+
+    Exactness: cell counts and both target marginals derive from
+    exact integers; each IPF step multiplies by a ratio of a target
+    to a <=|langs|- or <=|sources|-term float sum — ratios near 1
+    with no cancellation, so cross-engine sum-order noise stays at
+    the ulp through 5 rounds and fround-6 absorbs it. The oracle
+    unrolls the SAME schedule with MATERIALIZED CTEs.
+
+    Scale: one corpus scan to the bounded contingency frame;
+    iteration never touches row-scale data again.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "lang"])
+    cells = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)  # marginals + iteration branches
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.countDistinct("source").cast("bigint").alias("ns"),
+    )
+    rowt = (
+        cells.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (F.col("nt").cast("double") / F.col("ns")).alias("rt"),
+        )
+    )
+    colt = cells.groupBy("lang").agg(
+        F.sum("n").cast("double").alias("ct")
+    )
+    w = cells.select("source", "lang", F.col("n").cast("double").alias("w"))
+    for _ in range(5):
+        rsum = w.groupBy("source").agg(F.sum("w").alias("rsum"))
+        w = (
+            w.join(F.broadcast(rsum), "source")
+            .join(F.broadcast(rowt), "source")
+            .select(
+                "source", "lang",
+                (F.col("w") * F.col("rt") / F.col("rsum")).alias("w"),
+            )
+        )
+        csum = w.groupBy("lang").agg(F.sum("w").alias("csum"))
+        w = (
+            w.join(F.broadcast(csum), "lang")
+            .join(F.broadcast(colt), "lang")
+            .select(
+                "source", "lang",
+                (F.col("w") * F.col("ct") / F.col("csum")).alias("w"),
+            )
+        )
+    return w.join(cells, ["source", "lang"]).select(
+        "source", "lang",
+        F.col("n").alias("n_docs"),
+        fround(F.col("w"), 6).alias("raked_weight"),
+        fround(F.col("w") / F.col("n"), 6).alias("sampling_rate"),
+    )

@@ -3185,3 +3185,85 @@ def q354_vocab_source_upset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_occurrences",
         )
     )
+
+
+@query(
+    "q367_vocabulary_richness",
+    tags=("text", "statistics", "llm-pipeline"),
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+), cnt AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, t
+), spec AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS d,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM cnt GROUP BY source
+)
+SELECT source, n AS n_tokens, d AS n_distinct, f1 AS n_hapax,
+       f2 AS n_dis,
+       round(CASE WHEN f2 > 0
+                  THEN d + CAST(f1 * f1 AS DOUBLE) / (2.0 * f2)
+                  ELSE d + CAST(f1 * (f1 - 1) AS DOUBLE) / 2.0
+             END + 1e-9, 4) AS chao1_richness,
+       round(CAST(f1 AS DOUBLE) / n + 1e-9, 6) AS gt_unseen_mass,
+       round(1.0 - CAST(f1 AS DOUBLE) / n + 1e-9, 6) AS gt_coverage
+FROM spec
+""",
+)
+def q367_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary richness and coverage estimation from the
+    frequency spectrum alone: the Chao1 lower bound on the TRUE
+    (unobserved-included) vocabulary size (D + f1^2/2f2, the
+    bias-corrected f2=0 variant included) and the Good-Turing unseen
+    probability mass f1/N — "how much vocabulary has this feed not
+    shown us yet", the forward-looking companion to q277's Heaps
+    exponent (which fits growth observed so far) and q314's hapax
+    screen (which uses f1 as a gibberish signal). A source with high
+    Chao1/D and high unseen mass justifies more crawling; one near
+    saturation does not.
+
+    Exactness: the whole frequency spectrum is exact integer counting
+    on the (source, token) grain; both estimators are single fixed
+    expressions of (d, n, f1, f2) with an exact integer f2 > 0
+    branch. No sums of floats anywhere.
+
+    Scale: one token explode + two grouped reductions, the q35/q172
+    funnel; output is |sources| rows.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    cnt = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    spec = cnt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    f1, f2, d, n = F.col("f1"), F.col("f2"), F.col("d"), F.col("n")
+    chao1 = F.when(
+        f2 > 0, d + (f1 * f1).cast("double") / (F.lit(2.0) * f2)
+    ).otherwise(d + (f1 * (f1 - 1)).cast("double") / F.lit(2.0))
+    return spec.select(
+        "source",
+        n.alias("n_tokens"),
+        d.alias("n_distinct"),
+        f1.alias("n_hapax"),
+        f2.alias("n_dis"),
+        fround(chao1, 4).alias("chao1_richness"),
+        fround(f1.cast("double") / n, 6).alias("gt_unseen_mass"),
+        fround(F.lit(1.0) - f1.cast("double") / n, 6).alias("gt_coverage"),
+    )

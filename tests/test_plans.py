@@ -2016,3 +2016,24 @@ def test_q365_double_sweep_shared_checkpointed_edges(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q366_ipf_bounded_iteration_broadcast_scaling(spark):
+    plan = physical_plan(_q(spark, "q366_raking_ipf_plan"))
+    # one corpus scan to the checkpointed contingency frame; all ten
+    # scaling steps join broadcast marginal frames — never a shuffle
+    # join, never a window
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_q367_richness_two_reductions_no_join(spark):
+    plan = physical_plan(_q(spark, "q367_vocabulary_richness"))
+    # token explode + (source, token) reduction + source reduction:
+    # no join, no window, everything map-side combined
+    assert "Generate" in plan and "explode" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "hashpartitioning(source" in plan
