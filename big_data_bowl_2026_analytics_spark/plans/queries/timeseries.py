@@ -325,8 +325,9 @@ def q146_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-       TRUE AS merge_matches_single_pass,
-       TRUE AS merged_within_5pct
+       TRUE AS merged_within_5pct,
+       TRUE AS single_within_5pct,
+       TRUE AS merge_consistent
 FROM events
 GROUP BY 1
 """,
@@ -334,15 +335,20 @@ GROUP BY 1
 def q147_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch COLUMNS (Datasketches binary sketches as
     data): build one sketch per (week, day), union the daily sketches
-    into a weekly estimate, and verify the two properties that make
-    sketch TABLES the 100 TB distinct-counting architecture — (a)
-    merging pre-aggregated sketches gives the IDENTICAL estimate as
-    one pass over the raw week (lossless mergeability, the reason you
-    can store per-partition sketches and never rescan), and (b) the
-    merged estimate lands within 5% of the exact count. Raw estimates
-    are engine-specific, so the strict contract is the q44 pattern:
-    exact counts plus booleans the oracle pins to TRUE — a sketch
-    regression flips a boolean and fails the hash gate."""
+    into a weekly estimate, and verify the properties that make sketch
+    TABLES the 100 TB distinct-counting architecture: the merged and
+    the single-pass estimates each land within 5% of the exact count,
+    and they agree with each other within the same budget. Estimate
+    EQUALITY across different merge trees is deliberately NOT claimed:
+    Datasketches HLL picks its estimator from merge history (a
+    standalone sketch reports HIP; unions invalidate HIP and read the
+    composite estimator, and even union-of-one differs from
+    union-of-seven) — a real sf0.1 failure caught by the full-scale
+    sweep after the small-SF runs masked it in exact coupon mode. Raw
+    estimates are engine-specific, so the strict contract is the q44
+    pattern: exact counts plus error-bound booleans the oracle pins
+    TRUE — a sketch regression flips a boolean and fails the hash
+    gate."""
     ev = read_table(spark, sf_dir, "events", ["user_id", "ts"])
     week = F.date_trunc("week", F.col("ts")).cast("date").cast("string")
     day = F.to_date("ts")
@@ -355,21 +361,25 @@ def q147_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
     )
     single = ev.groupBy(week.alias("week")).agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_single"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "est_single"
+        ),
         F.countDistinct("user_id").alias("exact_users"),
     )
     joined = single.join(merged, "week")
-    rel_err = (
-        F.abs(F.col("est_merged") - F.col("exact_users"))
-        / F.col("exact_users")
-    )
+    budget = F.lit(0.05) * F.col("exact_users")
     return joined.select(
         "week",
         F.col("exact_users").cast("bigint").alias("exact_users"),
-        (F.col("est_merged") == F.col("est_single")).alias(
-            "merge_matches_single_pass"
-        ),
-        (rel_err <= 0.05).alias("merged_within_5pct"),
+        (
+            F.abs(F.col("est_merged") - F.col("exact_users")) <= budget
+        ).alias("merged_within_5pct"),
+        (
+            F.abs(F.col("est_single") - F.col("exact_users")) <= budget
+        ).alias("single_within_5pct"),
+        (
+            F.abs(F.col("est_merged") - F.col("est_single")) <= budget
+        ).alias("merge_consistent"),
     )
 
 
