@@ -140,3 +140,55 @@ def test_jaccard_triangle_bound_is_a_theorem(sa, sm, sc):
 
     # the q356 invariant: J(a,c) >= J(a,m) + J(m,c) - 1 always
     assert jac(sa, sc) >= jac(sa, sm) + jac(sm, sc) - 1
+
+
+@settings(max_examples=100)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 3), st.integers(1, 50)),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_ipf_raking_converges_to_target_marginals(cells_raw):
+    # q366's schedule: 5 rounds of row-then-column scaling toward
+    # uniform row marginals while preserving column (lang) marginals.
+    # Property: column marginals match the target EXACTLY after every
+    # column step, row marginals converge toward uniform, and total
+    # mass is preserved.
+    cells: dict[tuple[int, int], float] = {}
+    for r, c, n in cells_raw:
+        cells[(r, c)] = cells.get((r, c), 0) + n
+    rows = sorted({r for r, _ in cells})
+    colsum0 = {}
+    for (r, c), v in cells.items():
+        colsum0[c] = colsum0.get(c, 0) + v
+    total = sum(cells.values())
+    rt = total / len(rows)
+    w = dict(cells)
+    mis_prev = None
+    for _ in range(5):
+        rs = {}
+        for (r, c), v in w.items():
+            rs[r] = rs.get(r, 0) + v
+        w = {(r, c): v * rt / rs[r] for (r, c), v in w.items()}
+        cs = {}
+        for (r, c), v in w.items():
+            cs[c] = cs.get(c, 0) + v
+        w = {(r, c): v * colsum0[c] / cs[c] for (r, c), v in w.items()}
+        # column marginals exact after the column step
+        cs2 = {}
+        for (r, c), v in w.items():
+            cs2[c] = cs2.get(c, 0) + v
+        for c in cs2:
+            assert abs(cs2[c] - colsum0[c]) < 1e-9 * max(1.0, colsum0[c])
+        # row misfit is non-increasing round over round
+        rs2 = {}
+        for (r, c), v in w.items():
+            rs2[r] = rs2.get(r, 0) + v
+        mis = sum(abs(v - rt) for v in rs2.values())
+        if mis_prev is not None:
+            assert mis <= mis_prev + 1e-9
+        mis_prev = mis
+    # mass preserved (column marginals sum to the original total)
+    assert abs(sum(w.values()) - total) < 1e-6 * max(1.0, total)

@@ -62,6 +62,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--n", type=int, default=50)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names (bypasses the first-n window;"
+        " for spot-checking new queries that sit past the driver's"
+        " 50-slot sample)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -86,7 +93,14 @@ def main() -> int:
             f"read_parquet('{args.sf}/{t}.parquet')"
         )
 
-    names = list(queries)[: args.n]
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        missing = [n for n in names if n not in queries]
+        if missing:
+            print(f"unknown queries: {missing}")
+            return 1
+    else:
+        names = list(queries)[: args.n]
     n_fail = 0
     for name in names:
         t0 = time.time()
