@@ -3531,3 +3531,149 @@ def q364_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard"
         ),
     )
+
+
+@query(
+    "q369_t_closeness_audit",
+    tags=("privacy", "audit", "statistics"),
+    oracle="""
+WITH base AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 10000 AS bucket
+  FROM customer
+), cls AS (
+  SELECT seg, nat, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY seg, nat, bucket
+), gl AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY bucket
+), sup AS (
+  SELECT bucket,
+         coalesce(lead(bucket) OVER (ORDER BY bucket) - bucket, 0) AS gap,
+         CAST(sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_g
+  FROM gl
+), tot AS (
+  SELECT seg, nat, CAST(count(*) AS BIGINT) AS nc FROM base GROUP BY seg, nat
+), gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(max(bucket) - min(bucket) AS BIGINT) AS dr
+  FROM base
+), grid AS (
+  SELECT t.seg, t.nat, t.nc, s.bucket, s.gap, s.cum_g, coalesce(c.c, 0) AS c
+  FROM tot t CROSS JOIN sup s
+  LEFT JOIN cls c ON c.seg = t.seg AND c.nat = t.nat
+                 AND c.bucket = s.bucket
+), cum AS (
+  SELECT seg, nat, nc, bucket, gap, cum_g,
+         CAST(sum(c) OVER (PARTITION BY seg, nat ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+  FROM grid
+)
+SELECT seg, nat, nc AS class_size,
+       round(CAST(sum(abs(cum_c * n - cum_g * nc) * gap) AS DOUBLE)
+             / (CAST(nc AS DOUBLE) * n * dr) + 1e-9, 6) AS t_value,
+       CAST(sum(abs(cum_c * n - cum_g * nc) * gap) AS BIGINT) * 5
+         > CAST(nc AS BIGINT) * n * dr AS exceeds_t02
+FROM cum CROSS JOIN gtot
+GROUP BY seg, nat, nc, n, dr
+""",
+)
+def q369_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy ladder after
+    q152's k-anonymity/l-diversity: for every quasi-identifier
+    equivalence class (segment x nation), the earth-mover distance
+    between ITS account-balance distribution and the GLOBAL one,
+    normalized by the domain range so t in [0, 1] (Li/Li/
+    Venkatasubramanian's definition for ordered attributes). A class
+    can be k-anonymous and l-diverse yet leak through its VALUE
+    SKEW — "customers in this cell are all rich" — which is exactly
+    what the EMD sees and the count-based metrics cannot.
+
+    Machinery: the q340/q355 exact 1-D EMD — on the bucketed domain
+    (exact $100 integer buckets from cents; at 100 TB the bucket
+    width is the knob that bounds the support) the integral is ONE
+    exact BIGINT sum of |cum_class*N - cum_global*n_class|*gap per
+    class, divided once. The t > 0.2 flag is the exact integer
+    cross-multiplication sum*5 > nc*N*dr (the q256 rule).
+
+    Scale: one dim-table pass to the (class x bucket) grid; the
+    support histogram window is bucket-bounded; per-class CDFs are
+    hash-partitioned windows on the class key.
+    """
+    cust = read_table(
+        spark, sf_dir, "customer",
+        ["c_mktsegment", "c_nationkey", "c_acctbal"],
+    )
+    base = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr(
+            "CAST(round(c_acctbal * 100) AS BIGINT) DIV 10000"
+        ).alias("bucket"),
+    ).localCheckpoint(eager=False)  # class/global/total branches
+    cls = base.groupBy("seg", "nat", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    gl = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_g = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sup = gl.select(
+        "bucket",
+        F.coalesce(
+            F.lead("bucket").over(Window.orderBy("bucket"))
+            - F.col("bucket"),
+            F.lit(0),
+        ).alias("gap"),
+        F.sum("c").over(w_g).cast("bigint").alias("cum_g"),
+    )
+    tot = base.groupBy("seg", "nat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc")
+    )
+    gtot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.max("bucket") - F.min("bucket")).cast("bigint").alias("dr"),
+    )
+    grid = (
+        tot.crossJoin(F.broadcast(sup))
+        .join(cls, ["seg", "nat", "bucket"], "left")
+        .select(
+            "seg", "nat", "nc", "bucket", "gap", "cum_g",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w_c = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "seg", "nat", "nc", "bucket", "gap", "cum_g",
+        F.sum("c").over(w_c).cast("bigint").alias("cum_c"),
+    )
+    term = (
+        F.abs(
+            F.col("cum_c") * F.col("n") - F.col("cum_g") * F.col("nc")
+        )
+        * F.col("gap")
+    )
+    return (
+        cum.crossJoin(F.broadcast(gtot))
+        .groupBy("seg", "nat", "nc", "n", "dr")
+        .agg(F.sum(term).alias("s1"))
+        .select(
+            "seg", "nat",
+            F.col("nc").alias("class_size"),
+            fround(
+                F.col("s1").cast("double")
+                / (F.col("nc").cast("double") * F.col("n") * F.col("dr")),
+                6,
+            ).alias("t_value"),
+            (
+                F.col("s1").cast("bigint") * 5
+                > F.col("nc").cast("bigint") * F.col("n") * F.col("dr")
+            ).alias("exceeds_t02"),
+        )
+    )

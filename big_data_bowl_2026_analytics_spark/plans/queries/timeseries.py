@@ -4733,3 +4733,109 @@ def q362_markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("l1_delta"), 8).alias("l1_delta"),
         )
     )
+
+
+@query(
+    "q368_slo_burn_rate_alerts",
+    tags=("timeseries", "monitoring", "quality"),
+    oracle="""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+), hourly AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(is_err) AS BIGINT) AS e
+  FROM ev GROUP BY h
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(e) AS BIGINT) AS et
+  FROM hourly
+), w6 AS (
+  SELECT t.h + off AS h, CAST(sum(t.n) AS BIGINT) AS n6,
+         CAST(sum(t.e) AS BIGINT) AS e6
+  FROM hourly t CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS off)
+  GROUP BY 1
+), joined AS (
+  SELECT hourly.h, n, e, n6, e6, nt, et
+  FROM hourly JOIN w6 USING (h) CROSS JOIN tot
+)
+SELECT h AS hour_num, n AS n_1h, e AS e_1h, n6 AS n_6h, e6 AS e_6h,
+       round(CAST(e AS DOUBLE) * nt / (n * et) + 1e-9, 4) AS burn_1h,
+       round(CAST(e6 AS DOUBLE) * nt / (n6 * et) + 1e-9, 4) AS burn_6h
+FROM joined
+""",
+)
+def q368_slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate series (the Google SRE alerting
+    construction): per hour, the error-rate burn relative to the
+    corpus-wide base rate over BOTH a 1-hour and a trailing 6-hour
+    window — paging on the fast window alone is noisy, on the slow
+    window alone is late; the standard rule requires both elevated.
+    Self-calibrated to the corpus base rate (the q296 lesson: fixed
+    thresholds sized to someone else's traffic fire always or never
+    on synthetic cadence).
+
+    The 6-hour rolling sums use the q146/q360 contribution explode
+    (x6 on the HOURLY grain — never a window function, no gap
+    blindness: missing hours contribute zero on both engines).
+
+    Exactness: counts and both window sums are exact BIGINTs; burn
+    ratios are integer-ratio doubles (rule 5), rounded. Alert
+    DECISIONS are deliberately left to the consumer as exact integer
+    cross-multiplications (e.g. page when e_1h*nt >= 2*n_1h*et AND
+    e_6h*nt >= 3*(n_6h*et)/2) — shipping the raw integers makes any
+    threshold engine-exact downstream.
+
+    Scale: one fact pass to the hour grain; everything after is
+    hour-count-sized.
+    """
+    ev = read_table(spark, sf_dir, "events", ["ts", "event_type"])
+    hourly = (
+        ev.select(
+            F.floor(F.col("ts").cast("double") / 3600)
+            .cast("bigint")
+            .alias("h"),
+            F.when(F.col("event_type") == "error", 1)
+            .otherwise(0)
+            .alias("is_err"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("is_err").cast("bigint").alias("e"),
+        )
+        .localCheckpoint(eager=False)  # totals + 1h + 6h branches
+    )
+    tot = hourly.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("e").cast("bigint").alias("et"),
+    )
+    w6 = (
+        hourly.select(
+            "n", "e",
+            F.explode(F.sequence(F.col("h"), F.col("h") + 5)).alias("h"),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum("n").cast("bigint").alias("n6"),
+            F.sum("e").cast("bigint").alias("e6"),
+        )
+    )
+    joined = hourly.join(w6, "h").crossJoin(F.broadcast(tot))
+    return joined.select(
+        F.col("h").alias("hour_num"),
+        F.col("n").alias("n_1h"),
+        F.col("e").alias("e_1h"),
+        F.col("n6").alias("n_6h"),
+        F.col("e6").alias("e_6h"),
+        fround(
+            F.col("e").cast("double") * F.col("nt")
+            / (F.col("n") * F.col("et")),
+            4,
+        ).alias("burn_1h"),
+        fround(
+            F.col("e6").cast("double") * F.col("nt")
+            / (F.col("n6") * F.col("et")),
+            4,
+        ).alias("burn_6h"),
+    )

@@ -2037,3 +2037,23 @@ def test_q367_richness_two_reductions_no_join(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_q368_burn_rate_explode_windows_no_window_fn(spark):
+    plan = physical_plan(_q(spark, "q368_slo_burn_rate_alerts"))
+    # 6-hour rolling sums via the x6 contribution explode on the hour
+    # grain — no window function; totals broadcast back
+    assert "Generate" in plan and "explode" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(h" in plan
+
+
+def test_q369_t_closeness_class_partitioned_cdfs(spark):
+    plan = physical_plan(_q(spark, "q369_t_closeness_audit"))
+    # per-class CDFs are hash-partitioned windows on the class key;
+    # the bucket-bounded support histogram broadcasts into the grid
+    assert "Window" in plan
+    assert "hashpartitioning(seg" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
