@@ -95,10 +95,35 @@ def main() -> None:
             .agg(F.max(F.col("base") + F.col("run_in")).alias("peak"))
         )
 
+    def q_roll(k: int) -> DataFrame:
+        # the q146/q360/q368 contribution-explode class: rolling 6-hour
+        # sums via a bounded x6 explode on the hour grain + one grouped
+        # sum — the window-function-free rolling aggregate. Verifies the
+        # explode factor stays a constant cost multiplier as data grows.
+        df = _multiply(ev, k, "user_id")
+        hourly = (
+            df.select(
+                F.floor(F.col("ts").cast("double") / 3600)
+                .cast("bigint")
+                .alias("h"),
+                "user_id",
+            )
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            hourly.select(
+                "n", F.explode(F.sequence(F.col("h"), F.col("h") + 5)).alias("h")
+            )
+            .groupBy("h")
+            .agg(F.sum("n").alias("n6"))
+        )
+
     for name, fn in [
         ("groupby_agg", q_agg),
         ("two_level_agg", q_join_agg),
         ("two_level_sweep", q_sweep),
+        ("rolling_explode", q_roll),
     ]:
         base_rows = None
         for k in [int(x) for x in args.multipliers.split(",")]:
