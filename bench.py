@@ -68,6 +68,7 @@ HEADLINE = [
 
 
 def main() -> None:
+    load_start = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import re
 
@@ -257,26 +258,45 @@ def main() -> None:
     def bench_builder(name: str):
         return indexed_builders.get(name) or specs[name].builder
 
-    # Two executions per query, report the faster: the first run pays
+    # N executions per query, report the min: the first run pays
     # one-time whole-stage-codegen compilation (~1s/query), which at a
     # real scale factor is noise but at sf0.1 would dominate the
     # measurement of the engine itself. The builder stays INSIDE the
     # timed region: some builders do real work eagerly (e.g. the LSH
     # self-join materializes its signature pipeline), and excluding
     # that would under-count the query.
+    #
+    # Repetitions are INTERLEAVED as full-suite passes (pass 1 runs
+    # every query, then pass 2, ...) rather than back-to-back per
+    # query: the shared box shows multi-second external load spikes
+    # (BENCH_r07 recorded a uniform ~1.28x contention inflation), and
+    # back-to-back reps all land inside one spike while suite-level
+    # passes spread each query's samples minutes apart. Per-pass
+    # totals are emitted so a contaminated pass is visible in the
+    # round artifact instead of silently becoming the number.
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        try:
-            for _ in range(n_reps):
+    rep_timings: dict[str, list[float]] = {name: [] for name in names}
+    pass_totals: list[float] = []
+    for _ in range(n_reps):
+        pass_total = 0.0
+        for name in names:
+            if name in errors:
+                continue
+            try:
                 t0 = time.perf_counter()
                 df = bench_builder(name)(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"
+                elapsed = time.perf_counter() - t0
+                rep_timings[name].append(elapsed)
+                pass_total += elapsed
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"
+        pass_totals.append(round(pass_total, 3))
+    timings = {
+        name: round(min(reps), 3)
+        for name, reps in rep_timings.items()
+        if reps
+    }
 
     serial_total = round(sum(timings.values()), 3)
 
@@ -296,6 +316,7 @@ def main() -> None:
     n_threads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "8"))
     floor_dominated = serial_total / max(len(names), 1) <= 1.5
     concurrent_wall = None
+    batched_reps: list[float] = []
     if floor_dominated and n_threads > 1:
 
         def _run_one(name: str) -> None:
@@ -307,14 +328,14 @@ def main() -> None:
 
         # min of n_reps, like the serial phase: one makespan
         # measurement is exposed to scheduler jitter across 8 threads.
-        concurrent_wall = float("inf")
+        # Every rep's makespan is kept for the JSON so a contaminated
+        # rep is visible in the artifact.
         for _ in range(n_reps):
             t0 = time.perf_counter()
             with ThreadPoolExecutor(max_workers=n_threads) as pool:
                 list(pool.map(_run_one, names))
-            concurrent_wall = min(
-                concurrent_wall, round(time.perf_counter() - t0, 3)
-            )
+            batched_reps.append(round(time.perf_counter() - t0, 3))
+        concurrent_wall = min(batched_reps)
 
     if concurrent_wall is not None and concurrent_wall < serial_total:
         value, execution = concurrent_wall, f"fair_batched_{n_threads}_threads"
@@ -328,9 +349,19 @@ def main() -> None:
         "serial_total": serial_total,
         "queries": timings,
         "sf": sf,
+        # Contention evidence (BENCH_r07 carried an undetectable
+        # ~1.28x host-contention inflation): rep count, per-pass
+        # serial totals, per-rep batched makespans, and the 1-minute
+        # load average sampled at start and end of the run. A future
+        # reader can separate noise from regression without
+        # re-measuring.
+        "reps": n_reps,
+        "serial_pass_totals": pass_totals,
+        "loadavg_1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
     }
     if concurrent_wall is not None:
         out["fair_batched_wall"] = concurrent_wall
+        out["fair_batched_reps"] = batched_reps
     if index_build:
         # One-time ingest cost (NOT part of the per-query timings —
         # q42/q62 above search the prebuilt bucketed index tables).

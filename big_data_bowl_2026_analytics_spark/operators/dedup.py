@@ -248,6 +248,77 @@ def jaccard_similar_pairs(
     )
 
 
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    cand: DataFrame,
+    shingle_n: int = 3,
+    extra_keys: tuple[str, ...] = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact distinct-shingle Jaccard verification of a CANDIDATE pair
+    list: for every ``(doc_a, doc_b)`` in ``cand``, the exact
+    intersection size ``i`` and union size ``u`` of the two documents'
+    distinct word ``shingle_n``-gram sets. The shared verifier behind
+    q346 (near-dup evidence), q356 (triangle-bound audit), and q364
+    (hard-negative mining) — one implementation so the
+    shingle/threshold machinery can't drift between them.
+
+    Returns ``(doc_a, doc_b, *extra_keys, i, u)``; ``extra_keys`` are
+    pass-through columns of ``cand`` (e.g. q346's ``n_shared_bands``)
+    carried through the intersection groupBy. ``i``/``u`` are exact
+    BIGINTs, so any downstream threshold can stay a cross-multiplied
+    integer inequality (2*i >= u for Jaccard >= 1/2) and the reported
+    ratio ``i/u`` is the engine-exact double of two integers.
+
+    Scale: the verification joins fan candidates out by per-doc
+    shingle count — never all-pairs; cost is bounded by the candidate
+    list times mean shingle count. The shingle frame feeds the sizes
+    aggregate plus two intersection branches, so its lineage is
+    truncated (repo localCheckpoint convention).
+    """
+    bound = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).where(F.size("_toks") >= shingle_n)
+    shing = bound.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_of(F.col("_toks"), shingle_n))
+        ).alias("sh"),
+    ).localCheckpoint(eager=False)  # sizes + two intersection branches
+    sizes = shing.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    return (
+        cand.join(
+            shing.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+        )
+        .join(
+            shing.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b", *extra_keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", *extra_keys, "i",
+            (F.col("na") + F.col("nb") - F.col("i")).alias("u"),
+        )
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     nodes: DataFrame,

@@ -20,10 +20,10 @@ from pyspark.sql import functions as F
 
 from ...functions.scalar import fround
 from ...operators.dedup import (
+    exact_jaccard_pairs,
     lsh_bands,
     lsh_candidate_pairs,
     minhash_signatures,
-    shingles_of,
     simhash,
 )
 from ...sources.readers import read_table
@@ -2939,41 +2939,19 @@ def q346_neardup_evidence_pairs(
     the oracle's pair set matches exactly; at production scale pass
     ``max_bucket_size`` to lsh_candidate_pairs to cap hot-bucket skew
     (at the cost of dropping pairs inside oversize buckets). The
-    verification joins fan out candidates by per-doc shingle count,
-    never all-pairs. Shingle/size frames reuse one bound token-array
-    projection (CSE does not reach lambdas).
+    verification runs through the shared ``exact_jaccard_pairs``
+    (candidate fan-out by per-doc shingle count, never all-pairs).
     """
     docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
     cand = lsh_candidate_pairs(lsh_bands(sig, n_hashes=8, band_size=2))
-    bound = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("_toks")
-    ).where(F.size("_toks") >= 3)
-    shing = bound.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_of(F.col("_toks"), 3))).alias(
-            "sh"
-        ),
-    ).localCheckpoint(eager=False)  # sizes + two intersection branches
-    sizes = shing.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh")
-    )
-    inter = (
-        cand.join(
-            shing.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
-        )
-        .join(
-            shing.select(F.col("doc_id").alias("doc_b"), "sh"),
-            ["doc_b", "sh"],
-        )
-        .groupBy("doc_a", "doc_b", "n_shared_bands")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+    pj = exact_jaccard_pairs(
+        docs, cand, shingle_n=3, extra_keys=("n_shared_bands",)
     )
     sim = simhash(docs, bits=16)
     ham = F.expr("simhash_a ^ simhash_b")
-    union_sz = F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_shared_shingles")
     return (
-        inter.join(
+        pj.join(
             sim.select(
                 F.col("doc_id").alias("doc_a"),
                 F.col("simhash").alias("simhash_a"),
@@ -2987,31 +2965,15 @@ def q346_neardup_evidence_pairs(
             ),
             "doc_b",
         )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b")
-            ),
-            "doc_b",
-        )
         .select(
             "doc_a",
             "doc_b",
             "n_shared_bands",
-            "n_shared_shingles",
+            F.col("i").alias("n_shared_shingles"),
             F.bit_count(ham).cast("bigint").alias("simhash_hamming"),
-            fround(F.col("n_shared_shingles") / union_sz, 6).alias(
-                "jaccard"
-            ),
+            fround(F.col("i") / F.col("u"), 6).alias("jaccard"),
             (F.bit_count(ham) <= 3).alias("simhash_close"),
-            (F.col("n_shared_shingles") * 2 >= union_sz).alias(
-                "jaccard_half"
-            ),
+            (F.col("i") * 2 >= F.col("u")).alias("jaccard_half"),
         )
     )
 
@@ -3253,10 +3215,10 @@ def q356_triangle_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: wedges come from a per-middle-node self-join of the
     LSH-bounded candidate list (the q248 wedge machinery — bounded by
-    candidate degree, never corpus-quadratic); the verification joins
-    fan out by per-doc shingle count like q346. The pj frame feeds
-    the wedge join twice plus the observation lookup, so lineage is
-    truncated.
+    candidate degree, never corpus-quadratic); verification runs
+    through the shared ``exact_jaccard_pairs`` like q346/q364. The pj
+    frame feeds the wedge join twice plus the observation lookup, so
+    lineage is truncated.
     """
     docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
@@ -3265,46 +3227,9 @@ def q356_triangle_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    bound = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("_toks")
-    ).where(F.size("_toks") >= 3)
-    shing = bound.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_of(F.col("_toks"), 3))).alias(
-            "sh"
-        ),
-    ).localCheckpoint(eager=False)  # sizes + intersection branches
-    sizes = shing.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh")
-    )
-    pj = (
-        cand.join(
-            shing.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
-        )
-        .join(
-            shing.select(F.col("doc_id").alias("doc_b"), "sh"),
-            ["doc_b", "sh"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a", "doc_b", "i",
-            (F.col("na") + F.col("nb") - F.col("i")).alias("u"),
-        )
-        .localCheckpoint(eager=False)  # two wedge sides + obs lookup
-    )
+    pj = exact_jaccard_pairs(docs, cand, shingle_n=3).localCheckpoint(
+        eager=False
+    )  # two wedge sides + obs lookup
     sym = pj.select(
         F.col("doc_a").alias("x"), F.col("doc_b").alias("m"), "i", "u"
     ).unionAll(
@@ -3448,8 +3373,9 @@ def q364_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     via one grouped min-struct on the Spark side (the q07 machinery,
     negated for argmax) and the rn=1 window in the oracle.
 
-    Scale: candidate-bounded like q346 (band equi-joins, shingle-count
-    fan-out); the argmax is map-side-combined — no window over data.
+    Scale: candidate-bounded like q346 (the shared
+    ``exact_jaccard_pairs`` verifier); the argmax is map-side-combined
+    — no window over data.
     """
     docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
@@ -3458,45 +3384,8 @@ def q364_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    bound = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("_toks")
-    ).where(F.size("_toks") >= 3)
-    shing = bound.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_of(F.col("_toks"), 3))).alias(
-            "sh"
-        ),
-    ).localCheckpoint(eager=False)  # sizes + intersection branches
-    sizes = shing.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh")
-    )
-    pj = (
-        cand.join(
-            shing.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
-        )
-        .join(
-            shing.select(F.col("doc_id").alias("doc_b"), "sh"),
-            ["doc_b", "sh"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a", "doc_b", "i",
-            (F.col("na") + F.col("nb") - F.col("i")).alias("u"),
-        )
-        .where(2 * F.col("i") < F.col("u"))
+    pj = exact_jaccard_pairs(docs, cand, shingle_n=3).where(
+        2 * F.col("i") < F.col("u")
     )
     sym = pj.select(
         F.col("doc_a").alias("anchor"), F.col("doc_b").alias("partner"),

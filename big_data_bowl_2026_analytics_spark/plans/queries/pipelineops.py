@@ -2473,6 +2473,12 @@ def q366_raking_ipf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "source", "lang",
                 (F.col("w") * F.col("ct") / F.col("csum")).alias("w"),
             )
+            # w is referenced twice per half-round (marginal sum +
+            # join) — without per-round truncation the logical plan
+            # doubles per half-step (2^10 leaves at 5 rounds; r07
+            # PLANS.md recorded 3410 exchanges for this 25-cell
+            # frame). Same convention as q299/bfs_hops.
+            .localCheckpoint(eager=False)
         )
     return w.join(cells, ["source", "lang"]).select(
         "source", "lang",

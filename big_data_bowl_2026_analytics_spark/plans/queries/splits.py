@@ -754,3 +754,80 @@ def q224_length_bucketed_batching(
             (padded - F.col("real_tokens")) * 1.0 / padded, 6
         ).alias("waste_share"),
     )
+
+
+@query(
+    "q370_weighted_reservoir_sample",
+    tags=("sampling", "llm-pipeline", "topk"),
+    oracle=f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln(({_hash16_sql('ares|', 'doc_id')} + 1) / 65537.0) / n_chars AS k
+  FROM documents
+  WHERE n_chars > 0
+), ranked AS (
+  SELECT source, doc_id, n_chars, k,
+         row_number() OVER (
+           PARTITION BY source ORDER BY k DESC, doc_id
+         ) AS rn
+  FROM keyed
+)
+SELECT source, CAST(rn AS BIGINT) AS rank, doc_id,
+       CAST(n_chars AS BIGINT) AS weight,
+       round(k + 1e-9, 6) + 0 AS res_key
+FROM ranked WHERE rn <= 5
+""",
+)
+def q370_weighted_reservoir_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, 5 documents
+    per source, inclusion probability proportional to length — the
+    Efraimidis-Spirakis A-Res reservoir scheme (Inf. Process. Lett.
+    2006): each item draws u ~ U(0,1) and the k items with the largest
+    u^(1/w) — equivalently the largest ln(u)/w — ARE a without-
+    replacement w-weighted sample. This is the one-pass, shuffle-free
+    answer to "give me a length-weighted sample per stratum" that
+    q128's Bernoulli thresholds (fixed RATE, binomial size) and q134's
+    rebalance (capped counts, unweighted within stratum) cannot give:
+    exact sample SIZE and weight-proportional inclusion at once.
+
+    Exactness: u = (hash16+1)/65537 is an exact rational in (0,1), so
+    ln(u) is the ln of a bit-identical double (engine-stable per the
+    q158/q347 precedent) and the division by the integer weight is one
+    correctly-rounded op — keys are bit-identical cross-engine, and
+    the top-5 order carries the doc_id total tie-break (rule 3). The
+    reported key is fround-6 with the `+ 0` sign-of-zero guard
+    (footgun 9: keys scale like -1e-9 for long documents, which rounds
+    to -0.0 in DuckDB and +0.0 in Spark).
+
+    Scale: one corpus scan; the rank-<=5 window compiles to
+    WindowGroupLimit, so every partition forwards at most 5 rows per
+    source to the final per-source sort — the reservoir property,
+    executed map-side. No joins, no collects; adding a round's worth
+    of new strata changes nothing.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "source", "n_chars"]
+    )
+    u = (_hash16("ares|", F.col("doc_id")) + 1) / F.lit(65537.0)
+    keyed = docs.where(F.col("n_chars") > 0).select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "source",
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            "weight",
+            (fround(F.col("k"), 6) + F.lit(0.0)).alias("res_key"),
+        )
+    )

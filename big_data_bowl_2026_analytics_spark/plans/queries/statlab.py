@@ -3590,6 +3590,7 @@ WITH top AS (
   LIMIT 101
 ), s AS (
   SELECT
+    max(x) AS xtop,
     sum(CASE WHEN i <= 25 THEN ln(x) END) AS s25,
     max(CASE WHEN i = 26 THEN x END) AS x25,
     sum(CASE WHEN i <= 50 THEN ln(x) END) AS s50,
@@ -3599,12 +3600,14 @@ WITH top AS (
   FROM top
 )
 SELECT CAST(k AS BIGINT) AS k, xmin,
-       round(h + 1e-9, 6) AS hill_gamma,
-       round(1.0 / h + 1e-9, 6) AS tail_alpha
+       CASE WHEN xmin = xtop THEN NULL
+            ELSE round(h + 1e-9, 6) END AS hill_gamma,
+       CASE WHEN xmin = xtop THEN NULL
+            ELSE round(1.0 / h + 1e-9, 6) END AS tail_alpha
 FROM (
-  SELECT 25 AS k, x25 AS xmin, s25 / 25.0 - ln(x25) AS h FROM s
-  UNION ALL SELECT 50, x50, s50 / 50.0 - ln(x50) FROM s
-  UNION ALL SELECT 100, x100, s100 / 100.0 - ln(x100) FROM s
+  SELECT 25 AS k, x25 AS xmin, s25 / 25.0 - ln(x25) AS h, xtop FROM s
+  UNION ALL SELECT 50, x50, s50 / 50.0 - ln(x50), xtop FROM s
+  UNION ALL SELECT 100, x100, s100 / 100.0 - ln(x100), xtop FROM s
 ) t
 """,
 )
@@ -3640,6 +3643,7 @@ def q347_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("x"), F.desc("o_orderkey"))
     ranked = top.select("x", F.row_number().over(w).alias("i"))
     s = ranked.agg(
+        F.max(F.col("x")).alias("xtop"),
         F.sum(F.when(F.col("i") <= 25, F.log("x"))).alias("s25"),
         F.max(F.when(F.col("i") == 26, F.col("x"))).alias("x25"),
         F.sum(F.when(F.col("i") <= 50, F.log("x"))).alias("s50"),
@@ -3654,13 +3658,27 @@ def q347_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(50 AS BIGINT), x50, s50 / 50.0 - ln(x50),"
             " CAST(100 AS BIGINT), x100, s100 / 100.0 - ln(x100)"
             ") AS (k, xmin, h)"
-        )
+        ),
+        "xtop",
     )
+    # Degenerate-tail guard (q201 ln(0)-class): if the (k+1)-th order
+    # statistic equals the MAXIMUM, all top k+1 values are identical,
+    # h is ulp-noise around 0, and 1/h diverges engine-specifically
+    # (Spark double division yields Infinity; DuckDB depends on
+    # ieee_floating_point_ops). The estimator is undefined there —
+    # NULL both columns on both sides via the same exact raw-double
+    # comparison. Unreachable on current testdata; armed against a
+    # regenerated corpus.
+    degenerate = F.col("xmin") == F.col("xtop")
     return stacked.select(
         "k",
         "xmin",
-        fround(F.col("h"), 6).alias("hill_gamma"),
-        fround(F.lit(1.0) / F.col("h"), 6).alias("tail_alpha"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(fround(F.col("h"), 6))
+        .alias("hill_gamma"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(fround(F.lit(1.0) / F.col("h"), 6))
+        .alias("tail_alpha"),
     )
 
 

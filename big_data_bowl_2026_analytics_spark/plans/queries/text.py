@@ -3267,3 +3267,138 @@ def q367_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(f1.cast("double") / n, 6).alias("gt_unseen_mass"),
         fround(F.lit(1.0) - f1.cast("double") / n, 6).alias("gt_coverage"),
     )
+
+
+@query(
+    "q371_js_divergence_matrix",
+    tags=("text", "drift", "statistics"),
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source
+), terms AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.c AS c1, b.c AS c2,
+         (a.c / CAST(ta.n AS DOUBLE)) AS p,
+         (b.c / CAST(tb.n AS DOUBLE)) AS q
+  FROM cnt a
+  JOIN cnt b ON a.tok = b.tok AND a.source < b.source
+  JOIN tot ta ON ta.source = a.source
+  JOIN tot tb ON tb.source = b.source
+), agg AS (
+  SELECT src_a, src_b,
+         CAST(count(*) AS BIGINT) AS n_shared_types,
+         CAST(sum(c1) AS BIGINT) AS ca,
+         CAST(sum(c2) AS BIGINT) AS cb,
+         sum(p * ln((2.0 * p) / (p + q))) AS sa,
+         sum(q * ln((2.0 * q) / (p + q))) AS sb
+  FROM terms GROUP BY src_a, src_b
+)
+SELECT src_a, src_b, n_shared_types,
+       round(ca / CAST(ta.n AS DOUBLE) + 1e-9, 6) AS shared_mass_a,
+       round(cb / CAST(tb.n AS DOUBLE) + 1e-9, 6) AS shared_mass_b,
+       round(0.5 * (sa + sb)
+             + (0.5 * ln(2.0))
+               * ((1.0 - ca / CAST(ta.n AS DOUBLE))
+                  + (1.0 - cb / CAST(tb.n AS DOUBLE))) + 1e-9, 6) + 0
+         AS js_divergence
+FROM agg
+JOIN tot ta ON ta.source = agg.src_a
+JOIN tot tb ON tb.source = agg.src_b
+""",
+)
+def q371_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    token-occurrence (unigram) distributions — the SYMMETRIC, bounded
+    ([0, ln 2]) corpus-mix distance that completes the drift family:
+    q120's KL is asymmetric and infinite on disjoint support, q174's
+    PSI needs smoothing, q165/q340 compare LENGTH distributions only.
+    JS is what mixture-design actually wants ("how redundant are these
+    two feeds?") because JS(P,Q) is the information gained per
+    document by knowing which feed it came from.
+
+    The disjoint-support mass never joins: a token in exactly one
+    source contributes p*ln(2) to its side's KL(·||M), and those terms
+    telescope to ln(2)*(1 - shared_mass) with shared_mass = Ca/n1 an
+    EXACT integer ratio — so only the shared-token inner join is ever
+    materialized, and the one-sided vocabulary (the huge tail) is
+    handled in closed form. Per-term math is products/ratios of exact
+    integers through one ln (bit-identical cross-engine, q158
+    precedent); the float sums over shared types land far inside
+    fround-6 (|terms| ~ 1e4, per-term ulp ~ 1e-17); `+ 0` guards the
+    sign of a near-zero rounding (footgun 9).
+
+    Scale: token-grain shuffles only (the counts groupBy and the
+    shared-token equi-join keyed by token — both high-cardinality);
+    the pair fan-out is |sources| per token row, the output frame is
+    the bounded source-pair grid. No windows, no collects.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    cnt = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # totals + both join sides
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    a = cnt.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("c1")
+    )
+    b = cnt.select(
+        F.col("source").alias("src_b"), "tok", F.col("c").alias("c2")
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("n1"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("n2"))
+    terms = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a", "src_b", "c1", "c2",
+            (F.col("c1") / F.col("n1").cast("double")).alias("p"),
+            (F.col("c2") / F.col("n2").cast("double")).alias("q"),
+        )
+    )
+    agg = terms.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_types"),
+        F.sum("c1").cast("bigint").alias("ca"),
+        F.sum("c2").cast("bigint").alias("cb"),
+        F.sum(
+            F.col("p")
+            * F.log((F.lit(2.0) * F.col("p")) / (F.col("p") + F.col("q")))
+        ).alias("sa"),
+        F.sum(
+            F.col("q")
+            * F.log((F.lit(2.0) * F.col("q")) / (F.col("p") + F.col("q")))
+        ).alias("sb"),
+    )
+    ma = F.col("ca") / F.col("n1").cast("double")
+    mb = F.col("cb") / F.col("n2").cast("double")
+    return (
+        agg.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared_types",
+            fround(ma, 6).alias("shared_mass_a"),
+            fround(mb, 6).alias("shared_mass_b"),
+            (
+                fround(
+                    F.lit(0.5) * (F.col("sa") + F.col("sb"))
+                    + (F.lit(0.5) * F.log(F.lit(2.0)))
+                    * ((F.lit(1.0) - ma) + (F.lit(1.0) - mb)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("js_divergence"),
+        )
+    )

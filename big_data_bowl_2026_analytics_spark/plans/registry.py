@@ -55,68 +55,66 @@ def query(
 
 #: Explicit registry ordering for external harnesses. The driver
 #: verifies the FIRST 50 registry entries per round, so the order is
-#: rotated each round. Round-7 rotation: the r06 window (q168-q218)
-#: came back 50/50 green, so those slots are released. This round
-#: rotates in the next never-driver-certified batch in number order:
-#: q219-q268 (fourth-session tail + fifth-session head). All pass the
-#: local strict checker at sf0.001/0.01/0.1 and driver_sim on current
-#: data; this is certification exposure, not known bugs. Note q230
-#: (isotonic/PAV) is a declared no-oracle entry (rows-only driver
-#: check; sequential pooling is not SQL-expressible — KKT invariants
-#: + cross-algorithm hypothesis tests stand in). Remaining
-#: never-certified queries (q269-q346, 78 queries) rotate in over
-#: rounds 8-9 per CLAUDE.md.
+#: rotated each round. Round-8 rotation: the r07 window (q219-q268)
+#: came back 50/50 green (q230 rows-only as declared), so those slots
+#: are released. This round rotates in the next never-driver-certified
+#: batch in number order: q269-q318 (fifth-session tail). Every entry
+#: in this window has a strict oracle (no rows-only entries). All pass
+#: the local strict checker at sf0.001/0.01/0.1 and driver_sim on
+#: current data; this is certification exposure, not known bugs.
+#: Remaining never-certified queries (q319-q369 + any r8 additions)
+#: rotate in round 9 per CLAUDE.md.
 _DRIVER_ORDER = [
-    "q219_bpe_merge_step",
-    "q220_span_corruption_plan",
-    "q221_sliding_window_chunks",
-    "q222_class_balance_weights",
-    "q223_stratified_kfold_plan",
-    "q224_length_bucketed_batching",
-    "q225_capture_recapture",
-    "q226_lift_gains_table",
-    "q227_model_ks_separation",
-    "q228_randomization_test",
-    "q229_mann_kendall_trend",
-    "q230_isotonic_calibration",
-    "q231_peak_concurrency",
-    "q232_price_index",
-    "q233_growth_accounting",
-    "q234_langid_confusion",
-    "q235_pinball_loss",
-    "q236_item_item_cf",
-    "q237_grid_density_clusters",
-    "q238_bm25_retrieval",
-    "q239_sequence_pattern_mining",
-    "q240_brier_decomposition",
-    "q241_kcore_profile",
-    "q242_jl_projection_distortion",
-    "q243_tokenizer_fertility",
-    "q244_session_path_topk",
-    "q245_target_encoding_loo",
-    "q246_cross_correlation",
-    "q247_bootstrap_auc_ci",
-    "q248_local_clustering",
-    "q249_simpson_paradox_screen",
-    "q250_product_quantization",
-    "q251_pq_adc_recall",
-    "q252_hierarchical_percentiles",
-    "q253_business_day_normalization",
-    "q254_markov_attribution",
-    "q255_behavioral_user_similarity",
-    "q256_abc_xyz_matrix",
-    "q257_grid_quantile_regression",
-    "q258_dedup_cluster_conflicts",
-    "q259_kwic_snippets",
-    "q260_popularity_recommender_backtest",
-    "q261_difference_in_differences",
-    "q262_source_ablation_diversity",
-    "q263_peak_detection",
-    "q264_price_volume_mix",
-    "q265_dedup_savings_report",
-    "q266_customer_feature_assembly",
-    "q267_lsh_1nn_label_coherence",
-    "q268_friedman_dow_test",
+    "q269_ship_sla_attainment",
+    "q270_deletion_impact_report",
+    "q271_retrieval_mrr_map",
+    "q272_eb_shrunk_path_conversion",
+    "q273_haar_energy_decomposition",
+    "q274_newsvendor_stock_levels",
+    "q275_feed_uptime_nines",
+    "q276_consistent_hash_balance",
+    "q277_heaps_law_growth",
+    "q278_sku_lifecycle_census",
+    "q279_shuffle_skew_forecast",
+    "q280_dedup_threshold_sweep",
+    "q281_storage_tiering_plan",
+    "q282_quality_filter_yield",
+    "q283_quality_perplexity_spearman",
+    "q284_token_budget_waterfill",
+    "q285_lmdi_revenue_drivers",
+    "q286_queue_backlog_curve",
+    "q287_order_velocity_screen",
+    "q288_calendar_outlier_days",
+    "q289_behavior_predictability",
+    "q290_small_cell_suppression",
+    "q291_good_turing_unseen_mass",
+    "q292_rich_club_coefficient",
+    "q293_forecast_ensemble",
+    "q294_ivf_pq_index_census",
+    "q295_breusch_pagan_screen",
+    "q296_rapid_repeat_runs",
+    "q297_new_vs_returning_revenue",
+    "q298_embedding_dimension_health",
+    "q299_bradley_terry_strength",
+    "q300_sampling_accuracy_planner",
+    "q301_single_sourcing_risk",
+    "q302_hour_of_day_envelope",
+    "q303_recommender_coverage_audit",
+    "q304_effective_sample_size",
+    "q305_substitution_screen",
+    "q306_session_unicity_sweep",
+    "q307_price_ending_census",
+    "q308_first_order_ltv_signal",
+    "q309_trade_flow_matrix",
+    "q310_supplier_reliability_scorecard",
+    "q311_order_consolidation",
+    "q312_discount_ladder",
+    "q313_returns_interaction",
+    "q314_hapax_gibberish_screen",
+    "q315_ivf_partition_stability",
+    "q316_basket_expander_score",
+    "q317_suspected_outage_hours",
+    "q318_shipment_fragmentation",
 ]
 
 
