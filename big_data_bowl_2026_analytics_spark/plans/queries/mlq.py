@@ -1567,3 +1567,133 @@ def q331_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r2_round2"),
         )
     )
+
+
+@query(
+    "q374_hosmer_lemeshow",
+    tags=("ml", "evaluation", "calibration"),
+    oracle=f"""
+WITH {_SCORED_CTE.strip()},
+ranked AS (
+  SELECT y, p,
+         CAST(row_number() OVER (ORDER BY p DESC, l_orderkey)
+              AS BIGINT) AS r
+  FROM scored
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS nr FROM ranked
+), cells AS (
+  SELECT CAST(floor((r - 1) * 10.0 / nr) + 1 AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+         CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS BIGINT) AS sp6
+  FROM ranked, n GROUP BY 1
+), contrib AS (
+  SELECT decile, n_rows, n_pos, sp6,
+         CAST(sp6 AS DOUBLE) / 1000000.0 AS e1,
+         CAST(n_pos * 1000000 - sp6 AS DOUBLE) / 1000000.0 AS d,
+         (CAST(n_pos * 1000000 - sp6 AS DOUBLE) / 1000000.0)
+           * (CAST(n_pos * 1000000 - sp6 AS DOUBLE) / 1000000.0)
+           * (1.0 / (CAST(sp6 AS DOUBLE) / 1000000.0)
+              + 1.0 / (n_rows - CAST(sp6 AS DOUBLE) / 1000000.0)) AS hc
+  FROM cells
+), scaled AS (
+  SELECT decile, n_rows, n_pos, sp6, e1, hc,
+         CAST(round(hc * 1000000) AS BIGINT) AS hc6
+  FROM contrib
+), tot AS (
+  SELECT CAST(sum(hc6) AS BIGINT) AS t6 FROM scaled
+)
+SELECT decile, n_rows, n_pos,
+       round(e1 + 1e-9, 6) AS expected_pos,
+       round(n_pos * 1.0 / n_rows + 1e-9, 6) AS obs_rate,
+       round(e1 / n_rows + 1e-9, 6) AS exp_rate,
+       round(hc + 1e-9, 6) AS hl_contrib,
+       CAST(t6 AS DOUBLE) / 1000000.0 AS hl_total,
+       t6 > 15507000 AS calibration_reject
+FROM scaled, tot
+""",
+)
+def q374_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit for the q50 model's calibration
+    — the grouped chi-square the q51 reliability diagram eyeballs:
+    rank-based score deciles (the q226 machinery — bucketed rank with
+    the descending flip, never ntile/score bins), and per decile
+    HL_g = (O-E)^2 * (1/E1 + 1/E0) with E the sum of predicted
+    probabilities; HL = sum over deciles is chi-square(8) under good
+    calibration, rejected above the 0.05 critical value 15.507. The
+    decision-grade complement to q51 (which reports the gaps but no
+    test) and q183/q240 (agreement/decomposition, not calibration).
+
+    Exactness: predictions are 6-dp-rounded, so each decile's expected
+    sum is an EXACT BIGINT in millionths (sp6 = sum of round(p*1e6)) —
+    the O-E difference is an exact integer in the same scale (no
+    float-sum cancellation, the q363 lesson built in from the start);
+    each contribution is a fixed chain of correctly-rounded ops on
+    exact inputs, and the TOTAL re-enters integers (sum of 6-dp-scaled
+    contributions), so the reject flag is the exact integer compare
+    t6 > 15507000 (chi2_{{8,0.95}} = 15.507 cross-multiplied).
+
+    Scale: scoring is native JVM column math; the global rank runs
+    through the two-level bucketed rank (no row-grain single-partition
+    window); everything after is a 10-row funnel.
+    """
+    from ...operators.rankops import bucketed_rank
+
+    scored = _scored(spark, sf_dir, native=True).select(
+        "l_orderkey",
+        F.round(F.col("probability") + 1e-9, 6).alias("p"),
+        F.col("target").alias("y"),
+    )
+    p_int = F.round(F.col("p") * 1e6).cast("bigint")
+    base = scored.select(
+        "y",
+        p_int.alias("p6"),
+        (p_int + 1).alias("p_key"),
+        (-F.col("l_orderkey")).alias("neg_key"),
+    )
+    asc = bucketed_rank(base, "p_key", ["neg_key"], "r_asc")
+    n = asc.agg(F.count(F.lit(1)).alias("nr"))
+    ranked = asc.crossJoin(F.broadcast(n)).select(
+        "y", "p6", "nr", (F.col("nr") + 1 - F.col("r_asc")).alias("r")
+    )
+    cells = (
+        ranked.withColumn(
+            "decile",
+            (F.floor((F.col("r") - 1) * 10.0 / F.col("nr")) + 1).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("y").cast("bigint")).cast("bigint").alias("n_pos"),
+            F.sum("p6").cast("bigint").alias("sp6"),
+        )
+    )
+    e1 = F.col("sp6").cast("double") / F.lit(1000000.0)
+    d = (F.col("n_pos") * 1000000 - F.col("sp6")).cast("double") / F.lit(
+        1000000.0
+    )
+    hc = (d * d) * (
+        F.lit(1.0) / e1 + F.lit(1.0) / (F.col("n_rows") - e1)
+    )
+    scaled = cells.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        e1.alias("e1"),
+        hc.alias("hc"),
+        F.round(hc * 1e6).cast("bigint").alias("hc6"),
+    ).localCheckpoint(eager=False)  # total + per-decile branches
+    tot = scaled.agg(F.sum("hc6").cast("bigint").alias("t6"))
+    return scaled.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        fround(F.col("e1"), 6).alias("expected_pos"),
+        fround(F.col("n_pos") * 1.0 / F.col("n_rows"), 6).alias("obs_rate"),
+        fround(F.col("e1") / F.col("n_rows"), 6).alias("exp_rate"),
+        fround(F.col("hc"), 6).alias("hl_contrib"),
+        (F.col("t6").cast("double") / F.lit(1000000.0)).alias("hl_total"),
+        (F.col("t6") > 15507000).alias("calibration_reject"),
+    )

@@ -2611,3 +2611,126 @@ def q360_service_level_backtest(
             "target_met"
         ),
     )
+
+
+@query(
+    "q373_croston_intermittent_demand",
+    tags=("inventory", "forecast", "timeseries"),
+    oracle="""
+WITH daily AS (
+  SELECT p.p_brand AS brand,
+         CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), seq AS (
+  SELECT brand, day_num, d,
+         CAST(row_number() OVER (PARTITION BY brand ORDER BY day_num)
+              AS BIGINT) AS rn,
+         day_num - lag(day_num) OVER (PARTITION BY brand ORDER BY day_num)
+           AS gap
+  FROM daily
+), tot AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY brand
+), terms AS (
+  SELECT s.brand, t.n, s.rn, s.d, s.gap,
+         1.0 / ((1 << (t.n - s.rn + 1))) AS w
+  FROM seq s JOIN tot t ON t.brand = s.brand
+  WHERE t.n >= 17 AND t.n - s.rn <= 15
+), sm AS (
+  SELECT brand, n,
+         sum(w * d) AS zhat,
+         sum(CASE WHEN rn >= 2 THEN w * gap END) AS phat
+  FROM terms GROUP BY brand, n
+)
+SELECT brand, n AS n_demand_days,
+       round(zhat + 1e-9, 6) AS smoothed_demand,
+       round(phat + 1e-9, 6) AS smoothed_interval,
+       round(zhat / phat + 1e-9, 6) AS croston_rate,
+       round(0.75 * (zhat / phat) + 1e-9, 6) AS sba_rate
+FROM sm
+""",
+)
+def q373_croston_intermittent_demand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston intermittent-demand forecast per brand (Croston 1972,
+    the standard method for sparse/lumpy demand that q352's plain
+    mu/sigma mis-serves: averaging zeros into mu under-sizes every
+    order-up-to level): demand SIZE and inter-demand INTERVAL are
+    smoothed separately (EWMA, alpha = 1/2) over the active-day
+    series, and the demand rate is zhat/phat; the Syntetos-Boylan
+    (2005) correction multiplies by 1 - alpha/2 = 0.75, the
+    literature's fix for Croston's inversion bias. Brands need >= 17
+    active days (an EXACT integer guard, the q359 lesson) so both
+    smoothers see their full 16 terms.
+
+    Exactness: alpha = 1/2 makes every EWMA weight the exact dyadic
+    2^-(i+1) built by INTEGER shift (never pow(), the q358 rule); the
+    16-term truncation (residual mass 2^-16, the q334 convention)
+    bounds each weighted sum's numerator under 2^40 over the common
+    2^-17 denominator, so zhat and phat are EXACT dyadic doubles in
+    any summation order — cross-engine stable before rounding; the
+    rate is then one correctly-rounded division and the SBA factor a
+    single product, parenthesized identically both engines.
+
+    Scale: the (brand x active-day) grain is CALENDAR-BOUNDED (<=
+    ~2,500 rows per brand at any corpus size), so the per-brand
+    sequence window never grows with data; one fact pass + broadcast
+    dim + bounded windows + a 25-row output.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_shipdate"]
+    )
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    daily = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01")
+            ).cast("bigint").alias("day_num"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("brand", "day_num")
+        .agg(F.sum("q").cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)  # sequence + totals branches
+    )
+    ws = Window.partitionBy("brand").orderBy("day_num")
+    seq = daily.select(
+        "brand",
+        "day_num",
+        "d",
+        F.row_number().over(ws).cast("bigint").alias("rn"),
+        (F.col("day_num") - F.lag("day_num").over(ws)).alias("gap"),
+    )
+    tot = daily.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    terms = (
+        seq.join(F.broadcast(tot), "brand")
+        .where((F.col("n") >= 17) & (F.col("n") - F.col("rn") <= 15))
+        .select(
+            "brand", "n", "rn", "d", "gap",
+            (
+                F.lit(1.0)
+                / F.expr("shiftleft(1, CAST(n - rn AS INT) + 1)")
+            ).alias("w"),
+        )
+    )
+    sm = terms.groupBy("brand", "n").agg(
+        F.sum(F.col("w") * F.col("d")).alias("zhat"),
+        F.sum(
+            F.when(F.col("rn") >= 2, F.col("w") * F.col("gap"))
+        ).alias("phat"),
+    )
+    rate = F.col("zhat") / F.col("phat")
+    return sm.select(
+        "brand",
+        F.col("n").alias("n_demand_days"),
+        fround(F.col("zhat"), 6).alias("smoothed_demand"),
+        fround(F.col("phat"), 6).alias("smoothed_interval"),
+        fround(rate, 6).alias("croston_rate"),
+        fround(F.lit(0.75) * rate, 6).alias("sba_rate"),
+    )

@@ -2386,3 +2386,102 @@ def q339_mutual_nearest_neighbors(
             "cosine",
         )
     )
+
+
+@query(
+    "q372_ivf_silhouette",
+    tags=("similarity", "ivf", "audit"),
+    oracle=f"""
+WITH {_SEEDS_CTE.strip()},
+scored AS (
+  SELECT e.vec_id, s.cluster_id,
+         {_sq_l2_sql('e.embedding', 's.centroid')} AS dist
+  FROM embeddings e CROSS JOIN seeds s
+), ranked AS (
+  SELECT vec_id, cluster_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id)
+           AS rn
+  FROM scored
+), two AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cluster_id END) AS cluster_id,
+         max(CASE WHEN rn = 1 THEN dist END) AS d1,
+         max(CASE WHEN rn = 2 THEN dist END) AS d2
+  FROM ranked WHERE rn <= 2 GROUP BY vec_id
+), sil AS (
+  SELECT cluster_id,
+         CASE WHEN d2 = 0 THEN 0.0
+              ELSE (sqrt(d2) - sqrt(d1)) / sqrt(d2) END AS s
+  FROM two
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(s) + 1e-9, 6) AS avg_silhouette,
+       round(min(s) + 1e-9, 6) AS min_silhouette,
+       CAST(sum(CASE WHEN round(s + 1e-9, 6) < 0.1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ambiguous
+FROM sil GROUP BY cluster_id
+""",
+)
+def q372_ivf_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette quality audit of the q61 IVF partitioning
+    — the third leg of the clustering-audit stool: q168 measures cell
+    BALANCE (sizes), q315 measures STABILITY (agreement between
+    seedings), this measures GEOMETRIC QUALITY. Per vector, the
+    simplified silhouette s = (d2 - d1)/d2 on Euclidean
+    centroid distances, where d1 is the distance to the OWN (nearest)
+    centroid and d2 to the nearest OTHER centroid (Hruschka et al.'s
+    centroid-based relaxation of Rousseeuw 1987 — the only silhouette
+    computable without the all-pairs matrix, which is the form that
+    exists at 100 TB). s near 0 = the vector sits on a cell boundary
+    (an ANN search must probe 2+ cells to find its neighbors — exactly
+    the nprobe>1 population q62 pays for); the per-cell n_ambiguous
+    (s < 0.1 after rounding) estimates that boundary population.
+
+    Exactness: both distances come off ONE scored pass (the q61
+    cross-join convention, same tie-break), so the assignment can
+    never diverge from q61; sqrt of bit-identical doubles and one
+    division are correctly rounded; d1 <= d2 by construction makes s
+    nonnegative (no sign-of-zero exposure); the ambiguity threshold
+    compares the 6-dp ROUNDED s both engines (the q348 ordering
+    lesson applied to a predicate).
+
+    Scale: broadcast 8-centroid cross join, one vec_id-keyed reduce
+    (the top-2 selection is a bounded array_sort over k=8 structs —
+    map-side combinable, never a data-sized window), one bounded
+    cell-grain aggregate.
+    """
+    from ...operators.ivf import seed_centroids, sq_l2
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, 8)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cluster_id",
+        sq_l2(F.col("embedding"), F.col("centroid"), dim=_DIM).alias("dist"),
+    )
+    two = scored.groupBy("vec_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("dist", "cluster_id"))),
+            1,
+            2,
+        ).alias("t2")
+    )
+    d1 = F.col("t2").getItem(0).getField("dist")
+    d2 = F.col("t2").getItem(1).getField("dist")
+    sil = two.select(
+        F.col("t2").getItem(0).getField("cluster_id").alias("cluster_id"),
+        F.when(d2 == 0, F.lit(0.0))
+        .otherwise((F.sqrt(d2) - F.sqrt(d1)) / F.sqrt(d2))
+        .alias("s"),
+    )
+    return sil.groupBy(
+        F.col("cluster_id").cast("bigint").alias("cluster_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        fround(F.avg("s"), 6).alias("avg_silhouette"),
+        fround(F.min("s"), 6).alias("min_silhouette"),
+        F.sum(
+            F.when(fround(F.col("s"), 6) < 0.1, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_ambiguous"),
+    )

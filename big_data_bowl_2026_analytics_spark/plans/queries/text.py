@@ -3402,3 +3402,136 @@ def q371_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("js_divergence"),
         )
     )
+
+
+@query(
+    "q375_log_odds_keyness",
+    tags=("text", "statistics", "topk"),
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE source IN ('src0', 'src1')
+), c AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y1,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y2
+  FROM toks GROUP BY tok
+), t AS (
+  SELECT CAST(sum(y1) AS BIGINT) AS n1, CAST(sum(y2) AS BIGINT) AS n2
+  FROM c
+), z AS (
+  SELECT tok, y1, y2, delta, zscore FROM (
+    SELECT tok, y1, y2,
+           ln((y1 + aw) / ((n1 + 1000.0) - (y1 + aw)))
+             - ln((y2 + aw) / ((n2 + 1000.0) - (y2 + aw))) AS delta,
+           (ln((y1 + aw) / ((n1 + 1000.0) - (y1 + aw)))
+             - ln((y2 + aw) / ((n2 + 1000.0) - (y2 + aw))))
+             / sqrt(1.0 / (y1 + aw) + 1.0 / (y2 + aw)) AS zscore
+    FROM (
+      SELECT tok, y1, y2, n1, n2,
+             ((1000.0 * (y1 + y2)) / (n1 + n2)) AS aw
+      FROM c, t
+    )
+  )
+), ranked AS (
+  SELECT tok, y1, y2, delta, zscore,
+         CAST(row_number() OVER (
+           ORDER BY round(abs(zscore) + 1e-9, 6) DESC, tok
+         ) AS BIGINT) AS rank
+  FROM z
+)
+SELECT rank, tok, y1, y2,
+       round(delta + 1e-9, 6) AS log_odds_delta,
+       round(zscore + 1e-9, 6) AS zscore
+FROM ranked WHERE rank <= 20
+""",
+)
+def q375_log_odds_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness leaderboard between the src0 and src1 vocabularies by
+    the log-odds ratio with an informative Dirichlet prior (Monroe,
+    Colaresi & Quinn 2008, "Fightin' Words") — the corpus-comparison
+    statistic that fixes both of its predecessors' failure modes: raw
+    PMI (q117's machinery) explodes on rare words, plain chi-square
+    over-weights high-frequency function words. Each token's prior
+    mass a_w is the CORPUS-rate share of a 1000-pseudo-count prior, so
+    rare tokens shrink hard and the z-score ranks genuinely
+    source-distinctive vocabulary. Top-20 by |z|.
+
+    Exactness: y-counts and totals are exact BIGINTs from one grouped
+    pass (a token absent on one side is a genuine 0 — no join, no NULL
+    handling); a_w, both log-odds, and the variance are one fixed
+    chain of correctly-rounded double ops on exact integers (ln per
+    the q158 precedent, parenthesized identically both engines); the
+    top-20 ORDERS BY THE 6-dp-ROUNDED |z| (the q348 rule) with the
+    token as total tie-break, so the cut is cross-engine stable.
+
+    Scale: one token-grain reduce (map-side combined), a 1-row totals
+    broadcast, and a global top-20 (TakeOrderedAndProject) — the rank
+    window runs on the 20-row funnel only.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    c = (
+        docs.where(F.col("source").isin("src0", "src1"))
+        .select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(
+            F.sum(
+                F.when(F.col("source") == "src0", 1).otherwise(0)
+            ).cast("bigint").alias("y1"),
+            F.sum(
+                F.when(F.col("source") == "src1", 1).otherwise(0)
+            ).cast("bigint").alias("y2"),
+        )
+    )
+    t = c.agg(
+        F.sum("y1").cast("bigint").alias("n1"),
+        F.sum("y2").cast("bigint").alias("n2"),
+    )
+    aw = (F.lit(1000.0) * (F.col("y1") + F.col("y2"))) / (
+        F.col("n1") + F.col("n2")
+    )
+    primed = c.crossJoin(F.broadcast(t)).select(
+        "tok", "y1", "y2", "n1", "n2", aw.alias("aw")
+    )
+    l1 = F.log(
+        (F.col("y1") + F.col("aw"))
+        / ((F.col("n1") + F.lit(1000.0)) - (F.col("y1") + F.col("aw")))
+    )
+    l2 = F.log(
+        (F.col("y2") + F.col("aw"))
+        / ((F.col("n2") + F.lit(1000.0)) - (F.col("y2") + F.col("aw")))
+    )
+    sig = F.sqrt(
+        F.lit(1.0) / (F.col("y1") + F.col("aw"))
+        + F.lit(1.0) / (F.col("y2") + F.col("aw"))
+    )
+    z = primed.select(
+        "tok",
+        "y1",
+        "y2",
+        (l1 - l2).alias("delta"),
+        ((l1 - l2) / sig).alias("zscore"),
+    )
+    keyed = z.select(
+        "tok", "y1", "y2", "delta", "zscore",
+        fround(F.abs(F.col("zscore")), 6).alias("az"),
+    )
+    top = keyed.orderBy(F.desc("az"), F.asc("tok")).limit(20)
+    w = Window.orderBy(F.desc("az"), F.asc("tok"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "rank",
+            "tok",
+            "y1",
+            "y2",
+            fround(F.col("delta"), 6).alias("log_odds_delta"),
+            fround(F.col("zscore"), 6).alias("zscore"),
+        )
+    )

@@ -2057,3 +2057,70 @@ def test_q369_t_closeness_class_partitioned_cdfs(spark):
     assert "hashpartitioning(seg" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q370_reservoir_window_group_limit(spark):
+    plan = physical_plan(_q(spark, "q370_weighted_reservoir_sample"))
+    # the rank-<=5 window compiles to WindowGroupLimit: every map
+    # partition forwards at most 5 rows per source (the reservoir
+    # property, executed map-side); one scan, no joins
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_q371_js_token_keyed_shuffles_broadcast_totals(spark):
+    plan = physical_plan(_q(spark, "q371_js_divergence_matrix"))
+    # counts reduce + shared-token equi-join shuffle on the token key
+    # (high-cardinality); source totals broadcast; no windows
+    assert "Scan ExistingRDD" in plan  # checkpointed counts frame
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q372_silhouette_broadcast_centroids_no_data_window(spark):
+    plan = physical_plan(_q(spark, "q372_ivf_silhouette"))
+    # 8-centroid broadcast cross join; top-2 selection is a bounded
+    # array_sort over k structs inside a vec_id-keyed aggregate —
+    # never a data-sized window. The ONLY window is seed_centroids'
+    # rank over the 8-row TakeOrderedAndProject funnel (keyed by
+    # vec_id — asserted so a data window can't sneak in unnoticed).
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # the k=8 seed funnel
+    assert plan.count("windowspecdefinition(") == 1
+    assert "windowspecdefinition(vec_id" in plan
+    assert "hashpartitioning(vec_id" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q373_croston_calendar_bounded_windows(spark):
+    plan = physical_plan(_q(spark, "q373_croston_intermittent_demand"))
+    # fact pass + broadcast dim to the calendar-bounded (brand, day)
+    # grain (checkpointed: sequence + totals branches); the sequence
+    # window partitions by brand over <=2500 rows each
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(brand" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q374_hosmer_lemeshow_bucketed_rank_no_sp_data_window(spark):
+    plan = physical_plan(_q(spark, "q374_hosmer_lemeshow"))
+    # the global score rank runs through the two-level bucketed rank;
+    # scoring is native JVM math (no Python); the total re-enters via
+    # a 1-row broadcast onto the checkpointed 10-row decile frame
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q375_keyness_takeordered_no_data_window(spark):
+    plan = physical_plan(_q(spark, "q375_log_odds_keyness"))
+    # token-grain reduce + 1-row totals broadcast + global top-20 as
+    # TakeOrderedAndProject; the rank window runs on the 20-row funnel
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
