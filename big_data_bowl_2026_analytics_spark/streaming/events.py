@@ -527,3 +527,43 @@ def cms_bucket_dyn(j_col, key, width: int, depth: int):
     for jj in range(depth):
         expr = F.when(j == jj, cms_bucket(jj, key, width)).otherwise(expr)
     return expr
+
+
+def slo_burn_windows(
+    events: DataFrame,
+    window: str = "6 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming half of q368's multi-window SLO burn alerting: per
+    SLIDING window (default 6 h sliding hourly — the slow/confirming
+    window of the Google SRE rule; pass window="1 hour" for the fast
+    one), the exact event and error counts. State is one mergeable
+    (count, count) pair per open window — sliding windows multiply
+    state by window/slide (6x here), still O(1) per window per slide.
+
+    q368's batch form self-calibrates to the corpus-wide base error
+    rate; a stream cannot see the corpus, so the base rate is
+    deploy-time CONFIG in this half — and the alert decision stays
+    with the consumer as an exact integer cross-multiplication
+    (page when e * slo_den >= burn_threshold * n * slo_num), exactly
+    the contract q368 ships. Late events inside the watermark update
+    their windows' counts; the q368 batch query is the replayable
+    ground truth for any window the stream already closed.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).cast("bigint").alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_errors",
+        )
+    )

@@ -830,3 +830,43 @@ def test_stateful_transition_increments_match_batch(
         (r["prev_type"], r["next_type"]): r["count"] for r in batch
     }
     assert got_counts == want_counts and len(want_counts) > 0
+
+
+def test_slo_burn_windows_stream_equals_batch(spark, events_dir):
+    """The sliding-window burn counts drained availableNow must equal
+    the identical sliding-window aggregation run in batch over the
+    same files — exact counts, so agreement is exact. Also pins the
+    sliding semantics themselves: each event lands in exactly
+    window/slide = 6 windows."""
+    import pyspark.sql.functions as F
+
+    from big_data_bowl_2026_analytics_spark.sources.readers import read_table
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        slo_burn_windows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, events_dir)
+    run_available_now(slo_burn_windows(stream), "slo_burn_stream")
+    got = {
+        r.window_start: (r.n_events, r.n_errors)
+        for r in spark.table("slo_burn_stream").collect()
+    }
+    ev = read_table(spark, sf, "events", ["ts", "event_type"])
+    want = {
+        r.window_start: (r.n_events, r.n_errors)
+        for r in ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).cast("bigint").alias("n_errors"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_errors")
+        .collect()
+    }
+    assert got == want
+    # sliding multiplicity: total window-event incidences = 6x events
+    assert sum(n for n, _ in got.values()) == 6 * ev.count()
