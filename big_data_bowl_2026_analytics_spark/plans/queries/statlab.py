@@ -4047,3 +4047,119 @@ def q363_empirical_bayes_shrinkage(
         fround(shrunk, 6).alias("shrunk_rate"),
         (fround(shrunk - rate, 6) + F.lit(0)).alias("shrink_delta"),
     )
+
+
+@query(
+    "q376_cmh_stratified_association",
+    tags=("statistics", "audit", "causal"),
+    oracle="""
+WITH base AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS hi,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem
+), strata AS (
+  SELECT y,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(hi) AS BIGINT) AS r1,
+         CAST(sum(ret) AS BIGINT) AS c1,
+         CAST(sum(hi * ret) AS BIGINT) AS a
+  FROM base GROUP BY y
+), per AS (
+  SELECT y, n, r1, c1, a,
+         (CAST(r1 AS DOUBLE) * c1) / n AS e,
+         CAST(a * n - r1 * c1 AS DOUBLE) / n AS d,
+         ((CAST(r1 AS DOUBLE) * (n - r1)) * (CAST(c1 AS DOUBLE) * (n - c1)))
+           / ((CAST(n AS DOUBLE) * n) * (n - 1)) AS v,
+         CAST(a * (n - r1 - c1 + a) AS DOUBLE) / n AS orn,
+         CAST((r1 - a) * (c1 - a) AS DOUBLE) / n AS ord
+  FROM strata WHERE n >= 2
+), tot AS (
+  SELECT sum(d) AS dsum, sum(v) AS vsum,
+         sum(orn) AS onum, sum(ord) AS oden
+  FROM per
+)
+SELECT y AS stratum_year, n, r1 AS n_high_discount, c1 AS n_returned,
+       a AS n_high_returned,
+       round(e + 1e-9, 6) AS expected_a,
+       round(d + 1e-9, 6) + 0 AS excess_a,
+       round(v + 1e-9, 6) AS variance_a,
+       round((dsum * dsum) / vsum + 1e-9, 6) AS cmh_stat,
+       round(onum / oden + 1e-9, 6) AS or_mh,
+       round((dsum * dsum) / vsum + 1e-9, 6) > 3.841459 AS reject_indep
+FROM per, tot
+""",
+)
+def q376_cmh_stratified_association(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of the discount -> return
+    association STRATIFIED by ship year — the hypothesis test q249's
+    Simpson's-paradox screen motivates but never runs: pooling years
+    can manufacture or mask a discount/return association when both
+    drift over time, and CMH asks "is there an association WITHIN
+    strata, net of the confounder?" plus the Mantel-Haenszel common
+    odds ratio as its effect size. One row per stratum (its 2x2
+    margins and excess) with the global statistic and the chi2(1)
+    5%-level decision replicated across rows.
+
+    Exactness: each stratum's excess a - E keeps an EXACT BIGINT
+    numerator (a*n - r1*c1, the cancellation happens in integers —
+    the q363 lesson built in), so no float-sum cancellation exists
+    anywhere; variances and odds-ratio legs are cast-ONCE double
+    products (the q204 rule; BIGINT cross-products would overflow at
+    sf ~5000); the <= |years|-term sums land far inside fround-6, and
+    the reject flag compares the ROUNDED statistic to the literal
+    3.841459 on both engines (q228 convention). excess_a can round to
+    zero from below -> `+ 0` (footgun 9).
+
+    Scale: one fact pass to the <= |years| stratum grain (map-side
+    combined), then bounded-frame algebra and a 1-row broadcast back.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_shipdate", "l_discount", "l_returnflag"],
+    )
+    base = li.select(
+        F.year("l_shipdate").cast("bigint").alias("y"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("hi"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    strata = base.groupBy("y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("hi").cast("bigint").alias("r1"),
+        F.sum("ret").cast("bigint").alias("c1"),
+        F.sum(F.col("hi") * F.col("ret")).cast("bigint").alias("a"),
+    )
+    n, r1, c1, a = F.col("n"), F.col("r1"), F.col("c1"), F.col("a")
+    per = strata.where(n >= 2).select(
+        "y", "n", "r1", "c1", "a",
+        ((r1.cast("double") * c1) / n).alias("e"),
+        ((a * n - r1 * c1).cast("double") / n).alias("d"),
+        (
+            ((r1.cast("double") * (n - r1)) * (c1.cast("double") * (n - c1)))
+            / ((n.cast("double") * n) * (n - 1))
+        ).alias("v"),
+        ((a * (n - r1 - c1 + a)).cast("double") / n).alias("orn"),
+        (((r1 - a) * (c1 - a)).cast("double") / n).alias("ord"),
+    ).localCheckpoint(eager=False)  # totals + per-stratum branches
+    tot = per.agg(
+        F.sum("d").alias("dsum"),
+        F.sum("v").alias("vsum"),
+        F.sum("orn").alias("onum"),
+        F.sum("ord").alias("oden"),
+    )
+    cmh = (F.col("dsum") * F.col("dsum")) / F.col("vsum")
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("y").alias("stratum_year"),
+        "n",
+        F.col("r1").alias("n_high_discount"),
+        F.col("c1").alias("n_returned"),
+        F.col("a").alias("n_high_returned"),
+        fround(F.col("e"), 6).alias("expected_a"),
+        (fround(F.col("d"), 6) + F.lit(0.0)).alias("excess_a"),
+        fround(F.col("v"), 6).alias("variance_a"),
+        fround(cmh, 6).alias("cmh_stat"),
+        fround(F.col("onum") / F.col("oden"), 6).alias("or_mh"),
+        (fround(cmh, 6) > 3.841459).alias("reject_indep"),
+    )

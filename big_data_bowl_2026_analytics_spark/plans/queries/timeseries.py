@@ -4839,3 +4839,131 @@ def q368_slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("burn_6h"),
     )
+
+
+@query(
+    "q377_markov_order_test",
+    tags=("timeseries", "sequence", "markov", "statistics"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), trans AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+), rt AS (
+  SELECT from_type, CAST(sum(c) AS BIGINT) AS r FROM trans GROUP BY 1
+), ct AS (
+  SELECT to_type, CAST(sum(c) AS BIGINT) AS t FROM trans GROUP BY 1
+), nt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS nn,
+         CAST(count(DISTINCT from_type) AS BIGINT) AS kf,
+         CAST(count(DISTINCT to_type) AS BIGINT) AS kt
+  FROM trans
+), cells AS (
+  SELECT tr.from_type, tr.to_type, tr.c, rt.r, ct.t, nt.nn, nt.kf, nt.kt,
+         (CAST(rt.r AS DOUBLE) * ct.t) / nt.nn AS e,
+         (2.0 * tr.c)
+           * ln((CAST(tr.c AS DOUBLE) * nt.nn)
+                / (CAST(rt.r AS DOUBLE) * ct.t)) AS g
+  FROM trans tr
+  JOIN rt USING (from_type) JOIN ct USING (to_type) CROSS JOIN nt
+), tot AS (
+  SELECT sum(g) AS gsum, max((kf - 1) * (kt - 1)) AS df FROM cells
+)
+SELECT from_type, to_type, c AS n_trans,
+       round(e + 1e-9, 6) AS expected_indep,
+       round(g + 1e-9, 6) + 0 AS g_contrib,
+       round(gsum + 1e-9, 6) AS g_stat,
+       CAST(df AS BIGINT) AS df,
+       CASE WHEN df = 16 THEN round(gsum + 1e-9, 6) > 26.296
+            ELSE NULL END AS reject_order0
+FROM cells, tot
+""",
+)
+def q377_markov_order_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio (G) test of Markov order 1 vs order 0 on the
+    q138 transition matrix — the hypothesis test behind q289/q353/
+    q362, which all ASSUME the prior event type carries signal; this
+    measures it: G = 2*sum c_ij * ln(c_ij*N / (r_i*t_j)) is twice the
+    mutual information (in nats) between consecutive event types times
+    N, chi-square with (k_from-1)(k_to-1) degrees of freedom when the
+    stream is actually order-0 (Anderson & Goodman 1957). Per-cell
+    rows show WHERE the memory lives (g_contrib > 0 = attraction,
+    < 0 = repulsion vs independence); the 5%-level decision is
+    emitted for the full 5x5 case (df=16, critical 26.296) and NULL
+    for degenerate matrices whose critical value would differ.
+
+    Exactness: every ln argument is a ratio of two cast-ONCE double
+    products of exact BIGINTs (c*N and r*t — the q204 rule, never a
+    BIGINT cross-product that would overflow at sf ~100); the <= k^2
+    cell sum lands far inside fround-6; the reject flag compares the
+    ROUNDED statistic to the literal (q228 convention); g_contrib can
+    round to zero from below -> `+ 0` (footgun 9).
+
+    Scale: one user-keyed shuffle for the lead (q138's plan), then
+    everything lives on the bounded |types|^2 transition frame.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    trans = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # row/col/total branches
+    )
+    rt = trans.groupBy("from_type").agg(
+        F.sum("c").cast("bigint").alias("r")
+    )
+    ct = trans.groupBy("to_type").agg(F.sum("c").cast("bigint").alias("t"))
+    nt = trans.agg(
+        F.sum("c").cast("bigint").alias("nn"),
+        F.countDistinct("from_type").cast("bigint").alias("kf"),
+        F.countDistinct("to_type").cast("bigint").alias("kt"),
+    )
+    cells = (
+        trans.join(F.broadcast(rt), "from_type")
+        .join(F.broadcast(ct), "to_type")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "from_type", "to_type", "c", "r", "t", "nn", "kf", "kt",
+            ((F.col("r").cast("double") * F.col("t")) / F.col("nn")).alias(
+                "e"
+            ),
+            (
+                (F.lit(2.0) * F.col("c"))
+                * F.log(
+                    (F.col("c").cast("double") * F.col("nn"))
+                    / (F.col("r").cast("double") * F.col("t"))
+                )
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)  # total + per-cell branches
+    )
+    tot = cells.agg(
+        F.sum("g").alias("gsum"),
+        F.max((F.col("kf") - 1) * (F.col("kt") - 1)).alias("df"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "from_type",
+        "to_type",
+        F.col("c").alias("n_trans"),
+        fround(F.col("e"), 6).alias("expected_indep"),
+        (fround(F.col("g"), 6) + F.lit(0.0)).alias("g_contrib"),
+        fround(F.col("gsum"), 6).alias("g_stat"),
+        F.col("df").cast("bigint").alias("df"),
+        F.when(
+            F.col("df") == 16, fround(F.col("gsum"), 6) > 26.296
+        ).otherwise(F.lit(None).cast("boolean")).alias("reject_order0"),
+    )

@@ -2124,3 +2124,26 @@ def test_q375_keyness_takeordered_no_data_window(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q376_cmh_bounded_strata_funnel(spark):
+    plan = physical_plan(_q(spark, "q376_cmh_stratified_association"))
+    # one fact pass map-side combined to the <=|years| stratum grain;
+    # the checkpointed per-stratum frame feeds the totals + final
+    # branches; the 1-row summary broadcasts back
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q377_markov_order_bounded_cells(spark):
+    plan = physical_plan(_q(spark, "q377_markov_order_test"))
+    # the user-keyed lead shuffle and the margin joins hide behind the
+    # checkpointed cells frame (the q229 effect — assert the
+    # post-checkpoint visible shape): what remains is the bounded
+    # cells scan, the 1-row total aggregate, and its broadcast back
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
