@@ -4163,3 +4163,184 @@ def q376_cmh_stratified_association(
         fround(F.col("onum") / F.col("oden"), 6).alias("or_mh"),
         (fround(cmh, 6) > 3.841459).alias("reject_indep"),
     )
+
+
+@query(
+    "q378_restricted_mean_survival",
+    tags=("statistics", "survival"),
+    oracle="""
+WITH per_cust AS (
+  SELECT o.o_custkey, c.c_mktsegment AS seg,
+         min(CAST(o.o_orderdate AS DATE)) AS first_d,
+         max(CAST(o.o_orderdate AS DATE)) AS last_d
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o.o_custkey, c.c_mktsegment
+), horizon AS (
+  SELECT max(last_d) AS end_d FROM per_cust
+), life AS (
+  SELECT seg, CAST(last_d - first_d AS BIGINT) AS t,
+         CASE WHEN last_d < end_d - 90 THEN 1 ELSE 0 END AS churned
+  FROM per_cust, horizon
+), hist AS (
+  SELECT seg, t,
+         CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(churned) AS BIGINT) AS n_events
+  FROM life GROUP BY seg, t
+), tot AS (
+  SELECT seg, CAST(sum(n_at) AS BIGINT) AS n_total FROM hist GROUP BY seg
+), risk AS (
+  SELECT h.seg, h.t, h.n_events,
+         tt.n_total - CAST(coalesce(sum(h.n_at) OVER (
+           PARTITION BY h.seg ORDER BY h.t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS n_risk,
+         tt.n_total
+  FROM hist h JOIN tot tt ON tt.seg = h.seg
+), km AS (
+  SELECT seg, t, n_events, n_risk, n_total,
+         exp(sum(CASE WHEN n_events = n_risk THEN CAST('-inf' AS DOUBLE)
+                      ELSE ln(1 - n_events * 1.0 / n_risk) END) OVER (
+           PARTITION BY seg ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )) AS s
+  FROM risk
+), ev AS (
+  SELECT seg, t, n_events, n_total, s,
+         lag(t) OVER (PARTITION BY seg ORDER BY t) AS t_prev,
+         lead(t) OVER (PARTITION BY seg ORDER BY t) AS t_next
+  FROM km WHERE n_events > 0
+), contrib AS (
+  SELECT seg, n_total, n_events, t, s,
+         (CASE WHEN t_prev IS NULL
+               THEN CAST(least(t, 720) AS DOUBLE) ELSE 0.0 END)
+         + s * greatest(least(coalesce(t_next, 720), 720) - least(t, 720), 0)
+           AS area
+  FROM ev
+)
+SELECT seg AS segment,
+       CAST(max(n_total) AS BIGINT) AS n_customers,
+       CAST(sum(n_events) AS BIGINT) AS n_events_total,
+       round(sum(area) + 1e-9, 4) AS rmst_720,
+       min(CASE WHEN s <= 0.5 THEN t END) AS median_days,
+       round(coalesce(max_by(s, t) FILTER (t <= 720), 1.0) + 1e-9, 6)
+         AS s_at_720
+FROM contrib GROUP BY seg
+""",
+)
+def q378_restricted_mean_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Restricted mean survival time at tau = 720 days per market
+    segment — the SINGLE-NUMBER survival comparison the q201 curve and
+    q325 log-rank lack: RMST is the area under the KM step function up
+    to tau ("expected active days in the first two years"), the
+    recommended effect measure when proportional hazards fails (Royston
+    & Parmar 2013); reported with the KM median (first event time the
+    curve crosses 1/2, NULL while it never does) and the survival
+    level at tau. Same lifetime/censoring convention as q201/q325.
+
+    Exactness: KM survival is exp(cumulative ln-factor sum) over a
+    FIXED order (t within segment) — bit-identical cross-engine per
+    q201; segment widths are exact integers (least/greatest clips),
+    so each area term is one product, and the per-segment sum lands
+    inside fround; the median test compares the raw bit-identical s to
+    the literal 0.5; s_at_720 is max_by over the UNIQUE t key
+    (footgun 6) with the DuckDB FILTER-NULL coalesced to 1.0 (the
+    q272 lesson — no event by tau means the curve is still at 1).
+
+    Scale: all windows run on the (segment x duration-day) HISTOGRAM
+    grain — bounded by calendar span times |segments|, never by
+    customer count (the q201 property, partitioned).
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    cust = read_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+    )
+    per_cust = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"), "first_d", "last_d"
+        )
+    )
+    horizon = per_cust.agg(F.max("last_d").alias("end_d"))
+    life = per_cust.crossJoin(F.broadcast(horizon)).select(
+        "seg",
+        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
+        F.when(
+            F.col("last_d") < F.date_sub(F.col("end_d"), 90), 1
+        ).otherwise(0).alias("churned"),
+    )
+    hist = life.groupBy("seg", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at"),
+        F.sum("churned").cast("bigint").alias("n_events"),
+    ).localCheckpoint(eager=False)  # totals + window branches
+    tot = hist.groupBy("seg").agg(
+        F.sum("n_at").cast("bigint").alias("n_total")
+    )
+    w_prev = (
+        Window.partitionBy("seg")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("seg")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = hist.join(F.broadcast(tot), "seg").select(
+        "seg",
+        "t",
+        "n_events",
+        "n_total",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_at").over(w_prev), F.lit(0))
+        ).cast("bigint").alias("n_risk"),
+    )
+    term = F.when(
+        F.col("n_events") == F.col("n_risk"), F.lit(float("-inf"))
+    ).otherwise(F.log(1 - F.col("n_events") * 1.0 / F.col("n_risk")))
+    km = risk.withColumn("survival", F.exp(F.sum(term).over(w_cum))).where(
+        F.col("n_events") > 0
+    )
+    w_seg = Window.partitionBy("seg").orderBy("t")
+    ev = km.select(
+        "seg", "t", "n_events", "n_total",
+        F.col("survival").alias("s"),
+        F.lag("t").over(w_seg).alias("t_prev"),
+        F.lead("t").over(w_seg).alias("t_next"),
+    )
+    area = F.when(
+        F.col("t_prev").isNull(),
+        F.least(F.col("t"), F.lit(720)).cast("double"),
+    ).otherwise(F.lit(0.0)) + F.col("s") * F.greatest(
+        F.least(F.coalesce(F.col("t_next"), F.lit(720)), F.lit(720))
+        - F.least(F.col("t"), F.lit(720)),
+        F.lit(0),
+    )
+    contrib = ev.select(
+        "seg", "n_total", "n_events", "t", "s", area.alias("area")
+    )
+    return contrib.groupBy(F.col("seg").alias("segment")).agg(
+        F.max("n_total").cast("bigint").alias("n_customers"),
+        F.sum("n_events").cast("bigint").alias("n_events_total"),
+        fround(F.sum("area"), 4).alias("rmst_720"),
+        F.min(F.when(F.col("s") <= 0.5, F.col("t"))).alias("median_days"),
+        fround(
+            F.coalesce(
+                F.max_by(
+                    F.when(F.col("t") <= 720, F.col("s")),
+                    F.when(F.col("t") <= 720, F.col("t")),
+                ),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("s_at_720"),
+    )

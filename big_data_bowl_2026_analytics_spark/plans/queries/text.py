@@ -3535,3 +3535,121 @@ def q375_log_odds_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("zscore"), 6).alias("zscore"),
         )
     )
+
+
+@query(
+    "q379_token_dispersion_dp",
+    tags=("text", "statistics", "topk"),
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY source
+), nt AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM st
+), cnt AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+), ctot AS (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY tok
+), grid AS (
+  SELECT s.source, ct.tok, ct.ct, s.n, coalesce(c.c, 0) AS c
+  FROM ctot ct CROSS JOIN st s
+  LEFT JOIN cnt c ON c.tok = ct.tok AND c.source = s.source
+), dp AS (
+  SELECT g.tok, max(g.ct) AS ct,
+         CAST(sum(abs(g.c * nt.nn - g.n * g.ct)) AS BIGINT) AS num,
+         max(nt.nn) AS nn
+  FROM grid g CROSS JOIN nt
+  GROUP BY g.tok
+), ranked AS (
+  SELECT tok, ct, num, nn,
+         CAST(row_number() OVER (
+           ORDER BY round(CAST(num AS DOUBLE) / (2.0 * ct * nn) + 1e-9, 6)
+                      DESC,
+                    tok
+         ) AS BIGINT) AS rank
+  FROM dp WHERE ct >= 50
+)
+SELECT rank, tok, ct AS n_occurrences,
+       round(CAST(num AS DOUBLE) / (2.0 * ct * nn) + 1e-9, 6)
+         AS dispersion_dp
+FROM ranked WHERE rank <= 20
+""",
+)
+def q379_token_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiest vocabulary by Gries' deviation-of-proportions
+    dispersion (Gries 2008): DP = half the L1 distance between a
+    token's across-source occurrence shares and the sources' size
+    shares — 0 means the token spreads exactly like the corpus, 1
+    means it lives in one source. The token-level complement to q354's
+    set lattice and q371's distribution-level JS: THIS is the ranking
+    a mixture designer reads to find source-locked vocabulary (min 50
+    occurrences so the head is meaningful), and corpus linguistics'
+    standard fix for raw frequency overstating bursty terms.
+
+    Exactness: DP = sum_s |c_s*N - n_s*C| / (2*C*N) — the numerator is
+    a sum of EXACT BIGINT cross-products (|c*N| <= ~1e18 at sf100;
+    beyond that the cast-once double class takes over, documented),
+    so the statistic is a single integer ratio: zero float
+    accumulation anywhere. The top-20 orders by the ROUNDED value
+    (q348 rule) with the token tie-break. The zero-count cells a
+    token needs (absent in a source still contributes n_s*C) come
+    from a bounded |sources|-grid LEFT join, never a dense
+    vocab x source materialization beyond the token's own row set.
+
+    Scale: two token-keyed reduces plus the |sources|-fan grid join;
+    the global top-20 is TakeOrderedAndProject; the rank window runs
+    on the 20-row funnel.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    cnt = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # source totals + token totals + grid
+    )
+    st = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    nt = st.agg(F.sum("n").cast("bigint").alias("nn"))
+    ctot = cnt.groupBy("tok").agg(F.sum("c").cast("bigint").alias("ct"))
+    grid = (
+        ctot.crossJoin(F.broadcast(st))
+        .join(cnt, ["tok", "source"], "left")
+        .select(
+            "tok", "ct", "n",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    dp = (
+        grid.crossJoin(F.broadcast(nt))
+        .groupBy("tok")
+        .agg(
+            F.max("ct").alias("ct"),
+            F.sum(
+                F.abs(F.col("c") * F.col("nn") - F.col("n") * F.col("ct"))
+            ).cast("bigint").alias("num"),
+            F.max("nn").alias("nn"),
+        )
+        .where(F.col("ct") >= 50)
+    )
+    dval = fround(
+        F.col("num").cast("double") / (F.lit(2.0) * F.col("ct") * F.col("nn")),
+        6,
+    )
+    keyed = dp.select("tok", "ct", "num", "nn", dval.alias("d"))
+    top = keyed.orderBy(F.desc("d"), F.asc("tok")).limit(20)
+    w = Window.orderBy(F.desc("d"), F.asc("tok"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select(
+        "rank",
+        "tok",
+        F.col("ct").alias("n_occurrences"),
+        F.col("d").alias("dispersion_dp"),
+    )

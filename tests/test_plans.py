@@ -2147,3 +2147,25 @@ def test_q377_markov_order_bounded_cells(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q378_rmst_histogram_grain_windows(spark):
+    plan = physical_plan(_q(spark, "q378_restricted_mean_survival"))
+    # all windows run on the checkpointed (segment x duration-day)
+    # histogram (calendar-bounded, the q201 property partitioned by
+    # segment); customer dim broadcasts; totals broadcast back
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(seg" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q379_dispersion_takeordered_bounded_grid(spark):
+    plan = physical_plan(_q(spark, "q379_token_dispersion_dp"))
+    # token-keyed reduces off the checkpointed counts; the zero-cell
+    # grid is a bounded |sources| broadcast fan; global top-20 is
+    # TakeOrderedAndProject with the rank window on the 20-row funnel
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
