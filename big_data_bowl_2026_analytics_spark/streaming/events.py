@@ -567,3 +567,38 @@ def slo_burn_windows(
             "n_errors",
         )
     )
+
+
+def rolling_distinct_users_hll(
+    events: DataFrame,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Rolling 7-day approximate distinct users, sliding daily — the
+    streaming twin of q146 (whose exact batch form is the
+    contribution-explode rolling distinct). Exact sliding DISTINCT in
+    a stream needs per-window user sets (state ~ cardinality x 7);
+    the HLL register form replaces that with 7 fixed 4-KiB sketches
+    per slide boundary, and stays a deterministic function of the
+    input SET (order/batching-invariant) like
+    ``hourly_distinct_users_hll``. The batch q146 remains the exact
+    replayable truth for any closed window; this is the live
+    approximation a dashboard tails.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12))
+            ).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "approx_users",
+            "n_events",
+        )
+    )

@@ -870,3 +870,49 @@ def test_slo_burn_windows_stream_equals_batch(spark, events_dir):
     assert got == want
     # sliding multiplicity: total window-event incidences = 6x events
     assert sum(n for n, _ in got.values()) == 6 * ev.count()
+
+
+def test_rolling_distinct_users_hll_stream_equals_batch(spark, events_dir):
+    """The sliding-window HLL estimates drained availableNow must
+    equal the identical batch sliding-window aggregation — registers
+    are an order-insensitive max, so stream/batch agreement is exact;
+    and every estimate sits inside the lgK=12 envelope of the exact
+    sliding distinct."""
+    import pyspark.sql.functions as F
+
+    from big_data_bowl_2026_analytics_spark.sources.readers import read_table
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        read_events_stream,
+        rolling_distinct_users_hll,
+        run_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, events_dir)
+    run_available_now(
+        rolling_distinct_users_hll(stream), "rolling_hll_stream"
+    )
+    got = {
+        r.win_start: (r.approx_users, r.n_events)
+        for r in spark.table("rolling_hll_stream").collect()
+    }
+    ev = read_table(spark, sf, "events", ["ts", "user_id"])
+    agg = ev.groupBy(F.window("ts", "7 days", "1 day").alias("w")).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12))
+        ).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    rows = agg.select(
+        F.col("w.start").alias("win_start"),
+        "approx_users",
+        "n_events",
+        "exact_users",
+    ).collect()
+    want = {r.win_start: (r.approx_users, r.n_events) for r in rows}
+    assert got == want
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(
+            3, 0.1 * r.exact_users
+        )
