@@ -119,11 +119,46 @@ def main() -> None:
             .agg(F.sum("n").alias("n6"))
         )
 
+    docs = read_table(spark, args.sf, "documents")
+
+    def q_tokjoin(k: int) -> DataFrame:
+        # the q371/q379 class: token-grain reduce FIRST, then the
+        # token-keyed pair join on the reduced frame. Input rows grow
+        # kx but the join's input stays vocabulary-sized, so per-row
+        # cost should FALL with k (the reduce absorbs the growth) —
+        # the property that keeps corpus-pair statistics alive at
+        # 100 TB.
+        df = _multiply(docs, k, "doc_id")
+        cnt = (
+            df.select(
+                "source",
+                F.explode(F.split(F.col("text"), " ")).alias("tok"),
+            )
+            .groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        a = cnt.select(
+            F.col("source").alias("sa"), "tok", F.col("c").alias("c1")
+        )
+        b = cnt.select(
+            F.col("source").alias("sb"), "tok", F.col("c").alias("c2")
+        )
+        return (
+            a.join(b, "tok")
+            .where(F.col("sa") < F.col("sb"))
+            .groupBy("sa", "sb")
+            .agg(
+                F.sum(F.col("c1") * F.col("c2")).alias("x"),
+                F.count(F.lit(1)).alias("m"),
+            )
+        )
+
     for name, fn in [
         ("groupby_agg", q_agg),
         ("two_level_agg", q_join_agg),
         ("two_level_sweep", q_sweep),
         ("rolling_explode", q_roll),
+        ("reduce_then_pair_join", q_tokjoin),
     ]:
         base_rows = None
         for k in [int(x) for x in args.multipliers.split(",")]:
