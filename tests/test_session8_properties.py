@@ -206,3 +206,155 @@ def test_exact_jaccard_pairs_matches_python_model(spark):
         if inter > 0:  # the verifier inner-joins on a shared shingle
             want[(a, b)] = (inter, union)
     assert got == want
+
+
+# ---------------------------------------------------------------- q376
+
+
+@given(
+    st.lists(
+        st.tuples(  # per stratum: (a, b, c, d) 2x2 cells, all >= 0
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+        ).filter(lambda q: sum(q) >= 2),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_cmh_integer_numerator_identity(strata):
+    # the q376 construction: d_k = (a*n - r1*c1)/n computed from an
+    # EXACT integer numerator must equal a - E with E = r1*c1/n in
+    # exact arithmetic — i.e. the integer form IS the excess, not an
+    # approximation of it.
+    for a, b, c, d in strata:
+        n = a + b + c + d
+        r1, c1 = a + b, a + c
+        lhs = Fraction(a * n - r1 * c1, n)
+        rhs = Fraction(a, 1) - Fraction(r1 * c1, n)
+        assert lhs == rhs
+
+
+# ---------------------------------------------------------------- q377
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=3, max_size=3),
+        min_size=3,
+        max_size=3,
+    ).filter(lambda m: sum(map(sum, m)) > 0 and all(any(r) for r in m))
+)
+@settings(max_examples=200, deadline=None)
+def test_g_statistic_is_2n_mutual_information(m):
+    # G = 2*sum c_ij*ln(c_ij*N/(r_i*t_j)) == 2*N*MI(from; to) in nats
+    # — the identity that makes q377's statistic the sequence-memory
+    # measurement, not just a GOF number.
+    k = len(m)
+    rows = [sum(m[i]) for i in range(k)]
+    cols = [sum(m[i][j] for i in range(k)) for j in range(k)]
+    n = sum(rows)
+    g = sum(
+        2.0 * m[i][j] * math.log(m[i][j] * n / (rows[i] * cols[j]))
+        for i in range(k)
+        for j in range(k)
+        if m[i][j] > 0
+    )
+    mi = sum(
+        (m[i][j] / n)
+        * math.log((m[i][j] / n) / ((rows[i] / n) * (cols[j] / n)))
+        for i in range(k)
+        for j in range(k)
+        if m[i][j] > 0
+    )
+    assert abs(g - 2.0 * n * mi) < 1e-9 * max(1.0, abs(g))
+    assert g >= -1e-12  # MI is nonnegative
+
+
+# ---------------------------------------------------------------- q378
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),  # duration t
+            st.booleans(),  # churned
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=900),  # tau
+)
+@settings(max_examples=200, deadline=None)
+def test_rmst_segment_area_equals_direct_integral(life, tau):
+    # q378's lag/lead segment-area construction must equal the direct
+    # day-by-day integral of the KM step function up to tau.
+    from collections import Counter
+
+    events = Counter()
+    at = Counter()
+    for t, churned in life:
+        at[t] += 1
+        if churned:
+            events[t] += 1
+    # KM curve at event times (exact Fractions); the risk set at t is
+    # every subject whose duration is >= t.
+    times = sorted(t for t in events)
+    curve = []  # (t, S after the drop at t)
+    s = Fraction(1)
+    for t in times:
+        n_risk = sum(c for u, c in at.items() if u >= t)
+        s = s * (1 - Fraction(events[t], n_risk))
+        curve.append((t, s))
+    # direct integral: S(x) constant between event times
+    direct = Fraction(0)
+    prev_t, prev_s = 0, Fraction(1)
+    for t, s_after in curve:
+        if t >= tau:
+            break
+        direct += prev_s * (min(t, tau) - prev_t)
+        prev_t, prev_s = t, s_after
+    direct += prev_s * max(tau - prev_t, 0)
+    # q378's construction: initial segment + per-event-row areas
+    area = Fraction(0)
+    for i, (t, s_after) in enumerate(curve):
+        if i == 0:
+            area += min(t, tau)  # S=1 initial segment
+        t_next = curve[i + 1][0] if i + 1 < len(curve) else tau
+        width = max(min(t_next, tau) - min(t, tau), 0)
+        area += s_after * width
+    if not curve:
+        area = Fraction(tau)
+    assert area == direct
+
+
+# ---------------------------------------------------------------- q379
+
+
+@given(
+    st.lists(  # per source: (token occurrences c_i, source size n_i)
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=1, max_value=1000),
+        ),
+        min_size=2,
+        max_size=8,
+    ).filter(
+        lambda xs: sum(c for c, _ in xs) > 0
+        and all(c <= n for c, n in xs)
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_dp_dispersion_bounds_and_zero_iff_proportional(srcs):
+    # DP = sum|c_i*N - n_i*C| / (2*C*N) in exact integers: bounded in
+    # [0, 1), and 0 exactly when the token spreads proportionally to
+    # source sizes.
+    C = sum(c for c, _ in srcs)
+    N = sum(n for _, n in srcs)
+    num = sum(abs(c * N - n * C) for c, n in srcs)
+    dp = Fraction(num, 2 * C * N)
+    assert 0 <= dp < 1
+    proportional = all(c * N == n * C for c, n in srcs)
+    assert (dp == 0) == proportional
