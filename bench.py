@@ -277,8 +277,10 @@ def main() -> None:
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     rep_timings: dict[str, list[float]] = {name: [] for name in names}
     pass_totals: list[float] = []
+    pass_counts: list[int] = []
     for _ in range(n_reps):
         pass_total = 0.0
+        pass_count = 0
         for name in names:
             if name in errors:
                 continue
@@ -289,13 +291,20 @@ def main() -> None:
                 elapsed = time.perf_counter() - t0
                 rep_timings[name].append(elapsed)
                 pass_total += elapsed
+                pass_count += 1
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"
         pass_totals.append(round(pass_total, 3))
+        pass_counts.append(pass_count)
+    # A query that succeeded on an early pass but errored later is
+    # reported ONLY in errors — its surviving timings still carry
+    # whole-stage-codegen warmup (min-of-fewer-reps) and would inflate
+    # serial_total while double-reporting the name. Per-pass query
+    # counts make a mid-run shrink visible in the artifact.
     timings = {
         name: round(min(reps), 3)
         for name, reps in rep_timings.items()
-        if reps
+        if reps and name not in errors
     }
 
     serial_total = round(sum(timings.values()), 3)
@@ -357,8 +366,17 @@ def main() -> None:
         # re-measuring.
         "reps": n_reps,
         "serial_pass_totals": pass_totals,
+        "serial_pass_query_counts": pass_counts,
         "loadavg_1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
     }
+    # Load guard (r8 verdict #4): BENCH_r08 opened on a load-5 box and
+    # the serial number absorbed the contention. Annotate — don't
+    # abort — so the driver still gets its one JSON line, but a round
+    # artifact taken under load is self-declared invalid for
+    # serial-vs-oracle comparisons.
+    load_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "2.0"))
+    if load_start[0] > load_threshold:
+        out["contaminated"] = True
     if concurrent_wall is not None:
         out["fair_batched_wall"] = concurrent_wall
         out["fair_batched_reps"] = batched_reps

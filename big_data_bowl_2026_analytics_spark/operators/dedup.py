@@ -271,6 +271,14 @@ def exact_jaccard_pairs(
     integer inequality (2*i >= u for Jaccard >= 1/2) and the reported
     ratio ``i/u`` is the engine-exact double of two integers.
 
+    CONTRACT: only candidate pairs with ``i >= 1`` come back — the
+    intersection is an inner join, so a pair with zero shared shingles
+    (or where either doc has fewer than ``shingle_n`` tokens and so
+    has no shingle set at all) is silently DROPPED, not returned with
+    ``i = 0``. A caller that needs a row for every candidate must
+    left-join this result back onto ``cand`` and coalesce. The
+    property test's ``if inter > 0`` model encodes exactly this.
+
     Scale: the verification joins fan candidates out by per-doc
     shingle count — never all-pairs; cost is bounded by the candidate
     list times mean shingle count. The shingle frame feeds the sizes

@@ -2450,6 +2450,17 @@ def q372_ivf_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the top-2 selection is a bounded array_sort over k=8 structs —
     map-side combinable, never a data-sized window), one bounded
     cell-grain aggregate.
+
+    Hash stability of avg_silhouette (the only float mean in the r8
+    additions — r8 verdict minor note): this is the WELL-CONDITIONED
+    float-sum class (q24/q204), not the q363 cancellation class. Every
+    s is same-sign in [0, 1] (d1 <= d2 by construction) and nothing
+    divides by a small difference, so the worst-case sum-order
+    divergence of avg(s) is ~n*eps*mean(s) <= 2^-52 * n. Even at sf1
+    cell sizes (n ~ 1e6) that is ~2e-10, three orders of magnitude
+    inside the 6-dp round's 5e-7 half-gap — the fround pair provably
+    absorbs it. (The q363 two-pass rule triggers only when a statistic
+    DIVIDES by a small variance; no reformulation needed here.)
     """
     from ...operators.ivf import seed_centroids, sq_l2
 

@@ -55,66 +55,66 @@ def query(
 
 #: Explicit registry ordering for external harnesses. The driver
 #: verifies the FIRST 50 registry entries per round, so the order is
-#: rotated each round. Round-8 rotation: the r07 window (q219-q268)
-#: came back 50/50 green (q230 rows-only as declared), so those slots
-#: are released. This round rotates in the next never-driver-certified
-#: batch in number order: q269-q318 (fifth-session tail). Every entry
-#: in this window has a strict oracle (no rows-only entries). All pass
-#: the local strict checker at sf0.001/0.01/0.1 and driver_sim on
-#: current data; this is certification exposure, not known bugs.
-#: Remaining never-certified queries (q319-q369 + any r8 additions)
-#: rotate in round 9 per CLAUDE.md.
+#: rotated each round. Round-9 rotation: the r08 window (q269-q318)
+#: came back 50/50 strict-green, so those slots are released. This
+#: round rotates in the oldest never-driver-certified batch in number
+#: order: q319-q368. Every entry in this window has a strict oracle
+#: (no rows-only entries). All pass the local strict checker at
+#: sf0.001/0.01/0.1 and driver_sim on current data; this is
+#: certification exposure, not known bugs. Remaining never-certified
+#: queries (q369-q379 + any r9 additions) rotate in round 10 per
+#: CLAUDE.md.
 _DRIVER_ORDER = [
-    "q269_ship_sla_attainment",
-    "q270_deletion_impact_report",
-    "q271_retrieval_mrr_map",
-    "q272_eb_shrunk_path_conversion",
-    "q273_haar_energy_decomposition",
-    "q274_newsvendor_stock_levels",
-    "q275_feed_uptime_nines",
-    "q276_consistent_hash_balance",
-    "q277_heaps_law_growth",
-    "q278_sku_lifecycle_census",
-    "q279_shuffle_skew_forecast",
-    "q280_dedup_threshold_sweep",
-    "q281_storage_tiering_plan",
-    "q282_quality_filter_yield",
-    "q283_quality_perplexity_spearman",
-    "q284_token_budget_waterfill",
-    "q285_lmdi_revenue_drivers",
-    "q286_queue_backlog_curve",
-    "q287_order_velocity_screen",
-    "q288_calendar_outlier_days",
-    "q289_behavior_predictability",
-    "q290_small_cell_suppression",
-    "q291_good_turing_unseen_mass",
-    "q292_rich_club_coefficient",
-    "q293_forecast_ensemble",
-    "q294_ivf_pq_index_census",
-    "q295_breusch_pagan_screen",
-    "q296_rapid_repeat_runs",
-    "q297_new_vs_returning_revenue",
-    "q298_embedding_dimension_health",
-    "q299_bradley_terry_strength",
-    "q300_sampling_accuracy_planner",
-    "q301_single_sourcing_risk",
-    "q302_hour_of_day_envelope",
-    "q303_recommender_coverage_audit",
-    "q304_effective_sample_size",
-    "q305_substitution_screen",
-    "q306_session_unicity_sweep",
-    "q307_price_ending_census",
-    "q308_first_order_ltv_signal",
-    "q309_trade_flow_matrix",
-    "q310_supplier_reliability_scorecard",
-    "q311_order_consolidation",
-    "q312_discount_ladder",
-    "q313_returns_interaction",
-    "q314_hapax_gibberish_screen",
-    "q315_ivf_partition_stability",
-    "q316_basket_expander_score",
-    "q317_suspected_outage_hours",
-    "q318_shipment_fragmentation",
+    "q319_assortment_breadth_trend",
+    "q320_winnowing_fingerprints",
+    "q321_shapley_attribution",
+    "q322_cooks_distance_screen",
+    "q323_kendall_tau",
+    "q324_link_prediction",
+    "q325_logrank_test",
+    "q326_ttl_cache_planner",
+    "q327_hilbert_layout_audit",
+    "q328_cuped_adjustment",
+    "q329_policy_replay_eval",
+    "q330_matryoshka_truncation_recall",
+    "q331_boosted_stumps",
+    "q332_pca_2x2_closed_form",
+    "q333_ransac_line_fit",
+    "q334_ewma_control_chart",
+    "q335_overdispersion_audit",
+    "q336_broadcast_planner",
+    "q337_theil_decomposition",
+    "q338_cohort_ltv_triangle",
+    "q339_mutual_nearest_neighbors",
+    "q340_wasserstein_source_drift",
+    "q341_revenue_recognition",
+    "q342_sprt_return_rate_monitor",
+    "q343_hamilton_sampling_allocation",
+    "q344_negative_sampling_plan",
+    "q345_novel_trigram_rate",
+    "q346_neardup_evidence_pairs",
+    "q347_hill_tail_index",
+    "q348_wilson_lower_bound",
+    "q349_matched_cohort_uplift",
+    "q350_bfs_hop_profile",
+    "q351_encoding_advisor",
+    "q352_safety_stock_planner",
+    "q353_transition_predictability",
+    "q354_vocab_source_upset",
+    "q355_ot_transport_plan",
+    "q356_triangle_bound_audit",
+    "q357_filter_attribution_audit",
+    "q358_erlang_staffing_planner",
+    "q359_price_elasticity",
+    "q360_service_level_backtest",
+    "q361_functional_dependency_audit",
+    "q362_markov_stationary_mix",
+    "q363_empirical_bayes_shrinkage",
+    "q364_hard_negative_mining",
+    "q365_double_sweep_diameter",
+    "q366_raking_ipf_plan",
+    "q367_vocabulary_richness",
+    "q368_slo_burn_rate_alerts",
 ]
 
 

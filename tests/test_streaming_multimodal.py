@@ -873,11 +873,19 @@ def test_slo_burn_windows_stream_equals_batch(spark, events_dir):
 
 
 def test_rolling_distinct_users_hll_stream_equals_batch(spark, events_dir):
-    """The sliding-window HLL estimates drained availableNow must
-    equal the identical batch sliding-window aggregation — registers
-    are an order-insensitive max, so stream/batch agreement is exact;
-    and every estimate sits inside the lgK=12 envelope of the exact
-    sliding distinct."""
+    """The sliding-window HLL windows drained availableNow must match
+    the identical batch sliding-window aggregation: window set and
+    n_events EXACTLY, and the sketch estimates under the q44/q147
+    error-bound-boolean contract (each side within the lgK=12 envelope
+    of the exact sliding distinct, and within 5% + 3 of each other).
+
+    Registers are an order-insensitive max, so the stream/batch
+    register states agree — but CLAUDE.md footgun 10 (r7 q147) showed
+    Datasketches picks its ESTIMATOR from merge history (standalone →
+    HIP; any union → composite), and the micro-batch state-store
+    union tree differs from batch partial-aggregation merges. Exact
+    estimate equality across merge trees is never a valid invariant,
+    so this test pins the error-bound contract instead."""
     import pyspark.sql.functions as F
 
     from big_data_bowl_2026_analytics_spark.sources.readers import read_table
@@ -911,7 +919,12 @@ def test_rolling_distinct_users_hll_stream_equals_batch(spark, events_dir):
         "exact_users",
     ).collect()
     want = {r.win_start: (r.approx_users, r.n_events) for r in rows}
-    assert got == want
+    assert set(got) == set(want)
+    for k, (approx_b, n_b) in want.items():
+        approx_s, n_s = got[k]
+        assert n_s == n_b  # exact count: stream == batch
+        # sketch estimates: error-bound booleans, never exact equality
+        assert abs(approx_s - approx_b) <= max(3, 0.05 * approx_b)
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(
             3, 0.1 * r.exact_users

@@ -9,6 +9,7 @@ float divergence.
 
 Usage:
     python tools/check_correctness.py [--sf /root/testdata/sf0.01] [--only q01,...]
+    python tools/check_correctness.py --changed-since HEAD~3   # touched queries only
 """
 
 from __future__ import annotations
@@ -116,10 +117,87 @@ def _cmp(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, bool,
     return strict, tolerant, detail
 
 
+#: Package files whose change invalidates EVERY query (session build,
+#: readers, shared scalar helpers, the registry itself). Matching is
+#: by path prefix under the package root.
+_GLOBAL_PREFIXES = ("core/", "sources/", "schemas/", "functions/", "plans/registry")
+
+_PKG = "big_data_bowl_2026_analytics_spark"
+
+
+def names_changed_since(ref: str, specs: dict) -> list[str] | None:
+    """Registry names plausibly affected by files changed since ``ref``
+    (committed + worktree + untracked). Returns None for "all" when a
+    globally-shared file changed — over-selection is safe, silent
+    under-selection is the failure mode this exists to prevent (r8
+    verdict #8: hand-typed --only lists guessed names wrong).
+
+    Mapping: a changed plans/queries/*.py selects the query names its
+    text defines; any other changed package module selects every query
+    defined in a plans/queries file that imports its basename.
+    """
+    import re
+    import subprocess
+
+    def _git(*argv: str) -> list[str]:
+        out = subprocess.run(
+            ["git", "-C", str(REPO), *argv],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return [ln for ln in out.splitlines() if ln.strip()]
+
+    changed = set(_git("diff", "--name-only", ref)) | set(
+        _git("ls-files", "--others", "--exclude-standard")
+    )
+    pkg_changed = [
+        p.removeprefix(f"{_PKG}/")
+        for p in changed
+        if p.startswith(f"{_PKG}/") and p.endswith(".py")
+    ]
+    if any(p.startswith(_GLOBAL_PREFIXES) for p in pkg_changed):
+        return None  # shared infrastructure changed: check everything
+    qdir = REPO / _PKG / "plans" / "queries"
+    name_pat = re.compile(r'"(q\d+[a-z0-9_]*)"')
+    # basenames of changed non-query modules, e.g. "dedup" for
+    # operators/dedup.py — matched against query-file import lines
+    changed_mods = {
+        Path(p).stem
+        for p in pkg_changed
+        if not p.startswith("plans/queries/")
+    }
+    selected: set[str] = set()
+    for qf in sorted(qdir.glob("*.py")):
+        text = qf.read_text()
+        rel = f"plans/queries/{qf.name}"
+        hit = rel in pkg_changed
+        if not hit and changed_mods:
+            imports = [
+                ln
+                for ln in text.splitlines()
+                if ln.lstrip().startswith(("import ", "from "))
+            ]
+            hit = any(
+                re.search(rf"\b{re.escape(m)}\b", ln)
+                for m in changed_mods
+                for ln in imports
+            )
+        if hit:
+            selected |= {n for n in name_pat.findall(text) if n in specs}
+    return sorted(selected)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--changed-since",
+        default=None,
+        metavar="GIT_REF",
+        help="check only registry names mapped from files changed since GIT_REF",
+    )
     args = ap.parse_args()
 
     spark = get_spark("correctness-check")
@@ -131,6 +209,16 @@ def main() -> int:
 
     specs = all_queries()
     names = args.only.split(",") if args.only else list(specs)
+    if args.changed_since:
+        mapped = names_changed_since(args.changed_since, specs)
+        if mapped is None:
+            print(f"--changed-since {args.changed_since}: shared file changed; checking all")
+        else:
+            print(f"--changed-since {args.changed_since}: {len(mapped)} mapped queries")
+            names = [n for n in names if n in set(mapped)]
+            if not names:
+                print("no registry queries map to the change set")
+                return 0
     unknown = [n for n in names if n not in specs]
     if unknown:
         print(f"unknown queries: {unknown}; available: {sorted(specs)}")
