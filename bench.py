@@ -68,6 +68,18 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Load guard (r8 verdict #4), settle-then-measure: the 1-minute
+    # load average DECAYS over ~a minute, so right after any heavy
+    # work (the driver's own correctness runs; a prior bench) it reads
+    # high while the CPUs are already idle. Waiting for it to drop
+    # below the threshold both avoids real contention and keeps the
+    # contaminated flag meaningful — it then fires only when load is
+    # GENUINELY still present after the settle window.
+    load_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "2.0"))
+    settle_wait = 0.0
+    while os.getloadavg()[0] > load_threshold and settle_wait < 120.0:
+        time.sleep(5.0)
+        settle_wait += 5.0
     load_start = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import re
@@ -109,6 +121,14 @@ def main() -> None:
             "spark.locality.wait": "0s",
             "spark.shuffle.compress": "false",
             "spark.shuffle.spill.compress": "false",
+            # The 22-query suite generates >100 codegen'd stages, so
+            # the default 100-entry compiled-class cache evicts every
+            # stage between the interleaved passes and each rep pays
+            # full re-JIT (~0.1-0.3 s/query) — measured as the entire
+            # r6->r8 "serial drift" (PERF.md round 9: back-to-back
+            # 6.6 s vs interleaved 10.2 s, same tree, same box).
+            # A resident deployment sizes this to its working set.
+            "spark.sql.codegen.cache.maxEntries": "2000",
         },
     )
 
@@ -374,7 +394,8 @@ def main() -> None:
     # abort — so the driver still gets its one JSON line, but a round
     # artifact taken under load is self-declared invalid for
     # serial-vs-oracle comparisons.
-    load_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "2.0"))
+    if settle_wait:
+        out["settle_wait_s"] = settle_wait
     if load_start[0] > load_threshold:
         out["contaminated"] = True
     if concurrent_wall is not None:
