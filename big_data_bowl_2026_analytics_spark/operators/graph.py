@@ -359,3 +359,52 @@ def bfs_hops(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def hits(edges: DataFrame, n_iter: int = 4) -> tuple[DataFrame, DataFrame]:
+    """Fixed-iteration HITS (Kleinberg 1999) over a DIRECTED distinct
+    edge list ``(src, dst)``: hubs live on sources, authorities on
+    destinations. ``h_k(u) = Σ_{u→v} a_{k-1}(v)``, ``a_k(v) =
+    Σ_{u→v} h_k(u)``, each vector max-normalized per round (the
+    ∞-norm variant: dividing by the max keeps every score in (0, 1]
+    and the divisor is a SELECTED value, not a float sum — no
+    accumulation enters the normalizer). Returns ``(hubs(v, h),
+    authorities(v, a))`` after ``n_iter`` rounds from ``a_0 ≡ 1``.
+
+    Scale: the edge frame is checkpointed once; each round is two
+    co-partitioned join+groupBy passes (the pagerank shape, doubled
+    for the bipartite recurrence) with per-round lineage truncation;
+    the 1-row max joins by broadcast. Power iteration on the
+    nonnegative matrix contracts toward the principal eigenvector, so
+    cross-engine float divergence stays at ulp scale through any
+    fixed iteration count — callers round FINAL scores (fround pair),
+    never intermediates.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    auth = e.select("dst").distinct().select(
+        "dst", F.lit(1.0).alias("a")
+    )
+    hubs = None
+    for _ in range(n_iter):
+        hubs = (
+            e.join(auth, "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        hmax = hubs.agg(F.max("h").alias("hm"))
+        hubs = hubs.crossJoin(F.broadcast(hmax)).select(
+            "src", (F.col("h") / F.col("hm")).alias("h")
+        ).localCheckpoint(eager=False)
+        auth = (
+            e.join(hubs, "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        amax = auth.agg(F.max("a").alias("am"))
+        auth = auth.crossJoin(F.broadcast(amax)).select(
+            "dst", (F.col("a") / F.col("am")).alias("a")
+        ).localCheckpoint(eager=False)
+    return (
+        hubs.select(F.col("src").alias("v"), "h"),
+        auth.select(F.col("dst").alias("v"), "a"),
+    )

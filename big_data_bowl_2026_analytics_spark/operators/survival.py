@@ -53,3 +53,47 @@ def kaplan_meier(life: DataFrame) -> DataFrame:
     return km.where(F.col("n_events") > 0).select(
         "t", "n_risk", "n_events", "survival"
     )
+
+
+def nelson_aalen(life: DataFrame) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for the same subject-grain frame
+    ``kaplan_meier`` takes: H(t) = Σ_{t_j ≤ t} d_j / n_j over ordered
+    event times, accumulated in EXACT fixed-point millionths — each
+    increment is the integer division (1e6 * d_j) DIV n_j, so the
+    running sum is an order-insensitive BIGINT cumsum with zero float
+    accumulation (unlike the KM exp-of-log-sum, which carries the
+    q110 windowed-float-sum caveat). The ≤ 0.5 ppm-per-term
+    quantization is part of the estimator's DEFINITION here (a
+    documented fixed-point variant), not an approximation of a float
+    reference.
+
+    Returns ``(t, n_risk, n_events, cum_hazard_ppm)`` for every
+    duration with at least one event; callers derive H = ppm / 1e6
+    and the Breslow survival exp(-H).
+    """
+    hist = life.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("churned").alias("n_events"),
+    )
+    tot = hist.agg(F.sum("n_at").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_at").over(w_prev), F.lit(0))
+        ).cast("bigint").alias("n_risk"),
+    )
+    na = risk.withColumn(
+        "cum_hazard_ppm",
+        F.sum(F.expr("(1000000 * n_events) div n_risk"))
+        .over(w_cum)
+        .cast("bigint"),
+    )
+    return na.where(F.col("n_events") > 0).select(
+        "t", "n_risk", "n_events", "cum_hazard_ppm"
+    )

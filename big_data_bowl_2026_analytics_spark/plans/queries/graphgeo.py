@@ -1752,3 +1752,105 @@ def q365_double_sweep_diameter(
         .crossJoin(F.broadcast(diam))
         .crossJoin(F.broadcast(nodes))
     )
+
+
+def _q380_oracle(n_iter: int = 4) -> str:
+    """Unroll the fixed-iteration HITS recurrence into chained CTEs.
+    Every intermediate is MATERIALIZED (the q241 lesson: the max-
+    normalizer references its round frame twice, and each round feeds
+    the next — un-hinted, the evaluation tree doubles per round)."""
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_quantity >= 48
+), a0 AS MATERIALIZED (
+  SELECT DISTINCT dst, CAST(1 AS DOUBLE) AS a FROM e
+)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""", h{k}r AS MATERIALIZED (
+  SELECT e.src, sum(a.a) AS h
+  FROM e JOIN a{k - 1} a ON e.dst = a.dst GROUP BY e.src
+), h{k} AS MATERIALIZED (
+  SELECT src, h / (SELECT max(h) FROM h{k}r) AS h FROM h{k}r
+), a{k}r AS MATERIALIZED (
+  SELECT e.dst, sum(h.h) AS a
+  FROM e JOIN h{k} h ON e.src = h.src GROUP BY e.dst
+), a{k} AS MATERIALIZED (
+  SELECT dst, a / (SELECT max(a) FROM a{k}r) AS a FROM a{k}r
+)"""
+        )
+    parts.append(
+        f"""
+SELECT side, node, score, rank FROM (
+  SELECT 'hub' AS side, src AS node, round(h + 1e-9, 6) AS score,
+         CAST(row_number() OVER (
+           ORDER BY round(h + 1e-9, 6) DESC, src) AS BIGINT) AS rank
+  FROM h{n_iter}
+  UNION ALL
+  SELECT 'authority', dst, round(a + 1e-9, 6),
+         CAST(row_number() OVER (
+           ORDER BY round(a + 1e-9, 6) DESC, dst) AS BIGINT)
+  FROM a{n_iter}
+) WHERE rank <= 10
+"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "q380_hits_hub_authority",
+    tags=("graph", "iterative", "ranking"),
+    oracle=_q380_oracle(4),
+)
+def q380_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority ranking of the DIRECTED customer→supplier
+    procurement graph (edges = distinct high-quantity order lines):
+    hubs are customers whose purchases concentrate on authoritative
+    suppliers, authorities are suppliers bought by strong hubs — the
+    mutually-recursive centrality q125's PageRank (undirected, single
+    score) cannot express. Completes the link-analysis family:
+    PageRank (q125), k-core (q241), components (q60/q91), BFS
+    profiles (q350/q365), assortativity (q215), rich club (q292).
+
+    Exactness: 4 unrolled rounds on both engines (operators/graph.py::
+    hits ↔ MATERIALIZED CTE chain); the ∞-norm normalizer divides by a
+    SELECTED max, never a float sum, so only the per-round neighbor
+    sums carry sum-order ulp — power-iteration contraction keeps that
+    at ulp scale and the FINAL 6-dp fround pair absorbs it. Top-10
+    per side ordered by the ROUNDED score with a node-id tie-break
+    (the q348 rule), so rank assignment is a total order both engines.
+
+    Scale: edge frame checkpointed once; two co-partitioned
+    join+groupBy passes per round; the top-10 funnels through
+    orderBy().limit() (TakeOrderedAndProject — never a global
+    data-sized window; the rank window runs on the 10-row survivor
+    frame).
+    """
+    from ...operators.graph import hits
+
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"]
+    ).where(F.col("l_quantity") >= 48)
+    edges = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    hubs, auths = hits(edges, n_iter=4)
+
+    def _topk(df: DataFrame, side: str, score_col: str) -> DataFrame:
+        scored = df.select(
+            F.lit(side).alias("side"),
+            F.col("v").alias("node"),
+            fround(F.col(score_col), 6).alias("score"),
+        )
+        top = scored.orderBy(F.desc("score"), F.asc("node")).limit(10)
+        w = Window.orderBy(F.desc("score"), F.asc("node"))
+        return top.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+
+    return _topk(hubs, "hub", "h").unionByName(_topk(auths, "authority", "a"))

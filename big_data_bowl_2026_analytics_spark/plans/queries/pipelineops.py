@@ -2486,3 +2486,201 @@ def q366_raking_ipf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("w"), 6).alias("raked_weight"),
         fround(F.col("w") / F.col("n"), 6).alias("sampling_rate"),
     )
+
+
+@query(
+    "q387_zonemap_pruning_audit",
+    tags=("layout", "lakehouse", "pruning", "planning"),
+    oracle="""
+WITH days AS (
+  SELECT l_orderkey,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS ym
+  FROM lineitem
+), bounds AS (
+  SELECT min(l_orderkey) AS mino, max(l_orderkey) AS maxo,
+         min(day_num) AS mind, max(day_num) AS maxd
+  FROM days
+), tagged AS MATERIALIZED (
+  SELECT day_num, ym,
+         CASE WHEN maxo = mino THEN 0
+              ELSE ((l_orderkey - mino) * 255) // (maxo - mino) END
+           AS natchunk,
+         CASE WHEN maxd = mind THEN 0
+              ELSE ((day_num - mind) * 255) // (maxd - mind) END AS dchunk
+  FROM days CROSS JOIN bounds
+), chunks AS MATERIALIZED (
+  SELECT layout, chunk,
+         min(day_num) AS zmin, max(day_num) AS zmax,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT 'natural' AS layout, natchunk AS chunk, day_num FROM tagged
+    UNION ALL
+    SELECT 'date_sorted', dchunk, day_num FROM tagged
+  ) GROUP BY layout, chunk
+), months AS MATERIALIZED (
+  SELECT ym, min(day_num) AS mstart, max(day_num) AS mend
+  FROM tagged GROUP BY ym
+), pairs AS (
+  SELECT c.layout, c.n,
+         CASE WHEN c.zmin <= m.mend AND c.zmax >= m.mstart
+              THEN 1 ELSE 0 END AS scanned
+  FROM chunks c CROSS JOIN months m
+), spans AS (
+  SELECT layout,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(zmax - zmin + 1) AS BIGINT) AS span_days_total,
+         CAST(sum(n) AS BIGINT) AS n_rows
+  FROM chunks GROUP BY layout
+), scans AS (
+  SELECT layout,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(scanned) AS BIGINT) AS chunk_scans,
+         CAST(sum(scanned * n) AS BIGINT) AS rows_scanned
+  FROM pairs GROUP BY layout
+)
+SELECT sp.layout, sp.n_chunks, sp.n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM months) AS n_months,
+       sc.chunk_scans,
+       round(CAST(sc.chunk_scans AS DOUBLE)
+             / CAST(sc.n_pairs AS DOUBLE) + 1e-9, 6) AS chunk_scan_fraction,
+       round(CAST(sc.rows_scanned AS DOUBLE)
+             / (CAST(sp.n_rows AS DOUBLE)
+                * (SELECT count(*) FROM months)) + 1e-9, 6)
+         AS row_scan_fraction,
+       round(CAST(sp.span_days_total AS DOUBLE)
+             / CAST(sp.n_chunks AS DOUBLE) + 1e-9, 2) AS avg_chunk_span_days
+FROM spans sp JOIN scans sc ON sp.layout = sc.layout
+""",
+)
+def q387_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file min/max statistics) pruning simulator: carve
+    lineitem into 256 fixed-width chunks under two physical layouts —
+    natural ingestion order (l_orderkey ranges, the q126 chunk
+    convention) and ship-date-sorted — record each chunk's
+    min/max ship-day "zone map", then replay the canonical monthly
+    predicate workload (every calendar month present in the data as a
+    BETWEEN range) and count which chunks a min/max-pruning reader
+    must scan. Where q126 scores layout quality by GEOMETRY (Morton
+    spans), this measures the operational quantity directly: the
+    fraction of chunks and of ROWS touched per month query — the
+    number that decides whether a 100 TB table answers a month query
+    by reading 1/84th of its files or all of them.
+
+    Exactness: chunk ids are the q126 exact integer quantization
+    (scaled integer division, degenerate single-value guard); zone
+    maps, month ranges, and the interval-intersection scan test
+    (zmin <= mend AND zmax >= mstart) are pure integer min/max/
+    compares; every fraction is an integer-count ratio (rule 5).
+
+    Scale: two token passes reduce to a 512-row chunk frame and an
+    ~84-row month frame; the predicate replay is a bounded
+    (chunks x months) broadcast cross join — never touches fact rows
+    again. The tagged frame feeds chunk and month reductions, so it
+    localCheckpoints (repo convention).
+    """
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    days = li.select(
+        "l_orderkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("day_num"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint").alias("ym"),
+    )
+    bounds = days.agg(
+        F.min("l_orderkey").alias("mino"),
+        F.max("l_orderkey").alias("maxo"),
+        F.min("day_num").alias("mind"),
+        F.max("day_num").alias("maxd"),
+    )
+    tagged = (
+        days.crossJoin(F.broadcast(bounds))
+        .select(
+            "day_num",
+            "ym",
+            F.when(F.col("maxo") == F.col("mino"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr("((l_orderkey - mino) * 255) div (maxo - mino)")
+            ).alias("natchunk"),
+            F.when(F.col("maxd") == F.col("mind"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr("((day_num - mind) * 255) div (maxd - mind)")
+            ).alias("dchunk"),
+        )
+        .localCheckpoint(eager=False)  # chunk + month reduction branches
+    )
+    both = tagged.select(
+        F.lit("natural").alias("layout"),
+        F.col("natchunk").alias("chunk"),
+        "day_num",
+    ).unionAll(
+        tagged.select(
+            F.lit("date_sorted").alias("layout"),
+            F.col("dchunk").alias("chunk"),
+            "day_num",
+        )
+    )
+    chunks = both.groupBy("layout", "chunk").agg(
+        F.min("day_num").alias("zmin"),
+        F.max("day_num").alias("zmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).localCheckpoint(eager=False)  # span + scan branches
+    months = tagged.groupBy("ym").agg(
+        F.min("day_num").alias("mstart"),
+        F.max("day_num").alias("mend"),
+    )
+    n_months = months.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months")
+    )
+    pairs = chunks.crossJoin(F.broadcast(months)).select(
+        "layout",
+        "n",
+        F.when(
+            (F.col("zmin") <= F.col("mend"))
+            & (F.col("zmax") >= F.col("mstart")),
+            1,
+        ).otherwise(0).alias("scanned"),
+    )
+    spans = chunks.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.col("zmax") - F.col("zmin") + 1)
+        .cast("bigint").alias("span_days_total"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    scans = pairs.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("scanned").cast("bigint").alias("chunk_scans"),
+        F.sum(F.col("scanned") * F.col("n"))
+        .cast("bigint").alias("rows_scanned"),
+    )
+    return (
+        spans.join(scans, "layout")
+        .crossJoin(F.broadcast(n_months))
+        .select(
+            "layout",
+            "n_chunks",
+            "n_rows",
+            "n_months",
+            "chunk_scans",
+            fround(
+                F.col("chunk_scans").cast("double")
+                / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("chunk_scan_fraction"),
+            fround(
+                F.col("rows_scanned").cast("double")
+                / (
+                    F.col("n_rows").cast("double")
+                    * F.col("n_months").cast("double")
+                ),
+                6,
+            ).alias("row_scan_fraction"),
+            fround(
+                F.col("span_days_total").cast("double")
+                / F.col("n_chunks").cast("double"),
+                2,
+            ).alias("avg_chunk_span_days"),
+        )
+    )

@@ -2734,3 +2734,126 @@ def q373_croston_intermittent_demand(
         fround(rate, 6).alias("croston_rate"),
         fround(F.lit(0.75) * rate, 6).alias("sba_rate"),
     )
+
+
+@query(
+    "q386_record_breaking_spend",
+    tags=("ranking", "window", "behavioral"),
+    oracle="""
+WITH ords AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), seqd AS (
+  SELECT o_custkey, cents,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY d, o_orderkey) AS seq,
+         max(cents) OVER (
+           PARTITION BY o_custkey ORDER BY d, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM ords
+), flagged AS MATERIALIZED (
+  SELECT o_custkey, seq,
+         CASE WHEN prevmax IS NULL OR cents > prevmax
+              THEN 1 ELSE 0 END AS is_record
+  FROM seqd
+), percust AS MATERIALIZED (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(is_record) AS BIGINT) AS n_records,
+         CAST(max(CASE WHEN is_record = 1 AND seq >= 5
+                       THEN 1 ELSE 0 END) AS BIGINT) AS has_late_record
+  FROM flagged GROUP BY o_custkey
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(p.n_orders) AS BIGINT) AS n_orders,
+       CAST(sum(p.n_records) AS BIGINT) AS n_records,
+       round(CAST(sum(p.n_records) AS DOUBLE)
+             / CAST(sum(p.n_orders) AS DOUBLE) + 1e-9, 6) AS record_rate,
+       CAST(sum(p.has_late_record) AS BIGINT) AS late_record_customers,
+       round(CAST(sum(p.has_late_record) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS late_record_share
+FROM percust p JOIN customer c ON c.c_custkey = p.o_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q386_record_breaking_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking spend behavior per market segment: an order is
+    a RECORD when its exact-cents total strictly exceeds every earlier
+    order of the same customer (first order always is). Under
+    exchangeable spending the expected record count is harmonic
+    (~ln n), so a segment whose record_rate or whose share of
+    customers still setting records at order ≥ 5 (late_record_share)
+    sits high is a segment with genuinely ESCALATING baskets, not
+    noise — the growth-quality read that mean-spend trends hide. The
+    temporal application of q210's prefix-max machinery (dominance
+    over TIME instead of over price rank).
+
+    Exactness: records are defined on EXACT integer cents (float sums
+    are never a cross-engine sort/compare key, the q144 rule) with the
+    (o_orderdate, o_orderkey) unique total order both engines; every
+    output except the two ratios is pure integer counting; the ratios
+    are integer-count ratios (rule 5), rounded anyway.
+
+    Scale: the only window is per-customer (TPC-H order counts per
+    customer are scale-invariant, ~10-40 rows — never a data-sized
+    partition); one groupBy to the customer grain, the customer dim
+    join ONLY after that reduction (customer-grain both sides — a
+    co-partitioned shuffle join, deliberately NOT broadcast-hinted:
+    the dim is data-sized at scale; AQE may still broadcast it at
+    small SFs), one segment-grain reduce.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    ords = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    seqd = ords.select(
+        "o_custkey",
+        "cents",
+        F.row_number().over(w).alias("seq"),
+        F.max("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("prevmax"),
+    )
+    flagged = seqd.select(
+        "o_custkey",
+        "seq",
+        F.when(
+            F.col("prevmax").isNull() | (F.col("cents") > F.col("prevmax")),
+            1,
+        ).otherwise(0).alias("is_record"),
+    )
+    percust = flagged.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("is_record").cast("bigint").alias("n_records"),
+        F.max(
+            F.when((F.col("is_record") == 1) & (F.col("seq") >= 5), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("has_late_record"),
+    )
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = percust.join(cust, percust.o_custkey == cust.c_custkey)
+    nc = F.count(F.lit(1)).cast("bigint")
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        nc.alias("n_customers"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum("n_records").cast("bigint").alias("n_records"),
+        fround(
+            F.sum("n_records").cast("double")
+            / F.sum("n_orders").cast("double"),
+            6,
+        ).alias("record_rate"),
+        F.sum("has_late_record").cast("bigint").alias("late_record_customers"),
+        fround(
+            F.sum("has_late_record").cast("double") / nc.cast("double"), 6
+        ).alias("late_record_share"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ...functions.scalar import fround
 from ...operators.similarity import (
@@ -2495,4 +2496,279 @@ def q372_ivf_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(fround(F.col("s"), 6) < 0.1, F.lit(1)).otherwise(F.lit(0))
         ).cast("bigint").alias("n_ambiguous"),
+    )
+
+
+@query(
+    "q383_metric_choice_audit",
+    tags=("similarity", "audit", "llm-pipeline"),
+    oracle=f"""
+WITH {_NORMED_CTE.strip()},
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, sqnorm AS q_norm
+  FROM normed WHERE vec_id < 3
+), scored AS MATERIALIZED (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_DOT} / (sqrt(q.q_norm) * sqrt(c.sqnorm)) + 1e-9, 6)
+           AS cosine,
+         round({_sq_l2_sql('q.q_vec', 'c.embedding')} + 1e-9, 6) AS dist
+  FROM q CROSS JOIN normed c WHERE c.vec_id != q.query_id
+), rc AS MATERIALIZED (
+  SELECT query_id, neighbor_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+), rl AS MATERIALIZED (
+  SELECT query_id, neighbor_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+  FROM scored
+), ov AS (
+  SELECT tc.query_id, CAST(count(*) AS BIGINT) AS overlap,
+         CAST(sum(CASE WHEN tc.rn = 1 AND tl.rn = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nn1
+  FROM (SELECT * FROM rc WHERE rn <= 10) tc
+  JOIN (SELECT * FROM rl WHERE rn <= 10) tl
+    ON tc.query_id = tl.query_id AND tc.neighbor_id = tl.neighbor_id
+  GROUP BY tc.query_id
+)
+SELECT q.query_id, COALESCE(ov.overlap, 0) AS top10_overlap,
+       round(CAST(COALESCE(ov.overlap, 0) AS DOUBLE)
+             / (20.0 - CAST(COALESCE(ov.overlap, 0) AS DOUBLE)) + 1e-9, 6)
+         AS jaccard_top10,
+       COALESCE(ov.nn1, 0) = 1 AS nn_same
+FROM q LEFT JOIN ov ON q.query_id = ov.query_id
+""",
+)
+def q383_metric_choice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the DISTANCE METRIC matter for this embedding corpus? Per
+    query vector (the q42 vec_id < 3 convention): the exact top-10
+    neighbor sets under cosine similarity and under squared Euclidean
+    distance from ONE shared scored pass, reduced to their overlap
+    size, set Jaccard, and whether the single nearest neighbor
+    agrees. On L2-normalized embeddings the two rankings coincide;
+    on raw embeddings they diverge with vector-norm spread — this
+    audit measures that divergence so an ANN deployment (q42 LSH is
+    cosine-family, q62 IVF is L2-family) knows whether its index
+    metric silently changes the answer set. Companion to q169's
+    norm-spread hygiene check and q142's recall audit.
+
+    Exactness: both scores are rounded to 6 dp BEFORE ranking with a
+    neighbor-id tie-break (the q348 total-order rule), so both
+    engines rank identically; overlap/Jaccard are integer-exact
+    (rule 5; Jaccard of two 10-sets = i/(20-i)). Zero-overlap queries
+    anchor on the query frame (LEFT JOIN + coalesce).
+
+    Scale: one corpus pass against 3 broadcast queries; both rank
+    windows are per-query top-k (WindowGroupLimit keeps the heap
+    bounded executor-side); the scored frame feeds two window
+    branches, so it localCheckpoints (repo convention).
+    """
+    from ...operators.ivf import sq_l2
+    from ...operators.similarity import cosine, squared_norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        squared_norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        squared_norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(
+                    F.col("q_vec"), F.col("c_vec"),
+                    F.col("q_norm"), F.col("c_norm"),
+                )
+                + 1e-9,
+                6,
+            ).alias("cosine"),
+            fround(sq_l2(F.col("q_vec"), F.col("c_vec"), dim=_DIM), 6).alias(
+                "dist"
+            ),
+        )
+        .localCheckpoint(eager=False)  # two rank-window branches
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    tc = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", F.col("rn").alias("rn_c"))
+    )
+    tl = (
+        scored.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", F.col("rn").alias("rn_l"))
+    )
+    ov = (
+        tc.join(tl, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("overlap"),
+            F.sum(
+                F.when((F.col("rn_c") == 1) & (F.col("rn_l") == 1), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("nn1"),
+        )
+    )
+    anchor = q.select("query_id")
+    ovc = F.coalesce(F.col("overlap"), F.lit(0).cast("bigint"))
+    return anchor.join(ov, "query_id", "left").select(
+        "query_id",
+        ovc.alias("top10_overlap"),
+        fround(
+            ovc.cast("double") / (F.lit(20.0) - ovc.cast("double")), 6
+        ).alias("jaccard_top10"),
+        (F.coalesce(F.col("nn1"), F.lit(0).cast("bigint")) == 1).alias(
+            "nn_same"
+        ),
+    )
+
+
+@query(
+    "q385_inertia_elbow_sweep",
+    tags=("similarity", "ivf", "clustering", "audit"),
+    oracle=f"""
+WITH {_SEEDS_CTE.strip()},
+scored AS MATERIALIZED (
+  SELECT e.vec_id, s.cluster_id,
+         {_sq_l2_sql('e.embedding', 's.centroid')} AS dist
+  FROM embeddings e CROSS JOIN seeds s
+), ks AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS k),
+bestk AS MATERIALIZED (
+  SELECT ks.k, vec_id, min(dist) AS dist
+  FROM scored CROSS JOIN ks WHERE cluster_id < ks.k
+  GROUP BY ks.k, vec_id
+), cell AS MATERIALIZED (
+  SELECT b.k, b.vec_id, min(s.cluster_id) AS cid
+  FROM bestk b JOIN scored s
+    ON s.vec_id = b.vec_id AND s.dist = b.dist AND s.cluster_id < b.k
+  GROUP BY b.k, b.vec_id
+), cells AS (
+  SELECT k, cid, CAST(count(*) AS BIGINT) AS c FROM cell GROUP BY k, cid
+), perk AS MATERIALIZED (
+  SELECT b.k,
+         CAST(count(*) AS BIGINT) AS n_vectors,
+         round(sum(b.dist) + 1e-9, 4) AS inertia,
+         round(avg(b.dist) + 1e-9, 6) AS mean_sq_dist
+  FROM bestk b GROUP BY b.k
+), bal AS (
+  SELECT k, round(CAST(max(c) AS DOUBLE)
+                  / CAST(sum(c) AS DOUBLE) + 1e-9, 6) AS max_cell_share
+  FROM cells GROUP BY k
+)
+SELECT p.k AS k, p.n_vectors, p.inertia, p.mean_sq_dist,
+       b.max_cell_share,
+       round((pv.inertia - p.inertia) / pv.inertia + 1e-9, 6)
+         AS reduction_vs_prev
+FROM perk p
+JOIN bal b ON p.k = b.k
+LEFT JOIN perk pv ON pv.k = p.k // 2
+""",
+)
+def q385_inertia_elbow_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inertia elbow sweep for the IVF partitioning: score every
+    vector against the q61 seed centroids ONCE, then read off the
+    k = 2 / 4 / 8 clusterings simultaneously (the first-k-seeds
+    nesting makes the k-sweep a FILTER, not three clusterings), and
+    report per k the total within-cell inertia, mean squared
+    distance, the largest cell's share (does more k actually balance
+    load?), and the marginal inertia reduction vs k/2 — the elbow
+    curve that justifies (or indicts) q61's k=8 before q168/q315/q372
+    audit the chosen k's balance/stability/geometry.
+
+    Exactness: one shared scored pass (q61 distance convention);
+    per-(k, vector) min distance is an exact min over identical
+    doubles; the assigned cell re-derives by equality join on that
+    exact min with a min-cluster_id tie-break (no argmax structs —
+    both engines resolve float ties identically because the doubles
+    are bit-identical). Inertia is the well-conditioned same-sign
+    float-sum class (q24/q372 note), absorbed at 4 dp; the marginal
+    reduction divides ROUNDED inertias so the ratio starts from
+    identical inputs on both engines.
+
+    Scale: broadcast 8-row seed frame; the k-sweep multiplies the
+    reduce by |ks| = 3, never re-scans the corpus; cell counts reduce
+    to a ≤ 3*8-row frame. The scored frame feeds bestk and the cell
+    equality join, so it localCheckpoints (repo convention).
+    """
+    from ...operators.ivf import seed_centroids, sq_l2
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, 8)
+    scored = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cluster_id",
+            sq_l2(F.col("embedding"), F.col("centroid"), dim=_DIM).alias(
+                "dist"
+            ),
+        )
+        .localCheckpoint(eager=False)  # bestk + cell equality branches
+    )
+    # q354 lesson: the Python shiftleft wrapper rejects a Column bit
+    # count — spell the shift in SQL
+    ks = spark.range(1, 4).select(
+        F.expr("cast(shiftleft(1, cast(id as int)) as bigint)").alias("k")
+    )
+    bestk = (
+        scored.join(F.broadcast(ks), F.col("cluster_id") < F.col("k"))
+        .groupBy("k", "vec_id")
+        .agg(F.min("dist").alias("dist"))
+        .localCheckpoint(eager=False)  # perk + cell branches
+    )
+    cell = (
+        bestk.alias("b")
+        .join(
+            scored.alias("s"),
+            (F.col("s.vec_id") == F.col("b.vec_id"))
+            & (F.col("s.dist") == F.col("b.dist"))
+            & (F.col("s.cluster_id") < F.col("b.k")),
+        )
+        .groupBy(F.col("b.k").alias("k"), F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min("s.cluster_id").alias("cid"))
+    )
+    cells = cell.groupBy("k", "cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    perk = bestk.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        fround(F.sum("dist"), 4).alias("inertia"),
+        fround(F.avg("dist"), 6).alias("mean_sq_dist"),
+    )
+    bal = cells.groupBy("k").agg(
+        fround(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("max_cell_share")
+    )
+    prev = perk.select(
+        (F.col("k") * 2).alias("k"), F.col("inertia").alias("prev_inertia")
+    )
+    return (
+        perk.join(bal, "k")
+        .join(prev, "k", "left")
+        .select(
+            "k",
+            "n_vectors",
+            "inertia",
+            "mean_sq_dist",
+            "max_cell_share",
+            fround(
+                (F.col("prev_inertia") - F.col("inertia"))
+                / F.col("prev_inertia"),
+                6,
+            ).alias("reduction_vs_prev"),
+        )
     )

@@ -4344,3 +4344,95 @@ def q378_restricted_mean_survival(
             6,
         ).alias("s_at_720"),
     )
+
+
+@query(
+    "q384_nelson_aalen_hazard",
+    tags=("statistics", "survival", "window"),
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS DATE)) AS first_d,
+         max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+), horizon AS (
+  SELECT max(last_d) AS end_d FROM per_cust
+), life AS (
+  SELECT CAST(last_d - first_d AS BIGINT) AS t,
+         CASE WHEN last_d < end_d - 90 THEN 1 ELSE 0 END AS churned
+  FROM per_cust, horizon
+), hist AS (
+  SELECT t,
+         CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(churned) AS BIGINT) AS n_events
+  FROM life GROUP BY t
+), tot AS (
+  SELECT CAST(sum(n_at) AS BIGINT) AS n_total FROM hist
+), risk AS (
+  SELECT t, n_events,
+         n_total - CAST(coalesce(sum(n_at) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS n_risk
+  FROM hist, tot
+), na AS (
+  SELECT t, n_events, n_risk,
+         CAST(sum((1000000 * n_events) // n_risk) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_hazard_ppm
+  FROM risk
+)
+SELECT t AS t_days, n_risk, n_events, cum_hazard_ppm,
+       round(cum_hazard_ppm / 1000000.0 + 1e-9, 6) AS nelson_aalen,
+       round(exp(-(cum_hazard_ppm / 1000000.0)) + 1e-9, 6)
+         AS breslow_survival
+FROM na WHERE n_events > 0
+""",
+)
+def q384_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative churn hazard on q201's exact lifetime
+    frame (days between first and last order, 90-day right-censoring)
+    — the hazard-scale member of the survival family: q201 estimates
+    S(t) multiplicatively (KM), q325 tests two curves against each
+    other (log-rank), q378 integrates S (RMST), and this accumulates
+    the raw risk intensity H(t) = Σ d_j/n_j, whose slope changes are
+    what a retention team reads (constant slope = memoryless churn;
+    flattening = loyalty cohort). Breslow's S(t) = exp(-H) rides
+    along for a direct same-row comparison with q201's KM survival —
+    the classic estimator-agreement check (they converge as n grows).
+
+    Exactness: unlike q201's exp-of-log-sum float window, the hazard
+    here is defined in FIXED-POINT millionths — each increment is the
+    exact integer division (1e6*d) DIV n, the running window sum is
+    pure BIGINT (order-insensitive, zero float accumulation; the
+    operators/survival.py::nelson_aalen contract), and H = ppm/1e6 is
+    the identical double on both engines. Only the final exp crosses
+    libm (the q201/q158 precedent), absorbed by the fround pair.
+
+    Scale: subjects reduce to the duration histogram FIRST, so the
+    single ordered window is calendar-bounded (≤ span-days rows),
+    never customer-bounded — q201's 100 TB property, inherited.
+    """
+    from ...operators.survival import nelson_aalen
+
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    horizon = per_cust.agg(F.max("last_d").alias("end_d"))
+    life = per_cust.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
+        F.when(
+            F.col("last_d") < F.date_sub(F.col("end_d"), 90), 1
+        ).otherwise(0).alias("churned"),
+    )
+    na = nelson_aalen(life)
+    h = F.col("cum_hazard_ppm") / F.lit(1000000.0)
+    return na.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        "n_events",
+        "cum_hazard_ppm",
+        fround(h, 6).alias("nelson_aalen"),
+        fround(F.exp(-h), 6).alias("breslow_survival"),
+    )

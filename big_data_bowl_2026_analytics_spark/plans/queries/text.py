@@ -3653,3 +3653,83 @@ def q379_token_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ct").alias("n_occurrences"),
         F.col("d").alias("dispersion_dp"),
     )
+
+
+@query(
+    "q382_lexical_concentration",
+    tags=("text", "statistics", "llm-pipeline"),
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+), cnt AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, t
+), spec AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS d,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * c) AS BIGINT) AS s2,
+         CAST(max(c) AS BIGINT) AS cmax
+  FROM cnt GROUP BY source
+)
+SELECT source, n AS n_tokens, d AS n_distinct,
+       round(10000.0 * CAST(s2 - n AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) + 1e-9, 4)
+         AS yule_k,
+       round(CAST(s2 - n AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) + 1e-9, 6)
+         AS simpson_d,
+       round(CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE) + 1e-9, 6)
+         AS top_token_share
+FROM spec
+""",
+)
+def q382_lexical_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical CONCENTRATION from the token frequency
+    spectrum — the repetitiveness complement to q367's richness on the
+    identical (source, token) count frame: Yule's characteristic K
+    (10^4 * (Σc² − N)/N², the classic repeated-vocabulary statistic —
+    high K = a feed recycling the same words, the template/boilerplate
+    signature), Simpson's D (the probability two random tokens
+    coincide, = Σc(c−1)/(N(N−1))), and the single-heaviest-token share.
+    A curation pipeline reads q367 (how much vocabulary is left) and
+    this (how degenerate is what's arriving) together before weighting
+    a source in the training mix.
+
+    Exactness: the spectrum is exact integer counting; Σc² and Σc stay
+    BIGINT (bounded by N·cmax — safe far past sf1; a 100 TB deployment
+    promotes the accumulator to DECIMAL/128-bit, the q261 note), both
+    statistics are then a single cast-once double expression
+    identically parenthesized on both engines (the q204 rule), and
+    s11 = Σc(c−1) is derived as s2 − N so no second sum exists to
+    drift. Integer-count ratios are engine-exact; rounded anyway
+    (rule 5).
+
+    Scale: one token-grain reduce into a source-grain reduce — the
+    q367 shape exactly: map-side combinable, no joins, no windows.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    cnt = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    spec = cnt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.max("c").cast("bigint").alias("cmax"),
+    )
+    nd = F.col("n").cast("double")
+    excess = (F.col("s2") - F.col("n")).cast("double")
+    return spec.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("d").alias("n_distinct"),
+        fround(F.lit(10000.0) * excess / (nd * nd), 4).alias("yule_k"),
+        fround(excess / (nd * (nd - F.lit(1.0))), 6).alias("simpson_d"),
+        fround(F.col("cmax").cast("double") / nd, 6).alias(
+            "top_token_share"
+        ),
+    )

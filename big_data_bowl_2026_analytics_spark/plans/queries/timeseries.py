@@ -4967,3 +4967,111 @@ def q377_markov_order_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("df") == 16, fround(F.col("gsum"), 6) > 26.296
         ).otherwise(F.lit(None).cast("boolean")).alias("reject_order0"),
     )
+
+
+def _q381_oracle(max_c: int = 12) -> str:
+    """Erlang-B recurrence unrolled: B_0 = 1, B_k = a*B_{k-1} /
+    (k + a*B_{k-1}), one CTE per step so the float-operation order is
+    pinned on both engines (the q358 sequential-recurrence rule —
+    never the factorial/pow closed form)."""
+    steps = "".join(
+        f""", b{k} AS (
+  SELECT *, (a * b{k - 1}) / ({k}.0 + a * b{k - 1}) AS b{k} FROM b{k - 1}
+)"""
+        for k in range(1, max_c + 1)
+    )
+    when = " ".join(
+        f"WHEN round(b{k} + 1e-9, 6) <= 0.02 THEN {k}"
+        for k in range(1, max_c + 1)
+    )
+    return f"""
+WITH hrs AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, event_type
+  FROM events
+), span AS (
+  SELECT CAST(max(h) - min(h) + 1 AS BIGINT) AS span_h FROM hrs
+), byt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM hrs GROUP BY event_type
+), b0 AS (
+  SELECT event_type, n, span_h,
+         CAST(n AS DOUBLE) / (CAST(span_h AS DOUBLE) * 30.0) AS a,
+         CAST(1 AS DOUBLE) AS b0
+  FROM byt CROSS JOIN span
+){steps}
+SELECT event_type, n AS n_events,
+       round(a + 1e-9, 6) AS offered_load,
+       round(b4 + 1e-9, 6) AS blocking_c4,
+       round(b8 + 1e-9, 6) AS blocking_c8,
+       round(b{max_c} + 1e-9, 6) AS blocking_c{max_c},
+       CAST(CASE {when} END AS BIGINT) AS min_servers_2pct
+FROM b{max_c}
+"""
+
+
+@query(
+    "q381_erlang_blocking_ladder",
+    tags=("timeseries", "queueing", "capacity", "planning"),
+    oracle=_q381_oracle(12),
+)
+def q381_erlang_blocking_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Erlang-B blocking-probability ladder per event type — the LOSS-
+    system companion to q358's Erlang-C wait model (M/M/c/c: an
+    arrival finding all c servers busy is DROPPED, not queued — the
+    right model for connection pools, rate limiters, and trunk
+    capacity, where q358 models ticket queues). Per type: the offered
+    load a (same 30/hour service convention as q358), the blocking
+    probability at c = 4/8/12 servers, and the smallest c in 1..12
+    whose blocking is <= 2% — the provisioning answer.
+
+    Exactness: B_k is built by the SEQUENTIAL recurrence
+    B_k = a*B_{k-1} / (k + a*B_{k-1}) with one projection per step on
+    both engines (q358's rule: the recurrence pins float-operation
+    order; the a^c/c! closed form via pow() is not cross-engine
+    ulp-stable). The 2% threshold compares the 6-dp ROUNDED B_k (the
+    q348/q359 rule: never order or branch on a raw float), so the
+    ladder selection is identical on both engines; no ladder level
+    qualifying yields NULL.
+
+    Scale: one fact pass to per-type counts + a broadcast 1-row span;
+    the 12-step recurrence runs on the 5-row type frame.
+    """
+    ev = read_table(spark, sf_dir, "events", ["ts", "event_type"])
+    hrs = ev.select(
+        F.floor(F.col("ts").cast("double") / 3600).cast("bigint").alias("h"),
+        "event_type",
+    ).localCheckpoint(eager=False)  # span + per-type branches
+    span = hrs.agg(
+        (F.max("h") - F.min("h") + 1).cast("bigint").alias("span_h")
+    )
+    cur = (
+        hrs.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(span))
+        .withColumn(
+            "a",
+            F.col("n").cast("double")
+            / (F.col("span_h").cast("double") * F.lit(30.0)),
+        )
+        .withColumn("b0", F.lit(1.0))
+    )
+    max_c = 12
+    for k in range(1, max_c + 1):
+        ab = F.col("a") * F.col(f"b{k - 1}")
+        cur = cur.withColumn(f"b{k}", ab / (F.lit(float(k)) + ab))
+    ladder = F.lit(None).cast("bigint")
+    sel = None
+    for k in range(1, max_c + 1):
+        cond = fround(F.col(f"b{k}"), 6) <= 0.02
+        sel = F.when(cond, k) if sel is None else sel.when(cond, k)
+    return cur.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        fround(F.col("a"), 6).alias("offered_load"),
+        fround(F.col("b4"), 6).alias("blocking_c4"),
+        fround(F.col("b8"), 6).alias("blocking_c8"),
+        fround(F.col(f"b{max_c}"), 6).alias(f"blocking_c{max_c}"),
+        sel.otherwise(ladder).cast("bigint").alias("min_servers_2pct"),
+    )

@@ -2169,3 +2169,76 @@ def test_q379_dispersion_takeordered_bounded_grid(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q380_hits_checkpointed_rounds_takeordered_topk(spark):
+    plan = physical_plan(_q(spark, "q380_hits_hub_authority"))
+    # per-round lineage truncation hides the iteration behind
+    # checkpoints; top-10 per side funnels through
+    # TakeOrderedAndProject with the rank window on the 10-row
+    # survivor frame (never a data-sized global window)
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q381_erlang_b_no_window_broadcast_span(spark):
+    plan = physical_plan(_q(spark, "q381_erlang_blocking_ladder"))
+    # the 12-step recurrence is pure projection on the 5-row type
+    # frame; the 1-row span joins by broadcast; no window anywhere
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q382_concentration_pure_two_level_reduce(spark):
+    plan = physical_plan(_q(spark, "q382_lexical_concentration"))
+    # token-grain reduce into source-grain reduce: no joins, no
+    # windows — the q367 shape
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_q383_metric_audit_windowgrouplimit_both_ranks(spark):
+    plan = physical_plan(_q(spark, "q383_metric_choice_audit"))
+    # one checkpointed scored pass; both top-10 ranks run as
+    # WindowGroupLimit (bounded executor-side heaps)
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_q385_elbow_no_window_checkpointed_scored_pass(spark):
+    plan = physical_plan(_q(spark, "q385_inertia_elbow_sweep"))
+    # the k-sweep is filters + reduces over ONE checkpointed scored
+    # pass; the only window in the whole query (the 8-row seed
+    # funnel) hides behind the checkpoint — no window may survive
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_q386_records_customer_partitioned_window(spark):
+    plan = physical_plan(_q(spark, "q386_record_breaking_spend"))
+    # the prefix-max window is customer-partitioned (bounded groups),
+    # never a global window; orders scan prunes to the 4 used columns
+    assert "windowspecdefinition(o_custkey" in plan
+    assert "o_orderpriority" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q387_zonemap_bounded_replay_joins(spark):
+    plan = physical_plan(_q(spark, "q387_zonemap_pruning_audit"))
+    # fact rows reduce to 512 chunks + ~84 months behind the
+    # checkpoint; the predicate replay is a broadcast cross join of
+    # those bounded frames only
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q384_nelson_aalen_histogram_grain(spark):
+    # the ppm cumsum window runs on the lifetime histogram (calendar-
+    # bounded) after the per-customer reduce; horizon/total broadcast
+    plan = physical_plan(_q(spark, "q384_nelson_aalen_hazard"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
