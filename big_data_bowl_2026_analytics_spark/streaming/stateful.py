@@ -227,3 +227,92 @@ def transition_increments(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_RECORD_STATE_SCHEMA = StructType(
+    [
+        StructField("max_cents", LongType()),
+        StructField("n_records", LongType()),
+    ]
+)
+
+_RECORD_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("cents", LongType()),
+        StructField("record_idx", LongType()),
+    ]
+)
+
+
+def running_value_records(events: DataFrame) -> DataFrame:
+    """Streaming twin of q386's prefix-max record semantics, applied
+    to the event stream: per user, emit every event whose exact-cents
+    value STRICTLY exceeds all of that user's earlier events — the
+    "new personal best" detector (biggest basket, longest session,
+    highest score) that powers real-time milestone triggers. State is
+    O(1) per key: the running max in exact integer cents plus the
+    record count (for the emitted 1-based record_idx).
+
+    Values quantize to cents (round(value * 100) as int64) BEFORE the
+    comparison so stream and batch compare identical integers — the
+    q144 rule (floats are never a cross-engine/cross-path compare
+    key). Equal-to-max is NOT a record (strict >, the q386
+    convention; the first event always is).
+
+    Exact stream-equals-batch contract: draining this over in-order
+    micro-batches (per-user (ts, event_id) order across batches —
+    time-split files in the test, a user-keyed Kafka topic in
+    production; within a batch the operator sorts) yields EXACTLY the
+    rows a batch prefix-max window flags, record_idx included —
+    integer comparisons, so the drain test asserts full-row equality,
+    not an error bound.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.assign(
+            _us=batch["ts"].astype("datetime64[us]").astype("int64"),
+            _cents=batch["value"].mul(100).round().astype("int64"),
+        ).sort_values(["_us", "event_id"], kind="mergesort")
+        if state.exists:
+            max_cents, n_records = state.get
+            have = True
+        else:
+            max_cents, n_records = 0, 0
+            have = False
+        out_eid: list[int] = []
+        out_cents: list[int] = []
+        out_idx: list[int] = []
+        for eid, cents in zip(batch["event_id"], batch["_cents"]):
+            if not have or cents > max_cents:
+                n_records += 1
+                out_eid.append(int(eid))
+                out_cents.append(int(cents))
+                out_idx.append(n_records)
+                max_cents = int(cents)
+                have = True
+        state.update((int(max_cents), int(n_records)))
+        if out_eid:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_eid),
+                    "event_id": out_eid,
+                    "cents": out_cents,
+                    "record_idx": out_idx,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RECORD_OUTPUT_SCHEMA,
+        stateStructType=_RECORD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

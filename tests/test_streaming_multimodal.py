@@ -929,3 +929,72 @@ def test_rolling_distinct_users_hll_stream_equals_batch(spark, events_dir):
         assert abs(r.approx_users - r.exact_users) <= max(
             3, 0.1 * r.exact_users
         )
+
+
+def test_stateful_value_records_match_batch_prefix_max(
+    spark, tmp_path_factory
+):
+    """The drained streaming record events equal the batch prefix-max
+    window flags EXACTLY (full rows, record_idx included) — integer
+    cents comparisons, multi-batch drain, per-user in-order-ingest
+    contract honored via time-split files."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        running_value_records,
+    )
+
+    d = tmp_path_factory.mktemp("events_records_split")
+    t = pq.read_table(f"{SF}/events.parquet")
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+    )
+    third = t.num_rows // 3
+    pq.write_table(t.slice(0, third), d / "a.parquet")
+    pq.write_table(t.slice(third, third), d / "b.parquet")
+    pq.write_table(t.slice(2 * third), d / "c.parquet")
+
+    stream = read_events_stream(
+        spark, str(d), options={"maxFilesPerTrigger": "1"}
+    )
+    _drain_append(running_value_records(stream), "value_records_stream")
+    got = {
+        (r.user_id, r.event_id): (r.cents, r.record_idx)
+        for r in spark.table("value_records_stream").collect()
+    }
+
+    from pyspark.sql import Window
+
+    ev = read_table(spark, SF, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    flagged = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            cents.alias("cents"),
+            F.max(cents).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ).alias("prevmax"),
+        )
+        .withColumn(
+            "is_record",
+            F.col("prevmax").isNull() | (F.col("cents") > F.col("prevmax")),
+        )
+        .withColumn(
+            "record_idx",
+            F.sum(F.col("is_record").cast("bigint")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .where("is_record")
+    )
+    want = {
+        (r.user_id, r.event_id): (r.cents, r.record_idx)
+        for r in flagged.collect()
+    }
+    assert got == want and len(want) > 0
