@@ -2772,3 +2772,203 @@ def q385_inertia_elbow_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reduction_vs_prev"),
         )
     )
+
+
+_DOT_QC = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+)
+
+_DOT_PC = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(p.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "q388_ivf_recall_frontier",
+    tags=("similarity", "ivf", "ann", "audit"),
+    oracle=f"""
+WITH {_SEEDS_CTE.strip()},
+{_NORMED_CTE.strip()},
+assigned AS MATERIALIZED (
+  SELECT vec_id, embedding, sqnorm, cluster_id FROM (
+    SELECT n.vec_id, n.embedding, n.sqnorm, s.cluster_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {_sq_l2_sql('n.embedding', 's.centroid')}, s.cluster_id
+           ) AS rn
+    FROM normed n CROSS JOIN seeds s
+  ) WHERE rn = 1
+), probes AS MATERIALIZED (
+  SELECT query_id, q_vec, q_norm, cluster_id, rn AS pr FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_vec, q.sqnorm AS q_norm,
+           s.cluster_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sq_l2_sql('q.embedding', 's.centroid')}, s.cluster_id
+           ) AS rn
+    FROM (SELECT * FROM normed WHERE vec_id < 3) q CROSS JOIN seeds s
+  ) WHERE rn <= 4
+), exact3 AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round({_DOT_QC} / (sqrt(q.sqnorm) * sqrt(c.sqnorm)) + 1e-9, 6)
+               DESC, c.vec_id) AS rn
+    FROM (SELECT * FROM normed WHERE vec_id < 3) q CROSS JOIN normed c
+    WHERE c.vec_id != q.vec_id
+  ) WHERE rn <= 3
+), cand AS MATERIALIZED (
+  SELECT p.query_id, p.pr, c.vec_id AS neighbor_id,
+         round({_DOT_PC} / (sqrt(p.q_norm) * sqrt(c.sqnorm)) + 1e-9, 6)
+           AS cosine
+  FROM probes p JOIN assigned c ON p.cluster_id = c.cluster_id
+  WHERE c.vec_id != p.query_id
+), nps AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS np),
+ranked AS MATERIALIZED (
+  SELECT np, query_id, neighbor_id, rn FROM (
+    SELECT n.np, c.query_id, c.neighbor_id,
+           row_number() OVER (
+             PARTITION BY n.np, c.query_id
+             ORDER BY c.cosine DESC, c.neighbor_id) AS rn
+    FROM cand c JOIN nps n ON c.pr <= n.np
+  ) WHERE rn <= 3
+), hits AS (
+  SELECT r.np, r.query_id, CAST(count(e.neighbor_id) AS BIGINT) AS n_hits
+  FROM ranked r LEFT JOIN exact3 e
+    ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+  GROUP BY r.np, r.query_id
+), cost AS (
+  SELECT n.np, c.query_id, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM cand c JOIN nps n ON c.pr <= n.np
+  GROUP BY n.np, c.query_id
+), corp AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM normed)
+SELECT h.np AS nprobe, h.query_id, h.n_hits,
+       round(CAST(h.n_hits AS DOUBLE) / 3.0 + 1e-9, 6) AS recall_at_3,
+       c.n_candidates,
+       round(CAST(c.n_candidates AS DOUBLE) / CAST(corp.n_corpus AS DOUBLE)
+             + 1e-9, 6) AS scan_fraction
+FROM hits h JOIN cost c ON h.np = c.np AND h.query_id = c.query_id
+CROSS JOIN corp
+""",
+)
+def q388_ivf_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall-cost FRONTIER: per query (q62's vec_id < 3
+    convention) and per nprobe in 1/2/4, the recall@3 of the
+    cell-probed search against the exact brute-force top-3, next to
+    the exact number of candidates the search had to score and the
+    corpus fraction that represents. This is the tuning artifact an
+    ANN deployment actually reads — q62 ships nprobe=2 as a constant;
+    this measures what that constant buys (recall) and costs (scan
+    fraction) on THIS corpus, completing the audit family: q142 (LSH
+    recall at one setting), q251 (PQ/ADC recall), q168/q315/q372/q385
+    (cell balance/stability/geometry/k).
+
+    Exactness: ONE scored candidate pass (probe rank pr <= 4), with
+    each nprobe setting a FILTER pr <= np — the q385 nesting trick
+    applied to probes, so the three searches can never use different
+    arithmetic; ranks order by the 6-dp ROUNDED cosine + id tie-break
+    both engines (q62/q348 convention); hits and candidate counts are
+    exact integers; recall and scan fraction are integer-count ratios
+    (rule 5).
+
+    Scale: corpus-side assignment is the broadcast argmin (q61); the
+    candidate scan is a cluster_id equi-join; the np fan-out triples
+    the candidate frame, never the corpus; rank windows are per
+    (np, query) WindowGroupLimit heaps. Checkpoints: the candidate
+    frame feeds rank + cost branches.
+    """
+    from pyspark.sql import Window as W
+
+    from ...operators.ivf import ivf_index, seed_centroids, sq_l2
+    from ...operators.similarity import (
+        brute_force_topk,
+        cosine,
+        squared_norm,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, 8)
+    queries = emb.where(F.col("vec_id") < 3)
+    exact3 = brute_force_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_exact")
+    )
+    idx = ivf_index(emb, cents)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        squared_norm(F.col("embedding")).alias("q_norm"),
+    )
+    wp = W.partitionBy("query_id").orderBy("cdist", "cluster_id")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cdist", sq_l2(F.col("q_vec"), F.col("centroid"), dim=_DIM)
+        )
+        .withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= 4)
+        .select("query_id", "q_vec", "q_norm", "cluster_id", "pr")
+    )
+    cand = (
+        probes.join(idx, "cluster_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "pr",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine(
+                    F.col("q_vec"), F.col("embedding"),
+                    F.col("q_norm"), squared_norm(F.col("embedding")),
+                )
+                + 1e-9,
+                6,
+            ).alias("cosine"),
+        )
+    )
+    nps = spark.range(3).select(
+        F.expr("cast(shiftleft(1, cast(id as int)) as bigint)").alias("np")
+    ).where(F.col("np") <= 4)
+    # the fanned frame feeds the rank AND cost branches — truncate
+    # lineage here (one checkpoint covers the shared candidate pass)
+    fanned = cand.join(
+        F.broadcast(nps), F.col("pr") <= F.col("np")
+    ).localCheckpoint(eager=False)
+    wr = W.partitionBy("np", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ranked = (
+        fanned.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 3)
+        .select("np", "query_id", "neighbor_id")
+    )
+    hits = (
+        ranked.join(F.broadcast(exact3), ["query_id", "neighbor_id"], "left")
+        .groupBy("np", "query_id")
+        .agg(F.count("is_exact").cast("bigint").alias("n_hits"))
+    )
+    cost = fanned.groupBy("np", "query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    corp = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    # q360 lesson: checkpoint-derived micro-frames carry no stats —
+    # broadcast explicitly or this 9-row join plans as an SMJ
+    return (
+        hits.join(F.broadcast(cost), ["np", "query_id"])
+        .crossJoin(F.broadcast(corp))
+        .select(
+            F.col("np").alias("nprobe"),
+            "query_id",
+            "n_hits",
+            fround(F.col("n_hits").cast("double") / F.lit(3.0), 6).alias(
+                "recall_at_3"
+            ),
+            "n_candidates",
+            fround(
+                F.col("n_candidates").cast("double")
+                / F.col("n_corpus").cast("double"),
+                6,
+            ).alias("scan_fraction"),
+        )
+    )

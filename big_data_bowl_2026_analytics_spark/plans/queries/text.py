@@ -3733,3 +3733,91 @@ def q382_lexical_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token_share"
         ),
     )
+
+
+@query(
+    "q389_intra_doc_repetition",
+    tags=("text", "quality", "llm-pipeline"),
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), tri AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM w WHERE len(toks) >= 3
+), per AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS n_tri,
+         CAST(count(DISTINCT g) AS BIGINT) AS d_tri
+  FROM tri GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tri - d_tri) AS BIGINT) AS dup_trigrams,
+       CAST(sum(n_tri) AS BIGINT) AS total_trigrams,
+       round(CAST(sum(n_tri - d_tri) AS DOUBLE)
+             / CAST(sum(n_tri) AS DOUBLE) + 1e-9, 6) AS pooled_dup_rate,
+       CAST(sum(CASE WHEN 5 * (n_tri - d_tri) > n_tri
+                     THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+       round(CAST(sum(CASE WHEN 5 * (n_tri - d_tri) > n_tri
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS flagged_share
+FROM per GROUP BY source
+""",
+)
+def q389_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition per source — the Gopher/MassiveText
+    duplicate-n-gram quality rule (Rae et al. 2021): per document, the
+    fraction of its word trigrams that are repeats of an earlier
+    trigram in the SAME document (boilerplate, templated spam, and
+    degenerate generation all show up here before any cross-document
+    dedup runs). Per source: pooled duplicate-trigram rate and the
+    share of documents over the classic 20% threshold. Completes the
+    repetition axis next to q345 (novel trigrams ACROSS the corpus),
+    q382 (source-level token concentration), and q36 (surface quality
+    ratios) — this one is within-document, the only one of the four
+    that catches a single self-repeating page in an otherwise diverse
+    feed.
+
+    Exactness: trigram counts and distinct counts are exact integers
+    on the (doc, trigram) grain; dup = n − distinct; the 20% flag is
+    the EXACT integer cross-multiplication 5·dup > n (never a float
+    threshold, the q357 rule); both rates are integer-count ratios
+    (rule 5). Docs under 3 tokens have no trigrams and drop on both
+    sides (the shingles_of contract).
+
+    Scale: token arrays bound in a projection BEFORE the shingle
+    lambda (the CSE rule); one explode → (doc, trigram) reduce →
+    doc-grain reduce → source-grain reduce; no joins, no windows.
+    """
+    from ...operators.dedup import shingles_of
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    bound = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("_toks")
+    ).where(F.size("_toks") >= 3)
+    tri = bound.select(
+        "doc_id",
+        "source",
+        F.explode(shingles_of(F.col("_toks"), 3)).alias("g"),
+    )
+    per = tri.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tri"),
+        F.countDistinct("g").cast("bigint").alias("d_tri"),
+    )
+    dup = F.col("n_tri") - F.col("d_tri")
+    flag = F.when(F.lit(5) * dup > F.col("n_tri"), 1).otherwise(0)
+    nd = F.count(F.lit(1)).cast("bigint")
+    return per.groupBy("source").agg(
+        nd.alias("n_docs"),
+        F.sum(dup).cast("bigint").alias("dup_trigrams"),
+        F.sum("n_tri").cast("bigint").alias("total_trigrams"),
+        fround(
+            F.sum(dup).cast("double") / F.sum("n_tri").cast("double"), 6
+        ).alias("pooled_dup_rate"),
+        F.sum(flag).cast("bigint").alias("flagged_docs"),
+        fround(F.sum(flag).cast("double") / nd.cast("double"), 6).alias(
+            "flagged_share"
+        ),
+    )

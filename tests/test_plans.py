@@ -2242,3 +2242,21 @@ def test_q384_nelson_aalen_histogram_grain(spark):
     plan = physical_plan(_q(spark, "q384_nelson_aalen_hazard"))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q388_frontier_one_candidate_pass_windowgrouplimit(spark):
+    plan = physical_plan(_q(spark, "q388_ivf_recall_frontier"))
+    # one checkpointed candidate pass; the np fan-out joins a 3-row
+    # broadcast; per-(np, query) top-3 runs as a WindowGroupLimit heap
+    assert "Scan ExistingRDD" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q389_repetition_pure_reductions_no_join(spark):
+    plan = physical_plan(_q(spark, "q389_intra_doc_repetition"))
+    # explode -> (doc, trigram) reduce -> doc reduce -> source reduce:
+    # no joins, no windows anywhere
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
