@@ -69,6 +69,13 @@ def main() -> int:
         " for spot-checking new queries that sit past the driver's"
         " 50-slot sample)",
     )
+    ap.add_argument(
+        "--changed-since",
+        default=None,
+        metavar="GIT_REF",
+        help="sim only registry names mapped from files changed since"
+        " GIT_REF (same mapping as check_correctness.py)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -99,6 +106,23 @@ def main() -> int:
         if missing:
             print(f"unknown queries: {missing}")
             return 1
+    elif args.changed_since:
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from check_correctness import names_changed_since
+
+        mapped = names_changed_since(args.changed_since, queries)
+        if mapped is None:
+            print(
+                f"--changed-since {args.changed_since}: shared file changed;"
+                " simming the full registry"
+            )
+            names = list(queries)
+        else:
+            print(f"--changed-since {args.changed_since}: {len(mapped)} mapped")
+            names = mapped
+            if not names:
+                print("no registry queries map to the change set")
+                return 0
     else:
         names = list(queries)[: args.n]
     n_fail = 0

@@ -153,12 +153,60 @@ def main() -> None:
             )
         )
 
+    def q_docspectrum(k: int) -> DataFrame:
+        # the q389 class: explode -> (doc, gram) reduce -> doc-grain
+        # reduce -> bounded reduce. Unlike q_tokjoin the intermediate
+        # group count scales WITH the data (doc grain, not vocab
+        # grain), so this verifies per-row cost stays FLAT when the
+        # reduce cannot absorb growth into a bounded frame.
+        from big_data_bowl_2026_analytics_spark.operators.dedup import (
+            shingles_of,
+        )
+
+        df = _multiply(docs, k, "doc_id")
+        bound = df.select(
+            "doc_id", F.split(F.col("text"), " ").alias("_toks")
+        ).where(F.size("_toks") >= 3)
+        per = (
+            bound.select(
+                "doc_id", F.explode(shingles_of(F.col("_toks"), 3)).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("d"), F.sum("c").alias("n"))
+        )
+        return per.groupBy().agg(
+            F.sum(F.col("n") - F.col("d")).alias("dup"), F.sum("n").alias("n")
+        )
+
+    def q_msground(k: int) -> DataFrame:
+        # the q380/q125/q350 class: ONE message-passing round (edge
+        # join + destination reduce) — the unit cost an unrolled
+        # iterative query pays n_iter times. Linear in edges.
+        df = _multiply(li, k, "l_orderkey")
+        edges = df.select(
+            F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst")
+        ).distinct()
+        auth = edges.select("dst").distinct().select(
+            "dst", F.lit(1.0).alias("a")
+        )
+        return (
+            edges.join(auth, "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .groupBy()
+            .agg(F.sum("h").alias("t"), F.count(F.lit(1)).alias("n"))
+        )
+
     for name, fn in [
         ("groupby_agg", q_agg),
         ("two_level_agg", q_join_agg),
         ("two_level_sweep", q_sweep),
         ("rolling_explode", q_roll),
         ("reduce_then_pair_join", q_tokjoin),
+        ("doc_grain_spectrum", q_docspectrum),
+        ("message_passing_round", q_msground),
     ]:
         base_rows = None
         for k in [int(x) for x in args.multipliers.split(",")]:
