@@ -998,3 +998,65 @@ def test_stateful_value_records_match_batch_prefix_max(
         for r in flagged.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_merge_restart_exactly_once(spark, tmp_path_factory, tmp_path):
+    """The checkpoint makes the merge sink EXACTLY-ONCE across
+    restarts: drain part A, then add part B and re-drain with the
+    SAME checkpoint (A's files must not replay), then re-drain with
+    nothing new (a no-op restart must not change the snapshot). Each
+    stage's snapshot equals the batch max_by over exactly the files
+    ingested so far."""
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        read_events_stream,
+        read_snapshot,
+        stream_merge_into_parquet,
+    )
+
+    src = tmp_path_factory.mktemp("events_restart")
+    t = pq.read_table(f"{SF}/events.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), src / "a.parquet")
+
+    snap, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = stream_merge_into_parquet(
+            read_events_stream(spark, str(src)), snap, ckpt
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.ts, r.event_type, r.value)
+            for r in read_snapshot(spark, snap).collect()
+        }
+
+    def batch_expected(n_rows):
+        ev = (
+            spark.createDataFrame(t.slice(0, n_rows).to_pandas())
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        return {
+            tuple(r)
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("ts", "event_type", "value"),
+                    F.struct("ts", "event_id"),
+                ).alias("_r")
+            )
+            .select("user_id", "_r.ts", "_r.event_type", "_r.value")
+            .collect()
+        }
+
+    got_a = drain()
+    assert got_a == batch_expected(half) and len(got_a) > 0
+
+    pq.write_table(t.slice(half), src / "b.parquet")
+    got_ab = drain()
+    assert got_ab == batch_expected(t.num_rows)
+
+    # no-op restart: nothing new to ingest, snapshot must not change
+    got_noop = drain()
+    assert got_noop == got_ab
