@@ -397,6 +397,20 @@ def test_extract_features_real_decode_end_to_end(spark):
     assert np.allclose(out[2]["features"], 127.5 / 255.0, atol=1e-6)
 
 
+def _stamp_ingest_order(*paths):
+    """Give time-split source files STRICTLY increasing mtimes. The
+    file stream source orders pending files by modification time, so
+    back-to-back writes that land in the same timestamp tick make the
+    ingest order — and with it the tests' in-order-ingest contract —
+    nondeterministic (observed as a rare full-suite-only flake)."""
+    import os
+    import time
+
+    base = time.time() - 60
+    for i, p in enumerate(paths):
+        os.utime(p, (base + i, base + i))
+
+
 def _drain_append(stream_df, table_name):
     q = (
         stream_df.writeStream.format("memory")
@@ -799,6 +813,7 @@ def test_stateful_transition_increments_match_batch(
     pq.write_table(t.slice(0, third), d / "a.parquet")
     pq.write_table(t.slice(third, third), d / "b.parquet")
     pq.write_table(t.slice(2 * third), d / "c.parquet")
+    _stamp_ingest_order(d / "a.parquet", d / "b.parquet", d / "c.parquet")
 
     stream = read_events_stream(
         spark, str(d), options={"maxFilesPerTrigger": "1"}
@@ -956,6 +971,7 @@ def test_stateful_value_records_match_batch_prefix_max(
     pq.write_table(t.slice(0, third), d / "a.parquet")
     pq.write_table(t.slice(third, third), d / "b.parquet")
     pq.write_table(t.slice(2 * third), d / "c.parquet")
+    _stamp_ingest_order(d / "a.parquet", d / "b.parquet", d / "c.parquet")
 
     stream = read_events_stream(
         spark, str(d), options={"maxFilesPerTrigger": "1"}
