@@ -62,10 +62,12 @@ def nelson_aalen(life: DataFrame) -> DataFrame:
     increment is the integer division (1e6 * d_j) DIV n_j, so the
     running sum is an order-insensitive BIGINT cumsum with zero float
     accumulation (unlike the KM exp-of-log-sum, which carries the
-    q110 windowed-float-sum caveat). The ≤ 0.5 ppm-per-term
-    quantization is part of the estimator's DEFINITION here (a
-    documented fixed-point variant), not an approximation of a float
-    reference.
+    q110 windowed-float-sum caveat). The truncating division loses
+    strictly less than 1 ppm per event time (so H after k event times
+    is within k ppm of the real-valued estimator — the bound the
+    session-9 property test pins); this quantization is part of the
+    estimator's DEFINITION here (a documented fixed-point variant),
+    not an approximation of a float reference.
 
     Returns ``(t, n_risk, n_events, cum_hazard_ppm)`` for every
     duration with at least one event; callers derive H = ppm / 1e6

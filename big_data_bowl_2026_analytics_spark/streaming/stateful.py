@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -229,6 +230,19 @@ def transition_increments(events: DataFrame) -> DataFrame:
     )
 
 
+def half_up_cents(values: np.ndarray) -> np.ndarray:
+    """Quantize float values to int64 cents with HALF-UP (away from
+    zero) rounding — Spark ``F.round``'s rule on the exact binary
+    value, so streaming and batch compare identical integers even on
+    exactly-representable .5 products (0.125 * 100 == 12.5 → 13,
+    where pandas' half-to-even ``round`` would emit 12; ADVICE r9).
+    """
+    scaled = values * 100.0
+    return np.where(
+        scaled >= 0.0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+    ).astype("int64")
+
+
 _RECORD_STATE_SCHEMA = StructType(
     [
         StructField("max_cents", LongType()),
@@ -255,11 +269,15 @@ def running_value_records(events: DataFrame) -> DataFrame:
     O(1) per key: the running max in exact integer cents plus the
     record count (for the emitted 1-based record_idx).
 
-    Values quantize to cents (round(value * 100) as int64) BEFORE the
-    comparison so stream and batch compare identical integers — the
-    q144 rule (floats are never a cross-engine/cross-path compare
-    key). Equal-to-max is NOT a record (strict >, the q386
-    convention; the first event always is).
+    Values quantize to cents (HALF-UP round of value * 100, as int64)
+    BEFORE the comparison so stream and batch compare identical
+    integers — the q144 rule (floats are never a cross-engine/
+    cross-path compare key). HALF-UP (away from zero) is the batch
+    side's Spark ``F.round`` rule; pandas ``Series.round`` is
+    half-to-even and would diverge on exactly-representable .5
+    products such as 0.125 * 100 (ADVICE r9). Equal-to-max is NOT a
+    record (strict >, the q386 convention; the first event always
+    is).
 
     Exact stream-equals-batch contract: draining this over in-order
     micro-batches (per-user (ts, event_id) order across batches —
@@ -279,7 +297,7 @@ def running_value_records(events: DataFrame) -> DataFrame:
             return
         batch = batch.assign(
             _us=batch["ts"].astype("datetime64[us]").astype("int64"),
-            _cents=batch["value"].mul(100).round().astype("int64"),
+            _cents=half_up_cents(batch["value"].to_numpy(dtype="float64")),
         ).sort_values(["_us", "event_id"], kind="mergesort")
         if state.exists:
             max_cents, n_records = state.get

@@ -1076,3 +1076,26 @@ def test_stream_merge_restart_exactly_once(spark, tmp_path_factory, tmp_path):
     # no-op restart: nothing new to ingest, snapshot must not change
     got_noop = drain()
     assert got_noop == got_ab
+
+
+def test_half_up_cents_matches_spark_round_on_dyadic_boundaries(spark):
+    """The streaming quantizer uses HALF-UP (Spark F.round's rule), not
+    pandas' half-to-even: dyadic values whose *100 product is an exact
+    .5 must round away from zero on both paths (ADVICE r9)."""
+    import numpy as np
+
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        half_up_cents,
+    )
+
+    vals = [0.125, 0.375, -0.125, -0.375, 1.005, 2.675, 0.0, 10.51, -10.51]
+    got = half_up_cents(np.array(vals, dtype="float64"))
+    spark_cents = (
+        spark.createDataFrame([(v,) for v in vals], "value double")
+        .selectExpr("cast(round(value * 100, 0) as bigint) as cents")
+        .toPandas()["cents"]
+        .to_numpy()
+    )
+    assert list(got) == list(spark_cents)
+    # the boundary pandas half-to-even would flip:
+    assert got[0] == 13 and got[2] == -13

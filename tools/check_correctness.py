@@ -134,7 +134,11 @@ def names_changed_since(ref: str, specs: dict) -> list[str] | None:
 
     Mapping: a changed plans/queries/*.py selects the query names its
     text defines; any other changed package module selects every query
-    defined in a plans/queries file that imports its basename.
+    defined in a plans/queries file that imports its basename — where
+    "imports" follows package-internal import edges TRANSITIVELY
+    (operators/ivf.py imports operators/similarity.py, so a
+    similarity.py change selects ivf-importing queries too; ADVICE
+    r9).
     """
     import re
     import subprocess
@@ -167,6 +171,40 @@ def names_changed_since(ref: str, specs: dict) -> list[str] | None:
         for p in pkg_changed
         if not p.startswith("plans/queries/")
     }
+    if changed_mods:
+        # Close over package-internal import edges: a module that
+        # imports a changed module is itself "changed" for selection
+        # purposes, so queries reached only transitively still get
+        # picked up (e.g. ivf -> similarity).
+        pkg_root = REPO / _PKG
+        dep_edges: dict[str, set[str]] = {}  # basename -> imported basenames
+        all_mods = [
+            f for f in pkg_root.rglob("*.py")
+            if "plans/queries" not in str(f.relative_to(pkg_root))
+        ]
+        basenames = {f.stem for f in all_mods}
+        for f in all_mods:
+            imports = [
+                ln
+                for ln in f.read_text().splitlines()
+                if ln.lstrip().startswith(("import ", "from "))
+            ]
+            deps = {
+                m
+                for m in basenames
+                if m != f.stem
+                and any(re.search(rf"\b{re.escape(m)}\b", ln) for ln in imports)
+            }
+            dep_edges.setdefault(f.stem, set()).update(deps)
+        frontier = set(changed_mods)
+        while frontier:
+            nxt = {
+                mod
+                for mod, deps in dep_edges.items()
+                if deps & changed_mods and mod not in changed_mods
+            }
+            changed_mods |= nxt
+            frontier = nxt
     selected: set[str] = set()
     for qf in sorted(qdir.glob("*.py")):
         text = qf.read_text()
