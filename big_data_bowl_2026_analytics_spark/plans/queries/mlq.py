@@ -1697,3 +1697,512 @@ def q374_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t6").cast("double") / F.lit(1000000.0)).alias("hl_total"),
         (F.col("t6") > 15507000).alias("calibration_reject"),
     )
+
+
+_RIDGE_LAMS = (0.0, 1.0, 4.0, 16.0, 64.0, 256.0, 1024.0, 4096.0)
+
+#: Shared observation CTE for the ridge-sweep family (q390/q391/q396):
+#: one row per order with x = line-item count, y = whole-dollar total,
+#: plus the content-stable hash bucket both splits derive from.
+_RIDGE_OBS_SQL = f"""
+obs AS (
+  SELECT o_orderkey AS k,
+         CAST(cnt AS BIGINT) AS x,
+         CAST(round(o_totalprice) AS BIGINT) AS y
+  FROM orders JOIN (
+    SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+  ) li ON li.l_orderkey = o_orderkey
+)
+"""
+
+_RIDGE_GRID_SQL = (
+    "grid AS (SELECT CAST(lam AS DOUBLE) AS lam FROM (VALUES "
+    + ", ".join(f"({int(l)})" for l in _RIDGE_LAMS)
+    + ") t(lam))"
+)
+
+
+def _ridge_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_RIDGE_OBS_SQL``."""
+    orders = read_table(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = read_table(spark, sf_dir, "lineitem", ["l_orderkey"])
+    cnt = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return orders.join(cnt, orders.o_orderkey == cnt.l_orderkey).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("cnt").cast("bigint").alias("x"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("y"),
+    )
+
+
+@query(
+    "q390_ridge_lambda_sweep",
+    tags=("ml", "gridsearch", "regression"),
+    oracle=f"""
+WITH {_RIDGE_OBS_SQL.strip()},
+split AS (
+  SELECT *, ({_hash16_sql('ridge|', 'k')} % 10) < 7 AS is_train FROM obs
+), sums AS (
+  SELECT
+    CAST(count(*) FILTER (is_train) AS DOUBLE) AS n_t,
+    CAST(CAST(sum(x) FILTER (is_train) AS BIGINT) AS DOUBLE) AS sx_t,
+    CAST(CAST(sum(y) FILTER (is_train) AS BIGINT) AS DOUBLE) AS sy_t,
+    CAST(CAST(sum(x * x) FILTER (is_train) AS BIGINT) AS DOUBLE) AS sxx_t,
+    CAST(CAST(sum(x * y) FILTER (is_train) AS BIGINT) AS DOUBLE) AS sxy_t,
+    CAST(count(*) FILTER (NOT is_train) AS DOUBLE) AS n_v,
+    CAST(CAST(sum(x) FILTER (NOT is_train) AS BIGINT) AS DOUBLE) AS sx_v,
+    CAST(CAST(sum(y) FILTER (NOT is_train) AS BIGINT) AS DOUBLE) AS sy_v,
+    CAST(CAST(sum(x * x) FILTER (NOT is_train) AS BIGINT) AS DOUBLE) AS sxx_v,
+    CAST(CAST(sum(x * y) FILTER (NOT is_train) AS BIGINT) AS DOUBLE) AS sxy_v,
+    CAST(CAST(sum(y * y) FILTER (NOT is_train) AS BIGINT) AS DOUBLE) AS syy_v
+  FROM split
+), {_RIDGE_GRID_SQL},
+scored AS (
+  SELECT lam, n_t, n_v, sx_v, sy_v, sxx_v, sxy_v, syy_v,
+         (sxy_t - sx_t * sy_t / n_t) / ((sxx_t - sx_t * sx_t / n_t) + lam) AS beta,
+         sy_t / n_t - (sxy_t - sx_t * sy_t / n_t) / ((sxx_t - sx_t * sx_t / n_t) + lam) * (sx_t / n_t) AS alpha
+  FROM sums CROSS JOIN grid
+), evaled AS (
+  SELECT lam, n_t, n_v, beta, alpha,
+         round(sqrt((syy_v - 2 * alpha * sy_v - 2 * beta * sxy_v
+                     + alpha * alpha * n_v + 2 * alpha * beta * sx_v
+                     + beta * beta * sxx_v) / n_v) + 1e-9, 4) AS val_rmse
+  FROM scored
+)
+SELECT lam,
+       CAST(n_t AS BIGINT) AS n_train,
+       CAST(n_v AS BIGINT) AS n_val,
+       round(beta + 1e-9, 6) AS beta,
+       round(alpha + 1e-9, 4) AS intercept,
+       val_rmse,
+       row_number() OVER (ORDER BY val_rmse, lam) = 1 AS is_best
+FROM evaled
+""",
+)
+def q390_ridge_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter grid search as ONE data pass, not N fits: the
+    reference loops ``itertools.product`` over 64 XGBoost combos and
+    fits each serially (src/training/train.py:125-181); the Spark-
+    native re-expression for a closed-form model family is to reduce
+    the training data ONCE to exact sufficient statistics, broadcast
+    that single row against the hyperparameter grid, and score every
+    combo in a vectorized projection. Model: centered ridge regression
+    of whole-dollar order totals on line-item count, slope
+    beta(lam) = Sxy_c / (Sxx_c + lam) — the fit AND the validation
+    RMSE are both closed forms over the same ten sums, so adding
+    combos adds rows to an 8-row frame, never passes over the data.
+
+    Engine-exactness: x, y and the 70/30 hash split are integers, so
+    every sufficient statistic is an exact BIGINT (largest, the
+    validation Σy² in dollars², is ~5.4e17 at sf1 — inside int64 up
+    to sf~10); each is cast to double once (q204 rule) and every
+    derived expression is spelled with identical left-associated
+    arithmetic on both sides. best-combo selection ranks by the
+    ROUNDED rmse with lam as tie-break (q348 rule).
+
+    Scale: at 100 TB the sufficient-statistics pass is a map-side-
+    combined aggregate; the sweep itself stays an 8-row projection —
+    grid size and data size are decoupled, which is the whole point.
+    """
+    obs = _ridge_obs(spark, sf_dir)
+    is_train = (_hash16("ridge|", F.col("k")) % 10) < 7
+
+    def _filt(c, cond):
+        return F.sum(F.when(cond, c)).cast("bigint").cast("double")
+
+    split = obs.select("x", "y", is_train.alias("is_train"))
+    tr, va = F.col("is_train"), ~F.col("is_train")
+    sums = split.agg(
+        F.count_if(tr).cast("double").alias("n_t"),
+        _filt(F.col("x"), tr).alias("sx_t"),
+        _filt(F.col("y"), tr).alias("sy_t"),
+        _filt(F.col("x") * F.col("x"), tr).alias("sxx_t"),
+        _filt(F.col("x") * F.col("y"), tr).alias("sxy_t"),
+        F.count_if(va).cast("double").alias("n_v"),
+        _filt(F.col("x"), va).alias("sx_v"),
+        _filt(F.col("y"), va).alias("sy_v"),
+        _filt(F.col("x") * F.col("x"), va).alias("sxx_v"),
+        _filt(F.col("x") * F.col("y"), va).alias("sxy_v"),
+        _filt(F.col("y") * F.col("y"), va).alias("syy_v"),
+    )
+    grid = spark.createDataFrame([(l,) for l in _RIDGE_LAMS], "lam double")
+    n_t, sx_t, sy_t = F.col("n_t"), F.col("sx_t"), F.col("sy_t")
+    sxx_t, sxy_t, lam = F.col("sxx_t"), F.col("sxy_t"), F.col("lam")
+    n_v, sx_v, sy_v = F.col("n_v"), F.col("sx_v"), F.col("sy_v")
+    sxx_v, sxy_v, syy_v = F.col("sxx_v"), F.col("sxy_v"), F.col("syy_v")
+    beta = (sxy_t - sx_t * sy_t / n_t) / ((sxx_t - sx_t * sx_t / n_t) + lam)
+    alpha = sy_t / n_t - beta * (sx_t / n_t)
+    scored = sums.crossJoin(F.broadcast(grid)).select(
+        lam, n_t, n_v, sx_v, sy_v, sxx_v, sxy_v, syy_v,
+        beta.alias("beta"), alpha.alias("alpha"),
+    )
+    b, a = F.col("beta"), F.col("alpha")
+    sse = (
+        syy_v - 2 * a * sy_v - 2 * b * sxy_v
+        + a * a * n_v + 2 * a * b * sx_v
+        + b * b * sxx_v
+    )
+    evaled = scored.select(
+        "lam",
+        F.col("n_t").cast("bigint").alias("n_train"),
+        F.col("n_v").cast("bigint").alias("n_val"),
+        fround(b, 6).alias("beta"),
+        fround(a, 4).alias("intercept"),
+        fround(F.sqrt(sse / n_v), 4).alias("val_rmse"),
+    )
+    return evaled.withColumn(
+        "is_best",
+        F.row_number().over(Window.orderBy("val_rmse", "lam")) == 1,
+    )
+
+
+@query(
+    "q391_kfold_cv_ridge",
+    tags=("ml", "gridsearch", "cross-validation"),
+    oracle=f"""
+WITH {_RIDGE_OBS_SQL.strip()},
+folded AS (
+  SELECT x, y, ({_hash16_sql('cv|', 'k')} % 5) AS fold FROM obs
+), fsums AS MATERIALIZED (
+  SELECT fold,
+         CAST(count(*) AS BIGINT) AS n_f,
+         CAST(CAST(sum(x) AS BIGINT) AS BIGINT) AS sx_f,
+         CAST(CAST(sum(y) AS BIGINT) AS BIGINT) AS sy_f,
+         CAST(CAST(sum(x * x) AS BIGINT) AS BIGINT) AS sxx_f,
+         CAST(CAST(sum(x * y) AS BIGINT) AS BIGINT) AS sxy_f,
+         CAST(CAST(sum(y * y) AS BIGINT) AS BIGINT) AS syy_f
+  FROM folded GROUP BY fold
+), tot AS (
+  SELECT CAST(sum(n_f) AS BIGINT) AS n_g,
+         CAST(sum(sx_f) AS BIGINT) AS sx_g,
+         CAST(sum(sy_f) AS BIGINT) AS sy_g,
+         CAST(sum(sxx_f) AS BIGINT) AS sxx_g,
+         CAST(sum(sxy_f) AS BIGINT) AS sxy_g
+  FROM fsums
+), lofo AS (
+  SELECT fold, n_f,
+         CAST(n_g - n_f AS DOUBLE) AS n_t,
+         CAST(sx_g - sx_f AS DOUBLE) AS sx_t,
+         CAST(sy_g - sy_f AS DOUBLE) AS sy_t,
+         CAST(sxx_g - sxx_f AS DOUBLE) AS sxx_t,
+         CAST(sxy_g - sxy_f AS DOUBLE) AS sxy_t,
+         CAST(n_f AS DOUBLE) AS n_v,
+         CAST(sx_f AS DOUBLE) AS sx_v,
+         CAST(sy_f AS DOUBLE) AS sy_v,
+         CAST(sxx_f AS DOUBLE) AS sxx_v,
+         CAST(sxy_f AS DOUBLE) AS sxy_v,
+         CAST(syy_f AS DOUBLE) AS syy_v
+  FROM fsums CROSS JOIN tot
+), {_RIDGE_GRID_SQL},
+perfold AS (
+  SELECT lam, fold, n_f, n_v, sx_v, sy_v, sxx_v, sxy_v, syy_v,
+         (sxy_t - sx_t * sy_t / n_t) / ((sxx_t - sx_t * sx_t / n_t) + lam) AS beta,
+         sy_t / n_t - (sxy_t - sx_t * sy_t / n_t) / ((sxx_t - sx_t * sx_t / n_t) + lam) * (sx_t / n_t) AS alpha
+  FROM lofo CROSS JOIN grid
+), folderr AS (
+  SELECT lam, fold, n_f,
+         round(beta + 1e-9, 6) AS beta_r,
+         CAST(round(syy_v - 2 * alpha * sy_v - 2 * beta * sxy_v
+                    + alpha * alpha * n_v + 2 * alpha * beta * sx_v
+                    + beta * beta * sxx_v) AS BIGINT) AS sse_i
+  FROM perfold
+)
+SELECT lam,
+       CAST(count(*) AS BIGINT) AS n_folds,
+       CAST(sum(n_f) AS BIGINT) AS n_obs,
+       CAST(sum(sse_i) AS BIGINT) AS cv_sse,
+       round(sqrt(CAST(CAST(sum(sse_i) AS BIGINT) AS DOUBLE)
+                  / CAST(sum(n_f) AS BIGINT)) + 1e-9, 4) AS cv_rmse,
+       max(beta_r) - min(beta_r) AS beta_spread,
+       row_number() OVER (
+         ORDER BY round(sqrt(CAST(CAST(sum(sse_i) AS BIGINT) AS DOUBLE)
+                             / CAST(sum(n_f) AS BIGINT)) + 1e-9, 4), lam
+       ) = 1 AS is_best
+FROM folderr GROUP BY lam
+""",
+)
+def q391_kfold_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated ridge sweep WITHOUT five training
+    passes: one aggregation reduces the data to per-fold sufficient
+    statistics, and each fold's leave-one-fold-out training sums are
+    the GLOBAL sums minus that fold's — the subtraction algebra that
+    turns k-fold CV into k arithmetic rows instead of k scans. Every
+    (fold, lam) cell then fits and scores in closed form exactly as
+    q390 does for its single split.
+
+    Engine-exactness: fold sums and their global totals are exact
+    BIGINTs; each held-out SSE is a deterministic double rounded to
+    an integer (dollars², ~1e15 max — inside int64) so the CV total
+    is an exact BIGINT sum — the per-lam aggregation never sums raw
+    floats across folds. beta_spread subtracts ROUNDED betas (both
+    engines round the same deterministic double, so max/min/subtract
+    agree bitwise; the spread is >= 0 by construction, no
+    sign-of-zero risk). Best-lam ranks by ROUNDED cv_rmse with lam
+    tie-break.
+
+    Scale: one shuffle to the 5-row fold grain, then everything is
+    bounded-frame arithmetic; fold count and grid size multiply a
+    40-row frame, never the data.
+    """
+    obs = _ridge_obs(spark, sf_dir)
+    folded = obs.select(
+        "x", "y", (_hash16("cv|", F.col("k")) % 5).alias("fold")
+    )
+    fsums = (
+        folded.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_f"),
+            F.sum("x").cast("bigint").alias("sx_f"),
+            F.sum("y").cast("bigint").alias("sy_f"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx_f"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy_f"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy_f"),
+        )
+        .localCheckpoint(eager=False)  # feeds tot AND the lofo join
+    )
+    tot = fsums.agg(
+        F.sum("n_f").cast("bigint").alias("n_g"),
+        F.sum("sx_f").cast("bigint").alias("sx_g"),
+        F.sum("sy_f").cast("bigint").alias("sy_g"),
+        F.sum("sxx_f").cast("bigint").alias("sxx_g"),
+        F.sum("sxy_f").cast("bigint").alias("sxy_g"),
+    )
+    lofo = fsums.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n_f",
+        (F.col("n_g") - F.col("n_f")).cast("double").alias("n_t"),
+        (F.col("sx_g") - F.col("sx_f")).cast("double").alias("sx_t"),
+        (F.col("sy_g") - F.col("sy_f")).cast("double").alias("sy_t"),
+        (F.col("sxx_g") - F.col("sxx_f")).cast("double").alias("sxx_t"),
+        (F.col("sxy_g") - F.col("sxy_f")).cast("double").alias("sxy_t"),
+        F.col("n_f").cast("double").alias("n_v"),
+        F.col("sx_f").cast("double").alias("sx_v"),
+        F.col("sy_f").cast("double").alias("sy_v"),
+        F.col("sxx_f").cast("double").alias("sxx_v"),
+        F.col("sxy_f").cast("double").alias("sxy_v"),
+        F.col("syy_f").cast("double").alias("syy_v"),
+    )
+    grid = spark.createDataFrame([(l,) for l in _RIDGE_LAMS], "lam double")
+    n_t, sx_t, sy_t = F.col("n_t"), F.col("sx_t"), F.col("sy_t")
+    sxx_t, sxy_t, lam = F.col("sxx_t"), F.col("sxy_t"), F.col("lam")
+    beta = (sxy_t - sx_t * sy_t / n_t) / ((sxx_t - sx_t * sx_t / n_t) + lam)
+    alpha = sy_t / n_t - beta * (sx_t / n_t)
+    perfold = lofo.crossJoin(F.broadcast(grid)).select(
+        lam, "fold", "n_f", "n_v", "sx_v", "sy_v", "sxx_v", "sxy_v", "syy_v",
+        beta.alias("beta"), alpha.alias("alpha"),
+    )
+    b, a = F.col("beta"), F.col("alpha")
+    n_v, sx_v, sy_v = F.col("n_v"), F.col("sx_v"), F.col("sy_v")
+    sxx_v, sxy_v, syy_v = F.col("sxx_v"), F.col("sxy_v"), F.col("syy_v")
+    sse = (
+        syy_v - 2 * a * sy_v - 2 * b * sxy_v
+        + a * a * n_v + 2 * a * b * sx_v
+        + b * b * sxx_v
+    )
+    folderr = perfold.select(
+        "lam",
+        "n_f",
+        fround(b, 6).alias("beta_r"),
+        F.round(sse).cast("bigint").alias("sse_i"),
+    )
+    grouped = folderr.groupBy("lam").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_folds"),
+        F.sum("n_f").cast("bigint").alias("n_obs"),
+        F.sum("sse_i").cast("bigint").alias("cv_sse"),
+        (F.max("beta_r") - F.min("beta_r")).alias("beta_spread"),
+    )
+    out = grouped.select(
+        "lam",
+        "n_folds",
+        "n_obs",
+        "cv_sse",
+        fround(
+            F.sqrt(F.col("cv_sse").cast("double") / F.col("n_obs")), 4
+        ).alias("cv_rmse"),
+        "beta_spread",
+    )
+    return out.withColumn(
+        "is_best",
+        F.row_number().over(Window.orderBy("cv_rmse", "lam")) == 1,
+    )
+
+
+@query(
+    "q396_successive_halving_sweep",
+    tags=("ml", "gridsearch", "hyperband"),
+    oracle=f"""
+WITH {_RIDGE_OBS_SQL.strip()},
+split AS (
+  SELECT *, ({_hash16_sql('ridge|', 'k')} % 10) < 7 AS is_train FROM obs
+), qsums AS MATERIALIZED (
+  SELECT ({_hash16_sql('sh|', 'k')} % 4) AS quarter,
+         CAST(count(*) AS BIGINT) AS n_q,
+         CAST(CAST(sum(x) AS BIGINT) AS BIGINT) AS sx_q,
+         CAST(CAST(sum(y) AS BIGINT) AS BIGINT) AS sy_q,
+         CAST(CAST(sum(x * x) AS BIGINT) AS BIGINT) AS sxx_q,
+         CAST(CAST(sum(x * y) AS BIGINT) AS BIGINT) AS sxy_q
+  FROM split WHERE is_train GROUP BY 1
+), vsums AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_v,
+         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx_v,
+         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy_v,
+         CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx_v,
+         CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy_v,
+         CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy_v
+  FROM split WHERE NOT is_train
+), rungs AS (
+  SELECT CAST(rung AS BIGINT) AS rung, CAST(budget AS BIGINT) AS budget
+  FROM (VALUES (0, 1), (1, 2), (2, 4)) t(rung, budget)
+), rsums AS (
+  SELECT r.rung,
+         CAST(sum(q.n_q) AS BIGINT) AS n_r,
+         CAST(CAST(sum(q.sx_q) AS BIGINT) AS DOUBLE) AS sx_t,
+         CAST(CAST(sum(q.sy_q) AS BIGINT) AS DOUBLE) AS sy_t,
+         CAST(CAST(sum(q.sxx_q) AS BIGINT) AS DOUBLE) AS sxx_t,
+         CAST(CAST(sum(q.sxy_q) AS BIGINT) AS DOUBLE) AS sxy_t
+  FROM rungs r JOIN qsums q ON q.quarter < r.budget
+  GROUP BY r.rung
+), {_RIDGE_GRID_SQL},
+fitted AS (
+  SELECT rung, lam, n_r, CAST(n_r AS DOUBLE) AS n_t,
+         sx_t, sy_t, sxx_t, sxy_t, n_v, sx_v, sy_v, sxx_v, sxy_v, syy_v
+  FROM rsums CROSS JOIN grid CROSS JOIN vsums
+), scored AS MATERIALIZED (
+  SELECT rung, lam, n_r,
+         round(sqrt((syy_v - 2 * alpha * sy_v - 2 * beta * sxy_v
+                     + alpha * alpha * n_v + 2 * alpha * beta * sx_v
+                     + beta * beta * sxx_v) / n_v) + 1e-9, 4) AS val_rmse
+  FROM (
+    SELECT *,
+           (sxy_t - sx_t * sy_t / n_t) / ((sxx_t - sx_t * sx_t / n_t) + lam) AS beta,
+           sy_t / n_t - (sxy_t - sx_t * sy_t / n_t) / ((sxx_t - sx_t * sx_t / n_t) + lam) * (sx_t / n_t) AS alpha
+    FROM fitted
+  )
+), s0 AS MATERIALIZED (
+  SELECT rung, lam, n_r, val_rmse,
+         row_number() OVER (ORDER BY val_rmse, lam) AS rk
+  FROM scored WHERE rung = 0
+), s1 AS MATERIALIZED (
+  SELECT s.rung, s.lam, s.n_r, s.val_rmse,
+         row_number() OVER (ORDER BY s.val_rmse, s.lam) AS rk
+  FROM scored s JOIN s0 ON s0.lam = s.lam AND s0.rk <= 4
+  WHERE s.rung = 1
+), s2 AS (
+  SELECT s.rung, s.lam, s.n_r, s.val_rmse,
+         row_number() OVER (ORDER BY s.val_rmse, s.lam) AS rk
+  FROM scored s JOIN s1 ON s1.lam = s.lam AND s1.rk <= 2
+  WHERE s.rung = 2
+)
+SELECT rung, lam, n_r AS n_train, val_rmse, rk <= 4 AS kept FROM s0
+UNION ALL
+SELECT rung, lam, n_r AS n_train, val_rmse, rk <= 2 AS kept FROM s1
+UNION ALL
+SELECT rung, lam, n_r AS n_train, val_rmse, rk <= 1 AS kept FROM s2
+""",
+)
+def q396_successive_halving_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive halving (the deterministic core of Hyperband/ASHA):
+    all 8 lambda combos are scored on a quarter of the training data,
+    the best 4 graduate to half, the best 2 to the full set, and one
+    champion survives — the budget-doubling tournament that makes
+    wide hyperparameter sweeps affordable. Rung training sets are
+    NESTED hash-quarter unions (quarter < 1, < 2, < 4 — the q385/q388
+    nesting trick), so the three rungs are three filters over ONE
+    4-row sufficient-statistics frame; no rung re-scans the data.
+
+    Engine-exactness: quarter sums are exact BIGINTs; rung sums are
+    exact BIGINT sums of ≤4 of them; fits and validation RMSE are the
+    q390 closed forms; every promotion rank orders by the ROUNDED
+    rmse with lam tie-break, so survivor sets are engine-exact.
+    Output: one row per (rung, combo that entered it) with its score
+    and kept flag — 8 + 4 + 2 rows.
+
+    Scale: the data is touched by exactly one aggregation; rung count
+    and grid size shape a 24-row frame. The promotion cascade is
+    three bounded windows over ≤8 rows each (explicit broadcasts —
+    post-checkpoint frames carry no stats, the q360 lesson).
+    """
+    obs = _ridge_obs(spark, sf_dir)
+    split = obs.select(
+        "k", "x", "y",
+        ((_hash16("ridge|", F.col("k")) % 10) < 7).alias("is_train"),
+    )
+    qsums = (
+        split.where(F.col("is_train"))
+        .groupBy((_hash16("sh|", F.col("k")) % 4).alias("quarter"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_q"),
+            F.sum("x").cast("bigint").alias("sx_q"),
+            F.sum("y").cast("bigint").alias("sy_q"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx_q"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy_q"),
+        )
+    )
+    vsums = split.where(~F.col("is_train")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_v"),
+        F.sum("x").cast("bigint").cast("double").alias("sx_v"),
+        F.sum("y").cast("bigint").cast("double").alias("sy_v"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").cast("double").alias("sxx_v"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").cast("double").alias("sxy_v"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").cast("double").alias("syy_v"),
+    )
+    rungs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 4)], "rung bigint, budget bigint"
+    )
+    rsums = (
+        rungs.join(F.broadcast(qsums), F.col("quarter") < F.col("budget"))
+        .groupBy("rung")
+        .agg(
+            F.sum("n_q").cast("bigint").alias("n_r"),
+            F.sum("sx_q").cast("bigint").cast("double").alias("sx_t"),
+            F.sum("sy_q").cast("bigint").cast("double").alias("sy_t"),
+            F.sum("sxx_q").cast("bigint").cast("double").alias("sxx_t"),
+            F.sum("sxy_q").cast("bigint").cast("double").alias("sxy_t"),
+        )
+    )
+    grid = spark.createDataFrame([(l,) for l in _RIDGE_LAMS], "lam double")
+    fitted = (
+        rsums.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(vsums))
+        .withColumn("n_t", F.col("n_r").cast("double"))
+    )
+    n_t, sx_t, sy_t = F.col("n_t"), F.col("sx_t"), F.col("sy_t")
+    sxx_t, sxy_t, lam = F.col("sxx_t"), F.col("sxy_t"), F.col("lam")
+    beta = (sxy_t - sx_t * sy_t / n_t) / ((sxx_t - sx_t * sx_t / n_t) + lam)
+    alpha = sy_t / n_t - beta * (sx_t / n_t)
+    withfit = fitted.select(
+        "rung", "lam", "n_r",
+        "n_v", "sx_v", "sy_v", "sxx_v", "sxy_v", "syy_v",
+        beta.alias("beta"), alpha.alias("alpha"),
+    )
+    b, a = F.col("beta"), F.col("alpha")
+    n_v, sx_v, sy_v = F.col("n_v"), F.col("sx_v"), F.col("sy_v")
+    sxx_v, sxy_v, syy_v = F.col("sxx_v"), F.col("sxy_v"), F.col("syy_v")
+    sse = (
+        syy_v - 2 * a * sy_v - 2 * b * sxy_v
+        + a * a * n_v + 2 * a * b * sx_v
+        + b * b * sxx_v
+    )
+    scored = withfit.select(
+        "rung", "lam", "n_r",
+        fround(F.sqrt(sse / n_v), 4).alias("val_rmse"),
+    ).localCheckpoint(eager=False)  # three rung branches below
+    w = Window.orderBy("val_rmse", "lam")
+    s0 = scored.where(F.col("rung") == 0).withColumn("rk", F.row_number().over(w))
+    s1 = (
+        scored.where(F.col("rung") == 1)
+        .join(F.broadcast(s0.where(F.col("rk") <= 4).select("lam")), "lam")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    s2 = (
+        scored.where(F.col("rung") == 2)
+        .join(F.broadcast(s1.where(F.col("rk") <= 2).select("lam")), "lam")
+        .withColumn("rk", F.row_number().over(w))
+    )
+
+    def _out(s, keep_n):
+        return s.select(
+            "rung", "lam", F.col("n_r").alias("n_train"), "val_rmse",
+            (F.col("rk") <= keep_n).alias("kept"),
+        )
+
+    return _out(s0, 4).unionByName(_out(s1, 2)).unionByName(_out(s2, 1))
