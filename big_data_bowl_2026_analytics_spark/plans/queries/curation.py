@@ -3566,3 +3566,124 @@ def q369_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exceeds_t02"),
         )
     )
+
+
+@query(
+    "q394_randomized_response_estimate",
+    tags=("privacy", "statistics", "curation"),
+    oracle=f"""
+WITH truec AS MATERIALIZED (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_types,
+         CAST(CAST(sum(true_n) AS BIGINT) AS BIGINT) AS n
+  FROM truec
+), typesidx AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS idx
+  FROM truec
+), rep AS (
+  SELECT CASE WHEN ({_hash16_sql('rr1|', 'e.event_id')} % 4) = 3
+              THEN ti.event_type ELSE e.event_type END AS rep_type
+  FROM events e
+  CROSS JOIN tot
+  JOIN typesidx ti
+    ON ti.idx = ({_hash16_sql('rr2|', 'e.event_id')} % tot.k_types)
+), obs AS (
+  SELECT rep_type AS event_type, CAST(count(*) AS BIGINT) AS obs_n
+  FROM rep GROUP BY rep_type
+)
+SELECT t.event_type, t.true_n,
+       CAST(coalesce(o.obs_n, 0) AS BIGINT) AS obs_n,
+       round((4 * tot.k_types * coalesce(o.obs_n, 0) - tot.n) * 1.0
+             / (3 * tot.k_types) + 1e-9, 3) AS est_n,
+       round((4 * tot.k_types * coalesce(o.obs_n, 0) - tot.n) * 1.0
+             / (3 * tot.k_types) - t.true_n + 1e-9, 3) AS est_err
+FROM truec t
+LEFT JOIN obs o ON o.event_type = t.event_type
+CROSS JOIN tot
+""",
+)
+def q394_randomized_response_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Randomized response (Warner's mechanism, the local-DP
+    classic): each event reports its true type with probability 3/4
+    and a uniformly random type otherwise, and the curator debiases
+    the observed histogram with pi_hat_t = (4K·obs_t − n) / (3K·n) —
+    frequency estimation where no individual row can be trusted.
+    Reports, per type, the true count (available here because the
+    simulation is in-house), the observed noisy count, the debiased
+    estimate and its realized error — the calibration audit a privacy
+    pipeline runs before shipping the mechanism. The keyed-hash coins
+    make the run reproducible for verification; production swaps in a
+    secure RNG (the q149 contract).
+
+    Engine-exactness: both coins are md5-nibble integers; the lie
+    type is an equi-join against the rank-indexed type table, so
+    every reported row is engine-exact; the debias numerator
+    4K·obs − n stays an exact BIGINT (the q376 discipline) with one
+    final division.
+
+    Scale: one pass computes true counts; one pass rewrites each
+    event against a BROADCAST K-row type index; the estimate frame is
+    K rows. Nothing is collected, nothing is all-pairs.
+    """
+    from .splits import _hash16
+
+    ev = read_table(spark, sf_dir, "events", ["event_id", "event_type"])
+    truec = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .localCheckpoint(eager=False)  # totals + index + final join
+    )
+    tot = truec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_types"),
+        F.sum("true_n").cast("bigint").alias("n"),
+    )
+    typesidx = truec.select(
+        F.col("event_type").alias("lie_type"),
+        (F.row_number().over(Window.orderBy("event_type")) - 1)
+        .cast("bigint")
+        .alias("idx"),
+    )
+    flagged = ev.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        ((_hash16("rr1|", F.col("event_id")) % 4) == 3).alias("lie"),
+        (_hash16("rr2|", F.col("event_id")) % F.col("k_types")).alias(
+            "lie_idx"
+        ),
+    )
+    rep = flagged.join(
+        F.broadcast(typesidx), flagged.lie_idx == typesidx.idx
+    ).select(
+        F.when(F.col("lie"), F.col("lie_type"))
+        .otherwise(F.col("event_type"))
+        .alias("rep_type")
+    )
+    obs = rep.groupBy(F.col("rep_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs_n")
+    )
+    joined = (
+        truec.join(F.broadcast(obs), "event_type", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "true_n",
+            F.coalesce(F.col("obs_n"), F.lit(0)).cast("bigint").alias("obs_n"),
+            "k_types",
+            "n",
+        )
+    )
+    est_raw = (
+        (4 * F.col("k_types") * F.col("obs_n") - F.col("n")) * 1.0
+        / (3 * F.col("k_types"))
+    )
+    return joined.select(
+        "event_type",
+        "true_n",
+        "obs_n",
+        fround(est_raw, 3).alias("est_n"),
+        fround(est_raw - F.col("true_n"), 3).alias("est_err"),
+    )

@@ -1238,3 +1238,128 @@ def q345_novel_trigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+@query(
+    "q392_dsir_importance_selection",
+    tags=("llm-pipeline", "sampling", "curation"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         ({_hash16_sql('dsir|', 't.tok')} % 256) AS bucket
+  FROM documents, unnest(string_split(text, ' ')) t(tok)
+), bcounts AS MATERIALIZED (
+  SELECT bucket,
+         CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS ct,
+         CAST(count(*) FILTER (lang <> 'en') AS BIGINT) AS cr
+  FROM toks GROUP BY bucket
+), tots AS (
+  SELECT CAST(CAST(sum(ct) AS BIGINT) AS DOUBLE) AS t_tot,
+         CAST(CAST(sum(cr) AS BIGINT) AS DOUBLE) AS r_tot
+  FROM bcounts
+), lr AS (
+  SELECT bucket,
+         CAST(round((ln((ct + 1.0) / (t_tot + 256.0))
+                     - ln((cr + 1.0) / (r_tot + 256.0))) * 1000000
+                    + 1e-9, 0) AS BIGINT) AS lr_ppm
+  FROM bcounts CROSS JOIN tots
+), docbuckets AS (
+  SELECT doc_id, lang, source, bucket, CAST(count(*) AS BIGINT) AS c_db
+  FROM toks WHERE lang <> 'en'
+  GROUP BY doc_id, lang, source, bucket
+), weights AS (
+  SELECT d.doc_id, d.lang, d.source,
+         CAST(sum(d.c_db) AS BIGINT) AS n_tokens,
+         CAST(sum(d.c_db * l.lr_ppm) AS BIGINT) AS weight_ppm
+  FROM docbuckets d JOIN lr l ON l.bucket = d.bucket
+  GROUP BY d.doc_id, d.lang, d.source
+), topk AS (
+  SELECT * FROM weights ORDER BY weight_ppm DESC, doc_id LIMIT 100
+)
+SELECT doc_id, lang, source, n_tokens, weight_ppm,
+       CAST(row_number() OVER (ORDER BY weight_ppm DESC, doc_id) AS BIGINT) AS rk
+FROM topk
+""",
+)
+def q392_dsir_importance_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every out-of-domain document by how much a hashed
+    bag-of-tokens model of the TARGET domain (here the 'en' slice)
+    prefers it over the raw-domain model, and keep the top-k. The
+    log importance weight is sum over token instances of
+    ln p_target(bucket) - ln p_raw(bucket) with 256 hash buckets and
+    add-one smoothing — the published recipe's hashed n-gram variant
+    with unigram features.
+
+    Engine-exactness: per-bucket log-ratios are deterministic doubles
+    quantized ONCE to integer ppm (the q384 fixed-point rule), so
+    every per-document weight is an exact BIGINT dot product — no
+    float sum over a variable number of tokens ever happens (the
+    q209 lesson). Selection is a global top-100 with doc_id
+    tie-break; the rank window runs AFTER the limit, over 100 rows.
+
+    Scale: bucket counts are one map-side-combined aggregation to a
+    256-row frame; scoring joins doc-bucket counts against the
+    BROADCAST 256-row log-ratio table; selection is
+    TakeOrderedAndProject, never a global sort. At 100 TB the only
+    data-sized shuffles are the two token-grain reduces.
+    """
+    docs = read_table(
+        spark, sf_dir, "documents", ["doc_id", "text", "lang", "source"]
+    )
+    exploded = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    toks = exploded.select(
+        "doc_id",
+        "lang",
+        "source",
+        (_hash16("dsir|", F.col("tok")) % 256).alias("bucket"),
+    )
+    bcounts = toks.groupBy("bucket").agg(
+        F.count_if(F.col("lang") == "en").cast("bigint").alias("ct"),
+        F.count_if(F.col("lang") != "en").cast("bigint").alias("cr"),
+    )
+    tots = bcounts.agg(
+        F.sum("ct").cast("bigint").cast("double").alias("t_tot"),
+        F.sum("cr").cast("bigint").cast("double").alias("r_tot"),
+    )
+    lr = bcounts.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("t_tot") + 256.0))
+                - F.log((F.col("cr") + 1.0) / (F.col("r_tot") + 256.0))
+            )
+            * 1000000
+            + 1e-9,
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_ppm"),
+    )
+    docbuckets = (
+        toks.where(F.col("lang") != "en")
+        .groupBy("doc_id", "lang", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_db"))
+    )
+    weights = (
+        docbuckets.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("c_db").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c_db") * F.col("lr_ppm")).cast("bigint").alias("weight_ppm"),
+        )
+    )
+    topk = weights.orderBy(F.desc("weight_ppm"), "doc_id").limit(100)
+    return topk.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("weight_ppm"), "doc_id"))
+        .cast("bigint"),
+    )

@@ -2684,3 +2684,103 @@ def q387_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_chunk_span_days"),
         )
     )
+
+
+@query(
+    "q397_source_mixing_temperature",
+    tags=("llm-pipeline", "planner", "sampling"),
+    oracle="""
+WITH srcs AS (
+  SELECT source,
+         CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS BIGINT)
+           AS n_tok
+  FROM documents GROUP BY source
+), alphas AS (
+  SELECT CAST(alpha AS DOUBLE) AS alpha
+  FROM (VALUES (0.3), (0.5), (0.7)) t(alpha)
+), wtbl AS MATERIALIZED (
+  SELECT source, alpha, n_tok,
+         CAST(round(pow(CAST(n_tok AS DOUBLE), alpha) * 1000000 + 1e-9, 0)
+              AS BIGINT) AS w_ppm
+  FROM srcs CROSS JOIN alphas
+), tots AS (
+  SELECT alpha, CAST(sum(w_ppm) AS BIGINT) AS tot_ppm
+  FROM wtbl GROUP BY alpha
+)
+SELECT w.source, w.alpha, w.n_tok, w.w_ppm,
+       round(w.w_ppm * 1.0 / t.tot_ppm + 1e-9, 6) AS share,
+       round(CAST(1000000 * w.w_ppm AS DOUBLE)
+             / CAST(t.tot_ppm * w.n_tok AS DOUBLE) + 1e-9, 4)
+         AS epochs_at_1m,
+       round(CAST(1000000 * w.w_ppm AS DOUBLE)
+             / CAST(t.tot_ppm * w.n_tok AS DOUBLE) + 1e-9, 4) > 4.0
+         AS oversampled
+FROM wtbl w JOIN tots t ON t.alpha = w.alpha
+""",
+)
+def q397_source_mixing_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-source sampling-temperature plan (the mC4/PaLM
+    exponentiated-mixing rule): sampling weight for source i is
+    n_i^alpha / sum_j n_j^alpha, swept over alpha in {0.3, 0.5, 0.7}
+    — alpha < 1 upsamples small sources, and the planner reports per
+    (source, alpha) the mixture share plus the effective EPOCH count
+    a 1M-token budget implies, flagging sources an alpha would
+    recycle more than 4x (the overfitting-on-small-sources signal
+    that drives alpha selection in practice).
+
+    Engine-exactness: token counts are exact BIGINTs; each pow() runs
+    once per (source, alpha) on an identical double (q222 precedent)
+    and is quantized to integer ppm immediately (q384 rule), so the
+    per-alpha normalizer is an exact BIGINT sum, never an
+    order-dependent float sum. The epoch ratio is a single division
+    of two cast-once exact integers (numerator 1e6 * w_ppm stays
+    under int64 up to sf~10); the oversampled flag compares the
+    ROUNDED ratio on both sides (q348 rule).
+
+    Scale: one map-side-combined token-count pass, then a 60-row
+    planning frame. The mixture math never touches the corpus again.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["text", "source"])
+    srcs = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tok")
+    )
+    alphas = spark.createDataFrame(
+        [(0.3,), (0.5,), (0.7,)], "alpha double"
+    )
+    wtbl = (
+        srcs.crossJoin(F.broadcast(alphas))
+        .select(
+            "source",
+            "alpha",
+            "n_tok",
+            F.round(
+                F.pow(F.col("n_tok").cast("double"), F.col("alpha")) * 1000000
+                + 1e-9,
+                0,
+            )
+            .cast("bigint")
+            .alias("w_ppm"),
+        )
+        .localCheckpoint(eager=False)  # feeds tots AND the final join
+    )
+    tots = wtbl.groupBy("alpha").agg(
+        F.sum("w_ppm").cast("bigint").alias("tot_ppm")
+    )
+    epochs = fround(
+        (1000000 * F.col("w_ppm")).cast("double")
+        / (F.col("tot_ppm") * F.col("n_tok")).cast("double"),
+        4,
+    )
+    return wtbl.join(F.broadcast(tots), "alpha").select(
+        "source",
+        "alpha",
+        "n_tok",
+        "w_ppm",
+        fround(F.col("w_ppm") * 1.0 / F.col("tot_ppm"), 6).alias("share"),
+        epochs.alias("epochs_at_1m"),
+        (epochs > 4.0).alias("oversampled"),
+    )

@@ -4436,3 +4436,128 @@ def q384_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(h, 6).alias("nelson_aalen"),
         fround(F.exp(-h), 6).alias("breslow_survival"),
     )
+
+
+@query(
+    "q393_power_analysis_planner",
+    tags=("statistics", "experiment", "planner"),
+    oracle="""
+WITH obs AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice) AS BIGINT) AS y,
+         o.o_custkey AS cust
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), segs AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT cust) AS BIGINT) AS n_cust,
+         CAST(CAST(sum(y) AS BIGINT) AS BIGINT) AS sy,
+         CAST(CAST(sum(y * y) AS BIGINT) AS BIGINT) AS syy
+  FROM obs GROUP BY segment HAVING count(*) >= 2
+), stats AS (
+  SELECT segment, n, n_cust,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var
+  FROM segs
+), grid AS (
+  SELECT CAST(mde_pct AS BIGINT) AS mde_pct,
+         CAST(power_pct AS BIGINT) AS power_pct,
+         CAST(zsum AS DOUBLE) AS zsum
+  FROM (VALUES (1, 80, 2.801585), (2, 80, 2.801585),
+               (5, 80, 2.801585), (10, 80, 2.801585),
+               (1, 90, 3.241516), (2, 90, 3.241516),
+               (5, 90, 3.241516), (10, 90, 3.241516)) t(mde_pct, power_pct, zsum)
+)
+SELECT segment, mde_pct, power_pct, n_cust,
+       round(mu + 1e-9, 4) AS mu,
+       round(sqrt(var) + 1e-9, 4) AS sd,
+       CAST(ceil(2.0 * var * zsum * zsum
+                 / ((CAST(mde_pct AS DOUBLE) * mu / 100.0)
+                    * (CAST(mde_pct AS DOUBLE) * mu / 100.0))) AS BIGINT)
+         AS n_per_arm,
+       2 * CAST(ceil(2.0 * var * zsum * zsum
+                     / ((CAST(mde_pct AS DOUBLE) * mu / 100.0)
+                        * (CAST(mde_pct AS DOUBLE) * mu / 100.0))) AS BIGINT)
+         <= n_cust AS feasible
+FROM stats CROSS JOIN grid
+""",
+)
+def q393_power_analysis_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test power planner: for every market segment and a grid of
+    relative minimum-detectable effects (1/2/5/10 % of the segment's
+    mean order value) at 80 %/90 % power, the required per-arm sample
+    size n = 2 sigma^2 (z_a/2 + z_b)^2 / delta^2 — the standard
+    two-sample normal-approximation formula — plus a feasibility flag
+    against the segment's actual customer count. This is the query an
+    experimentation platform runs BEFORE launching a test; it pairs
+    with q177 (Welch analysis) and q342 (sequential monitoring).
+
+    Engine-exactness: per-segment n/Σy/Σy² are exact BIGINTs in whole
+    dollars (Σy² ~5e17 at sf1, inside int64); the one-pass variance
+    casts each sum to double ONCE before any multiplication (n·Σy²
+    would overflow int64 — the q214 rule) and is well-conditioned
+    here (nothing divides BY it; cv ≈ 0.5, so the subtraction loses
+    ~2 bits, not the q363 cancellation class). z-constant SUMS ship
+    as single literals (2.801585 / 3.241516) so no cross-engine
+    erf/quantile function is ever called (the q212 rule); ceil acts
+    on identical doubles.
+
+    Scale: one join + one aggregation to the 5-segment grain; the
+    sweep is a 40-row planning frame.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    obs = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("y"),
+        F.col("o_custkey").alias("cust"),
+    )
+    segs = (
+        obs.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct(F.col("cust")).cast("bigint").alias("n_cust"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    n_d = F.col("n").cast("double")
+    stats = segs.select(
+        "segment",
+        "n",
+        "n_cust",
+        (F.col("sy").cast("double") / n_d).alias("mu"),
+        (
+            (n_d * F.col("syy").cast("double")
+             - F.col("sy").cast("double") * F.col("sy").cast("double"))
+            / (n_d * (n_d - 1.0))
+        ).alias("var"),
+    )
+    grid = spark.createDataFrame(
+        [
+            (1, 80, 2.801585), (2, 80, 2.801585),
+            (5, 80, 2.801585), (10, 80, 2.801585),
+            (1, 90, 3.241516), (2, 90, 3.241516),
+            (5, 90, 3.241516), (10, 90, 3.241516),
+        ],
+        "mde_pct bigint, power_pct bigint, zsum double",
+    )
+    delta = F.col("mde_pct").cast("double") * F.col("mu") / 100.0
+    n_arm = F.ceil(
+        2.0 * F.col("var") * F.col("zsum") * F.col("zsum") / (delta * delta)
+    ).cast("bigint")
+    return stats.crossJoin(F.broadcast(grid)).select(
+        "segment",
+        "mde_pct",
+        "power_pct",
+        "n_cust",
+        fround(F.col("mu"), 4).alias("mu"),
+        fround(F.sqrt(F.col("var")), 4).alias("sd"),
+        n_arm.alias("n_per_arm"),
+        (2 * n_arm <= F.col("n_cust")).alias("feasible"),
+    )

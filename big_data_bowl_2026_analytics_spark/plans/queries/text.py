@@ -3821,3 +3821,130 @@ def q389_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flagged_share"
         ),
     )
+
+
+@query(
+    "q395_cdc_chunk_dedup",
+    tags=("text", "dedup", "storage", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(p[2] AS BIGINT) AS pos, p[1] AS tok
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_zip(w, range(1, len(w) + 1))) AS p
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+          FROM documents)
+  )
+), flagged AS (
+  SELECT doc_id, source, pos, tok,
+         CASE WHEN ({_hash16_sql('cdc|', 'tok')} % 8) = 0
+              THEN 1 ELSE 0 END AS is_boundary
+  FROM toks
+), assigned AS (
+  SELECT doc_id, source, pos, tok,
+         CAST(coalesce(sum(is_boundary) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS chunk
+  FROM flagged
+), chunks AS (
+  SELECT source, doc_id, chunk,
+         CAST(count(*) AS BIGINT) AS clen,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+  FROM assigned GROUP BY source, doc_id, chunk
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT chash) AS BIGINT) AS n_unique,
+       round((count(*) - count(DISTINCT chash)) * 1.0 / count(*) + 1e-9, 6)
+         AS dup_share,
+       round(CAST(sum(clen) AS BIGINT) * 1.0 / count(*) + 1e-9, 4)
+         AS avg_chunk_tokens,
+       CAST(max(clen) AS BIGINT) AS max_chunk_tokens
+FROM chunks GROUP BY source
+""",
+)
+def q395_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup audit (the LBFS/Venti rolling-
+    boundary idea storage dedup and incremental-sync systems build
+    on): a chunk boundary falls after every token whose content hash
+    lands in 1/8 of the hash space, so boundaries depend only on
+    LOCAL content — insert a paragraph and every chunk outside it
+    keeps its identity, which is exactly why CDC beats fixed-size
+    blocks for dedup. Per source: chunk count, distinct-chunk count,
+    duplicate share (the storage-dedup savings), and chunk-size
+    profile (expected ~8 tokens).
+
+    Engine-exactness: the boundary rule is an integer md5-nibble
+    test; chunk ids are integer prefix sums of boundary flags; chunk
+    identity is md5 of the position-ordered token join (explicit
+    ORDER BY pos / array_sort on the unique position — the file-order
+    rule); shares are integer-count ratios.
+
+    Scale: one pass to the token grain, one bounded-partition window
+    (per document), one groupBy per (doc, chunk) and one per source —
+    all key shuffles. No chunk content ever joins against other
+    chunks; dedup is a count(DISTINCT md5) aggregate.
+    """
+    from pyspark.sql import Window
+
+    from .splits import _hash16
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "tok",
+    )
+    flagged = toks.withColumn(
+        "is_boundary",
+        F.when((_hash16("cdc|", F.col("tok")) % 8) == 0, 1).otherwise(0),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = flagged.select(
+        "doc_id",
+        "source",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("is_boundary").over(w_prev), F.lit(0))
+        .cast("bigint")
+        .alias("chunk"),
+    )
+    chunks = assigned.groupBy("source", "doc_id", "chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("clen"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("chash"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.count_distinct(F.col("chash")).cast("bigint").alias("n_unique"),
+        fround(
+            (F.count(F.lit(1)) - F.count_distinct(F.col("chash")))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_share"),
+        fround(
+            F.sum("clen").cast("bigint") * 1.0 / F.count(F.lit(1)), 4
+        ).alias("avg_chunk_tokens"),
+        F.max("clen").cast("bigint").alias("max_chunk_tokens"),
+    )
