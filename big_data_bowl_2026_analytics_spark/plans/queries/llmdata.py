@@ -1321,9 +1321,13 @@ def q392_dsir_importance_selection(
         "source",
         (_hash16("dsir|", F.col("tok")) % 256).alias("bucket"),
     )
-    bcounts = toks.groupBy("bucket").agg(
-        F.count_if(F.col("lang") == "en").cast("bigint").alias("ct"),
-        F.count_if(F.col("lang") != "en").cast("bigint").alias("cr"),
+    bcounts = (
+        toks.groupBy("bucket")
+        .agg(
+            F.count_if(F.col("lang") == "en").cast("bigint").alias("ct"),
+            F.count_if(F.col("lang") != "en").cast("bigint").alias("cr"),
+        )
+        .localCheckpoint(eager=False)  # feeds tots AND the lr projection
     )
     tots = bcounts.agg(
         F.sum("ct").cast("bigint").cast("double").alias("t_tot"),

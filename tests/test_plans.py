@@ -2260,3 +2260,82 @@ def test_q389_repetition_pure_reductions_no_join(spark):
     assert "HashAggregate" in plan
     assert "Join" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_q390_one_stats_pass_broadcast_grid_bounded_window(spark):
+    plan = physical_plan(_q(spark, "q390_ridge_lambda_sweep"))
+    # one sufficient-statistics aggregate; the lambda grid joins as a
+    # broadcast against that single row; order count stays broadcast;
+    # the only window ranks the 8-row sweep frame
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 2  # one scan per table
+    assert "o_orderdate" not in plan  # column pruning on orders
+
+
+def test_q391_kfold_all_arithmetic_behind_checkpoint(spark):
+    plan = physical_plan(_q(spark, "q391_kfold_cv_ridge"))
+    # the data passes live behind the checkpointed 5-row fold-sums
+    # frame; LOFO + grid + CV are broadcast joins and bounded aggs
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q396_halving_bounded_promotion_cascade(spark):
+    plan = physical_plan(_q(spark, "q396_successive_halving_sweep"))
+    # three rung branches over the checkpointed 24-row scored frame;
+    # every promotion joins a broadcast survivor list; the rank
+    # funnels are TakeOrderedAndProject prunes, never global sorts
+    assert "Scan ExistingRDD" in plan
+    assert "Union" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q392_dsir_broadcast_lr_table_and_takeordered(spark):
+    plan = physical_plan(_q(spark, "q392_dsir_importance_selection"))
+    # doc-bucket counts join the 256-row log-ratio table as a
+    # BROADCAST; selection is TakeOrderedAndProject (top-100), with
+    # the rank window AFTER the limit; the lang filter pushes to scan
+    assert ") BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Not(EqualTo(lang,en))" in plan
+
+
+def test_q393_power_planner_broadcast_dims_and_grid(spark):
+    plan = physical_plan(_q(spark, "q393_power_analysis_planner"))
+    # customer dim broadcasts into the orders join; the MDE x power
+    # grid broadcasts against the 5-segment stats frame; no windows
+    assert ") BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_q394_rr_broadcast_type_index_no_smj(spark):
+    plan = physical_plan(_q(spark, "q394_randomized_response_estimate"))
+    # the lie-type equi-join hits a BROADCAST K-row rank-indexed type
+    # table; the only window is the K-row index funnel
+    assert ") BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q395_cdc_doc_partitioned_window_no_joins(spark):
+    plan = physical_plan(_q(spark, "q395_cdc_chunk_dedup"))
+    # boundary prefix sums run in a doc-partitioned window (bounded
+    # groups); chunk identity + dedup are pure aggregations — the
+    # plan has no join anywhere
+    assert "windowspecdefinition(doc_id" in plan
+    assert "Join" not in plan
+
+
+def test_q397_mixing_plan_checkpointed_and_broadcast(spark):
+    plan = physical_plan(_q(spark, "q397_source_mixing_temperature"))
+    # one token-count pass lives behind the checkpoint; per-alpha
+    # normalizers join back as a broadcast; no data-sized window
+    assert "Scan ExistingRDD" in plan
+    assert ") BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition" not in plan
