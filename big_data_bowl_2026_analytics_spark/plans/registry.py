@@ -55,65 +55,67 @@ def query(
 
 #: Explicit registry ordering for external harnesses. The driver
 #: verifies the FIRST 50 registry entries per round, so the order is
-#: rotated each round. Round-9 rotation: the r08 window (q269-q318)
+#: rotated each round. Round-10 rotation: the r09 window (q319-q368)
 #: came back 50/50 strict-green, so those slots are released. This
-#: round rotates in the oldest never-driver-certified batch in number
-#: order: q319-q368. Every entry in this window has a strict oracle
-#: (no rows-only entries). All pass the local strict checker at
-#: sf0.001/0.01/0.1 and driver_sim on current data; this is
-#: certification exposure, not known bugs. Remaining never-certified
-#: queries (q369-q379 + any r9 additions) rotate in round 10 per
-#: CLAUDE.md.
+#: window CLEARS the never-certified backlog: the 21 remaining
+#: never-driver-certified queries (q369-q389), the 8 round-10
+#: additions (q390-q397), and 21 re-certification slots for headline
+#: + streaming-adjacent queries and queries whose modules were
+#: touched this round. Every entry has a strict oracle (no rows-only
+#: entries); all pass the local strict checker at sf0.001/0.01/0.1
+#: and driver_sim on current data. After this round every
+#: strict-oracle query in the registry has been driver-certified at
+#: least once.
 _DRIVER_ORDER = [
-    "q319_assortment_breadth_trend",
-    "q320_winnowing_fingerprints",
-    "q321_shapley_attribution",
-    "q322_cooks_distance_screen",
-    "q323_kendall_tau",
-    "q324_link_prediction",
-    "q325_logrank_test",
-    "q326_ttl_cache_planner",
-    "q327_hilbert_layout_audit",
-    "q328_cuped_adjustment",
-    "q329_policy_replay_eval",
-    "q330_matryoshka_truncation_recall",
-    "q331_boosted_stumps",
-    "q332_pca_2x2_closed_form",
-    "q333_ransac_line_fit",
-    "q334_ewma_control_chart",
-    "q335_overdispersion_audit",
-    "q336_broadcast_planner",
-    "q337_theil_decomposition",
-    "q338_cohort_ltv_triangle",
-    "q339_mutual_nearest_neighbors",
-    "q340_wasserstein_source_drift",
-    "q341_revenue_recognition",
-    "q342_sprt_return_rate_monitor",
-    "q343_hamilton_sampling_allocation",
-    "q344_negative_sampling_plan",
-    "q345_novel_trigram_rate",
-    "q346_neardup_evidence_pairs",
-    "q347_hill_tail_index",
-    "q348_wilson_lower_bound",
-    "q349_matched_cohort_uplift",
-    "q350_bfs_hop_profile",
-    "q351_encoding_advisor",
-    "q352_safety_stock_planner",
+    "q369_t_closeness_audit",
+    "q370_weighted_reservoir_sample",
+    "q371_js_divergence_matrix",
+    "q372_ivf_silhouette",
+    "q373_croston_intermittent_demand",
+    "q374_hosmer_lemeshow",
+    "q375_log_odds_keyness",
+    "q376_cmh_stratified_association",
+    "q377_markov_order_test",
+    "q378_restricted_mean_survival",
+    "q379_token_dispersion_dp",
+    "q380_hits_hub_authority",
+    "q381_erlang_blocking_ladder",
+    "q382_lexical_concentration",
+    "q383_metric_choice_audit",
+    "q384_nelson_aalen_hazard",
+    "q385_inertia_elbow_sweep",
+    "q386_record_breaking_spend",
+    "q387_zonemap_pruning_audit",
+    "q388_ivf_recall_frontier",
+    "q389_intra_doc_repetition",
+    "q390_ridge_lambda_sweep",
+    "q391_kfold_cv_ridge",
+    "q392_dsir_importance_selection",
+    "q393_power_analysis_planner",
+    "q394_randomized_response_estimate",
+    "q395_cdc_chunk_dedup",
+    "q396_successive_halving_sweep",
+    "q397_source_mixing_temperature",
+    "q01_pricing_summary",
+    "q24_sessionization",
+    "q25_tumbling_window_hourly",
+    "q30_dedup_exact",
+    "q32_lsh_candidate_pairs",
+    "q40_cosine_topk_bruteforce",
+    "q42_ann_topk_lsh",
+    "q45_skew_salted_aggregation",
+    "q46_asof_join",
+    "q50_model_scoring_udf",
+    "q52_binary_metrics",
+    "q62_ivf_topk",
+    "q146_rolling_distinct_users",
+    "q147_hll_sketch_merge",
+    "q159_out_of_order_audit",
+    "q162_event_dedup_audit",
+    "q180_last_touch_attribution",
+    "q201_kaplan_meier",
+    "q231_peak_concurrency",
     "q353_transition_predictability",
-    "q354_vocab_source_upset",
-    "q355_ot_transport_plan",
-    "q356_triangle_bound_audit",
-    "q357_filter_attribution_audit",
-    "q358_erlang_staffing_planner",
-    "q359_price_elasticity",
-    "q360_service_level_backtest",
-    "q361_functional_dependency_audit",
-    "q362_markov_stationary_mix",
-    "q363_empirical_bayes_shrinkage",
-    "q364_hard_negative_mining",
-    "q365_double_sweep_diameter",
-    "q366_raking_ipf_plan",
-    "q367_vocabulary_richness",
     "q368_slo_burn_rate_alerts",
 ]
 
