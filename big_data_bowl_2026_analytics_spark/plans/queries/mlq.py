@@ -1734,6 +1734,67 @@ def _ridge_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared one-pass reduction for the rung family (q396/q399): the
+#: validation split rides along as quarter -1, so train-quarter AND
+#: validation sufficient statistics come out of a SINGLE scan of the
+#: observation frame (5 groups) instead of one pass per split.
+_RIDGE_ALLSUMS_SQL = f"""
+allsums AS MATERIALIZED (
+  SELECT CASE WHEN ({_hash16_sql('ridge|', 'k')} % 10) < 7
+              THEN ({_hash16_sql('sh|', 'k')} % 4) ELSE -1 END AS quarter,
+         CAST(count(*) AS BIGINT) AS n_q,
+         CAST(CAST(sum(x) AS BIGINT) AS BIGINT) AS sx_q,
+         CAST(CAST(sum(y) AS BIGINT) AS BIGINT) AS sy_q,
+         CAST(CAST(sum(x * x) AS BIGINT) AS BIGINT) AS sxx_q,
+         CAST(CAST(sum(x * y) AS BIGINT) AS BIGINT) AS sxy_q,
+         CAST(CAST(sum(y * y) AS BIGINT) AS BIGINT) AS syy_q
+  FROM obs GROUP BY 1
+), qsums AS (
+  SELECT quarter, n_q, sx_q, sy_q, sxx_q, sxy_q
+  FROM allsums WHERE quarter >= 0
+), vsums AS (
+  SELECT CAST(n_q AS DOUBLE) AS n_v, CAST(sx_q AS DOUBLE) AS sx_v,
+         CAST(sy_q AS DOUBLE) AS sy_v, CAST(sxx_q AS DOUBLE) AS sxx_v,
+         CAST(sxy_q AS DOUBLE) AS sxy_v, CAST(syy_q AS DOUBLE) AS syy_v
+  FROM allsums WHERE quarter = -1
+)
+"""
+
+
+def _ridge_quarter_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_RIDGE_ALLSUMS_SQL``: one conditional-group
+    pass over the observations; checkpointed because the quarter and
+    validation branches both read it."""
+    obs = _ridge_obs(spark, sf_dir)
+    quarter = F.when(
+        (_hash16("ridge|", F.col("k")) % 10) < 7,
+        _hash16("sh|", F.col("k")) % 4,
+    ).otherwise(F.lit(-1))
+    return (
+        obs.groupBy(quarter.alias("quarter"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_q"),
+            F.sum("x").cast("bigint").alias("sx_q"),
+            F.sum("y").cast("bigint").alias("sy_q"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx_q"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy_q"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy_q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _ridge_val_sums(allsums: DataFrame) -> DataFrame:
+    return allsums.where(F.col("quarter") == -1).select(
+        F.col("n_q").cast("double").alias("n_v"),
+        F.col("sx_q").cast("double").alias("sx_v"),
+        F.col("sy_q").cast("double").alias("sy_v"),
+        F.col("sxx_q").cast("double").alias("sxx_v"),
+        F.col("sxy_q").cast("double").alias("sxy_v"),
+        F.col("syy_q").cast("double").alias("syy_v"),
+    )
+
+
 @query(
     "q390_ridge_lambda_sweep",
     tags=("ml", "gridsearch", "regression"),
@@ -2031,25 +2092,8 @@ def q391_kfold_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "gridsearch", "hyperband"),
     oracle=f"""
 WITH {_RIDGE_OBS_SQL.strip()},
-split AS (
-  SELECT *, ({_hash16_sql('ridge|', 'k')} % 10) < 7 AS is_train FROM obs
-), qsums AS MATERIALIZED (
-  SELECT ({_hash16_sql('sh|', 'k')} % 4) AS quarter,
-         CAST(count(*) AS BIGINT) AS n_q,
-         CAST(CAST(sum(x) AS BIGINT) AS BIGINT) AS sx_q,
-         CAST(CAST(sum(y) AS BIGINT) AS BIGINT) AS sy_q,
-         CAST(CAST(sum(x * x) AS BIGINT) AS BIGINT) AS sxx_q,
-         CAST(CAST(sum(x * y) AS BIGINT) AS BIGINT) AS sxy_q
-  FROM split WHERE is_train GROUP BY 1
-), vsums AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n_v,
-         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx_v,
-         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy_v,
-         CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx_v,
-         CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy_v,
-         CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy_v
-  FROM split WHERE NOT is_train
-), rungs AS (
+{_RIDGE_ALLSUMS_SQL.strip()},
+rungs AS (
   SELECT CAST(rung AS BIGINT) AS rung, CAST(budget AS BIGINT) AS budget
   FROM (VALUES (0, 1), (1, 2), (2, 4)) t(rung, budget)
 ), rsums AS (
@@ -2121,30 +2165,11 @@ def q396_successive_halving_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     three bounded windows over ≤8 rows each (explicit broadcasts —
     post-checkpoint frames carry no stats, the q360 lesson).
     """
-    obs = _ridge_obs(spark, sf_dir)
-    split = obs.select(
-        "k", "x", "y",
-        ((_hash16("ridge|", F.col("k")) % 10) < 7).alias("is_train"),
+    allsums = _ridge_quarter_sums(spark, sf_dir)
+    qsums = allsums.where(F.col("quarter") >= 0).select(
+        "quarter", "n_q", "sx_q", "sy_q", "sxx_q", "sxy_q"
     )
-    qsums = (
-        split.where(F.col("is_train"))
-        .groupBy((_hash16("sh|", F.col("k")) % 4).alias("quarter"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_q"),
-            F.sum("x").cast("bigint").alias("sx_q"),
-            F.sum("y").cast("bigint").alias("sy_q"),
-            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx_q"),
-            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy_q"),
-        )
-    )
-    vsums = split.where(~F.col("is_train")).agg(
-        F.count(F.lit(1)).cast("double").alias("n_v"),
-        F.sum("x").cast("bigint").cast("double").alias("sx_v"),
-        F.sum("y").cast("bigint").cast("double").alias("sy_v"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").cast("double").alias("sxx_v"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").cast("double").alias("sxy_v"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").cast("double").alias("syy_v"),
-    )
+    vsums = _ridge_val_sums(allsums)
     rungs = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 4)], "rung bigint, budget bigint"
     )
@@ -2206,3 +2231,165 @@ def q396_successive_halving_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     return _out(s0, 4).unionByName(_out(s1, 2)).unionByName(_out(s2, 1))
+
+
+@query(
+    "q399_learning_curve_extrapolation",
+    tags=("ml", "planning", "scaling-laws"),
+    oracle=f"""
+WITH {_RIDGE_OBS_SQL.strip()},
+{_RIDGE_ALLSUMS_SQL.strip()},
+rungs AS (
+  SELECT CAST(rung AS BIGINT) AS rung, CAST(budget AS BIGINT) AS budget
+  FROM (VALUES (0, 1), (1, 2), (2, 4)) t(rung, budget)
+), rsums AS (
+  SELECT r.rung,
+         CAST(sum(q.n_q) AS BIGINT) AS n_r,
+         CAST(CAST(sum(q.sx_q) AS BIGINT) AS DOUBLE) AS sx_t,
+         CAST(CAST(sum(q.sy_q) AS BIGINT) AS DOUBLE) AS sy_t,
+         CAST(CAST(sum(q.sxx_q) AS BIGINT) AS DOUBLE) AS sxx_t,
+         CAST(CAST(sum(q.sxy_q) AS BIGINT) AS DOUBLE) AS sxy_t
+  FROM rungs r JOIN qsums q ON q.quarter < r.budget
+  GROUP BY r.rung
+), rscored AS (
+  SELECT rung, n_r,
+         round(sqrt((syy_v - 2 * alpha * sy_v - 2 * beta * sxy_v
+                     + alpha * alpha * n_v + 2 * alpha * beta * sx_v
+                     + beta * beta * sxx_v) / n_v) + 1e-9, 4) AS val_rmse
+  FROM (
+    SELECT rung, n_r, CAST(n_r AS DOUBLE) AS n_t,
+           sx_t, sy_t, sxx_t, sxy_t, n_v, sx_v, sy_v, sxx_v, sxy_v, syy_v,
+           (sxy_t - sx_t * sy_t / CAST(n_r AS DOUBLE))
+             / (sxx_t - sx_t * sx_t / CAST(n_r AS DOUBLE)) AS beta,
+           sy_t / CAST(n_r AS DOUBLE)
+             - (sxy_t - sx_t * sy_t / CAST(n_r AS DOUBLE))
+               / (sxx_t - sx_t * sx_t / CAST(n_r AS DOUBLE))
+               * (sx_t / CAST(n_r AS DOUBLE)) AS alpha
+    FROM rsums CROSS JOIN vsums
+  )
+), pivoted AS (
+  SELECT max(CASE WHEN rung = 0 THEN n_r END) AS n0,
+         max(CASE WHEN rung = 1 THEN n_r END) AS n1,
+         max(CASE WHEN rung = 2 THEN n_r END) AS n2,
+         max(CASE WHEN rung = 0 THEN val_rmse END) AS e0,
+         max(CASE WHEN rung = 1 THEN val_rmse END) AS e1,
+         max(CASE WHEN rung = 2 THEN val_rmse END) AS e2
+  FROM rscored
+), fitted AS (
+  SELECT n0, n1, n2, e0, e1, e2,
+         (((ln(CAST(n0 AS DOUBLE)) - (ln(CAST(n0 AS DOUBLE)) + ln(CAST(n1 AS DOUBLE)) + ln(CAST(n2 AS DOUBLE))) / 3.0) * (ln(e0) - (ln(e0) + ln(e1) + ln(e2)) / 3.0)
+           + (ln(CAST(n1 AS DOUBLE)) - (ln(CAST(n0 AS DOUBLE)) + ln(CAST(n1 AS DOUBLE)) + ln(CAST(n2 AS DOUBLE))) / 3.0) * (ln(e1) - (ln(e0) + ln(e1) + ln(e2)) / 3.0))
+           + (ln(CAST(n2 AS DOUBLE)) - (ln(CAST(n0 AS DOUBLE)) + ln(CAST(n1 AS DOUBLE)) + ln(CAST(n2 AS DOUBLE))) / 3.0) * (ln(e2) - (ln(e0) + ln(e1) + ln(e2)) / 3.0))
+         / (((ln(CAST(n0 AS DOUBLE)) - (ln(CAST(n0 AS DOUBLE)) + ln(CAST(n1 AS DOUBLE)) + ln(CAST(n2 AS DOUBLE))) / 3.0) * (ln(CAST(n0 AS DOUBLE)) - (ln(CAST(n0 AS DOUBLE)) + ln(CAST(n1 AS DOUBLE)) + ln(CAST(n2 AS DOUBLE))) / 3.0)
+             + (ln(CAST(n1 AS DOUBLE)) - (ln(CAST(n0 AS DOUBLE)) + ln(CAST(n1 AS DOUBLE)) + ln(CAST(n2 AS DOUBLE))) / 3.0) * (ln(CAST(n1 AS DOUBLE)) - (ln(CAST(n0 AS DOUBLE)) + ln(CAST(n1 AS DOUBLE)) + ln(CAST(n2 AS DOUBLE))) / 3.0))
+             + (ln(CAST(n2 AS DOUBLE)) - (ln(CAST(n0 AS DOUBLE)) + ln(CAST(n1 AS DOUBLE)) + ln(CAST(n2 AS DOUBLE))) / 3.0) * (ln(CAST(n2 AS DOUBLE)) - (ln(CAST(n0 AS DOUBLE)) + ln(CAST(n1 AS DOUBLE)) + ln(CAST(n2 AS DOUBLE))) / 3.0))
+           AS slope
+  FROM pivoted
+)
+SELECT n0 AS n_quarter, n1 AS n_half, n2 AS n_full,
+       e0 AS rmse_quarter, e1 AS rmse_half, e2 AS rmse_full,
+       round(slope + 1e-9, 4) AS power_exponent,
+       round(exp(ln(e2) + slope * ln(8.0)) + 1e-9, 4) AS pred_rmse_8x,
+       round(slope + 1e-9, 4) > -0.05 AS diminishing_returns
+FROM fitted
+""",
+)
+def q399_learning_curve_extrapolation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Learning-curve (scaling-law) extrapolation on q396's nested
+    rungs: fit validation RMSE at 25 % / 50 % / 100 % of the training
+    data, regress ln(rmse) on ln(n) through the three points, and
+    report the power-law exponent plus the predicted RMSE at 8x the
+    data — the 'is more data still buying accuracy' planner that
+    decides between collecting data and changing the model (the
+    Hestness/Kaplan scaling-law recipe at audit scale).
+
+    Engine-exactness: rung RMSEs are the q390 closed forms ROUNDED to
+    4 dp, so both engines feed IDENTICAL doubles into ln(); the
+    3-point slope is a fully spelled-out fixed expression tree over
+    six scalar columns (pivoted by conditional max — never a float
+    sum across rows, the q246 pivot rule); ln/exp are cross-engine
+    per the q158/q347 precedent. The flag compares the ROUNDED slope.
+
+    Scale: the data is touched by exactly one aggregation (the same
+    sufficient-statistics pass as q390/q396); everything downstream
+    is arithmetic on a 3-row frame pivoted to one row.
+    """
+    allsums = _ridge_quarter_sums(spark, sf_dir)
+    qsums = allsums.where(F.col("quarter") >= 0).select(
+        "quarter", "n_q", "sx_q", "sy_q", "sxx_q", "sxy_q"
+    )
+    vsums = _ridge_val_sums(allsums)
+    rungs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 4)], "rung bigint, budget bigint"
+    )
+    rsums = (
+        rungs.join(F.broadcast(qsums), F.col("quarter") < F.col("budget"))
+        .groupBy("rung")
+        .agg(
+            F.sum("n_q").cast("bigint").alias("n_r"),
+            F.sum("sx_q").cast("bigint").cast("double").alias("sx_t"),
+            F.sum("sy_q").cast("bigint").cast("double").alias("sy_t"),
+            F.sum("sxx_q").cast("bigint").cast("double").alias("sxx_t"),
+            F.sum("sxy_q").cast("bigint").cast("double").alias("sxy_t"),
+        )
+    )
+    n_t = F.col("n_r").cast("double")
+    sx_t, sy_t = F.col("sx_t"), F.col("sy_t")
+    sxx_t, sxy_t = F.col("sxx_t"), F.col("sxy_t")
+    beta = (sxy_t - sx_t * sy_t / n_t) / (sxx_t - sx_t * sx_t / n_t)
+    alpha = sy_t / n_t - beta * (sx_t / n_t)
+    fitted = rsums.crossJoin(F.broadcast(vsums)).select(
+        "rung", "n_r",
+        "n_v", "sx_v", "sy_v", "sxx_v", "sxy_v", "syy_v",
+        beta.alias("beta"), alpha.alias("alpha"),
+    )
+    b, a = F.col("beta"), F.col("alpha")
+    n_v, sx_v, sy_v = F.col("n_v"), F.col("sx_v"), F.col("sy_v")
+    sxx_v, sxy_v, syy_v = F.col("sxx_v"), F.col("sxy_v"), F.col("syy_v")
+    sse = (
+        syy_v - 2 * a * sy_v - 2 * b * sxy_v
+        + a * a * n_v + 2 * a * b * sx_v
+        + b * b * sxx_v
+    )
+    rscored = fitted.select(
+        "rung", "n_r", fround(F.sqrt(sse / n_v), 4).alias("val_rmse")
+    )
+    pivoted = rscored.agg(
+        F.max(F.when(F.col("rung") == 0, F.col("n_r"))).alias("n0"),
+        F.max(F.when(F.col("rung") == 1, F.col("n_r"))).alias("n1"),
+        F.max(F.when(F.col("rung") == 2, F.col("n_r"))).alias("n2"),
+        F.max(F.when(F.col("rung") == 0, F.col("val_rmse"))).alias("e0"),
+        F.max(F.when(F.col("rung") == 1, F.col("val_rmse"))).alias("e1"),
+        F.max(F.when(F.col("rung") == 2, F.col("val_rmse"))).alias("e2"),
+    )
+    u0 = F.log(F.col("n0").cast("double"))
+    u1 = F.log(F.col("n1").cast("double"))
+    u2 = F.log(F.col("n2").cast("double"))
+    v0, v1, v2 = F.log(F.col("e0")), F.log(F.col("e1")), F.log(F.col("e2"))
+    ubar = (u0 + u1 + u2) / 3.0
+    vbar = (v0 + v1 + v2) / 3.0
+    slope = (
+        ((u0 - ubar) * (v0 - vbar) + (u1 - ubar) * (v1 - vbar))
+        + (u2 - ubar) * (v2 - vbar)
+    ) / (
+        ((u0 - ubar) * (u0 - ubar) + (u1 - ubar) * (u1 - ubar))
+        + (u2 - ubar) * (u2 - ubar)
+    )
+    withslope = pivoted.select(
+        "n0", "n1", "n2", "e0", "e1", "e2", slope.alias("slope")
+    )
+    return withslope.select(
+        F.col("n0").alias("n_quarter"),
+        F.col("n1").alias("n_half"),
+        F.col("n2").alias("n_full"),
+        F.col("e0").alias("rmse_quarter"),
+        F.col("e1").alias("rmse_half"),
+        F.col("e2").alias("rmse_full"),
+        fround(F.col("slope"), 4).alias("power_exponent"),
+        fround(
+            F.exp(F.log(F.col("e2")) + F.col("slope") * F.log(F.lit(8.0))), 4
+        ).alias("pred_rmse_8x"),
+        (fround(F.col("slope"), 4) > -0.05).alias("diminishing_returns"),
+    )

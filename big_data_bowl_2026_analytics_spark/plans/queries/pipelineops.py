@@ -2784,3 +2784,156 @@ def q397_source_mixing_temperature(
         epochs.alias("epochs_at_1m"),
         (epochs > 4.0).alias("oversampled"),
     )
+
+
+@query(
+    "q398_neyman_allocation_plan",
+    tags=("sampling", "planning", "statistics"),
+    oracle="""
+WITH nobs AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), nsegs AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(y) AS BIGINT) AS BIGINT) AS sy,
+         CAST(CAST(sum(y * y) AS BIGINT) AS BIGINT) AS syy
+  FROM nobs GROUP BY segment HAVING count(*) >= 2
+), nstats AS MATERIALIZED (
+  SELECT segment, n,
+         CAST(round(CAST(n AS DOUBLE)
+                    * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                    + 1e-9, 0) AS BIGINT) AS w,
+         round(sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+               + 1e-9, 4) AS sd
+  FROM nsegs
+), ntot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS wt,
+         CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(9973 * w // wsum) AS BIGINT) AS nbase_total,
+         CAST(sum(9973 * n // nsum) AS BIGINT) AS pbase_total
+  FROM (SELECT w, n,
+               CAST(sum(w) OVER () AS BIGINT) AS wsum,
+               CAST(sum(n) OVER () AS BIGINT) AS nsum
+        FROM nstats)
+  GROUP BY ALL
+), nranked AS (
+  SELECT s.segment, s.n, s.sd, s.w,
+         9973 * s.w // t.wt AS nbase,
+         CAST(row_number() OVER (
+           ORDER BY (9973 * s.w) % t.wt DESC, s.segment
+         ) AS BIGINT) AS nrk,
+         9973 - t.nbase_total AS nleft,
+         9973 * s.n // t.nt AS pbase,
+         CAST(row_number() OVER (
+           ORDER BY (9973 * s.n) % t.nt DESC, s.segment
+         ) AS BIGINT) AS prk,
+         9973 - t.pbase_total AS pleft
+  FROM nstats s CROSS JOIN ntot t
+)
+SELECT segment, n AS stratum_n, sd,
+       CAST(nbase + (CASE WHEN nrk <= nleft THEN 1 ELSE 0 END) AS BIGINT)
+         AS neyman_alloc,
+       CAST(pbase + (CASE WHEN prk <= pleft THEN 1 ELSE 0 END) AS BIGINT)
+         AS proportional_alloc,
+       CAST((nbase + (CASE WHEN nrk <= nleft THEN 1 ELSE 0 END))
+            - (pbase + (CASE WHEN prk <= pleft THEN 1 ELSE 0 END))
+            AS BIGINT) AS shift
+FROM nranked
+""",
+)
+def q398_neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: a 9,973-sample
+    budget split across market segments proportionally to N_h·S_h
+    (population size × within-stratum standard deviation) — the
+    allocation that minimizes the stratified estimator's variance —
+    side by side with the plain proportional split and the per-
+    stratum shift between them. High-variance strata buy sampling
+    budget from homogeneous ones; this is the planner a data-labeling
+    or survey pipeline runs before drawing the q128 hash samples.
+
+    Engine-exactness: stratum moments are exact BIGINTs (the q393
+    frame); each weight N_h·S_h is a deterministic double quantized
+    ONCE to an integer unit (q384 rule), so BOTH apportionments run
+    the all-integer Hamilton largest-remainder scheme of q343 — prime
+    budget, BIGINT quotas/remainders, segment tie-break — and sum to
+    exactly 9,973 on both engines with no float anywhere past the
+    quantization.
+
+    Scale: one join + one aggregation to the 5-stratum grain;
+    everything after is bounded-frame integer arithmetic with two
+    5-row rank windows (the q168 funnel policy).
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    obs = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("y"),
+    )
+    segs = (
+        obs.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    n_d = F.col("n").cast("double")
+    sd = F.sqrt(
+        (n_d * F.col("syy").cast("double")
+         - F.col("sy").cast("double") * F.col("sy").cast("double"))
+        / (n_d * (n_d - 1.0))
+    )
+    stats = segs.select(
+        "segment",
+        "n",
+        F.round(n_d * sd + 1e-9, 0).cast("bigint").alias("w"),
+        fround(sd, 4).alias("sd"),
+    ).localCheckpoint(eager=False)  # totals + ranked branches
+    tot = stats.agg(
+        F.sum("w").cast("bigint").alias("wt"),
+        F.sum("n").cast("bigint").alias("nt"),
+    )
+    base_total = stats.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr("9973 * w div wt")).cast("bigint").alias("nbase_total"),
+        F.sum(F.expr("9973 * n div nt")).cast("bigint").alias("pbase_total"),
+        F.first("wt").alias("wt"),
+        F.first("nt").alias("nt"),
+    )
+    ranked = stats.crossJoin(F.broadcast(base_total)).select(
+        "segment", "n", "sd", "w",
+        F.expr("9973 * w div wt").alias("nbase"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.expr("(9973 * w) % wt")), "segment"))
+        .cast("bigint")
+        .alias("nrk"),
+        (F.lit(9973) - F.col("nbase_total")).alias("nleft"),
+        F.expr("9973 * n div nt").alias("pbase"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.expr("(9973 * n) % nt")), "segment"))
+        .cast("bigint")
+        .alias("prk"),
+        (F.lit(9973) - F.col("pbase_total")).alias("pleft"),
+    )
+    neyman = (
+        F.col("nbase") + F.when(F.col("nrk") <= F.col("nleft"), 1).otherwise(0)
+    ).cast("bigint")
+    prop = (
+        F.col("pbase") + F.when(F.col("prk") <= F.col("pleft"), 1).otherwise(0)
+    ).cast("bigint")
+    return ranked.select(
+        "segment",
+        F.col("n").alias("stratum_n"),
+        "sd",
+        neyman.alias("neyman_alloc"),
+        prop.alias("proportional_alloc"),
+        (neyman - prop).cast("bigint").alias("shift"),
+    )

@@ -58,8 +58,8 @@ def query(
 #: rotated each round. Round-10 rotation: the r09 window (q319-q368)
 #: came back 50/50 strict-green, so those slots are released. This
 #: window CLEARS the never-certified backlog: the 21 remaining
-#: never-driver-certified queries (q369-q389), the 8 round-10
-#: additions (q390-q397), and 21 re-certification slots for headline
+#: never-driver-certified queries (q369-q389), the 10 round-10
+#: additions (q390-q399), and 21 re-certification slots for headline
 #: + streaming-adjacent queries and queries whose modules were
 #: touched this round. Every entry has a strict oracle (no rows-only
 #: entries); all pass the local strict checker at sf0.001/0.01/0.1
@@ -103,8 +103,8 @@ _DRIVER_ORDER = [
     "q32_lsh_candidate_pairs",
     "q40_cosine_topk_bruteforce",
     "q42_ann_topk_lsh",
-    "q45_skew_salted_aggregation",
-    "q46_asof_join",
+    "q398_neyman_allocation_plan",
+    "q399_learning_curve_extrapolation",
     "q50_model_scoring_udf",
     "q52_binary_metrics",
     "q62_ivf_topk",

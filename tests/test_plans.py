@@ -2339,3 +2339,24 @@ def test_q397_mixing_plan_checkpointed_and_broadcast(spark):
     assert ") BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_q398_neyman_two_bounded_rank_windows(spark):
+    plan = physical_plan(_q(spark, "q398_neyman_allocation_plan"))
+    # everything past the 5-stratum reduce is bounded integer
+    # arithmetic behind the checkpoint: two 5-row Hamilton rank
+    # windows, broadcast totals, no sort-merge join
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("windowspecdefinition") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q399_learning_curve_single_pass_behind_checkpoint(spark):
+    plan = physical_plan(_q(spark, "q399_learning_curve_extrapolation"))
+    # train-quarter AND validation stats come from ONE conditional-
+    # group pass (checkpointed 5-row frame); the fit/pivot is pure
+    # arithmetic — no parquet scan, window, or sort-merge join
+    assert "Scan ExistingRDD" in plan
+    assert "Location: InMemoryFileIndex" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
