@@ -461,3 +461,96 @@ def session_gap_sessions_tws(
             timeMode="EventTime",
         )
     )
+
+
+_LATENESS_STATE_SCHEMA = StructType(
+    [
+        StructField("high_water_us", LongType()),
+        StructField("n", LongType()),
+        StructField("n_late", LongType()),
+        StructField("sum_late_us", LongType()),
+        StructField("max_late_us", LongType()),
+    ]
+)
+
+_LATENESS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("n_late", LongType()),
+        StructField("sum_late_us", LongType()),
+        StructField("max_late_us", LongType()),
+    ]
+)
+
+
+def lateness_audit_snapshots(events: DataFrame) -> DataFrame:
+    """Streaming twin of q159's out-of-order lateness audit
+    (plans/queries/timeseries.py): per event_type (the per-source
+    watermark grain), the state store keeps ONLY the running
+    high-watermark timestamp plus four integer counters — O(1) state
+    per key — and each micro-batch emits the updated cumulative
+    snapshot (n, n_late, sum_late_us, max_late_us). This is the live
+    version of the statistic that sizes ``withWatermark``: an operator
+    watching max_late_us knows, continuously, the smallest watermark
+    delay that would not drop data.
+
+    Lateness of an event = running-max event time in ARRIVAL order
+    minus the event's own time, exactly q159's definition (arrival
+    order = event_id, the ingest sequence; the window includes the
+    current row so lateness is never negative). All arithmetic is
+    integer microseconds — a batch drain reproduces q159's n /
+    n_late / sum_late_us / max_late_us EXACTLY, provided each type's
+    events arrive in event_id order across micro-batches (the
+    in-order-ingest contract; within a batch the operator sorts, so
+    only cross-batch disorder can misstate the high-watermark). The
+    drain test feeds event_id-split files to honor the contract.
+
+    Scale: |event_types| keys × 5 int64s of state; the per-batch work
+    is one vectorized cummax over the touched rows. Snapshots are
+    emitted in update mode — downstream takes the max-n row per key
+    (n is monotone) or the latest by sink time.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values("event_id", kind="mergesort")
+        ts_us = (
+            batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        if state.exists:
+            hw0, n, n_late, sum_late, max_late = (int(v) for v in state.get)
+        else:
+            hw0 = np.iinfo(np.int64).min
+            n = n_late = sum_late = max_late = 0
+        hw = np.maximum.accumulate(
+            np.concatenate((np.array([hw0], dtype=np.int64), ts_us))
+        )[1:]
+        late = hw - ts_us
+        n += len(batch)
+        n_late += int((late > 0).sum())
+        sum_late += int(late.sum())
+        max_late = max(max_late, int(late.max()))
+        state.update((int(hw[-1]), n, n_late, sum_late, max_late))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n": [n],
+                "n_late": [n_late],
+                "sum_late_us": [sum_late],
+                "max_late_us": [max_late],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_LATENESS_OUTPUT_SCHEMA,
+        stateStructType=_LATENESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1326,3 +1326,78 @@ def test_session_gap_tws_drains_to_batch_sessions(spark, events_dir):
         for r in got.itertuples()
     }
     assert stream_rows == batch
+
+
+def test_stateful_lateness_audit_matches_batch(spark, tmp_path_factory):
+    """Final drained lateness snapshots equal q159's batch integer
+    statistics EXACTLY (n, n_late, sum_late_us, max_late_us per
+    event_type) across a multi-batch drain. Arrival order is
+    event_id (the ingest sequence), so the in-order-ingest contract
+    is honored by EVENT_ID-split files — not ts-split like the other
+    stateful drains."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        lateness_audit_snapshots,
+    )
+
+    d = tmp_path_factory.mktemp("events_lateness_split")
+    t = pq.read_table(f"{SF}/events.parquet")
+    t = t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+    third = t.num_rows // 3
+    pq.write_table(t.slice(0, third), d / "a.parquet")
+    pq.write_table(t.slice(third, third), d / "b.parquet")
+    pq.write_table(t.slice(2 * third), d / "c.parquet")
+    _stamp_ingest_order(d / "a.parquet", d / "b.parquet", d / "c.parquet")
+
+    stream = read_events_stream(
+        spark, str(d), options={"maxFilesPerTrigger": "1"}
+    )
+    q = (
+        lateness_audit_snapshots(stream)
+        .writeStream.format("memory")
+        .queryName("lateness_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("lateness_stream").collect()
+    # n is monotone per key: the max-n row is the final snapshot.
+    got: dict[str, tuple] = {}
+    seen: dict[str, int] = {}
+    for r in rows:
+        seen[r.event_type] = seen.get(r.event_type, 0) + 1
+        if r.event_type not in got or r.n > got[r.event_type][0]:
+            got[r.event_type] = (r.n, r.n_late, r.sum_late_us, r.max_late_us)
+    # every type appears in all 3 micro-batches on this data -> the
+    # drain was genuinely multi-batch, not one collapsed trigger
+    assert seen and min(seen.values()) >= 2
+
+    from pyspark.sql import Window
+
+    ev = read_table(spark, SF, "events", ["event_type", "event_id", "ts"])
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select(
+        "event_type",
+        (
+            F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("late_us"),
+    )
+    want = {
+        r.event_type: (r.n, r.n_late, r.sum_late_us, r.max_late_us)
+        for r in late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("late_us") > 0).alias("n_late"),
+            F.sum("late_us").alias("sum_late_us"),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
