@@ -24,6 +24,7 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -551,6 +552,101 @@ def lateness_audit_snapshots(events: DataFrame) -> DataFrame:
         update,
         outputStructType=_LATENESS_OUTPUT_SCHEMA,
         stateStructType=_LATENESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_MG_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+        StructField("n_decremented", LongType()),
+    ]
+)
+
+_MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("est_count", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("n_decremented", LongType()),
+    ]
+)
+
+
+def heavy_hitter_summaries(events: DataFrame, k: int = 16) -> DataFrame:
+    """Streaming Misra-Gries heavy-hitter summaries per event_type:
+    the state store keeps AT MOST k (user_id, counter) pairs per key
+    plus two scalars — bounded state regardless of user cardinality,
+    where an exact streaming top-k (q109's batch shape) would need
+    state linear in distinct users.
+
+    Micro-batch merge is the Agarwal et al. MERGE operation (combine
+    counts, then subtract the (k+1)-th largest counter from all and
+    drop the non-positive): one pass leaves <= k survivors, and every
+    subtraction of d removes >= (k+1)*d total mass, so the cumulative
+    decrement D satisfies (k+1)*D <= n_seen - sum(counters). The
+    guarantees are therefore:
+
+      est_count <= true_count <= est_count + D   (keys in the summary)
+      true_count <= D                            (keys absent from it)
+
+    so any user with true count > D is guaranteed present. Unlike the
+    prefix-scan stateful twins (transitions, records, lateness), these
+    bounds hold under ANY ingest order — counting is commutative and
+    the merge theorem is order-free — so the drain test needs no
+    in-order-ingest contract. If distinct users per type <= k the
+    summary is EXACT (no decrement ever fires).
+
+    Snapshots are emitted in update mode, one row per summary entry;
+    downstream takes the rows with the max n_seen per type (n_seen is
+    monotone).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        if state.exists:
+            keys, counts, n_seen, dec = state.get
+            summary = dict(zip(keys, counts))
+        else:
+            summary, n_seen, dec = {}, 0, 0
+        n_seen += int(len(batch))
+        for uid, c in batch["user_id"].value_counts().items():
+            summary[int(uid)] = summary.get(int(uid), 0) + int(c)
+        if len(summary) > k:
+            d = sorted(summary.values(), reverse=True)[k]
+            dec += d
+            summary = {u: c - d for u, c in summary.items() if c > d}
+        state.update(
+            (
+                list(summary.keys()),
+                list(summary.values()),
+                int(n_seen),
+                int(dec),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(summary),
+                "user_id": list(summary.keys()),
+                "est_count": list(summary.values()),
+                "n_seen": [n_seen] * len(summary),
+                "n_decremented": [dec] * len(summary),
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_MG_OUTPUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1401,3 +1401,85 @@ def test_stateful_lateness_audit_matches_batch(spark, tmp_path_factory):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_heavy_hitter_summaries_bounds(spark, tmp_path_factory):
+    """Misra-Gries drained summaries obey the merge-theorem bounds
+    against exact batch counts — est <= true <= est + D for present
+    keys, true <= D for absent keys, (k+1)*D <= n_seen - S — and the
+    k >= |users| configuration is EXACT. No in-order-ingest contract:
+    the guarantees are order-free (counting is commutative), so the
+    file split here is arbitrary."""
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        heavy_hitter_summaries,
+    )
+
+    d = tmp_path_factory.mktemp("events_mg_split")
+    t = pq.read_table(f"{SF}/events.parquet")
+    third = t.num_rows // 3
+    pq.write_table(t.slice(0, third), d / "a.parquet")
+    pq.write_table(t.slice(third, third), d / "b.parquet")
+    pq.write_table(t.slice(2 * third), d / "c.parquet")
+    _stamp_ingest_order(d / "a.parquet", d / "b.parquet", d / "c.parquet")
+
+    ev = read_table(spark, SF, "events", ["event_type", "user_id"])
+    true_counts = {
+        (r.event_type, r.user_id): r.c
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_per_type: dict[str, int] = {}
+    for (et, _), c in true_counts.items():
+        n_per_type[et] = n_per_type.get(et, 0) + c
+
+    for k, must_be_exact in [(16, True), (4, False)]:
+        stream = read_events_stream(
+            spark, str(d), options={"maxFilesPerTrigger": "1"}
+        )
+        name = f"mg_stream_k{k}"
+        q = (
+            heavy_hitter_summaries(stream, k=k)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table(name).collect()
+        # final snapshot per type = the max-n_seen batch's rows
+        final_n: dict[str, int] = {}
+        for r in rows:
+            final_n[r.event_type] = max(
+                final_n.get(r.event_type, 0), r.n_seen
+            )
+        summaries: dict[str, dict[int, int]] = {}
+        decs: dict[str, int] = {}
+        for r in rows:
+            if r.n_seen == final_n[r.event_type]:
+                summaries.setdefault(r.event_type, {})[r.user_id] = (
+                    r.est_count
+                )
+                decs[r.event_type] = r.n_decremented
+        assert set(summaries) == set(n_per_type)
+        for et, summ in summaries.items():
+            dec = decs[et]
+            assert len(summ) <= k
+            assert final_n[et] == n_per_type[et]
+            # merge-theorem mass bound
+            assert (k + 1) * dec <= n_per_type[et] - sum(summ.values())
+            for uid, est in summ.items():
+                true = true_counts[(et, uid)]
+                assert est <= true <= est + dec
+            for (et2, uid), true in true_counts.items():
+                if et2 == et and uid not in summ:
+                    assert true <= dec
+            if must_be_exact:
+                assert dec == 0 and all(
+                    summ[uid] == true_counts[(et, uid)] for uid in summ
+                ) and len(summ) == sum(1 for (e, _) in true_counts if e == et)
+            else:
+                assert dec > 0  # the approximate path actually fired
