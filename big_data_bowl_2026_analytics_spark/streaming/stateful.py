@@ -557,6 +557,31 @@ def lateness_audit_snapshots(events: DataFrame) -> DataFrame:
     )
 
 
+def mg_merge(
+    summary: dict[int, int], add: dict[int, int], k: int
+) -> tuple[dict[int, int], int]:
+    """One Misra-Gries MERGE step (Agarwal et al., 'Mergeable
+    Summaries'): combine the counter dicts, then — if more than k
+    keys remain — subtract the (k+1)-th largest counter value d from
+    every counter and drop the non-positive. Exactly the keys whose
+    counters strictly exceed d survive, so one pass leaves <= k; the
+    subtraction removes >= (k+1)*d mass (the top k+1 counters each
+    lose d or their full value >= ... == d), which is what proves the
+    (k+1)*D <= n - S decrement bound. Returns (new_summary, d).
+
+    Pure function so the merge theorem is pinned by a hypothesis test
+    (tests/test_streaming_multimodal.py) independent of the Spark
+    state plumbing in heavy_hitter_summaries.
+    """
+    merged = dict(summary)
+    for key_, c in add.items():
+        merged[key_] = merged.get(key_, 0) + c
+    if len(merged) <= k:
+        return merged, 0
+    d = sorted(merged.values(), reverse=True)[k]
+    return {u: c - d for u, c in merged.items() if c > d}, d
+
+
 _MG_STATE_SCHEMA = StructType(
     [
         StructField("keys", ArrayType(LongType())),
@@ -619,12 +644,12 @@ def heavy_hitter_summaries(events: DataFrame, k: int = 16) -> DataFrame:
         else:
             summary, n_seen, dec = {}, 0, 0
         n_seen += int(len(batch))
-        for uid, c in batch["user_id"].value_counts().items():
-            summary[int(uid)] = summary.get(int(uid), 0) + int(c)
-        if len(summary) > k:
-            d = sorted(summary.values(), reverse=True)[k]
-            dec += d
-            summary = {u: c - d for u, c in summary.items() if c > d}
+        add = {
+            int(uid): int(c)
+            for uid, c in batch["user_id"].value_counts().items()
+        }
+        summary, d = mg_merge(summary, add, k)
+        dec += d
         state.update(
             (
                 list(summary.keys()),
