@@ -1,0 +1,177 @@
+"""Distributed play renderer (viz/render.py): BMP encode/decode
+round-trip, frame assembly semantics (rebase, ball flight), and pixel
+assertions on the raster — all against the NFL fixtures, no imaging
+library involved."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from big_data_bowl_2026_analytics_spark.pipeline.multimodal import decode_bmp
+from big_data_bowl_2026_analytics_spark.schemas import (
+    TRACKING_AFTER_SCHEMA,
+    TRACKING_BEFORE_SCHEMA,
+)
+from big_data_bowl_2026_analytics_spark.viz.render import (
+    BALL,
+    DEFENSE,
+    FIELD_LENGTH,
+    FIELD_WIDTH,
+    GRASS,
+    LAND_MARK,
+    LINE,
+    OFFENSE,
+    encode_bmp,
+    render_play_frames,
+)
+from fixtures_nfl import make_tracking_after, make_tracking_before
+
+
+def test_encode_bmp_roundtrips_through_decode_bmp():
+    """encode_bmp is the exact inverse of multimodal.decode_bmp,
+    including the 4-byte row padding (odd widths) and bottom-up row
+    order."""
+    rng = np.random.default_rng(7)
+    for h, w in [(5, 7), (8, 8), (1, 1), (13, 3)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_bmp(img)
+        assert blob[:2] == b"BM"
+        back = decode_bmp(blob)
+        assert back.shape == (h, w, 3)
+        assert np.array_equal(back, img)
+
+
+@pytest.fixture(scope="module")
+def rendered(spark):
+    before = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_BEFORE_SCHEMA.fields)
+            for r in make_tracking_before()
+        ],
+        TRACKING_BEFORE_SCHEMA,
+    )
+    after = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_AFTER_SCHEMA.fields)
+            for r in make_tracking_after()
+        ],
+        TRACKING_AFTER_SCHEMA,
+    )
+    return render_play_frames(before, after, scale=2).collect()
+
+
+def test_render_frame_axis_and_phases(rendered):
+    """Play 1 has 5 before + 3 after frames: one row per frame on a
+    contiguous rebased axis, before/after phases split at the rebase
+    point (reference play.py:130-132)."""
+    p1 = sorted(
+        (r for r in rendered if r.game_id == 1001 and r.play_id == 1),
+        key=lambda r: r.frame_id,
+    )
+    assert [r.frame_id for r in p1] == list(range(1, 9))
+    assert [r.phase for r in p1] == ["before"] * 5 + ["after"] * 3
+    # play 5 has no after rows: before frames only
+    p5 = [r for r in rendered if r.play_id == 5]
+    assert len(p5) == 4 and all(r.phase == "before" for r in p5)
+
+
+def test_render_ball_flight(rendered):
+    """Before the throw the ball rides the passer's track; after it,
+    the linear interpolation ends exactly at the landing spot
+    (play.py:138-162)."""
+    p1 = {r.frame_id: r for r in rendered if r.play_id == 1}
+    # passer (nfl_id 1) starts at (20.0, 25.0) moving +0.1/frame
+    assert p1[1].ball_x == pytest.approx(20.0)
+    assert p1[5].ball_x == pytest.approx(20.4)
+    # ball lands at (50.0, 20.0) on the last after frame
+    assert p1[8].ball_x == pytest.approx(50.0)
+    assert p1[8].ball_y == pytest.approx(20.0)
+
+
+def test_render_pixels(rendered):
+    """Pixel-level checks on one decoded frame: canvas dimensions,
+    grass background, a yard line, the offense/defense discs at the
+    player positions, the ball disc, and the landing cross."""
+    p1 = {r.frame_id: r for r in rendered if r.play_id == 1}
+    r = p1[1]
+    scale = 2
+    img = decode_bmp(bytes(r.image))
+    assert (r.height, r.width) == img.shape[:2]
+    assert img.shape == (
+        round(FIELD_WIDTH * scale),
+        round(FIELD_LENGTH * scale),
+        3,
+    )
+
+    def at(x_yd, y_yd):
+        return img[
+            img.shape[0] - 1 - int(round(y_yd * scale)),
+            int(round(x_yd * scale)),
+        ]
+
+    assert tuple(at(35.0, 45.0)) == GRASS  # empty grass (between lines)
+    assert tuple(at(40.0, 40.0)) == LINE  # 40-yard line
+    # frame 1: receiver (Offense) at (45, 20), defender at (47, 21)
+    assert tuple(at(45.0, 20.0)) == OFFENSE
+    assert tuple(at(47.0, 21.0)) == DEFENSE
+    # ball on the passer at (20, 25) with the +0.31 x offset
+    assert tuple(at(20.31, 25.0)) == BALL
+    # landing cross at (50, 20) — check an off-center diagonal pixel
+    # (the center pixel is under the receiver disc in later frames)
+    h = img.shape[0]
+    cy, cx = h - 1 - int(round(20.0 * scale)), int(round(50.0 * scale))
+    assert tuple(img[cy + 3, cx + 3]) == LAND_MARK
+    # metadata: 4 players in frame 1, jerseys are nfl_id % 100
+    assert r.n_players == 4
+    assert list(r.jerseys) == [1, 2, 3, 4]
+
+
+def test_render_deterministic(spark):
+    """Two renders of the same input produce byte-identical blobs."""
+    before = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_BEFORE_SCHEMA.fields)
+            for r in make_tracking_before()
+        ],
+        TRACKING_BEFORE_SCHEMA,
+    )
+    after = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_AFTER_SCHEMA.fields)
+            for r in make_tracking_after()
+        ],
+        TRACKING_AFTER_SCHEMA,
+    )
+    one = {
+        (r.play_id, r.frame_id): bytes(r.image)
+        for r in render_play_frames(before, after, scale=2).collect()
+    }
+    two = {
+        (r.play_id, r.frame_id): bytes(r.image)
+        for r in render_play_frames(before, after, scale=2).collect()
+    }
+    assert one == two
+
+
+def test_rendered_frames_feed_multimodal_pipeline(spark, rendered):
+    """Rendered blobs flow through the multimodal feature extractor
+    unchanged — the renderer's output IS the opaque-media contract
+    (binary column + magic-byte dispatch)."""
+    from big_data_bowl_2026_analytics_spark.pipeline.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    rows = [
+        (r.play_id * 1000 + r.frame_id, "image", bytes(r.image))
+        for r in rendered
+        if r.play_id == 1
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, blob binary"
+    )
+    feats = extract_features(media).collect()
+    assert len(feats) == len(rows)
+    for f in feats:
+        assert len(f.features) == FEATURE_DIM
