@@ -1,3 +1,10 @@
 from .render import encode_bmp, render_play_frames
+from .scatter import heatmap_bmp, quadrant_counts, scatter_bins
 
-__all__ = ["encode_bmp", "render_play_frames"]
+__all__ = [
+    "encode_bmp",
+    "heatmap_bmp",
+    "quadrant_counts",
+    "render_play_frames",
+    "scatter_bins",
+]

@@ -175,3 +175,75 @@ def test_rendered_frames_feed_multimodal_pipeline(spark, rendered):
     assert len(feats) == len(rows)
     for f in feats:
         assert len(f.features) == FEATURE_DIM
+
+
+def test_scatter_bins_exact_and_bounded(spark):
+    """Pixel binning is exact: hand-computable points land in the
+    expected pixels with exact counts; the boundary x==x_max clamps to
+    the last pixel; out-of-window rows drop."""
+    from big_data_bowl_2026_analytics_spark.viz.scatter import scatter_bins
+
+    rows = [
+        (0.0, 0.0),   # px 0, py 0
+        (0.0, 0.0),
+        (5.0, 5.0),   # px 5, py 5 at unit scale
+        (9.999, 9.999),
+        (10.0, 10.0),  # boundary -> clamps to (9, 9)
+        (-1.0, 5.0),  # out of window
+        (11.0, 5.0),  # out of window
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {
+        (r.px, r.py): r.n
+        for r in scatter_bins(
+            df, "x", "y", 0.0, 10.0, 0.0, 10.0, width=10, height=10
+        ).collect()
+    }
+    assert got == {(0, 0): 2, (5, 5): 1, (9, 9): 2}
+
+
+def test_heatmap_bmp_pixels(spark):
+    """The rasterized heatmap puts the densest bin at the dark ramp
+    end, singleton bins lighter, background white, py=0 at the bottom
+    row — decoded back through multimodal.decode_bmp."""
+    from big_data_bowl_2026_analytics_spark.viz.scatter import (
+        BACKGROUND,
+        RAMP_HI,
+        heatmap_bmp,
+        scatter_bins,
+    )
+
+    rows = [(1.5, 1.5)] * 50 + [(8.5, 8.5)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    bins = scatter_bins(
+        df, "x", "y", 0.0, 10.0, 0.0, 10.0, width=10, height=10
+    ).collect()
+    blob = heatmap_bmp(bins, 10, 10, x_axis_px=5, y_axis_px=5)
+    img = decode_bmp(blob)
+    assert img.shape == (10, 10, 3)
+    assert tuple(img[10 - 1 - 1, 1]) == RAMP_HI  # 50-count bin, bottom-up y
+    single = tuple(img[10 - 1 - 8, 8])
+    assert single != RAMP_HI and single != BACKGROUND
+    assert tuple(img[0, 0]) == BACKGROUND
+    # axis crosshair at px/py 5 (where no bin overdraws)
+    assert tuple(img[10 - 1 - 5, 0]) == (120, 120, 120)
+
+
+def test_quadrant_counts(spark):
+    """Quadrant summary: exact integer counts per (x_side, y_side)."""
+    from big_data_bowl_2026_analytics_spark.viz.scatter import (
+        quadrant_counts,
+    )
+
+    rows = [(1.0, 1.0), (1.0, 9.0), (9.0, 9.0), (9.0, 9.0), (5.0, 5.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {
+        (r.x_side, r.y_side): r.n
+        for r in quadrant_counts(df, "x", "y", 5.0, 5.0).collect()
+    }
+    # (5,5) is >= both splits -> hi/hi
+    assert got == {
+        ("lo", "lo"): 1,
+        ("lo", "hi"): 1,
+        ("hi", "hi"): 3,
+    }
