@@ -247,3 +247,44 @@ def test_quadrant_counts(spark):
         ("lo", "hi"): 1,
         ("hi", "hi"): 3,
     }
+
+
+def test_viz_cli_writes_frames(spark, tmp_path):
+    """The CLI renders one play to frame_####.bmp files + a manifest —
+    the reference's visualize_play command surface (play.py:353-377)."""
+    from big_data_bowl_2026_analytics_spark.viz.__main__ import main
+
+    before = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_BEFORE_SCHEMA.fields)
+            for r in make_tracking_before()
+        ],
+        TRACKING_BEFORE_SCHEMA,
+    )
+    after = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_AFTER_SCHEMA.fields)
+            for r in make_tracking_after()
+        ],
+        TRACKING_AFTER_SCHEMA,
+    )
+    bdir, adir = str(tmp_path / "b"), str(tmp_path / "a")
+    before.write.parquet(bdir)
+    after.write.parquet(adir)
+    out = str(tmp_path / "play1")
+    rc = main(
+        [
+            "--before", bdir, "--after", adir,
+            "--game-id", "1001", "--play-id", "1", "--out", out,
+        ]
+    )
+    assert rc == 0
+    import os
+
+    names = sorted(os.listdir(out))
+    assert "frames.csv" in names
+    bmps = [n for n in names if n.endswith(".bmp")]
+    assert bmps == [f"frame_{i:04d}.bmp" for i in range(1, 9)]
+    with open(os.path.join(out, bmps[0]), "rb") as fh:
+        img = decode_bmp(fh.read())
+    assert img.shape[2] == 3
