@@ -199,6 +199,24 @@ def main() -> None:
             .agg(F.sum("h").alias("t"), F.count(F.lit(1)).alias("n"))
         )
 
+    def q_pixelbin(k: int) -> DataFrame:
+        # the viz/scatter.py class: pixel-binned scatter — input rows
+        # grow kx but the groupBy key space is capped at width*height,
+        # so the shuffle output is CONSTANT-sized (the bounded-output
+        # plot for unbounded inputs). Per-row cost should stay flat
+        # while output stays fixed.
+        from big_data_bowl_2026_analytics_spark.viz.scatter import (
+            scatter_bins,
+        )
+
+        df = _multiply(ev, k, "user_id").select(
+            (F.col("user_id") % 1000).cast("double").alias("x"),
+            F.col("value").cast("double").alias("y"),
+        )
+        return scatter_bins(
+            df, "x", "y", 0.0, 1000.0, 0.0, 1000.0, width=240, height=160
+        )
+
     for name, fn in [
         ("groupby_agg", q_agg),
         ("two_level_agg", q_join_agg),
@@ -207,6 +225,7 @@ def main() -> None:
         ("reduce_then_pair_join", q_tokjoin),
         ("doc_grain_spectrum", q_docspectrum),
         ("message_passing_round", q_msground),
+        ("pixel_binned_scatter", q_pixelbin),
     ]:
         base_rows = None
         for k in [int(x) for x in args.multipliers.split(",")]:
