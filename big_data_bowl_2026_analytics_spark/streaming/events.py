@@ -602,3 +602,80 @@ def rolling_distinct_users_hll(
             "n_events",
         )
     )
+
+
+def hourly_value_histogram(
+    events: DataFrame,
+    bucket_cents: int = 100,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hourly VALUE-QUANTILE sketch as a streaming windowed
+    aggregation — the missing quantile member of the mergeable-state
+    family (counts: windowed aggs; distinct: HLL; frequency: CMS).
+    Values quantize to exact integer cents (Spark round, half-up),
+    then to fixed-width buckets of ``bucket_cents``; each window keeps
+    one count per occupied bucket.
+
+    Like the CMS grid, counting is commutative/associative, so the
+    drained histogram is a deterministic function of the window's
+    input SET — bit-equal to the batch build (asserted in tests),
+    under any arrival order or micro-batch split. State per window is
+    bounded by the VALUE RANGE over the bucket width, never by row
+    count: the reason a latency/price monitor over a 100 TB/day
+    stream carries a histogram and not a sorted buffer.
+
+    Any quantile read off the drained grid via
+    ``histogram_quantile`` is exact in RANK (the true item of rank
+    ceil(q*n) lands in the reported bucket) and within one
+    ``bucket_cents`` in VALUE — the error-bound-boolean contract the
+    drain test pins (never estimate-equality, footgun 10).
+    """
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", (cents - (cents % bucket_cents)).alias("bucket_lo"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "bucket_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "bucket_lo", "n")
+    )
+
+
+def histogram_quantile(grid: DataFrame, q: float) -> DataFrame:
+    """Per-window quantile estimate from a drained
+    ``hourly_value_histogram`` grid: the lower edge (in cents) of the
+    bucket containing the rank-ceil(q*n) item. One cumulative window
+    over the per-window bucket list (bounded by occupied buckets, not
+    rows) — no raw data touched. The true quantile lies in
+    [est_lo_cents, est_lo_cents + bucket_cents)."""
+    from pyspark.sql import Window
+
+    if not 0.0 < q <= 1.0:
+        raise ValueError("q must be in (0, 1]")
+    w_cum = (
+        Window.partitionBy("hour_start")
+        .orderBy("bucket_lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = grid.select(
+        "hour_start",
+        "bucket_lo",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(Window.partitionBy("hour_start")).alias("total"),
+    )
+    # single-engine arithmetic: ceil(q*total) never crosses an engine
+    # boundary, so the float product needs no cross-engine guard.
+    hit = totals.where(
+        F.col("cum") >= F.ceil(F.lit(q) * F.col("total"))
+    )
+    return (
+        hit.withColumn("rn", F.row_number().over(
+            Window.partitionBy("hour_start").orderBy("bucket_lo")
+        ))
+        .where(F.col("rn") == 1)
+        .select(
+            "hour_start",
+            F.col("bucket_lo").alias("est_lo_cents"),
+            "total",
+        )
+    )

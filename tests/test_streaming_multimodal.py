@@ -1483,3 +1483,60 @@ def test_stateful_heavy_hitter_summaries_bounds(spark, tmp_path_factory):
                 ) and len(summ) == sum(1 for (e, _) in true_counts if e == et)
             else:
                 assert dec > 0  # the approximate path actually fired
+
+
+def test_hourly_value_histogram_stream_equals_batch(spark, events_dir):
+    """The drained value histogram equals the batch build cell-for-cell
+    (counting is order-insensitive), and a quantile read off it
+    satisfies the rank/value contract: the true rank-ceil(q*n) item
+    lies inside the reported bucket."""
+    import math
+
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        histogram_quantile,
+        hourly_value_histogram,
+        read_events_stream,
+        run_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, events_dir)
+    run_available_now(hourly_value_histogram(stream), "value_hist_stream")
+    got = {
+        (r.hour_start, r.bucket_lo): r.n
+        for r in spark.table("value_hist_stream").collect()
+    }
+    ev = read_table(spark, sf, "events", ["ts", "value"])
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    batch = (
+        ev.select(
+            "ts", (cents - (cents % 100)).alias("bucket_lo")
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "bucket_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "bucket_lo", "n")
+    )
+    want = {
+        (r.hour_start, r.bucket_lo): r.n for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+    # quantile contract per window, against the exact cents values
+    q = 0.9
+    est = {
+        r.hour_start: (r.est_lo_cents, r.total)
+        for r in histogram_quantile(
+            spark.table("value_hist_stream"), q
+        ).collect()
+    }
+    exact = {}
+    for r in ev.select(
+        F.window("ts", "1 hour").start.alias("h"), cents.alias("c")
+    ).collect():
+        exact.setdefault(r.h, []).append(r.c)
+    assert set(est) == set(exact)
+    for h, (lo, total) in est.items():
+        vals = sorted(exact[h])
+        assert total == len(vals)
+        true_q = vals[math.ceil(q * len(vals)) - 1]
+        assert lo <= true_q < lo + 100

@@ -288,3 +288,39 @@ def test_viz_cli_writes_frames(spark, tmp_path):
     with open(os.path.join(out, bmps[0]), "rb") as fh:
         img = decode_bmp(fh.read())
     assert img.shape[2] == 3
+
+
+def test_scatter_bins_matches_numpy_model(spark):
+    """Randomized cross-model check: Spark's floor/clamp pixel binning
+    equals an independent numpy binning of the same points — window
+    filtering, edge clamping and exact counts, over an awkward
+    non-unit window."""
+    rng = np.random.default_rng(42)
+    xs = rng.uniform(-2.0, 13.0, size=2000)
+    ys = rng.uniform(-5.0, 8.0, size=2000)
+    x_min, x_max, y_min, y_max = -1.5, 12.25, -4.0, 7.5
+    w, h = 37, 23
+    from big_data_bowl_2026_analytics_spark.viz.scatter import scatter_bins
+
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xs, ys)],
+        "x double, y double",
+    )
+    got = {
+        (r.px, r.py): r.n
+        for r in scatter_bins(
+            df, "x", "y", x_min, x_max, y_min, y_max, width=w, height=h
+        ).collect()
+    }
+    keep = (xs >= x_min) & (xs <= x_max) & (ys >= y_min) & (ys <= y_max)
+    px = np.minimum(
+        w - 1, np.floor((xs[keep] - x_min) / (x_max - x_min) * w)
+    ).astype(int)
+    py = np.minimum(
+        h - 1, np.floor((ys[keep] - y_min) / (y_max - y_min) * h)
+    ).astype(int)
+    want: dict[tuple[int, int], int] = {}
+    for a, b in zip(px, py):
+        want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+    assert sum(got.values()) == int(keep.sum())
