@@ -324,3 +324,59 @@ def test_scatter_bins_matches_numpy_model(spark):
         want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
     assert sum(got.values()) == int(keep.sum())
+
+
+def test_render_and_scatter_plan_shapes(spark):
+    """Plan contracts for the viz operators: the renderer is ONE
+    play-keyed Arrow group op (FlatMapGroupsInPandas over a single
+    exchange on game_id/play_id); scatter_bins is a two-phase hash
+    aggregation whose window predicate reaches the scan-side filter —
+    no window functions, no Python nodes."""
+    from big_data_bowl_2026_analytics_spark.plans.explain import (
+        physical_plan,
+    )
+    from big_data_bowl_2026_analytics_spark.viz.render import (
+        render_play_frames,
+    )
+    from big_data_bowl_2026_analytics_spark.viz.scatter import scatter_bins
+
+    before = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_BEFORE_SCHEMA.fields)
+            for r in make_tracking_before()
+        ],
+        TRACKING_BEFORE_SCHEMA,
+    )
+    after = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_AFTER_SCHEMA.fields)
+            for r in make_tracking_after()
+        ],
+        TRACKING_AFTER_SCHEMA,
+    )
+    plan = physical_plan(render_play_frames(before, after))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(game_id" in plan
+    assert plan.count("Exchange (") == 1  # the one play-key shuffle
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_2026_analytics_spark.sources.readers import (
+        read_table,
+    )
+
+    ev = read_table(
+        spark, "/root/testdata/sf0.001", "events", ["value", "user_id"]
+    )
+    pts = ev.select(
+        F.col("user_id").cast("double").alias("x"),
+        F.col("value").cast("double").alias("y"),
+    )
+    splan = physical_plan(
+        scatter_bins(pts, "x", "y", 0.0, 100.0, 0.0, 100.0)
+    )
+    # partial + final aggregate = 2 nodes, printed twice (tree+detail)
+    assert splan.count("HashAggregate") == 4
+    assert "Window" not in splan
+    assert "Filter" in splan
+    assert "FlatMapGroupsInPandas" not in splan
