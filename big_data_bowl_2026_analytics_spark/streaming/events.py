@@ -629,6 +629,13 @@ def hourly_value_histogram(
     ceil(q*n) lands in the reported bucket) and within one
     ``bucket_cents`` in VALUE — the error-bound-boolean contract the
     drain test pins (never estimate-equality, footgun 10).
+
+    Contract: nonnegative values (prices/latencies — this corpus).
+    For negative cents ``cents % bucket_cents`` truncates toward zero,
+    so a negative value's bucket edge would sit ABOVE it and the
+    [lo, lo + bucket_cents) read in histogram_quantile would be off
+    by one bucket; extend with floor-div bucketing before feeding a
+    signed domain.
     """
     cents = F.round(F.col("value") * 100).cast("bigint")
     return (

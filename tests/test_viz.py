@@ -380,3 +380,25 @@ def test_render_and_scatter_plan_shapes(spark):
     assert "Window" not in splan
     assert "Filter" in splan
     assert "FlatMapGroupsInPandas" not in splan
+
+
+def test_render_after_only_play_drops_cleanly(spark):
+    """A play with after-throw rows but no before-throw rows (nothing
+    to rebase against or read ball_land from) yields ZERO frames, not
+    a crash — the empty-group Arrow path."""
+    before = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_BEFORE_SCHEMA.fields)
+            for r in make_tracking_before()
+        ],
+        TRACKING_BEFORE_SCHEMA,
+    ).where("play_id <> 2")
+    after = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_AFTER_SCHEMA.fields)
+            for r in make_tracking_after()
+        ],
+        TRACKING_AFTER_SCHEMA,
+    )
+    out = render_play_frames(before, after, scale=2).collect()
+    assert sorted({r.play_id for r in out}) == [1, 3, 4, 5, 6]
