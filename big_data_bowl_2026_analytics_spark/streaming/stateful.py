@@ -570,8 +570,9 @@ def mg_merge(
     (k+1)*D <= n - S decrement bound. Returns (new_summary, d).
 
     Pure function so the merge theorem is pinned by a hypothesis test
-    (tests/test_streaming_multimodal.py) independent of the Spark
-    state plumbing in heavy_hitter_summaries.
+    (tests/test_session10_properties.py) independent of the Spark
+    state plumbing in heavy_hitter_summaries; the Spark drain test
+    lives in tests/test_streaming_multimodal.py.
     """
     merged = dict(summary)
     for key_, c in add.items():

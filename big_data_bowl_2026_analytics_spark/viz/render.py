@@ -145,20 +145,22 @@ def _rasterize_frame(
     scale: int,
     players: Iterable[tuple[float, float, str]],
     ball_xy: tuple[float, float] | None,
-    land_xy: tuple[float, float],
+    land_xy: tuple[float, float] | None,
 ) -> np.ndarray:
-    """One frame: copy the field canvas, mark the landing cross, draw
-    players as side-colored discs and the ball as a smaller disc at
-    the reference's +0.31 yard x offset (play.py:279)."""
+    """One frame: copy the field canvas, mark the landing cross (when
+    landing coordinates exist — plays with null ball_land_x/y render
+    without it), draw players as side-colored discs and the ball as a
+    smaller disc at the reference's +0.31 yard x offset (play.py:279)."""
     h = img.shape[0]
     out = img.copy()
-    _cross(
-        out,
-        _px(land_xy[0], scale),
-        h - 1 - _px(land_xy[1], scale),
-        2 * scale,
-        LAND_MARK,
-    )
+    if land_xy is not None:
+        _cross(
+            out,
+            _px(land_xy[0], scale),
+            h - 1 - _px(land_xy[1], scale),
+            2 * scale,
+            LAND_MARK,
+        )
     for x, y, side in players:
         _disc(
             out,
@@ -246,8 +248,14 @@ def render_play_frames(
         af["player_side"] = (
             af["nfl_id"].map(side_by_player).fillna("Defense")
         )
-        land_x = float(bf["ball_land_x"].iloc[0])
-        land_y = float(bf["ball_land_y"].iloc[0])
+        # Null landing coordinates (advice r10): render without the
+        # cross and without the ball-flight linspace instead of
+        # int(round(nan)) blowing up the Arrow worker.
+        land_raw_x = bf["ball_land_x"].iloc[0]
+        land_raw_y = bf["ball_land_y"].iloc[0]
+        land_xy: tuple[float, float] | None = None
+        if pd.notna(land_raw_x) and pd.notna(land_raw_y):
+            land_xy = (float(land_raw_x), float(land_raw_y))
         scrim = bf["scrim_x"].iloc[0]
         canvas = _field_canvas(
             scale, float(scrim) if pd.notna(scrim) else None
@@ -261,13 +269,13 @@ def render_play_frames(
             for r in passer.itertuples()
         }
         after_frames = sorted(af["frame_id"].unique())
-        if after_frames and not passer.empty:
+        if after_frames and not passer.empty and land_xy is not None:
             rx, ry = (
                 float(passer["x"].iloc[-1]),
                 float(passer["y"].iloc[-1]),
             )
-            xs = np.linspace(rx, land_x, len(after_frames))
-            ys = np.linspace(ry, land_y, len(after_frames))
+            xs = np.linspace(rx, land_xy[0], len(after_frames))
+            ys = np.linspace(ry, land_xy[1], len(after_frames))
             for fid, bx, by in zip(after_frames, xs, ys):
                 ball_by_frame[int(fid)] = (float(bx), float(by))
 
@@ -283,7 +291,7 @@ def render_play_frames(
                     for r in grp.itertuples()
                 ],
                 ball,
-                (land_x, land_y),
+                land_xy,
             )
             rows.append(
                 {

@@ -402,3 +402,47 @@ def test_render_after_only_play_drops_cleanly(spark):
     )
     out = render_play_frames(before, after, scale=2).collect()
     assert sorted({r.play_id for r in out}) == [1, 3, 4, 5, 6]
+
+
+def test_render_null_ball_land_skips_cross_and_flight(spark):
+    """A play whose ball_land_x/y are NULL (advice r10) renders every
+    frame without the landing cross or the after-throw ball-flight
+    linspace instead of int(round(nan)) failing the Arrow stage."""
+    import pyspark.sql.functions as F
+
+    before = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_BEFORE_SCHEMA.fields)
+            for r in make_tracking_before()
+        ],
+        TRACKING_BEFORE_SCHEMA,
+    ).withColumns(
+        {
+            "ball_land_x": F.when(
+                F.col("play_id") != 2, F.col("ball_land_x")
+            ),
+            "ball_land_y": F.when(
+                F.col("play_id") != 2, F.col("ball_land_y")
+            ),
+        }
+    )
+    after = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_AFTER_SCHEMA.fields)
+            for r in make_tracking_after()
+        ],
+        TRACKING_AFTER_SCHEMA,
+    )
+    out = render_play_frames(before, after, scale=2).collect()
+    p2 = [r for r in out if r.play_id == 2]
+    assert p2, "the null-landing play must still render"
+    after_p2 = [r for r in p2 if r.phase == "after"]
+    assert after_p2 and all(r.ball_x is None for r in after_p2)
+    land = np.array(LAND_MARK, dtype=np.uint8)
+    for r in p2:
+        img = decode_bmp(bytes(r.image))
+        assert not (img == land).all(axis=-1).any()
+    # other plays keep their cross
+    p1 = [r for r in out if r.play_id == 1]
+    img1 = decode_bmp(bytes(p1[0].image))
+    assert (img1 == land).all(axis=-1).any()
