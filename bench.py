@@ -5,12 +5,15 @@
 
 Two measurements, both reported:
 
-- ``queries`` / ``serial_total``: each query alone (min of 3 runs —
-  tunable via SPARK_GRAFT_BENCH_REPS; the shared box shows multi-second
-  external load spikes, and min-of-N is the standard defense,
-  executed to completion executor-side via a noop sink) — the
-  per-query engine cost, comparable 1:1 with a per-query DuckDB
-  timing.
+- ``queries`` / ``serial_total``: each query alone (min over full-suite
+  passes, run to CONVERGENCE — at least SPARK_GRAFT_BENCH_REPS passes,
+  then more until the last pass total is within 10% of the best, up to
+  SPARK_GRAFT_BENCH_MAX_REPS; the shared box shows multi-second
+  external load spikes, and an unconverged run self-declares
+  ``contaminated``; executed to completion executor-side via a noop
+  sink) — the per-query engine cost, comparable 1:1 with the DuckDB
+  oracle timings taken before AND after the Spark phases in the same
+  artifact.
 - ``value`` (headline): wall-clock to complete the WHOLE workload with
   the queries batched through one FAIR-scheduled session from worker
   threads. At micro scale factors every Spark query carries a fixed
@@ -75,9 +78,21 @@ def main() -> None:
     # below the threshold both avoids real contention and keeps the
     # contaminated flag meaningful — it then fires only when load is
     # GENUINELY still present after the settle window.
+    #
+    # r10 lesson: BENCH_r10 opened with the 1-minute average settled
+    # (1.89) while the 15-minute average read 18.07 — the box was
+    # still digesting a heavy multi-minute phase and the serial reps
+    # never converged. The guard therefore waits for the 1-minute AND
+    # 5-minute averages (the 5-minute one decays within the settle
+    # cap; the 15-minute one cannot, so it is recorded, not gated on),
+    # and the cap is sized for the 5-minute decay.
     load_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "2.0"))
+    settle_cap = float(os.environ.get("SPARK_GRAFT_SETTLE_CAP_S", "300"))
     settle_wait = 0.0
-    while os.getloadavg()[0] > load_threshold and settle_wait < 120.0:
+    while (
+        max(os.getloadavg()[0], os.getloadavg()[1]) > load_threshold
+        and settle_wait < settle_cap
+    ):
         time.sleep(5.0)
         settle_wait += 5.0
     load_start = os.getloadavg()
@@ -98,6 +113,69 @@ def main() -> None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
     except ValueError:
         shuffle_partitions = 8
+    # Resilience contract: the driver records whatever single JSON
+    # line this prints — an uncaught exception anywhere below would
+    # record NOTHING for the whole round (this happened in round 2:
+    # a schema change in the regenerated testdata threw during table
+    # pinning, before the first query ran). Every per-query and
+    # per-table step is therefore individually guarded; failures are
+    # reported in an "errors" field instead of aborting the run.
+    errors: dict[str, str] = {}
+
+    specs = all_queries()
+    names = [n for n in HEADLINE if n in specs]
+
+    # Per-query DuckDB oracle timings (r9 verdict #6), now run BEFORE
+    # and AFTER the Spark phases (r10 verdict #1): BENCH_r10's oracle
+    # pass ran only after all Spark work and caught the quietest
+    # window of a loaded box, biasing the serial/oracle ratio against
+    # Spark. Bracketing the Spark phases with one oracle pass on each
+    # side makes load bias visible on BOTH engines: a pre/post total
+    # disagreement flags a drifting box inside the artifact itself.
+    # min-of-2 per query within each pass, matching the judge's
+    # bench_duckdb.py methodology; the reported per-query number is
+    # the min across both passes.
+    oracle_enabled = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") == "1"
+    oracle_con = None
+    if oracle_enabled:
+        try:
+            import duckdb
+
+            from big_data_bowl_2026_analytics_spark.sources.readers import (
+                TPCH_TABLES,
+            )
+
+            oracle_con = duckdb.connect()
+            for table in TPCH_TABLES:
+                oracle_con.execute(
+                    f"CREATE OR REPLACE VIEW {table} AS "
+                    f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors["_oracle"] = f"{type(exc).__name__}: {exc}"
+            oracle_con = None
+
+    def _oracle_pass() -> dict[str, float]:
+        res: dict[str, float] = {}
+        for name in names:
+            spec = specs.get(name)
+            if spec is None or not spec.oracle:
+                continue
+            try:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    oracle_con.execute(spec.oracle).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                res[name] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"_oracle_{name}"] = f"{type(exc).__name__}: {exc}"
+        return res
+
+    oracle_pre: dict[str, float] = {}
+    if oracle_con is not None:
+        oracle_pre = _oracle_pass()
+
     # FAIR scheduling with a fair default pool, so the concurrent
     # phase's jobs share executor slots instead of queueing FIFO.
     pool_xml = Path(__file__).resolve().parent / "spark-warehouse" / "fairscheduler.xml"
@@ -141,17 +219,6 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_AQE", "0") != "1":
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    # Resilience contract: the driver records whatever single JSON
-    # line this prints — an uncaught exception anywhere below would
-    # record NOTHING for the whole round (this happened in round 2:
-    # a schema change in the regenerated testdata threw during table
-    # pinning, before the first query ran). Every per-query and
-    # per-table step is therefore individually guarded; failures are
-    # reported in an "errors" field instead of aborting the run.
-    errors: dict[str, str] = {}
-
-    specs = all_queries()
-    names = [n for n in HEADLINE if n in specs]
     # Warm up JVM/codegen paths outside the timed region.
     try:
         specs[names[0]].builder(spark, sf_dir).count()
@@ -294,11 +361,22 @@ def main() -> None:
     # passes spread each query's samples minutes apart. Per-pass
     # totals are emitted so a contaminated pass is visible in the
     # round artifact instead of silently becoming the number.
+    # Convergence, not fixed reps (r10 verdict #1): BENCH_r10's serial
+    # pass totals were still FALLING at the fixed-rep cutoff
+    # (27.2 -> 12.4 -> 11.5) — the min-of-3 captured a still-loaded
+    # box. Run at least n_reps full-suite passes, then keep adding
+    # passes until the LAST pass total is within conv_tol of the best
+    # pass so far (the steady-state test), up to max_reps. A run that
+    # hits max_reps unconverged declares itself in the artifact
+    # (serial_converged: false) instead of silently shipping a
+    # contaminated number.
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "8"))
+    conv_tol = float(os.environ.get("SPARK_GRAFT_BENCH_CONV_TOL", "0.10"))
     rep_timings: dict[str, list[float]] = {name: [] for name in names}
     pass_totals: list[float] = []
     pass_counts: list[int] = []
-    for _ in range(n_reps):
+    while True:
         pass_total = 0.0
         pass_count = 0
         for name in names:
@@ -316,6 +394,14 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"
         pass_totals.append(round(pass_total, 3))
         pass_counts.append(pass_count)
+        if len(pass_totals) >= n_reps and (
+            pass_totals[-1] <= (1.0 + conv_tol) * min(pass_totals)
+        ):
+            serial_converged = True
+            break
+        if len(pass_totals) >= max_reps:
+            serial_converged = False
+            break
     # A query that succeeded on an early pass but errored later is
     # reported ONLY in errors — its surviving timings still carry
     # whole-stage-codegen warmup (min-of-fewer-reps) and would inflate
@@ -355,21 +441,32 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 errors.setdefault(name, f"{type(exc).__name__}: {exc}")
 
-        # min of n_reps, like the serial phase: one makespan
-        # measurement is exposed to scheduler jitter across 8 threads.
-        # Every rep's makespan is kept for the JSON so a contaminated
-        # rep is visible in the artifact.
-        for _ in range(n_reps):
+        # Same convergence discipline as the serial phase: one
+        # makespan measurement is exposed to scheduler jitter across
+        # 8 threads, and BENCH_r10's batched reps were still falling
+        # at the fixed cutoff (16.3 -> 6.8 -> 5.94). Every rep's
+        # makespan is kept for the JSON so a contaminated rep is
+        # visible in the artifact.
+        while True:
             t0 = time.perf_counter()
             with ThreadPoolExecutor(max_workers=n_threads) as pool:
                 list(pool.map(_run_one, names))
             batched_reps.append(round(time.perf_counter() - t0, 3))
+            if len(batched_reps) >= n_reps and (
+                batched_reps[-1] <= (1.0 + conv_tol) * min(batched_reps)
+            ):
+                batched_converged = True
+                break
+            if len(batched_reps) >= max_reps:
+                batched_converged = False
+                break
         concurrent_wall = min(batched_reps)
 
     if concurrent_wall is not None and concurrent_wall < serial_total:
         value, execution = concurrent_wall, f"fair_batched_{n_threads}_threads"
     else:
         value, execution = serial_total, "serial"
+    load_end = os.getloadavg()
     out = {
         "metric": "headline_queries_total_wall",
         "value": value,
@@ -384,71 +481,59 @@ def main() -> None:
         # load average sampled at start and end of the run. A future
         # reader can separate noise from regression without
         # re-measuring.
-        "reps": n_reps,
+        "reps": len(pass_totals),
         "serial_pass_totals": pass_totals,
         "serial_pass_query_counts": pass_counts,
-        "loadavg_1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
+        "serial_converged": serial_converged,
+        "loadavg_1m": [round(load_start[0], 2), round(load_end[0], 2)],
+        "loadavg_5m": [round(load_start[1], 2), round(load_end[1], 2)],
+        "loadavg_15m": [round(load_start[2], 2), round(load_end[2], 2)],
     }
     # Load guard (r8 verdict #4): BENCH_r08 opened on a load-5 box and
     # the serial number absorbed the contention. Annotate — don't
     # abort — so the driver still gets its one JSON line, but a round
     # artifact taken under load is self-declared invalid for
-    # serial-vs-oracle comparisons.
+    # serial-vs-oracle comparisons. r10 widened the trigger: settled
+    # 1-minute + elevated 5-minute load, or an unconverged serial
+    # phase, both mark the artifact.
     if settle_wait:
         out["settle_wait_s"] = settle_wait
-    if load_start[0] > load_threshold:
+    if (
+        max(load_start[0], load_start[1]) > load_threshold
+        or not serial_converged
+    ):
         out["contaminated"] = True
     if concurrent_wall is not None:
         out["fair_batched_wall"] = concurrent_wall
         out["fair_batched_reps"] = batched_reps
+        out["batched_converged"] = batched_converged
     if index_build:
         # One-time ingest cost (NOT part of the per-query timings —
         # q42/q62 above search the prebuilt bucketed index tables).
         out["index_build"] = index_build
 
-    # Per-query DuckDB oracle timings (r9 verdict #6): the suite-level
-    # oracle number (tools/bench_duckdb.py) made a single-query
-    # regression ambiguous — was q62's +59% engine or environment? A
-    # per-query oracle column IN THE SAME ARTIFACT answers that: both
-    # engines ran on the same box minutes apart. Runs AFTER every
-    # Spark measurement so DuckDB's all-core execution cannot
-    # contaminate the Spark numbers. min-of-2 per query, matching the
-    # judge's bench_duckdb.py methodology. Note q42/q62's oracles time
-    # the self-contained (non-indexed) SQL forms — DuckDB has no
+    # Post-Spark oracle pass: the second half of the pre/post bracket
+    # (the pre pass ran before the Spark session came up). The
+    # reported per-query oracle number is the min across both passes;
+    # the per-pass totals stay in the artifact so a drifting box shows
+    # up as a pre/post disagreement. Note q42/q62's oracles time the
+    # self-contained (non-indexed) SQL forms — DuckDB has no
     # prebuilt-index analogue, so those two rows compare search+build
     # against search-only and are annotated by index_build above.
-    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") == "1":
-        try:
-            import duckdb
-
-            from big_data_bowl_2026_analytics_spark.sources.readers import (
-                TPCH_TABLES,
+    if oracle_con is not None:
+        oracle_post = _oracle_pass()
+        oracle_timings = {
+            name: min(
+                v
+                for v in (oracle_pre.get(name), oracle_post.get(name))
+                if v is not None
             )
-
-            con = duckdb.connect()
-            for table in TPCH_TABLES:
-                con.execute(
-                    f"CREATE OR REPLACE VIEW {table} AS "
-                    f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
-                )
-            oracle_timings: dict[str, float] = {}
-            for name in names:
-                spec = specs.get(name)
-                if spec is None or not spec.oracle:
-                    continue
-                try:
-                    best = float("inf")
-                    for _ in range(2):
-                        t0 = time.perf_counter()
-                        con.execute(spec.oracle).fetchall()
-                        best = min(best, time.perf_counter() - t0)
-                    oracle_timings[name] = round(best, 3)
-                except Exception as exc:  # noqa: BLE001
-                    errors[f"_oracle_{name}"] = f"{type(exc).__name__}: {exc}"
-            out["oracle_queries"] = oracle_timings
-            out["oracle_total"] = round(sum(oracle_timings.values()), 3)
-        except Exception as exc:  # noqa: BLE001
-            errors["_oracle"] = f"{type(exc).__name__}: {exc}"
+            for name in set(oracle_pre) | set(oracle_post)
+        }
+        out["oracle_queries"] = oracle_timings
+        out["oracle_total"] = round(sum(oracle_timings.values()), 3)
+        out["oracle_pre_total"] = round(sum(oracle_pre.values()), 3)
+        out["oracle_post_total"] = round(sum(oracle_post.values()), 3)
 
     if errors:
         out["errors"] = errors
