@@ -137,17 +137,24 @@ def viterbi_paths(
         F.lit(n_steps).alias("t"),
         F.col("m.state").alias("state"),
         F.col("m.s").alias("path_logp"),
-    )
+    ).localCheckpoint(eager=False)
     rows = [head]
     cur = head
     for t, bp in reversed(backptrs):
-        cur = cur.where(F.col("t") == t).join(
-            bp, ["seq_id", "state"]
-        ).select(
-            "seq_id",
-            F.lit(t - 1).alias("t"),
-            F.col("prev_state").alias("state"),
-            "path_logp",
+        # checkpoint per step: each union branch below reuses the
+        # backward prefix instead of re-executing its whole join
+        # chain (quadratic in n_steps otherwise — the q229 lesson
+        # applied to the backward pass).
+        cur = (
+            cur.where(F.col("t") == t)
+            .join(bp, ["seq_id", "state"])
+            .select(
+                "seq_id",
+                F.lit(t - 1).alias("t"),
+                F.col("prev_state").alias("state"),
+                "path_logp",
+            )
+            .localCheckpoint(eager=False)
         )
         rows.append(cur)
     out = rows[0]

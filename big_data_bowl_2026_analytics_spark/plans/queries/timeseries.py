@@ -5075,3 +5075,326 @@ def q381_erlang_blocking_ladder(
         fround(F.col(f"b{max_c}"), 6).alias(f"blocking_c{max_c}"),
         sel.otherwise(ladder).cast("bigint").alias("min_servers_2pct"),
     )
+
+
+def _q400_oracle(n_steps: int = 6) -> str:
+    """Unrolled max-plus Viterbi oracle (the q125/q299/q362 lattice
+    discipline): one bp/v CTE pair per forward step, a terminal pick,
+    and one backward CTE per step — every CTE MATERIALIZED (q241
+    lesson: a CTE referenced per unroll round inflates exponentially
+    otherwise). All scores are exact BIGINT ppm log-probs, so the
+    per-cell argmax and its (score DESC, prev-state ASC) tie-break are
+    engine-exact — the q384 fixed-point rule applied to Viterbi."""
+    head = """
+WITH ev AS MATERIALIZED (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(round(value * 100 + 1e-9) AS BIGINT) AS cents
+  FROM events
+), seqed AS MATERIALIZED (
+  SELECT user_id, event_type,
+         CASE WHEN cents < 1000 THEN 0 WHEN cents < 5000 THEN 1
+              WHEN cents < 15000 THEN 2 ELSE 3 END AS bucket,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS t,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM ev
+), types AS MATERIALIZED (
+  SELECT DISTINCT event_type AS state FROM ev
+), tc AS MATERIALIZED (
+  SELECT event_type AS from_type, to_type, count(*) AS n
+  FROM seqed WHERE to_type IS NOT NULL GROUP BY 1, 2
+), tn AS MATERIALIZED (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS nf FROM tc GROUP BY 1
+), tprob AS MATERIALIZED (
+  SELECT a.state AS prev_state, b.state AS state,
+         CAST(round(ln(CAST(COALESCE(tc.n, 0) + 1 AS DOUBLE)
+                       / (COALESCE(tn.nf, 0) + 5)) * 1000000.0 + 1e-9)
+              AS BIGINT) AS lp
+  FROM types a
+  CROSS JOIN types b
+  LEFT JOIN tc ON tc.from_type = a.state AND tc.to_type = b.state
+  LEFT JOIN tn ON tn.from_type = a.state
+), ic AS MATERIALIZED (
+  SELECT event_type, count(*) AS n FROM seqed WHERE t = 1 GROUP BY 1
+), nu AS MATERIALIZED (
+  SELECT CAST(sum(n) AS BIGINT) AS nu FROM ic
+), iprob AS MATERIALIZED (
+  SELECT ty.state,
+         CAST(round(ln(CAST(COALESCE(ic.n, 0) + 1 AS DOUBLE)
+                       / (nu.nu + 5)) * 1000000.0 + 1e-9) AS BIGINT) AS lp
+  FROM types ty
+  LEFT JOIN ic ON ic.event_type = ty.state
+  CROSS JOIN nu
+), ec AS MATERIALIZED (
+  SELECT event_type, bucket, count(*) AS n FROM seqed GROUP BY 1, 2
+), et AS MATERIALIZED (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS nt FROM ec GROUP BY 1
+), eprob AS MATERIALIZED (
+  SELECT ty.state, b.bucket,
+         CAST(round(ln(CAST(COALESCE(ec.n, 0) + 1 AS DOUBLE)
+                       / (COALESCE(et.nt, 0) + 4)) * 1000000.0 + 1e-9)
+              AS BIGINT) AS lp
+  FROM types ty
+  CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(bucket)
+  LEFT JOIN ec ON ec.event_type = ty.state AND ec.bucket = b.bucket
+  LEFT JOIN et ON et.event_type = ty.state
+), eligible AS MATERIALIZED (
+  SELECT user_id FROM seqed GROUP BY user_id
+  HAVING max(t) >= {T}
+), emis AS MATERIALIZED (
+  SELECT s.user_id, s.t, e.state, e.lp
+  FROM seqed s
+  JOIN eligible USING (user_id)
+  JOIN eprob e ON e.bucket = s.bucket
+  WHERE s.t <= {T}
+), v1 AS MATERIALIZED (
+  SELECT m.user_id, m.state, m.lp + i.lp AS score
+  FROM emis m JOIN iprob i ON i.state = m.state
+  WHERE m.t = 1
+)""".replace("{T}", str(n_steps))
+    parts = [head]
+    for t in range(2, n_steps + 1):
+        parts.append(
+            f""", bp{t} AS MATERIALIZED (
+  SELECT user_id, state, prev_state, score FROM (
+    SELECT v.user_id, tr.state, v.state AS prev_state,
+           v.score + tr.lp AS score,
+           row_number() OVER (
+             PARTITION BY v.user_id, tr.state
+             ORDER BY v.score + tr.lp DESC, v.state ASC
+           ) AS rn
+    FROM v{t - 1} v JOIN tprob tr ON tr.prev_state = v.state
+  ) WHERE rn = 1
+), v{t} AS MATERIALIZED (
+  SELECT b.user_id, b.state, b.score + m.lp AS score
+  FROM bp{t} b
+  JOIN emis m
+    ON m.user_id = b.user_id AND m.state = b.state AND m.t = {t}
+)"""
+        )
+    parts.append(
+        f""", term AS MATERIALIZED (
+  SELECT user_id, state, score FROM (
+    SELECT user_id, state, score,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY score DESC, state ASC
+           ) AS rn
+    FROM v{n_steps}
+  ) WHERE rn = 1
+), p{n_steps} AS MATERIALIZED (
+  SELECT user_id, {n_steps} AS t, state, score AS plp FROM term
+)"""
+    )
+    for t in range(n_steps, 1, -1):
+        parts.append(
+            f""", p{t - 1} AS MATERIALIZED (
+  SELECT p.user_id, {t - 1} AS t, b.prev_state AS state, p.plp
+  FROM p{t} p
+  JOIN bp{t} b ON b.user_id = p.user_id AND b.state = p.state
+)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT * FROM p{t}" for t in range(1, n_steps + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(t AS BIGINT) AS t,
+       state,
+       CAST(plp AS BIGINT) AS path_logp_ppm
+FROM (
+  {union}
+)"""
+    )
+    return "".join(parts)
+
+
+def _ppm_log(p):
+    """ln(p) quantized to exact BIGINT millionths — the q384
+    fixed-point discipline. Cross-engine: Spark's Math.log and
+    DuckDB's libm ln may differ in the last ulp, but the ppm grid is
+    ~6 orders of magnitude coarser, so both engines land on the same
+    integer (the +1e-9 nudge covers the rounding-rule difference at
+    the vanishing set of boundary cells)."""
+    return F.round(F.log(p) * F.lit(1000000.0) + F.lit(1e-9), 0).cast(
+        "bigint"
+    )
+
+
+@query(
+    "q400_viterbi_regime_decode",
+    tags=("timeseries", "markov", "viterbi", "iterative"),
+    oracle=_q400_oracle(6),
+)
+def q400_viterbi_regime_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely hidden-regime path per user over their first six
+    events — exact Viterbi decode (operators/markov.py::viterbi_paths,
+    the max-plus sibling of the q125/q299/q362 unrolled message-passing
+    family) under a corpus-estimated HMM: hidden states are the five
+    event types, observations are four fixed value buckets (exact
+    cents thresholds), and the model is Laplace-smoothed empirical
+    counts — init from each user's first event type, transitions from
+    q138's per-user lead pairs, emissions from the (type, bucket)
+    contingency table. Every log-prob is quantized ONCE to BIGINT ppm,
+    so the entire max-plus recursion (additions, argmax comparisons,
+    tie-breaks toward the lexicographically smallest state) is exact
+    integer arithmetic on both engines — no float accumulates across
+    rounds (the q384 rule; see _ppm_log for the one quantization
+    point).
+
+    Scale: one user-keyed window pass builds rank + lead together (one
+    shuffle, q351 shared-window rule); the model frames are k=5 /
+    k²=25 / 5×4=20 rows, broadcast everywhere they touch data-sized
+    frames; each of the 5 forward rounds is one broadcast join + one
+    grouped max-struct on the (users × 5) rolling frame with lineage
+    truncated per round inside the operator; the backward pass joins
+    the users-grain head against the checkpointed backpointer frames.
+    The only data-sized axes are |users| and |events| — exactly the
+    shape that survives 100×. Reference parity: decodes the regime
+    chain the reference's per-play state heuristics eyeball
+    (src/metrics/deception.py's segment logic is the change-point
+    cousin); the operator itself is brute-force-pinned in
+    tests/test_session10_properties.py."""
+    from pyspark.sql import Window
+
+    from ...operators.markov import viterbi_paths
+
+    n_steps = 6
+    ev = read_table(
+        spark,
+        sf_dir,
+        "events",
+        ["user_id", "event_id", "ts", "event_type", "value"],
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100 + F.lit(1e-9), 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seqed = (
+        base.select(
+            "user_id",
+            "event_type",
+            F.when(F.col("cents") < 1000, 0)
+            .when(F.col("cents") < 5000, 1)
+            .when(F.col("cents") < 15000, 2)
+            .otherwise(3)
+            .alias("bucket"),
+            F.row_number().over(w).alias("t"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        # feeds types/trans/init/emit counts AND the observation frame
+        .localCheckpoint(eager=False)
+    )
+    types = (
+        seqed.select(F.col("event_type").alias("state"))
+        .distinct()
+        .localCheckpoint(eager=False)  # k rows, referenced 4x
+    )
+
+    pairs = seqed.where(F.col("to_type").isNotNull()).select(
+        F.col("event_type").alias("from_type"), "to_type"
+    )
+    tc = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tn = tc.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("nf"))
+    grid = types.select(F.col("state").alias("prev_state")).crossJoin(types)
+    trans = (
+        grid.join(
+            F.broadcast(
+                tc.withColumnsRenamed(
+                    {"from_type": "prev_state", "to_type": "state"}
+                )
+            ),
+            ["prev_state", "state"],
+            "left",
+        )
+        .join(
+            F.broadcast(tn.withColumnRenamed("from_type", "prev_state")),
+            "prev_state",
+            "left",
+        )
+        .select(
+            "prev_state",
+            "state",
+            _ppm_log(
+                (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("nf"), F.lit(0)) + 5)
+            ).alias("logp"),
+        )
+        .localCheckpoint(eager=False)  # k² rows, referenced per round
+    )
+
+    ic = (
+        seqed.where(F.col("t") == 1)
+        .groupBy(F.col("event_type").alias("state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nu = ic.agg(F.sum("n").cast("bigint").alias("nu"))
+    init = (
+        types.join(F.broadcast(ic), "state", "left")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "state",
+            _ppm_log(
+                (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
+                / (F.col("nu") + 5)
+            ).alias("logp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    ec = seqed.groupBy(F.col("event_type").alias("state"), "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    et = ec.groupBy("state").agg(F.sum("n").cast("bigint").alias("nt"))
+    buckets = spark.range(4).select(F.col("id").cast("int").alias("bucket"))
+    eprob = (
+        types.crossJoin(buckets)
+        .join(F.broadcast(ec), ["state", "bucket"], "left")
+        .join(F.broadcast(et), "state", "left")
+        .select(
+            "state",
+            "bucket",
+            _ppm_log(
+                (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("nt"), F.lit(0)) + 4)
+            ).alias("lp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    eligible = (
+        seqed.groupBy("user_id")
+        .agg(F.max("t").alias("mx"))
+        .where(F.col("mx") >= n_steps)
+        .select("user_id")
+    )
+    emis = (
+        seqed.where(F.col("t") <= n_steps)
+        .join(eligible, "user_id")
+        .join(F.broadcast(eprob), "bucket")
+        .select(
+            F.col("user_id").alias("seq_id"),
+            "t",
+            "state",
+            F.col("lp").alias("logp"),
+        )
+        # the operator slices this frame once per step
+        .localCheckpoint(eager=False)
+    )
+
+    out = viterbi_paths(emis, trans, init, n_steps)
+    return out.select(
+        F.col("seq_id").alias("user_id"),
+        F.col("t").cast("bigint").alias("t"),
+        "state",
+        F.col("path_logp").cast("bigint").alias("path_logp_ppm"),
+    )

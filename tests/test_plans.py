@@ -2360,3 +2360,18 @@ def test_q399_learning_curve_single_pass_behind_checkpoint(spark):
     assert "Location: InMemoryFileIndex" not in plan
     assert "windowspecdefinition" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q400_viterbi_backward_pass_reuses_checkpoints(spark):
+    plan = physical_plan(_q(spark, "q400_viterbi_regime_decode"))
+    # the forward rounds (broadcast model joins + grouped max-structs)
+    # and the per-step backward joins all hide behind per-round
+    # localCheckpoints (the q229 post-checkpoint shape); the visible
+    # plan is the 6-branch union of checkpointed path frames — each
+    # union branch reuses the materialized backward prefix instead of
+    # re-executing its whole join chain
+    assert "Union" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
