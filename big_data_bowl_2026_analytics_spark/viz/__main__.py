@@ -7,10 +7,13 @@ files instead of a matplotlib window/GIF (no imaging stack in scope).
         --game-id 1001 --play-id 1 --out /tmp/play1 [--scale 2]
 
 Writes ``frame_0001.bmp`` ... in frame order plus a ``frames.csv``
-manifest (frame_id, phase, ball_x, ball_y, n_players). The heavy
-lifting is the distributed renderer (render_play_frames); the CLI just
-filters to one play first, so the same code path serves both the
-single-play lookup and the full-corpus batch render.
+manifest (frame_id, phase, ball_x, ball_y, n_players). With
+``--apng`` it also writes an animated ``play.apng`` clip — the
+counterpart of the reference's matplotlib animation output
+(src/visualization/play.py:330-351). The heavy lifting is the
+distributed renderer (render_play_frames); the CLI just filters to
+one play first, so the same code path serves both the single-play
+lookup and the full-corpus batch render.
 """
 
 from __future__ import annotations
@@ -31,6 +34,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--play-id", type=int, required=True)
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--scale", type=int, default=2, help="pixels per yard")
+    ap.add_argument(
+        "--apng",
+        action="store_true",
+        help="also write an animated play.apng clip (10 fps)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -62,6 +70,14 @@ def main(argv: list[str] | None = None) -> int:
             ) as img:
                 img.write(bytes(r.image))
             w.writerow([r.frame_id, r.phase, r.ball_x, r.ball_y, r.n_players])
+    if args.apng:
+        from ..pipeline.multimodal import decode_bmp
+        from .anim import encode_apng
+
+        clip = encode_apng([decode_bmp(bytes(r.image)) for r in frames])
+        with open(os.path.join(args.out, "play.apng"), "wb") as fh:
+            fh.write(clip)
+        print(f"wrote {len(frames)}-frame clip to {args.out}/play.apng")
     print(f"wrote {len(frames)} frames to {args.out}")
     return 0
 
