@@ -1958,3 +1958,148 @@ def q233_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("m", "month_idx")
     )
+
+
+@query(
+    "q403_shift_share_decomposition",
+    tags=("relational", "growth", "decomposition"),
+    oracle="""
+WITH cells AS MATERIALIZED (
+  SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+         CAST(sum(CASE WHEN year(o.o_orderdate) = 1999
+                       THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS e0,
+         CAST(sum(CASE WHEN year(o.o_orderdate) = 2000
+                       THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS e1
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE year(o.o_orderdate) IN (1999, 2000)
+  GROUP BY 1, 2
+), seg AS MATERIALIZED (
+  SELECT segment, CAST(sum(e0) AS BIGINT) AS es0,
+         CAST(sum(e1) AS BIGINT) AS es1
+  FROM cells GROUP BY segment
+  HAVING sum(e0) > 0
+), tot AS MATERIALIZED (
+  SELECT CAST(sum(es0) AS BIGINT) AS t0, CAST(sum(es1) AS BIGINT) AS t1
+  FROM seg
+), terms AS (
+  SELECT c.nation, c.e0, c.e1,
+         CAST(c.e0 AS DOUBLE) * (CAST(t.t1 AS DOUBLE) / t.t0 - 1)
+           AS nat_c,
+         CAST(c.e0 AS DOUBLE)
+           * ((CAST(s.es1 AS DOUBLE) / s.es0 - 1)
+              - (CAST(t.t1 AS DOUBLE) / t.t0 - 1)) AS mix_c,
+         CAST(c.e1 AS DOUBLE)
+           - CAST(c.e0 AS DOUBLE)
+             * (1 + (CAST(s.es1 AS DOUBLE) / s.es0 - 1)) AS shift_c
+  FROM cells c JOIN seg s USING (segment) CROSS JOIN tot t
+)
+SELECT nation,
+       round(CAST(sum(e0) AS BIGINT) / 100.0 + 1e-9, 2) AS rev_base,
+       round(CAST(sum(e1) AS BIGINT) / 100.0 + 1e-9, 2) AS rev_cur,
+       round(CAST(sum(e1) - sum(e0) AS BIGINT) / 100.0 + 1e-9, 2)
+         AS delta,
+       round(sum(nat_c) / 100 + 1e-9, 2) AS national_effect,
+       round(sum(mix_c) / 100 + 1e-9, 2) AS mix_effect,
+       round(sum(shift_c) / 100 + 1e-9, 2) AS competitive_effect
+FROM terms GROUP BY nation
+""",
+)
+def q403_shift_share_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shift-share decomposition of each nation's 1999→2000 revenue
+    change into national-growth, segment-mix, and competitive-shift
+    effects (the regional-economics standard, here on market
+    segments): nat = e0·G, mix = e0·(G_s − G), shift = e1 − e0·(1+G_s)
+    per (nation, segment) cell — the three terms telescope to e1 − e0
+    EXACTLY cell-by-cell, so the decomposition needs no residual and
+    the e0 = 0 (new-activity) cell lands wholly in shift. Periods are
+    full corpus years (probed: 1995–2000 complete at every SF, 2001
+    partial — the q296 sizing discipline).
+
+    Exactness: cell revenues are exact integer cents from ONE
+    conditional-sum pass (the q376 cast-once discipline); growth
+    rates are single divisions of exact cents; each term is one
+    multiply of a cast-once double — only the ≤5-segment per-nation
+    sums are float, absorbed by fround(2) (the q24/q232 index-sum
+    class). Segment rates require es0 > 0 on both sides (all five
+    segments qualify at every SF).
+
+    Scale: orders⋈customer shuffles on custkey (both data-sized —
+    deliberately NOT broadcast, the q386 rule), nation broadcasts,
+    and everything after the cell reduce is arithmetic on a ≤125-row
+    frame (checkpointed: it feeds segment totals, grand totals, and
+    the term join)."""
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    cust = read_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    yr = F.year("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cells = (
+        orders.where(yr.isin(1999, 2000))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(F.when(yr == 1999, cents).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("e0"),
+            F.sum(F.when(yr == 2000, cents).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("e1"),
+        )
+        .localCheckpoint(eager=False)  # feeds seg, tot, and the term join
+    )
+    seg = (
+        cells.groupBy("segment")
+        .agg(
+            F.sum("e0").cast("bigint").alias("es0"),
+            F.sum("e1").cast("bigint").alias("es1"),
+        )
+        .where(F.col("es0") > 0)
+    )
+    tot = seg.agg(
+        F.sum("es0").cast("bigint").alias("t0"),
+        F.sum("es1").cast("bigint").alias("t1"),
+    )
+    g = F.col("t1").cast("double") / F.col("t0") - 1
+    gs = F.col("es1").cast("double") / F.col("es0") - 1
+    e0d = F.col("e0").cast("double")
+    terms = (
+        cells.join(F.broadcast(seg), "segment")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "e0",
+            "e1",
+            (e0d * g).alias("nat_c"),
+            (e0d * (gs - g)).alias("mix_c"),
+            (F.col("e1").cast("double") - e0d * (1 + gs)).alias("shift_c"),
+        )
+    )
+    return terms.groupBy("nation").agg(
+        fround(F.sum("e0").cast("bigint") / F.lit(100.0), 2).alias(
+            "rev_base"
+        ),
+        fround(F.sum("e1").cast("bigint") / F.lit(100.0), 2).alias("rev_cur"),
+        fround(
+            (F.sum("e1") - F.sum("e0")).cast("bigint") / F.lit(100.0), 2
+        ).alias("delta"),
+        fround(F.sum("nat_c") / F.lit(100), 2).alias("national_effect"),
+        fround(F.sum("mix_c") / F.lit(100), 2).alias("mix_effect"),
+        fround(F.sum("shift_c") / F.lit(100), 2).alias("competitive_effect"),
+    )

@@ -4561,3 +4561,151 @@ def q393_power_analysis_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm.alias("n_per_arm"),
         (2 * n_arm <= F.col("n_cust")).alias("feasible"),
     )
+
+
+def _q404_expected_d2_sql() -> str:
+    """Expected second-digit Benford share as a FIXED-ORDER 9-term
+    chain: sum_k log10(1 + 1/(10k + d)) written out left-associated so
+    both engines add the identical doubles in the identical order (a
+    grouped float sum would be order-free only by accident)."""
+    return " + ".join(
+        f"log10(1 + 1.0 / ({10 * k} + d2))" for k in range(1, 10)
+    )
+
+
+def _expected_d2_spark():
+    expr = None
+    for k in range(1, 10):
+        term = F.log10(1 + 1.0 / (F.lit(10 * k) + F.col("d2")))
+        expr = term if expr is None else expr + term
+    return expr
+
+
+@query(
+    "q404_benford_second_digit",
+    tags=("statistics", "audit", "distribution"),
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(s, 2, 1) AS BIGINT) AS d2,
+         CAST(substr(s, 1, 2) AS BIGINT) AS d12
+  FROM (
+    SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS s
+    FROM orders
+  )
+), cont AS MATERIALIZED (
+  SELECT d2, d12, CAST(count(*) AS BIGINT) AS nc
+  FROM digits GROUP BY 1, 2
+), tot AS MATERIALIZED (
+  SELECT CAST(sum(nc) AS BIGINT) AS n FROM cont
+), h2 AS (
+  SELECT l.range AS d2, CAST(COALESCE(sum(c.nc), 0) AS BIGINT) AS n_obs
+  FROM range(0, 10) l LEFT JOIN cont c ON c.d2 = l.range
+  GROUP BY 1
+), h12 AS (
+  SELECT l.range AS d12, CAST(COALESCE(sum(c.nc), 0) AS BIGINT) AS n_obs
+  FROM range(10, 100) l LEFT JOIN cont c ON c.d12 = l.range
+  GROUP BY 1
+), chi2 AS (
+  SELECT sum(pow(n_obs - n * p, 2) / (n * p)) AS chi2, min(n) AS n
+  FROM (SELECT h.n_obs, t.n, {_q404_expected_d2_sql()} AS p
+        FROM h2 h CROSS JOIN tot t)
+), chi12 AS (
+  SELECT sum(pow(n_obs - n * p, 2) / (n * p)) AS chi2, min(n) AS n
+  FROM (SELECT h.n_obs, t.n, log10(1 + 1.0 / d12) AS p
+        FROM h12 h CROSS JOIN tot t)
+)
+SELECT 'second_digit' AS test, CAST(n AS BIGINT) AS n,
+       CAST(9 AS BIGINT) AS df,
+       round(chi2 + 1e-9, 4) AS chi2,
+       round(chi2 + 1e-9, 4) > 16.919 AS reject_5pct
+FROM chi2
+UNION ALL
+SELECT 'first_two_digits' AS test, CAST(n AS BIGINT) AS n,
+       CAST(89 AS BIGINT) AS df,
+       round(chi2 + 1e-9, 4) AS chi2,
+       round(chi2 + 1e-9, 4) > 112.022 AS reject_5pct
+FROM chi12
+""",
+)
+def q404_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford SECOND-digit and first-TWO-digit chi-square tests on
+    order totals — the forensic escalation of q200's first-digit
+    audit (fabricators who learn the first-digit law still miss the
+    flatter second-digit curve P(d) = Σ_k log10(1 + 1/(10k+d)) and
+    the 90-cell first-two law). Both digits come from the integer
+    CENTS string (exact, engine-identical substrings); both
+    histograms reduce from ONE (d2, d12) contingency pass over the
+    fact table, densified against literal digit lattices so zero
+    cells still contribute their expected mass to chi-square.
+
+    Exactness: digit extraction and cell counts are pure integers;
+    the expected second-digit share is a fixed-order 9-term log10
+    chain spelled identically on both engines (never a grouped float
+    sum); the 10- and 90-term chi-square sums are the q24 float-sum
+    class, absorbed by fround(4); rejection compares the ROUNDED
+    statistic to the literal critical value (the q348 rule) at
+    df = 9 / 89.
+
+    Scale: one map-side digit projection, one shuffle to the ≤900-row
+    contingency (checkpointed — it feeds both histograms and the
+    total), then arithmetic on bounded lattices."""
+    orders = read_table(spark, sf_dir, "orders", ["o_totalprice"])
+    s = F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string")
+    digits = orders.select(
+        F.substring(s, 2, 1).cast("bigint").alias("d2"),
+        F.substring(s, 1, 2).cast("bigint").alias("d12"),
+    )
+    cont = (
+        digits.groupBy("d2", "d12")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .localCheckpoint(eager=False)  # feeds h2, h12, and the total
+    )
+    tot = cont.agg(F.sum("nc").cast("bigint").alias("n"))
+    lat2 = spark.range(0, 10).select(F.col("id").alias("d2"))
+    lat12 = spark.range(10, 100).select(F.col("id").alias("d12"))
+    h2 = lat2.join(
+        F.broadcast(cont.groupBy("d2").agg(F.sum("nc").alias("raw"))),
+        "d2",
+        "left",
+    ).select(
+        "d2", F.coalesce(F.col("raw"), F.lit(0)).cast("bigint").alias("n_obs")
+    )
+    h12 = lat12.join(
+        F.broadcast(cont.groupBy("d12").agg(F.sum("nc").alias("raw"))),
+        "d12",
+        "left",
+    ).select(
+        "d12",
+        F.coalesce(F.col("raw"), F.lit(0)).cast("bigint").alias("n_obs"),
+    )
+
+    def chi(frame: DataFrame, p_expr, label: str, df: int, crit: float):
+        expected = F.col("n") * F.col("p")
+        agg = (
+            frame.crossJoin(F.broadcast(tot))
+            .select("n_obs", "n", p_expr.alias("p"))
+            .agg(
+                F.sum(
+                    F.pow(F.col("n_obs") - expected, 2) / expected
+                ).alias("chi2"),
+                F.min("n").alias("n"),
+            )
+        )
+        rounded = fround(F.col("chi2"), 4)
+        return agg.select(
+            F.lit(label).alias("test"),
+            F.col("n").cast("bigint").alias("n"),
+            F.lit(df).cast("bigint").alias("df"),
+            rounded.alias("chi2"),
+            (rounded > F.lit(crit)).alias("reject_5pct"),
+        )
+
+    out2 = chi(h2, _expected_d2_spark(), "second_digit", 9, 16.919)
+    out12 = chi(
+        h12,
+        F.log10(1 + 1.0 / F.col("d12")),
+        "first_two_digits",
+        89,
+        112.022,
+    )
+    return out2.unionByName(out12)

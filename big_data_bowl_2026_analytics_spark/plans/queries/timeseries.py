@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ...functions.scalar import fround
 from ...sources.readers import read_table
 from ..registry import query
-from .splits import _hash16_sql
+from .splits import _hash16, _hash16_sql
 
 
 @query(
@@ -5397,4 +5397,236 @@ def q400_viterbi_regime_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("bigint").alias("t"),
         "state",
         F.col("path_logp").cast("bigint").alias("path_logp_ppm"),
+    )
+
+
+@query(
+    "q401_page_hinkley_drift",
+    tags=("timeseries", "monitoring", "drift"),
+    oracle="""
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100 + 1e-9) AS BIGINT) AS c
+  FROM events
+), s AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS sc,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type
+), d AS (
+  SELECT e.event_type, e.ts, e.event_id, s.n,
+         s.n * e.c - s.sc - s.n * 50 AS dev
+  FROM e JOIN s USING (event_type)
+), w AS (
+  SELECT event_type, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS rn,
+         sum(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS m
+  FROM d
+), ph AS (
+  SELECT event_type, n, rn,
+         m - min(m) OVER (PARTITION BY event_type ORDER BY rn
+                          ROWS UNBOUNDED PRECEDING) AS x
+  FROM w
+)
+SELECT event_type,
+       CAST(min(n) AS BIGINT) AS n,
+       round(CAST(max(x) AS DOUBLE) / (CAST(min(n) AS DOUBLE) * 100)
+             + 1e-9, 4) AS max_ph_dollars,
+       max(x) > min(n) * 200000 AS alarmed,
+       CAST(min(CASE WHEN x > n * 200000 THEN rn END) AS BIGINT)
+         AS first_alarm_n
+FROM ph GROUP BY event_type
+""",
+)
+def q401_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-drift monitor per event series — CUSUM's
+    one-sided sibling (q191): the running sum of (value − mean − δ)
+    deviations minus its own running minimum is the PH statistic; an
+    excursion past λ flags a sustained upward mean shift that start/
+    end comparisons miss. δ = $0.50 tolerance, λ = $2000 cumulative
+    excess — sized to this corpus's √n excursion scale (measured max
+    PH ≈ $920 / $2730 / $6460 at sf0.001/0.01/0.1, the q296 probe
+    discipline), so alarms appear from sf0.01 up and the sf0.001 run
+    exercises the no-alarm NULL path.
+
+    Exactness: deviations are kept on the ×n integer-cents lattice
+    (dev = n·cents − Σcents − n·δ), so the running sum, running min,
+    PH excursion, threshold test, and first-alarm index are ALL exact
+    BIGINT — no windowed float sum exists to diverge at the ulp (the
+    q110/q191 caveat engineered away, like q384's ppm hazard).
+    Overflow bound: |dev| ≤ n·max_cents ≈ 2^40 at sf1 and the
+    monotone-worst prefix sum stays < 2^61 through sf100.
+
+    Scale: one stats pass broadcast back, one per-series ordered
+    window pass (rank + running sum + running min share one
+    partition/order), one reduction — q191's exact shape."""
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["event_type", "ts", "event_id", "value"]
+    )
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100 + F.lit(1e-9), 0)
+        .cast("bigint")
+        .alias("c"),
+    )
+    stats = base.groupBy("event_type").agg(
+        F.sum("c").alias("sc"), F.count(F.lit(1)).alias("n")
+    )
+    d = base.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        (
+            F.col("n") * F.col("c") - F.col("sc") - F.col("n") * F.lit(50)
+        ).alias("dev"),
+    )
+    order = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prefix = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walk = d.select(
+        "event_type",
+        "n",
+        F.row_number().over(order).alias("rn"),
+        F.sum("dev").over(prefix).alias("m"),
+    )
+    prefix_rn = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ph = walk.select(
+        "event_type",
+        "n",
+        "rn",
+        (F.col("m") - F.min("m").over(prefix_rn)).alias("x"),
+    )
+    return ph.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n"),
+        fround(
+            F.max("x").cast("double") / (F.min("n").cast("double") * 100), 4
+        ).alias("max_ph_dollars"),
+        (F.max("x") > F.min("n") * F.lit(200000)).alias("alarmed"),
+        F.min(F.when(F.col("x") > F.col("n") * F.lit(200000), F.col("rn")))
+        .cast("bigint")
+        .alias("first_alarm_n"),
+    )
+
+
+# SPRT constants, precomputed ONCE in Python and inlined as integer
+# ppm literals on BOTH engines — no cross-engine ln() anywhere in the
+# query. H0: p = 0.18 vs H1: p = 0.22 purchase rate; alpha = beta =
+# 0.05 gives symmetric log boundaries +/- ln(19).
+_SPRT_C1 = round(__import__("math").log(0.22 / 0.18) * 1_000_000)
+_SPRT_C0 = round(__import__("math").log(0.78 / 0.82) * 1_000_000)
+_SPRT_BOUND = round(__import__("math").log(19.0) * 1_000_000)
+
+
+@query(
+    "q402_sprt_sequential_ab",
+    tags=("timeseries", "testing", "sequential"),
+    oracle=f"""
+WITH base AS (
+  SELECT CASE WHEN {_hash16_sql('sprtarm', 'user_id')} < 32768
+              THEN 'A' ELSE 'B' END AS arm,
+         ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events
+), llr AS (
+  SELECT arm,
+         row_number() OVER (PARTITION BY arm ORDER BY ts, event_id) AS rn,
+         CAST({_SPRT_C0} AS BIGINT)
+           * row_number() OVER (PARTITION BY arm ORDER BY ts, event_id)
+         + CAST({_SPRT_C1 - _SPRT_C0} AS BIGINT)
+           * CAST(sum(x) OVER (PARTITION BY arm ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr,
+         x
+  FROM base
+)
+SELECT arm,
+       CAST(max(rn) AS BIGINT) AS n_total,
+       CAST(sum(x) AS BIGINT) AS n_conversions,
+       CAST(min(CASE WHEN llr >= {_SPRT_BOUND} OR llr <= -{_SPRT_BOUND}
+                     THEN rn END) AS BIGINT) AS n_at_decision,
+       CAST(min_by(llr, CASE WHEN llr >= {_SPRT_BOUND}
+                               OR llr <= -{_SPRT_BOUND}
+                             THEN rn END) AS BIGINT) AS llr_at_decision_ppm,
+       CASE
+         WHEN min(CASE WHEN llr >= {_SPRT_BOUND} OR llr <= -{_SPRT_BOUND}
+                       THEN rn END) IS NULL THEN 'continue'
+         WHEN min_by(llr, CASE WHEN llr >= {_SPRT_BOUND}
+                                 OR llr <= -{_SPRT_BOUND}
+                               THEN rn END) >= {_SPRT_BOUND}
+           THEN 'accept_h1'
+         ELSE 'accept_h0'
+       END AS decision,
+       CAST(max_by(llr, rn) AS BIGINT) AS llr_final_ppm
+FROM llr GROUP BY arm
+""",
+)
+def q402_sprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over each A/B arm's event stream (hash-split users,
+    the q127 seeded-md5 convention): test H0 p=0.18 vs H1 p=0.22
+    purchase rate at alpha = beta = 0.05, reporting where each arm's
+    log-likelihood random walk first exits the +/- ln(19) boundaries
+    and what it decided — the SEQUENTIAL test that stops reading the
+    stream early, next to q177's fixed-horizon Welch test.
+
+    Exactness: Bernoulli LLR increments take only two values, so the
+    whole walk collapses to llr_t = c0·t + (c1−c0)·s_t with s_t the
+    prefix conversion count — c0/c1 and the boundary are Python-
+    precomputed integer ppm literals inlined on BOTH engines (no
+    in-engine ln at all), making every comparison, the first-crossing
+    index, and the decision label exact integer arithmetic (q384/q400
+    fixed-point discipline). The at-decision value rides a
+    when()-nulled min_by key (the q378 max_by FILTER parity).
+
+    Scale: one hash projection map-side, one per-arm ordered window
+    pass (rank + prefix sum share the partition/order), one
+    reduction to two rows."""
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
+    )
+    base = ev.select(
+        F.when(_hash16("sprtarm", F.col("user_id")) < 32768, "A")
+        .otherwise("B")
+        .alias("arm"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    order = Window.partitionBy("arm").orderBy("ts", "event_id")
+    prefix = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    llr = base.select(
+        "arm",
+        "x",
+        F.row_number().over(order).alias("rn"),
+        (
+            # ppm literals cast to BIGINT before the multiply: c0*rn
+            # exceeds int32 past ~43k rows per arm (hit at sf0.1)
+            F.lit(_SPRT_C0).cast("bigint") * F.row_number().over(order)
+            + F.lit(_SPRT_C1 - _SPRT_C0).cast("bigint")
+            * F.sum("x").over(prefix)
+        ).alias("llr"),
+    )
+    crossed = (F.col("llr") >= _SPRT_BOUND) | (F.col("llr") <= -_SPRT_BOUND)
+    dec_key = F.when(crossed, F.col("rn"))
+    llr_at = F.min_by("llr", dec_key)
+    n_at = F.min(dec_key)
+    return llr.groupBy("arm").agg(
+        F.max("rn").cast("bigint").alias("n_total"),
+        F.sum("x").cast("bigint").alias("n_conversions"),
+        n_at.cast("bigint").alias("n_at_decision"),
+        llr_at.cast("bigint").alias("llr_at_decision_ppm"),
+        F.when(n_at.isNull(), "continue")
+        .when(llr_at >= _SPRT_BOUND, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+        F.max_by("llr", "rn").cast("bigint").alias("llr_final_ppm"),
     )

@@ -2375,3 +2375,51 @@ def test_q400_viterbi_backward_pass_reuses_checkpoints(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_q401_page_hinkley_one_window_pass_no_join_shuffle(spark):
+    plan = physical_plan(_q(spark, "q401_page_hinkley_drift"))
+    # stats broadcast back onto the stream; rank + running sum +
+    # running min all ride the per-series (event_type) partition —
+    # no global window, no sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("windowspecdefinition") == 3
+    assert "PartitionBy: [event_type" in plan or "event_type" in plan
+
+
+def test_q402_sprt_pure_window_no_joins(spark):
+    plan = physical_plan(_q(spark, "q402_sprt_sequential_ab"))
+    # hash-arm projection is map-side; the whole walk is one per-arm
+    # window pass + one reduction — zero joins of any kind
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert node not in plan
+    assert plan.count("windowspecdefinition") == 3
+
+
+def test_q403_shift_share_bounded_after_cell_reduce(spark):
+    plan = physical_plan(_q(spark, "q403_shift_share_decomposition"))
+    # the (nation x segment) cell frame is checkpointed; segment and
+    # grand totals broadcast back; the 1-row total rides a bounded
+    # nested-loop cross join; no window, no cartesian product
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_q404_benford2_lattice_broadcasts(spark):
+    plan = physical_plan(_q(spark, "q404_benford_second_digit"))
+    # one contingency pass (checkpointed), dense digit lattices join
+    # the broadcast histograms, 1-row total rides a bounded BNLJ;
+    # no sort-merge join, no window
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition" not in plan
