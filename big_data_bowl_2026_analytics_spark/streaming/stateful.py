@@ -676,3 +676,100 @@ def heavy_hitter_summaries(events: DataFrame, k: int = 16) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_PH_STATE_SCHEMA = StructType(
+    [
+        StructField("m", LongType()),
+        StructField("m_min", LongType()),
+        StructField("max_ph", LongType()),
+        StructField("n", LongType()),
+        StructField("first_alarm_n", LongType()),  # 0 = none yet
+    ]
+)
+
+_PH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("max_ph_cents", LongType()),
+        StructField("alarmed", LongType()),  # 0/1 integer flag
+        StructField("first_alarm_n", LongType()),
+    ]
+)
+
+
+def page_hinkley_alarms(
+    events: DataFrame,
+    ref_mean_cents: int,
+    delta_cents: int = 50,
+    lambda_cents: int = 200_000,
+) -> DataFrame:
+    """Streaming twin of q401's Page-Hinkley drift monitor — the
+    online half of the deliberate lambda split (the activity_lease
+    precedent): the batch query centers deviations on the corpus mean
+    (a two-pass statistic a stream cannot know), so the streaming
+    detector centers on a CONFIGURED reference mean in exact integer
+    cents — deploy config, exactly like slo_burn_windows' base error
+    rate. Everything else is the same integer lattice: per event
+    type, O(1) state holds the running deviation sum m, its running
+    minimum, the max excursion, the row count, and the first-alarm
+    index; dev = cents − ref − δ is exact BIGINT, so the drained
+    snapshots equal a batch recomputation AT THE SAME REFERENCE MEAN
+    row-for-row (no error bound).
+
+    Values quantize via half_up_cents BEFORE differencing (the q144 /
+    ADVICE-r9 rule); the in-order-ingest contract is per-type
+    (ts, event_id) order across micro-batches (time-split files in
+    the test; a type-keyed topic in production), the operator sorts
+    within each batch. Snapshots are emitted in update mode; n is
+    monotone per key, so downstream takes the max-n row per type.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.assign(
+            _us=batch["ts"].astype("datetime64[us]").astype("int64"),
+            _cents=half_up_cents(batch["value"].to_numpy(dtype="float64")),
+        ).sort_values(["_us", "event_id"], kind="mergesort")
+        if state.exists:
+            m, m_min, max_ph, n, first_alarm = state.get
+        else:
+            m, m_min, max_ph, n, first_alarm = 0, 0, 0, 0, 0
+        for cents in batch["_cents"]:
+            n += 1
+            m += int(cents) - ref_mean_cents - delta_cents
+            # the running min is over m_1..m_t (q401's convention —
+            # no phantom m_0 = 0), so the first row pins it
+            if n == 1 or m < m_min:
+                m_min = m
+            ph = m - m_min
+            if ph > max_ph:
+                max_ph = ph
+            if first_alarm == 0 and ph > lambda_cents:
+                first_alarm = n
+        state.update(
+            (int(m), int(m_min), int(max_ph), int(n), int(first_alarm))
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n": [n],
+                "max_ph_cents": [max_ph],
+                "alarmed": [1 if max_ph > lambda_cents else 0],
+                "first_alarm_n": [first_alarm],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_PH_OUTPUT_SCHEMA,
+        stateStructType=_PH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

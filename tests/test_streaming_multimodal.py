@@ -1540,3 +1540,87 @@ def test_hourly_value_histogram_stream_equals_batch(spark, events_dir):
         assert total == len(vals)
         true_q = vals[math.ceil(q * len(vals)) - 1]
         assert lo <= true_q < lo + 100
+
+
+def test_stateful_page_hinkley_matches_batch(spark, tmp_path_factory):
+    """Final drained PH snapshots equal a batch recomputation at the
+    SAME configured reference mean EXACTLY (n, max excursion, alarm
+    flag, first-alarm index per event_type) across a multi-batch
+    drain — pure integer-lattice state, per-type (ts, event_id)
+    in-order-ingest via time-split files."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        page_hinkley_alarms,
+    )
+
+    ref, delta, lam = 5000, 50, 200_000
+
+    d = tmp_path_factory.mktemp("events_ph_split")
+    t = pq.read_table(f"{SF}/events.parquet")
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+    )
+    third = t.num_rows // 3
+    pq.write_table(t.slice(0, third), d / "a.parquet")
+    pq.write_table(t.slice(third, third), d / "b.parquet")
+    pq.write_table(t.slice(2 * third), d / "c.parquet")
+    _stamp_ingest_order(d / "a.parquet", d / "b.parquet", d / "c.parquet")
+
+    stream = read_events_stream(
+        spark, str(d), options={"maxFilesPerTrigger": "1"}
+    )
+    q = (
+        page_hinkley_alarms(stream, ref, delta, lam)
+        .writeStream.format("memory")
+        .queryName("ph_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("ph_stream").collect()
+    got: dict[str, tuple] = {}
+    seen: dict[str, int] = {}
+    for r in rows:
+        seen[r.event_type] = seen.get(r.event_type, 0) + 1
+        if r.event_type not in got or r.n > got[r.event_type][0]:
+            got[r.event_type] = (
+                r.n,
+                r.max_ph_cents,
+                r.alarmed,
+                r.first_alarm_n,
+            )
+    assert seen and min(seen.values()) >= 2  # genuinely multi-batch
+
+    from pyspark.sql import Window
+
+    ev = read_table(spark, SF, "events", ["event_type", "ts", "event_id", "value"])
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    order = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prefix = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walk = ev.select(
+        "event_type",
+        F.row_number().over(order).alias("rn"),
+        F.sum(cents - F.lit(ref) - F.lit(delta)).over(prefix).alias("m"),
+    )
+    ph = walk.select(
+        "event_type",
+        "rn",
+        (F.col("m") - F.min("m").over(prefix.orderBy("rn"))).alias("x"),
+    )
+    want = {
+        r.event_type: (r.n, r.mx, r.alarmed, r.first or 0)
+        for r in ph.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("x").alias("mx"),
+            (F.max("x") > lam).cast("long").alias("alarmed"),
+            F.min(F.when(F.col("x") > lam, F.col("rn"))).alias("first"),
+        )
+        .collect()
+    }
+    assert got == want
