@@ -1367,3 +1367,78 @@ def q392_dsir_importance_selection(
         .over(Window.orderBy(F.desc("weight_ppm"), "doc_id"))
         .cast("bigint"),
     )
+
+
+@query(
+    "q406_sampling_design_effect",
+    tags=("llm-pipeline", "sampling", "audit"),
+    oracle="""
+WITH w AS MATERIALIZED (
+  SELECT source, n_chars AS wt FROM documents
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(wt) AS BIGINT) AS sw,
+         CAST(sum(wt * wt) AS BIGINT) AS sww,
+         CAST(max(wt) AS BIGINT) AS max_w
+  FROM w GROUP BY source
+)
+SELECT source, n_docs,
+       sw AS total_weight,
+       round(CAST(n_docs * sww AS DOUBLE) / (sw * sw) + 1e-9, 6) AS deff,
+       round(CAST(sw * sw AS DOUBLE) / sww + 1e-9, 2) AS n_effective,
+       round(CAST(max_w AS DOUBLE) / sw + 1e-9, 6) AS max_weight_share,
+       n_docs * sww > 3 * sw * sw AS concentrated
+FROM agg
+""",
+)
+def q406_sampling_design_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kish design effect of size-weighted document sampling per
+    source: when a training pipeline samples documents proportional
+    to length (the n_chars weight — the byte-budget convention DSIR/
+    q392-style selection inherits), the effective sample size is
+    n_eff = (Σw)²/Σw² and deff = n·Σw²/(Σw)² ≥ 1 — a source whose
+    few huge documents dominate its weight mass contributes far fewer
+    EFFECTIVE samples than its document count suggests, which is how
+    mixture weights (q94/q397) silently skew. The concentration flag
+    deff > 3 is an exact integer cross-multiplication.
+
+    Exactness: weights are the exact BIGINT n_chars column, so n, Σw,
+    Σw², max w, and the flag are pure integers (Σw² < 2^60 through
+    sf10 at the ≤553-char corpus profile; past that the q261 rule —
+    square sums become float sums of exact double products); deff /
+    n_eff / max-share are single divisions of cast-once exact
+    doubles under the fround pair.
+
+    Scale: one map-side projection, one reduce per source — nothing
+    data-sized survives the groupBy."""
+    docs = read_table(spark, sf_dir, "documents", ["source", "n_chars"])
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sw"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("sww"),
+        F.max("n_chars").cast("bigint").alias("max_w"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("sw").alias("total_weight"),
+        fround(
+            (F.col("n_docs") * F.col("sww")).cast("double")
+            / (F.col("sw") * F.col("sw")),
+            6,
+        ).alias("deff"),
+        fround(
+            (F.col("sw") * F.col("sw")).cast("double") / F.col("sww"), 2
+        ).alias("n_effective"),
+        fround(F.col("max_w").cast("double") / F.col("sw"), 6).alias(
+            "max_weight_share"
+        ),
+        (
+            F.col("n_docs") * F.col("sww") > 3 * F.col("sw") * F.col("sw")
+        ).alias("concentrated"),
+    )

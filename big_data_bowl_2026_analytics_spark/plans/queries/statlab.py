@@ -4709,3 +4709,153 @@ def q404_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         112.022,
     )
     return out2.unionByName(out12)
+
+
+# epoch microseconds of 2024-01-16T00:00:00Z — the pre/experiment
+# period boundary for q405 (events span January 2024 at every SF;
+# probed per the q296 sizing discipline). Inlined as an integer so
+# both engines compare the SAME µs value with no timezone parsing.
+_Q405_SPLIT_US = 1_705_363_200_000_000
+
+
+@query(
+    "q405_cuped_adjusted_ab",
+    tags=("statistics", "testing", "variance-reduction"),
+    oracle=f"""
+WITH per_user AS MATERIALIZED (
+  SELECT user_id,
+         CASE WHEN {_hash16_sql('sprtarm', 'user_id')} < 32768
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(sum(CASE WHEN epoch_us(ts) < {_Q405_SPLIT_US}
+                       THEN CAST(round(value * 100 + 1e-9) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN epoch_us(ts) >= {_Q405_SPLIT_US}
+                       THEN CAST(round(value * 100 + 1e-9) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), pooled AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_user
+), model AS MATERIALIZED (
+  SELECT n, sx,
+         CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+              THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         END AS theta,
+         CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                   > 0
+              THEN pow(CAST(n AS DOUBLE) * sxy
+                       - CAST(sx AS DOUBLE) * sy, 2)
+                   / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy))
+         END AS rho2
+  FROM pooled
+), arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya
+  FROM per_user GROUP BY arm
+)
+SELECT a.arm, a.n_users,
+       round(CAST(a.sya AS DOUBLE) / a.n_users / 100 + 1e-9, 4)
+         AS mean_spend,
+       round((CAST(a.sya AS DOUBLE)
+              - m.theta * (CAST(a.sxa AS DOUBLE)
+                           - CAST(a.n_users AS DOUBLE)
+                             * (CAST(m.sx AS DOUBLE) / m.n)))
+             / a.n_users / 100 + 1e-9, 4) AS mean_spend_adj,
+       round(m.theta + 1e-9, 6) AS theta,
+       round(m.rho2 + 1e-9, 6) AS var_reduction
+FROM arms a CROSS JOIN model m
+""",
+)
+def q405_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013): adjust
+    each arm's experiment-period spend by the pooled pre-period
+    covariate — Y_adj = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) — the
+    industry-standard companion to q177's Welch test that shrinks
+    variance by ρ² without touching the treatment effect. Arms reuse
+    q402's seeded hash split, so the two sequential/fixed-horizon
+    readouts describe the same experiment.
+
+    Exactness: per-user pre/post spends are exact cents from ONE
+    conditional-sum pass (period boundary an inlined epoch-µs integer
+    — no timezone parsing); the five pooled moments are exact BIGINT
+    (per-user cents² stays < 2^46 through sf100); θ, ρ², and BOTH arm
+    means come from fixed closed-form expressions over cast-once
+    doubles (the q204 Cramer discipline — n·Σxy would overflow int64
+    past sf1), so no data-sized float sum exists anywhere: the
+    adjusted mean collapses to (ΣY_a − θ(ΣX_a − n_a·X̄))/n_a.
+    Degenerate var(X) ≤ 0 yields NULL θ on both engines.
+
+    Scale: one shuffle to the user grain, one 5-moment reduce, a
+    2-row arm frame joined to the 1-row model — q204's shape."""
+    ev = read_table(spark, sf_dir, "events", ["user_id", "ts", "value"])
+    cents = F.round(F.col("value") * 100 + F.lit(1e-9), 0).cast("bigint")
+    pre = F.unix_micros("ts") < _Q405_SPLIT_US
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, cents).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(~pre, cents).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            F.when(_hash16("sprtarm", F.col("user_id")) < 32768, "A")
+            .otherwise("B")
+            .alias("arm"),
+            "x",
+            "y",
+        )
+        .localCheckpoint(eager=False)  # feeds pooled moments AND arms
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    vx = nd * F.col("sxx") - sxd * F.col("sx")
+    vy = nd * F.col("syy") - syd * F.col("sy")
+    cxy = nd * F.col("sxy") - sxd * F.col("sy")
+    model = pooled.select(
+        "n",
+        "sx",
+        F.when(vx > 0, cxy / vx).alias("theta"),
+        F.when(vx * vy > 0, F.pow(cxy, 2) / (vx * vy)).alias("rho2"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sxa"),
+        F.sum("y").cast("bigint").alias("sya"),
+    )
+    syad = F.col("sya").cast("double")
+    adj = (
+        syad
+        - F.col("theta")
+        * (
+            F.col("sxa").cast("double")
+            - F.col("n_users").cast("double")
+            * (F.col("sx").cast("double") / F.col("n"))
+        )
+    ) / F.col("n_users") / 100
+    return arms.crossJoin(F.broadcast(model)).select(
+        "arm",
+        "n_users",
+        fround(syad / F.col("n_users") / 100, 4).alias("mean_spend"),
+        fround(adj, 4).alias("mean_spend_adj"),
+        fround(F.col("theta"), 6).alias("theta"),
+        fround(F.col("rho2"), 6).alias("var_reduction"),
+    )

@@ -58,7 +58,7 @@ def query(
 #: rotated each round. Round-11 rotation: the r10 window came back
 #: 50/50 strict-green and the never-certified backlog is CLEARED, so
 #: this window starts the re-certification cycle the r10 verdict asked
-#: for: the 5 round-11 additions (q400-q404) first, then the 45
+#: for: the 7 round-11 additions (q400-q406) first, then the 43
 #: entries with the OLDEST driver certification (last green in
 #: CORRECTNESS_r02/r03 — the band never re-run since the testdata
 #: regenerations), computed from the CORRECTNESS_r* artifacts. Every
@@ -71,6 +71,8 @@ _DRIVER_ORDER = [
     "q402_sprt_sequential_ab",
     "q403_shift_share_decomposition",
     "q404_benford_second_digit",
+    "q405_cuped_adjusted_ab",
+    "q406_sampling_design_effect",
     "q23_linear_interpolation",
     "q31_minhash_signatures",
     "q33_jaccard_similar_pairs",
@@ -114,8 +116,6 @@ _DRIVER_ORDER = [
     "q65_trailing_hour_window",
     "q70_gap_fill_locf",
     "q71_hash_split",
-    "q72_stats_moments",
-    "q73_column_profile",
 ]
 
 

@@ -2423,3 +2423,26 @@ def test_q404_benford2_lattice_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_q405_cuped_no_data_sized_float_path(spark):
+    plan = physical_plan(_q(spark, "q405_cuped_adjusted_ab"))
+    # one user-grain reduce behind the checkpoint; the 1-row model
+    # rides a bounded nested-loop join onto the 2-row arm frame;
+    # no window, no sort-merge join, no cartesian product
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_q406_design_effect_single_reduce(spark):
+    plan = physical_plan(_q(spark, "q406_sampling_design_effect"))
+    # map-side projection + one per-source reduce: two columns reach
+    # the scan, no joins or windows of any kind
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "HashAggregate" in plan
+    assert "n_chars" in plan and "text" not in plan
