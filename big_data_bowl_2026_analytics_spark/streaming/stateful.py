@@ -773,3 +773,96 @@ def page_hinkley_alarms(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SPRT_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("n_at_decision", LongType()),  # 0 = none yet
+        StructField("llr_at_decision", LongType()),
+    ]
+)
+
+_SPRT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("arm", StringType()),
+        StructField("n_total", LongType()),
+        StructField("n_conversions", LongType()),
+        StructField("llr_ppm", LongType()),
+        StructField("n_at_decision", LongType()),
+        StructField("decision", StringType()),
+    ]
+)
+
+
+def sprt_decision_stream(
+    events: DataFrame,
+    c0_ppm: int,
+    c1_ppm: int,
+    bound_ppm: int,
+    success_type: str = "purchase",
+) -> DataFrame:
+    """Streaming twin of q402's Wald SPRT: the collapsed Bernoulli
+    log-likelihood llr_t = c0·t + (c1−c0)·s_t means the ENTIRE test
+    state is two integers per arm (rows seen, successes seen) plus
+    the frozen first-crossing record — the textbook example of a
+    sequential test as an O(1) state machine. Constants arrive as
+    precomputed integer ppm (the q402 convention: no in-engine ln),
+    so every update, boundary comparison, and the frozen decision are
+    exact integer arithmetic; the drained snapshots equal the batch
+    window scan at the same constants row-for-row.
+
+    The arm column must be precomputed upstream (the batch query's
+    seeded hash split or a real assignment service); SPRT consumes
+    any Bernoulli stream. In-order ingest per arm is required only
+    for the first-crossing INDEX — n/s/llr are order-free counts.
+    Update-mode snapshots; n_total is monotone per key.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (arm,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.assign(
+            _us=batch["ts"].astype("datetime64[us]").astype("int64")
+        ).sort_values(["_us", "event_id"], kind="mergesort")
+        if state.exists:
+            n, s, n_dec, llr_dec = state.get
+        else:
+            n, s, n_dec, llr_dec = 0, 0, 0, 0
+        for etype in batch["event_type"]:
+            n += 1
+            s += 1 if etype == success_type else 0
+            if n_dec == 0:
+                llr = c0_ppm * n + (c1_ppm - c0_ppm) * s
+                if llr >= bound_ppm or llr <= -bound_ppm:
+                    n_dec, llr_dec = n, llr
+        state.update((int(n), int(s), int(n_dec), int(llr_dec)))
+        llr_now = c0_ppm * n + (c1_ppm - c0_ppm) * s
+        decision = (
+            "continue"
+            if n_dec == 0
+            else ("accept_h1" if llr_dec >= bound_ppm else "accept_h0")
+        )
+        yield pd.DataFrame(
+            {
+                "arm": [arm],
+                "n_total": [n],
+                "n_conversions": [s],
+                "llr_ppm": [llr_now],
+                "n_at_decision": [n_dec],
+                "decision": [decision],
+            }
+        )
+
+    return events.groupBy("arm").applyInPandasWithState(
+        update,
+        outputStructType=_SPRT_OUTPUT_SCHEMA,
+        stateStructType=_SPRT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

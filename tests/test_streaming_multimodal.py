@@ -1624,3 +1624,85 @@ def test_stateful_page_hinkley_matches_batch(spark, tmp_path_factory):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_sprt_matches_batch(spark, tmp_path_factory):
+    """Final drained SPRT snapshots equal q402's batch scan at the
+    same ppm constants EXACTLY (n, conversions, final LLR, decision
+    point per arm) across a multi-batch drain — O(1) integer state
+    (rows, successes, frozen crossing), per-arm (ts, event_id)
+    in-order-ingest via time-split files."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_2026_analytics_spark.plans.queries.timeseries import (
+        _SPRT_BOUND,
+        _SPRT_C0,
+        _SPRT_C1,
+    )
+    from big_data_bowl_2026_analytics_spark.plans.queries.splits import (
+        _hash16,
+    )
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        sprt_decision_stream,
+    )
+
+    d = tmp_path_factory.mktemp("events_sprt_split")
+    t = pq.read_table(f"{SF}/events.parquet")
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+    )
+    third = t.num_rows // 3
+    pq.write_table(t.slice(0, third), d / "a.parquet")
+    pq.write_table(t.slice(third, third), d / "b.parquet")
+    pq.write_table(t.slice(2 * third), d / "c.parquet")
+    _stamp_ingest_order(d / "a.parquet", d / "b.parquet", d / "c.parquet")
+
+    stream = read_events_stream(
+        spark, str(d), options={"maxFilesPerTrigger": "1"}
+    ).withColumn(
+        "arm",
+        F.when(_hash16("sprtarm", F.col("user_id")) < 32768, "A").otherwise(
+            "B"
+        ),
+    )
+    q = (
+        sprt_decision_stream(stream, _SPRT_C0, _SPRT_C1, _SPRT_BOUND)
+        .writeStream.format("memory")
+        .queryName("sprt_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("sprt_stream").collect()
+    got: dict[str, tuple] = {}
+    seen: dict[str, int] = {}
+    for r in rows:
+        seen[r.arm] = seen.get(r.arm, 0) + 1
+        if r.arm not in got or r.n_total > got[r.arm][0]:
+            got[r.arm] = (
+                r.n_total,
+                r.n_conversions,
+                r.llr_ppm,
+                r.n_at_decision,
+                r.decision,
+            )
+    assert seen and min(seen.values()) >= 2  # genuinely multi-batch
+
+    # batch twin: q402's registry query at the same constants
+    batch = {
+        r.arm: (
+            r.n_total,
+            r.n_conversions,
+            r.llr_final_ppm,
+            r.n_at_decision or 0,
+            r.decision,
+        )
+        for r in all_queries()["q402_sprt_sequential_ab"]
+        .builder(spark, SF)
+        .collect()
+    }
+    assert got == batch
