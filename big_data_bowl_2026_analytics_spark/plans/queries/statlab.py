@@ -4859,3 +4859,547 @@ def q405_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("theta"), 6).alias("theta"),
         fround(F.col("rho2"), 6).alias("var_reduction"),
     )
+
+
+# The five TPC-H order priorities, in their built-in dose order (the
+# leading digit makes lexicographic order == severity order). Literal
+# keys so the closing Kruskal-Wallis H is a FIXED five-term expression
+# tree, never an engine-ordered float aggregation (the q404 chain
+# rule).
+_PRIORITIES = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+@query(
+    "q407_kruskal_wallis",
+    tags=("statistics", "hypothesis-test"),
+    oracle="""
+WITH obs AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), hv AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS tot,
+         CAST(sum(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN grp = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN grp = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN grp = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(sum(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS c5
+  FROM obs GROUP BY v
+), rk AS MATERIALIZED (
+  SELECT c1, c2, c3, c4, c5, tot,
+         2 * CAST(sum(tot) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) - tot + 1 AS two_r
+  FROM hv
+), tots AS (
+  SELECT CAST(sum(tot) AS BIGINT) AS n_total,
+         CAST(sum(tot * tot * tot - tot) AS BIGINT) AS ties
+  FROM hv
+), gr AS MATERIALIZED (
+  SELECT g.grp AS priority,
+         CAST(sum(CASE g.idx WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+                             WHEN 4 THEN c4 ELSE c5 END) AS BIGINT) AS n_group,
+         CAST(sum(CASE g.idx WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+                             WHEN 4 THEN c4 ELSE c5 END * two_r)
+              AS BIGINT) AS rank_sum2
+  FROM rk CROSS JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2),
+                             ('3-MEDIUM', 3), ('4-NOT SPECIFIED', 4),
+                             ('5-LOW', 5)) g(grp, idx)
+  GROUP BY g.grp
+), st AS (
+  SELECT CAST(coalesce(sum(CASE WHEN priority = '1-URGENT' THEN n_group END), 0) AS BIGINT) AS n1,
+         CAST(coalesce(sum(CASE WHEN priority = '2-HIGH' THEN n_group END), 0) AS BIGINT) AS n2,
+         CAST(coalesce(sum(CASE WHEN priority = '3-MEDIUM' THEN n_group END), 0) AS BIGINT) AS n3,
+         CAST(coalesce(sum(CASE WHEN priority = '4-NOT SPECIFIED' THEN n_group END), 0) AS BIGINT) AS n4,
+         CAST(coalesce(sum(CASE WHEN priority = '5-LOW' THEN n_group END), 0) AS BIGINT) AS n5,
+         CAST(coalesce(sum(CASE WHEN priority = '1-URGENT' THEN rank_sum2 END), 0) AS BIGINT) AS r1,
+         CAST(coalesce(sum(CASE WHEN priority = '2-HIGH' THEN rank_sum2 END), 0) AS BIGINT) AS r2,
+         CAST(coalesce(sum(CASE WHEN priority = '3-MEDIUM' THEN rank_sum2 END), 0) AS BIGINT) AS r3,
+         CAST(coalesce(sum(CASE WHEN priority = '4-NOT SPECIFIED' THEN rank_sum2 END), 0) AS BIGINT) AS r4,
+         CAST(coalesce(sum(CASE WHEN priority = '5-LOW' THEN rank_sum2 END), 0) AS BIGINT) AS r5
+  FROM gr
+), h AS (
+  SELECT n_total, ties,
+         (CASE WHEN n1 > 0 THEN CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE) / (4.0 * n1) ELSE 0.0 END
+          + CASE WHEN n2 > 0 THEN CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4.0 * n2) ELSE 0.0 END
+          + CASE WHEN n3 > 0 THEN CAST(r3 AS DOUBLE) * CAST(r3 AS DOUBLE) / (4.0 * n3) ELSE 0.0 END
+          + CASE WHEN n4 > 0 THEN CAST(r4 AS DOUBLE) * CAST(r4 AS DOUBLE) / (4.0 * n4) ELSE 0.0 END
+          + CASE WHEN n5 > 0 THEN CAST(r5 AS DOUBLE) * CAST(r5 AS DOUBLE) / (4.0 * n5) ELSE 0.0 END) AS s,
+         CAST((CASE WHEN n1 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN n3 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN n4 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN n5 > 0 THEN 1 ELSE 0 END) - 1 AS BIGINT) AS df
+  FROM st CROSS JOIN tots
+), hh AS (
+  SELECT n_total, df,
+         12.0 / (n_total * (n_total + 1)) * s - 3.0 * (n_total + 1) AS h_stat,
+         1.0 - CAST(ties AS DOUBLE)
+               / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total) AS tie_c
+  FROM h
+)
+SELECT g.priority, g.n_group, g.rank_sum2,
+       round(CASE WHEN g.n_group > 0
+                  THEN g.rank_sum2 / (2.0 * g.n_group) END + 1e-9, 6) AS mean_rank,
+       hh.n_total,
+       round(hh.h_stat + 1e-9, 4) AS h_stat,
+       round(CASE WHEN hh.tie_c > 0 THEN hh.h_stat / hh.tie_c END + 1e-9, 4)
+         AS h_tie_corrected,
+       hh.df,
+       CASE WHEN hh.df = 4
+            THEN round(CASE WHEN hh.tie_c > 0
+                            THEN hh.h_stat / hh.tie_c END + 1e-9, 4) > 9.487729
+       END AS reject_5pct
+FROM gr g CROSS JOIN hh
+""",
+)
+def q407_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: does the order-total distribution differ
+    across the five order priorities? The k-group generalization of
+    q211's Mann-Whitney (which only compares pairs) and the
+    nonparametric sibling of q187's ANOVA — the test a pipeline runs
+    when the response is heavy-tailed money and a mean-based F is
+    untrustworthy.
+
+    Exactness: ranks live on the distinct-CENTS histogram where the
+    doubled average rank 2·R(v) = 2·cumcount − tot + 1 is an exact
+    BIGINT, so every per-group rank sum (Σ c_k(v)·2R(v) ≤ N·(2N+1),
+    inside int64 through sf1000) and the tie term Σ(t³−t) are pure
+    integers; the closing H and its tie correction are a FIXED
+    five-literal-group expression tree over cast-once doubles (never
+    an engine-ordered float aggregation — the q404 chain rule), and
+    the reject flag compares the ROUNDED corrected H to the literal
+    χ²(4) critical value, defined only at df = 4 (the q377 rule).
+
+    Scale: the global rank prefix-sum is the two-level
+    operators/rankops.py::bucketed_rank_cumsum — no data-sized
+    single-partition window; everything after the histogram is a
+    ≤5-row frame. Oracle uses the plain global window (single-node
+    DuckDB), equivalence pinned by the q199 property tests.
+    """
+    from ...operators.rankops import bucketed_rank_cumsum
+
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+    )
+    obs = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    hv = obs.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+        *[
+            F.sum(F.when(F.col("grp") == g, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, g in enumerate(_PRIORITIES, 1)
+        ],
+    )
+    rk = bucketed_rank_cumsum(
+        hv, "v", (), "tot", rank_out="_rk", cum_out="_cum"
+    ).select(
+        "c1",
+        "c2",
+        "c3",
+        "c4",
+        "c5",
+        "tot",
+        (2 * F.col("_cum").cast("bigint") - F.col("tot") + 1)
+        .cast("bigint")
+        .alias("two_r"),
+    )
+    # two downstream branches (group rank sums + the N/ties totals)
+    rk = rk.localCheckpoint()
+    tots = rk.agg(
+        F.sum("tot").cast("bigint").alias("n_total"),
+        F.sum(F.col("tot") * F.col("tot") * F.col("tot") - F.col("tot"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    stack_expr = "stack(5, " + ", ".join(
+        f"'{g}', c{i}" for i, g in enumerate(_PRIORITIES, 1)
+    ) + ") as (priority, cnt)"
+    gr = (
+        rk.select("two_r", F.expr(stack_expr))
+        .groupBy("priority")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_group"),
+            F.sum(F.col("cnt") * F.col("two_r"))
+            .cast("bigint")
+            .alias("rank_sum2"),
+        )
+        .localCheckpoint()  # feeds both the output rows and the H row
+    )
+    st = gr.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("priority") == g, F.col("n_group"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i, g in enumerate(_PRIORITIES, 1)
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("priority") == g, F.col("rank_sum2"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"r{i}")
+            for i, g in enumerate(_PRIORITIES, 1)
+        ],
+    )
+    term = None
+    df_expr = None
+    for i in range(1, 6):
+        n_i, r_i = F.col(f"n{i}"), F.col(f"r{i}")
+        t_i = F.when(
+            n_i > 0,
+            r_i.cast("double") * r_i.cast("double") / (4.0 * n_i),
+        ).otherwise(F.lit(0.0))
+        d_i = F.when(n_i > 0, 1).otherwise(0)
+        term = t_i if term is None else term + t_i
+        df_expr = d_i if df_expr is None else df_expr + d_i
+    n_t = F.col("n_total")
+    h = st.crossJoin(F.broadcast(tots)).select(
+        "n_total",
+        (F.lit(12.0) / (n_t * (n_t + 1)) * term - 3.0 * (n_t + 1)).alias(
+            "h_stat"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("ties").cast("double")
+            / (n_t.cast("double") * n_t * n_t - n_t)
+        ).alias("tie_c"),
+        (df_expr - 1).cast("bigint").alias("df"),
+    )
+    h_corr = fround(
+        F.when(F.col("tie_c") > 0, F.col("h_stat") / F.col("tie_c")), 4
+    )
+    return gr.crossJoin(F.broadcast(h)).select(
+        "priority",
+        "n_group",
+        "rank_sum2",
+        fround(
+            F.when(
+                F.col("n_group") > 0,
+                F.col("rank_sum2") / (2.0 * F.col("n_group")),
+            ),
+            6,
+        ).alias("mean_rank"),
+        "n_total",
+        fround(F.col("h_stat"), 4).alias("h_stat"),
+        h_corr.alias("h_tie_corrected"),
+        "df",
+        F.when(F.col("df") == 4, h_corr > 9.487729).alias("reject_5pct"),
+    )
+
+
+@query(
+    "q408_cochran_armitage_trend",
+    tags=("statistics", "hypothesis-test", "dose-response"),
+    oracle="""
+WITH obs AS (
+  SELECT l_linestatus AS linestatus,
+         CAST(round(l_discount * 100) AS BIGINT) AS t,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS x
+  FROM lineitem
+), agg AS (
+  SELECT linestatus,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS r,
+         CAST(sum(t) AS BIGINT) AS st_n,
+         CAST(sum(t * t) AS BIGINT) AS st2_n,
+         CAST(sum(t * x) AS BIGINT) AS st_r
+  FROM obs GROUP BY linestatus
+), pre AS (
+  SELECT linestatus, n, r,
+         n * st_r - r * st_n AS num,
+         n * st2_n - st_n * st_n AS den_t
+  FROM agg
+), z AS (
+  SELECT linestatus, n, r, num,
+         CASE WHEN r > 0 AND r < n AND den_t > 0
+              THEN CAST(num AS DOUBLE) * sqrt(n - 1.0)
+                   / sqrt(CAST(r AS DOUBLE) * (n - r) * den_t)
+         END AS z_trend
+  FROM pre
+)
+SELECT linestatus,
+       n AS n_lines,
+       r AS n_returned,
+       num AS trend_num,
+       round(z_trend + 1e-9, 6) AS z_trend,
+       round(z_trend * z_trend + 1e-9, 4) AS z2,
+       round(z_trend * z_trend + 1e-9, 4) > 3.841459 AS reject_5pct
+FROM z
+""",
+)
+def q408_cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage trend test per line status: does return
+    probability rise (or fall) MONOTONICALLY with the discount dose
+    (the exact integer percent lattice 0..10)? The dose-response
+    member of the association family — q376's CMH asks "is there an
+    association controlling for strata", this asks the sharper
+    ordered question "is it a trend in the dose", which is the test a
+    pricing team actually wants before touching the discount ladder.
+
+    Statistic: with dose scores t_i, group sizes n_i, successes r_i,
+    Z = (N·Σt_i r_i − R·Σt_i n_i)·√(N−1) /
+    √(R(N−R)(N·Σt_i²n_i − (Σt_i n_i)²)) — the hypergeometric-variance
+    form whose numerator and dose spread are EXACT BIGINTs here
+    (t ≤ 10 ⇒ N·Σt²n ≤ 100·N² < 2^63 through ~sf50 at this profile;
+    past that the q261 rule: the products become cast-once double
+    products). The q363 float-cancellation class is structurally
+    absent (integer numerator, the q376 discipline); the only float
+    surface is the closing fixed expression, and the reject flag
+    compares the ROUNDED z² to the literal χ²(1) critical value
+    (q404 rule). Degenerate guards are exact integer tests: r = 0,
+    r = N, or a single dose level yields NULL z, never an ANSI error.
+
+    Scale: one map-side projection + one reduce to the 2-row
+    linestatus grain — no join, no window, nothing data-sized
+    survives the groupBy.
+    """
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ["l_linestatus", "l_discount", "l_returnflag"],
+    )
+    obs = li.select(
+        F.col("l_linestatus").alias("linestatus"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("t"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("x"),
+    )
+    agg = obs.groupBy("linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("r"),
+        F.sum("t").cast("bigint").alias("st_n"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("st2_n"),
+        F.sum(F.col("t") * F.col("x")).cast("bigint").alias("st_r"),
+    )
+    n, r = F.col("n"), F.col("r")
+    pre = agg.select(
+        "linestatus",
+        "n",
+        "r",
+        (n * F.col("st_r") - r * F.col("st_n")).alias("num"),
+        (n * F.col("st2_n") - F.col("st_n") * F.col("st_n")).alias("den_t"),
+    )
+    z = F.when(
+        (r > 0) & (r < n) & (F.col("den_t") > 0),
+        F.col("num").cast("double")
+        * F.sqrt(n - 1.0)
+        / F.sqrt(r.cast("double") * (n - r) * F.col("den_t")),
+    )
+    pre = pre.withColumn("z_trend", z)
+    z2 = fround(F.col("z_trend") * F.col("z_trend"), 4)
+    return pre.select(
+        "linestatus",
+        n.alias("n_lines"),
+        r.alias("n_returned"),
+        F.col("num").alias("trend_num"),
+        fround(F.col("z_trend"), 6).alias("z_trend"),
+        z2.alias("z2"),
+        (z2 > 3.841459).alias("reject_5pct"),
+    )
+
+
+@query(
+    "q409_jonckheere_terpstra",
+    tags=("statistics", "hypothesis-test", "dose-response"),
+    oracle="""
+WITH obs AS MATERIALIZED (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS value
+  FROM orders
+), pairs AS (
+  SELECT a.grp AS ta, b.grp AS tb
+  FROM (SELECT DISTINCT grp FROM obs) a
+  JOIN (SELECT DISTINCT grp FROM obs) b ON a.grp < b.grp
+), tagged AS (
+  SELECT p.ta, p.tb, o.value,
+         CASE WHEN o.grp = p.ta THEN 1 ELSE 0 END AS is_a
+  FROM obs o JOIN pairs p ON o.grp = p.ta OR o.grp = p.tb
+), hist AS (
+  SELECT ta, tb, value,
+         CAST(sum(is_a) AS BIGINT) AS ca,
+         CAST(count(*) - sum(is_a) AS BIGINT) AS cb,
+         CAST(count(*) AS BIGINT) AS tot
+  FROM tagged GROUP BY ta, tb, value
+), ranked AS (
+  SELECT ta, tb, ca, cb, tot,
+         CAST(sum(tot) OVER (PARTITION BY ta, tb ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - tot + (tot + 1) / 2.0 AS avg_rank
+  FROM hist
+), mwstats AS (
+  SELECT ta, tb,
+         CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b,
+         sum(ca * avg_rank) AS r_a
+  FROM ranked GROUP BY ta, tb
+), jt AS (
+  SELECT sum(n_a * n_b - (r_a - n_a * (n_a + 1) / 2.0)) AS jt_stat
+  FROM mwstats
+), g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n FROM obs GROUP BY grp
+), ga AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n * n) AS BIGINT) AS sn2,
+         CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS s2g,
+         CAST(sum(n * (n - 1) * (n - 2)) AS BIGINT) AS s3g,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS s4g
+  FROM g
+), vh AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS t FROM obs GROUP BY value
+), va AS (
+  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS s2t,
+         CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS s3t,
+         CAST(sum(t * (t - 1)) AS BIGINT) AS s4t
+  FROM vh
+), fin AS (
+  SELECT jt_stat, n_total, n_groups,
+         (n_total * n_total - sn2) / 4.0 AS mean_jt,
+         (n_total * (n_total - 1) * (2 * n_total + 5) - s2g - s2t) / 72.0
+         + CAST(s3g AS DOUBLE) * s3t
+           / (36.0 * n_total * (n_total - 1) * (n_total - 2))
+         + CAST(s4g AS DOUBLE) * s4t
+           / (8.0 * n_total * (n_total - 1)) AS var_jt
+  FROM jt CROSS JOIN ga CROSS JOIN va
+)
+SELECT n_total, n_groups,
+       round(jt_stat + 1e-9, 1) AS jt_stat,
+       round(mean_jt + 1e-9, 2) AS mean_jt,
+       round(sqrt(var_jt) + 1e-9, 4) AS sd_jt,
+       round(CASE WHEN var_jt > 0
+                  THEN (jt_stat - mean_jt) / sqrt(var_jt) END + 1e-9, 6)
+         AS z_jt,
+       round(abs(CASE WHEN var_jt > 0
+                      THEN (jt_stat - mean_jt) / sqrt(var_jt) END) + 1e-9, 6)
+         > 1.959964 AS reject_5pct
+FROM fin
+""",
+)
+def q409_jonckheere_terpstra(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test: do order totals
+    trend MONOTONICALLY across the five priorities in their built-in
+    dose order (1-URGENT < … < 5-LOW, lexicographic == severity)?
+    Completes the dose-response trio — q408 (Cochran-Armitage) is the
+    binary-outcome member, q229 (Mann-Kendall) trends over TIME, and
+    this is the continuous-response trend over ordered GROUPS, strictly
+    more powerful than q407's Kruskal-Wallis when the alternative is
+    ordered.
+
+    Statistic: JT = Σ_{i<j} U_ij where U_ij counts pairs (a from the
+    lower group i, b from j) with a < b, plus half-ties. Each U_ij
+    comes from the q211 rank algebra on the per-pair distinct-value
+    histogram: U_ij = n_a·n_b − (r_a − n_a(n_a+1)/2) — exact halves —
+    so the 10-term JT sum is float-exact in any order (multiples of
+    0.5 below 2^52). Mean (N²−Σn_i²)/4 is exact quarters from exact
+    BIGINTs; the tie-corrected variance (Lehmann) is a fixed
+    expression over six exact BIGINT tie/group sums (N(N−1)(2N+5)
+    stays inside int64 through ~sf10 at this profile; past that the
+    q261 rule — cast the factors once). z and the rounded-|z| reject
+    flag follow the q404 literal-critical-value rule.
+
+    Scale: the pair tagging replicates each order ×4 (each group sits
+    in 4 of the 10 pairs — bounded by the group-count lattice, never
+    by rows²); per-pair windows partition by PAIR over the
+    distinct-value histogram (the documented q211 quantize-first
+    caveat inherited); everything downstream is a ≤10-row frame on
+    bounded nested-loop joins.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+    )
+    obs = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("value"),
+    )
+    types = obs.select("grp").distinct()
+    pairs = types.select(F.col("grp").alias("ta")).join(
+        types.select(F.col("grp").alias("tb")), F.col("ta") < F.col("tb")
+    )
+    tagged = obs.join(
+        F.broadcast(pairs),
+        (F.col("grp") == F.col("ta")) | (F.col("grp") == F.col("tb")),
+    ).select(
+        "ta",
+        "tb",
+        "value",
+        F.when(F.col("grp") == F.col("ta"), 1).otherwise(0).alias("is_a"),
+    )
+    mw = mann_whitney_z(tagged)
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    jt = mw.agg(
+        F.sum(n_a * n_b - F.col("u_a")).alias("jt_stat")
+    )
+    g = obs.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n = F.col("n")
+    ga = g.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(n * n).cast("bigint").alias("sn2"),
+        F.sum(n * (n - 1) * (2 * n + 5)).cast("bigint").alias("s2g"),
+        F.sum(n * (n - 1) * (n - 2)).cast("bigint").alias("s3g"),
+        F.sum(n * (n - 1)).cast("bigint").alias("s4g"),
+    )
+    vh = obs.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    t = F.col("t")
+    va = vh.agg(
+        F.sum(t * (t - 1) * (2 * t + 5)).cast("bigint").alias("s2t"),
+        F.sum(t * (t - 1) * (t - 2)).cast("bigint").alias("s3t"),
+        F.sum(t * (t - 1)).cast("bigint").alias("s4t"),
+    )
+    n_t = F.col("n_total")
+    fin = (
+        jt.crossJoin(F.broadcast(ga))
+        .crossJoin(F.broadcast(va))
+        .select(
+            "jt_stat",
+            "n_total",
+            "n_groups",
+            ((n_t * n_t - F.col("sn2")) / 4.0).alias("mean_jt"),
+            (
+                (
+                    n_t * (n_t - 1) * (2 * n_t + 5)
+                    - F.col("s2g")
+                    - F.col("s2t")
+                )
+                / 72.0
+                + F.col("s3g").cast("double")
+                * F.col("s3t")
+                / (36.0 * n_t * (n_t - 1) * (n_t - 2))
+                + F.col("s4g").cast("double")
+                * F.col("s4t")
+                / (8.0 * n_t * (n_t - 1))
+            ).alias("var_jt"),
+        )
+    )
+    z = F.when(
+        F.col("var_jt") > 0,
+        (F.col("jt_stat") - F.col("mean_jt")) / F.sqrt(F.col("var_jt")),
+    )
+    return fin.select(
+        "n_total",
+        "n_groups",
+        fround(F.col("jt_stat"), 1).alias("jt_stat"),
+        fround(F.col("mean_jt"), 2).alias("mean_jt"),
+        fround(F.sqrt(F.col("var_jt")), 4).alias("sd_jt"),
+        fround(z, 6).alias("z_jt"),
+        (fround(F.abs(z), 6) > 1.959964).alias("reject_5pct"),
+    )

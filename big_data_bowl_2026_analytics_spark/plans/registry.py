@@ -58,7 +58,7 @@ def query(
 #: rotated each round. Round-11 rotation: the r10 window came back
 #: 50/50 strict-green and the never-certified backlog is CLEARED, so
 #: this window starts the re-certification cycle the r10 verdict asked
-#: for: the 7 round-11 additions (q400-q406) first, then the 43
+#: for: the 10 round-11 additions (q400-q409) first, then the 40
 #: entries with the OLDEST driver certification (last green in
 #: CORRECTNESS_r02/r03 — the band never re-run since the testdata
 #: regenerations), computed from the CORRECTNESS_r* artifacts. Every
@@ -73,6 +73,9 @@ _DRIVER_ORDER = [
     "q404_benford_second_digit",
     "q405_cuped_adjusted_ab",
     "q406_sampling_design_effect",
+    "q407_kruskal_wallis",
+    "q408_cochran_armitage_trend",
+    "q409_jonckheere_terpstra",
     "q23_linear_interpolation",
     "q31_minhash_signatures",
     "q33_jaccard_similar_pairs",
@@ -113,9 +116,6 @@ _DRIVER_ORDER = [
     "q47_range_join_bucketed",
     "q49_json_extraction",
     "q64_hierarchical_rollup",
-    "q65_trailing_hour_window",
-    "q70_gap_fill_locf",
-    "q71_hash_split",
 ]
 
 

@@ -2446,3 +2446,42 @@ def test_q406_design_effect_single_reduce(spark):
     assert "windowspecdefinition" not in plan
     assert "HashAggregate" in plan
     assert "n_chars" in plan and "text" not in plan
+
+
+def test_q407_kruskal_wallis_bounded_after_checkpoints(spark):
+    plan = physical_plan(_q(spark, "q407_kruskal_wallis"))
+    # the rank histogram and the 5-row group frame are checkpointed
+    # (two downstream branches each); the closing H row rides bounded
+    # nested-loop cross joins; the bucketed rank machinery hides
+    # behind the checkpoint (the q229 effect) so no window and no
+    # parquet scan are visible in the final plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_q408_cochran_armitage_single_reduce(spark):
+    plan = physical_plan(_q(spark, "q408_cochran_armitage_trend"))
+    # map-side projection + one 2-row reduce: three columns reach the
+    # scan, no joins or windows of any kind
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "HashAggregate" in plan
+    assert "l_discount" in plan and "l_extendedprice" not in plan
+
+
+def test_q409_jonckheere_pair_partitioned_window(spark):
+    plan = physical_plan(_q(spark, "q409_jonckheere_terpstra"))
+    # ONE window, partitioned by the pair key (never a global rank);
+    # pair tagging and the 1-row closing math ride bounded
+    # nested-loop joins; no sort-merge join, no cartesian product
+    assert plan.count("windowspecdefinition") == 1
+    assert "windowspecdefinition(ta" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,220 @@
+"""Pure-Python property tests for the exact constructions the
+round-11 closing batch (q407-q409) relies on — each checked against
+the naive definition it replaces:
+
+1. q407: the doubled-rank histogram algebra (2R(v) = 2·cumcount −
+   tot + 1, group rank sums as integer dot products) reproduces the
+   textbook Kruskal-Wallis H (per-observation average ranks) EXACTLY
+   in Fractions, ties included.
+2. q408: the Cochran-Armitage z² is invariant under any positive
+   affine rescaling of the dose scores (t → a + b·t) — the property
+   that makes the integer 0..10 percent lattice a legitimate score
+   choice — and the BIGINT numerator/spread form equals the textbook
+   per-observation covariance form.
+3. q409: the rank-algebra identity U_ij = n_a·n_b − (r_a −
+   n_a(n_a+1)/2) per ordered group pair reproduces brute-force
+   Jonckheere-Terpstra pair counting (wins + half-ties) exactly, and
+   on tie-free data the Lehmann tie-corrected variance collapses to
+   the classical [N²(2N+3) − Σn_i²(2n_i+3)]/72.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from fractions import Fraction
+
+from hypothesis import given, settings, strategies as st
+
+# ------------------------------------------------------------- shared
+
+
+def _avg_ranks(values):
+    """value -> average rank (exact Fraction), over the full sample."""
+    cnt = Counter(values)
+    ranks = {}
+    before = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        ranks[v] = Fraction(2 * before + t + 1, 2)
+        before += t
+    return ranks
+
+
+# --------------------------------------------------------------- q407
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group id
+            st.integers(min_value=0, max_value=12),  # value (ties likely)
+        ),
+        min_size=2,
+        max_size=120,
+    )
+)
+def test_kw_histogram_algebra_equals_textbook(obs):
+    groups = sorted({g for g, _ in obs})
+    n = len(obs)
+    ranks = _avg_ranks([v for _, v in obs])
+
+    # textbook: per-observation average ranks
+    r_text = {g: sum(ranks[v] for gg, v in obs if gg == g) for g in groups}
+
+    # histogram algebra: 2R(v) = 2*cum - tot + 1 (exact integer)
+    cnt = Counter(v for _, v in obs)
+    two_r = {}
+    cum = 0
+    for v in sorted(cnt):
+        cum += cnt[v]
+        two_r[v] = 2 * cum - cnt[v] + 1
+    r_hist = {
+        g: Fraction(
+            sum(two_r[v] for gg, v in obs if gg == g), 2
+        )
+        for g in groups
+    }
+    assert r_text == r_hist
+
+    # closing H: fixed expression over the exact sums
+    n_g = {g: sum(1 for gg, _ in obs if gg == g) for g in groups}
+    s = sum(r_hist[g] ** 2 / n_g[g] for g in groups)
+    h = Fraction(12, n * (n + 1)) * s - 3 * (n + 1)
+    ties = sum(t**3 - t for t in cnt.values())
+    if ties < n**3 - n:
+        h_corr = h / (1 - Fraction(ties, n**3 - n))
+        # sanity: tie correction only inflates H (0 < C <= 1)
+        assert h_corr >= h
+    # H is the variance-like rank statistic: never below a tiny
+    # negative rounding artifact in exact arithmetic it is >= 0
+    assert h >= 0 or len(groups) == 1
+
+
+# --------------------------------------------------------------- q408
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),  # dose t
+            st.booleans(),  # outcome x
+        ),
+        min_size=2,
+        max_size=100,
+    ),
+    st.integers(min_value=-5, max_value=5),  # affine shift a
+    st.integers(min_value=1, max_value=7),  # affine scale b > 0
+)
+def test_ca_trend_z2_affine_invariant_and_matches_covariance_form(
+    obs, a, b
+):
+    def z2(scored):
+        n = len(scored)
+        r = sum(1 for _, x in scored if x)
+        st_n = sum(t for t, _ in scored)
+        st2_n = sum(t * t for t, _ in scored)
+        st_r = sum(t for t, x in scored if x)
+        num = n * st_r - r * st_n
+        den_t = n * st2_n - st_n * st_n
+        if r == 0 or r == n or den_t == 0:
+            return None
+        return Fraction(num, 1) ** 2 * (n - 1) / (
+            Fraction(r) * (n - r) * den_t
+        )
+
+    base = z2(obs)
+    scaled = z2([(a + b * t, x) for t, x in obs])
+    assert base == scaled  # positive affine invariance, exact
+
+    if base is not None:
+        # covariance form: T = Σ t_i(x_i - p̄), Var hypergeometric
+        n = len(obs)
+        r = sum(1 for _, x in obs if x)
+        p = Fraction(r, n)
+        t_mean = Fraction(sum(t for t, _ in obs), n)
+        tstat = sum(Fraction(t) * ((1 if x else 0) - p) for t, x in obs)
+        var = (
+            p
+            * (1 - p)
+            * sum((Fraction(t) - t_mean) ** 2 for t, _ in obs)
+            * Fraction(n, n - 1)
+        )
+        assert base == tstat**2 / var
+
+
+# --------------------------------------------------------------- q409
+
+
+def _jt_brute(obs, groups):
+    jt = Fraction(0)
+    for i, gi in enumerate(groups):
+        lo = [v for g, v in obs if g == gi]
+        for gj in groups[i + 1 :]:
+            hi = [v for g, v in obs if g == gj]
+            for x in lo:
+                for y in hi:
+                    if x < y:
+                        jt += 1
+                    elif x == y:
+                        jt += Fraction(1, 2)
+    return jt
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_jt_rank_algebra_equals_brute_force(obs):
+    groups = sorted({g for g, _ in obs})
+    jt_alg = Fraction(0)
+    for i, gi in enumerate(groups):
+        for gj in groups[i + 1 :]:
+            sub = [(g, v) for g, v in obs if g in (gi, gj)]
+            ranks = _avg_ranks([v for _, v in sub])
+            n_a = sum(1 for g, _ in sub if g == gi)
+            n_b = len(sub) - n_a
+            r_a = sum(ranks[v] for g, v in sub if g == gi)
+            u_a = r_a - Fraction(n_a * (n_a + 1), 2)
+            jt_alg += n_a * n_b - u_a
+    assert jt_alg == _jt_brute(obs, groups)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=3),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_jt_tie_corrected_variance_reduces_to_classic_when_tie_free(
+    grps,
+):
+    # distinct values: observation index itself — tie-free by
+    # construction, so every t_j = 1 and the tie sums vanish
+    obs = [(g, idx) for idx, g in enumerate(grps)]
+    n = len(obs)
+    cnt = Counter(g for g, _ in obs)
+    ns = list(cnt.values())
+    s2g = sum(m * (m - 1) * (2 * m + 5) for m in ns)
+    s3g = sum(m * (m - 1) * (m - 2) for m in ns)
+    s4g = sum(m * (m - 1) for m in ns)
+    # value ties: all t = 1 -> every tie sum is 0
+    var_lehmann = (
+        Fraction(n * (n - 1) * (2 * n + 5) - s2g - 0, 72)
+        + Fraction(s3g * 0, 36 * n * (n - 1) * (n - 2))
+        + Fraction(s4g * 0, 8 * n * (n - 1))
+    )
+    var_classic = Fraction(
+        n * n * (2 * n + 3) - sum(m * m * (2 * m + 3) for m in ns), 72
+    )
+    assert var_lehmann == var_classic
