@@ -866,3 +866,116 @@ def sprt_decision_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_ARES_STATE_SCHEMA = StructType(
+    [
+        StructField("event_ids", ArrayType(LongType())),
+        StructField("weights", ArrayType(LongType())),
+        StructField("keys", ArrayType(DoubleType())),
+        StructField("n_seen", LongType()),
+        StructField("w_seen", LongType()),
+    ]
+)
+
+_ARES_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("rank", LongType()),
+        StructField("event_id", LongType()),
+        StructField("weight", LongType()),
+        StructField("res_key", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def weighted_reservoir_snapshots(events: DataFrame, k: int = 5) -> DataFrame:
+    """Streaming twin of q370's Efraimidis-Spirakis A-Res weighted
+    reservoir: per event type, O(k) state holds the k events with the
+    largest deterministic priority ln(u)/w (u = (md5-16bit+1)/65537 of
+    the event id — q370's exact hash convention; w = exact integer
+    cents via half_up_cents, non-positive weights skipped like the
+    batch query's n_chars > 0 filter). The reservoir is the top-k of a
+    MERGE-CLOSED order statistic — top-k(A ∪ B) = top-k(top-k(A) ∪ B)
+    — so unlike the prefix-scan twins (page_hinkley_alarms,
+    sprt_decision_stream) there is NO in-order-ingest contract at all:
+    any file split, any batch boundary, any arrival order drains to
+    the identical reservoir. That makes it the sampling member of the
+    mergeable-summary family (HLL distinct / CMS frequency / MG heavy
+    hitters / value-histogram quantiles / this).
+
+    Priorities are computed in Python here and in the JVM for the
+    batch query; ln is correctly-rounded-stable in practice but the
+    two libms are only guaranteed within 1 ulp of each other, so
+    cross-engine SELECTION agreement is generic (distinct (u, w) pairs
+    sit far apart) rather than adversarially exact — the drain test
+    therefore pins the stream against a pure-Python reference of the
+    same scheme plus split-invariance, not against the JVM doubles.
+
+    Snapshots are emitted in update mode, one row per reservoir slot;
+    n_seen is monotone per key, so downstream takes the max-n_seen
+    batch's rows (the heavy_hitter_summaries convention).
+    """
+    import hashlib
+    import math
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        cents = half_up_cents(batch["value"].to_numpy(dtype="float64"))
+        ids = batch["event_id"].to_numpy(dtype="int64")
+        if state.exists:
+            sids, sweights, skeys, n_seen, w_seen = state.get
+            items = list(zip(sids, sweights, skeys))
+        else:
+            items, n_seen, w_seen = [], 0, 0
+        for eid, w in zip(ids, cents):
+            n_seen += 1
+            w = int(w)
+            if w <= 0:
+                continue
+            w_seen += w
+            u = (
+                int(
+                    hashlib.md5(
+                        f"ares|{int(eid)}".encode()
+                    ).hexdigest()[:4],
+                    16,
+                )
+                + 1
+            ) / 65537.0
+            items.append((int(eid), w, math.log(u) / w))
+        items.sort(key=lambda t: (-t[2], t[0]))
+        items = items[:k]
+        state.update(
+            (
+                [i for i, _, _ in items],
+                [w for _, w, _ in items],
+                [kk for _, _, kk in items],
+                int(n_seen),
+                int(w_seen),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(items),
+                "rank": list(range(1, len(items) + 1)),
+                "event_id": [i for i, _, _ in items],
+                "weight": [w for _, w, _ in items],
+                "res_key": [kk for _, _, kk in items],
+                "n_seen": [n_seen] * len(items),
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_ARES_OUTPUT_SCHEMA,
+        stateStructType=_ARES_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

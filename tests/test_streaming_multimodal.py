@@ -1706,3 +1706,102 @@ def test_stateful_sprt_matches_batch(spark, tmp_path_factory):
         .collect()
     }
     assert got == batch
+
+
+def test_stateful_weighted_reservoir_split_invariant(
+    spark, tmp_path_factory
+):
+    """The drained A-Res reservoir equals a pure-Python reference of
+    the same scheme (identical code path: half_up_cents + md5-16bit +
+    math.log), and two DIFFERENT file splits drain to the identical
+    reservoir — the mergeability claim: top-k of a priority order is
+    merge-closed, so there is NO in-order-ingest contract at all."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        half_up_cents,
+        weighted_reservoir_snapshots,
+    )
+
+    k = 5
+    t = pq.read_table(f"{SF}/events.parquet")
+    ids = t.column("event_id").to_numpy()
+    types = t.column("event_type").to_pylist()
+    cents = half_up_cents(
+        t.column("value").to_numpy().astype("float64")
+    )
+    want: dict[str, list] = {}
+    n_want: dict[str, int] = {}
+    for et, eid, w in zip(types, ids, cents):
+        n_want[et] = n_want.get(et, 0) + 1
+        if w <= 0:
+            continue
+        u = (
+            int(
+                hashlib.md5(f"ares|{int(eid)}".encode()).hexdigest()[:4],
+                16,
+            )
+            + 1
+        ) / 65537.0
+        want.setdefault(et, []).append(
+            (int(eid), int(w), math.log(u) / int(w))
+        )
+    for et in want:
+        want[et].sort(key=lambda it: (-it[2], it[0]))
+        want[et] = want[et][:k]
+
+    def drain(split_points, name):
+        d = tmp_path_factory.mktemp(name)
+        paths = []
+        lo = 0
+        for i, hi in enumerate([*split_points, t.num_rows]):
+            p = d / f"{chr(97 + i)}.parquet"
+            pq.write_table(t.slice(lo, hi - lo), p)
+            paths.append(p)
+            lo = hi
+        _stamp_ingest_order(*paths)
+        stream = read_events_stream(
+            spark, str(d), options={"maxFilesPerTrigger": "1"}
+        )
+        q = (
+            weighted_reservoir_snapshots(stream, k=k)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table(name).collect()
+        final_n = {}
+        for r in rows:
+            final_n[r.event_type] = max(
+                final_n.get(r.event_type, 0), r.n_seen
+            )
+        got = {}
+        for r in rows:
+            if r.n_seen == final_n[r.event_type]:
+                got.setdefault(r.event_type, {})[r.rank] = (
+                    r.event_id,
+                    r.weight,
+                    r.res_key,
+                )
+        return final_n, got
+
+    third = t.num_rows // 3
+    n_a, got_a = drain([third, 2 * third], "ares_split_a")
+    n_b, got_b = drain([t.num_rows // 7, t.num_rows // 2], "ares_split_b")
+
+    assert n_a == n_want and n_b == n_want
+    assert got_a == got_b  # split-invariance: mergeable summary
+    assert set(got_a) == set(want)
+    for et, expect in want.items():
+        slots = got_a[et]
+        assert len(slots) == len(expect)
+        for rank, (eid, w, key) in enumerate(expect, start=1):
+            g_eid, g_w, g_key = slots[rank]
+            assert (g_eid, g_w) == (eid, w)
+            assert g_key == key  # same Python code path: exact
