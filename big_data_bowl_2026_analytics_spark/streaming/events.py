@@ -686,3 +686,79 @@ def histogram_quantile(grid: DataFrame, q: float) -> DataFrame:
             "total",
         )
     )
+
+
+def hourly_minhash_signatures(
+    events: DataFrame, n_hashes: int = 16, watermark: str = "2 hours"
+) -> DataFrame:
+    """Hourly MinHash signature of the window's USER SET — the
+    set-similarity member of the mergeable windowed-sketch family
+    (counts → HLL distinct → CMS frequency → value-quantile histogram
+    → A-Res sample → this): each component is the min over users of a
+    seeded md5 (operators/dedup.py::minhash_signatures' exact hash
+    convention, reused verbatim so stream sketches and batch corpus
+    sketches are comparable), and MIN is commutative/idempotent, so
+    the signature is a deterministic function of the window's input
+    SET — arrival order, partitioning, and micro-batch boundaries
+    cannot change it, and the drain is bit-equal to a batch build.
+
+    What it buys at 100 TB: hour-over-hour AUDIENCE OVERLAP (shared
+    users between any two windows) from n_hashes · 32 hex chars of
+    state per window, where the exact answer needs the full user sets
+    — the pairwise Jaccard between any two drained windows is read
+    off signature agreement (``signature_agreement``), including
+    pairs that were never co-resident in memory.
+    """
+    aggs = [
+        F.min(
+            F.md5(
+                F.concat(F.lit(f"{s}|"), F.col("user_id").cast("string"))
+            )
+        ).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(*aggs, F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            *[f"h{s}" for s in range(n_hashes)],
+            "n_events",
+        )
+    )
+
+
+def signature_agreement(
+    sigs: DataFrame, n_hashes: int = 16, key_col: str = "hour_start"
+) -> DataFrame:
+    """Pairwise MinHash agreement between drained window signatures:
+    the fraction of agreeing components estimates the Jaccard overlap
+    of the two windows' user sets (E[agree] = J, the MinHash
+    theorem). Output one row per unordered window pair with the
+    integer agreement count (exact) and the estimate (one division).
+
+    The self-join is over the WINDOW grain — bounded by wall-clock
+    hours retained downstream, never by users or events.
+    """
+    a = sigs.select(
+        F.col(key_col).alias("wa"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(n_hashes)],
+    )
+    b = sigs.select(
+        F.col(key_col).alias("wb"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(n_hashes)],
+    )
+    agree = None
+    for s in range(n_hashes):
+        ind = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        agree = ind if agree is None else agree + ind
+    return (
+        a.join(b, F.col("wa") < F.col("wb"))
+        .select(
+            "wa",
+            "wb",
+            agree.cast("bigint").alias("n_agree"),
+            (agree / F.lit(float(n_hashes))).alias("jaccard_est"),
+        )
+    )

@@ -1805,3 +1805,67 @@ def test_stateful_weighted_reservoir_split_invariant(
             g_eid, g_w, g_key = slots[rank]
             assert (g_eid, g_w) == (eid, w)
             assert g_key == key  # same Python code path: exact
+
+
+def test_hourly_minhash_signatures_stream_equals_batch(spark, events_dir):
+    """The drained window signatures are bit-equal to a batch build
+    (MIN is order/partition/micro-batch invariant), and the pairwise
+    agreement estimator tracks exact hour-pair user-set Jaccard on
+    the fixed corpus (measured 0.018 mean abs err at 16 hashes;
+    pinned at 2x slack — deterministic: the hashes and data are
+    fixed)."""
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        hourly_minhash_signatures,
+        read_events_stream,
+        run_available_now,
+        signature_agreement,
+    )
+
+    n_h = 16
+    stream = read_events_stream(spark, events_dir)
+    run_available_now(
+        hourly_minhash_signatures(stream, n_hashes=n_h), "minhash_stream"
+    )
+    drained = spark.table("minhash_stream")
+
+    ev = read_table(spark, SF, "events", ["ts", "user_id"])
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("user_id").cast("string")))
+        ).alias(f"h{s}")
+        for s in range(n_h)
+    ]
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(*aggs, F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            *[f"h{s}" for s in range(n_h)],
+            "n_events",
+        )
+    )
+    key = lambda r: r.hour_start
+    got = {key(r): tuple(r)[1:] for r in drained.collect()}
+    want = {key(r): tuple(r)[1:] for r in batch.collect()}
+    assert got == want  # bit-equal signatures + counts
+
+    est = {
+        (r.wa, r.wb): r.jaccard_est
+        for r in signature_agreement(drained, n_hashes=n_h).collect()
+    }
+    sets: dict = {}
+    for r in (
+        ev.select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+        .collect()
+    ):
+        sets.setdefault(r.h, set()).add(r.user_id)
+    # signature_agreement keys pairs by window START; exact sets key
+    # by the same truncated hour
+    errs = []
+    for (wa, wb), e in est.items():
+        a, b = sets[wa], sets[wb]
+        j = len(a & b) / len(a | b)
+        errs.append(abs(e - j))
+    assert len(errs) > 1000
+    assert sum(errs) / len(errs) < 0.04  # 2x the measured 0.018
