@@ -218,3 +218,35 @@ def test_jt_tie_corrected_variance_reduces_to_classic_when_tie_free(
         n * n * (2 * n + 3) - sum(m * m * (2 * m + 3) for m in ns), 72
     )
     assert var_lehmann == var_classic
+
+
+# ------------------------------------------- streaming minhash merge
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+             max_size=60),
+    st.integers(min_value=1, max_value=59),
+)
+def test_minhash_signature_is_merge_closed(users, cut):
+    """The signature of a union equals the elementwise min of the
+    parts' signatures — for ANY partition of the input (the property
+    that makes hourly_minhash_signatures micro-batch/order invariant),
+    and two equal user SETS give equal signatures regardless of
+    multiplicity."""
+    import hashlib
+
+    def h(seed, u):
+        return hashlib.md5(f"{seed}|{u}".encode()).hexdigest()
+
+    def sig(us):
+        return tuple(
+            min(h(s, u) for u in us) for s in range(8)
+        )
+
+    cut = min(cut, len(users))
+    a, b = users[:cut] or users, users[cut:] or users
+    merged = tuple(min(x, y) for x, y in zip(sig(a), sig(b)))
+    assert merged == sig(a + b)
+    assert sig(users) == sig(sorted(set(users)))
