@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
@@ -30,6 +31,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 _STATE_SCHEMA = StructType(
@@ -979,3 +981,127 @@ def weighted_reservoir_snapshots(events: DataFrame, k: int = 5) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("hashes", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("hour_start", TimestampType()),
+        StructField("n_seen", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("kth_hash", LongType()),
+        StructField("distinct_est", DoubleType()),
+        StructField("hashes", ArrayType(LongType())),
+    ]
+)
+
+#: KMV hash domain: 15 hex digits = 60 bits, inside int64 for the
+#: ArrayType(LongType) state and exact integer comparisons everywhere.
+_KMV_DOMAIN = float(1 << 60)
+
+
+def _kmv_hash(uid: int) -> int:
+    import hashlib
+
+    return int(
+        hashlib.md5(f"kmv|{int(uid)}".encode()).hexdigest()[:15], 16
+    )
+
+
+def kmv_window_summaries(events: DataFrame, k: int = 64) -> DataFrame:
+    """Hourly KMV (k-minimum-values / theta) sketch of the window's
+    user set — the CARDINALITY-algebra member of the mergeable
+    windowed-sketch family: where hourly_minhash_signatures estimates
+    similarity FRACTIONS, the KMV sketch estimates set SIZES — window
+    distinct users as (k−1)/θ (θ = k-th smallest hash / 2^60, the
+    Bar-Yossef et al. estimator, relative error ~1/√(k−2)) — and, via
+    ``kmv_union_intersection`` over any two drained windows, the size
+    of their UNION and INTERSECTION, with the same bound. That is the
+    audience-arithmetic question ("how many users did hours A and B
+    share?") that HLL alone cannot answer well and MinHash answers
+    only as a ratio.
+
+    The state per hour is the ≤k smallest DISTINCT 60-bit hashes —
+    k·8 bytes — and k-min-of-union is merge-closed (the reservoir
+    theorem with priorities = hashes), so drains are split- and
+    order-invariant with NO ingest contract; below k distinct users
+    the sketch IS the exact distinct set. Snapshots in update mode;
+    n_seen is monotone per key.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (hour_start,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        if state.exists:
+            hashes, n_seen = state.get
+            kept = set(hashes)
+        else:
+            kept, n_seen = set(), 0
+        n_seen += len(batch)
+        for uid in batch["user_id"].to_numpy(dtype="int64"):
+            kept.add(_kmv_hash(uid))
+        merged = sorted(kept)[:k]
+        state.update((merged, int(n_seen)))
+        full = len(merged) == k
+        kth = merged[-1] if merged else 0
+        est = (
+            (k - 1) / (kth / _KMV_DOMAIN)
+            if full and kth > 0
+            else float(len(merged))
+        )
+        yield pd.DataFrame(
+            {
+                "hour_start": [hour_start],
+                "n_seen": [n_seen],
+                "n_kept": [len(merged)],
+                "kth_hash": [kth],
+                "distinct_est": [est],
+                "hashes": [merged],
+            }
+        )
+
+    hours = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "user_id",
+    )
+    return hours.groupBy("hour_start").applyInPandasWithState(
+        update,
+        outputStructType=_KMV_OUTPUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def kmv_union_intersection(
+    hashes_a: list[int], hashes_b: list[int], k: int = 64
+) -> dict:
+    """Set algebra over two drained KMV sketches: k-min of the union
+    is recoverable from the parts (merge closure), θ estimates the
+    union size, and the fraction of the union's k-minima present in
+    BOTH sketches estimates Jaccard — intersection ≈ J × |A ∪ B|
+    (Beyer et al., the standard KMV composition). Exact below k."""
+    sa, sb = set(hashes_a), set(hashes_b)
+    union = sorted(sa | sb)[:k]
+    full = len(union) == k
+    if not union:
+        return {"union_est": 0.0, "jaccard_est": 0.0, "intersection_est": 0.0}
+    kth = union[-1]
+    union_est = (k - 1) / (kth / _KMV_DOMAIN) if full else float(len(union))
+    in_both = sum(1 for h in union if h in sa and h in sb)
+    j = in_both / len(union)
+    return {
+        "union_est": union_est,
+        "jaccard_est": j,
+        "intersection_est": j * union_est,
+    }

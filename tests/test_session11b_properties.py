@@ -250,3 +250,39 @@ def test_minhash_signature_is_merge_closed(users, cut):
     merged = tuple(min(x, y) for x, y in zip(sig(a), sig(b)))
     assert merged == sig(a + b)
     assert sig(users) == sig(sorted(set(users)))
+
+
+# ------------------------------------------------- streaming kmv/theta
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+             max_size=200),
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+             max_size=200),
+    st.sampled_from([4, 8, 16]),
+)
+def test_kmv_truncation_is_lossless_for_set_algebra(a_users, b_users, k):
+    """The k smallest hashes of A ∪ B all lie inside the k smallest
+    of A or the k smallest of B (the KMV merge theorem), so
+    kmv_union_intersection over TRUNCATED sketches equals the same
+    computation over the full hash sets — and when |A ∪ B| < k
+    (STRICTLY: a full sketch cannot know it saw everything, so at
+    exactly k the estimator path fires) every estimate is EXACT."""
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        _kmv_hash,
+        kmv_union_intersection,
+    )
+
+    ha = {_kmv_hash(u) for u in a_users}
+    hb = {_kmv_hash(u) for u in b_users}
+    truncated = kmv_union_intersection(
+        sorted(ha)[:k], sorted(hb)[:k], k
+    )
+    full = kmv_union_intersection(sorted(ha), sorted(hb), k)
+    assert truncated == full
+    sa, sb = set(a_users), set(b_users)
+    if len(sa | sb) < k:
+        assert truncated["union_est"] == len(sa | sb)
+        assert truncated["intersection_est"] == len(sa & sb)

@@ -1869,3 +1869,101 @@ def test_hourly_minhash_signatures_stream_equals_batch(spark, events_dir):
         errs.append(abs(e - j))
     assert len(errs) > 1000
     assert sum(errs) / len(errs) < 0.04  # 2x the measured 0.018
+
+
+def test_kmv_window_summaries_stream_equals_reference(
+    spark, tmp_path_factory
+):
+    """The drained KMV sketches equal a same-code-path pure-Python
+    reference per hour (k-min of a hash set is merge-closed — no
+    ingest contract), two different splits drain identically, and at
+    k=8 (below the corpus' 15 distinct users) the estimator path
+    fires and still matches the reference."""
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        _kmv_hash,
+        kmv_window_summaries,
+    )
+
+    t = pq.read_table(f"{SF}/events.parquet")
+    ev = read_table(spark, SF, "events", ["ts", "user_id"])
+    hour_users: dict = {}
+    for r in (
+        ev.select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+        .collect()
+    ):
+        hour_users.setdefault(r.h, set()).add(r.user_id)
+    n_rows = {
+        r.h: r.n
+        for r in ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def want_for(k):
+        out = {}
+        for h, users in hour_users.items():
+            merged = sorted({_kmv_hash(u) for u in users})[:k]
+            kth = merged[-1]
+            est = (
+                (k - 1) / (kth / float(1 << 60))
+                if len(merged) == k and kth > 0
+                else float(len(merged))
+            )
+            out[h] = (n_rows[h], len(merged), kth, est, merged)
+        return out
+
+    def drain(split_points, name, k):
+        d = tmp_path_factory.mktemp(name)
+        paths, lo = [], 0
+        for i, hi in enumerate([*split_points, t.num_rows]):
+            p = d / f"{chr(97 + i)}.parquet"
+            pq.write_table(t.slice(lo, hi - lo), p)
+            paths.append(p)
+            lo = hi
+        _stamp_ingest_order(*paths)
+        stream = read_events_stream(
+            spark, str(d), options={"maxFilesPerTrigger": "1"}
+        )
+        q = (
+            kmv_window_summaries(stream, k=k)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table(name).collect()
+        final_n = {}
+        for r in rows:
+            final_n[r.hour_start] = max(
+                final_n.get(r.hour_start, 0), r.n_seen
+            )
+        return {
+            r.hour_start: (
+                r.n_seen,
+                r.n_kept,
+                r.kth_hash,
+                r.distinct_est,
+                list(r.hashes),
+            )
+            for r in rows
+            if r.n_seen == final_n[r.hour_start]
+        }
+
+    third = t.num_rows // 3
+    for k in (64, 8):
+        got_a = drain([third, 2 * third], f"kmv_a_k{k}", k)
+        got_b = drain(
+            [t.num_rows // 7, t.num_rows // 2], f"kmv_b_k{k}", k
+        )
+        assert got_a == got_b  # split invariance: mergeable summary
+        assert got_a == want_for(k)
+    # at k=8 at least one window must have exercised the full-sketch
+    # estimator path (n_kept == k) on this corpus
+    assert any(v[1] == 8 for v in want_for(8).values()) or max(
+        len(u) for u in hour_users.values()
+    ) < 8
