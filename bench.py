@@ -7,7 +7,11 @@ Two measurements, both reported:
 
 - ``queries`` / ``serial_total``: each query alone (min over full-suite
   passes, run to CONVERGENCE — at least SPARK_GRAFT_BENCH_REPS passes,
-  then more until the last pass total is within 10% of the best, up to
+  then more until the MINIMUM pass total has stopped improving for
+  REPS-1 consecutive passes (the reported number is a min, so the min
+  is what must stabilize: a "last near best" test is vacuous during
+  JIT warmup, and a rising pressure tail must not unconverge a stable
+  min), up to
   SPARK_GRAFT_BENCH_MAX_REPS; the shared box shows multi-second
   external load spikes, and an unconverged run self-declares
   ``contaminated``; executed to completion executor-side via a noop
@@ -365,14 +369,14 @@ def main() -> None:
     # pass totals were still FALLING at the fixed-rep cutoff
     # (27.2 -> 12.4 -> 11.5) — the min-of-3 captured a still-loaded
     # box. Run at least n_reps full-suite passes, then keep adding
-    # passes until the LAST pass total is within conv_tol of the best
-    # pass so far (the steady-state test), up to max_reps. A run that
-    # hits max_reps unconverged declares itself in the artifact
-    # (serial_converged: false) instead of silently shipping a
-    # contaminated number.
+    # passes until the MINIMUM pass total has not improved for
+    # n_reps-1 consecutive passes (min-stability: the reported number
+    # is a min, so the min is what must stabilize), up to max_reps. A
+    # run that hits max_reps unconverged declares itself in the
+    # artifact (serial_converged: false) instead of silently shipping
+    # a contaminated number.
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "8"))
-    conv_tol = float(os.environ.get("SPARK_GRAFT_BENCH_CONV_TOL", "0.10"))
     rep_timings: dict[str, list[float]] = {name: [] for name in names}
     pass_totals: list[float] = []
     pass_counts: list[int] = []
@@ -394,8 +398,20 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"
         pass_totals.append(round(pass_total, 3))
         pass_counts.append(pass_count)
-        if len(pass_totals) >= n_reps and (
-            pass_totals[-1] <= (1.0 + conv_tol) * min(pass_totals)
+        # Converged = the MINIMUM pass has stopped improving for
+        # n_reps-1 consecutive passes. The reported number is a min,
+        # so what needs to stabilize is the min — not the last pass.
+        # A "last within tol of best" test is vacuous while passes
+        # are still falling (the last pass IS the best during JIT
+        # warmup: r11's first local run declared 19.1 -> 9.7 -> 7.6
+        # "converged" mid-warmup), and a rising tail (measurement-
+        # side allocator/GC pressure accumulating across reps — the
+        # r11 batched trace) should not unconverge a stable min;
+        # external load spikes remain visible in the loadavg fields.
+        best_idx = pass_totals.index(min(pass_totals))
+        if (
+            len(pass_totals) >= n_reps
+            and len(pass_totals) - 1 - best_idx >= n_reps - 1
         ):
             serial_converged = True
             break
@@ -452,8 +468,14 @@ def main() -> None:
             with ThreadPoolExecutor(max_workers=n_threads) as pool:
                 list(pool.map(_run_one, names))
             batched_reps.append(round(time.perf_counter() - t0, 3))
-            if len(batched_reps) >= n_reps and (
-                batched_reps[-1] <= (1.0 + conv_tol) * min(batched_reps)
+            # same min-stability test as the serial phase: stop once
+            # the best makespan is n_reps-1 reps old (keeps measuring
+            # while still improving; a rising pressure tail does not
+            # unconverge a stable min)
+            best_idx = batched_reps.index(min(batched_reps))
+            if (
+                len(batched_reps) >= n_reps
+                and len(batched_reps) - 1 - best_idx >= n_reps - 1
             ):
                 batched_converged = True
                 break
