@@ -762,3 +762,119 @@ def signature_agreement(
             (agree / F.lit(float(n_hashes))).alias("jaccard_est"),
         )
     )
+
+
+_AMS_HEX = "0123456789abcdef"
+
+
+def _ams_sign(j: int, key):
+    """±1 four-wise-ish sign for AMS row ``j``: parity of the first
+    md5 nibble of ``"ams{j}|" || key`` — the same md5-nibble decode
+    the engine's hash splits use, so the pure-Python test reference
+    is one hashlib call."""
+    nib = (
+        F.instr(
+            F.lit(_AMS_HEX),
+            F.substring(
+                F.md5(F.concat(F.lit(f"ams{j}|"), key.cast("string"))), 1, 1
+            ),
+        )
+        - 1
+    )
+    return F.when(nib % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+def hourly_ams_sketch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    n_rows: int = 16,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hourly AMS (Alon-Matias-Szegedy) sketch of the window's user
+    FREQUENCY vector — the moment/join-size member of the mergeable
+    windowed-sketch family: row j keeps S_j = Σ_events sign_j(user),
+    a plain windowed SUM of ±1, so the whole sketch is one JVM-side
+    windowed aggregation in tall (window, j, s) form — exact BIGINT,
+    order/micro-batch invariant, drain bit-equal to a batch build
+    (the hourly_cms_grid precedent).
+
+    What it buys at 100 TB: mean_j(S_j²) estimates the window's
+    SECOND MOMENT F2 = Σ_u f(u)² (self-join size / skew), and
+    mean_j(S_j^A · S_j^B) estimates the INNER PRODUCT Σ_u f_A(u)f_B(u)
+    between any two windows — the classic AMS equi-join-size estimate
+    between two streams' key columns — from n_rows integers per
+    window, where the exact answer needs the full frequency maps.
+    Read both off the drained grid with ``ams_moments`` /
+    ``ams_inner_products``.
+    """
+    rows = events.withWatermark("ts", watermark).select(
+        "ts",
+        F.col(key_col).alias("k"),
+        F.explode(F.array(*[F.lit(j) for j in range(n_rows)])).alias("j"),
+    )
+    signed = rows.select(
+        "ts", "j", _ams_sign_dyn("j", F.col("k"), n_rows).alias("sgn")
+    )
+    return (
+        signed.groupBy(F.window("ts", "1 hour").alias("w"), "j")
+        .agg(F.sum("sgn").cast("bigint").alias("s"))
+        .select(F.col("w.start").alias("hour_start"), "j", "s")
+    )
+
+
+def _ams_sign_dyn(j_col, key, n_rows: int):
+    """_ams_sign with the row index as a COLUMN: one md5 per
+    (event, j) selected by CASE over the small static row count —
+    keeps the explode+sign pipeline a single JVM projection (the
+    cms_bucket_dyn pattern)."""
+    j = F.col(j_col) if isinstance(j_col, str) else j_col
+    expr = F.lit(None).cast("int")
+    for jj in range(n_rows):
+        expr = F.when(j == jj, _ams_sign(jj, key)).otherwise(expr)
+    return expr
+
+
+def ams_moments(grid: DataFrame, n_rows: int = 16) -> DataFrame:
+    """Per-window F2 estimate from a drained AMS grid:
+    mean_j(S_j²) — the AMS second-moment estimator (self-join size of
+    the window's key column; F2/n² is the window's collision rate)."""
+    return (
+        grid.groupBy("hour_start")
+        .agg(
+            (F.sum(F.col("s") * F.col("s")) / F.lit(float(n_rows))).alias(
+                "f2_est"
+            ),
+            F.count(F.lit(1)).alias("n_rows_seen"),
+        )
+    )
+
+
+def ams_inner_products(grid: DataFrame, n_rows: int = 16) -> DataFrame:
+    """Pairwise window inner-product (equi-join size) estimates from a
+    drained AMS grid: mean_j(S_j^A · S_j^B) for every unordered window
+    pair — the join cardinality |{(a, b) : key_a = key_b}| between the
+    two windows' event sets. The self-join is over the WINDOW grain
+    (bounded by retained wall-clock hours), joined per sketch row."""
+    # every column re-aliased on BOTH sides: a self-join of the same
+    # (possibly view-backed) plan must reference only fresh attribute
+    # ids or resolution conflicts (hit live on a memory-sink view)
+    a = grid.select(
+        F.col("hour_start").alias("wa"),
+        F.col("j").alias("ja"),
+        F.col("s").alias("sa"),
+    )
+    b = grid.select(
+        F.col("hour_start").alias("wb"),
+        F.col("j").alias("jb"),
+        F.col("s").alias("sb"),
+    )
+    return (
+        a.join(b, F.col("ja") == F.col("jb"))
+        .where(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(
+            (F.sum(F.col("sa") * F.col("sb")) / F.lit(float(n_rows))).alias(
+                "join_size_est"
+            )
+        )
+    )

@@ -286,3 +286,46 @@ def test_kmv_truncation_is_lossless_for_set_algebra(a_users, b_users, k):
     if len(sa | sb) < k:
         assert truncated["union_est"] == len(sa | sb)
         assert truncated["intersection_est"] == len(sa & sb)
+
+
+# --------------------------------------------------- streaming ams/f2
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**5), min_size=1,
+             max_size=80),
+    st.integers(min_value=0, max_value=79),
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=1, max_value=200),
+)
+def test_ams_rows_are_additive_and_exact_on_shared_singletons(
+    users, cut, fa, fb
+):
+    """S_j = Σ sign_j(user) is additive over ANY stream split (the
+    windowed-sum merge closure behind hourly_ams_sketch's drain ==
+    batch), and for two windows whose events all carry the SAME
+    single user the inner-product estimator is EXACT: sign² = 1, so
+    mean_j(S_j^A · S_j^B) = f_A · f_B with zero variance."""
+    import hashlib
+
+    def sign(j, u):
+        nib = int(
+            hashlib.md5(f"ams{j}|{u}".encode()).hexdigest()[0], 16
+        )
+        return 1 if nib % 2 == 0 else -1
+
+    n_rows = 8
+    cut = min(cut, len(users))
+    a, b = users[:cut], users[cut:]
+    for j in range(n_rows):
+        sa = sum(sign(j, u) for u in a)
+        sb = sum(sign(j, u) for u in b)
+        assert sa + sb == sum(sign(j, u) for u in users)
+
+    u = users[0]
+    est = (
+        sum((fa * sign(j, u)) * (fb * sign(j, u)) for j in range(n_rows))
+        / n_rows
+    )
+    assert est == fa * fb

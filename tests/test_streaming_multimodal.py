@@ -1967,3 +1967,79 @@ def test_kmv_window_summaries_stream_equals_reference(
     assert any(v[1] == 8 for v in want_for(8).values()) or max(
         len(u) for u in hour_users.values()
     ) < 8
+
+
+def test_hourly_ams_sketch_stream_equals_batch(spark, events_dir):
+    """The drained AMS grid is bit-equal to a batch build (a ±1 SUM
+    is order/partition/micro-batch invariant, exact BIGINT), and the
+    F2 / join-size readouts track the exact per-window frequency
+    moments on the fixed corpus (measured 0.099 mean relative F2
+    error and 0.34 mean absolute consecutive-pair inner-product
+    error at 16 rows; pinned at ~2x — deterministic: hashes and data
+    are fixed)."""
+    from collections import Counter, defaultdict
+
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        _ams_sign_dyn,
+        ams_inner_products,
+        ams_moments,
+        hourly_ams_sketch,
+        read_events_stream,
+        run_available_now,
+    )
+
+    n_rows = 16
+    stream = read_events_stream(spark, events_dir)
+    run_available_now(
+        hourly_ams_sketch(stream, n_rows=n_rows), "ams_stream"
+    )
+    drained = spark.table("ams_stream")
+
+    ev = read_table(spark, SF, "events", ["ts", "user_id"])
+    rows = ev.select(
+        "ts",
+        F.col("user_id").alias("k"),
+        F.explode(F.array(*[F.lit(j) for j in range(n_rows)])).alias("j"),
+    )
+    batch = (
+        rows.select(
+            "ts", "j", _ams_sign_dyn("j", F.col("k"), n_rows).alias("sgn")
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "j")
+        .agg(F.sum("sgn").cast("bigint").alias("s"))
+        .select(F.col("w.start").alias("hour_start"), "j", "s")
+    )
+    got = {(r.hour_start, r.j): r.s for r in drained.collect()}
+    want = {(r.hour_start, r.j): r.s for r in batch.collect()}
+    assert got == want  # bit-equal grid
+
+    freq: dict = defaultdict(Counter)
+    for r in ev.select(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).collect():
+        freq[r.h][r.user_id] += 1
+
+    f2 = {
+        r.hour_start: r.f2_est
+        for r in ams_moments(drained, n_rows).collect()
+    }
+    assert set(f2) == set(freq)
+    rel = [
+        abs(est - sum(c * c for c in freq[h].values()))
+        / sum(c * c for c in freq[h].values())
+        for h, est in f2.items()
+    ]
+    assert sum(rel) / len(rel) < 0.2  # 2x the measured 0.099
+
+    ip = {
+        (r.wa, r.wb): r.join_size_est
+        for r in ams_inner_products(drained, n_rows).collect()
+    }
+    hours = sorted(freq)
+    errs = []
+    for a, b in zip(hours, hours[1:]):
+        key = (a, b) if (a, b) in ip else (b, a)
+        true = sum(freq[a][u] * freq[b][u] for u in freq[a])
+        errs.append(abs(ip[key] - true))
+    assert len(errs) > 300
+    assert sum(errs) / len(errs) < 0.7  # 2x the measured 0.34
