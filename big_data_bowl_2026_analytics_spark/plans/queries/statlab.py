@@ -5136,7 +5136,7 @@ SELECT linestatus,
        n AS n_lines,
        r AS n_returned,
        num AS trend_num,
-       round(z_trend + 1e-9, 6) AS z_trend,
+       round(z_trend + 1e-9, 6) + 0 AS z_trend,
        round(z_trend * z_trend + 1e-9, 4) AS z2,
        round(z_trend * z_trend + 1e-9, 4) > 3.841459 AS reject_5pct
 FROM z
@@ -5207,7 +5207,7 @@ def q408_cochran_armitage_trend(
         n.alias("n_lines"),
         r.alias("n_returned"),
         F.col("num").alias("trend_num"),
-        fround(F.col("z_trend"), 6).alias("z_trend"),
+        (fround(F.col("z_trend"), 6) + F.lit(0.0)).alias("z_trend"),
         z2.alias("z2"),
         (z2 > 3.841459).alias("reject_5pct"),
     )
@@ -5283,7 +5283,7 @@ SELECT n_total, n_groups,
        round(sqrt(var_jt) + 1e-9, 4) AS sd_jt,
        round(CASE WHEN var_jt > 0
                   THEN (jt_stat - mean_jt) / sqrt(var_jt) END + 1e-9, 6)
-         AS z_jt,
+         + 0 AS z_jt,
        round(abs(CASE WHEN var_jt > 0
                       THEN (jt_stat - mean_jt) / sqrt(var_jt) END) + 1e-9, 6)
          > 1.959964 AS reject_5pct
@@ -5400,6 +5400,6 @@ def q409_jonckheere_terpstra(
         fround(F.col("jt_stat"), 1).alias("jt_stat"),
         fround(F.col("mean_jt"), 2).alias("mean_jt"),
         fround(F.sqrt(F.col("var_jt")), 4).alias("sd_jt"),
-        fround(z, 6).alias("z_jt"),
+        (fround(z, 6) + F.lit(0.0)).alias("z_jt"),
         (fround(F.abs(z), 6) > 1.959964).alias("reject_5pct"),
     )
