@@ -2288,7 +2288,7 @@ rungs AS (
 )
 SELECT n0 AS n_quarter, n1 AS n_half, n2 AS n_full,
        e0 AS rmse_quarter, e1 AS rmse_half, e2 AS rmse_full,
-       round(slope + 1e-9, 4) AS power_exponent,
+       round(slope + 1e-9, 4) + 0 AS power_exponent,
        round(exp(ln(e2) + slope * ln(8.0)) + 1e-9, 4) AS pred_rmse_8x,
        round(slope + 1e-9, 4) > -0.05 AS diminishing_returns
 FROM fitted
@@ -2387,7 +2387,7 @@ def q399_learning_curve_extrapolation(
         F.col("e0").alias("rmse_quarter"),
         F.col("e1").alias("rmse_half"),
         F.col("e2").alias("rmse_full"),
-        fround(F.col("slope"), 4).alias("power_exponent"),
+        (fround(F.col("slope"), 4) + F.lit(0.0)).alias("power_exponent"),
         fround(
             F.exp(F.log(F.col("e2")) + F.col("slope") * F.log(F.lit(8.0))), 4
         ).alias("pred_rmse_8x"),
