@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
+(default /root/testdata/sf0.1) and prints the headline JSON line LAST:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The final stdout line is a COMPACT headline (≤ ~1.9 kB, sized for the
+driver's 2000-char stdout tail capture — BENCH_r11 lost its number to
+a fat line); the full artifact is printed as the line before it and
+written to ``BENCH_DETAIL.json`` next to this file.
 
 Two measurements, both reported:
 
@@ -229,6 +234,28 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["_warmup"] = f"{type(exc).__name__}: {exc}"
 
+    def _suite_warmup_pass() -> None:
+        """Run the whole suite once, untimed (r11 verdict #2).
+
+        BENCH_r11's serial phase hit max_reps still falling
+        (21.6 -> ... -> 5.598, ``serial_converged: false``): the first
+        several timed passes were measuring whole-stage-codegen JIT
+        warmup, not the engine, and the min-stability test correctly
+        refused to call that converged. With the codegen cache sized to
+        the suite (r9 fix above), warm state is stable — so paying one
+        untimed full-suite pass up front moves the JIT cost out of the
+        timed region entirely and the timed min stabilizes within the
+        normal rep budget even on a slow driver box.
+        """
+        for name in names:
+            if name in errors:
+                continue
+            try:
+                df = bench_builder(name)(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"
+
     # Shared-scan fusion: the 21 headline queries read the same ten
     # base tables 30+ times between them. Pin those scans in the
     # in-memory columnar cache once — repartitioned to the session
@@ -376,7 +403,9 @@ def main() -> None:
     # artifact (serial_converged: false) instead of silently shipping
     # a contaminated number.
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "8"))
+    max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "10"))
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1":
+        _suite_warmup_pass()
     rep_timings: dict[str, list[float]] = {name: [] for name in names}
     pass_totals: list[float] = []
     pass_counts: list[int] = []
@@ -559,7 +588,59 @@ def main() -> None:
 
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # Output contract (r11 verdict #1): BENCH_r11 recorded
+    # "parsed": null because the full artifact line outgrew the
+    # harness's 2000-char stdout tail capture and the tail started
+    # mid-line. The FULL artifact therefore goes to a sidecar file
+    # (and an early stdout line for humans), while the LAST stdout
+    # line is a compact headline guaranteed to fit the tail capture:
+    # metric/value/unit, per-query timings if they fit, totals,
+    # convergence + contamination flags. The compact line is built
+    # adaptively — optional sections are dropped largest-first until
+    # it serializes under the budget.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        detail_path.write_text(json.dumps(out, indent=1) + "\n")
+    except OSError as exc:
+        errors["_detail_sidecar"] = f"{type(exc).__name__}: {exc}"
+    print(json.dumps(out), flush=True)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "execution": out["execution"],
+        "serial_total": serial_total,
+        "sf": sf,
+        "reps": out["reps"],
+        "serial_converged": serial_converged,
+        "detail": detail_path.name,
+    }
+    for key in (
+        "fair_batched_wall",
+        "batched_converged",
+        "oracle_total",
+        "oracle_pre_total",
+        "oracle_post_total",
+        "contaminated",
+        "settle_wait_s",
+    ):
+        if key in out:
+            compact[key] = out[key]
+    if errors:
+        compact["error_count"] = len(errors)
+    # Optional payloads, added only while the line stays under budget
+    # (largest first, so the most useful one — per-query timings —
+    # gets first claim on the space).
+    budget = 1900
+    for key in ("queries", "index_build", "serial_pass_totals"):
+        if key in out:
+            trial = dict(compact)
+            trial[key] = out[key]
+            if len(json.dumps(trial)) <= budget:
+                compact = trial
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
