@@ -4948,9 +4948,9 @@ SELECT g.priority, g.n_group, g.rank_sum2,
        round(CASE WHEN g.n_group > 0
                   THEN g.rank_sum2 / (2.0 * g.n_group) END + 1e-9, 6) AS mean_rank,
        hh.n_total,
-       round(hh.h_stat + 1e-9, 4) AS h_stat,
+       round(hh.h_stat + 1e-9, 4) + 0 AS h_stat,
        round(CASE WHEN hh.tie_c > 0 THEN hh.h_stat / hh.tie_c END + 1e-9, 4)
-         AS h_tie_corrected,
+         + 0 AS h_tie_corrected,
        hh.df,
        CASE WHEN hh.df = 4
             THEN round(CASE WHEN hh.tie_c > 0
@@ -5095,8 +5095,8 @@ def q407_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_rank"),
         "n_total",
-        fround(F.col("h_stat"), 4).alias("h_stat"),
-        h_corr.alias("h_tie_corrected"),
+        (fround(F.col("h_stat"), 4) + F.lit(0.0)).alias("h_stat"),
+        (h_corr + F.lit(0.0)).alias("h_tie_corrected"),
         "df",
         F.when(F.col("df") == 4, h_corr > 9.487729).alias("reject_5pct"),
     )

@@ -730,7 +730,7 @@ def hourly_minhash_signatures(
 
 
 def signature_agreement(
-    sigs: DataFrame, n_hashes: int = 16, key_col: str = "hour_start"
+    sigs: DataFrame, n_hashes: int | None = None, key_col: str = "hour_start"
 ) -> DataFrame:
     """Pairwise MinHash agreement between drained window signatures:
     the fraction of agreeing components estimates the Jaccard overlap
@@ -738,9 +738,23 @@ def signature_agreement(
     theorem). Output one row per unordered window pair with the
     integer agreement count (exact) and the estimate (one division).
 
+    ``n_hashes`` defaults to what the SIGNATURE FRAME actually carries
+    (the ``h{i}`` columns in its schema): a grid built with a
+    non-default width must not be read with a mismatched divisor —
+    that silently rescales every estimate — so an explicit value that
+    disagrees with the schema raises instead.
+
     The self-join is over the WINDOW grain — bounded by wall-clock
     hours retained downstream, never by users or events.
     """
+    schema_hashes = _indexed_cols(sigs, "h")
+    if n_hashes is None:
+        n_hashes = schema_hashes
+    elif n_hashes != schema_hashes:
+        raise ValueError(
+            f"n_hashes={n_hashes} but the signature frame carries "
+            f"h0..h{schema_hashes - 1} ({schema_hashes} components)"
+        )
     a = sigs.select(
         F.col(key_col).alias("wa"),
         *[F.col(f"h{s}").alias(f"a{s}") for s in range(n_hashes)],
@@ -762,6 +776,23 @@ def signature_agreement(
             (agree / F.lit(float(n_hashes))).alias("jaccard_est"),
         )
     )
+
+
+def _indexed_cols(df: DataFrame, prefix: str) -> int:
+    """Count the contiguous ``{prefix}0..{prefix}{k-1}`` columns a
+    sketch frame carries — the frame itself is the source of truth for
+    its own width (a mismatched width parameter silently rescales
+    every divided estimate, so readers derive it instead)."""
+    import re
+
+    pat = re.compile(rf"^{re.escape(prefix)}(\d+)$")
+    idx = sorted(int(m.group(1)) for c in df.columns if (m := pat.match(c)))
+    if not idx or idx != list(range(len(idx))):
+        raise ValueError(
+            f"frame carries no contiguous {prefix}0..{prefix}k columns: "
+            f"{[c for c in df.columns if pat.match(c)]}"
+        )
+    return len(idx)
 
 
 _AMS_HEX = "0123456789abcdef"
@@ -834,27 +865,37 @@ def _ams_sign_dyn(j_col, key, n_rows: int):
     return expr
 
 
-def ams_moments(grid: DataFrame, n_rows: int = 16) -> DataFrame:
+def ams_moments(grid: DataFrame) -> DataFrame:
     """Per-window F2 estimate from a drained AMS grid:
     mean_j(S_j²) — the AMS second-moment estimator (self-join size of
-    the window's key column; F2/n² is the window's collision rate)."""
+    the window's key column; F2/n² is the window's collision rate).
+
+    The divisor is the window's OWN sketch-row count (every event
+    explodes into all n_rows rows, so any non-empty window carries the
+    full set) — derived from the data, never a parameter: a grid built
+    with a non-default n_rows read with a mismatched divisor would
+    silently rescale every estimate. ``n_rows_seen`` stays in the
+    output so a malformed grid is visible."""
     return (
         grid.groupBy("hour_start")
         .agg(
-            (F.sum(F.col("s") * F.col("s")) / F.lit(float(n_rows))).alias(
-                "f2_est"
-            ),
+            (
+                F.sum(F.col("s") * F.col("s"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("f2_est"),
             F.count(F.lit(1)).alias("n_rows_seen"),
         )
     )
 
 
-def ams_inner_products(grid: DataFrame, n_rows: int = 16) -> DataFrame:
+def ams_inner_products(grid: DataFrame) -> DataFrame:
     """Pairwise window inner-product (equi-join size) estimates from a
     drained AMS grid: mean_j(S_j^A · S_j^B) for every unordered window
     pair — the join cardinality |{(a, b) : key_a = key_b}| between the
     two windows' event sets. The self-join is over the WINDOW grain
-    (bounded by retained wall-clock hours), joined per sketch row."""
+    (bounded by retained wall-clock hours), joined per sketch row.
+    The divisor is the pair's matched-row count (the shared j set),
+    data-derived per the ams_moments contract."""
     # every column re-aliased on BOTH sides: a self-join of the same
     # (possibly view-backed) plan must reference only fresh attribute
     # ids or resolution conflicts (hit live on a memory-sink view)
@@ -873,8 +914,9 @@ def ams_inner_products(grid: DataFrame, n_rows: int = 16) -> DataFrame:
         .where(F.col("wa") < F.col("wb"))
         .groupBy("wa", "wb")
         .agg(
-            (F.sum(F.col("sa") * F.col("sb")) / F.lit(float(n_rows))).alias(
-                "join_size_est"
-            )
+            (
+                F.sum(F.col("sa") * F.col("sb"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("join_size_est")
         )
     )

@@ -1849,6 +1849,10 @@ def test_hourly_minhash_signatures_stream_equals_batch(spark, events_dir):
     want = {key(r): tuple(r)[1:] for r in batch.collect()}
     assert got == want  # bit-equal signatures + counts
 
+    # width mismatches must fail loudly, not silently rescale; the
+    # default derives the width from the frame's own h{i} columns
+    with pytest.raises(ValueError, match="n_hashes=8"):
+        signature_agreement(drained, n_hashes=8)
     est = {
         (r.wa, r.wb): r.jaccard_est
         for r in signature_agreement(drained, n_hashes=n_h).collect()
@@ -2021,7 +2025,7 @@ def test_hourly_ams_sketch_stream_equals_batch(spark, events_dir):
 
     f2 = {
         r.hour_start: r.f2_est
-        for r in ams_moments(drained, n_rows).collect()
+        for r in ams_moments(drained).collect()
     }
     assert set(f2) == set(freq)
     rel = [
@@ -2033,7 +2037,7 @@ def test_hourly_ams_sketch_stream_equals_batch(spark, events_dir):
 
     ip = {
         (r.wa, r.wb): r.join_size_est
-        for r in ams_inner_products(drained, n_rows).collect()
+        for r in ams_inner_products(drained).collect()
     }
     hours = sorted(freq)
     errs = []
