@@ -5403,3 +5403,133 @@ def q409_jonckheere_terpstra(
         (fround(z, 6) + F.lit(0.0)).alias("z_jt"),
         (fround(F.abs(z), 6) > 1.959964).alias("reject_5pct"),
     )
+
+
+@query(
+    "q411_runs_test_randomness",
+    tags=("statistics", "hypothesis-test", "time-series"),
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_orderdate
+), med AS (
+  SELECT cents AS mcents FROM (
+    SELECT cents, row_number() OVER (ORDER BY cents, day) AS rn,
+           count(*) OVER () AS n
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+), signs AS (
+  SELECT d.day, CASE WHEN d.cents > m.mcents THEN 1 ELSE 0 END AS s
+  FROM daily d CROSS JOIN med m
+  WHERE d.cents <> m.mcents
+), brk AS (
+  SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                   OR lag(s) OVER (ORDER BY day) <> s
+                 THEN 1 ELSE 0 END AS is_break
+  FROM signs
+), agg AS (
+  SELECT CAST(sum(s) AS BIGINT) AS n1,
+         CAST(sum(1 - s) AS BIGINT) AS n2,
+         CAST(sum(is_break) AS BIGINT) AS r
+  FROM brk
+)
+SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+       round(1.0 + 2.0 * n1 * n2 / (n1 + n2) + 1e-9, 4) AS expected_runs,
+       round(CASE WHEN n1 > 0 AND n2 > 0
+                   AND 2.0 * n1 * n2 - n1 - n2 > 0
+                  THEN (r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                       / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                              / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                                 * (n1 + n2 - 1)))
+             END + 1e-9, 6) + 0 AS z_runs,
+       CASE WHEN n1 > 0 AND n2 > 0 AND 2.0 * n1 * n2 - n1 - n2 > 0
+            THEN abs(round((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                       / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                              / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                                 * (n1 + n2 - 1))) + 1e-9, 6)) > 1.959964
+       END AS reject_5pct
+FROM agg
+""",
+)
+def q411_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue series: is the
+    sequence of above/below-median days RANDOM, or does it carry
+    momentum (long runs -> fewer runs than expected) or oscillation
+    (alternation -> more runs)? The distribution-free serial-
+    dependence test next to q203's parametric ACF and q229's
+    Mann-Kendall TREND test — runs detect clustering that has no
+    monotone drift, which MK misses by construction.
+
+    Exactness: the median is an EXACT rank selection on integer cents
+    (never an interpolated quantile, the q184 rule) with a unique
+    (cents, day) tie-break; days equal to the median drop on both
+    sides (the classical treatment); n1/n2/R are exact BIGINTs; the
+    z closed form is a fixed expression tree over those three ints
+    (products bounded by the ~2.4k-day calendar — no overflow) with
+    the fround pair and the sign-of-zero '+ 0' guard (a near-null z is
+    exactly what a random series produces); reject compares the
+    ROUNDED |z| (q348 rule). Degenerate splits (a one-sided series or
+    n1 = n2 = 1, where the variance is 0) yield NULL z, never a
+    divide error.
+
+    Scale: the series lives on the DAY grain — bounded by the
+    calendar, not by order count — so the rank/lag windows are
+    bounded funnels; everything before them is one map-side groupBy.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"]
+    )
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    daily = daily.localCheckpoint()  # median branch + signs branch
+    n_days = daily.agg(F.count(F.lit(1)).alias("n"))
+    ranked = daily.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "day"))
+        .alias("rn"),
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(n_days))
+        .where(F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint"))
+        .select(F.col("cents").alias("mcents"))
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("cents") != F.col("mcents"))
+        .select(
+            "day",
+            F.when(F.col("cents") > F.col("mcents"), 1).otherwise(0).alias("s"),
+        )
+    )
+    prev = F.lag("s").over(Window.orderBy("day"))
+    brk = signs.select(
+        "s",
+        F.when(prev.isNull() | (prev != F.col("s")), 1)
+        .otherwise(0)
+        .alias("is_break"),
+    )
+    agg = brk.agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).cast("bigint").alias("n2"),
+        F.sum("is_break").cast("bigint").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = F.lit(1.0) + F.lit(2.0) * n1 * n2 / (n1 + n2)
+    var_num = F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+    var_den = (n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1)
+    ok = (n1 > 0) & (n2 > 0) & (F.lit(2.0) * n1 * n2 - n1 - n2 > 0)
+    z = F.when(ok, (r - mu) / F.sqrt(var_num / var_den))
+    return agg.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        fround(mu, 4).alias("expected_runs"),
+        (fround(z, 6) + F.lit(0.0)).alias("z_runs"),
+        F.when(ok, F.abs(fround(z, 6)) > 1.959964).alias("reject_5pct"),
+    )

@@ -3948,3 +3948,111 @@ def q395_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_chunk_tokens"),
         F.max("clen").cast("bigint").alias("max_chunk_tokens"),
     )
+
+
+@query(
+    "q410_inter_doc_ngram_dup",
+    tags=("text", "dedup", "llm-pipeline"),
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), pairs AS MATERIALIZED (
+  SELECT DISTINCT doc_id, source,
+         md5(unnest(list_transform(generate_series(1, len(toks) - 7),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+             || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+             || toks[i+6] || ' ' || toks[i+7]))) AS h
+  FROM w WHERE len(toks) >= 8
+), grams AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS nd FROM pairs GROUP BY h
+), per AS (
+  SELECT p.doc_id, p.source,
+         CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pairs p JOIN grams g USING (h)
+  GROUP BY p.doc_id, p.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d) AS BIGINT) AS dup_doc_grams,
+       CAST(sum(n) AS BIGINT) AS total_doc_grams,
+       round(CAST(sum(d) AS DOUBLE) / CAST(sum(n) AS DOUBLE) + 1e-9, 6)
+         AS pooled_dup_rate,
+       CAST(sum(CASE WHEN 2 * d > n THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged_docs,
+       round(CAST(sum(CASE WHEN 2 * d > n THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS flagged_share
+FROM per GROUP BY source
+""",
+)
+def q410_inter_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-document duplicated 8-gram rate per source — the Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") corpus-dedup metric: per document, the share of its
+    DISTINCT word 8-grams that also occur in at least one OTHER
+    document. q389 measures repetition WITHIN a page (Gopher rule);
+    this is the cross-document axis the ExactSubstr/near-dup filters
+    act on — a source full of syndicated or mirrored text shows a high
+    pooled rate here while looking clean to q389. Per source: pooled
+    duplicated-(doc, 8-gram) share, plus the count/share of documents
+    whose 8-grams are MAJORITY duplicated (2·d > n, the exact integer
+    cross-multiplication — probed on this corpus: per-doc shares are
+    bimodal at ~0 and ~1, so the 50% line separates the near-duplicate
+    pages cleanly).
+
+    Exactness: the (doc, gram) grain is DISTINCT, so every count is an
+    exact integer; a gram's document frequency comes from one groupBy
+    on its md5 (identical hex both engines); rates are integer-count
+    ratios (rule 5), rounded with the stable pair anyway.
+
+    Scale: tokens bound in a projection BEFORE the shingle lambda (the
+    CSE rule); grams travel as fixed-width md5 hex, never as 8-token
+    strings; one explode -> distinct -> gram-grain reduce -> join back
+    on the gram hash (co-partitioned with the groupBy that produced
+    it) -> doc-grain reduce -> source-grain reduce. No all-pairs
+    anything: the join fan-out is the (doc, gram) incidence itself.
+    The pairs frame feeds two branches (gram counts + join back), so
+    it truncates lineage once.
+    """
+    from ...operators.dedup import shingles_of
+
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    bound = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("_toks")
+    ).where(F.size("_toks") >= 8)
+    pairs = (
+        bound.select(
+            "doc_id",
+            "source",
+            F.explode(shingles_of(F.col("_toks"), 8)).alias("g"),
+        )
+        .select("doc_id", "source", F.md5("g").alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    grams = pairs.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    per = (
+        pairs.join(grams, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(dup).cast("bigint").alias("d"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    flag = F.when(F.lit(2) * F.col("d") > F.col("n"), 1).otherwise(0)
+    ndocs = F.count(F.lit(1)).cast("bigint")
+    return per.groupBy("source").agg(
+        ndocs.alias("n_docs"),
+        F.sum("d").cast("bigint").alias("dup_doc_grams"),
+        F.sum("n").cast("bigint").alias("total_doc_grams"),
+        fround(
+            F.sum("d").cast("double") / F.sum("n").cast("double"), 6
+        ).alias("pooled_dup_rate"),
+        F.sum(flag).cast("bigint").alias("flagged_docs"),
+        fround(F.sum(flag).cast("double") / ndocs.cast("double"), 6).alias(
+            "flagged_share"
+        ),
+    )

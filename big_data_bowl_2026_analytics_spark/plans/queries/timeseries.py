@@ -5630,3 +5630,127 @@ def q402_sprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decision"),
         F.max_by("llr", "rn").cast("bigint").alias("llr_final_ppm"),
     )
+
+
+@query(
+    "q412_allan_variance",
+    tags=("timeseries", "stability", "statistics"),
+    oracle="""
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(h) AS mn, max(h) AS mx FROM counts
+), dense AS (
+  SELECT hr.h - b.mn AS idx, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series(mn, mx)) AS h FROM bounds) hr
+  CROSS JOIN bounds b
+  LEFT JOIN counts c ON c.h = hr.h
+), ms AS (
+  SELECT unnest([1, 2, 4, 8, 16]) AS m
+), blocks AS MATERIALIZED (
+  SELECT ms.m, d.idx // ms.m AS blk,
+         CAST(sum(d.x) AS BIGINT) AS s
+  FROM dense d CROSS JOIN ms
+  GROUP BY 1, 2
+  HAVING count(*) = ms.m
+), pairs AS (
+  SELECT a.m, b.s - a.s AS diff
+  FROM blocks a JOIN blocks b ON b.m = a.m AND b.blk = a.blk + 1
+)
+SELECT CAST(p.m AS BIGINT) AS m_hours,
+       nb.n_blocks,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(diff * diff) AS BIGINT) AS sum_sq_diff,
+       round(CAST(sum(diff * diff) AS DOUBLE)
+             / (2.0 * count(*) * p.m * p.m) + 1e-9, 6) AS avar,
+       round(sqrt(CAST(sum(diff * diff) AS DOUBLE)
+             / (2.0 * count(*) * p.m * p.m)) + 1e-9, 6) AS adev
+FROM pairs p
+JOIN (SELECT m, CAST(count(*) AS BIGINT) AS n_blocks
+      FROM blocks GROUP BY m) nb ON nb.m = p.m
+GROUP BY p.m, nb.n_blocks
+""",
+)
+def q412_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan variance of the hourly event-count series over dyadic
+    averaging windows (m = 1, 2, 4, 8, 16 hours) — the
+    clock-stability statistic (two-sample variance of adjacent block
+    means) that separates noise REGIMES: for white noise AVAR falls as
+    1/m, for a random-walk / drifting rate it RISES with m, and a flat
+    AVAR(m) means flicker — none of which a single global variance can
+    distinguish. The ingest-rate stability audit next to q216's
+    per-user burstiness and q401's Page-Hinkley drift alarm.
+
+    Exactness: block SUMS of counts are exact BIGINTs on the dense
+    hour spine (missing hours are true zeros — the q246 rule);
+    adjacent-block differences and their squares stay exact BIGINT
+    end-to-end (|diff| is bounded by the block's event count, so the
+    q216 squared-gap overflow class needs hourly rates beyond ~3e6/h
+    before Σdiff² nears int64 — document-checked, not data-possible
+    here); only the final division is float, as one fixed expression.
+    Trailing partial blocks (count < m) drop on both sides, so every
+    adjacent pair compares equal-length windows.
+
+    Scale: one pass over raw events to the hour grain; the 5x dyadic
+    fan-out, blocking groupBy, and the blk+1 equi-join all live on the
+    bounded calendar frame. The blocks frame feeds the pair join
+    twice, so it truncates lineage once.
+    """
+    ev = read_table(spark, sf_dir, "events", ["ts"])
+    counts = ev.select(
+        F.floor(F.col("ts").cast("double") / 3600).cast("bigint").alias("h")
+    ).groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    counts = counts.localCheckpoint(eager=False)  # bounds + dense branches
+    bounds = counts.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    dense = (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h"),
+            "mn",
+        )
+        .join(counts, "h", "left")
+        .select(
+            (F.col("h") - F.col("mn")).alias("idx"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in (1, 2, 4, 8, 16)])).alias("m")
+    blocks = (
+        dense.select("idx", "x", ms)
+        .groupBy("m", F.floor(F.col("idx") / F.col("m")).alias("blk"))
+        .agg(F.sum("x").cast("bigint").alias("s"), F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == F.col("m"))
+        .select("m", "blk", "s")
+        .localCheckpoint(eager=False)  # both sides of the pair join + count
+    )
+    nb = blocks.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks")
+    )
+    a = blocks.select(
+        F.col("m").alias("ma"), F.col("blk").alias("ba"), F.col("s").alias("sa")
+    )
+    b = blocks.select(
+        F.col("m").alias("mb"), F.col("blk").alias("bb"), F.col("s").alias("sb")
+    )
+    pairs = a.join(
+        b, (F.col("mb") == F.col("ma")) & (F.col("bb") == F.col("ba") + 1)
+    ).select(F.col("ma").alias("m"), (F.col("sb") - F.col("sa")).alias("diff"))
+    agg = pairs.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("diff") * F.col("diff")).cast("bigint").alias("ssq"),
+    )
+    avar_raw = F.col("ssq").cast("double") / (
+        F.lit(2.0) * F.col("n_pairs") * F.col("m") * F.col("m")
+    )
+    return (
+        agg.join(F.broadcast(nb), "m")
+        .select(
+            F.col("m").cast("bigint").alias("m_hours"),
+            "n_blocks",
+            "n_pairs",
+            F.col("ssq").alias("sum_sq_diff"),
+            fround(avar_raw, 6).alias("avar"),
+            fround(F.sqrt(avar_raw), 6).alias("adev"),
+        )
+    )
