@@ -5533,3 +5533,177 @@ def q411_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fround(z, 6) + F.lit(0.0)).alias("z_runs"),
         F.when(ok, F.abs(fround(z, 6)) > 1.959964).alias("reject_5pct"),
     )
+
+
+@query(
+    "q413_km_greenwood_bands",
+    tags=("statistics", "survival", "window"),
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS DATE)) AS first_d,
+         max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+), horizon AS (
+  SELECT max(last_d) AS end_d FROM per_cust
+), life AS (
+  SELECT CAST(last_d - first_d AS BIGINT) AS t,
+         CASE WHEN last_d < end_d - 90 THEN 1 ELSE 0 END AS churned
+  FROM per_cust, horizon
+), hist AS (
+  SELECT t,
+         CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(churned) AS BIGINT) AS n_events
+  FROM life GROUP BY t
+), tot AS (
+  SELECT CAST(sum(n_at) AS BIGINT) AS n_total FROM hist
+), risk AS (
+  SELECT t, n_events,
+         n_total - CAST(coalesce(sum(n_at) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS n_risk
+  FROM hist, tot
+), km AS (
+  SELECT t, n_events, n_risk,
+         exp(sum(CASE WHEN n_events = n_risk THEN CAST('-inf' AS DOUBLE)
+                      ELSE ln(1 - n_events * 1.0 / n_risk) END) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )) AS s,
+         CAST(sum(CASE WHEN n_events < n_risk
+                       THEN (1000000000000 * n_events)
+                            // (n_risk * (n_risk - n_events))
+                       ELSE 0 END) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS g
+  FROM risk
+)
+SELECT t AS t_days, n_risk, n_events,
+       round(s + 1e-9, 6) AS survival,
+       g AS greenwood_e12,
+       round(s * sqrt(g / 1000000000000.0) + 1e-9, 6) AS std_err,
+       round(greatest(0.0, s - 1.959964 * (s * sqrt(g / 1000000000000.0)))
+             + 1e-9, 6) AS ci_lower,
+       round(least(1.0, s + 1.959964 * (s * sqrt(g / 1000000000000.0)))
+             + 1e-9, 6) AS ci_upper
+FROM km WHERE n_events > 0
+""",
+)
+def q413_km_greenwood_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwood 95% confidence bands around q201's Kaplan-Meier
+    customer-survival curve — the uncertainty layer the survival
+    family was missing: q201 gives the point curve, q384 the hazard,
+    q378 the RMST summary, q325 a two-curve test; this one says how
+    far the estimated S(t) can be trusted at each duration (bands
+    widen exactly where risk sets thin out — the tail a retention
+    readout most wants to over-interpret).
+
+    Exactness: risk sets/event counts are the exact integer
+    histogram-window machinery of q201; the Greenwood accumulator
+    G(t) = Σ d/(n(n-d)) runs on a fixed-point 1e-12 lattice (the q384
+    ppm discipline, finer because increments shrink like d/n² —
+    operators/survival.py::kaplan_meier_greenwood documents the < 1
+    unit/event-time truncation bound and the d < 9.2e6 overflow
+    bound), so the accumulated variance is pure BIGINT on both
+    engines. S(t) itself is the q110-class exp-of-log-sum float
+    window, absorbed by the fround pair; the band expressions are one
+    fixed tree over (s, g) with identical association, clamped to
+    [0, 1] with greatest/least before rounding. An all-churn time
+    pins S = 0 exactly, and both bands collapse to [0, 0] through the
+    same expressions — no special case on either engine.
+
+    Scale: subjects reduce to the duration histogram before the one
+    calendar-bounded ordered window (q201's 100 TB property).
+    """
+    from ...operators.survival import kaplan_meier_greenwood
+
+    orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    horizon = per_cust.agg(F.max("last_d").alias("end_d"))
+    life = per_cust.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
+        F.when(
+            F.col("last_d") < F.date_sub(F.col("end_d"), 90), 1
+        ).otherwise(0).alias("churned"),
+    )
+    km = kaplan_meier_greenwood(life)
+    s = F.col("survival")
+    se = s * F.sqrt(F.col("greenwood_e12") / F.lit(1000000000000.0))
+    return km.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        "n_events",
+        fround(s, 6).alias("survival"),
+        "greenwood_e12",
+        fround(se, 6).alias("std_err"),
+        fround(F.greatest(F.lit(0.0), s - F.lit(1.959964) * se), 6).alias(
+            "ci_lower"
+        ),
+        fround(F.least(F.lit(1.0), s + F.lit(1.959964) * se), 6).alias(
+            "ci_upper"
+        ),
+    )
+
+
+@query(
+    "q414_cliffs_delta",
+    tags=("statistics", "effect-size"),
+    oracle=f"""
+WITH {_MW_CTES.strip()}, cd AS (
+  SELECT type_a, type_b, n_a, n_b, u_a,
+         CAST(2 * u_a AS BIGINT) - n_a * n_b AS dnum,
+         n_a * n_b AS nn
+  FROM mw
+)
+SELECT type_a, type_b, n_a, n_b,
+       round(u_a + 1e-9, 6) AS u_stat,
+       round((2.0 * u_a - nn) / nn + 1e-9, 6) + 0 AS cliffs_delta,
+       CASE WHEN 1000 * abs(dnum) < 147 * nn THEN 'negligible'
+            WHEN 1000 * abs(dnum) < 330 * nn THEN 'small'
+            WHEN 1000 * abs(dnum) < 474 * nn THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM cd
+""",
+)
+def q414_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size for every event-type pair —
+    the companion q211's hypothesis test needs at scale: with 100k+
+    observations per group the Mann-Whitney z rejects for effects far
+    too small to matter, so the decision column is δ = P(a > b) −
+    P(a < b) = 2U/(n_a·n_b) − 1, which is sample-size-FREE. Banded
+    with the standard Romano et al. thresholds (0.147 / 0.33 / 0.474).
+
+    Exactness: U from the shared q211 rank algebra is an exact
+    half-integer, so 2U is an exact-integer double and casts to
+    BIGINT losslessly on both engines (DuckDB's rounding cast and
+    Spark's truncating cast agree on exact integers — the q143 class,
+    sidestepped); δ's numerator 2U − n_a·n_b and the three magnitude
+    bands are EXACT BIGINT cross-multiplications (1000·|2U − nn| vs
+    147/330/474·nn — never a float threshold, the q357 rule); the
+    reported δ is one double division with the sign-of-zero guard (a
+    null effect rounds to ±0.0 — footgun 9, guarded at authoring time
+    per the round-11 rule).
+
+    Scale: everything reduces on the (pair, distinct-value) histogram
+    grain exactly as q211 — no new passes over events.
+    """
+    mw = _mw_frame(spark, sf_dir)
+    nn = F.col("n_a") * F.col("n_b")
+    dnum = (F.lit(2) * F.col("u_a")).cast("bigint") - nn
+    return mw.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        fround(F.col("u_a"), 6).alias("u_stat"),
+        (
+            fround((F.lit(2.0) * F.col("u_a") - nn) / nn, 6) + F.lit(0.0)
+        ).alias("cliffs_delta"),
+        F.when(F.lit(1000) * F.abs(dnum) < F.lit(147) * nn, "negligible")
+        .when(F.lit(1000) * F.abs(dnum) < F.lit(330) * nn, "small")
+        .when(F.lit(1000) * F.abs(dnum) < F.lit(474) * nn, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
