@@ -408,3 +408,69 @@ def hits(edges: DataFrame, n_iter: int = 4) -> tuple[DataFrame, DataFrame]:
         hubs.select(F.col("src").alias("v"), "h"),
         auth.select(F.col("dst").alias("v"), "a"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PERSONALIZED PageRank over a distinct
+    undirected ``(a < b)`` edge list: the teleport mass lands on the
+    ``seeds`` frame (one column ``v``, distinct node ids; uniform
+    weights 1/|S|) instead of uniformly on all nodes —
+    ``pr_{k+1}(v) = (1-d)·tele(v) + d·Σ_{u∈nbrs(v)} pr_k(u)/deg(u)``
+    with ``pr_0 = tele``. Ranks measure proximity TO THE SEED SET
+    (random walks restart there), the similarity-to-a-cohort notion
+    behind "related items" and seed-expansion community detection.
+
+    Same scale contract as ``pagerank``: the edge+degree frame and the
+    bounded teleport frame are checkpointed once; each iteration is
+    one co-partitioned join, one groupBy, and a full outer join
+    against the teleport frame (nodes the walk has not reached yet
+    simply have no row — rank exactly 0 — rather than a dense
+    node-grain frame every round). Per-iteration lineage truncation.
+
+    Floating-point: identical contract to ``pagerank`` (damping
+    contraction keeps cross-engine divergence at ulp scale; round the
+    FINAL ranks only).
+    """
+    directed = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out = (
+        directed.join(deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    ns = seeds.agg(F.count(F.lit(1)).alias("ns"))
+    tele = (
+        seeds.crossJoin(F.broadcast(ns))
+        .select("v", (F.lit(1.0) / F.col("ns")).alias("tw"))
+        .localCheckpoint(eager=False)
+    )
+    ranks = tele.select("v", F.col("tw").alias("pr"))
+    tp = 1.0 - damping
+    for _ in range(n_iter):
+        contrib = (
+            out.join(
+                ranks.select(F.col("v").alias("src"), "pr"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+            .select(F.col("dst").alias("cv"), "s")
+        )
+        ranks = (
+            tele.join(contrib, F.col("v") == F.col("cv"), "full")
+            .select(
+                F.coalesce(F.col("v"), F.col("cv")).alias("v"),
+                (
+                    F.lit(tp) * F.coalesce(F.col("tw"), F.lit(0.0))
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -3687,3 +3687,114 @@ def q394_randomized_response_estimate(
         fround(est_raw, 3).alias("est_n"),
         fround(est_raw - F.col("true_n"), 3).alias("est_err"),
     )
+
+
+def _ppr_oracle(n_iter: int = 5) -> str:
+    """Unroll the personalized-PageRank recurrence into chained CTEs
+    (the _pagerank_oracle discipline): teleport mass lands uniformly
+    on the seed set instead of 1/N everywhere. ``d``/``deg``/``t`` are
+    referenced every round — MATERIALIZED, the q241 lesson."""
+    cte = [
+        """
+WITH hi AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+), e AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM hi a JOIN hi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), d AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+), deg AS MATERIALIZED (
+  SELECT src, count(*) AS deg FROM d GROUP BY src
+), seeds AS (
+  SELECT DISTINCT g.src AS v
+  FROM deg g JOIN supplier s ON s.s_suppkey = g.src
+  WHERE s.s_nationkey = 0
+), ns AS (
+  SELECT count(*) AS ns FROM seeds
+), t AS MATERIALIZED (
+  SELECT v, CAST(1 AS DOUBLE) / ns.ns AS tw FROM seeds CROSS JOIN ns
+), p0 AS (
+  SELECT v, tw AS pr FROM t
+)"""
+    ]
+    for k in range(1, n_iter + 1):
+        cte.append(
+            f""", p{k} AS (
+  SELECT coalesce(t.v, c.v) AS v,
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           * coalesce(t.tw, CAST(0 AS DOUBLE))
+         + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr
+  FROM t FULL JOIN (
+    SELECT d.dst AS v, sum(p.pr / deg.deg) AS s
+    FROM d JOIN p{k - 1} p ON d.src = p.v
+           JOIN deg ON deg.src = d.src
+    GROUP BY d.dst
+  ) c ON c.v = t.v
+)"""
+        )
+    cte.append(
+        f"""
+SELECT p.v, round(p.pr + 1e-9, 8) AS ppr,
+       CASE WHEN t.v IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+FROM p{n_iter} p LEFT JOIN t ON t.v = p.v"""
+    )
+    return "".join(cte)
+
+
+@query(
+    "q416_personalized_pagerank",
+    tags=("graph", "iterative"),
+    oracle=_ppr_oracle(5),
+)
+def q416_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-iteration PERSONALIZED PageRank over the q123/q125
+    co-supply network, teleporting to the suppliers of nation 0 — the
+    proximity-to-a-cohort ranking behind "related suppliers" /
+    seed-expansion: where q125's global PageRank measures importance
+    to the WHOLE graph, this measures closeness to a seed set (random
+    walks restart there with probability 0.15), so a supplier two hops
+    from the cohort outranks a globally central one on the far side.
+
+    The Spark side is operators/graph.py::personalized_pagerank
+    (edge+degree and teleport frames checkpointed once; one
+    co-partitioned join + groupBy + bounded full-outer against the
+    teleport frame per iteration — unreached nodes carry NO row rather
+    than a dense node-grain frame); the oracle unrolls the identical
+    recurrence into five chained CTEs with the q125 cast-to-DOUBLE
+    literal discipline. The damping contraction keeps cross-engine
+    float divergence at ulp scale (no amplification), absorbed by the
+    final fround pair — intermediates never rounded on either side.
+    """
+    from ...operators.graph import cooccurrence_edges, personalized_pagerank
+
+    li = read_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+    hi = li.where(F.col("l_quantity") >= 48)
+    edges = cooccurrence_edges(hi, "l_orderkey", "l_suppkey")
+    sup = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nodes = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    seeds = nodes.join(
+        F.broadcast(
+            sup.where(F.col("s_nationkey") == 0).select(
+                F.col("s_suppkey").alias("v")
+            )
+        ),
+        "v",
+    ).localCheckpoint(eager=False)  # teleport build + is_seed flag
+    ppr = personalized_pagerank(edges, seeds, damping=0.85, n_iter=5)
+    return (
+        ppr.join(
+            F.broadcast(seeds.select("v", F.lit(1).alias("_sd"))), "v", "left"
+        )
+        .select(
+            "v",
+            fround(F.col("pr"), 8).alias("ppr"),
+            F.coalesce(F.col("_sd"), F.lit(0)).cast("int").alias("is_seed"),
+        )
+    )

@@ -5707,3 +5707,172 @@ def q414_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+@query(
+    "q415_seasonal_mann_kendall",
+    tags=("statistics", "timeseries", "hypothesis-test"),
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+         CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS season,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT a.season,
+         CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_season
+  FROM monthly a JOIN monthly b
+    ON b.season = a.season AND a.yr < b.yr
+  GROUP BY a.season
+), counts AS (
+  SELECT season, CAST(count(*) AS BIGINT) AS n_years
+  FROM monthly GROUP BY season
+), ties AS (
+  SELECT season,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT season, CAST(count(*) AS BIGINT) AS t
+        FROM monthly GROUP BY season, cents)
+  WHERE t > 1 GROUP BY season
+), per AS (
+  SELECT c.season, c.n_years,
+         CAST(coalesce(s.s_season, 0) AS BIGINT) AS s_season,
+         CAST(c.n_years * (c.n_years - 1) * (2 * c.n_years + 5)
+              - coalesce(t.tie_term, 0) AS BIGINT) AS var18_season
+  FROM counts c
+  LEFT JOIN s ON s.season = c.season
+  LEFT JOIN ties t ON t.season = c.season
+), tot AS (
+  SELECT CAST(sum(s_season) AS BIGINT) AS s_total,
+         CAST(sum(var18_season) AS BIGINT) AS var18_total
+  FROM per
+)
+SELECT p.season, p.n_years, p.s_season, p.var18_season,
+       t.s_total,
+       round(CASE WHEN t.var18_total > 0 THEN
+               (CASE WHEN t.s_total > 0 THEN t.s_total - 1
+                     WHEN t.s_total < 0 THEN t.s_total + 1
+                     ELSE 0 END) / sqrt(t.var18_total / 18.0)
+             END + 1e-9, 6) + 0 AS z_smk,
+       CASE WHEN t.var18_total > 0 THEN
+         abs(round((CASE WHEN t.s_total > 0 THEN t.s_total - 1
+                         WHEN t.s_total < 0 THEN t.s_total + 1
+                         ELSE 0 END) / sqrt(t.var18_total / 18.0)
+                   + 1e-9, 6)) > 1.959964
+       END AS reject_5pct
+FROM per p CROSS JOIN tot t
+""",
+)
+def q415_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch-Slack) on monthly
+    revenue: q229's MK statistic computed WITHIN each calendar month
+    across years (Jan-vs-Jan, Feb-vs-Feb, ...), then summed — the
+    trend test that is immune to seasonality, where plain MK reads a
+    strong seasonal cycle as thousands of spurious concordant/
+    discordant pairs. One row per season with its own S and variance
+    contribution (which months carry the trend), plus the pooled
+    continuity-corrected z.
+
+    Exactness: every per-season S and tie-corrected variance
+    NUMERATOR (the x18 form n(n-1)(2n+5) - Σt(t-1)(2t+5)) is an exact
+    BIGINT on the year-pair grain, and the pooled statistic sums those
+    integers — the single /18.0 and sqrt happen once in a fixed tree;
+    z carries the fround pair + sign-of-zero guard (a de-seasonalized
+    null is exactly where z ≈ 0 lands); reject compares the ROUNDED
+    |z| (q348 rule) and is NULL-gated on a positive pooled variance.
+    Seasons with one year contribute S = 0 and variance 0 via the
+    same expressions (left joins, never dropped rows).
+
+    Scale: the fact pass is one (year, month) groupBy; all pair joins
+    run on the calendar-bounded monthly frame (≤ 12 x C(years, 2)
+    pairs).
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"]
+    )
+    d = F.col("o_orderdate").cast("date")
+    monthly = (
+        orders.select(
+            F.year(d).cast("bigint").alias("yr"),
+            F.month(d).cast("bigint").alias("season"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c1"),
+        )
+        .groupBy("yr", "season")
+        .agg(F.sum("c1").alias("cents"))
+        .localCheckpoint(eager=False)  # s / counts / ties branches
+    )
+    a = monthly.select(
+        F.col("season").alias("sa"), F.col("yr").alias("ya"),
+        F.col("cents").alias("ca"),
+    )
+    b = monthly.select(
+        F.col("season").alias("sb"), F.col("yr").alias("yb"),
+        F.col("cents").alias("cb"),
+    )
+    s = (
+        a.join(b, (F.col("sb") == F.col("sa")) & (F.col("ya") < F.col("yb")))
+        .groupBy(F.col("sa").alias("season"))
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            ).cast("bigint").alias("s_season")
+        )
+    )
+    counts = monthly.groupBy("season").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_years")
+    )
+    ties = (
+        monthly.groupBy("season", "cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("season")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    ny = F.col("n_years")
+    per = (
+        counts.join(s, "season", "left")
+        .join(ties, "season", "left")
+        .select(
+            "season",
+            "n_years",
+            F.coalesce(F.col("s_season"), F.lit(0))
+            .cast("bigint")
+            .alias("s_season"),
+            (
+                ny * (ny - 1) * (2 * ny + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            ).cast("bigint").alias("var18_season"),
+        )
+        .localCheckpoint(eager=False)  # row branch + total branch
+    )
+    tot = per.agg(
+        F.sum("s_season").cast("bigint").alias("s_total"),
+        F.sum("var18_season").cast("bigint").alias("var18_total"),
+    )
+    st = F.col("s_total")
+    s_cc = (
+        F.when(st > 0, st - 1).when(st < 0, st + 1).otherwise(0)
+    )
+    z = F.when(
+        F.col("var18_total") > 0,
+        s_cc / F.sqrt(F.col("var18_total") / F.lit(18.0)),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "season",
+        "n_years",
+        "s_season",
+        "var18_season",
+        "s_total",
+        (fround(z, 6) + F.lit(0.0)).alias("z_smk"),
+        F.when(
+            F.col("var18_total") > 0, F.abs(fround(z, 6)) > 1.959964
+        ).alias("reject_5pct"),
+    )
