@@ -5876,3 +5876,187 @@ def q415_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("var18_total") > 0, F.abs(fround(z, 6)) > 1.959964
         ).alias("reject_5pct"),
     )
+
+
+@query(
+    "q417_siegel_repeated_medians",
+    tags=("statistics", "timeseries", "regression"),
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m_idx,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT a.m_idx AS xi, b.m_idx AS xj,
+         (b.cents - a.cents) * 1.0 / (b.m_idx - a.m_idx) AS slope
+  FROM monthly a JOIN monthly b ON a.m_idx <> b.m_idx
+), ranked AS (
+  SELECT xi, slope,
+         CAST(row_number() OVER (PARTITION BY xi ORDER BY slope, xj)
+              AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY xi) AS BIGINT) AS m
+  FROM pairs
+), permed AS (
+  SELECT xi, m,
+         CASE WHEN m % 2 = 1
+              THEN min(CASE WHEN r = CAST(floor((m + 1) / 2) AS BIGINT)
+                            THEN slope END)
+              ELSE (min(CASE WHEN r = CAST(floor(m / 2) AS BIGINT)
+                             THEN slope END)
+                    + min(CASE WHEN r = CAST(floor(m / 2) AS BIGINT) + 1
+                               THEN slope END)) / 2
+         END AS med_i
+  FROM ranked GROUP BY xi, m
+), ranked2 AS (
+  SELECT xi, med_i,
+         CAST(row_number() OVER (ORDER BY med_i, xi) AS BIGINT) AS r,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM permed
+), sstar AS (
+  SELECT n,
+         CASE WHEN n % 2 = 1
+              THEN min(CASE WHEN r = CAST(floor((n + 1) / 2) AS BIGINT)
+                            THEN med_i END)
+              ELSE (min(CASE WHEN r = CAST(floor(n / 2) AS BIGINT)
+                             THEN med_i END)
+                    + min(CASE WHEN r = CAST(floor(n / 2) AS BIGINT) + 1
+                               THEN med_i END)) / 2
+         END AS sslope
+  FROM ranked2 GROUP BY n
+), resid AS (
+  SELECT m.m_idx, m.cents - s.sslope * m.m_idx AS e
+  FROM monthly m CROSS JOIN sstar s
+), ranked3 AS (
+  SELECT e,
+         CAST(row_number() OVER (ORDER BY e, m_idx) AS BIGINT) AS r,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM resid
+), icept AS (
+  SELECT CASE WHEN n % 2 = 1
+              THEN min(CASE WHEN r = CAST(floor((n + 1) / 2) AS BIGINT)
+                            THEN e END)
+              ELSE (min(CASE WHEN r = CAST(floor(n / 2) AS BIGINT)
+                             THEN e END)
+                    + min(CASE WHEN r = CAST(floor(n / 2) AS BIGINT) + 1
+                               THEN e END)) / 2
+         END AS sicept
+  FROM ranked3 GROUP BY n
+)
+SELECT s.n AS n_months,
+       round(s.sslope + 1e-9, 6) + 0 AS siegel_slope_cents,
+       round(i.sicept + 1e-9, 2) + 0 AS siegel_intercept_cents
+FROM sstar s CROSS JOIN icept i
+""",
+)
+def q417_siegel_repeated_medians(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Siegel repeated-medians trend of monthly revenue — the
+    maximum-breakdown (50%) robust regression next to q214's Theil-Sen
+    (29%): slope* = median over points i of (median over j≠i of the
+    pairwise slope), intercept* = median of y_i − slope*·x_i. Half the
+    MONTHS can be corrupt before the estimate moves, which is the
+    regime quarterly-restated or backfilled revenue actually lives in.
+
+    Exactness: every median is the EXACT rank selection (q184/q214
+    rule — never an interpolated quantile) with a unique tie-break
+    (slope, xj) / (med_i, xi) / (e, m_idx); pairwise slopes are single
+    divisions of exact integer cents by integer month gaps (identical
+    doubles both engines — sorting doubles is bit-deterministic);
+    med_i is either one selected slope or the mean of two (one add,
+    one halving — exact dyadic operations on identical doubles);
+    residuals are one multiply + subtract of the selected slope*.
+    Both outputs carry fround + the sign-of-zero guard (a detrended
+    series medians to ~0). The intercept rounds at 2 dp — it is
+    revenue-sized, and a fixed-decimal lattice must stay inside
+    double's exact-integer range (the q409 big-magnitude rule).
+
+    Scale: the pair join, per-point median windows (PARTITION BY
+    point), and both global median funnels all live on the
+    calendar-bounded month grain — months² pairs, the q214 contract;
+    the fact pass is one groupBy.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"]
+    )
+    d = F.col("o_orderdate").cast("date")
+    monthly = (
+        orders.select(
+            (F.year(d) * 12 + F.month(d)).cast("bigint").alias("m_idx"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c1"),
+        )
+        .groupBy("m_idx")
+        .agg(F.sum("c1").alias("cents"))
+        .localCheckpoint(eager=False)  # pair sides + residual branch
+    )
+    a = monthly.select(F.col("m_idx").alias("xi"), F.col("cents").alias("yi"))
+    b = monthly.select(F.col("m_idx").alias("xj"), F.col("cents").alias("yj"))
+    pairs = a.join(b, F.col("xi") != F.col("xj")).select(
+        "xi",
+        "xj",
+        (
+            (F.col("yj") - F.col("yi")) * 1.0 / (F.col("xj") - F.col("xi"))
+        ).alias("slope"),
+    )
+    wp = Window.partitionBy("xi")
+    ranked = pairs.select(
+        "xi",
+        "slope",
+        F.row_number().over(wp.orderBy("slope", "xj")).cast("bigint").alias(
+            "r"
+        ),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("m"),
+    )
+
+    def _median(df, val, grp, half_col, tie_n):
+        h_odd = F.floor((F.col(half_col) + 1) / 2).cast("bigint")
+        h_even = F.floor(F.col(half_col) / 2).cast("bigint")
+        return df.groupBy(*grp).agg(
+            F.when(
+                F.col(half_col) % 2 == 1,
+                F.min(F.when(F.col("r") == h_odd, F.col(val))),
+            )
+            .otherwise(
+                (
+                    F.min(F.when(F.col("r") == h_even, F.col(val)))
+                    + F.min(F.when(F.col("r") == h_even + 1, F.col(val)))
+                )
+                / 2
+            )
+            .alias(tie_n)
+        )
+
+    permed = _median(ranked, "slope", ["xi", "m"], "m", "med_i")
+    ranked2 = permed.select(
+        "med_i",
+        F.row_number()
+        .over(Window.orderBy("med_i", "xi"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    sstar = _median(ranked2, "med_i", ["n"], "n", "sslope").localCheckpoint(
+        eager=False
+    )  # residual branch + output branch
+    resid = monthly.crossJoin(F.broadcast(sstar)).select(
+        "m_idx",
+        (F.col("cents") - F.col("sslope") * F.col("m_idx")).alias("e"),
+    )
+    ranked3 = resid.select(
+        "e",
+        F.row_number()
+        .over(Window.orderBy("e", "m_idx"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    icept = _median(ranked3, "e", ["n"], "n", "sicept")
+    return sstar.crossJoin(F.broadcast(icept.drop("n"))).select(
+        F.col("n").alias("n_months"),
+        (fround(F.col("sslope"), 6) + F.lit(0.0)).alias("siegel_slope_cents"),
+        (fround(F.col("sicept"), 2) + F.lit(0.0)).alias(
+            "siegel_intercept_cents"
+        ),
+    )
