@@ -6060,3 +6060,351 @@ def q417_siegel_repeated_medians(
             "siegel_intercept_cents"
         ),
     )
+
+
+@query(
+    "q418_ljung_box",
+    tags=("statistics", "timeseries", "hypothesis-test"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_num,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT min(day_num) AS mn, max(day_num) AS mx FROM daily
+), dense AS MATERIALIZED (
+  SELECT d.day_num, CAST(coalesce(dd.x, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series(mn, mx)) AS day_num FROM bounds) d
+  LEFT JOIN daily dd ON dd.day_num = d.day_num
+), tots AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+  FROM dense
+), c0 AS (
+  SELECT CAST(sum((t.n * d.x - t.s) * (t.n * d.x - t.s)) AS BIGINT) AS a0
+  FROM dense d CROSS JOIN tots t
+), lags AS (
+  SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k
+), ck AS (
+  SELECT l.k,
+         CAST(sum((t.n * a.x - t.s) * (t.n * b.x - t.s)) AS BIGINT) AS ak
+  FROM dense a CROSS JOIN lags l
+  JOIN dense b ON b.day_num = a.day_num + l.k
+  CROSS JOIN tots t
+  GROUP BY l.k
+), piv AS (
+  SELECT max(CASE WHEN k = 1 THEN ak END) AS a1,
+         max(CASE WHEN k = 2 THEN ak END) AS a2,
+         max(CASE WHEN k = 3 THEN ak END) AS a3,
+         max(CASE WHEN k = 4 THEN ak END) AS a4,
+         max(CASE WHEN k = 5 THEN ak END) AS a5,
+         max(CASE WHEN k = 6 THEN ak END) AS a6,
+         max(CASE WHEN k = 7 THEN ak END) AS a7
+  FROM ck
+), stat AS (
+  SELECT t.n, c.a0, p.a1, p.a7,
+         CASE WHEN c.a0 > 0 THEN
+           (t.n * (t.n + 2))
+           * ((CAST(p.a1 AS DOUBLE) / CAST(c.a0 AS DOUBLE))
+              * (CAST(p.a1 AS DOUBLE) / CAST(c.a0 AS DOUBLE)) / (t.n - 1)
+              + (CAST(p.a2 AS DOUBLE) / CAST(c.a0 AS DOUBLE))
+                * (CAST(p.a2 AS DOUBLE) / CAST(c.a0 AS DOUBLE)) / (t.n - 2)
+              + (CAST(p.a3 AS DOUBLE) / CAST(c.a0 AS DOUBLE))
+                * (CAST(p.a3 AS DOUBLE) / CAST(c.a0 AS DOUBLE)) / (t.n - 3)
+              + (CAST(p.a4 AS DOUBLE) / CAST(c.a0 AS DOUBLE))
+                * (CAST(p.a4 AS DOUBLE) / CAST(c.a0 AS DOUBLE)) / (t.n - 4)
+              + (CAST(p.a5 AS DOUBLE) / CAST(c.a0 AS DOUBLE))
+                * (CAST(p.a5 AS DOUBLE) / CAST(c.a0 AS DOUBLE)) / (t.n - 5)
+              + (CAST(p.a6 AS DOUBLE) / CAST(c.a0 AS DOUBLE))
+                * (CAST(p.a6 AS DOUBLE) / CAST(c.a0 AS DOUBLE)) / (t.n - 6)
+              + (CAST(p.a7 AS DOUBLE) / CAST(c.a0 AS DOUBLE))
+                * (CAST(p.a7 AS DOUBLE) / CAST(c.a0 AS DOUBLE)) / (t.n - 7))
+         END AS q
+  FROM tots t CROSS JOIN c0 c CROSS JOIN piv p
+)
+SELECT n AS n_days,
+       round(CASE WHEN a0 > 0
+                  THEN CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE) END
+             + 1e-9, 6) + 0 AS r1,
+       round(CASE WHEN a0 > 0
+                  THEN CAST(a7 AS DOUBLE) / CAST(a0 AS DOUBLE) END
+             + 1e-9, 6) + 0 AS r7,
+       round(q + 1e-9, 4) AS lb_q,
+       CASE WHEN q IS NOT NULL
+            THEN round(q + 1e-9, 4) > 14.067140 END AS reject_5pct
+FROM stat
+""",
+)
+def q418_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test pooling lags 1-7 of the
+    daily order-count series into ONE statistic
+    Q = n(n+2)·Σ r_k²/(n−k) — the test q203's per-lag ACF readout
+    needs before anyone eyeballs seven correlations (each r_k alone
+    invites seven chances at a false positive; Q is chi²(7) under the
+    white-noise null). Runs on the DENSE day spine (missing days are
+    true zero-order days — the q246 rule; Ljung-Box assumes a regular
+    series, so gaps must be zeros, not skips).
+
+    Exactness: autocovariances are scaled through by n² so every
+    A_k = Σ(n·x_t − S)(n·x_{t+k} − S) is an exact BIGINT on the
+    day-pair grain (products bounded: needs day volumes beyond ~3e5/d
+    on a ~2.4k-day calendar before Σ nears int64 — the q216 class,
+    document-checked); r_k = A_k/A_0 is one double division, and Q is
+    a FIXED-ORDER seven-term literal chain (the q404 rule — never a
+    grouped float sum whose order the engine picks). r columns carry
+    the sign-of-zero guard (white noise is exactly where r ≈ 0);
+    a constant series (A_0 = 0) yields NULL Q, never a divide error;
+    reject compares the ROUNDED Q against the chi²(7) 5% point.
+
+    Scale: one fact pass to the day grain; the lag join and all
+    algebra live on the calendar-bounded dense spine.
+    """
+    orders = read_table(spark, sf_dir, "orders", ["o_orderdate"])
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).cast("bigint").alias("day_num")
+        )
+        .groupBy("day_num")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # bounds + dense branches
+    )
+    bounds = daily.agg(F.min("day_num").alias("mn"), F.max("day_num").alias("mx"))
+    dense = (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day_num")
+        )
+        .join(daily, "day_num", "left")
+        .select(
+            "day_num",
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .localCheckpoint(eager=False)  # tots / c0 / both lag-join sides
+    )
+    tots = dense.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    n, s = F.col("n"), F.col("s")
+    c0 = (
+        dense.crossJoin(F.broadcast(tots))
+        .agg(
+            F.sum((n * F.col("x") - s) * (n * F.col("x") - s))
+            .cast("bigint")
+            .alias("a0")
+        )
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = dense.select("day_num", F.col("x").alias("xa"))
+    b = dense.select(F.col("day_num").alias("bd"), F.col("x").alias("xb"))
+    ck = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bd") == F.col("day_num") + F.col("k"))
+        .crossJoin(F.broadcast(tots))
+        .groupBy("k")
+        .agg(
+            F.sum((n * F.col("xa") - s) * (n * F.col("xb") - s))
+            .cast("bigint")
+            .alias("ak")
+        )
+    )
+    piv = ck.agg(
+        *[
+            F.max(F.when(F.col("k") == i, F.col("ak"))).alias(f"a{i}")
+            for i in range(1, 8)
+        ]
+    )
+    one = (
+        tots.crossJoin(F.broadcast(c0))
+        .crossJoin(F.broadcast(piv))
+    )
+    a0d = F.col("a0").cast("double")
+
+    def rk(i: int):
+        return F.col(f"a{i}").cast("double") / a0d
+
+    chain = rk(1) * rk(1) / (n - 1)
+    for i in range(2, 8):
+        chain = chain + rk(i) * rk(i) / (n - i)
+    q = F.when(F.col("a0") > 0, (n * (n + 2)) * chain)
+    return one.select(
+        n.alias("n_days"),
+        (fround(F.when(F.col("a0") > 0, rk(1)), 6) + F.lit(0.0)).alias("r1"),
+        (fround(F.when(F.col("a0") > 0, rk(7)), 6) + F.lit(0.0)).alias("r7"),
+        fround(q, 4).alias("lb_q"),
+        F.when(q.isNotNull(), fround(q, 4) > 14.067140).alias("reject_5pct"),
+    )
+
+
+@query(
+    "q419_theil_decomposition",
+    tags=("statistics", "inequality", "concentration"),
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY o_custkey
+), rows0 AS MATERIALIZED (
+  SELECT n.n_name AS nation, cu.x
+  FROM cust cu
+  JOIN customer c ON c.c_custkey = cu.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS ntot, CAST(sum(x) AS BIGINT) AS stot
+  FROM rows0
+), g AS MATERIALIZED (
+  SELECT nation, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(x) AS BIGINT) AS sg
+  FROM rows0 GROUP BY nation
+), pg AS (
+  SELECT r.nation,
+         sum((CAST(r.x AS DOUBLE) / CAST(g.sg AS DOUBLE))
+             * ln((CAST(r.x AS DOUBLE) * g.ng) / CAST(g.sg AS DOUBLE)))
+           AS tg,
+         sum((CAST(r.x AS DOUBLE) / CAST(t.stot AS DOUBLE))
+             * ln((CAST(r.x AS DOUBLE) * t.ntot) / CAST(t.stot AS DOUBLE)))
+           AS ttg
+  FROM rows0 r JOIN g ON g.nation = r.nation CROSS JOIN tot t
+  GROUP BY r.nation
+), per AS MATERIALIZED (
+  SELECT g.nation, g.ng, g.sg, p.tg, p.ttg, t.stot,
+         (CAST(g.sg AS DOUBLE) / CAST(t.stot AS DOUBLE))
+           * ln((CAST(g.sg AS DOUBLE) * t.ntot)
+                / (CAST(g.ng AS DOUBLE) * t.stot)) AS bt,
+         (CAST(g.sg AS DOUBLE) / CAST(t.stot AS DOUBLE)) * p.tg AS wt
+  FROM g JOIN pg p ON p.nation = g.nation CROSS JOIN tot t
+), gsum AS (
+  SELECT sum(bt) AS tb, sum(wt) AS tw, sum(ttg) AS tt FROM per
+)
+SELECT p.nation, p.ng AS n_cust, p.sg AS spend_cents,
+       round(CAST(p.sg AS DOUBLE) / CAST(p.stot AS DOUBLE) + 1e-9, 6)
+         AS spend_share,
+       round(p.tg + 1e-9, 6) + 0 AS theil_nation,
+       round(p.bt + 1e-9, 6) + 0 AS between_term,
+       round(p.wt + 1e-9, 6) + 0 AS within_term,
+       round(gl.tt + 1e-9, 6) + 0 AS theil_total,
+       round(gl.tb + 1e-9, 6) + 0 AS theil_between,
+       round(gl.tw + 1e-9, 6) + 0 AS theil_within
+FROM per p CROSS JOIN gsum gl
+""",
+)
+def q419_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-customer spend, DECOMPOSED into
+    between-nation and within-nation components — the additive
+    property that makes Theil the inequality measure for segmented
+    audits where q119's Gini cannot say WHERE the concentration lives:
+    T = Σ_g (S_g/S)·ln((S_g·N)/(N_g·S)) + Σ_g (S_g/S)·T_g (between +
+    within, an exact identity in real arithmetic). One row per nation
+    with its own index, both contribution terms, and the pooled
+    totals; a data-mixing pipeline reads it as "is spend inequality a
+    nation-mix artifact or universal?".
+
+    Exactness: all counts/sums are exact BIGINTs; every ratio inside
+    ln() is a product/quotient of doubles cast once from those ints
+    (products as doubles, NOT BIGINT — S_g·N crosses int64 near the
+    10x corpus; doubles stay exact to 2^53 and identically rounded
+    beyond); ln is the q158 cross-engine precedent; the per-nation
+    and pooled accumulations are q24-class float sums (well-
+    conditioned: terms bounded by |ln(x·N/S)| with a positive-share
+    weight), absorbed by the fround pair; every rounded statistic
+    carries the sign-of-zero guard (a perfectly equal segment has
+    T_g = -0.0 risk by construction). Customers enter with x > 0 by
+    definition (they have orders).
+
+    Scale: one fact pass to the customer grain, keyed joins to the
+    nation dim, then everything reduces per nation; the 25-row per
+    frame feeds three global sums and the output, so it truncates
+    lineage once.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    )
+    customer = read_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_nationkey"]
+    )
+    nation = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    rows0 = (
+        cust.join(
+            customer, F.col("c_custkey") == F.col("o_custkey")
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), "x")
+        .localCheckpoint(eager=False)  # tot / g / pg branches
+    )
+    tot = rows0.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ntot"),
+        F.sum("x").cast("bigint").alias("stot"),
+    )
+    g = (
+        rows0.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ng"),
+            F.sum("x").cast("bigint").alias("sg"),
+        )
+        .localCheckpoint(eager=False)  # pg join + per join
+    )
+    x_d = F.col("x").cast("double")
+    sg_d = F.col("sg").cast("double")
+    stot_d = F.col("stot").cast("double")
+    pg = (
+        rows0.join(g, "nation")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nation")
+        .agg(
+            F.sum(
+                (x_d / sg_d) * F.log((x_d * F.col("ng")) / sg_d)
+            ).alias("tg"),
+            F.sum(
+                (x_d / stot_d)
+                * F.log((x_d * F.col("ntot")) / stot_d)
+            ).alias("ttg"),
+        )
+    )
+    per = (
+        g.join(pg, "nation")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "ng",
+            "sg",
+            "tg",
+            "ttg",
+            "stot",
+            (
+                (sg_d / stot_d)
+                * F.log(
+                    (sg_d * F.col("ntot"))
+                    / (F.col("ng").cast("double") * F.col("stot"))
+                )
+            ).alias("bt"),
+            ((sg_d / stot_d) * F.col("tg")).alias("wt"),
+        )
+        .localCheckpoint(eager=False)  # glob branch + output branch
+    )
+    glob = per.agg(
+        F.sum("bt").alias("tb"),
+        F.sum("wt").alias("tw"),
+        F.sum("ttg").alias("tt"),
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        "nation",
+        F.col("ng").alias("n_cust"),
+        F.col("sg").alias("spend_cents"),
+        fround(sg_d / stot_d, 6).alias("spend_share"),
+        (fround(F.col("tg"), 6) + F.lit(0.0)).alias("theil_nation"),
+        (fround(F.col("bt"), 6) + F.lit(0.0)).alias("between_term"),
+        (fround(F.col("wt"), 6) + F.lit(0.0)).alias("within_term"),
+        (fround(F.col("tt"), 6) + F.lit(0.0)).alias("theil_total"),
+        (fround(F.col("tb"), 6) + F.lit(0.0)).alias("theil_between"),
+        (fround(F.col("tw"), 6) + F.lit(0.0)).alias("theil_within"),
+    )
