@@ -128,7 +128,7 @@ def kaplan_meier_greenwood(life: DataFrame) -> DataFrame:
     hist = life.groupBy("t").agg(
         F.count(F.lit(1)).alias("n_at"),
         F.sum("churned").alias("n_events"),
-    )
+    ).localCheckpoint(eager=False)  # total branch + risk branch
     tot = hist.agg(F.sum("n_at").alias("n_total"))
     w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     w_cum = Window.orderBy("t").rowsBetween(

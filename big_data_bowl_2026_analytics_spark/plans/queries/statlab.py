@@ -5620,7 +5620,7 @@ def q413_km_greenwood_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
         F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
-    )
+    ).localCheckpoint(eager=False)  # horizon branch + life branch
     horizon = per_cust.agg(F.max("last_d").alias("end_d"))
     life = per_cust.crossJoin(F.broadcast(horizon)).select(
         F.datediff("last_d", "first_d").cast("bigint").alias("t"),

@@ -2485,3 +2485,113 @@ def test_q409_jonckheere_pair_partitioned_window(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q410_interdoc_grams_no_window_no_cartesian(spark):
+    plan = physical_plan(_q(spark, "q410_inter_doc_ngram_dup"))
+    # the distinct (doc, gram-hash) frame is checkpointed and feeds the
+    # gram-count branch and the join-back; no window anywhere (pure
+    # groupBy funnels) and the gram join is keyed, never cartesian
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q411_runs_test_bounded_windows(spark):
+    plan = physical_plan(_q(spark, "q411_runs_test_randomness"))
+    # median rank, global count, and the lag all run on the
+    # calendar-bounded daily frame behind the checkpoint; the median
+    # and day count broadcast back; nothing sort-merges
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("windowspecdefinition") == 3
+
+
+def test_q412_allan_no_window_join_on_next_block(spark):
+    plan = physical_plan(_q(spark, "q412_allan_variance"))
+    # adjacent-block differences come from a blk+1 equi-join on the
+    # checkpointed block frame, never a lag window; the dyadic fan-out
+    # is map-side explode
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q413_greenwood_histogram_grain_windows(spark):
+    plan = physical_plan(_q(spark, "q413_km_greenwood_bands"))
+    # subjects reduce to the checkpointed duration histogram BEFORE the
+    # ordered windows (q201's 100 TB property): no parquet scan or
+    # sort-merge join is visible in the final plan, and the 1-row
+    # total rides a bounded broadcast nested-loop join
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("windowspecdefinition") == 3
+
+
+def test_q414_cliffs_delta_pair_partitioned_window(spark):
+    plan = physical_plan(_q(spark, "q414_cliffs_delta"))
+    # the shared q211 machinery: ONE window partitioned by the pair
+    # key (never a global rank); pair tagging rides bounded
+    # nested-loop joins
+    assert plan.count("windowspecdefinition") == 1
+    assert "windowspecdefinition(ta" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q415_seasonal_mk_no_window(spark):
+    plan = physical_plan(_q(spark, "q415_seasonal_mann_kendall"))
+    # season-keyed pair joins on the checkpointed monthly frame; the
+    # pooled totals broadcast back onto the 12-row frame; no window
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q416_ppr_bounded_after_checkpoints(spark):
+    plan = physical_plan(_q(spark, "q416_personalized_pagerank"))
+    # per-iteration lineage truncation: the final plan sees only the
+    # checkpointed rank frame and the broadcast seed flag; no window,
+    # no sort-merge join, no cartesian
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q417_siegel_global_funnels_only_after_checkpoint(spark):
+    plan = physical_plan(_q(spark, "q417_siegel_repeated_medians"))
+    # the per-point median window hides behind the slope checkpoint;
+    # the two visible windows are the month-grain residual-median
+    # funnel (bounded by the calendar); intercept joins by broadcast
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("windowspecdefinition") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q418_ljung_box_no_window_fixed_chain(spark):
+    plan = physical_plan(_q(spark, "q418_ljung_box"))
+    # autocovariances come from day-number equi-joins on the
+    # checkpointed dense spine (never a lag window); the seven-term Q
+    # chain is a literal projection over broadcast one-row frames
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q419_theil_nation_grain_reduce(spark):
+    plan = physical_plan(_q(spark, "q419_theil_decomposition"))
+    # one customer-grain reduce feeds nation-keyed joins behind the
+    # checkpoint; pooled sums broadcast back onto the 25-row frame;
+    # no window anywhere
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
