@@ -55,67 +55,64 @@ def query(
 
 #: Explicit registry ordering for external harnesses. The driver
 #: verifies the FIRST 50 registry entries per round, so the order is
-#: rotated each round. Round-11 rotation: the r10 window came back
-#: 50/50 strict-green and the never-certified backlog is CLEARED, so
-#: this window starts the re-certification cycle the r10 verdict asked
-#: for: the 10 round-11 additions (q400-q409) first, then the 40
-#: entries with the OLDEST driver certification (last green in
-#: CORRECTNESS_r02/r03 — the band never re-run since the testdata
-#: regenerations), computed from the CORRECTNESS_r* artifacts. Every
-#: entry has a strict oracle; all pass the local strict checker and
-#: driver_sim on current data. The two declared rows-only entries
+#: rotated each round. Round-12 rotation (the re-certification cycle's
+#: second window): the 10 round-12 additions (q410-q419) first, then
+#: the 40 entries with the OLDEST driver certification (last green in
+#: CORRECTNESS_r03/r04), computed from the CORRECTNESS_r* artifacts.
+#: Every entry has a strict oracle; all pass the local strict checker
+#: and driver_sim on current data. The two declared rows-only entries
 #: (q28, q230) are deliberately not given window slots.
 _DRIVER_ORDER = [
-    "q400_viterbi_regime_decode",
-    "q401_page_hinkley_drift",
-    "q402_sprt_sequential_ab",
-    "q403_shift_share_decomposition",
-    "q404_benford_second_digit",
-    "q405_cuped_adjusted_ab",
-    "q406_sampling_design_effect",
-    "q407_kruskal_wallis",
-    "q408_cochran_armitage_trend",
-    "q409_jonckheere_terpstra",
-    "q23_linear_interpolation",
-    "q31_minhash_signatures",
-    "q33_jaccard_similar_pairs",
-    "q34_simhash",
-    "q35_language_id",
-    "q36_text_quality",
-    "q37_token_stats",
-    "q38_shingle_fingerprint",
-    "q39_multimodal_blob_metadata",
-    "q41_ann_lsh_buckets",
-    "q43_embedding_stats",
-    "q44_approx_count_distinct",
-    "q54_datetime_library",
-    "q55_mapinpandas_parity",
-    "q60_dedup_connected_components",
-    "q61_ivf_assignments",
-    "q63_embedding_neardup",
-    "q66_tfidf_top_terms",
-    "q67_repetition_ratio",
-    "q68_regex_token_patterns",
-    "q85_fuzzy_match_blocked",
-    "q86_text_chunking",
-    "q91_dedup_cc_star",
-    "q92_boilerplate_ngrams",
-    "q93_sequence_packing",
-    "q94_domain_mixing_weights",
-    "q96_approx_percentile_bound",
-    "q97_pii_redaction",
-    "q98_dedup_survivors",
-    "q12_histogram",
-    "q19_angle_geometry_library",
-    "q20_running_total",
-    "q21_lag_delta",
-    "q22_rebase_time_axis",
-    "q26_daily_active_users",
-    "q27_session_window_native",
-    "q46_asof_join",
-    "q47_range_join_bucketed",
-    "q49_json_extraction",
-    "q64_hierarchical_rollup",
+    "q410_inter_doc_ngram_dup",
+    "q411_runs_test_randomness",
+    "q412_allan_variance",
+    "q413_km_greenwood_bands",
+    "q414_cliffs_delta",
+    "q415_seasonal_mann_kendall",
+    "q416_personalized_pagerank",
+    "q417_siegel_repeated_medians",
+    "q418_ljung_box",
+    "q419_theil_decomposition",
+    "q100_asof_forward",
+    "q101_unigram_logprob",
+    "q102_ewm_decay",
+    "q103_incremental_agg",
+    "q65_trailing_hour_window",
+    "q70_gap_fill_locf",
+    "q71_hash_split",
+    "q72_stats_moments",
+    "q73_column_profile",
+    "q74_funnel_conversion",
+    "q75_histogram_bins",
+    "q76_group_sample",
+    "q77_zorder_layout",
+    "q78_array_functions",
+    "q82_variant_shred",
+    "q83_map_functions",
+    "q84_window_navigation",
+    "q89_cohort_retention",
+    "q99_salted_join",
+    "q02_top_revenue_orders",
+    "q03_region_nation_revenue",
+    "q04_exists_semi_join",
+    "q05_not_exists_anti_join",
+    "q06_conditional_distinct_counts",
+    "q07_argmin_per_group",
+    "q08_pivot_returnflag",
+    "q09_first_last_per_group",
+    "q104_weighted_bernoulli_sample",
+    "q105_interval_overlap_join",
+    "q106_scd2_history",
+    "q107_bpe_pair_counts",
+    "q108_vocab_oov_rate",
+    "q109_heavy_hitters",
+    "q10_union_all_tagged",
+    "q110_rolling_regression",
+    "q111_minhash_estimate_error",
+    "q112_winsorize",
+    "q113_robust_zscore",
+    "q114_prefix_filter_jaccard",
+    "q115_expectation_audit",
 ]
 
 
