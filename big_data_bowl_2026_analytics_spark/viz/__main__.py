@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also write an animated play.apng clip (10 fps)",
     )
+    ap.add_argument(
+        "--gif",
+        action="store_true",
+        help="also write an animated play.gif clip (10 fps) — the "
+        "reference's clip container (src/visualization/play.py:344)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -70,14 +76,22 @@ def main(argv: list[str] | None = None) -> int:
             ) as img:
                 img.write(bytes(r.image))
             w.writerow([r.frame_id, r.phase, r.ball_x, r.ball_y, r.n_players])
-    if args.apng:
+    if args.apng or args.gif:
         from ..pipeline.multimodal import decode_bmp
+
+        imgs = [decode_bmp(bytes(r.image)) for r in frames]
+    if args.apng:
         from .anim import encode_apng
 
-        clip = encode_apng([decode_bmp(bytes(r.image)) for r in frames])
         with open(os.path.join(args.out, "play.apng"), "wb") as fh:
-            fh.write(clip)
+            fh.write(encode_apng(imgs))
         print(f"wrote {len(frames)}-frame clip to {args.out}/play.apng")
+    if args.gif:
+        from .anim import encode_gif
+
+        with open(os.path.join(args.out, "play.gif"), "wb") as fh:
+            fh.write(encode_gif(imgs))
+        print(f"wrote {len(frames)}-frame clip to {args.out}/play.gif")
     print(f"wrote {len(frames)} frames to {args.out}")
     return 0
 

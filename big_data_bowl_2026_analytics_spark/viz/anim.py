@@ -1,4 +1,4 @@
-"""Animated play clips: APNG container over the distributed
+"""Animated play clips: APNG + GIF89a containers over the distributed
 renderer's frames — the engine-side counterpart of the reference's
 matplotlib FuncAnimation clips (reference src/visualization/play.py:
 330-351, assets/clips/).
@@ -157,19 +157,30 @@ ANIM_SCHEMA = T.StructType(
 )
 
 
-def animate_plays(frames: DataFrame, delay_den: int = 10) -> DataFrame:
-    """One APNG clip per play from ``render_play_frames`` output:
+def animate_plays(
+    frames: DataFrame, delay_den: int = 10, container: str = "apng"
+) -> DataFrame:
+    """One animation clip per play from ``render_play_frames`` output:
     group the BMP frame rows by (game_id, play_id), decode, and zip
     each ordered frame stack into a single animation blob executor-
     side. The shuffle key is the play — the clip (a bounded frame
     count at a fixed canvas size) is the unit of work, so partitions
-    stay balanced at any corpus scale."""
+    stay balanced at any corpus scale. ``container`` picks the format:
+    ``"apng"`` (default) or ``"gif"`` (the reference's container;
+    requires the renderer's bounded palette — encode_gif raises past
+    256 distinct colors rather than quantizing)."""
     from ..pipeline.multimodal import decode_bmp
+
+    if container not in ("apng", "gif"):
+        raise ValueError(f"unknown container: {container!r}")
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("frame_id")
         imgs = [decode_bmp(bytes(b)) for b in pdf["image"]]
-        blob = encode_apng(imgs, 1, delay_den)
+        if container == "gif":
+            blob = encode_gif(imgs, delay_cs=max(1, 100 // delay_den))
+        else:
+            blob = encode_apng(imgs, 1, delay_den)
         h, w, _ = imgs[0].shape
         return pd.DataFrame(
             {
@@ -178,7 +189,7 @@ def animate_plays(frames: DataFrame, delay_den: int = 10) -> DataFrame:
                 "n_frames": [len(imgs)],
                 "width": [w],
                 "height": [h],
-                "media_type": ["apng"],
+                "media_type": [container],
                 "animation": [blob],
             }
         )
@@ -186,3 +197,246 @@ def animate_plays(frames: DataFrame, delay_den: int = 10) -> DataFrame:
     return frames.groupBy("game_id", "play_id").applyInPandas(
         assemble, ANIM_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF89a: the reference's actual clip container (reference
+# src/visualization/play.py:344 writes .gif via matplotlib/Pillow).
+# Same narrow-profile philosophy as the APNG pair above: global
+# palette only (the renderer draws from a fixed flat palette, so a
+# clip has far fewer than 256 distinct colors), full-frame images,
+# no transparency, infinite loop; ``decode_gif`` is the exact inverse
+# of ``encode_gif`` for that profile. Pure python — the LZW coder is
+# the GIF89a variable-width algorithm (width bumps when the newly
+# assigned code value reaches 2^width; CLEAR + reset at 4096).
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for ch in indices:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            # encoder bumps when the newly ASSIGNED value needs one
+            # more bit — the matching decoder bumps after adding the
+            # value one below (it lags one entry behind)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW code")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # decoder lags the encoder by one entry: bump after adding
+            # the value one below the encoder's bump point
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out.append(len(blk))
+        out.extend(blk)
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
+    """Encode uint8 (h, w, 3) frames as an infinitely-looping GIF89a
+    (delay in centiseconds; 10 = the reference's 10 fps clip rate).
+    One GLOBAL palette built from the distinct colors across all
+    frames — more than 256 distinct colors raises (the renderer's
+    fixed palette profile, deliberately narrow: no quantization ever
+    silently alters pixels)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, c = frames[0].shape
+    if c != 3:
+        raise ValueError("frames must be (h, w, 3) RGB")
+    for f in frames:
+        if f.shape != (h, w, 3) or f.dtype != np.uint8:
+            raise ValueError("all frames must be uint8 with one shape")
+    stacked = np.concatenate([f.reshape(-1, 3) for f in frames])
+    keys = (
+        stacked[:, 0].astype(np.uint32) << 16
+        | stacked[:, 1].astype(np.uint32) << 8
+        | stacked[:, 2].astype(np.uint32)
+    )
+    palette_keys = np.unique(keys)
+    if len(palette_keys) > 256:
+        raise ValueError(
+            f"{len(palette_keys)} distinct colors exceed the 256-color "
+            "GIF palette (this codec never quantizes)"
+        )
+    gct_bits = max(1, int(len(palette_keys) - 1).bit_length())
+    n_slots = 1 << gct_bits
+    min_code_size = max(2, gct_bits)
+    gct = np.zeros((n_slots, 3), dtype=np.uint8)
+    gct[: len(palette_keys), 0] = palette_keys >> 16
+    gct[: len(palette_keys), 1] = (palette_keys >> 8) & 0xFF
+    gct[: len(palette_keys), 2] = palette_keys & 0xFF
+    out = [b"GIF89a"]
+    packed = 0x80 | (7 << 4) | (gct_bits - 1)
+    out.append(struct.pack("<HHBBB", w, h, packed, 0, 0))
+    out.append(gct.tobytes())
+    out.append(b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
+    for f in frames:
+        fk = (
+            f[:, :, 0].astype(np.uint32) << 16
+            | f[:, :, 1].astype(np.uint32) << 8
+            | f[:, :, 2].astype(np.uint32)
+        )
+        idx = np.searchsorted(palette_keys, fk.reshape(-1)).astype(np.uint8)
+        out.append(
+            b"\x21\xf9\x04\x00"
+            + struct.pack("<H", delay_cs)
+            + b"\x00\x00"
+        )
+        out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+        out.append(bytes([min_code_size]))
+        out.append(_sub_blocks(_lzw_encode(idx.tobytes(), min_code_size)))
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def decode_gif(data: bytes) -> tuple[list[np.ndarray], int]:
+    """Exact inverse of :func:`encode_gif` for the profile it emits
+    (global palette, full-frame images, no transparency, no local
+    palettes, no interlace). Returns the RGB frame list and the delay
+    (centiseconds) of the first frame."""
+    if data[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    if not packed & 0x80:
+        raise ValueError("unsupported: no global color table")
+    n_slots = 2 << (packed & 0x07)
+    pos = 13
+    gct = np.frombuffer(data[pos : pos + n_slots * 3], dtype=np.uint8)
+    gct = gct.reshape(n_slots, 3)
+    pos += n_slots * 3
+    frames: list[np.ndarray] = []
+    delay = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9:
+                size = data[pos]
+                (delay_here,) = struct.unpack(
+                    "<H", data[pos + 2 : pos + 4]
+                )
+                if not frames:
+                    delay = delay_here
+                pos += 1 + size
+            while data[pos] != 0:  # skip (remaining) sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            fx, fy, fw, fh, ipacked = struct.unpack(
+                "<HHHHB", data[pos + 1 : pos + 10]
+            )
+            if (fx, fy, fw, fh) != (0, 0, w, h) or ipacked & 0xC0:
+                raise ValueError("unsupported image descriptor")
+            pos += 10
+            min_code_size = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos] != 0:
+                n = data[pos]
+                stream.extend(data[pos + 1 : pos + 1 + n])
+                pos += 1 + n
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(stream), min_code_size), dtype=np.uint8
+            )
+            if len(idx) != w * h:
+                raise ValueError("frame pixel count mismatch")
+            frames.append(gct[idx].reshape(h, w, 3).copy())
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    return frames, delay

@@ -163,3 +163,118 @@ def test_viz_cli_apng_flag(spark, tmp_path):
     assert len(clip) == 8  # play 1 renders 8 frames (5 before + 3 after)
     with open(os.path.join(out, "frame_0001.bmp"), "rb") as fh:
         assert (clip[0] == decode_bmp(fh.read())).all()
+
+
+# --------------------------------------------------------------- GIF89a
+
+
+def _rand_palette_frames(n, h, w, n_colors=120, seed=11):
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+    return [pal[rng.randint(0, n_colors, size=(h, w))] for _ in range(n)]
+
+
+def test_gif_roundtrip_exact():
+    from big_data_bowl_2026_analytics_spark.viz import decode_gif, encode_gif
+
+    frames = _rand_palette_frames(5, 17, 23)
+    blob = encode_gif(frames, delay_cs=8)
+    assert blob[:6] == b"GIF89a" and blob[-1:] == b"\x3b"
+    got, delay = decode_gif(blob)
+    assert delay == 8 and len(got) == 5
+    for a, b in zip(frames, got):
+        assert (a == b).all()
+
+
+def test_gif_minimal_palette_and_single_frame():
+    from big_data_bowl_2026_analytics_spark.viz import decode_gif, encode_gif
+
+    f = np.zeros((5, 7, 3), np.uint8)
+    f[2, 3] = 255
+    got, _ = decode_gif(encode_gif([f]))
+    assert len(got) == 1 and (got[0] == f).all()
+
+
+def test_gif_rejects_true_color():
+    from big_data_bowl_2026_analytics_spark.viz import encode_gif
+
+    frames = _rand_frames(2, 24, 24)  # ~all-distinct random colors
+    with pytest.raises(ValueError, match="256-color"):
+        encode_gif(frames)
+
+
+def test_gif_lzw_width_bumps_and_reset():
+    """Index streams sized to cross every code-width boundary and the
+    4096-entry table reset must survive the round-trip bit-exactly."""
+    from big_data_bowl_2026_analytics_spark.viz.anim import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.RandomState(3)
+    for n_colors, n in ((4, 9), (7, 300), (64, 5000), (256, 120000)):
+        mcs = max(2, int(n_colors - 1).bit_length())
+        data = rng.randint(0, n_colors, size=n).astype(np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+    # pathological runs exercise the KwKwK decoder case
+    for n in (1, 2, 3, 4097):
+        data = bytes([1]) * n
+        assert _lzw_decode(_lzw_encode(data, 2), 2) == data
+
+
+def test_animate_plays_gif_container(spark, rendered_df):
+    from big_data_bowl_2026_analytics_spark.viz import decode_gif
+
+    frames = rendered_df.collect()
+    clips = {
+        (r.game_id, r.play_id): r
+        for r in animate_plays(rendered_df, container="gif").collect()
+    }
+    by_play: dict[tuple[int, int], list] = {}
+    for r in frames:
+        by_play.setdefault((r.game_id, r.play_id), []).append(r)
+    assert set(clips) == set(by_play)
+    for key, rows in by_play.items():
+        rows.sort(key=lambda r: r.frame_id)
+        clip = clips[key]
+        assert clip.media_type == "gif"
+        got, delay = decode_gif(bytes(clip.animation))
+        assert delay == 10  # 100 // delay_den(10)
+        assert len(got) == len(rows)
+        for row, img in zip(rows, got):
+            assert (img == decode_bmp(bytes(row.image))).all()
+
+
+def test_viz_cli_gif_flag(spark, tmp_path):
+    from big_data_bowl_2026_analytics_spark.viz import decode_gif
+    from big_data_bowl_2026_analytics_spark.viz.__main__ import main
+
+    before = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_BEFORE_SCHEMA.fields)
+            for r in make_tracking_before()
+        ],
+        TRACKING_BEFORE_SCHEMA,
+    )
+    after = spark.createDataFrame(
+        [
+            tuple(r[f.name] for f in TRACKING_AFTER_SCHEMA.fields)
+            for r in make_tracking_after()
+        ],
+        TRACKING_AFTER_SCHEMA,
+    )
+    bdir, adir = str(tmp_path / "b"), str(tmp_path / "a")
+    before.write.parquet(bdir)
+    after.write.parquet(adir)
+    out = str(tmp_path / "play1")
+    rc = main(
+        [
+            "--before", bdir, "--after", adir,
+            "--game-id", "1001", "--play-id", "1", "--out", out,
+            "--gif",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "play.gif"), "rb") as fh:
+        frames, _ = decode_gif(fh.read())
+    assert frames and frames[0].ndim == 3
