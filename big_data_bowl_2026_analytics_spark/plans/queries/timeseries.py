@@ -474,7 +474,7 @@ SELECT event_type,
        round(count(*) FILTER (WHERE late_us > 0) * 1.0 / count(*) + 1e-9, 6)
          AS pct_late,
        CAST(max(late_us) AS BIGINT) AS max_late_us,
-       round(CAST(sum(late_us) AS BIGINT) * 1.0 / count(*) + 1e-9, 2)
+       CAST(CAST(sum(late_us) AS BIGINT) // count(*) AS BIGINT)
          AS avg_late_us
 FROM late
 GROUP BY event_type
@@ -490,8 +490,11 @@ def q159_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the running max partitions by source (per-source watermark,
     the production shape) — no global ordering, no single-partition
-    window. Lateness is integer microseconds end-to-end; the two
-    derived ratios round integer-exact divisions.
+    window. Lateness is integer microseconds end-to-end; pct_late
+    rounds an integer-exact division, and avg_late_us is a pure
+    integer floor-division (at 10x the mean reaches ~1e12 us, where a
+    2-dp round sits below the double's ulp — the q409 big-magnitude
+    lattice rule, caught by the round-12 10x sweep).
     """
     from pyspark.sql import Window
 
@@ -516,9 +519,14 @@ def q159_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("late_us") > 0) * 1.0 / F.count(F.lit(1)), 6
         ).alias("pct_late"),
         F.max("late_us").alias("max_late_us"),
-        fround(F.sum("late_us") * 1.0 / F.count(F.lit(1)), 2).alias(
-            "avg_late_us"
-        ),
+        # exact integer division, NOT a rounded float average: at 10x
+        # the mean lateness reaches ~1e12 us, where a 2-dp round sits
+        # BELOW the double's ulp (the q409 big-magnitude lattice rule;
+        # caught by the round-12 10x sweep as a last-digit hash
+        # divergence) — floor-µs is exact at any scale on both engines
+        F.expr("sum(late_us) div count(1)")
+        .cast("bigint")
+        .alias("avg_late_us"),
     )
 
 
