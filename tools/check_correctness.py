@@ -226,6 +226,31 @@ def names_changed_since(ref: str, specs: dict) -> list[str] | None:
     return sorted(selected)
 
 
+#: The output/intermediate-quadratic pair family (both engines pay a
+#: pairs-of-rows cost, so the 10x sweep excludes them — their answers
+#: are certified at sf0.1 and their candidates-only siblings pass 10x
+#: fine). Members verify against all-pairs machinery: q33's
+#: language-blocked token-postings self-join (q33/q111/q280/q133/
+#: q137), pair-quadratic levenshtein/linkage blocks (q116/q118/q124/
+#: q205/q206/q305), or quadratic-answer similarity audits (q324/
+#: q346). History: PERF.md rounds 11-12, CLAUDE.md exclusion note.
+QUADRATIC_PAIR_FAMILY = (
+    "q33_jaccard_similar_pairs",
+    "q111_minhash_estimate_error",
+    "q116_levenshtein_neardup",
+    "q118_sorted_neighborhood_pairs",
+    "q124_lsh_blocked_levenshtein",
+    "q133_containment_pairs",
+    "q137_idf_weighted_jaccard",
+    "q205_record_linkage_scores",
+    "q206_grid_nearest_neighbor",
+    "q280_dedup_threshold_sweep",
+    "q305_substitution_screen",
+    "q324_link_prediction",
+    "q346_neardup_evidence_pairs",
+)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -235,6 +260,12 @@ def main() -> int:
         default=None,
         metavar="GIT_REF",
         help="check only registry names mapped from files changed since GIT_REF",
+    )
+    ap.add_argument(
+        "--exclude-quadratic",
+        action="store_true",
+        help="drop the documented output-quadratic pair family "
+        "(the per-round 10x sweep configuration)",
     )
     args = ap.parse_args()
 
@@ -247,6 +278,14 @@ def main() -> int:
 
     specs = all_queries()
     names = args.only.split(",") if args.only else list(specs)
+    if args.exclude_quadratic:
+        skip = set(QUADRATIC_PAIR_FAMILY)
+        before = len(names)
+        names = [n for n in names if n not in skip]
+        print(
+            f"--exclude-quadratic: dropped {before - len(names)} of the "
+            f"{len(QUADRATIC_PAIR_FAMILY)}-member pair family"
+        )
     if args.changed_since:
         mapped = names_changed_since(args.changed_since, specs)
         if mapped is None:
