@@ -244,6 +244,45 @@ def main() -> None:
             .agg(F.sum("sgn").cast("bigint").alias("s"))
         )
 
+    def q_gramjoin(k: int) -> DataFrame:
+        # the q410 class (inter-doc duplicated n-grams): distinct
+        # (doc, md5(gram)) incidence -> gram-grain doc-frequency
+        # reduce -> join BACK on the gram hash (co-partitioned with
+        # the groupBy that produced it) -> doc reduce -> source
+        # reduce. The join fan-out is the incidence itself — linear in
+        # the corpus, never pair-quadratic; this case measures that.
+        from big_data_bowl_2026_analytics_spark.operators.dedup import (
+            shingles_of,
+        )
+
+        df = _multiply(docs, k, "doc_id")
+        pairs = (
+            df.select(
+                "doc_id",
+                "source",
+                F.split(F.col("text"), " ").alias("_toks"),
+            )
+            .where(F.size("_toks") >= 8)
+            .select(
+                "doc_id",
+                "source",
+                F.explode(shingles_of(F.col("_toks"), 8)).alias("g"),
+            )
+            .select("doc_id", "source", F.md5("g").alias("h"))
+            .distinct()
+            .localCheckpoint()
+        )
+        grams = pairs.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+        dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+        per = (
+            pairs.join(grams, "h")
+            .groupBy("doc_id", "source")
+            .agg(F.sum(dup).alias("d"), F.count(F.lit(1)).alias("n"))
+        )
+        return per.groupBy("source").agg(
+            F.sum("d").alias("dd"), F.sum("n").alias("nn")
+        )
+
     for name, fn in [
         ("groupby_agg", q_agg),
         ("two_level_agg", q_join_agg),
@@ -254,6 +293,7 @@ def main() -> None:
         ("message_passing_round", q_msground),
         ("pixel_binned_scatter", q_pixelbin),
         ("windowed_sketch_grid", q_sketchgrid),
+        ("gram_incidence_joinback", q_gramjoin),
     ]:
         base_rows = None
         for k in [int(x) for x in args.multipliers.split(",")]:
