@@ -586,9 +586,6 @@ def main() -> None:
         out["oracle_pre_total"] = round(sum(oracle_pre.values()), 3)
         out["oracle_post_total"] = round(sum(oracle_post.values()), 3)
 
-    if errors:
-        out["errors"] = errors
-
     # Output contract (r11 verdict #1): BENCH_r11 recorded
     # "parsed": null because the full artifact line outgrew the
     # harness's 2000-char stdout tail capture and the tail started
@@ -600,10 +597,16 @@ def main() -> None:
     # adaptively — optional sections are dropped largest-first until
     # it serializes under the budget.
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    if errors:
+        out["errors"] = errors
     try:
         detail_path.write_text(json.dumps(out, indent=1) + "\n")
     except OSError as exc:
+        # re-assign so a sidecar write failure reaches the stdout
+        # full-artifact line too, not just the compact error_count
+        # (r12 ADVICE: previously added after `out["errors"]` was set).
         errors["_detail_sidecar"] = f"{type(exc).__name__}: {exc}"
+        out["errors"] = errors
     print(json.dumps(out), flush=True)
 
     compact = {

@@ -235,12 +235,14 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     width = min_code_size + 1
     emit(clear, width)
     w = b""
+    emitted = 0  # data codes emitted since the last CLEAR
     for ch in indices:
         wk = w + bytes([ch])
         if wk in table:
             w = wk
             continue
         emit(table[w], width)
+        emitted += 1
         if next_code < 4096:
             table[wk] = next_code
             # encoder bumps when the newly ASSIGNED value needs one
@@ -254,9 +256,20 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
             table = fresh()
             next_code = eoi + 1
             width = min_code_size + 1
+            emitted = 0
         w = bytes([ch])
     if w:
         emit(table[w], width)
+        emitted += 1
+        # End-of-stream width sync: the decoder appends a table entry
+        # for every data code after the first since a CLEAR, so after
+        # this FINAL code (which the encoder assigns no entry for) the
+        # decoder's table reaches next_code and may bump its width —
+        # the encoder must bump identically or EOI is written at the
+        # old width and read at the new one (desync on byte-aligned
+        # streams: "truncated LZW stream").
+        if emitted >= 2 and next_code == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

@@ -222,6 +222,46 @@ def test_gif_lzw_width_bumps_and_reset():
         assert _lzw_decode(_lzw_encode(data, 2), 2) == data
 
 
+def test_gif_lzw_short_stream_roundtrip_hypothesis():
+    """End-of-stream width sync (r12 ADVICE): the decoder appends a
+    table entry for the FINAL data code and may bump its code width
+    before reading EOI; the encoder must bump identically. Short
+    random streams hit the boundary nondeterministically (4 of the
+    first 31 random 1-40 byte streams at min_code_size=2 failed
+    before the fix), so sweep them property-style."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_bowl_2026_analytics_spark.viz.anim import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # the ADVICE reproducer, pinned exactly
+    repro = bytes.fromhex("0302030302000200030201010002")
+    assert _lzw_decode(_lzw_encode(repro, 2), 2) == repro
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        mcs=st.sampled_from([2, 3, 4, 8]),
+        data=st.data(),
+    )
+    def roundtrip(mcs, data):
+        n = data.draw(st.integers(min_value=1, max_value=60))
+        s = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                    min_size=n,
+                    max_size=n,
+                )
+            )
+        )
+        assert _lzw_decode(_lzw_encode(s, mcs), mcs) == s
+
+    roundtrip()
+
+
 def test_animate_plays_gif_container(spark, rendered_df):
     from big_data_bowl_2026_analytics_spark.viz import decode_gif
 
