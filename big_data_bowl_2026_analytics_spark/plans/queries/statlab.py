@@ -6408,3 +6408,777 @@ def q419_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fround(F.col("tb"), 6) + F.lit(0.0)).alias("theil_between"),
         (fround(F.col("tw"), 6) + F.lit(0.0)).alias("theil_within"),
     )
+
+
+@query(
+    "q420_kendalls_w_concordance",
+    tags=("statistics", "nonparametric", "agreement"),
+    oracle="""
+WITH rev AS (
+  SELECT n.n_regionkey AS rkey, p.p_brand AS brand,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev4
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), grid AS MATERIALIZED (
+  SELECT r.r_regionkey AS rkey, b.brand,
+         CAST(coalesce(v.rev4, 0) AS BIGINT) AS rev4
+  FROM region r
+  CROSS JOIN (SELECT DISTINCT p_brand AS brand FROM part) b
+  LEFT JOIN rev v ON v.rkey = r.r_regionkey AND v.brand = b.brand
+), ranked AS MATERIALIZED (
+  SELECT rkey, brand,
+         2 * rank() OVER (PARTITION BY rkey ORDER BY rev4)
+           + count(*) OVER (PARTITION BY rkey, rev4) - 1 AS two_r
+  FROM grid
+), dims AS (
+  SELECT CAST(count(DISTINCT rkey) AS BIGINT) AS m,
+         CAST(count(DISTINCT brand) AS BIGINT) AS n
+  FROM grid
+), ties AS (
+  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tt
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+        FROM grid GROUP BY rkey, rev4)
+), rsums AS MATERIALIZED (
+  SELECT brand, CAST(sum(two_r) AS BIGINT) AS rank_sum2
+  FROM ranked GROUP BY brand
+), s4 AS (
+  SELECT CAST(sum((rank_sum2 - d.m * (d.n + 1))
+               * (rank_sum2 - d.m * (d.n + 1))) AS BIGINT) AS s4
+  FROM rsums CROSS JOIN dims d
+), stat AS (
+  SELECT d.m, d.n,
+         3.0 * s4.s4
+           / (d.m * d.m * (d.n * d.n * d.n - d.n) - d.m * ties.tt) AS w
+  FROM dims d CROSS JOIN s4 CROSS JOIN ties
+)
+SELECT r.brand, r.rank_sum2,
+       round(r.rank_sum2 / (2.0 * st.m) + 1e-9, 6) AS mean_rank,
+       st.m AS n_raters,
+       round(st.w + 1e-9, 6) + 0 AS kendalls_w,
+       round(st.m * (st.n - 1) * st.w + 1e-9, 4) + 0 AS chi2,
+       CASE WHEN st.n = 25
+            THEN round(st.m * (st.n - 1) * st.w + 1e-9, 4) > 36.415029
+       END AS reject_5pct
+FROM rsums r CROSS JOIN stat st
+""",
+)
+def q420_kendalls_w_concordance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall's W coefficient of concordance: do the five regions
+    rank the 25 part brands CONSISTENTLY by supplier-side revenue?
+    The m-rater agreement statistic the labeling/evaluation stack was
+    missing — q323's tau-b compares exactly TWO rankings pairwise and
+    q268's Friedman tests whether treatments DIFFER; W measures how
+    strongly m independent raters agree on one ordering (W = 1 total
+    agreement, W = 0 no association; Friedman's statistic is the
+    monotone transform m(n−1)W).
+
+    Exactness: per-region revenue is the exact 1e-4-dollar lattice
+    (cents x (100 − discount_pct), both BIGINT); the brand grid is
+    DENSE (missing cells are true zero revenue) so every rater ranks
+    the same n items; within-region average ranks are exact halves
+    (2R = 2·rank + ties − 1, the q268 trick), so every rank sum, the
+    squared deviation sum S4 = Σ(2R_j − m(n+1))², and the tie term
+    ΣT = Σ(t³−t) are pure BIGINTs — W = 3·S4/(m²(n³−n) − m·ΣT) is a
+    single exact-integer ratio cast to double once. The reject flag
+    compares the ROUNDED chi-square transform to the literal
+    χ²(24, .05) critical value, df-gated (the q377 rule); rounded
+    stats carry the footgun-9 `+ 0` guard.
+
+    Scale: one fact-table aggregation to the (region x brand) grain;
+    the grid, rank windows (25 rows per region), and every statistic
+    live on the bounded 125-cell frame. Dims broadcast.
+    """
+    li = read_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        ["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+    sup = read_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = read_table(spark, sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = read_table(spark, sf_dir, "region", ["r_regionkey"])
+    part = read_table(spark, sf_dir, "part", ["p_partkey", "p_brand"])
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(part.select("p_partkey", "p_brand"), li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.col("n_regionkey").alias("rkey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (
+                    100
+                    - F.round(F.col("l_discount") * 100).cast("bigint")
+                )
+            )
+            .cast("bigint")
+            .alias("rev4")
+        )
+    )
+    brands = part.select(F.col("p_brand").alias("brand")).distinct()
+    grid = (
+        reg.select(F.col("r_regionkey").alias("rkey"))
+        .crossJoin(brands)
+        .join(rev, ["rkey", "brand"], "left")
+        .select(
+            "rkey",
+            "brand",
+            F.coalesce(F.col("rev4"), F.lit(0)).cast("bigint").alias("rev4"),
+        )
+        .localCheckpoint(eager=False)  # ranks + dims + ties branches
+    )
+    wr = Window.partitionBy("rkey").orderBy("rev4")
+    wt = Window.partitionBy("rkey", "rev4")
+    ranked = grid.select(
+        "rkey",
+        "brand",
+        (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).cast("bigint").alias("two_r"),
+    )
+    dims = grid.agg(
+        F.countDistinct("rkey").cast("bigint").alias("m"),
+        F.countDistinct("brand").cast("bigint").alias("n"),
+    )
+    ties = (
+        grid.groupBy("rkey", "rev4")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    rsums = (
+        ranked.groupBy("brand")
+        .agg(F.sum("two_r").cast("bigint").alias("rank_sum2"))
+        .localCheckpoint(eager=False)  # S4 reduce + output branches
+    )
+    s4 = rsums.crossJoin(F.broadcast(dims)).agg(
+        F.sum(
+            (F.col("rank_sum2") - F.col("m") * (F.col("n") + 1))
+            * (F.col("rank_sum2") - F.col("m") * (F.col("n") + 1))
+        )
+        .cast("bigint")
+        .alias("s4"),
+        F.any_value("m").alias("m"),
+        F.any_value("n").alias("n"),
+    )
+    stat = s4.crossJoin(F.broadcast(ties)).select(
+        "m",
+        "n",
+        (
+            F.lit(3.0)
+            * F.col("s4")
+            / (
+                F.col("m") * F.col("m")
+                * (F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+                - F.col("m") * F.col("tt")
+            )
+        ).alias("w"),
+    )
+    chi2 = fround(F.col("m") * (F.col("n") - 1) * F.col("w"), 4) + F.lit(0.0)
+    return rsums.crossJoin(F.broadcast(stat)).select(
+        "brand",
+        "rank_sum2",
+        fround(F.col("rank_sum2") / (2.0 * F.col("m")), 6).alias("mean_rank"),
+        F.col("m").alias("n_raters"),
+        (fround(F.col("w"), 6) + F.lit(0.0)).alias("kendalls_w"),
+        chi2.alias("chi2"),
+        F.when(F.col("n") == 25, chi2 > 36.415029).alias("reject_5pct"),
+    )
+
+
+@query(
+    "q421_pages_l_trend",
+    tags=("statistics", "nonparametric", "trend"),
+    oracle="""
+WITH cells AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mi,
+         o_orderpriority AS priority,
+         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS j,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2, 3
+), full_blocks AS MATERIALIZED (
+  SELECT * FROM cells
+  WHERE mi IN (SELECT mi FROM cells GROUP BY mi HAVING count(*) = 5)
+), ranked AS MATERIALIZED (
+  SELECT a.mi, a.priority, a.j,
+         2 * CAST(sum(CASE WHEN b.s * a.c < a.s * b.c THEN 1 ELSE 0 END)
+                  AS BIGINT)
+           + CAST(sum(CASE WHEN b.s * a.c = a.s * b.c THEN 1 ELSE 0 END)
+                  AS BIGINT) + 1 AS two_r
+  FROM full_blocks a
+  JOIN full_blocks b ON b.mi = a.mi
+  GROUP BY a.mi, a.priority, a.j
+), per_j AS MATERIALIZED (
+  SELECT priority, j,
+         CAST(sum(two_r) AS BIGINT) AS rank_sum2,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM ranked GROUP BY priority, j
+), stat AS (
+  SELECT CAST(sum(j * rank_sum2) AS BIGINT) AS l2,
+         CAST(any_value(n_blocks) AS BIGINT) AS b
+  FROM per_j
+)
+SELECT p.priority, p.j, p.rank_sum2,
+       round(p.rank_sum2 / (2.0 * st.b) + 1e-9, 6) AS mean_rank,
+       st.b AS n_blocks,
+       st.l2 AS l_doubled,
+       round((st.l2 - 90.0 * st.b) / (10.0 * sqrt(CAST(st.b AS DOUBLE)))
+             + 1e-9, 4) + 0 AS z_page,
+       round((st.l2 - 90.0 * st.b) / (10.0 * sqrt(CAST(st.b AS DOUBLE)))
+             + 1e-9, 4) > 1.644854 AS reject_5pct
+FROM per_j p CROSS JOIN stat st
+""",
+)
+def q421_pages_l_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ORDERED alternative across blocks: does
+    mean order value rise monotonically with priority urgency, month
+    by month? q268's Friedman only asks whether treatments differ;
+    Page's L = Σ j·R_j is the trend-sensitive version when the
+    treatment order is known a priori (here the priority dose order,
+    the q408 convention) — the blocked sibling of q409's
+    Jonckheere-Terpstra (which has no blocking).
+
+    Exactness: blocks are calendar months with ALL five priorities
+    present (exact count = 5 filter); within a block the five cells
+    rank by mean order value compared as EXACT integer cross-products
+    (s_b·c_a vs s_a·c_b — never a float average, the q359 WHERE
+    lesson applied to ranking; Σcents·count stays inside int64
+    through sf100), ties as exact-half average ranks via the doubled
+    2R = 2·less + ties + 1. The doubled statistic 2L = Σ j·2R is pure
+    BIGINT; with k = 5, E(L) = 45b and Var(L) = 25b collapse the
+    z-score to (2L − 90b)/(10·√b) — one fixed float expression.
+    One-sided reject on the ROUNDED z (footgun 3/9 guards).
+
+    Scale: one fact aggregation to the (month x priority) grain;
+    the rank pair-join (25 rows per block) and every statistic live
+    on the bounded calendar frame.
+    """
+    o = read_table(
+        spark, sf_dir, "orders",
+        ["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+    d = F.to_date("o_orderdate")
+    cells = o.groupBy(
+        (F.year(d) * 12 + F.month(d)).cast("bigint").alias("mi"),
+        F.col("o_orderpriority").alias("priority"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("j"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    cells = cells.localCheckpoint(eager=False)  # block filter + pair join
+    full = cells.join(
+        cells.groupBy("mi")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .where(F.col("nc") == 5)
+        .select("mi"),
+        "mi",
+        "left_semi",
+    ).localCheckpoint(eager=False)  # both sides of the pair join
+    b_side = full.select(
+        F.col("mi").alias("mi_b"), F.col("s").alias("sb"),
+        F.col("c").alias("cb"),
+    )
+    ranked = (
+        full.join(b_side, F.col("mi_b") == F.col("mi"))
+        .groupBy("mi", "priority", "j")
+        .agg(
+            (
+                2
+                * F.sum(
+                    F.when(
+                        F.col("sb") * F.col("c") < F.col("s") * F.col("cb"),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint")
+                + F.sum(
+                    F.when(
+                        F.col("sb") * F.col("c") == F.col("s") * F.col("cb"),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint")
+                + 1
+            ).alias("two_r")
+        )
+    )
+    per_j = (
+        ranked.groupBy("priority", "j")
+        .agg(
+            F.sum("two_r").cast("bigint").alias("rank_sum2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        )
+        .localCheckpoint(eager=False)  # stat reduce + output branches
+    )
+    stat = per_j.agg(
+        F.sum(F.col("j") * F.col("rank_sum2")).cast("bigint").alias("l2"),
+        F.any_value("n_blocks").cast("bigint").alias("b"),
+    )
+    z = fround(
+        (F.col("l2") - 90.0 * F.col("b"))
+        / (F.lit(10.0) * F.sqrt(F.col("b").cast("double"))),
+        4,
+    ) + F.lit(0.0)
+    return per_j.crossJoin(F.broadcast(stat)).select(
+        "priority",
+        "j",
+        "rank_sum2",
+        fround(F.col("rank_sum2") / (2.0 * F.col("b")), 6).alias("mean_rank"),
+        F.col("b").alias("n_blocks"),
+        F.col("l2").alias("l_doubled"),
+        z.alias("z_page"),
+        (z > 1.644854).alias("reject_5pct"),
+    )
+
+
+# chi2(df, 0.05) critical values in millionths for df = 1..10 — the
+# Bowker test's df is the count of populated off-diagonal pairs
+# (<= 10 with five event types), so the reject rule stays an exact
+# integer comparison at every possible df.
+_CHI2_5PCT_PPM = {
+    1: 3841459,
+    2: 5991465,
+    3: 7814728,
+    4: 9487729,
+    5: 11070498,
+    6: 12591587,
+    7: 14067140,
+    8: 15507313,
+    9: 16918978,
+    10: 18307038,
+}
+
+
+@query(
+    "q422_bowker_symmetry",
+    tags=("statistics", "hypothesis-test", "markov"),
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), pairs AS MATERIALIZED (
+  SELECT event_type AS prev_type, next_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE next_type IS NOT NULL AND next_type <> event_type
+  GROUP BY 1, 2
+), sym AS MATERIALIZED (
+  SELECT coalesce(f.a, r.a) AS type_a, coalesce(f.b, r.b) AS type_b,
+         CAST(coalesce(f.c, 0) AS BIGINT) AS n_fwd,
+         CAST(coalesce(r.c, 0) AS BIGINT) AS n_rev
+  FROM (SELECT prev_type AS a, next_type AS b, c FROM pairs
+        WHERE prev_type < next_type) f
+  FULL OUTER JOIN
+       (SELECT next_type AS a, prev_type AS b, c FROM pairs
+        WHERE prev_type > next_type) r
+    ON f.a = r.a AND f.b = r.b
+), contrib AS MATERIALIZED (
+  SELECT type_a, type_b, n_fwd, n_rev,
+         1000000 * ((n_fwd - n_rev) * (n_fwd - n_rev) // (n_fwd + n_rev))
+           + (1000000 * ((n_fwd - n_rev) * (n_fwd - n_rev)
+                         % (n_fwd + n_rev))) // (n_fwd + n_rev)
+           AS contrib_ppm
+  FROM sym
+), stat AS (
+  SELECT CAST(sum(contrib_ppm) AS BIGINT) AS chi2_ppm,
+         CAST(count(*) AS BIGINT) AS df
+  FROM contrib
+)
+SELECT c.type_a, c.type_b, c.n_fwd, c.n_rev,
+       CAST(c.contrib_ppm AS BIGINT) AS contrib_ppm,
+       st.chi2_ppm, st.df,
+       st.chi2_ppm > CASE st.df
+         {" ".join(f"WHEN {k} THEN {v}" for k, v in _CHI2_5PCT_PPM.items())}
+       END AS reject_5pct
+FROM contrib c CROSS JOIN stat st
+""",
+)
+def q422_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker test of symmetry on q138's event-type transition matrix:
+    is flow between types time-reversible (n_ij ≈ n_ji for every
+    unordered pair), or does traffic systematically drain one way
+    (e.g. view→purchase ≫ purchase→view)? The multi-category
+    generalization of McNemar; rejects when the chain has a preferred
+    direction — exactly what q362's stationary analysis assumes away.
+
+    Exactness: a ZERO-float query. Transition counts are exact;
+    each pair's χ² contribution (n_ij − n_ji)²/(n_ij + n_ji) is
+    quantized to millionths by the SPLIT integer division
+    1e6·(d² DIV s) + (1e6·(d² MOD s)) DIV s — exactly equal to
+    (1e6·d²) DIV s but overflow-safe past sf1000 (d² ≤ s² with the
+    1e6 factor applied only to the sub-s remainder; every operand
+    non-negative, so Spark's truncating div == DuckDB's floor //).
+    Quantization error is < 1 ppm per pair, ≤ 10 ppm total — the
+    q384 fixed-point discipline; χ² and the df-gated reject (CASE
+    over the ten χ²(df) critical values in ppm) are pure BIGINT
+    comparisons. Pairs with n_ij + n_rev = 0 carry no row on either
+    side (the full-outer join only sees populated directions), so df
+    counts populated pairs identically.
+
+    Scale: q353's user-partitioned lead is the only fact-table pass;
+    the symmetric pair frame is bounded by |types|²/2 (= 10 rows).
+    """
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(
+        F.col("next_type").isNotNull()
+        & (F.col("next_type") != F.col("event_type"))
+    )
+    pairs = (
+        seq.groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # forward + reverse halves
+    )
+    fwd = pairs.where(F.col("prev_type") < F.col("next_type")).select(
+        F.col("prev_type").alias("fa"),
+        F.col("next_type").alias("fb"),
+        F.col("c").alias("cf"),
+    )
+    rev = pairs.where(F.col("prev_type") > F.col("next_type")).select(
+        F.col("next_type").alias("ra"),
+        F.col("prev_type").alias("rb"),
+        F.col("c").alias("cr"),
+    )
+    sym = fwd.join(
+        rev, (F.col("fa") == F.col("ra")) & (F.col("fb") == F.col("rb")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("fa"), F.col("ra")).alias("type_a"),
+        F.coalesce(F.col("fb"), F.col("rb")).alias("type_b"),
+        F.coalesce(F.col("cf"), F.lit(0)).cast("bigint").alias("n_fwd"),
+        F.coalesce(F.col("cr"), F.lit(0)).cast("bigint").alias("n_rev"),
+    )
+    d2 = (F.col("n_fwd") - F.col("n_rev")) * (F.col("n_fwd") - F.col("n_rev"))
+    s = F.col("n_fwd") + F.col("n_rev")
+    contrib = sym.select(
+        "type_a",
+        "type_b",
+        "n_fwd",
+        "n_rev",
+        (
+            F.lit(1000000).cast("bigint") * F.expr(
+                "((n_fwd - n_rev) * (n_fwd - n_rev)) div (n_fwd + n_rev)"
+            )
+            + F.expr(
+                "(1000000 * (((n_fwd - n_rev) * (n_fwd - n_rev))"
+                " % (n_fwd + n_rev))) div (n_fwd + n_rev)"
+            )
+        )
+        .cast("bigint")
+        .alias("contrib_ppm"),
+    ).localCheckpoint(eager=False)  # stat reduce + output branches
+    crit = F.lit(None).cast("bigint")
+    case = None
+    for k, v in _CHI2_5PCT_PPM.items():
+        cond = F.col("df") == k
+        case = F.when(cond, v) if case is None else case.when(cond, v)
+    stat = contrib.agg(
+        F.sum("contrib_ppm").cast("bigint").alias("chi2_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    return contrib.crossJoin(F.broadcast(stat)).select(
+        "type_a",
+        "type_b",
+        "n_fwd",
+        "n_rev",
+        "contrib_ppm",
+        "chi2_ppm",
+        "df",
+        (F.col("chi2_ppm") > case.otherwise(crit)).alias("reject_5pct"),
+    )
+
+
+@query(
+    "q423_cramer_von_mises",
+    tags=("statistics", "hypothesis-test", "distribution"),
+    oracle="""
+WITH obs AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ga
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+), hv AS MATERIALIZED (
+  SELECT v, CAST(sum(ga) AS BIGINT) AS a,
+         CAST(sum(1 - ga) AS BIGINT) AS b
+  FROM obs GROUP BY v
+), cums AS (
+  SELECT a, b,
+         CAST(sum(a) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS ca,
+         CAST(sum(b) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cb
+  FROM hv
+), tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n, CAST(sum(b) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS n_values
+  FROM hv
+), tsum AS (
+  SELECT sum((a + b) * CAST(t.m * ca - t.n * cb AS DOUBLE)
+             * CAST(t.m * ca - t.n * cb AS DOUBLE)) AS s
+  FROM cums CROSS JOIN tot t
+)
+SELECT t.n AS n_building, t.m AS n_machinery, t.n_values,
+       round(ts.s
+             / ((CAST(t.n + t.m AS DOUBLE) * (t.n + t.m) * t.n) * t.m)
+             + 1e-9, 6) + 0 AS cvm_t,
+       round(ts.s
+             / ((CAST(t.n + t.m AS DOUBLE) * (t.n + t.m) * t.n) * t.m)
+             + 1e-9, 6) > 0.461 AS reject_5pct
+FROM tot t CROSS JOIN tsum ts
+""",
+)
+def q423_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises test: do BUILDING and MACHINERY
+    customers draw order totals from the same distribution? The
+    INTEGRATED-ECDF-distance test on q227's CDF machinery — q227's KS
+    takes the single worst gap (sensitive to one local shift), CvM
+    integrates the squared gap over the whole support, which is the
+    stronger test against diffuse alternatives (scale/shape changes
+    that never produce one big gap): T = nm/N² · Σ_k (F(x_k)−G(x_k))².
+
+    Exactness: ECDF gaps on the distinct-cents histogram grain are
+    exact integer cross-products d_v = m·A_v − n·B_v (inside int64
+    past sf1000); d² crosses 2^63 so each term (a_v+b_v)·d·d is
+    cast-once double — a SAME-SIGN well-conditioned sum (the q372
+    class: worst-case order noise ~1e-10 relative vs the 5e-7
+    half-gap at 6 dp), with the oracle spelling the identical
+    left-associated product. The final normalization is one fixed
+    expression; reject compares the ROUNDED T to the asymptotic 5%
+    critical value 0.461 (footgun 9 `+ 0` guard).
+
+    Scale: the prefix sums run on operators/rankops.py's two-level
+    bucketed machinery (chained once per sample — no data-sized
+    single-partition window); everything else is reductions. The
+    histogram is bounded by distinct 2-decimal order totals.
+    """
+    from ...operators.rankops import bucketed_rank_cumsum
+
+    o = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    c = read_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    obs = (
+        o.join(
+            c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+            o.o_custkey == c.c_custkey,
+        )
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("ga"),
+        )
+    )
+    hv = obs.groupBy("v").agg(
+        F.sum("ga").cast("bigint").alias("a"),
+        F.sum(1 - F.col("ga")).cast("bigint").alias("b"),
+    )
+    cums = bucketed_rank_cumsum(
+        hv, "v", (), "a", rank_out="_r1", cum_out="_ca"
+    )
+    cums = bucketed_rank_cumsum(
+        cums, "v", (), "b", rank_out="_r2", cum_out="_cb"
+    ).select(
+        "a",
+        "b",
+        F.col("_ca").cast("bigint").alias("ca"),
+        F.col("_cb").cast("bigint").alias("cb"),
+    )
+    cums = cums.localCheckpoint(eager=False)  # totals + term branches
+    tot = cums.agg(
+        F.sum("a").cast("bigint").alias("n"),
+        F.sum("b").cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+    )
+    d = (F.col("m") * F.col("ca") - F.col("n") * F.col("cb")).cast("double")
+    tsum = cums.crossJoin(F.broadcast(tot)).agg(
+        F.sum((F.col("a") + F.col("b")) * d * d).alias("s"),
+        F.any_value("n").alias("n"),
+        F.any_value("m").alias("m"),
+        F.any_value("n_values").alias("n_values"),
+    )
+    t_stat = fround(
+        F.col("s")
+        / (
+            (
+                (F.col("n") + F.col("m")).cast("double")
+                * (F.col("n") + F.col("m"))
+                * F.col("n")
+            )
+            * F.col("m")
+        ),
+        6,
+    ) + F.lit(0.0)
+    return tsum.select(
+        F.col("n").alias("n_building"),
+        F.col("m").alias("n_machinery"),
+        "n_values",
+        t_stat.alias("cvm_t"),
+        (t_stat > 0.461).alias("reject_5pct"),
+    )
+
+
+@query(
+    "q425_fleiss_kappa",
+    tags=("statistics", "labeling", "agreement"),
+    oracle=f"""
+WITH ratings AS (
+  SELECT d.doc_id,
+         CASE WHEN d.n_chars
+                   + ({_hash16_sql("fleiss|", "(CAST(r.r AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR))")} % 121)
+                   - 60 < 225 THEN 'short'
+              WHEN d.n_chars
+                   + ({_hash16_sql("fleiss|", "(CAST(r.r AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR))")} % 121)
+                   - 60 >= 390 THEN 'long'
+              ELSE 'medium' END AS cat
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS r) r
+), cells AS MATERIALIZED (
+  SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS n_ic
+  FROM ratings GROUP BY doc_id, cat
+), agree AS (
+  SELECT CAST(sum(n_ic * n_ic) AS BIGINT)
+           - 5 * CAST(count(DISTINCT doc_id) AS BIGINT) AS a,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+  FROM cells
+), bycat AS MATERIALIZED (
+  SELECT cat, CAST(sum(n_ic) AS BIGINT) AS b_c
+  FROM cells GROUP BY cat
+), ecat AS (
+  SELECT CAST(sum(b_c * b_c) AS BIGINT) AS e FROM bycat
+), stat AS (
+  SELECT ag.n, ag.a, ec.e,
+         CAST(ag.a AS DOUBLE) / (ag.n * 5 * 4) AS p_obs,
+         CAST(ec.e AS DOUBLE) / ((ag.n * 5.0) * (ag.n * 5.0)) AS p_exp,
+         CAST(ag.a * ag.n * 5 - 4 * ec.e AS DOUBLE)
+           / (4.0 * ((ag.n * 5) * (ag.n * 5) - ec.e)) AS kappa
+  FROM agree ag CROSS JOIN ecat ec
+)
+SELECT b.cat AS category, b.b_c AS n_assignments,
+       round(b.b_c / (st.n * 5.0) + 1e-9, 6) AS p_category,
+       st.n AS n_docs,
+       round(st.p_obs + 1e-9, 6) AS p_observed,
+       round(st.p_exp + 1e-9, 6) AS p_expected,
+       round(st.kappa + 1e-9, 6) + 0 AS fleiss_kappa
+FROM bycat b CROSS JOIN stat st
+""",
+)
+def q425_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across five deterministic document-length raters
+    — q183's Cohen kappa generalized from 2 raters to m (the
+    crowdsourced-labeling agreement audit: each document is
+    independently bucketed short/medium/long by five raters whose
+    perceived length carries rater-specific +/-60-char keyed-hash
+    jitter, the q127/q149 seeded-md5 verification convention; a
+    production pipeline swaps in real annotator labels on the same
+    (item, rater, category) contract).
+
+    Exactness: with A = Σ n_ic² − n·m and E = Σ_c B_c² (both pure
+    BIGINT; (nm)² stays inside int64 past sf1000), P̄ = A/(nm(m−1)),
+    P̄e = E/(nm)², and kappa collapses to the single exact-integer
+    ratio (A·nm − (m−1)E) / ((m−1)((nm)² − E)) — cast to double
+    once, rounded with the footgun-9 `+ 0` guard (no-agreement
+    kappa is exactly the near-zero case).
+
+    Scale: the rater fan-out is a 5x literal explode map-side; the
+    only shuffles are the (doc, category) count and two bounded
+    reductions. Category marginals are a 3-row frame.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "n_chars"])
+    rated = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.array(*[F.lit(r) for r in (1, 2, 3, 4, 5)])).alias("r"),
+    )
+    perceived = (
+        F.col("n_chars")
+        + _hash16(
+            "fleiss|",
+            F.concat(
+                F.col("r").cast("string"),
+                F.lit("|"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        % 121
+        - 60
+    )
+    ratings = rated.select(
+        "doc_id",
+        F.when(perceived < 225, "short")
+        .when(perceived >= 390, "long")
+        .otherwise("medium")
+        .alias("cat"),
+    )
+    cells = (
+        ratings.groupBy("doc_id", "cat")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ic"))
+        .localCheckpoint(eager=False)  # agreement + marginal branches
+    )
+    agree = cells.agg(
+        (
+            F.sum(F.col("n_ic") * F.col("n_ic"))
+            - 5 * F.countDistinct("doc_id")
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.countDistinct("doc_id").cast("bigint").alias("n"),
+    )
+    bycat = (
+        cells.groupBy("cat")
+        .agg(F.sum("n_ic").cast("bigint").alias("b_c"))
+        .localCheckpoint(eager=False)  # E reduce + output branches
+    )
+    ecat = bycat.agg(
+        F.sum(F.col("b_c") * F.col("b_c")).cast("bigint").alias("e")
+    )
+    stat = agree.crossJoin(F.broadcast(ecat)).select(
+        "n",
+        "a",
+        "e",
+        (F.col("a").cast("double") / (F.col("n") * 5 * 4)).alias("p_obs"),
+        (
+            F.col("e").cast("double")
+            / ((F.col("n") * 5.0) * (F.col("n") * 5.0))
+        ).alias("p_exp"),
+        (
+            (F.col("a") * F.col("n") * 5 - 4 * F.col("e")).cast("double")
+            / (
+                F.lit(4.0)
+                * ((F.col("n") * 5) * (F.col("n") * 5) - F.col("e"))
+            )
+        ).alias("kappa"),
+    )
+    return bycat.crossJoin(F.broadcast(stat)).select(
+        F.col("cat").alias("category"),
+        F.col("b_c").alias("n_assignments"),
+        fround(F.col("b_c") / (F.col("n") * 5.0), 6).alias("p_category"),
+        F.col("n").alias("n_docs"),
+        fround(F.col("p_obs"), 6).alias("p_observed"),
+        fround(F.col("p_exp"), 6).alias("p_expected"),
+        (fround(F.col("kappa"), 6) + F.lit(0.0)).alias("fleiss_kappa"),
+    )
