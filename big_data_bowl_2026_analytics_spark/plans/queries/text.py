@@ -4056,3 +4056,117 @@ def q410_inter_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flagged_share"
         ),
     )
+
+
+@query(
+    "q426_morisita_horn_similarity",
+    tags=("text", "drift", "statistics"),
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS MATERIALIZED (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+), marg AS MATERIALIZED (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * c) AS BIGINT) AS sq
+  FROM cnt GROUP BY source
+), cross_p AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(sum(a.c * b.c) AS BIGINT) AS xy,
+         CAST(count(*) AS BIGINT) AS n_shared_types
+  FROM cnt a
+  JOIN cnt b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.n_shared_types, p.xy AS cross_product,
+       round((2.0 * ((CAST(ma.n AS DOUBLE) * mb.n) * p.xy))
+             / ((CAST(mb.n AS DOUBLE) * mb.n) * ma.sq
+                + (CAST(ma.n AS DOUBLE) * ma.n) * mb.sq)
+             + 1e-9, 6) AS morisita_horn
+FROM cross_p p
+JOIN marg ma ON ma.source = p.src_a
+JOIN marg mb ON mb.source = p.src_b
+""",
+)
+def q426_morisita_horn_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Morisita-Horn similarity between every two sources'
+    token-abundance profiles — the ABUNDANCE-weighted sibling of
+    q371's Jensen-Shannon divergence (JS measures distributional
+    information distance; Morisita-Horn is the ecologist's overlap
+    index 2XY·Σx_iy_i/(Y²Σx_i² + X²Σy_i²), dominated by the HIGH-
+    frequency vocabulary and nearly insensitive to corpus size, which
+    makes it the mixture-design dial for "do these feeds sample the
+    same head distribution?" where rare-type noise should not count).
+
+    Exactness: the cross-product Σx_iy_i, both squared-abundance sums
+    Σx², and the totals are pure BIGINTs (per-type counts keep x·y
+    inside int64 past sf100 — the token head is ~5% of a source);
+    the closing ratio's triple products cross 2^63, so both engines
+    spell the IDENTICAL cast-once left-associated double expression
+    (the q143 parenthesization rule) — one deterministic division,
+    fround-6. Only shared tokens ever join (disjoint vocabulary
+    contributes zero to every numerator term by definition).
+
+    Scale: token-grain shuffles only (counts groupBy + the shared-
+    token equi-join — q371's exact plan shape); output is the bounded
+    source-pair grid. No windows, no collects.
+    """
+    docs = read_table(spark, sf_dir, "documents", ["source", "text"])
+    cnt = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # marginals + both join sides
+    )
+    marg = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"),
+    )
+    a = cnt.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("c1")
+    )
+    b = cnt.select(
+        F.col("source").alias("src_b"), "tok", F.col("c").alias("c2")
+    )
+    cross_p = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("xy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_types"),
+        )
+    )
+    ma = marg.select(
+        F.col("source").alias("src_a"),
+        F.col("n").alias("na"),
+        F.col("sq").alias("sqa"),
+    )
+    mb = marg.select(
+        F.col("source").alias("src_b"),
+        F.col("n").alias("nb"),
+        F.col("sq").alias("sqb"),
+    )
+    mh = (
+        F.lit(2.0)
+        * ((F.col("na").cast("double") * F.col("nb")) * F.col("xy"))
+    ) / (
+        (F.col("nb").cast("double") * F.col("nb")) * F.col("sqa")
+        + (F.col("na").cast("double") * F.col("na")) * F.col("sqb")
+    )
+    return (
+        cross_p.join(F.broadcast(ma), "src_a")
+        .join(F.broadcast(mb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared_types",
+            F.col("xy").alias("cross_product"),
+            fround(mh, 6).alias("morisita_horn"),
+        )
+    )

@@ -5762,3 +5762,374 @@ def q412_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.sqrt(avar_raw), 6).alias("adev"),
         )
     )
+
+
+@query(
+    "q424_hurst_exponent",
+    tags=("timeseries", "statistics", "stability"),
+    oracle="""
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(h) AS mn, max(h) AS mx FROM counts
+), dense AS (
+  SELECT hr.h - b.mn AS idx, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series(mn, mx)) AS h FROM bounds) hr
+  CROSS JOIN bounds b
+  LEFT JOIN counts c ON c.h = hr.h
+), fanned AS (
+  SELECT ms.m, d.idx // ms.m AS blk, d.idx, d.x
+  FROM dense d CROSS JOIN (SELECT unnest([8, 16, 32, 64, 128]) AS m) ms
+), lattice AS MATERIALIZED (
+  SELECT m, blk,
+         m * CAST(sum(x) OVER w_run AS BIGINT)
+           - CAST(row_number() OVER w_run AS BIGINT)
+             * CAST(sum(x) OVER w_all AS BIGINT) AS d_k,
+         CAST(sum(x) OVER w_all AS BIGINT) AS s,
+         CAST(sum(x * x) OVER w_all AS BIGINT) AS q,
+         CAST(count(*) OVER w_all AS BIGINT) AS cnt
+  FROM fanned
+  WINDOW w_run AS (PARTITION BY m, blk ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_all AS (PARTITION BY m, blk)
+), blocks AS (
+  SELECT m, blk,
+         CAST(max(d_k) - min(d_k) AS BIGINT) AS r_int,
+         CAST(any_value(m) * any_value(q)
+              - any_value(s) * any_value(s) AS BIGINT) AS varn
+  FROM lattice WHERE cnt = m
+  GROUP BY m, blk
+), per_m AS MATERIALIZED (
+  SELECT m,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         round(avg(CAST(r_int AS DOUBLE) / sqrt(CAST(varn AS DOUBLE)))
+               + 1e-9, 6) AS mean_rs
+  FROM blocks WHERE varn > 0
+  GROUP BY m
+), piv AS (
+  SELECT max(CASE WHEN m = 8 THEN mean_rs END) AS l1,
+         max(CASE WHEN m = 16 THEN mean_rs END) AS l2,
+         max(CASE WHEN m = 64 THEN mean_rs END) AS l4,
+         max(CASE WHEN m = 128 THEN mean_rs END) AS l5
+  FROM per_m
+), stat AS (
+  SELECT round((-2.0 * ln(l1) - ln(l2) + ln(l4) + 2.0 * ln(l5))
+               / (10.0 * ln(2.0)) + 1e-9, 4) + 0 AS hurst
+  FROM piv
+)
+SELECT p.m AS m_hours, p.n_blocks, p.mean_rs, st.hurst,
+       CASE WHEN st.hurst > 0.55 THEN 'persistent'
+            WHEN st.hurst < 0.45 THEN 'anti-persistent'
+            ELSE 'memoryless' END AS regime
+FROM per_m p CROSS JOIN stat st
+""",
+)
+def q424_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-count series by
+    rescaled-range (R/S) analysis over dyadic windows — q412's Allan
+    variance separates NOISE regimes; the Hurst exponent measures
+    LONG MEMORY (H > 1/2 persistent trends, H < 1/2 mean-reverting,
+    H = 1/2 memoryless), the load-forecasting question Allan can't
+    answer. Mandelbrot-Wallis estimator: mean R/S per block size m ∈
+    {8..128 h}, H = the log-log slope.
+
+    Exactness: within each full block the centered cumulative
+    deviations live on the m·C_k − k·S lattice (exact BIGINT — the
+    q229/q411 n·x − S discipline), so the range R·m and the variance
+    numerator m·Q − S² are pure integers; R/S = R_int/√(mQ − S²) is
+    one deterministic float op per block. Zero-variance blocks drop
+    by an EXACT integer test on both sides. Block means round at
+    6 dp (same-sign ≤90-term sums, the q372 class), and the slope is
+    a FIXED 4-term chain over logs of the ROUNDED means — dyadic
+    sizes make the regressor exactly (3..7)·ln 2, collapsing OLS to
+    (−2L₁ − L₂ + L₄ + 2L₅)/(10·ln 2) (ln cross-engine per q158).
+    The regime label reads the ROUNDED H (footgun 3/9 guards).
+
+    Scale: one pass to the hour grain; the 5x fan-out, block windows
+    (≤128 rows per partition), and statistics all live on the bounded
+    calendar frame (the q412 contract).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events", ["ts"])
+    counts = ev.select(
+        F.floor(F.col("ts").cast("double") / 3600).cast("bigint").alias("h")
+    ).groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    counts = counts.localCheckpoint(eager=False)  # bounds + dense branches
+    bounds = counts.agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    dense = (
+        bounds.select(
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h"),
+            "mn",
+        )
+        .join(counts, "h", "left")
+        .select(
+            (F.col("h") - F.col("mn")).alias("idx"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    ms = F.explode(
+        F.array(*[F.lit(m) for m in (8, 16, 32, 64, 128)])
+    ).alias("m")
+    fanned = dense.select("idx", "x", ms).select(
+        "m", F.floor(F.col("idx") / F.col("m")).alias("blk"), "idx", "x"
+    )
+    w_run = (
+        Window.partitionBy("m", "blk")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("m", "blk")
+    lattice = fanned.select(
+        "m",
+        "blk",
+        (
+            F.col("m") * F.sum("x").over(w_run).cast("bigint")
+            - F.row_number().over(
+                Window.partitionBy("m", "blk").orderBy("idx")
+            ).cast("bigint")
+            * F.sum("x").over(w_all).cast("bigint")
+        ).alias("d_k"),
+        F.sum("x").over(w_all).cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w_all).cast("bigint").alias("q"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("cnt"),
+    )
+    blocks = (
+        lattice.where(F.col("cnt") == F.col("m"))
+        .groupBy("m", "blk")
+        .agg(
+            (F.max("d_k") - F.min("d_k")).cast("bigint").alias("r_int"),
+            (
+                F.any_value("m") * F.any_value("q")
+                - F.any_value("s") * F.any_value("s")
+            )
+            .cast("bigint")
+            .alias("varn"),
+        )
+    )
+    per_m = (
+        blocks.where(F.col("varn") > 0)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            fround(
+                F.avg(
+                    F.col("r_int").cast("double")
+                    / F.sqrt(F.col("varn").cast("double"))
+                ),
+                6,
+            ).alias("mean_rs"),
+        )
+        .localCheckpoint(eager=False)  # pivot reduce + output branches
+    )
+    piv = per_m.agg(
+        F.max(F.when(F.col("m") == 8, F.col("mean_rs"))).alias("l1"),
+        F.max(F.when(F.col("m") == 16, F.col("mean_rs"))).alias("l2"),
+        F.max(F.when(F.col("m") == 64, F.col("mean_rs"))).alias("l4"),
+        F.max(F.when(F.col("m") == 128, F.col("mean_rs"))).alias("l5"),
+    )
+    hurst = fround(
+        (
+            F.lit(-2.0) * F.log(F.col("l1"))
+            - F.log(F.col("l2"))
+            + F.log(F.col("l4"))
+            + F.lit(2.0) * F.log(F.col("l5"))
+        )
+        / (F.lit(10.0) * F.log(F.lit(2.0))),
+        4,
+    ) + F.lit(0.0)
+    stat = piv.select(hurst.alias("hurst"))
+    return per_m.crossJoin(F.broadcast(stat)).select(
+        F.col("m").cast("bigint").alias("m_hours"),
+        "n_blocks",
+        "mean_rs",
+        "hurst",
+        F.when(F.col("hurst") > 0.55, "persistent")
+        .when(F.col("hurst") < 0.45, "anti-persistent")
+        .otherwise("memoryless")
+        .alias("regime"),
+    )
+
+
+def _q427_oracle(n_rounds: int = 12) -> str:
+    """q362's unrolled power-iteration lattice plus per-state
+    conditional entropies, every float quantized to exact ppb BIGINTs
+    before any engine-ordered summation."""
+    parts = [
+        """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM seq_src
+), pairs AS MATERIALIZED (
+  SELECT event_type AS prev_type, next_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), tot AS MATERIALIZED (
+  SELECT prev_type, CAST(sum(c) AS BIGINT) AS t FROM pairs GROUP BY 1
+), pmat AS MATERIALIZED (
+  SELECT p.prev_type, p.next_type, CAST(c AS DOUBLE) / t AS p
+  FROM pairs p JOIN tot USING (prev_type)
+), types AS MATERIALIZED (
+  SELECT prev_type AS ty, CAST(count(*) OVER () AS BIGINT) AS k FROM tot
+), pi0 AS MATERIALIZED (
+  SELECT ty, 1.0 / k AS pi FROM types
+)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        p = i - 1
+        parts.append(
+            f""", pi{i} AS MATERIALIZED (
+  SELECT m.next_type AS ty, sum(pi * p) AS pi
+  FROM pi{p} v JOIN pmat m ON m.prev_type = v.ty
+  GROUP BY m.next_type
+)"""
+        )
+    parts.append(
+        f""", pir AS MATERIALIZED (
+  SELECT ty, round(pi + 1e-9, 8) AS pi8 FROM pi{n_rounds}
+), hrows AS MATERIALIZED (
+  SELECT p.prev_type AS ty,
+         CAST(sum(CAST(floor(
+           1e9 * (CAST(c AS DOUBLE) / t)
+               * (-ln(CAST(c AS DOUBLE) / t))) AS BIGINT)) AS BIGINT)
+           AS h_next_ppb
+  FROM pairs p JOIN tot ON tot.prev_type = p.prev_type
+  GROUP BY 1
+), contribs AS MATERIALIZED (
+  SELECT h.ty, pir.pi8, h.h_next_ppb,
+         CAST(floor(pir.pi8 * h.h_next_ppb) AS BIGINT) AS contrib_ppb,
+         CASE WHEN pir.pi8 > 0
+              THEN CAST(floor(1e9 * pir.pi8 * (-ln(pir.pi8))) AS BIGINT)
+              ELSE 0 END AS marg_ppb
+  FROM hrows h JOIN pir ON pir.ty = h.ty
+), stat AS (
+  SELECT CAST(sum(contrib_ppb) AS BIGINT) AS entropy_rate_ppb,
+         CAST(sum(marg_ppb) AS BIGINT) AS marginal_entropy_ppb
+  FROM contribs
+)
+SELECT c.ty AS event_type, c.pi8 AS stationary_share,
+       c.h_next_ppb, c.contrib_ppb,
+       st.entropy_rate_ppb, st.marginal_entropy_ppb,
+       st.marginal_entropy_ppb - st.entropy_rate_ppb AS info_gain_ppb
+FROM contribs c CROSS JOIN stat st"""
+    )
+    return "".join(parts).replace(
+        "FROM seq_src", "FROM events"
+    )
+
+
+@query(
+    "q427_chain_entropy_rate",
+    tags=("timeseries", "iterative", "statistics"),
+    oracle=_q427_oracle(12),
+)
+def q427_chain_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type Markov chain under its
+    STATIONARY distribution: H = Σ_f π_f · H(next | f), with π from
+    q362's 12 unrolled power-iteration rounds — the per-symbol
+    information content of the corpus event stream in its long-run
+    regime. q289 weights per-user conditional entropies EMPIRICALLY;
+    this is the chain-level rate the source-coding bound actually
+    uses, reported next to the stationary MARGINAL entropy so
+    info_gain = H(π) − H_rate says how much one step of context
+    compresses the stream (zero gain = the chain is i.i.d.).
+
+    Exactness: conditional probabilities are exact integer-count
+    ratios (identical doubles cross-engine); each row entropy is
+    quantized to ppb BIGINTs BEFORE its ≤|types|-term sum (the q384
+    fixed-point discipline — floor of an identical double is
+    identical), and π is ROUNDED to the q362 8-dp lattice first, so
+    π·H products multiply identical doubles and every reported
+    statistic is a pure BIGINT (quantization < |types| ppb per
+    number, documented; no engine-ordered float sum survives to the
+    output).
+
+    Scale: one user-partitioned lead pass; iteration and entropy
+    both live on the bounded |types|² frame (q362's contract).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(
+        spark, sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = (
+        seq.groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # matrix + totals + entropy rows
+    )
+    tot = pairs.groupBy("prev_type").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    pmat = pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        (F.col("c").cast("double") / F.col("t")).alias("p"),
+    )
+    k = tot.agg(F.count(F.lit(1)).alias("k"))
+    pi = tot.crossJoin(F.broadcast(k)).select(
+        F.col("prev_type").alias("ty"),
+        (F.lit(1.0) / F.col("k")).alias("pi"),
+    )
+    for _ in range(12):
+        pi = (
+            pi.join(pmat, pi.ty == pmat.prev_type)
+            .groupBy(F.col("next_type").alias("ty2"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+            .select(F.col("ty2").alias("ty"), "pi")
+        )
+    pir = pi.select("ty", fround(F.col("pi"), 8).alias("pi8"))
+    ratio = F.col("c").cast("double") / F.col("t")
+    hrows = (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .groupBy(F.col("prev_type").alias("ty"))
+        .agg(
+            F.sum(
+                F.floor(F.lit(1e9) * ratio * (-F.log(ratio))).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("h_next_ppb")
+        )
+    )
+    contribs = hrows.join(F.broadcast(pir), "ty").select(
+        "ty",
+        "pi8",
+        "h_next_ppb",
+        F.floor(F.col("pi8") * F.col("h_next_ppb"))
+        .cast("bigint")
+        .alias("contrib_ppb"),
+        F.when(
+            F.col("pi8") > 0,
+            F.floor(
+                F.lit(1e9) * F.col("pi8") * (-F.log(F.col("pi8")))
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("marg_ppb"),
+    )
+    contribs = contribs.localCheckpoint(eager=False)  # stat + output rows
+    stat = contribs.agg(
+        F.sum("contrib_ppb").cast("bigint").alias("entropy_rate_ppb"),
+        F.sum("marg_ppb").cast("bigint").alias("marginal_entropy_ppb"),
+    )
+    return contribs.crossJoin(F.broadcast(stat)).select(
+        F.col("ty").alias("event_type"),
+        F.col("pi8").alias("stationary_share"),
+        "h_next_ppb",
+        "contrib_ppb",
+        "entropy_rate_ppb",
+        "marginal_entropy_ppb",
+        (F.col("marginal_entropy_ppb") - F.col("entropy_rate_ppb")).alias(
+            "info_gain_ppb"
+        ),
+    )
