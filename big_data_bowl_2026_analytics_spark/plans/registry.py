@@ -55,64 +55,65 @@ def query(
 
 #: Explicit registry ordering for external harnesses. The driver
 #: verifies the FIRST 50 registry entries per round, so the order is
-#: rotated each round. Round-12 rotation (the re-certification cycle's
-#: second window): the 10 round-12 additions (q410-q419) first, then
-#: the 40 entries with the OLDEST driver certification (last green in
-#: CORRECTNESS_r03/r04), computed from the CORRECTNESS_r* artifacts.
+#: rotated each round. Round-13 rotation (the re-certification cycle's
+#: third window): the 8 round-13 additions (q420-q427) first, then
+#: the 42 entries with the OLDEST driver certification (the 24-entry
+#: r04 band + the oldest 18 of the r05 band), computed from the
+#: CORRECTNESS_r* artifacts.
 #: Every entry has a strict oracle; all pass the local strict checker
 #: and driver_sim on current data. The two declared rows-only entries
 #: (q28, q230) are deliberately not given window slots.
 _DRIVER_ORDER = [
-    "q410_inter_doc_ngram_dup",
-    "q411_runs_test_randomness",
-    "q412_allan_variance",
-    "q413_km_greenwood_bands",
-    "q414_cliffs_delta",
-    "q415_seasonal_mann_kendall",
-    "q416_personalized_pagerank",
-    "q417_siegel_repeated_medians",
-    "q418_ljung_box",
-    "q419_theil_decomposition",
-    "q100_asof_forward",
-    "q101_unigram_logprob",
-    "q102_ewm_decay",
-    "q103_incremental_agg",
-    "q65_trailing_hour_window",
-    "q70_gap_fill_locf",
-    "q71_hash_split",
-    "q72_stats_moments",
-    "q73_column_profile",
-    "q74_funnel_conversion",
-    "q75_histogram_bins",
-    "q76_group_sample",
-    "q77_zorder_layout",
-    "q78_array_functions",
-    "q82_variant_shred",
-    "q83_map_functions",
-    "q84_window_navigation",
-    "q89_cohort_retention",
-    "q99_salted_join",
-    "q02_top_revenue_orders",
-    "q03_region_nation_revenue",
-    "q04_exists_semi_join",
-    "q05_not_exists_anti_join",
-    "q06_conditional_distinct_counts",
-    "q07_argmin_per_group",
-    "q08_pivot_returnflag",
-    "q09_first_last_per_group",
-    "q104_weighted_bernoulli_sample",
-    "q105_interval_overlap_join",
-    "q106_scd2_history",
-    "q107_bpe_pair_counts",
-    "q108_vocab_oov_rate",
-    "q109_heavy_hitters",
-    "q10_union_all_tagged",
-    "q110_rolling_regression",
-    "q111_minhash_estimate_error",
-    "q112_winsorize",
-    "q113_robust_zscore",
-    "q114_prefix_filter_jaccard",
-    "q115_expectation_audit",
+    "q420_kendalls_w_concordance",
+    "q421_pages_l_trend",
+    "q422_bowker_symmetry",
+    "q423_cramer_von_mises",
+    "q424_hurst_exponent",
+    "q425_fleiss_kappa",
+    "q426_morisita_horn_similarity",
+    "q427_chain_entropy_rate",
+    "q11_having_count",
+    "q13_point_lookup",
+    "q14_scalar_function_library",
+    "q15_multikey_topk",
+    "q16_distinct_projection",
+    "q17_null_audit_after_left_join",
+    "q18_rollup_revenue",
+    "q29_cube_aggregation",
+    "q45_skew_salted_aggregation",
+    "q48_intersect_except",
+    "q51_calibration_bins",
+    "q53_string_library",
+    "q56_ranking_functions",
+    "q57_ordered_string_agg",
+    "q58_percentiles",
+    "q59_full_outer_join",
+    "q69_contamination_ratio",
+    "q79_grouping_sets",
+    "q80_conditional_aggregates",
+    "q81_correlated_scalar_subquery",
+    "q87_merge_upsert",
+    "q88_row_unpivot",
+    "q90_snapshot_diff",
+    "q95_word_entropy",
+    "q116_levenshtein_neardup",
+    "q117_bigram_pmi",
+    "q118_sorted_neighborhood_pairs",
+    "q119_key_skew_gini",
+    "q120_drift_audit",
+    "q121_approx_percentile_audit",
+    "q122_correlation_matrix",
+    "q123_triangle_count",
+    "q124_lsh_blocked_levenshtein",
+    "q125_pagerank",
+    "q126_zorder_layout_audit",
+    "q127_hash_split_assignment",
+    "q128_stratified_hash_sample",
+    "q129_chi_square_homogeneity",
+    "q131_join_cardinality_forecast",
+    "q132_bloom_filter_audit",
+    "q133_containment_pairs",
+    "q134_mixture_rebalance",
 ]
 
 

@@ -2595,3 +2595,91 @@ def test_q419_theil_nation_grain_reduce(spark):
     assert "windowspecdefinition" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q420_kendalls_w_bounded_grid(spark):
+    plan = physical_plan(_q(spark, "q420_kendalls_w_concordance"))
+    # the fact-table aggregation hides behind the 125-cell grid
+    # checkpoint; rank windows and every statistic live on that
+    # bounded frame, 1-row stats ride broadcast nested-loop joins
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q421_pages_l_block_pair_join(spark):
+    plan = physical_plan(_q(spark, "q421_pages_l_trend"))
+    # in-block ranking is a month-keyed pair join on the checkpointed
+    # (month x priority) frame — no window anywhere; the 1-row stat
+    # broadcasts back onto the 5-row output
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q422_bowker_zero_float_bounded(spark):
+    plan = physical_plan(_q(spark, "q422_bowker_symmetry"))
+    # the transition matrix checkpoint feeds both direction halves;
+    # the symmetric pair frame is <=10 rows, the chi2 reduce rides a
+    # broadcast nested-loop join; no window in the visible plan
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q423_cvm_histogram_grain(spark):
+    plan = physical_plan(_q(spark, "q423_cramer_von_mises"))
+    # both ECDF prefix sums run on the bucketed two-level machinery
+    # BEFORE the checkpoint: the visible plan is reductions over the
+    # checkpointed histogram with a broadcast totals row
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q424_hurst_calendar_bounded(spark):
+    plan = physical_plan(_q(spark, "q424_hurst_exponent"))
+    # block windows live on the calendar-bounded spine behind the
+    # per-size checkpoint; the visible plan is the 5-row pivot with a
+    # broadcast slope row — no window, no sort-merge join
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q425_fleiss_bounded_reductions(spark):
+    plan = physical_plan(_q(spark, "q425_fleiss_kappa"))
+    # the rater fan-out + (doc, category) count hide behind the cells
+    # checkpoint; agreement/marginal branches are pure reductions and
+    # the kappa row broadcasts onto the 3-row category frame
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q426_morisita_horn_token_keyed(spark):
+    plan = physical_plan(_q(spark, "q426_morisita_horn_similarity"))
+    # q371's plan shape: the shared-token join is keyed on tok off the
+    # checkpointed count frame, marginals broadcast onto the bounded
+    # source-pair grid; no window, no cartesian product
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q427_entropy_rate_bounded_iteration(spark):
+    plan = physical_plan(_q(spark, "q427_chain_entropy_rate"))
+    # the lead pass hides behind the transition-matrix checkpoint;
+    # iteration and the ppb entropy algebra live on the bounded
+    # |types|^2 frame (q362's contract), stats broadcast back
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
