@@ -7182,3 +7182,420 @@ def q425_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("p_exp"), 6).alias("p_expected"),
         (fround(F.col("kappa"), 6) + F.lit(0.0)).alias("fleiss_kappa"),
     )
+
+
+@query(
+    "q428_moods_median_test",
+    tags=("statistics", "hypothesis-test", "nonparametric"),
+    oracle="""
+WITH obs AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), hv AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS tot,
+         CAST(sum(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN grp = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN grp = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN grp = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(sum(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS c5
+  FROM obs GROUP BY v
+), rk AS MATERIALIZED (
+  SELECT *, CAST(sum(tot) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+  FROM hv
+), tots AS (
+  SELECT CAST(sum(tot) AS BIGINT) AS n_all FROM hv
+), med AS (
+  SELECT CAST(min(v) AS BIGINT) AS m
+  FROM rk CROSS JOIN tots WHERE cum >= (n_all + 1) // 2
+), sides AS MATERIALIZED (
+  SELECT CASE WHEN v > med.m THEN 1 ELSE 0 END AS above,
+         c1, c2, c3, c4, c5
+  FROM rk CROSS JOIN med WHERE v <> med.m
+), gr AS MATERIALIZED (
+  SELECT g.grp AS priority,
+         CAST(sum((CASE g.idx WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+                              WHEN 4 THEN c4 ELSE c5 END) * above)
+              AS BIGINT) AS n_above,
+         CAST(sum((CASE g.idx WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+                              WHEN 4 THEN c4 ELSE c5 END) * (1 - above))
+              AS BIGINT) AS n_below
+  FROM sides CROSS JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2),
+                                ('3-MEDIUM', 3), ('4-NOT SPECIFIED', 4),
+                                ('5-LOW', 5)) g(grp, idx)
+  GROUP BY g.grp
+), st AS (
+  SELECT CAST(coalesce(sum(CASE WHEN priority = '1-URGENT' THEN n_above END), 0) AS BIGINT) AS a1,
+         CAST(coalesce(sum(CASE WHEN priority = '2-HIGH' THEN n_above END), 0) AS BIGINT) AS a2,
+         CAST(coalesce(sum(CASE WHEN priority = '3-MEDIUM' THEN n_above END), 0) AS BIGINT) AS a3,
+         CAST(coalesce(sum(CASE WHEN priority = '4-NOT SPECIFIED' THEN n_above END), 0) AS BIGINT) AS a4,
+         CAST(coalesce(sum(CASE WHEN priority = '5-LOW' THEN n_above END), 0) AS BIGINT) AS a5,
+         CAST(coalesce(sum(CASE WHEN priority = '1-URGENT' THEN n_above + n_below END), 0) AS BIGINT) AS g1,
+         CAST(coalesce(sum(CASE WHEN priority = '2-HIGH' THEN n_above + n_below END), 0) AS BIGINT) AS g2,
+         CAST(coalesce(sum(CASE WHEN priority = '3-MEDIUM' THEN n_above + n_below END), 0) AS BIGINT) AS g3,
+         CAST(coalesce(sum(CASE WHEN priority = '4-NOT SPECIFIED' THEN n_above + n_below END), 0) AS BIGINT) AS g4,
+         CAST(coalesce(sum(CASE WHEN priority = '5-LOW' THEN n_above + n_below END), 0) AS BIGINT) AS g5,
+         CAST(sum(n_above) AS BIGINT) AS a_tot,
+         CAST(sum(n_below) AS BIGINT) AS b_tot
+  FROM gr
+), chi AS (
+  SELECT a_tot, b_tot,
+         (CASE WHEN g1 > 0 THEN CAST((a_tot + b_tot) * a1 - g1 * a_tot AS DOUBLE)
+                                * CAST((a_tot + b_tot) * a1 - g1 * a_tot AS DOUBLE) / g1
+               ELSE 0.0 END
+          + CASE WHEN g2 > 0 THEN CAST((a_tot + b_tot) * a2 - g2 * a_tot AS DOUBLE)
+                                  * CAST((a_tot + b_tot) * a2 - g2 * a_tot AS DOUBLE) / g2
+                 ELSE 0.0 END
+          + CASE WHEN g3 > 0 THEN CAST((a_tot + b_tot) * a3 - g3 * a_tot AS DOUBLE)
+                                  * CAST((a_tot + b_tot) * a3 - g3 * a_tot AS DOUBLE) / g3
+                 ELSE 0.0 END
+          + CASE WHEN g4 > 0 THEN CAST((a_tot + b_tot) * a4 - g4 * a_tot AS DOUBLE)
+                                  * CAST((a_tot + b_tot) * a4 - g4 * a_tot AS DOUBLE) / g4
+                 ELSE 0.0 END
+          + CASE WHEN g5 > 0 THEN CAST((a_tot + b_tot) * a5 - g5 * a_tot AS DOUBLE)
+                                  * CAST((a_tot + b_tot) * a5 - g5 * a_tot AS DOUBLE) / g5
+                 ELSE 0.0 END) AS s,
+         CAST((CASE WHEN g1 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN g2 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN g3 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN g4 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN g5 > 0 THEN 1 ELSE 0 END) - 1 AS BIGINT) AS df
+  FROM st
+), fin AS (
+  SELECT df,
+         CASE WHEN a_tot > 0 AND b_tot > 0
+              THEN s / ((CAST(a_tot AS DOUBLE) * b_tot)
+                        / CAST(a_tot + b_tot AS DOUBLE))
+                   / CAST(a_tot + b_tot AS DOUBLE)
+         END AS chi2
+  FROM chi
+)
+SELECT g.priority, g.n_above, g.n_below,
+       CAST(g.n_above + g.n_below AS BIGINT) AS n_group,
+       med.m AS median_cents,
+       round(fin.chi2 + 1e-9, 4) + 0 AS chi2,
+       fin.df,
+       CASE WHEN fin.df = 4
+            THEN round(fin.chi2 + 1e-9, 4) > 9.487729
+       END AS reject_5pct
+FROM gr g CROSS JOIN fin CROSS JOIN med
+""",
+)
+def q428_moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do the five order priorities differ in
+    MEDIAN order value? The counts-only robust sibling of q407's
+    Kruskal-Wallis — where KW ranks every observation (power against
+    any distributional shift), Mood's test reduces each value to one
+    bit (above/below the pooled median), which is the test of choice
+    when the tails are untrustworthy (gross outliers, clipped or
+    winsorized money) because no observation can contribute more than
+    one count however extreme it is.
+
+    Exactness: the pooled median is an EXACT rank selection (position
+    (N+1)//2) on the distinct-CENTS histogram (the q184 rule — never
+    an interpolated quantile); observations equal to the median drop
+    on both sides (the classical treatment, the q411 convention), so
+    every cell of the 2x5 table is an exact BIGINT. The chi-square
+    collapses to chi2 = sum_g dd_g^2 / n_g / (A*B/N) / N with
+    dd_g = N*a_g - n_g*A exact BIGINT per group (|dd| <= N^2/4,
+    inside int64 through N ~ 6e9 rows); each square is cast-once
+    double math in a FIXED five-literal-group expression tree (the
+    q404 chain rule). The reject flag compares the ROUNDED chi2 to
+    the literal chi^2(4, .05) critical value, df-gated (q377 rule),
+    with the footgun-9 '+ 0' guard.
+
+    Scale: the histogram grain is bounded by the distinct price
+    lattice, not the row count; the cumsum uses the two-level
+    operators/rankops.py::bucketed_rank_cumsum (no data-sized
+    single-partition window); everything downstream is a <=5-row
+    frame. Oracle uses the plain global window (single-node DuckDB),
+    equivalence pinned by the q199 property tests.
+    """
+    from ...operators.rankops import bucketed_rank_cumsum
+
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+    )
+    obs = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    hv = obs.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+        *[
+            F.sum(F.when(F.col("grp") == g, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, g in enumerate(_PRIORITIES, 1)
+        ],
+    )
+    rk = bucketed_rank_cumsum(
+        hv, "v", (), "tot", rank_out="_rk", cum_out="_cum"
+    ).select(
+        "v",
+        "tot",
+        "c1",
+        "c2",
+        "c3",
+        "c4",
+        "c5",
+        F.col("_cum").cast("bigint").alias("cum"),
+    )
+    # three downstream branches (total, median selection, side counts)
+    rk = rk.localCheckpoint()
+    tots = rk.agg(F.sum("tot").cast("bigint").alias("n_all"))
+    med = (
+        rk.crossJoin(F.broadcast(tots))
+        .where(F.col("cum") >= ((F.col("n_all") + 1) / 2).cast("bigint"))
+        .agg(F.min("v").cast("bigint").alias("m"))
+    )
+    sides = (
+        rk.crossJoin(F.broadcast(med))
+        .where(F.col("v") != F.col("m"))
+        .select(
+            F.when(F.col("v") > F.col("m"), 1).otherwise(0).alias("above"),
+            "c1",
+            "c2",
+            "c3",
+            "c4",
+            "c5",
+        )
+    )
+    stack_expr = "stack(5, " + ", ".join(
+        f"'{g}', c{i}" for i, g in enumerate(_PRIORITIES, 1)
+    ) + ") as (priority, cnt)"
+    gr = (
+        sides.select("above", F.expr(stack_expr))
+        .groupBy("priority")
+        .agg(
+            F.sum(F.col("cnt") * F.col("above"))
+            .cast("bigint")
+            .alias("n_above"),
+            F.sum(F.col("cnt") * (1 - F.col("above")))
+            .cast("bigint")
+            .alias("n_below"),
+        )
+        .localCheckpoint()  # feeds both the output rows and the chi2 row
+    )
+    st = gr.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("priority") == g, F.col("n_above"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"a{i}")
+            for i, g in enumerate(_PRIORITIES, 1)
+        ],
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("priority") == g,
+                        F.col("n_above") + F.col("n_below"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"g{i}")
+            for i, g in enumerate(_PRIORITIES, 1)
+        ],
+        F.sum("n_above").cast("bigint").alias("a_tot"),
+        F.sum("n_below").cast("bigint").alias("b_tot"),
+    )
+    a_tot, b_tot = F.col("a_tot"), F.col("b_tot")
+    n_tot = a_tot + b_tot
+    term = None
+    df_expr = None
+    for i in range(1, 6):
+        a_i, g_i = F.col(f"a{i}"), F.col(f"g{i}")
+        dd = (n_tot * a_i - g_i * a_tot).cast("double")
+        t_i = F.when(g_i > 0, dd * dd / g_i).otherwise(F.lit(0.0))
+        d_i = F.when(g_i > 0, 1).otherwise(0)
+        term = t_i if term is None else term + t_i
+        df_expr = d_i if df_expr is None else df_expr + d_i
+    chi2 = F.when(
+        (a_tot > 0) & (b_tot > 0),
+        term
+        / ((a_tot.cast("double") * b_tot) / n_tot.cast("double"))
+        / n_tot.cast("double"),
+    )
+    fin = st.select(
+        (df_expr - 1).cast("bigint").alias("df"),
+        chi2.alias("chi2"),
+    )
+    chi2_r = fround(F.col("chi2"), 4)
+    return gr.crossJoin(F.broadcast(fin)).crossJoin(F.broadcast(med)).select(
+        "priority",
+        "n_above",
+        "n_below",
+        (F.col("n_above") + F.col("n_below")).cast("bigint").alias("n_group"),
+        F.col("m").alias("median_cents"),
+        (chi2_r + F.lit(0.0)).alias("chi2"),
+        "df",
+        F.when(F.col("df") == 4, chi2_r > 9.487729).alias("reject_5pct"),
+    )
+
+
+@query(
+    "q429_pettitt_change_point",
+    tags=("statistics", "change-point", "time-series"),
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_orderdate
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+), rk AS MATERIALIZED (
+  SELECT day,
+         2 * CAST(rank() OVER (ORDER BY cents) AS BIGINT)
+           + CAST(count(*) OVER (PARTITION BY cents) AS BIGINT) - 1 AS two_r
+  FROM daily
+), pre AS MATERIALIZED (
+  SELECT day,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(sum(two_r) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s2
+  FROM rk
+), uu AS MATERIALIZED (
+  SELECT day, t, CAST(s2 - t * (nn.n + 1) AS BIGINT) AS u
+  FROM pre CROSS JOIN nn WHERE t < nn.n
+), kk AS (
+  SELECT CAST(max(abs(u)) AS BIGINT) AS k FROM uu
+), att AS (
+  SELECT min(day) AS change_day FROM uu CROSS JOIN kk WHERE abs(u) = kk.k
+), uat AS (
+  SELECT u FROM uu CROSS JOIN att WHERE day = att.change_day
+), pv AS (
+  SELECT least(1.0, 2.0 * exp(-6.0 * (CAST(kk.k AS DOUBLE) * kk.k)
+               / (CAST(nn.n AS DOUBLE) * nn.n * nn.n
+                  + CAST(nn.n AS DOUBLE) * nn.n))) AS p
+  FROM kk CROSS JOIN nn
+)
+SELECT nn.n AS n_days, kk.k AS k_stat, att.change_day AS change_day,
+       uat.u AS u_at_change,
+       round(pv.p + 1e-9, 6) + 0 AS p_approx,
+       round(pv.p + 1e-9, 6) < 0.05 AS reject_5pct
+FROM nn CROSS JOIN kk CROSS JOIN att CROSS JOIN uat CROSS JOIN pv
+""",
+)
+def q429_pettitt_change_point(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pettitt's nonparametric change-point test on the daily revenue
+    series: is there a single abrupt level shift, and on what day?
+    The rank-based member of the change-detection family — q28's PELT
+    is cost-model-based, q191's CUSUM and q401's Page-Hinkley are
+    parametric drift monitors with a configured reference; Pettitt
+    assumes NOTHING about the distribution and needs no reference
+    level, which is what an audit runs first on an unfamiliar series.
+
+    Exactness: U_t collapses to pure rank algebra — with doubled
+    midranks 2R (= 2*rank + ties - 1, the q268/q407 trick, exact
+    BIGINT), U_t = sum_{i<=t} 2R_i - t*(n+1) exactly (the i,j<=t sign
+    double-sum is antisymmetric and cancels), so every U_t, the
+    statistic K = max|U_t| over t < n, and the argmax day (earliest
+    on ties) are exact integers. The approximate p-value
+    2*exp(-6K^2/(n^3+n^2)) is a fixed expression over exact inputs
+    (K^2 <= n^4/16 stays float-exact through the calendar-bounded n;
+    exp at 6-dp rounding is the q413/q158 cross-engine precedent),
+    clamped at 1, and the reject flag compares the ROUNDED p (q348
+    rule) so the decision can never straddle engines.
+
+    Scale: the series lives on the DAY grain — bounded by the
+    calendar, not by order count (the q411 contract) — so the rank /
+    prefix-sum windows are bounded funnels; everything before them is
+    one map-side groupBy of the fact table.
+    """
+    orders = read_table(
+        spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"]
+    )
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    daily = daily.localCheckpoint()  # n branch + rank branch
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rk = daily.select(
+        "day",
+        (
+            2 * F.rank().over(Window.orderBy("cents")).cast("bigint")
+            + F.count(F.lit(1))
+            .over(Window.partitionBy("cents"))
+            .cast("bigint")
+            - 1
+        ).alias("two_r"),
+    )
+    pre = rk.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+        F.sum("two_r")
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("s2"),
+    )
+    uu = (
+        pre.crossJoin(F.broadcast(nn))
+        .where(F.col("t") < F.col("n"))
+        .select(
+            "day",
+            "t",
+            (F.col("s2") - F.col("t") * (F.col("n") + 1))
+            .cast("bigint")
+            .alias("u"),
+        )
+        .localCheckpoint()  # K reduce + argmax + u-at-change branches
+    )
+    kk = uu.agg(F.max(F.abs(F.col("u"))).cast("bigint").alias("k"))
+    att = (
+        uu.crossJoin(F.broadcast(kk))
+        .where(F.abs(F.col("u")) == F.col("k"))
+        .agg(F.min("day").alias("change_day"))
+    )
+    uat = (
+        uu.crossJoin(F.broadcast(att))
+        .where(F.col("day") == F.col("change_day"))
+        .select("u")
+    )
+    k_d = F.col("k").cast("double")
+    n_d = F.col("n").cast("double")
+    pv = (
+        kk.crossJoin(F.broadcast(nn))
+        .select(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0)
+                * F.exp(
+                    F.lit(-6.0)
+                    * (k_d * F.col("k"))
+                    / (n_d * F.col("n") * F.col("n") + n_d * F.col("n"))
+                ),
+            ).alias("p"),
+            "n",
+            "k",
+        )
+    )
+    p_r = fround(F.col("p"), 6)
+    return (
+        pv.crossJoin(F.broadcast(att))
+        .crossJoin(F.broadcast(uat))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("k").alias("k_stat"),
+            "change_day",
+            F.col("u").alias("u_at_change"),
+            (p_r + F.lit(0.0)).alias("p_approx"),
+            (p_r < 0.05).alias("reject_5pct"),
+        )
+    )

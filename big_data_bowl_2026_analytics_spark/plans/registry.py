@@ -56,9 +56,9 @@ def query(
 #: Explicit registry ordering for external harnesses. The driver
 #: verifies the FIRST 50 registry entries per round, so the order is
 #: rotated each round. Round-13 rotation (the re-certification cycle's
-#: third window): the 8 round-13 additions (q420-q427) first, then
-#: the 42 entries with the OLDEST driver certification (the 24-entry
-#: r04 band + the oldest 18 of the r05 band), computed from the
+#: third window): the 10 round-13 additions (q420-q429) first, then
+#: the 40 entries with the OLDEST driver certification (the 24-entry
+#: r04 band + the oldest 16 of the r05 band), computed from the
 #: CORRECTNESS_r* artifacts.
 #: Every entry has a strict oracle; all pass the local strict checker
 #: and driver_sim on current data. The two declared rows-only entries
@@ -72,6 +72,8 @@ _DRIVER_ORDER = [
     "q425_fleiss_kappa",
     "q426_morisita_horn_similarity",
     "q427_chain_entropy_rate",
+    "q428_moods_median_test",
+    "q429_pettitt_change_point",
     "q11_having_count",
     "q13_point_lookup",
     "q14_scalar_function_library",
@@ -112,8 +114,6 @@ _DRIVER_ORDER = [
     "q129_chi_square_homogeneity",
     "q131_join_cardinality_forecast",
     "q132_bloom_filter_audit",
-    "q133_containment_pairs",
-    "q134_mixture_rebalance",
 ]
 
 

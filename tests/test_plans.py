@@ -2683,3 +2683,27 @@ def test_q427_entropy_rate_bounded_iteration(spark):
     assert "windowspecdefinition" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q428_moods_median_bounded_funnel(spark):
+    plan = physical_plan(_q(spark, "q428_moods_median_test"))
+    # the fact aggregation + two-level cumsum hide behind the
+    # histogram checkpoint; median selection is a reduce (never a
+    # sort), the 2x5 table and chi2 live on bounded frames riding
+    # broadcast nested-loop joins
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q429_pettitt_day_grain_funnel(spark):
+    plan = physical_plan(_q(spark, "q429_pettitt_change_point"))
+    # rank/prefix windows run on the calendar-bounded day grain
+    # BEFORE the uu checkpoint; the visible plan is reduces over the
+    # checkpointed U frame with 1-row stats broadcast back
+    assert "Scan ExistingRDD" in plan
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
