@@ -5252,14 +5252,28 @@ WITH obs AS MATERIALIZED (
   FROM mwstats
 ), g AS (
   SELECT grp, CAST(count(*) AS BIGINT) AS n FROM obs GROUP BY grp
+), g2 AS (
+  SELECT n, n * n AS n2,
+         (n * n) // 67108864 AS hi,
+         (n * n) % 67108864 AS lo
+  FROM g
 ), ga AS (
   SELECT CAST(sum(n) AS BIGINT) AS n_total,
          CAST(count(*) AS BIGINT) AS n_groups,
-         CAST(sum(n * n) AS BIGINT) AS sn2,
-         CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS s2g,
-         CAST(sum(n * (n - 1) * (n - 2)) AS BIGINT) AS s3g,
-         CAST(sum(n * (n - 1)) AS BIGINT) AS s4g
-  FROM g
+         CAST(sum(n2) AS BIGINT) AS sn2,
+         CAST(sum(hi * n) AS BIGINT) AS s1,
+         CAST(sum(lo * n) AS BIGINT) AS s2lo
+  FROM g2
+), gb AS (
+  SELECT n_total, n_groups, sn2,
+         CAST(s1 AS DOUBLE) * 67108864.0 + s2lo AS sn3,
+         sn2 - n_total AS s4g
+  FROM ga
+), gc AS (
+  SELECT n_total, n_groups, sn2, s4g,
+         2.0 * sn3 + 3.0 * sn2 - 5.0 * n_total AS s2g,
+         sn3 - 3.0 * sn2 + 2.0 * n_total AS s3g
+  FROM gb
 ), vh AS (
   SELECT value, CAST(count(*) AS BIGINT) AS t FROM obs GROUP BY value
 ), va AS (
@@ -5270,12 +5284,13 @@ WITH obs AS MATERIALIZED (
 ), fin AS (
   SELECT jt_stat, n_total, n_groups,
          (n_total * n_total - sn2) / 4.0 AS mean_jt,
-         (n_total * (n_total - 1) * (2 * n_total + 5) - s2g - s2t) / 72.0
-         + CAST(s3g AS DOUBLE) * s3t
+         (CAST(n_total AS DOUBLE) * (n_total - 1) * (2 * n_total + 5)
+          - s2g - s2t) / 72.0
+         + s3g * s3t
            / (36.0 * n_total * (n_total - 1) * (n_total - 2))
          + CAST(s4g AS DOUBLE) * s4t
            / (8.0 * n_total * (n_total - 1)) AS var_jt
-  FROM jt CROSS JOIN ga CROSS JOIN va
+  FROM jt CROSS JOIN gc CROSS JOIN va
 )
 SELECT n_total, n_groups,
        round(jt_stat + 1e-9, 1) AS jt_stat,
@@ -5307,12 +5322,23 @@ def q409_jonckheere_terpstra(
     comes from the q211 rank algebra on the per-pair distinct-value
     histogram: U_ij = n_a·n_b − (r_a − n_a(n_a+1)/2) — exact halves —
     so the 10-term JT sum is float-exact in any order (multiples of
-    0.5 below 2^52). Mean (N²−Σn_i²)/4 is exact quarters from exact
-    BIGINTs; the tie-corrected variance (Lehmann) is a fixed
-    expression over six exact BIGINT tie/group sums (N(N−1)(2N+5)
-    stays inside int64 through ~sf10 at this profile; past that the
-    q261 rule — cast the factors once). z and the rounded-|z| reject
-    flag follow the q404 literal-critical-value rule.
+    0.5 below 2^52, exact through n_a·n_b < 4.5e15 ≈ sf1000). Mean
+    (N²−Σn_i²)/4 is exact quarters from exact BIGINTs (N² inside
+    int64 through N < 3e9 ≈ sf2000); the tie-corrected variance
+    (Lehmann) assembles from EXACT BIGINT sums through FIXED double
+    expressions: per-group cubics come from a hi/lo split of n²
+    (Σn³ = 2^26·Σ(n² div 2^26 · n) + Σ(n² mod 2^26 · n), every
+    product < 2^63 through per-group n < 8.5e8 ≈ sf2800 — the naive
+    n(n−1)(2n+5) BIGINT product crossed int64 at the 100x probe and
+    ANSI-errored, the q261 class), then
+    Σn(n−1)(2n+5) = 2Σn³ + 3Σn² − 5N and Σn(n−1)(n−2) = Σn³ − 3Σn²
+    + 2N as fixed closing expressions (bit-identical cross-engine —
+    no data-sized float sum, no order dependence). The N-term
+    N(N−1)(2N+5) is a cast-once double product. Tie sums s2t/s3t/s4t
+    stay exact BIGINT: t is pigeonholed by the ~1e7-value cents
+    lattice (t³ crosses int64 only if one price level holds > 2.1e6
+    orders). z and the rounded-|z| reject flag follow the q404
+    literal-critical-value rule.
 
     Scale: the pair tagging replicates each order ×4 (each group sits
     in 4 of the 10 pairs — bounded by the group-count lattice, never
@@ -5348,13 +5374,46 @@ def q409_jonckheere_terpstra(
     )
     g = obs.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     n = F.col("n")
-    ga = g.agg(
+    # hi/lo split of n² keeps Σn³ = 2^26·Σ(hi·n) + Σ(lo·n) EXACT in
+    # BIGINT with no overflowable product (n³ itself crosses int64 at
+    # per-group n ≈ 2.1e6, measured live at the 100x probe)
+    g2 = g.select(
+        "n",
+        (n * n).alias("n2"),
+        F.expr("(n * n) div 67108864").alias("hi"),
+        ((n * n) % 67108864).alias("lo"),
+    )
+    ga = g2.agg(
         F.sum("n").cast("bigint").alias("n_total"),
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
-        F.sum(n * n).cast("bigint").alias("sn2"),
-        F.sum(n * (n - 1) * (2 * n + 5)).cast("bigint").alias("s2g"),
-        F.sum(n * (n - 1) * (n - 2)).cast("bigint").alias("s3g"),
-        F.sum(n * (n - 1)).cast("bigint").alias("s4g"),
+        F.sum("n2").cast("bigint").alias("sn2"),
+        F.sum(F.col("hi") * n).cast("bigint").alias("s1"),
+        F.sum(F.col("lo") * n).cast("bigint").alias("s2lo"),
+    )
+    gb = ga.select(
+        "n_total",
+        "n_groups",
+        "sn2",
+        (F.col("s1").cast("double") * 67108864.0 + F.col("s2lo")).alias(
+            "sn3"
+        ),
+        (F.col("sn2") - F.col("n_total")).alias("s4g"),
+    )
+    gc = gb.select(
+        "n_total",
+        "n_groups",
+        "sn2",
+        "s4g",
+        (
+            2.0 * F.col("sn3")
+            + 3.0 * F.col("sn2")
+            - 5.0 * F.col("n_total")
+        ).alias("s2g"),
+        (
+            F.col("sn3")
+            - 3.0 * F.col("sn2")
+            + 2.0 * F.col("n_total")
+        ).alias("s3g"),
     )
     vh = obs.groupBy("value").agg(
         F.count(F.lit(1)).cast("bigint").alias("t")
@@ -5367,7 +5426,7 @@ def q409_jonckheere_terpstra(
     )
     n_t = F.col("n_total")
     fin = (
-        jt.crossJoin(F.broadcast(ga))
+        jt.crossJoin(F.broadcast(gc))
         .crossJoin(F.broadcast(va))
         .select(
             "jt_stat",
@@ -5376,12 +5435,12 @@ def q409_jonckheere_terpstra(
             ((n_t * n_t - F.col("sn2")) / 4.0).alias("mean_jt"),
             (
                 (
-                    n_t * (n_t - 1) * (2 * n_t + 5)
+                    n_t.cast("double") * (n_t - 1) * (2 * n_t + 5)
                     - F.col("s2g")
                     - F.col("s2t")
                 )
                 / 72.0
-                + F.col("s3g").cast("double")
+                + F.col("s3g")
                 * F.col("s3t")
                 / (36.0 * n_t * (n_t - 1) * (n_t - 2))
                 + F.col("s4g").cast("double")
