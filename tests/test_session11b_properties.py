@@ -329,3 +329,42 @@ def test_ams_rows_are_additive_and_exact_on_shared_singletons(
         / n_rows
     )
     assert est == fa * fb
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=850_000_000),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_jt_hi_lo_split_group_sums_are_exact(ns):
+    """The q409 overflow fix (caught live by the round-13 100x probe:
+    n(n-1)(2n+5) as a BIGINT product ANSI-overflows once a group
+    holds ~2.1e6 rows): a hi/lo split of n² keeps Σn³ exact with no
+    product ever exceeding int64 —
+    Σn³ = 2^26·Σ((n² div 2^26)·n) + Σ((n² mod 2^26)·n) — and the
+    Lehmann group sums then assemble exactly:
+    Σn(n−1)(2n+5) = 2Σn³ + 3Σn² − 5Σn and
+    Σn(n−1)(n−2) = Σn³ − 3Σn² + 2Σn and Σn(n−1) = Σn² − Σn.
+    Every intermediate is bounded by n³ DIV 2^26 < 2^63 through
+    per-group n < 8.5e8 (asserted), so the Spark/DuckDB BIGINT sums
+    in q409's g2/ga frames can never overflow where this identity is
+    claimed."""
+    M = 1 << 26
+    s1 = sum(((n * n) // M) * n for n in ns)
+    s2lo = sum(((n * n) % M) * n for n in ns)
+    for n in ns:
+        assert ((n * n) // M) * n < 2**63
+        assert ((n * n) % M) * n < 2**63
+    sn3 = M * s1 + s2lo
+    assert sn3 == sum(n**3 for n in ns)
+    sn2, sn = sum(n * n for n in ns), sum(ns)
+    assert 2 * sn3 + 3 * sn2 - 5 * sn == sum(
+        n * (n - 1) * (2 * n + 5) for n in ns
+    )
+    assert sn3 - 3 * sn2 + 2 * sn == sum(
+        n * (n - 1) * (n - 2) for n in ns
+    )
+    assert sn2 - sn == sum(n * (n - 1) for n in ns)
