@@ -5122,7 +5122,8 @@ WITH obs AS (
 ), pre AS (
   SELECT linestatus, n, r,
          n * st_r - r * st_n AS num,
-         n * st2_n - st_n * st_n AS den_t
+         CAST(n AS DOUBLE) * st2_n - CAST(st_n AS DOUBLE) * st_n
+           AS den_t
   FROM agg
 ), z AS (
   SELECT linestatus, n, r, num,
@@ -5156,11 +5157,20 @@ def q408_cochran_armitage_trend(
     Statistic: with dose scores t_i, group sizes n_i, successes r_i,
     Z = (N·Σt_i r_i − R·Σt_i n_i)·√(N−1) /
     √(R(N−R)(N·Σt_i²n_i − (Σt_i n_i)²)) — the hypergeometric-variance
-    form whose numerator and dose spread are EXACT BIGINTs here
-    (t ≤ 10 ⇒ N·Σt²n ≤ 100·N² < 2^63 through ~sf50 at this profile;
-    past that the q261 rule: the products become cast-once double
-    products). The q363 float-cancellation class is structurally
-    absent (integer numerator, the q376 discipline); the only float
+    form whose numerator is an EXACT BIGINT (t ≤ 10 ⇒ the num
+    products and num's own value stay ≤ 10N² < 2^63 through
+    N < 9.6e8 ≈ sf300 at this profile — past that no int64 display
+    of trend_num exists at all). The dose spread den_t is assembled
+    from the exact BIGINT sums as a cast-once double pair with
+    IDENTICAL trees on both engines (the q261/q409 rule, applied
+    proactively in round 13: as BIGINT products it crossed int64
+    near ~sf100); it only feeds the sqrt, and its relative float
+    error ~1e-16·(100N²/den_t) stays negligible for any
+    non-degenerate dose mix (den_t ≈ 4·var(t)·N² with var(t) ≈ 8 on
+    this lattice — the q363 catastrophic class needs var(t) ~ 1e-10,
+    excluded by the den_t > 0 guard's practical range). The q363
+    float-cancellation class is structurally absent from the
+    NUMERATOR (integer, the q376 discipline); the only other float
     surface is the closing fixed expression, and the reject flag
     compares the ROUNDED z² to the literal χ²(1) critical value
     (q404 rule). Degenerate guards are exact integer tests: r = 0,
@@ -5192,7 +5202,10 @@ def q408_cochran_armitage_trend(
         "n",
         "r",
         (n * F.col("st_r") - r * F.col("st_n")).alias("num"),
-        (n * F.col("st2_n") - F.col("st_n") * F.col("st_n")).alias("den_t"),
+        (
+            n.cast("double") * F.col("st2_n")
+            - F.col("st_n").cast("double") * F.col("st_n")
+        ).alias("den_t"),
     )
     z = F.when(
         (r > 0) & (r < n) & (F.col("den_t") > 0),
