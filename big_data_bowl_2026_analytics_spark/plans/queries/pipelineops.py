@@ -76,7 +76,7 @@ def q70_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling", "split"),
     oracle="""
 WITH b AS (
-  SELECT o_totalprice, o_custkey,
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_custkey,
          ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT % 100
            AS bucket
   FROM orders
@@ -86,7 +86,7 @@ SELECT CASE WHEN bucket < 10 THEN 'test'
             ELSE 'train' END AS split,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers,
-       round(sum(o_totalprice) + 1e-9, 2) AS total_price
+       CAST(sum(cents) AS BIGINT) / 100.0 AS total_price
 FROM b GROUP BY 1
 """,
 )
@@ -98,7 +98,10 @@ def q71_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split is the week-range partition split (create_datasets.py:102).
 
     Scale: the assignment is a map-side expression; one shuffle for
-    the per-split aggregate.
+    the per-split aggregate. total_price is an EXACT BIGINT cents sum
+    divided once (rebased round 13: at the 100x probe the 3-way split
+    sums reach ~2.6e12 where the engines' float partial-sum orders
+    diverge past the fround half-gap — the q01 class).
     """
     orders = read_table(
         spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
@@ -108,12 +111,16 @@ def q71_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("test", 10), ("validation", 20), ("train", 70)],
     )
     return (
-        orders.select(split.alias("split"), "o_custkey", "o_totalprice")
+        orders.select(
+            split.alias("split"),
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
-            fround(F.sum("o_totalprice"), 2).alias("total_price"),
+            (F.sum("cents").cast("bigint") / 100.0).alias("total_price"),
         )
     )
 

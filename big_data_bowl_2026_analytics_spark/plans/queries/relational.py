@@ -24,16 +24,28 @@ from ..registry import query
     "q01_pricing_summary",
     tags=("agg", "filter-pushdown"),
     oracle="""
+WITH pre AS (
+  SELECT l_returnflag, l_linestatus, l_quantity,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+), agg AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS qty_sum,
+         CAST(sum(cents) AS BIGINT) AS sc,
+         CAST(sum(cents * d) AS BIGINT) AS scd,
+         CAST(count(*) AS BIGINT) AS count_order
+  FROM pre GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
-       round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
-       round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
-       round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-12-01'
-GROUP BY l_returnflag, l_linestatus
+       round(qty_sum + 1e-9, 2) AS sum_qty,
+       sc / 100.0 AS sum_base_price,
+       (CAST(sc AS DOUBLE) * 100.0 - scd) / 10000.0 AS sum_disc_price,
+       round(qty_sum / count_order + 1e-9, 4) AS avg_qty,
+       round(sc / 100.0 / count_order + 1e-9, 4) AS avg_price,
+       count_order
+FROM agg
 """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,21 +56,50 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation collapses ~all rows before exchange, so 100 TB shuffles
     only #partitions x #groups rows. Mirrors reference A2/A4/A12 + F12
     rounding (src/data_processing/cleaning/tracking.py:420-424).
+
+    Exactness (rebased round 13, caught by the 100x probe): the money
+    sums are EXACT BIGINT cents/cents·discount-percent sums — a
+    low-cardinality-grain float money sum crosses the fround half-gap
+    once a group's sum reaches ~1e12 (the engines' partial-sum orders
+    differ by ~0.01 there, measured). sum_base_price = sc/100.0 is a
+    deterministic identical double on both engines;
+    sum_disc_price = (sc·100.0 − scd)/10000.0 is a FIXED closing
+    expression over the two exact sums and is emitted UNROUNDED — its
+    value sits on the 1e-4 dollars lattice where a 2-dp round hits
+    exact .xx5 ties that the sub-ulp nudge cannot break (footgun 11's
+    low-magnitude sibling); identical trees make the unrounded bits
+    equal at any scale. Averages divide the exact sums by the exact
+    count, spelled sum/count on both engines.
     """
     li = read_table(spark, sf_dir, "lineitem")
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            fround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            fround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            fround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            fround(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    pre = li.where(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+    )
+    agg = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("qty_sum"),
+        F.sum("cents").cast("bigint").alias("sc"),
+        F.sum(F.col("cents") * F.col("d")).cast("bigint").alias("scd"),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        fround(F.col("qty_sum"), 2).alias("sum_qty"),
+        (F.col("sc") / 100.0).alias("sum_base_price"),
+        (
+            (F.col("sc").cast("double") * 100.0 - F.col("scd")) / 10000.0
+        ).alias("sum_disc_price"),
+        fround(F.col("qty_sum") / F.col("count_order"), 4).alias("avg_qty"),
+        fround(F.col("sc") / 100.0 / F.col("count_order"), 4).alias(
+            "avg_price"
+        ),
+        F.col("count_order"),
     )
 
 
@@ -111,7 +152,8 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "broadcast", "agg"),
     oracle="""
 SELECT r.r_name, n.n_name,
-       round(sum(o.o_totalprice) + 1e-9, 2) AS revenue,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue,
        count(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -126,7 +168,9 @@ def q03_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: nation/region are tiny dims -> explicit broadcast; customer
     joins orders on custkey (shuffle), then all dim hops are map-side.
     Mirrors reference J2/J3 dimension enrichment
-    (src/data_processing/cleaning/tracking.py:93-165).
+    (src/data_processing/cleaning/tracking.py:93-165). revenue is an
+    EXACT BIGINT cents sum divided once (the q01/q71 low-grain money
+    class, rebased round 13).
     """
     orders = read_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = read_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -138,7 +182,12 @@ def q03_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            fround(F.sum("o_totalprice"), 2).alias("revenue"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("bigint")
+                / 100.0
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
