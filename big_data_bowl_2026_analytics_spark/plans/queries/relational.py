@@ -638,7 +638,8 @@ def q17_null_audit_after_left_join(spark: SparkSession, sf_dir: str) -> DataFram
     tags=("rollup", "agg"),
     oracle="""
 SELECT r.r_name, n.n_name,
-       round(sum(c.c_acctbal) + 1e-9, 2) AS total_acctbal,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS total_acctbal,
        count(*) AS n_customers
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -650,7 +651,10 @@ def q18_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP over the region/nation dims — a grouping-sets
     capability beyond the reference's flat groupbys, needed for
     dashboard-style subtotal queries at scale (one pass, no union of
-    per-level aggs).
+    per-level aggs). total_acctbal is an EXACT BIGINT cents sum
+    divided once — the rollup's grand-total row is exactly the
+    low-grain money sum the 100x probe measured diverging (the q01
+    class).
     """
     cust = read_table(spark, sf_dir, "customer", ["c_nationkey", "c_acctbal"])
     nation = read_table(spark, sf_dir, "nation")
@@ -660,7 +664,12 @@ def q18_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            fround(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            (
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100).cast("bigint")
+                ).cast("bigint")
+                / 100.0
+            ).alias("total_acctbal"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
@@ -718,7 +727,8 @@ def q19_angle_geometry_library(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n,
-       round(sum(o_totalprice) + 1e-9, 2) AS total
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -726,11 +736,19 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 def q29_cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE over status x priority — all four grouping sets in one
     pass (Expand + single shuffle), the dashboard-subtotal companion to
-    q18's ROLLUP."""
+    q18's ROLLUP. total is an EXACT BIGINT cents sum divided once —
+    the cube's grand-total row is a whole-table money sum (the q01
+    class: ~2.6e12 at the 100x probe, past the fround half-gap for a
+    float sum)."""
     orders = read_table(spark, sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice") + 1e-9, 2).alias("total"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("bigint")
+            / 100.0
+        ).alias("total"),
     )
 
 
@@ -866,7 +884,8 @@ def q59_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus, o_orderpriority,
        grouping(o_orderstatus, o_orderpriority) AS gid,
        count(*) AS n_orders,
-       round(sum(o_totalprice) + 1e-9, 2) AS total_price
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
@@ -893,7 +912,12 @@ def q79_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            fround(F.sum("o_totalprice"), 2).alias("total_price"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                ).cast("bigint")
+                / 100.0
+            ).alias("total_price"),
         )
     )
 
@@ -906,7 +930,8 @@ SELECT l_linestatus,
        count(*) FILTER (WHERE l_returnflag = 'R') AS n_returns,
        count(DISTINCT l_partkey) FILTER (WHERE l_discount > 0.05)
          AS n_discounted_parts,
-       round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25) + 1e-9, 2)
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              FILTER (WHERE l_quantity >= 25) AS BIGINT) / 100.0
          AS bulk_revenue,
        bool_or(l_tax > 0.07) AS any_high_tax,
        bool_and(l_quantity > 0) AS all_positive_qty
@@ -944,8 +969,14 @@ def q80_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(
             F.when(F.col("l_discount") > 0.05, F.col("l_partkey"))
         ).alias("n_discounted_parts"),
-        fround(
-            F.sum(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 2
+        (
+            F.sum(
+                F.when(
+                    F.col("l_quantity") >= 25,
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+                )
+            ).cast("bigint")
+            / 100.0
         ).alias("bulk_revenue"),
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
         F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
@@ -1208,7 +1239,8 @@ def q90_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       round(sum(o_totalprice) + 1e-9, 2) AS revenue
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -1242,7 +1274,12 @@ def q99_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        fround(F.sum("o_totalprice"), 2).alias("revenue"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("bigint")
+            / 100.0
+        ).alias("revenue"),
     )
 
 
@@ -1713,25 +1750,34 @@ def q192_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q193_hierarchical_shares",
     tags=("relational", "report"),
     oracle="""
-WITH rev AS (
+WITH pre AS (
   SELECT r.r_name AS region, n.n_name AS nation,
-         round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2)
-           AS nation_rev
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l.l_discount * 100) AS BIGINT) AS d
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
   JOIN region r ON n.n_regionkey = r.r_regionkey
-  GROUP BY r.r_name, n.n_name
+), rev AS (
+  SELECT region, nation,
+         CAST(sum(cents) AS BIGINT) * 100
+           - CAST(sum(cents * d) AS BIGINT) AS micro
+  FROM pre GROUP BY region, nation
 ), reg AS (
-  SELECT region, sum(nation_rev) AS region_rev FROM rev GROUP BY region
+  SELECT region, CAST(sum(micro) AS BIGINT) AS rmicro
+  FROM rev GROUP BY region
 ), gtot AS (
-  SELECT sum(region_rev) AS global_rev FROM reg
+  SELECT CAST(sum(rmicro) AS BIGINT) AS gmicro FROM reg
 )
-SELECT v.region, v.nation, v.nation_rev,
-       round(g.region_rev + 1e-9, 2) AS region_rev,
-       round(v.nation_rev / g.region_rev + 1e-9, 6) AS share_of_region,
-       round(g.region_rev / gl.global_rev + 1e-9, 6) AS region_share_global,
-       round(v.nation_rev / gl.global_rev + 1e-9, 6) AS share_of_global
+SELECT v.region, v.nation,
+       v.micro / 10000.0 AS nation_rev,
+       g.rmicro / 10000.0 AS region_rev,
+       round(CAST(v.micro AS DOUBLE) / g.rmicro + 1e-9, 6)
+         AS share_of_region,
+       round(CAST(g.rmicro AS DOUBLE) / gl.gmicro + 1e-9, 6)
+         AS region_share_global,
+       round(CAST(v.micro AS DOUBLE) / gl.gmicro + 1e-9, 6)
+         AS share_of_global
 FROM rev v
 JOIN reg g ON v.region = g.region
 CROSS JOIN gtot gl
@@ -1744,9 +1790,16 @@ def q193_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a fact cube (and the multi-level ratio shape q18/q64 roll up
     without).
 
-    Nation revenues round to cents first, so every ratio level
-    divides engine-identical inputs; parent totals derive from the
-    nation frame (never a second fact scan).
+    Nation revenues are EXACT BIGINT micro-dollar sums
+    (100·Σcents − Σcents·discount-percent, the q01 disc-price
+    assembly — rebased round 13 when the 100x probe measured the
+    low-grain float-money-sum class diverging); every ratio level
+    divides engine-identical exact integers; parent totals are exact
+    BIGINT sums of the nation micros (never a second fact scan, and
+    no float sum anywhere). The rev/region displays divide the micro
+    by 1e4 once — deterministic identical doubles, emitted without a
+    further round (the value sits on the 1e-4 lattice where a 2-dp
+    round hits exact ties).
 
     Scale: one fact shuffle to the nation grain (dims broadcast);
     region and global totals are ≤|regions|-row broadcast frames.
@@ -1764,36 +1817,47 @@ def q193_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
         .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
-        .groupBy(
-            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
         )
+        .groupBy("region", "nation")
         .agg(
-            fround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("nation_rev")
+            F.sum("cents").cast("bigint").alias("sc"),
+            F.sum(F.col("cents") * F.col("d")).cast("bigint").alias("scd"),
+        )
+        .select(
+            "region",
+            "nation",
+            (F.col("sc") * 100 - F.col("scd")).alias("micro"),
         )
         .localCheckpoint(eager=False)
     )
-    regs = rev.groupBy("region").agg(F.sum("nation_rev").alias("region_rev"))
-    glob = regs.agg(F.sum("region_rev").alias("global_rev"))
+    regs = rev.groupBy("region").agg(
+        F.sum("micro").cast("bigint").alias("rmicro")
+    )
+    glob = regs.agg(F.sum("rmicro").cast("bigint").alias("gmicro"))
     return (
         rev.join(F.broadcast(regs), "region")
         .crossJoin(F.broadcast(glob))
         .select(
             "region",
             "nation",
-            "nation_rev",
-            fround(F.col("region_rev"), 2).alias("region_rev"),
-            fround(F.col("nation_rev") / F.col("region_rev"), 6).alias(
-                "share_of_region"
-            ),
-            fround(F.col("region_rev") / F.col("global_rev"), 6).alias(
-                "region_share_global"
-            ),
-            fround(F.col("nation_rev") / F.col("global_rev"), 6).alias(
-                "share_of_global"
-            ),
+            (F.col("micro") / 10000.0).alias("nation_rev"),
+            (F.col("rmicro") / 10000.0).alias("region_rev"),
+            fround(
+                F.col("micro").cast("double") / F.col("rmicro"), 6
+            ).alias("share_of_region"),
+            fround(
+                F.col("rmicro").cast("double") / F.col("gmicro"), 6
+            ).alias("region_share_global"),
+            fround(
+                F.col("micro").cast("double") / F.col("gmicro"), 6
+            ).alias("share_of_global"),
         )
     )
 

@@ -444,7 +444,8 @@ _HT_THRESHOLDS = {"A": 6554, "N": 3277, "R": 13107}
     tags=("sampling", "estimator", "audit"),
     oracle=f"""
 WITH marked AS (
-  SELECT l_returnflag, l_extendedprice,
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
          CASE l_returnflag
            {' '.join(f"WHEN '{s}' THEN {t}" for s, t in sorted(_HT_THRESHOLDS.items()))}
          END AS thresh,
@@ -455,14 +456,19 @@ WITH marked AS (
          any_value(thresh) AS thresh,
          CAST(count(*) AS BIGINT) AS n_total,
          CAST(count(*) FILTER (WHERE h < thresh) AS BIGINT) AS n_sampled,
-         round(sum(l_extendedprice) + 1e-9, 2) AS true_total,
-         round(sum(l_extendedprice) FILTER (WHERE h < thresh)
-               * 65536.0 / any_value(thresh) + 1e-9, 2) AS ht_estimate
+         CAST(sum(cents) AS BIGINT) AS sc,
+         CAST(sum(cents) FILTER (WHERE h < thresh) AS BIGINT) AS ssc
   FROM marked GROUP BY l_returnflag
+), est AS (
+  SELECT l_returnflag, n_total, n_sampled,
+         sc / 100.0 AS true_total,
+         CAST(ssc AS DOUBLE) * 65536.0 / thresh / 100.0 AS ht_estimate
+  FROM agg
 )
 SELECT l_returnflag, n_total, n_sampled, true_total, ht_estimate,
-       round((ht_estimate - true_total) / true_total + 1e-9, 6) AS rel_err
-FROM agg
+       round((ht_estimate - true_total) / true_total + 1e-9, 6) + 0
+         AS rel_err
+FROM est
 """,
 )
 def q153_horvitz_thompson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,11 +478,14 @@ def q153_horvitz_thompson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that makes iterating on 100 TB affordable.
 
     Inclusion is an exact integer comparison on a content-stable
-    16-bit hash (same row -> same decision on re-ingestion); the HT
-    estimate factors the constant stratum weight OUT of the float sum
-    (sum first, divide once), so the only cross-engine float step is
-    the proven round-of-sum pattern, and rel_err derives from the
-    ALREADY-rounded columns (engine-identical inputs).
+    16-bit hash (same row -> same decision on re-ingestion); both
+    totals are EXACT BIGINT cents sums (rebased round 13 — a
+    3-stratum money float sum is the q01 low-grain class the 100x
+    probe measured diverging), the HT estimate scales the exact
+    sampled sum in one fixed expression (emitted unrounded — its
+    value is off-lattice after the threshold division), and rel_err
+    derives from the engine-identical doubles with the footgun-9
+    sign-of-zero guard.
 
     Scale: pure map-side marking + one partial-aggregated shuffle on
     the stratum key; no row survives past the aggregate.
@@ -499,7 +508,7 @@ def q153_horvitz_thompson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marked = li.select(
         "l_returnflag",
-        "l_extendedprice",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         thresh.alias("thresh"),
         _hash16(
             "ht|",
@@ -513,24 +522,34 @@ def q153_horvitz_thompson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("thresh").alias("thresh"),
         F.count(F.lit(1)).alias("n_total"),
         F.count_if(sampled).alias("n_sampled"),
-        fround(F.sum("l_extendedprice"), 2).alias("true_total"),
-        fround(
-            F.sum(F.when(sampled, F.col("l_extendedprice")))
+        F.sum("cents").cast("bigint").alias("sc"),
+        F.sum(F.when(sampled, F.col("cents"))).cast("bigint").alias("ssc"),
+    )
+    est = agg.select(
+        "l_returnflag",
+        "n_total",
+        "n_sampled",
+        (F.col("sc") / 100.0).alias("true_total"),
+        (
+            F.col("ssc").cast("double")
             * 65536.0
-            / F.any_value("thresh"),
-            2,
+            / F.col("thresh")
+            / 100.0
         ).alias("ht_estimate"),
     )
-    return agg.select(
+    return est.select(
         "l_returnflag",
         "n_total",
         "n_sampled",
         "true_total",
         "ht_estimate",
-        fround(
-            (F.col("ht_estimate") - F.col("true_total"))
-            / F.col("true_total"),
-            6,
+        (
+            fround(
+                (F.col("ht_estimate") - F.col("true_total"))
+                / F.col("true_total"),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("rel_err"),
     )
 
