@@ -40,7 +40,7 @@ WITH pre AS (
 )
 SELECT l_returnflag, l_linestatus,
        round(qty_sum + 1e-9, 2) AS sum_qty,
-       sc / 100.0 AS sum_base_price,
+       CAST(sc AS DOUBLE) / 100.0 AS sum_base_price,
        (CAST(sc AS DOUBLE) * 100.0 - scd) / 10000.0 AS sum_disc_price,
        round(qty_sum / count_order + 1e-9, 4) AS avg_qty,
        round(sc / 100.0 / count_order + 1e-9, 4) AS avg_price,
@@ -152,8 +152,8 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "broadcast", "agg"),
     oracle="""
 SELECT r.r_name, n.n_name,
-       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         / 100.0 AS revenue,
+       CAST(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 100.0 AS revenue,
        count(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -727,8 +727,8 @@ def q19_angle_geometry_library(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         / 100.0 AS total
+       CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 100.0 AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
