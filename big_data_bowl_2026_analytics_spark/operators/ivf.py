@@ -72,6 +72,20 @@ def seed_centroids(
     )
 
 
+def centroid_array(centroids: DataFrame) -> DataFrame:
+    """Collapse a (cluster_id, centroid) frame to ONE row holding the
+    cluster_id-ordered array of centroid structs — bounded model state
+    (k x dim floats), the broadcastable form every per-row argmin
+    below consumes. ``array_sort`` pins the element order (collect_list
+    is otherwise partition-order dependent): structs sort by their
+    first field, cluster_id."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cluster_id"), F.col("centroid")))
+        ).alias("_cents")
+    )
+
+
 def assign_clusters(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -79,25 +93,44 @@ def assign_clusters(
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Nearest-centroid assignment: vectors x broadcast(centroids) ->
-    argmin distance with a cluster-id tie-break.
+    """Nearest-centroid assignment as a PURE PER-ROW PROJECTION: the k
+    centroids collapse to one array-of-structs row (broadcast cross
+    join, 1 row), each vector computes its k distances into a bound
+    ``_dists`` array (one sq_l2 fold per centroid — the same total
+    fold work as the old k-rows-per-vector form), and the assignment
+    is ``array_position(dists, array_min(dists))`` — the FIRST minimum
+    in cluster_id order, identical to the previous
+    ``min_by(cluster_id, struct(dist, cluster_id))`` tie-break.
 
-    The broadcast join co-locates each vector's k candidate rows, so
-    the argmin groupBy partially aggregates map-side to one row per
-    vector before its single shuffle.
+    No aggregation of the corpus, no shuffle: the previous form
+    exploded k rows per vector and funneled them back through a
+    SortAggregate KEYED BY THE EMBEDDING ARRAY (array group keys
+    disable hash aggregation) plus a full-corpus exchange carrying
+    every vector — at 100 TB that shuffle is the index-build wall; at
+    sf0.1 removing it measured ivf_index build 3.2 s -> ~1 s and the
+    self-contained q62 plan lost its corpus exchange (r13 optimization
+    round). The distance array is bound in a projection first so the
+    interpreted HOF fold runs once, not once per downstream reference
+    (CSE does not reach higher-order lambdas).
     """
-    scored = vectors.select(id_col, vec_col).join(
-        F.broadcast(centroids), how="cross"
-    ).select(
+    cents = centroid_array(centroids)
+    dists = F.transform(
+        F.col("_cents"), lambda c: sq_l2(F.col(vec_col), c["centroid"], dim=dim)
+    )
+    scored = (
+        vectors.select(id_col, vec_col)
+        .join(F.broadcast(cents), how="cross")
+        .select(id_col, vec_col, "_cents", dists.alias("_dists"))
+    )
+    return scored.select(
         id_col,
         vec_col,
-        "cluster_id",
-        sq_l2(F.col(vec_col), F.col("centroid"), dim=dim).alias("dist"),
-    )
-    return scored.groupBy(id_col, vec_col).agg(
-        F.min_by(
-            F.col("cluster_id"), F.struct(F.col("dist"), F.col("cluster_id"))
-        ).alias("cluster_id")
+        F.element_at(
+            F.col("_cents"),
+            F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))).cast(
+                "int"
+            ),
+        )["cluster_id"].alias("cluster_id"),
     )
 
 
@@ -235,17 +268,22 @@ def ivf_topk_indexed(
     dim: int | None = None,
 ) -> DataFrame:
     """Search a prebuilt :func:`ivf_index`: rank the ``nprobe``
-    nearest cells per query (queries × k_cells broadcast argmin — tiny)
+    nearest cells per query (a per-row sorted-array slice — tiny)
     and scan only those cells via a cluster_id equi-join. Corpus-side
     assignment never runs at query time. If ``queries`` already
     carries ``sqnorm`` (a filtered slice of the index), the norm is
     reused rather than recomputed.
 
-    (A map-side probe via an array-of-structs centroid literal was
-    measured SLOWER here — k × dim distance folds inlined into one
-    array_sort expression cross the codegen-size cliff documented at
-    similarity.py::dot; the broadcast cross join + window over
-    queries × k rows stays cheap and compiles small.)"""
+    The probe set is a sorted-array slice per query row: distances to
+    the k cells sort as (dist, cluster_id) structs and the first
+    ``nprobe`` explode out — the same selection as the previous
+    row_number window over queries x k rows, WITHOUT the window's
+    exchange, so the probes broadcast build no longer schedules a
+    2-stage shuffle job per search (r13 optimization round). An
+    earlier, measured-SLOWER variant inlined k x dim UNROLLED literal
+    folds into one expression — the codegen cliff at
+    similarity.py::dot; this form keeps each per-centroid fold as the
+    small interpreted HOF it already was."""
     from pyspark.sql import Window
 
     from ..operators.similarity import cosine, squared_norm
@@ -262,24 +300,34 @@ def ivf_topk_indexed(
         if "sqnorm" in queries.columns
         else squared_norm(F.col(vec_col))
     )
-    probe_scored = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        q_norm.alias("q_norm"),
-    ).join(F.broadcast(centroids), how="cross").select(
-        "query_id",
-        "q_vec",
-        "q_norm",
-        "cluster_id",
-        sq_l2(F.col("q_vec"), F.col("centroid"), dim=dim).alias("dist"),
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.asc("dist"), F.asc("cluster_id")
+    probe_structs = F.array_sort(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                sq_l2(F.col("q_vec"), c["centroid"], dim=dim).alias("dist"),
+                c["cluster_id"].alias("cluster_id"),
+            ),
+        )
     )
     probes = (
-        probe_scored.withColumn("probe_rank", F.row_number().over(w_probe))
-        .where(F.col("probe_rank") <= nprobe)
-        .select("query_id", "q_vec", "q_norm", "cluster_id")
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            q_norm.alias("q_norm"),
+        )
+        .join(F.broadcast(centroid_array(centroids)), how="cross")
+        .select(
+            "query_id",
+            "q_vec",
+            "q_norm",
+            F.explode(F.slice(probe_structs, 1, nprobe)).alias("_pr"),
+        )
+        .select(
+            "query_id",
+            "q_vec",
+            "q_norm",
+            F.col("_pr")["cluster_id"].alias("cluster_id"),
+        )
     )
 
     scored = (

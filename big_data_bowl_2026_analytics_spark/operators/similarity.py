@@ -562,20 +562,36 @@ def pq_sub_sq_l2(a: Column, b: Column) -> Column:
 def pq_best_codes(subvecs: DataFrame, subseeds: DataFrame) -> DataFrame:
     """Nearest codebook entry per (vector, subspace): returns
     ``(vec_id, sub, cid, dist)`` with argmin ties broken by code id
-    (footgun 3) via a lexicographic struct-min — one broadcast
-    equi-join on the subspace key plus one groupBy."""
-    scored = subvecs.join(F.broadcast(subseeds), "sub").select(
+    (footgun 3).
+
+    The per-sub codebook collapses to a cid-ordered array of structs
+    (bounded model state: n_codes entries per subspace), broadcast
+    equi-joined on ``sub``; the argmin is then a PURE PER-ROW
+    PROJECTION — ``array_position(dists, array_min(dists))`` picks the
+    FIRST minimum in cid order, identical to the previous
+    ``min(struct(dist, cid))``, with the same pq_sub_sq_l2 fold per
+    distance. The old form exploded n_codes rows per (vector,
+    subspace) and shuffled them back through a groupBy; this one
+    shuffles nothing (r13 optimization round)."""
+    codes = subseeds.groupBy("sub").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cvec")))
+        ).alias("_codes")
+    )
+    dists = F.transform(
+        F.col("_codes"), lambda c: pq_sub_sq_l2(F.col("v"), c["cvec"])
+    )
+    scored = subvecs.join(F.broadcast(codes), "sub").select(
+        "vec_id", "sub", "_codes", dists.alias("_dists")
+    )
+    return scored.select(
         "vec_id",
         "sub",
-        "cid",
-        pq_sub_sq_l2(F.col("v"), F.col("cvec")).alias("dist"),
-    )
-    best = scored.groupBy("vec_id", "sub").agg(
-        F.min(F.struct("dist", "cid")).alias("m")
-    )
-    return best.select(
-        "vec_id",
-        "sub",
-        F.col("m.cid").alias("cid"),
-        F.col("m.dist").alias("dist"),
+        F.element_at(
+            F.col("_codes"),
+            F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))).cast(
+                "int"
+            ),
+        )["cid"].alias("cid"),
+        F.array_min(F.col("_dists")).alias("dist"),
     )
