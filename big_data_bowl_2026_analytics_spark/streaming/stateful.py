@@ -78,8 +78,14 @@ def running_user_profile(events: DataFrame) -> DataFrame:
             }
         )
 
+    # Project to exactly the columns `update` touches BEFORE the
+    # grouped-state boundary: Catalyst cannot prune into the pandas
+    # function, so every input column (notably the wide `props`
+    # string) would otherwise be shuffled AND Arrow-serialized per
+    # micro-batch (guide §4.3).
     return (
-        events.groupBy("user_id")
+        events.select("user_id", "value")
+        .groupBy("user_id")
         .applyInPandasWithState(
             update,
             outputStructType=_OUTPUT_SCHEMA,
@@ -136,7 +142,11 @@ def running_user_profile_tws(events: DataFrame) -> DataFrame:
     (``spark.sql.streaming.stateStore.providerClass``); the legacy
     HDFS-backed provider does not support transformWithState.
     """
-    return events.groupBy("user_id").transformWithStateInPandas(
+    # Same §4.3 pre-projection as running_user_profile: the processor
+    # reads only `value`, so don't ship the other columns into state.
+    return events.select("user_id", "value").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
         statefulProcessor=RunningProfileProcessor(),
         outputStructType=_OUTPUT_SCHEMA,
         outputMode="Update",
@@ -224,7 +234,10 @@ def transition_increments(events: DataFrame) -> DataFrame:
                 }
             )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    # §4.3 pre-projection: `update` reads only ts/event_id/event_type.
+    return events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=_TRANSITION_OUTPUT_SCHEMA,
         stateStructType=_TRANSITION_STATE_SCHEMA,
@@ -330,7 +343,10 @@ def running_value_records(events: DataFrame) -> DataFrame:
                 }
             )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    # §4.3 pre-projection: `update` reads only ts/event_id/value.
+    return events.select(
+        "user_id", "ts", "event_id", "value"
+    ).groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=_RECORD_OUTPUT_SCHEMA,
         stateStructType=_RECORD_STATE_SCHEMA,
@@ -452,8 +468,10 @@ def session_gap_sessions_tws(
     the watermark). Requires the RocksDB state store provider and the
     protobuf runtime, like ``running_user_profile_tws``.
     """
+    # §4.3 pre-projection: the processor reads only ts/event_id/value.
     return (
-        events.withWatermark("ts", watermark)
+        events.select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=SessionGapProcessor(
@@ -550,7 +568,10 @@ def lateness_audit_snapshots(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.groupBy("event_type").applyInPandasWithState(
+    # §4.3 pre-projection: `update` reads only event_id/ts.
+    return events.select(
+        "event_type", "event_id", "ts"
+    ).groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=_LATENESS_OUTPUT_SCHEMA,
         stateStructType=_LATENESS_STATE_SCHEMA,
@@ -671,7 +692,10 @@ def heavy_hitter_summaries(events: DataFrame, k: int = 16) -> DataFrame:
             }
         )
 
-    return events.groupBy("event_type").applyInPandasWithState(
+    # §4.3 pre-projection: `update` reads only user_id.
+    return events.select(
+        "event_type", "user_id"
+    ).groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=_MG_OUTPUT_SCHEMA,
         stateStructType=_MG_STATE_SCHEMA,
@@ -768,7 +792,10 @@ def page_hinkley_alarms(
             }
         )
 
-    return events.groupBy("event_type").applyInPandasWithState(
+    # §4.3 pre-projection: `update` reads only ts/event_id/value.
+    return events.select(
+        "event_type", "ts", "event_id", "value"
+    ).groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=_PH_OUTPUT_SCHEMA,
         stateStructType=_PH_STATE_SCHEMA,
@@ -861,7 +888,10 @@ def sprt_decision_stream(
             }
         )
 
-    return events.groupBy("arm").applyInPandasWithState(
+    # §4.3 pre-projection: `update` reads only ts/event_id/event_type.
+    return events.select(
+        "arm", "ts", "event_id", "event_type"
+    ).groupBy("arm").applyInPandasWithState(
         update,
         outputStructType=_SPRT_OUTPUT_SCHEMA,
         stateStructType=_SPRT_STATE_SCHEMA,
@@ -974,7 +1004,10 @@ def weighted_reservoir_snapshots(events: DataFrame, k: int = 5) -> DataFrame:
             }
         )
 
-    return events.groupBy("event_type").applyInPandasWithState(
+    # §4.3 pre-projection: `update` reads only event_id/value.
+    return events.select(
+        "event_type", "event_id", "value"
+    ).groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=_ARES_OUTPUT_SCHEMA,
         stateStructType=_ARES_STATE_SCHEMA,

@@ -238,6 +238,53 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, events_d
         assert final.loc[uid, "max_value"] == batch.loc[uid, "max_value"]
 
 
+def test_stateful_operators_prune_arrow_boundary(spark, events_dir):
+    """r13 optimization (guide §4.3): every grouped-state operator
+    pre-projects to exactly the columns its update function touches,
+    so the wide unused `props` string never crosses the shuffle +
+    Arrow boundary. Catalyst cannot prune into the pandas function,
+    so a grouped-state node whose CHILD still outputs `props` means
+    the pre-projection was dropped. (Assert on the state node's child
+    output, not the whole plan string — the analyzed tree's leaf
+    relation legitimately lists every source column.)"""
+    from big_data_bowl_2026_analytics_spark.streaming.stateful import (
+        heavy_hitter_summaries,
+        lateness_audit_snapshots,
+        page_hinkley_alarms,
+        running_user_profile,
+        running_value_records,
+        transition_increments,
+        weighted_reservoir_snapshots,
+    )
+
+    events = read_events_stream(spark, events_dir)
+    assert "props" in events.columns  # the source does carry it
+    for op in (
+        running_user_profile,
+        transition_increments,
+        running_value_records,
+        lateness_audit_snapshots,
+        heavy_hitter_summaries,
+        weighted_reservoir_snapshots,
+        lambda df: page_hinkley_alarms(df, ref_mean_cents=5000),
+        lambda df: __import__(
+            "big_data_bowl_2026_analytics_spark.streaming.stateful",
+            fromlist=["sprt_decision_stream"],
+        ).sprt_decision_stream(
+            df.withColumn("arm", F.lit("a")),
+            c0_ppm=-100, c1_ppm=100, bound_ppm=1_000_000,
+        ),
+    ):
+        out = op(events)
+        root = out._jdf.queryExecution().analyzed()
+        child = root.children().apply(0)
+        cols = [
+            child.output().apply(i).name()
+            for i in range(child.output().size())
+        ]
+        assert "props" not in cols, (root.nodeName(), cols)
+
+
 def test_transform_with_state_plan_constructs(spark, events_dir):
     """Plan-level check that always runs: the transformWithState
     operator analyzes against a streaming source and declares the
