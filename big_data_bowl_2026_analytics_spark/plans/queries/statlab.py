@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 from ...functions.scalar import fround
 from ...operators.stats import mann_whitney_z
 from ...operators.survival import kaplan_meier
-from ...sources.readers import read_table
+from ...sources.readers import parallelize_scan, read_table
 from ..registry import query
 from .splits import _hash16, _hash16_sql
 
@@ -443,6 +443,13 @@ def q207_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "", F.concat(F.lit("boot|"), F.col("b").cast("string"), F.lit("|"),
                      F.col("o_orderkey").cast("string"))
     )
+    # r13 optimization (guide §2.5 input skew): when orders' layout
+    # can't parallelize the scan (one row group locally), the 32x
+    # replicate fan-out and its 4.8M md5 hashes run as ONE task.
+    # Round-robin the compact 2-column frame only in that case (no-op
+    # at scale); replicate sums are exact BIGINTs, order-free.
+    # Measured 7.05 s -> 1.6 s (OPTIMIZATION_r13.md).
+    orders = parallelize_scan(spark, orders, sf_dir, "orders")
     weighted = orders.crossJoin(F.broadcast(reps)).select(
         "b",
         _pois1_col(h).alias("w"),

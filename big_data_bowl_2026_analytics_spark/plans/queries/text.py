@@ -32,7 +32,7 @@ from ...operators.textstats import (
     unigram_logprob_scores,
 )
 from ...functions.scalar import fround
-from ...sources.readers import read_table
+from ...sources.readers import parallelize_scan, read_table
 from ..registry import query
 from .splits import _hash16_sql
 
@@ -89,9 +89,13 @@ def q31_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-permutation MinHash signature per document (seeded md5 min
     over the distinct word-3-gram shingle set): one explode + one
     groupBy computes every component."""
-    return minhash_signatures(
-        read_table(spark, sf_dir, "documents"), n_hashes=8, shingle_n=3
+    # r13 optimization (guide §2.5/§4): spread the shingle explode +
+    # 8-seed md5 fold across cores when the documents layout is a
+    # single row group (no-op at scale — see parallelize_scan).
+    docs = parallelize_scan(
+        spark, read_table(spark, sf_dir, "documents"), sf_dir, "documents"
     )
+    return minhash_signatures(docs, n_hashes=8, shingle_n=3)
 
 
 @query(
@@ -132,7 +136,12 @@ def q32_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: band the signatures
     (4 bands x 2 rows) and equi-join on (band, bucket) — the scalable
     replacement for all-pairs comparison."""
-    docs = read_table(spark, sf_dir, "documents")
+    # r13 optimization: same layout-gated spread as q31 — measured
+    # 1.45 s -> 0.35 s at sf0.1 under the bench confs (the md5 fold
+    # was single-task on the one-row-group local file).
+    docs = parallelize_scan(
+        spark, read_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
     bands = lsh_bands(sig, n_hashes=8, band_size=2)
     return lsh_candidate_pairs(bands)

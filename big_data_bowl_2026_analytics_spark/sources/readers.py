@@ -177,6 +177,60 @@ def read_table(
     return df
 
 
+#: Cached parquet row-group counts per (abs sf_dir, table) — a pure
+#: layout probe (footer metadata, no data), used to decide whether a
+#: scan can parallelize at all.
+_RG_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def scan_row_groups(sf_dir: str, name: str) -> int:
+    """Total parquet row groups across the table's file(s) — the hard
+    ceiling on Spark's scan parallelism: file splits never subdivide a
+    row group, so a one-row-group file runs every pre-shuffle stage as
+    ONE task regardless of core count."""
+    key = (os.path.abspath(sf_dir), name)
+    if key in _RG_COUNTS:
+        return _RG_COUNTS[key]
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f).num_row_groups
+        except Exception:  # noqa: BLE001 - unreadable footer: assume 1
+            total += 1
+    _RG_COUNTS[key] = total
+    return total
+
+
+def parallelize_scan(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    """Round-robin ``df`` to the session parallelism IF AND ONLY IF the
+    backing table's on-disk layout cannot parallelize the scan (fewer
+    row groups than cores — guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    Use this on a COMPACT projection feeding compute-heavy map work
+    (explodes, per-row hashing, calendar math): the shuffle moves a few
+    narrow columns once and unlocks every core. At 100 TB the layout
+    itself provides the split points, the guard sees >= cores row
+    groups, and this is a no-op — no constant tuned for local mode.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if scan_row_groups(sf_dir, name) >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: Sequence[str] = TPCH_TABLES
 ) -> dict[str, DataFrame]:

@@ -167,3 +167,27 @@ class TestBucketedTables:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
             spark.sql("DROP TABLE IF EXISTS t_bl")
             spark.sql("DROP TABLE IF EXISTS t_br")
+
+
+def test_parallelize_scan_gates_on_layout(spark):
+    """r13 optimization: parallelize_scan repartitions ONLY when the
+    table's parquet layout has fewer row groups than the session
+    parallelism (the unsplittable-file case); with an adequate layout
+    it must be an identity (no shuffle added at scale)."""
+    from big_data_bowl_2026_analytics_spark.sources.readers import (
+        parallelize_scan,
+        read_table,
+        scan_row_groups,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rgs = scan_row_groups(sf, "orders")
+    assert rgs >= 1
+    df = read_table(spark, sf, "orders", ["o_orderkey"])
+    out = parallelize_scan(spark, df, sf, "orders")
+    target = spark.sparkContext.defaultParallelism
+    if rgs >= target:
+        assert out is df
+    else:
+        assert out.rdd.getNumPartitions() == target
+        assert out.count() == df.count()
