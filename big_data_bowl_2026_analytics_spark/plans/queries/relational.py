@@ -315,15 +315,23 @@ def q07_argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/data_processing/cleaning/tracking.py:390-453) with the explicit
     (value, key) tie-break pandas idxmin gets implicitly.
 
-    Scale: two exchanges by design — the groupBy keeps its map-side
-    partial aggregate (shuffling (orderkey,suppkey) partials, not raw
-    rows), then the window re-partitions the ALREADY-REDUCED per_supp
-    frame by orderkey. Forcing one shared orderkey partitioning would
-    drop the partial aggregate and shuffle raw rows — worse at scale.
+    Scale (r13 optimization, guide §2.4 "two operations keyed the same
+    way can share one exchange"): ONE hash partitioning by l_orderkey
+    satisfies BOTH the groupBy's clustered distribution (orderkey is a
+    subset of the grouping key) and the window's, so the plan carries
+    a single Exchange instead of two (measured 1.97 s -> 0.84 s at
+    sf0.1). The partial aggregate this forgoes is worthless at ANY
+    scale for this grain: lineitem holds ~1.002 rows per
+    (l_orderkey, l_suppkey) — problem knowledge the optimizer lacks
+    (guide §8) — so partials shuffle the same bytes as raw rows, and
+    one exchange strictly beats two. AQE coalesces the keyed shuffle
+    to the data size, so the count stays scale-adaptive.
     """
     li = read_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_discount"])
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        fround(F.avg("l_discount"), 6).alias("avg_disc")
+    per_supp = (
+        li.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(fround(F.avg("l_discount"), 6).alias("avg_disc"))
     )
     w = Window.partitionBy("l_orderkey").orderBy(
         F.asc("avg_disc"), F.asc("l_suppkey")
