@@ -386,24 +386,35 @@ def hits(edges: DataFrame, n_iter: int = 4) -> tuple[DataFrame, DataFrame]:
     )
     hubs = None
     for _ in range(n_iter):
+        # r13 optimization: checkpoint each PRE-norm aggregate — it
+        # feeds both the max-normalizer broadcast and the normalized
+        # next state, and without its own checkpoint the edge-frame
+        # join + groupBy behind it executes twice per half-round
+        # (once in the broadcast build, again when the normalized
+        # frame's checkpoint materializes). Guide §1.2.
         hubs = (
             e.join(auth, "dst")
             .groupBy("src")
             .agg(F.sum("a").alias("h"))
+            .localCheckpoint(eager=False)
         )
+        # The normalized frames are single-use cheap projections over
+        # the checkpointed pre-norm frames — they no longer need their
+        # own checkpoints (lineage is already truncated one node up).
         hmax = hubs.agg(F.max("h").alias("hm"))
         hubs = hubs.crossJoin(F.broadcast(hmax)).select(
             "src", (F.col("h") / F.col("hm")).alias("h")
-        ).localCheckpoint(eager=False)
+        )
         auth = (
             e.join(hubs, "src")
             .groupBy("dst")
             .agg(F.sum("h").alias("a"))
+            .localCheckpoint(eager=False)
         )
         amax = auth.agg(F.max("a").alias("am"))
         auth = auth.crossJoin(F.broadcast(amax)).select(
             "dst", (F.col("a") / F.col("am")).alias("a")
-        ).localCheckpoint(eager=False)
+        )
     return (
         hubs.select(F.col("src").alias("v"), "h"),
         auth.select(F.col("dst").alias("v"), "a"),

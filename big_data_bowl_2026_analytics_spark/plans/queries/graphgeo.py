@@ -1216,16 +1216,21 @@ def q299_bradley_terry_strength(
     for _ in range(10):
         si = w.select(F.col("i").alias("mi"), F.col("s").alias("si"))
         sj = w.select(F.col("i").alias("mj"), F.col("s").alias("sj"))
+        # r13 optimization: n_wins is per-PLAYER, so join players AFTER
+        # the pair-grain aggregation (1e3-row join) instead of into the
+        # |suppliers|²-bounded matches frame (1e6-row join per round) —
+        # guide §2.3 "aggregate before you shuffle". denom is the same
+        # sum over the same values; n_wins attaches post-agg.
         raw = (
-            players.join(matches, "i")
-            .join(si, F.col("i") == F.col("mi"))
+            matches.join(si, F.col("i") == F.col("mi"))
             .join(sj, F.col("j") == F.col("mj"))
-            .groupBy("i", "n_wins")
+            .groupBy("i")
             .agg(
                 F.sum(
                     F.col("n_ij") / (F.col("si") + F.col("sj"))
                 ).alias("denom")
             )
+            .join(players, "i")
             .select(
                 "i",
                 F.when(F.col("n_wins") == 0, F.lit(0.0))
@@ -1233,6 +1238,11 @@ def q299_bradley_terry_strength(
                 .alias("s"),
             )
         )
+        # r13 optimization: without this checkpoint each round's raw
+        # frame is computed TWICE — once building the z normalizer
+        # broadcast, once when w's checkpoint materializes (guide §1.2
+        # "don't compute things you throw away").
+        raw = raw.localCheckpoint(eager=False)
         z = raw.agg(F.sum("s").alias("z"))
         w = (
             raw.crossJoin(F.broadcast(z))
