@@ -257,14 +257,17 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"
 
     # Shared-scan fusion: the 21 headline queries read the same ten
-    # base tables 30+ times between them. Pin those scans in the
-    # in-memory columnar cache once — repartitioned to the session
-    # parallelism, because the single-row-group testdata files are
-    # unsplittable and would otherwise run every map-side stage as
-    # one task (sources/readers.py::pin_table). This is the serial-
-    # harness equivalent of fusing related queries into one pass over
-    # the data; disable with SPARK_GRAFT_BENCH_CACHE=0.
-    if os.environ.get("SPARK_GRAFT_BENCH_CACHE", "1") == "1":
+    # base tables 30+ times between them. Pinning those scans in the
+    # in-memory columnar cache once was the r5-r12 methodology; the
+    # r13 optimization round turned it OFF BY DEFAULT: caching base
+    # tables outside the timed region means the timed passes no longer
+    # compute from the parquet inputs, which overstates the engine
+    # against an oracle that re-reads parquet every query. Every
+    # headline number now pays its own scans; the unsplittable-file
+    # parallelism the cache used to provide is instead addressed
+    # inside the affected queries (see OPTIMIZATION_r13.md). Re-enable
+    # with SPARK_GRAFT_BENCH_CACHE=1 only for methodology A/Bs.
+    if os.environ.get("SPARK_GRAFT_BENCH_CACHE", "0") == "1":
         from big_data_bowl_2026_analytics_spark.sources.readers import pin_table
 
         for table in (
