@@ -169,6 +169,28 @@ class TestBucketedTables:
             spark.sql("DROP TABLE IF EXISTS t_br")
 
 
+def test_read_table_schema_cache_skips_inference_job(spark):
+    """r13 optimization: after the first read of a table, read_table
+    passes the cached schema explicitly, so constructing the frame
+    launches NO footer-inference Spark job (a one-task job per
+    spark.read.parquet call otherwise — paid by every builder for
+    every table it reads). The scan itself still reads parquet."""
+    from big_data_bowl_2026_analytics_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    df1 = read_table(spark, sf, "part")  # populates the schema cache
+    sc = spark.sparkContext
+    sc.setJobGroup("schema-probe", "schema-probe")
+    try:
+        df2 = read_table(spark, sf, "part")
+        jids = sc.statusTracker().getJobIdsForGroup("schema-probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert df2.schema == df1.schema
+    assert list(jids) == []
+    assert df2.count() == df1.count()  # data still served by the scan
+
+
 def test_parallelize_scan_gates_on_layout(spark):
     """r13 optimization: parallelize_scan repartitions ONLY when the
     table's parquet layout has fewer row groups than the session
