@@ -3220,7 +3220,7 @@ def q356_triangle_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame feeds the wedge join twice plus the observation lookup, so
     lineage is truncated.
     """
-    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"], spread=True)
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
     cand = (
         lsh_candidate_pairs(lsh_bands(sig, n_hashes=8, band_size=2))
@@ -3377,7 +3377,7 @@ def q364_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``exact_jaccard_pairs`` verifier); the argmax is map-side-combined
     — no window over data.
     """
-    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"], spread=True)
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
     cand = (
         lsh_candidate_pairs(lsh_bands(sig, n_hashes=8, band_size=2))

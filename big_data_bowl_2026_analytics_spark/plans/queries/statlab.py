@@ -1151,6 +1151,12 @@ def q228_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").cast("string"),
         ),
     )
+    # r13 optimization (guide §2.5, the q207 class): spread the
+    # compact 3-column frame before the 64x re-split fan-out computes
+    # its per-(replicate, event) md5 draws — single-task otherwise on
+    # a one-row-group layout; no-op at scale. Replicate sums are
+    # exact BIGINTs, order-free.
+    obs = parallelize_scan(spark, obs, sf_dir, "events")
     redrawn = obs.crossJoin(F.broadcast(reps)).select(
         "b",
         F.when(h % 2 == 0, 1).otherwise(0).alias("in_a"),
@@ -1415,7 +1421,16 @@ def q247_bootstrap_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
         F.when(F.col("l_quantity") > 30, 1).otherwise(0).alias("y"),
-    ).localCheckpoint(eager=False)  # replicate fan-out + point branches
+    )
+    # r13 optimization (guide §2.5 input skew, the q207 class): the
+    # post-filter frame inherits the scan's single partition when the
+    # layout can't split, so the checkpoint blocks — and with them the
+    # 32x replicate fan-out's 4.8M md5 hashes — would all live on ONE
+    # task. Spread the compact 3-column frame first (no-op at scale).
+    scored = parallelize_scan(spark, scored, sf_dir, "lineitem")
+    scored = scored.localCheckpoint(
+        eager=False
+    )  # replicate fan-out + point branches
     reps = spark.range(0, 32).select(F.col("id").alias("b"))
     h = _hash16(
         "",

@@ -32,7 +32,7 @@ from ...operators.textstats import (
     unigram_logprob_scores,
 )
 from ...functions.scalar import fround
-from ...sources.readers import parallelize_scan, read_table
+from ...sources.readers import read_table
 from ..registry import query
 from .splits import _hash16_sql
 
@@ -92,9 +92,7 @@ def q31_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 optimization (guide §2.5/§4): spread the shingle explode +
     # 8-seed md5 fold across cores when the documents layout is a
     # single row group (no-op at scale — see parallelize_scan).
-    docs = parallelize_scan(
-        spark, read_table(spark, sf_dir, "documents"), sf_dir, "documents"
-    )
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return minhash_signatures(docs, n_hashes=8, shingle_n=3)
 
 
@@ -139,9 +137,7 @@ def q32_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 optimization: same layout-gated spread as q31 — measured
     # 1.45 s -> 0.35 s at sf0.1 under the bench confs (the md5 fold
     # was single-task on the one-row-group local file).
-    docs = parallelize_scan(
-        spark, read_table(spark, sf_dir, "documents"), sf_dir, "documents"
-    )
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
     bands = lsh_bands(sig, n_hashes=8, band_size=2)
     return lsh_candidate_pairs(bands)
@@ -438,7 +434,7 @@ def q60_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFram
     the same fixpoint with a recursive CTE — an iterative algorithm
     that IS exactly checkable.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
     bands = lsh_bands(sig, n_hashes=8, band_size=2)
     pairs = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
@@ -457,7 +453,7 @@ def q91_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     contraction (O(log^2 n) rounds vs O(diameter)) — the variant for
     high-diameter duplicate graphs; both algorithms are held to the
     identical recursive-CTE fixpoint oracle."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
     bands = lsh_bands(sig, n_hashes=8, band_size=2)
     pairs = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
@@ -705,7 +701,7 @@ def q98_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ...operators.dedup import duplicate_clusters
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
     bands = lsh_bands(sig, n_hashes=8, band_size=2)
     pairs = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
@@ -1232,7 +1228,7 @@ def q178_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ...operators.dedup import shingles_of
 
-    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"], spread=True)
     bound = docs.select(
         "doc_id", F.split("text", " ").alias("w")
     ).where(F.size("w") >= 3)
@@ -1319,7 +1315,7 @@ def q179_component_size_distribution(
     one-row broadcast total. Same recursive-fixpoint oracle family as
     q60/q91/q98.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
     bands = lsh_bands(sig, n_hashes=8, band_size=2)
     pairs = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
@@ -1424,7 +1420,7 @@ def q185_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .splits import _hash16
 
-    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    docs = read_table(spark, sf_dir, "documents", ["doc_id", "text"], spread=True)
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
     bands = lsh_bands(sig, n_hashes=8, band_size=2)
     cand = lsh_candidate_pairs(bands).select("doc_a", "doc_b").distinct()
@@ -1813,7 +1809,7 @@ def q258_dedup_cluster_conflicts(
     """
     from ...operators.dedup import duplicate_clusters
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
     bands = lsh_bands(sig, n_hashes=8, band_size=2)
     pairs = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
@@ -2126,7 +2122,7 @@ def q265_dedup_savings_report(
     """
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures(docs, n_hashes=8, shingle_n=3)
     bands = lsh_bands(sig, n_hashes=8, band_size=2)
     pairs = lsh_candidate_pairs(bands).select("doc_a", "doc_b")
