@@ -26,7 +26,7 @@ from ...operators.dedup import (
     minhash_signatures,
     simhash,
 )
-from ...sources.readers import read_table
+from ...sources.readers import parallelize_scan, read_table
 from ..registry import query
 from .splits import _hash16_sql
 
@@ -445,16 +445,24 @@ def q121_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     back and counts ranks map-side. Two scans, no window, no sort."""
     li = read_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
     eps = 1.0 / _APPROX_ACC
+    # r13 optimization: array forms share one sketch / one sorted
+    # buffer per group instead of two of each — identical values.
     stats = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr(
-            f"approx_percentile(l_extendedprice, 0.5, {_APPROX_ACC})"
-        ).alias("a50"),
+            f"approx_percentile(l_extendedprice, array(0.5, 0.95),"
+            f" {_APPROX_ACC})"
+        ).alias("_apcts"),
         F.expr(
-            f"approx_percentile(l_extendedprice, 0.95, {_APPROX_ACC})"
-        ).alias("a95"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+            "percentile(l_extendedprice, array(0.5, 0.95))"
+        ).alias("_epcts"),
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        F.col("_apcts")[0].alias("a50"),
+        F.col("_apcts")[1].alias("a95"),
+        F.col("_epcts")[0].alias("exact_p50"),
+        F.col("_epcts")[1].alias("exact_p95"),
     )
     ranked = li.join(F.broadcast(stats), "l_returnflag").groupBy(
         "l_returnflag"
@@ -2623,6 +2631,11 @@ def q327_hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(
         spark, sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_orderkey"]
     )
+    # r13 optimization (guide §2.5): the 8 unrolled Hilbert rotation
+    # steps are heavy per-row integer CASE chains — spread the compact
+    # 3-column frame when the layout cannot split the scan (no-op at
+    # scale); the one-row stats aggregate reads the unspread scan.
+    spread_li = parallelize_scan(spark, li, sf_dir, "lineitem")
     stats = li.agg(
         F.min("l_partkey").alias("minp"),
         F.max("l_partkey").alias("maxp"),
@@ -2631,7 +2644,7 @@ def q327_hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("mino"),
         F.max("l_orderkey").alias("maxo"),
     )
-    q = li.crossJoin(F.broadcast(stats)).select(
+    q = spread_li.crossJoin(F.broadcast(stats)).select(
         quantize(
             F.col("l_partkey"), F.col("minp"), F.col("maxp") - F.col("minp")
         ).alias("qx"),

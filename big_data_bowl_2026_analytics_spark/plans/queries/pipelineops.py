@@ -505,12 +505,20 @@ def q112_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     == DuckDB ``quantile_cont``, q58-proven); at 100 TB swap in
     approx_percentile and keep the identical broadcast-back shape.
     """
+    # r13 optimization: one array-percentile shares one buffer + one
+    # sort per group for identical values (two separate aggregates
+    # each buffered and sorted the whole column); the layout-gated
+    # spread parallelizes the per-partition buffer build (guide §2.5).
     li = read_table(
-        spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]
+        spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"],
+        spread=True,
     )
     cuts = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+        F.expr("percentile(l_extendedprice, array(0.05, 0.95))").alias("_pcts")
+    ).select(
+        "l_returnflag",
+        F.col("_pcts")[0].alias("lo"),
+        F.col("_pcts")[1].alias("hi"),
     )
     clipped = li.join(F.broadcast(cuts), "l_returnflag").select(
         "l_returnflag",
@@ -576,6 +584,10 @@ def q113_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines would disagree on whether the group's rows pass the
     |z| > 1.2 filter.
     """
+    # r13 note: the layout-gated spread was MEASURED here and rejected
+    # (2.47 -> 2.62 s at sf0.1): the final scoring pass is map-only,
+    # so the added round-robin exchange costs more than the parallel
+    # percentile-buffer build saves when two of three passes need it.
     li = read_table(
         spark, sf_dir, "lineitem",
         ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"],
@@ -1118,14 +1130,26 @@ def q190_outlier_method_agreement(
     bounded aggregate rows broadcast back), one flagging scan with a
     single global reduction. No row survives the aggregate.
     """
-    li = read_table(spark, sf_dir, "lineitem", ["l_extendedprice"])
+    # r13 optimization: three separate exact-percentile aggregates
+    # each buffer AND sort the whole column; one array-percentile call
+    # shares a single buffer and a single sort for identical values
+    # (same sorted data, same interpolation). The scan is spread by
+    # the layout gate (guide §2.5) so the per-partition buffer build
+    # parallelizes — the final merge is bounded model state either way.
+    li = read_table(spark, sf_dir, "lineitem", ["l_extendedprice"], spread=True)
     x = F.col("l_extendedprice")
     stats = li.agg(
         F.avg(x).alias("mu"),
         F.stddev_samp(x).alias("sigma"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
-        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.01, 0.99))"
+        ).alias("_pcts"),
+    ).select(
+        "mu",
+        "sigma",
+        F.col("_pcts")[0].alias("med"),
+        F.col("_pcts")[1].alias("p01"),
+        F.col("_pcts")[2].alias("p99"),
     )
     mad = (
         li.crossJoin(F.broadcast(stats))
