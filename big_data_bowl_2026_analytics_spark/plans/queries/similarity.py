@@ -602,6 +602,10 @@ def q143_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             dequantized(F.col("qvec"), F.col("scale")).alias("dvec"),
         )
         .withColumn("dnorm", dot(F.col("dvec"), F.col("dvec")))
+        # r13 optimization: recon feeds BOTH the broadcast query side
+        # and the corpus side — without lineage truncation the whole
+        # quantize/dequantize subtree executes twice (guide §1.2).
+        .localCheckpoint(eager=False)
     )
     q = recon.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
