@@ -29,23 +29,35 @@ def cooccurrence_edges(
     group: the generic pair-graph constructor (suppliers co-occurring
     in an order, docs sharing an LSH bucket, users sharing a session).
 
-    Scale: the self-join is per-group quadratic — callers bound group
-    size the way q32 bounds LSH buckets (filter first, or cap with a
-    max-group-size guard); the final distinct reduces multi-group
-    pairs to one edge.
+    Scale: the pair expansion is per-group quadratic — callers bound
+    group size the way q32 bounds LSH buckets (filter first, or cap
+    with a max-group-size guard); the final distinct reduces
+    multi-group pairs to one edge.
+
+    r13 optimization (guide §2.4): the original two-distinct + group
+    self-join spent up to 5 exchanges (distinct per side, re-shuffle
+    of both onto the group key, pair distinct). One collect_set
+    aggregation (partial map-side) plus a map-side array pair
+    expansion produces the same pair stream in 2 exchanges, and the
+    shuffle carries one row per (group, node) instead of the join's
+    duplicated probe rows. The per-group quadratic happens inside the
+    task either way (the join co-located whole groups too).
     """
-    a = df.select(
-        F.col(group_col).alias("_g"), F.col(node_col).alias("a")
-    ).distinct()
-    b = df.select(
-        F.col(group_col).alias("_g"), F.col(node_col).alias("b")
-    ).distinct()
-    return (
-        a.join(b, "_g")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    grouped = (
+        df.select(F.col(group_col).alias("_g"), F.col(node_col).alias("_v"))
+        .groupBy("_g")
+        .agg(F.collect_set("_v").alias("_vs"))
     )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_vs, x ->"
+                " transform(filter(_vs, y -> y > x),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("_p")
+    )
+    return pairs.select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b")).distinct()
 
 
 def pagerank(

@@ -1219,26 +1219,36 @@ def q299_bradley_terry_strength(
         )
         .localCheckpoint(eager=False)  # reused every iteration
     )
-    n_players = players.agg(F.count(F.lit(1)).alias("np"))
+    # r13 optimization (guide §2.4): n_wins is a per-i constant, so it
+    # rides INSIDE the checkpointed matches frame (one upfront
+    # broadcast join, +8 bytes/row) instead of a per-round players
+    # join — the groupBy key (i, n_wins) forms the same groups.
+    matches = matches.join(
+        F.broadcast(players.select("i", "n_wins")), "i"
+    ).localCheckpoint(eager=False)
     w = players.select("i", F.lit(1.0).alias("s"))
     for _ in range(10):
         si = w.select(F.col("i").alias("mi"), F.col("s").alias("si"))
         sj = w.select(F.col("i").alias("mj"), F.col("s").alias("sj"))
-        # r13 optimization: n_wins is per-PLAYER, so join players AFTER
-        # the pair-grain aggregation (1e3-row join) instead of into the
-        # |suppliers|²-bounded matches frame (1e6-row join per round) —
-        # guide §2.3 "aggregate before you shuffle". denom is the same
-        # sum over the same values; n_wins attaches post-agg.
+        # r13 optimization (guide §3.1): si/sj are PER-PLAYER frames
+        # derived from checkpointed parents, so the planner has no
+        # stats and falls back to SortMergeJoin — shuffling the
+        # pair-grain matches frame twice EVERY round (the q360
+        # no-stats-after-checkpoint class). Broadcasting the player-
+        # sized state leaves matches unshuffled all 10 rounds; the
+        # groupBy then map-side-combines to |players| rows before its
+        # one exchange. At scale this trades a broadcast of the
+        # |players| state (bounded by the 512M-row broadcast cap far
+        # past sf10000) against two pair-frame shuffles per round.
         raw = (
-            matches.join(si, F.col("i") == F.col("mi"))
-            .join(sj, F.col("j") == F.col("mj"))
-            .groupBy("i")
+            matches.join(F.broadcast(si), F.col("i") == F.col("mi"))
+            .join(F.broadcast(sj), F.col("j") == F.col("mj"))
+            .groupBy("i", "n_wins")
             .agg(
                 F.sum(
                     F.col("n_ij") / (F.col("si") + F.col("sj"))
                 ).alias("denom")
             )
-            .join(players, "i")
             .select(
                 "i",
                 F.when(F.col("n_wins") == 0, F.lit(0.0))
@@ -1251,20 +1261,23 @@ def q299_bradley_terry_strength(
         # broadcast, once when w's checkpoint materializes (guide §1.2
         # "don't compute things you throw away").
         raw = raw.localCheckpoint(eager=False)
-        z = raw.agg(F.sum("s").alias("z"))
-        w = (
-            raw.crossJoin(F.broadcast(z))
-            .crossJoin(F.broadcast(n_players))
-            .select(
-                "i",
-                (F.col("s") * F.col("np") / F.col("z")).alias("s"),
-            )
-            .localCheckpoint(eager=False)
+        # r13 optimization: raw holds exactly ONE row per player
+        # (groupBy i over the inner player join), so |players| is
+        # count(*) of the SAME aggregate that computes z — one
+        # broadcast build per round instead of two, and w needs no
+        # checkpoint of its own (raw's barrier already bounds the
+        # lineage; si/sj re-derive the cheap projection from it).
+        zn = raw.agg(
+            F.sum("s").alias("z"), F.count(F.lit(1)).alias("np")
+        )
+        w = raw.crossJoin(F.broadcast(zn)).select(
+            "i",
+            (F.col("s") * F.col("np") / F.col("z")).alias("s"),
         )
     from pyspark.sql import Window
 
     out = (
-        players.join(w, "i")
+        players.join(F.broadcast(w), "i")
         .select(
             F.col("i").alias("l_suppkey"),
             "n_wins",
