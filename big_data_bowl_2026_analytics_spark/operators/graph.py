@@ -72,11 +72,17 @@ def pagerank(
 
     Scale: the edge+degree frame is materialized ONCE (localCheckpoint
     pre-partitioned on ``src``) and reused every iteration; each
-    iteration is one co-partitioned join plus one groupBy(dst) — the
-    rank frame leaves iteration k hash-partitioned on the node key, so
-    the next join does not re-shuffle it. Lineage is truncated per
-    iteration (the CC-operator lesson: reuse grows logical plans
-    combinatorially). The one-row node count joins by broadcast.
+    iteration joins the NODE-sized rank state by explicit broadcast
+    (post-checkpoint frames carry no stats, so the planner would
+    otherwise SortMergeJoin — shuffling the EDGE frame every round;
+    the q299/q360 class), then one groupBy(dst) whose map-side combine
+    reduces to node grain before its single exchange. Lineage is
+    truncated per iteration (the CC-operator lesson: reuse grows
+    logical plans combinatorially). The one-row node count joins by
+    broadcast. The rank broadcast is bounded by the node count (the
+    512M-row broadcast cap) — graphs beyond that need a partitioned
+    join, which is still cheaper to re-derive then than shuffling
+    edges per round here.
 
     Floating-point: the per-neighbor sum is order-dependent at the
     last ulp and the damping contraction (d < 1) keeps cross-engine
@@ -100,7 +106,7 @@ def pagerank(
     teleport = 1.0 - damping
     for _ in range(n_iter):
         contrib = (
-            out.join(ranks, "src")
+            out.join(F.broadcast(ranks), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
         )
@@ -203,8 +209,9 @@ def kcore_profile(
     the q28/q125 fixed-iteration contract. Chain-shaped graphs can
     legitimately still be shrinking at the budget.
 
-    Scale: per round one groupBy(src) degree count plus two
-    co-partitioned semi joins on the surviving-node frame; lineage is
+    Scale: per round one groupBy(src) degree count plus two BROADCAST
+    semi joins of the node-sized survivor frame (the pagerank/q299
+    no-stats rule — the edge frame never shuffles); lineage is
     truncated per round (the CC-operator lesson). Aggregate stats are
     9 one-row frames unioned — the final window runs over
     ``n_rounds + 1`` rows, a bounded funnel.
@@ -263,10 +270,13 @@ def kcore_profile(
             .select(F.col("src").alias("v"))
             .localCheckpoint(eager=False)
         )
+        # Broadcast the node-sized survivor frame into both semi
+        # joins (the pagerank/q299 no-stats rule): the edge frame is
+        # filtered in place instead of shuffling twice per round.
         cur = (
-            cur.join(keep, cur["src"] == keep["v"], "left_semi")
+            cur.join(F.broadcast(keep), cur["src"] == keep["v"], "left_semi")
             .join(
-                keep.select(F.col("v").alias("v2")),
+                F.broadcast(keep.select(F.col("v").alias("v2"))),
                 F.col("dst") == F.col("v2"),
                 "left_semi",
             )
@@ -357,11 +367,14 @@ def bfs_hops(
     coalesce). Distances are exact integers, so unlike pagerank the
     result is engine-hashable with NO rounding.
 
-    Each round relaxes dist through one co-partitioned join + a
-    min-groupBy — the textbook message-passing step — with lineage
-    truncated per round (the CC-operator lesson). The edge frame is
-    symmetrized and checkpointed once, pre-partitioned on ``src`` so
-    every round's join reuses the same partitioning.
+    Each round relaxes dist through one join + a min-groupBy — the
+    textbook message-passing step — with lineage truncated per round
+    (the CC-operator lesson). The edge frame is symmetrized and
+    checkpointed once; the NODE-sized dist frontier joins by explicit
+    broadcast (post-checkpoint frames carry no stats, so the planner
+    would otherwise SortMergeJoin — shuffling the EDGE frame every
+    round; the q299/q360 class), and the min-groupBy map-side combines
+    to node grain before its single exchange.
     """
     dsym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -375,7 +388,7 @@ def bfs_hops(
         source = dsym.agg(F.min("src").alias("v"))
     dist = source.select("v", F.lit(0).cast("bigint").alias("d"))
     for _ in range(n_rounds):
-        relaxed = dist.join(dsym, dist.v == dsym.src).select(
+        relaxed = F.broadcast(dist).join(dsym, dist.v == dsym.src).select(
             F.col("dst").alias("v"), (F.col("d") + 1).alias("d")
         )
         dist = (
@@ -398,9 +411,12 @@ def hits(edges: DataFrame, n_iter: int = 4) -> tuple[DataFrame, DataFrame]:
     authorities(v, a))`` after ``n_iter`` rounds from ``a_0 ≡ 1``.
 
     Scale: the edge frame is checkpointed once; each round is two
-    co-partitioned join+groupBy passes (the pagerank shape, doubled
-    for the bipartite recurrence) with per-round lineage truncation;
-    the 1-row max joins by broadcast. Power iteration on the
+    join+groupBy passes (the pagerank shape, doubled for the
+    bipartite recurrence) with the NODE-sized score state joined by
+    explicit broadcast (the pagerank/q299 no-stats-after-checkpoint
+    rule: without the hint the EDGE frame would shuffle twice per
+    round) and per-round lineage truncation; the 1-row max joins by
+    broadcast. Power iteration on the
     nonnegative matrix contracts toward the principal eigenvector, so
     cross-engine float divergence stays at ulp scale through any
     fixed iteration count — callers round FINAL scores (fround pair),
@@ -419,7 +435,7 @@ def hits(edges: DataFrame, n_iter: int = 4) -> tuple[DataFrame, DataFrame]:
         # (once in the broadcast build, again when the normalized
         # frame's checkpoint materializes). Guide §1.2.
         hubs = (
-            e.join(auth, "dst")
+            e.join(F.broadcast(auth), "dst")
             .groupBy("src")
             .agg(F.sum("a").alias("h"))
             .localCheckpoint(eager=False)
@@ -432,7 +448,7 @@ def hits(edges: DataFrame, n_iter: int = 4) -> tuple[DataFrame, DataFrame]:
             "src", (F.col("h") / F.col("hm")).alias("h")
         )
         auth = (
-            e.join(hubs, "src")
+            e.join(F.broadcast(hubs), "src")
             .groupBy("dst")
             .agg(F.sum("h").alias("a"))
             .localCheckpoint(eager=False)
@@ -464,10 +480,12 @@ def personalized_pagerank(
 
     Same scale contract as ``pagerank``: the edge+degree frame and the
     bounded teleport frame are checkpointed once; each iteration is
-    one co-partitioned join, one groupBy, and a full outer join
-    against the teleport frame (nodes the walk has not reached yet
-    simply have no row — rank exactly 0 — rather than a dense
-    node-grain frame every round). Per-iteration lineage truncation.
+    one broadcast join of the node-sized rank state (the pagerank
+    no-stats rule — the hint keeps the EDGE frame unshuffled), one
+    groupBy, and a full outer join against the teleport frame (nodes
+    the walk has not reached yet simply have no row — rank exactly 0
+    — rather than a dense node-grain frame every round).
+    Per-iteration lineage truncation.
 
     Floating-point: identical contract to ``pagerank`` (damping
     contraction keeps cross-engine divergence at ulp scale; round the
@@ -493,7 +511,8 @@ def personalized_pagerank(
     for _ in range(n_iter):
         contrib = (
             out.join(
-                ranks.select(F.col("v").alias("src"), "pr"), "src"
+                F.broadcast(ranks.select(F.col("v").alias("src"), "pr")),
+                "src",
             )
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
