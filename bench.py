@@ -79,6 +79,19 @@ HEADLINE = [
 ]
 
 
+def bracket_ratio_contaminated(
+    pre_total: float, post_total: float, threshold: float = 1.5
+) -> bool:
+    """True when the pre/post bracketing-oracle totals disagree by more
+    than ``threshold`` in either direction — the same queries on the
+    same engine timed before and after the Spark phases, so the ratio
+    is a pure box-drift probe (r13 verdict #2: BENCH_r13's post bracket
+    ran 2.3x its pre bracket and the drift was invisible in the flags).
+    """
+    lo, hi = min(pre_total, post_total), max(pre_total, post_total)
+    return lo > 0 and hi / lo > threshold
+
+
 def main() -> None:
     # Load guard (r8 verdict #4), settle-then-measure: the 1-minute
     # load average DECAYS over ~a minute, so right after any heavy
@@ -588,6 +601,13 @@ def main() -> None:
         out["oracle_total"] = round(sum(oracle_timings.values()), 3)
         out["oracle_pre_total"] = round(sum(oracle_pre.values()), 3)
         out["oracle_post_total"] = round(sum(oracle_post.values()), 3)
+        # Bracket-divergence contamination flag (r13 verdict #2): marks
+        # the artifact so PERF consumers can separate box noise from
+        # code — see bracket_ratio_contaminated above.
+        pre_t, post_t = out["oracle_pre_total"], out["oracle_post_total"]
+        if bracket_ratio_contaminated(pre_t, post_t):
+            out["contaminated"] = True
+            out["oracle_bracket_ratio"] = round(post_t / pre_t, 2)
 
     # Output contract (r11 verdict #1): BENCH_r11 recorded
     # "parsed": null because the full artifact line outgrew the

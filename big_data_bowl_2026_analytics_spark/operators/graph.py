@@ -23,16 +23,25 @@ from pyspark.sql import functions as F
 
 
 def cooccurrence_edges(
-    df: DataFrame, group_col: str, node_col: str
+    df: DataFrame, group_col: str, node_col: str,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """Distinct undirected edges ``(a < b)`` between nodes sharing a
     group: the generic pair-graph constructor (suppliers co-occurring
     in an order, docs sharing an LSH bucket, users sharing a session).
 
-    Scale: the pair expansion is per-group quadratic — callers bound
-    group size the way q32 bounds LSH buckets (filter first, or cap
-    with a max-group-size guard); the final distinct reduces
-    multi-group pairs to one edge.
+    Scale / CALLER CONTRACT: the pair expansion is per-group quadratic
+    AND — unlike the pre-r13 self-join, which streamed the quadratic
+    pairs — the collect_set form holds each whole group in one
+    aggregation buffer and the full O(g²) pair array in ONE row before
+    the explode. A pathological large group therefore fails HARD
+    (single-row/array 2 GB limit, executor OOM) instead of merely
+    running slow. Callers must bound group size: the registry callers
+    group by l_orderkey (≤ 7 lineitems — safe at any SF); generic
+    callers pass ``max_group_size``, which DROPS groups whose
+    distinct-node set exceeds the cap before the quadratic expansion
+    (a degenerate group is boilerplate a pair graph treats as one
+    cluster anyway — the q32 ``max_bucket_size`` rationale).
 
     r13 optimization (guide §2.4): the original two-distinct + group
     self-join spent up to 5 exchanges (distinct per side, re-shuffle
@@ -48,6 +57,12 @@ def cooccurrence_edges(
         .groupBy("_g")
         .agg(F.collect_set("_v").alias("_vs"))
     )
+    if max_group_size is not None:
+        # Guards the O(g²) pair array (the 2 GB single-row hard limit);
+        # the set buffer itself stays linear in group size — a corpus
+        # whose single GROUPS outgrow executor memory needs the
+        # pre-aggregated-count + semi-join form instead.
+        grouped = grouped.where(F.size("_vs") <= max_group_size)
     pairs = grouped.select(
         F.explode(
             F.expr(
@@ -79,10 +94,16 @@ def pagerank(
     reduces to node grain before its single exchange. Lineage is
     truncated per iteration (the CC-operator lesson: reuse grows
     logical plans combinatorially). The one-row node count joins by
-    broadcast. The rank broadcast is bounded by the node count (the
-    512M-row broadcast cap) — graphs beyond that need a partitioned
-    join, which is still cheaper to re-derive then than shuffling
-    edges per round here.
+    broadcast. The rank broadcast grows with the node count; the
+    BINDING limit is the 8 GB broadcast-relation / driver-memory
+    ceiling, reached far before the 512M-row cap (nodes scale
+    linearly with SF at tens of bytes per row). Past it the explicit
+    hint HARD-FAILS (driver/broadcast OOM — no planner fallback), so
+    a scale-up beyond ~10^8 nodes re-derives these loops with a
+    partitioned state join, which is still cheaper then than
+    shuffling edges per round here. The same bound governs every
+    per-round node-state broadcast in this module (bfs_hops, hits,
+    personalized_pagerank, kcore_profile).
 
     Floating-point: the per-neighbor sum is order-dependent at the
     last ulp and the damping contraction (d < 1) keeps cross-engine
@@ -537,6 +558,7 @@ def bounded_components(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_nodes: int = 4096,
+    max_edges: int = 65536,
 ) -> DataFrame:
     """Connected components for a CONFIG-BOUNDED graph — one whose
     node count is fixed by configuration (a spatial grid, a k-cell
@@ -564,7 +586,18 @@ def bounded_components(
             "config-bounded graphs; use duplicate_clusters_star for "
             "data-sized ones"
         )
-    edge_rows = pairs.select("doc_a", "doc_b").collect()
+    # The node bound alone does not govern the collect's size (r13
+    # verdict #5): a pathological ≤max_nodes graph can still carry a
+    # quadratic edge multiset. The limit() bounds what ever LEAVES the
+    # executors — at most max_edges+1 rows reach the driver, and one
+    # row past the bound raises instead of silently truncating.
+    edge_rows = pairs.select("doc_a", "doc_b").limit(max_edges + 1).collect()
+    if len(edge_rows) > max_edges:
+        raise ValueError(
+            f"bounded_components got more than max_edges={max_edges} "
+            "edges — this operator is for config-bounded graphs; use "
+            "duplicate_clusters_star for data-sized ones"
+        )
     parent: dict = {n: n for n in node_rows}
 
     def find(u):
