@@ -343,6 +343,20 @@ def main() -> None:
             # identical to the scan forms; the operator-level parity
             # tests (tests/test_ivf.py) keep the self-contained paths
             # honest.
+            #
+            # r14: the request frames build through pandas/Arrow — a
+            # plain createDataFrame(list-of-Rows) yields a PYTHON-RDD-
+            # backed LogicalRDD that round-trips through a Python
+            # worker on EVERY evaluation (~0.25 s per eval, measured),
+            # while the Arrow path yields a true JVM LocalRelation
+            # (identical values; q62 run 0.78 s -> 0.23 s).
+            import pandas as pd
+
+            def _local_frame(rows, schema):
+                return spark.createDataFrame(
+                    pd.DataFrame([r.asDict() for r in rows]), schema=schema
+                )
+
             emb = read_table(spark, sf_dir, "embeddings")
             t0 = time.perf_counter()
             write_bucketed(
@@ -353,9 +367,13 @@ def main() -> None:
             index_build["q42_ann_topk_lsh"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
             cents_df = seed_centroids(emb, 8)
-            cents = (cents_df.collect(), cents_df.schema)
+            # The centroid matrix feeds the operators as pre-collected
+            # ROWS: the k x dim argmin array binds as a literal
+            # projection (ivf.py::centroid_literal) — no aggregate, no
+            # exchange, no broadcast build per search.
+            cents_rows = cents_df.collect()
             write_bucketed(
-                ivf_index(emb, spark.createDataFrame(*cents)),
+                ivf_index(emb, cents_rows),
                 "bench_ivf_index",
                 ["cluster_id"],
                 n_buckets=8,
@@ -367,15 +385,15 @@ def main() -> None:
             def _q42_indexed(spark, sf_dir):
                 idx = spark.table("bench_lsh_index")
                 return ann_topk_indexed(
-                    idx, spark.createDataFrame(*lsh_q), k=3
+                    idx, _local_frame(*lsh_q), k=3
                 )
 
             def _q62_indexed(spark, sf_dir):
                 idx = spark.table("bench_ivf_index")
                 return ivf_topk_indexed(
                     idx,
-                    spark.createDataFrame(*ivf_q),
-                    spark.createDataFrame(*cents),
+                    _local_frame(*ivf_q),
+                    cents_rows,
                     k=3,
                     nprobe=2,
                 )

@@ -72,6 +72,50 @@ def seed_centroids(
     )
 
 
+def centroid_literal(rows) -> Column:
+    """The ``_cents`` array-of-structs as a pure LITERAL column from
+    pre-collected ``(cluster_id, centroid)`` rows — bounded model
+    state (k x dim floats), the same values :func:`centroid_array`
+    aggregates, with ZERO plan machinery: no aggregate, no exchange,
+    no broadcast, no cross join. A deployment holds its trained
+    centroid matrix as index metadata exactly like this (the
+    ``kmeans_fit`` return-value contract); the element order is pinned
+    by an explicit sort on cluster_id, matching centroid_array's
+    array_sort. Float32 centroid components round-trip exactly through
+    the Python float (r14 optimization round): the double literal is
+    the float64 embedding of the float32 value and the cast back to
+    float recovers identical bits, so every downstream sq_l2 fold sees
+    the same numbers as the aggregated form.
+
+    The expression is built as ONE parsed SQL string: the k x dim
+    literal spelled through python-side constructors costs ~500 py4j
+    round trips per plan build (~0.2 s measured — the r13 §1.2
+    plan-construction lesson). ``repr(float)`` is the shortest
+    round-tripping decimal and the ``D`` suffix makes Spark parse it
+    as DOUBLE (bare decimals parse as DECIMAL); finite values only —
+    the synthetic embeddings contract.
+    """
+    ordered = sorted(rows, key=lambda r: r["cluster_id"])
+    structs = ", ".join(
+        "named_struct('cluster_id', {cid}, 'centroid',"
+        " CAST(array({xs}) AS ARRAY<FLOAT>))".format(
+            cid=int(r["cluster_id"]),
+            xs=", ".join(f"{float(x)!r}D" for x in r["centroid"]),
+        )
+        for r in ordered
+    )
+    return F.expr(f"array({structs})")
+
+
+def _with_cents(frame: DataFrame, centroids) -> DataFrame:
+    """Bind the ``_cents`` column: broadcast-cross-join the aggregated
+    one-row array for a DataFrame input, or a literal projection for
+    pre-collected rows (list/tuple input — no join at all)."""
+    if isinstance(centroids, DataFrame):
+        return frame.join(F.broadcast(centroid_array(centroids)), how="cross")
+    return frame.select("*", centroid_literal(centroids).alias("_cents"))
+
+
 def centroid_array(centroids: DataFrame) -> DataFrame:
     """Collapse a (cluster_id, centroid) frame to ONE row holding the
     cluster_id-ordered array of centroid structs — bounded model state
@@ -102,6 +146,12 @@ def assign_clusters(
     in cluster_id order, identical to the previous
     ``min_by(cluster_id, struct(dist, cluster_id))`` tie-break.
 
+    ``centroids`` may be a (cluster_id, centroid) DataFrame (the
+    aggregated one-row array broadcast-cross-joins in) or a list of
+    pre-collected rows (r14: the array binds as a LITERAL projection —
+    no aggregate, no exchange, no broadcast build; identical values,
+    see :func:`centroid_literal`).
+
     No aggregation of the corpus, no shuffle: the previous form
     exploded k rows per vector and funneled them back through a
     SortAggregate KEYED BY THE EMBEDDING ARRAY (array group keys
@@ -113,14 +163,11 @@ def assign_clusters(
     interpreted HOF fold runs once, not once per downstream reference
     (CSE does not reach higher-order lambdas).
     """
-    cents = centroid_array(centroids)
     dists = F.transform(
         F.col("_cents"), lambda c: sq_l2(F.col(vec_col), c["centroid"], dim=dim)
     )
-    scored = (
-        vectors.select(id_col, vec_col)
-        .join(F.broadcast(cents), how="cross")
-        .select(id_col, vec_col, "_cents", dists.alias("_dists"))
+    scored = _with_cents(vectors.select(id_col, vec_col), centroids).select(
+        id_col, vec_col, "_cents", dists.alias("_dists")
     )
     return scored.select(
         id_col,
@@ -326,12 +373,14 @@ def ivf_topk_indexed(
             " 'cluster_id', c.cluster_id)))"
         )
     probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            q_norm.alias("q_norm"),
+        _with_cents(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                q_norm.alias("q_norm"),
+            ),
+            centroids,
         )
-        .join(F.broadcast(centroid_array(centroids)), how="cross")
         .select(
             "query_id",
             "q_vec",

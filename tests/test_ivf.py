@@ -63,6 +63,49 @@ def test_assignment_literal_matches_join_path(spark, sf_dir):
     assert diff.count() == 0
 
 
+def test_centroid_rows_path_matches_frame_path(spark, sf_dir):
+    """r14 optimization: passing pre-collected centroid ROWS binds the
+    argmin array as a literal projection (no aggregate / exchange /
+    broadcast). Assignment AND full indexed search must be bit-equal
+    to the DataFrame-centroids path."""
+    from big_data_bowl_2026_analytics_spark.operators.ivf import (
+        ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents_df = seed_centroids(emb, K)
+    rows = cents_df.collect()
+
+    via_frame = sorted(
+        map(tuple, assign_clusters(emb, cents_df).select("vec_id", "cluster_id").collect())
+    )
+    via_rows = sorted(
+        map(tuple, assign_clusters(emb, rows).select("vec_id", "cluster_id").collect())
+    )
+    assert via_rows == via_frame
+
+    queries = emb.where(F.col("vec_id") < 3)
+    idx = ivf_index(emb, rows)
+    expected = sorted(
+        map(
+            tuple,
+            ivf_topk_indexed(
+                ivf_index(emb, cents_df), queries, cents_df, k=3, nprobe=2
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, ivf_topk_indexed(idx, queries, rows, k=3, nprobe=2).collect())
+    )
+    assert got == expected
+    # the literal path's plan carries no aggregate/join machinery for
+    # the centroid array
+    plan = ivf_topk_indexed(idx, queries, rows, k=3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_recall_against_brute_force(spark, sf_dir):
     """With learned centroids and nprobe=4 of 8 cells, IVF top-3 must
     recover a solid majority of the exact top-3 neighbor set."""
