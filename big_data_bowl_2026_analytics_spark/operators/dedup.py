@@ -341,12 +341,26 @@ def duplicate_clusters(
     smallest label among itself and its neighbors; converges in
     O(component diameter) rounds. Each round is one join + one
     aggregate; lineage is truncated per round (an unbroken loop would
-    nest the plan max_iterations deep). The driver-side convergence
-    check reads ONE aggregated count per round — no data collects.
+    nest the plan max_iterations deep).
+
+    Convergence probe (r14 optimization, guide §1.2): labels are
+    POINTWISE NON-INCREASING (new = min(own, neighbor mins)) over a
+    fixed node set, so a round changed nothing iff Σ labels is
+    unchanged — an exact DECIMAL(38,0) sum (no overflow at any id
+    magnitude × corpus size). The sum is read by the SAME action that
+    materializes the round's checkpoint, replacing the former
+    join-the-old-labels probe job: one job per round instead of two,
+    and no node-frame join just to detect a no-op. (Consecutive sums
+    are compared, so an edgeless graph pays one redundant round — the
+    fixpoint is idempotent either way.)
 
     Scale: this is the standard map-reduce CC formulation; for graphs
     with huge diameters switch to large-star/small-star, which squares
-    the convergence rate with the same per-round primitives.
+    the convergence rate with the same per-round primitives. The label
+    state deliberately joins by SHUFFLE, not broadcast (unlike the
+    supplier-graph loops in operators/graph.py): the node set here is
+    the document corpus, which outgrows the 8 GB broadcast ceiling
+    long before the edge shuffle becomes the wall.
     """
     edges_fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges_fwd.unionByName(
@@ -354,6 +368,7 @@ def duplicate_clusters(
     ).localCheckpoint(eager=False)
 
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
@@ -363,25 +378,27 @@ def duplicate_clusters(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        label_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).head()["s"]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round over a SYMMETRIC edge set: every neighbor
     v > u re-attaches to m = min(N(u) ∪ {u}). Output is symmetric-free
-    directed (bigger -> smaller), deduped."""
+    directed (bigger -> smaller), possibly with duplicates — the
+    follow-up small-star round is duplicate-insensitive (its m is a
+    groupBy-min and its own output IS deduped), so the intermediate
+    distinct the pre-r14 form paid here (one exchange + aggregate per
+    round) bought nothing; intra-round duplicate multiplicity is
+    bounded by node degree (guide §2.4 "remove shuffles outright")."""
     m = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("_min_nbr"))
@@ -392,7 +409,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -415,26 +431,31 @@ def _star_cc(
 ) -> tuple[DataFrame, int]:
     """Alternating large-star/small-star rounds until the edge set is
     stable; returns (star edges big->small, rounds used)."""
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False)
+    # r14: the count that materializes each round's checkpoint IS the
+    # first half of the convergence probe (one action instead of an
+    # eager checkpoint + a separate count job); the exceptAll set-
+    # equality check — exact, never a hash fingerprint — still runs,
+    # but only on rounds whose counts already match.
+    n_edges = edges.count()
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
         sym = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        new_edges = _small_star(_large_star(sym)).localCheckpoint(eager=True)
-        # Converged when the round was a no-op (set equality via two
-        # one-row counts — no data collects).
-        same_count = new_edges.count() == edges.count()
-        if same_count and new_edges.exceptAll(edges).limit(1).count() == 0:
+        new_edges = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        new_count = new_edges.count()
+        if (
+            new_count == n_edges
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
             edges = new_edges
             break
         edges = new_edges
+        n_edges = new_count
     return edges, rounds
 
 

