@@ -29,6 +29,7 @@ from ...functions.scalar import fround
 from ...operators.rankops import bucketed_cummax_prev
 from ...sources.readers import read_table
 from ..registry import query
+from ...core.session import local_frame
 from .splits import _hash16, _hash16_sql
 
 
@@ -1043,7 +1044,7 @@ def q292_rich_club_coefficient(
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=False)  # club-n + club-e branches
     )
-    ks = spark.createDataFrame([(2,), (4,), (8,), (16,)], "k long")
+    ks = local_frame(spark, [(2,), (4,), (8,), (16,)], "k long")
     clubn = (
         deg.crossJoin(F.broadcast(ks))
         .where(F.col("deg") > F.col("k"))

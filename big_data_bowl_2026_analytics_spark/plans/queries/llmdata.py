@@ -23,6 +23,7 @@ from ...operators.textstats import (
 from ...functions.scalar import fround
 from ...sources.readers import read_table
 from ..registry import query
+from ...core.session import local_frame
 from .splits import _hash16, _hash16_sql
 
 #: context-window capacity for the packing query (tokens). Documents
@@ -765,7 +766,7 @@ def q172_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vocab",
         (F.col("n_vocab") + 1 - F.col("r_asc")).alias("r"),
     )
-    ks = ranked.sparkSession.createDataFrame(
+    ks = local_frame(ranked.sparkSession, 
         [(100,), (1000,), (10000,)], "k int"
     )
     return (

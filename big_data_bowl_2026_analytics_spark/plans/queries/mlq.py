@@ -23,6 +23,7 @@ from ...ml.inference import score_dataframe
 from ...ml.model import LogisticModel
 from ...sources.readers import read_table
 from ..registry import query
+from ...core.session import local_frame
 from .splits import _hash16, _hash16_sql
 
 #: The fixed demo model used by the oracle-checked queries.
@@ -708,7 +709,7 @@ def q188_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_discount") * 10).alias("f"),
         F.when(F.col("l_quantity") > 30, 1).otherwise(0).alias("pos"),
     )
-    grid = feat.sparkSession.createDataFrame(
+    grid = local_frame(feat.sparkSession, 
         [(k / 10.0,) for k in range(1, 10)], "t double"
     )
     split = (
@@ -1427,7 +1428,7 @@ def q331_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("syyd"),
     )
-    c1 = spark.createDataFrame(
+    c1 = local_frame(spark, 
         [(t,) for t in (2, 4, 6, 8, 10, 12, 15, 20)], "t1 BIGINT"
     )
     s1 = (
@@ -1470,7 +1471,7 @@ def q331_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((syd - syld) / (F.col("n") - F.col("nl"))).alias("mur"),
     )
     m1 = m1.localCheckpoint(eager=False)  # round-2 agg + report branches
-    c2 = spark.createDataFrame(
+    c2 = local_frame(spark, 
         [(t,) for t in (300, 600, 900, 1200, 1500, 1800, 2100)], "t2 BIGINT"
     )
     s2 = (
@@ -1885,7 +1886,7 @@ def q390_ridge_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         _filt(F.col("x") * F.col("y"), va).alias("sxy_v"),
         _filt(F.col("y") * F.col("y"), va).alias("syy_v"),
     )
-    grid = spark.createDataFrame([(l,) for l in _RIDGE_LAMS], "lam double")
+    grid = local_frame(spark, [(l,) for l in _RIDGE_LAMS], "lam double")
     n_t, sx_t, sy_t = F.col("n_t"), F.col("sx_t"), F.col("sy_t")
     sxx_t, sxy_t, lam = F.col("sxx_t"), F.col("sxy_t"), F.col("lam")
     n_v, sx_v, sy_v = F.col("n_v"), F.col("sx_v"), F.col("sy_v")
@@ -2042,7 +2043,7 @@ def q391_kfold_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxy_f").cast("double").alias("sxy_v"),
         F.col("syy_f").cast("double").alias("syy_v"),
     )
-    grid = spark.createDataFrame([(l,) for l in _RIDGE_LAMS], "lam double")
+    grid = local_frame(spark, [(l,) for l in _RIDGE_LAMS], "lam double")
     n_t, sx_t, sy_t = F.col("n_t"), F.col("sx_t"), F.col("sy_t")
     sxx_t, sxy_t, lam = F.col("sxx_t"), F.col("sxy_t"), F.col("lam")
     beta = (sxy_t - sx_t * sy_t / n_t) / ((sxx_t - sx_t * sx_t / n_t) + lam)
@@ -2170,7 +2171,7 @@ def q396_successive_halving_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         "quarter", "n_q", "sx_q", "sy_q", "sxx_q", "sxy_q"
     )
     vsums = _ridge_val_sums(allsums)
-    rungs = spark.createDataFrame(
+    rungs = local_frame(spark, 
         [(0, 1), (1, 2), (2, 4)], "rung bigint, budget bigint"
     )
     rsums = (
@@ -2184,7 +2185,7 @@ def q396_successive_halving_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("sxy_q").cast("bigint").cast("double").alias("sxy_t"),
         )
     )
-    grid = spark.createDataFrame([(l,) for l in _RIDGE_LAMS], "lam double")
+    grid = local_frame(spark, [(l,) for l in _RIDGE_LAMS], "lam double")
     fitted = (
         rsums.crossJoin(F.broadcast(grid))
         .crossJoin(F.broadcast(vsums))
@@ -2321,7 +2322,7 @@ def q399_learning_curve_extrapolation(
         "quarter", "n_q", "sx_q", "sy_q", "sxx_q", "sxy_q"
     )
     vsums = _ridge_val_sums(allsums)
-    rungs = spark.createDataFrame(
+    rungs = local_frame(spark, 
         [(0, 1), (1, 2), (2, 4)], "rung bigint, budget bigint"
     )
     rsums = (

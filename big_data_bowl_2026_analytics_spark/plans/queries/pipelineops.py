@@ -19,6 +19,7 @@ from ...operators.sampling import deterministic_group_sample, hash_split
 from ...operators.temporal import gap_fill_locf
 from ...sources.readers import read_table
 from ..registry import query
+from ...core.session import local_frame
 from .splits import _hash16_sql
 
 
@@ -1776,7 +1777,7 @@ def q300_sampling_accuracy_planner(
     tot = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").cast("bigint").alias("pos")
     )
-    eps = spark.createDataFrame(
+    eps = local_frame(spark, 
         [("0.050", 0.05), ("0.020", 0.02), ("0.010", 0.01),
          ("0.005", 0.005)],
         "eps_label string, eps double",
@@ -2248,7 +2249,7 @@ def q357_filter_attribution_audit(
         .cast("bigint")
         .alias("n_dropped"),
     )
-    filters = spark.createDataFrame(
+    filters = local_frame(spark, 
         [("too_short", 1), ("repetitive", 2), ("short_tokens", 4),
          ("lang_other", 8)],
         "filter_name string, bit int",
@@ -2779,7 +2780,7 @@ def q397_source_mixing_temperature(
         .cast("bigint")
         .alias("n_tok")
     )
-    alphas = spark.createDataFrame(
+    alphas = local_frame(spark, 
         [(0.3,), (0.5,), (0.7,)], "alpha double"
     )
     wtbl = (

@@ -22,6 +22,7 @@ from ...operators.similarity import (
 )
 from ...sources.readers import read_table
 from ..registry import query
+from ...core.session import local_frame
 
 _DIM = 64
 
@@ -2200,7 +2201,7 @@ def q330_matryoshka_truncation_recall(
     from pyspark.sql.window import Window
 
     emb = read_table(spark, sf_dir, "embeddings")
-    dims = spark.createDataFrame([(64,), (32,), (16,)], "dim INT")
+    dims = local_frame(spark, [(64,), (32,), (16,)], "dim INT")
     q3 = (
         emb.where(F.col("vec_id") < 20)
         .crossJoin(F.broadcast(dims))

@@ -41,6 +41,7 @@ from ...operators.stats import mann_whitney_z
 from ...operators.survival import kaplan_meier
 from ...sources.readers import parallelize_scan, read_table
 from ..registry import query
+from ...core.session import local_frame
 from .splits import _hash16, _hash16_sql
 
 # P(Poisson(1) <= k) * 65536, floored, for k = 0..5: an integer-exact
@@ -1717,7 +1718,7 @@ def q257_grid_quantile_regression(
         F.round(F.col("l_quantity")).cast("bigint").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
     )
-    cands = spark.createDataFrame(
+    cands = local_frame(spark, 
         [(a, b) for a in _QR_GRID_A for b in _QR_GRID_B], "a long, b long"
     )
     d = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
@@ -4560,7 +4561,7 @@ def q393_power_analysis_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n_d * (n_d - 1.0))
         ).alias("var"),
     )
-    grid = spark.createDataFrame(
+    grid = local_frame(spark, 
         [
             (1, 80, 2.801585), (2, 80, 2.801585),
             (5, 80, 2.801585), (10, 80, 2.801585),

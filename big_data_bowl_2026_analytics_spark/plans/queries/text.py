@@ -34,6 +34,7 @@ from ...operators.textstats import (
 from ...functions.scalar import fround
 from ...sources.readers import read_table
 from ..registry import query
+from ...core.session import local_frame
 from .splits import _hash16_sql
 
 # Shared oracle CTE: distinct tokens per doc.
@@ -2475,7 +2476,7 @@ def q280_dedup_threshold_sweep(
     pairs = jaccard_similar_pairs(
         docs, threshold=0.2, block_col="lang"
     ).localCheckpoint(eager=False)  # 7 threshold branches
-    taus = spark.createDataFrame(
+    taus = local_frame(spark, 
         [(f"{t:.1f}", t) for t in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)],
         "tau_label string, tau double",
     )
@@ -2562,7 +2563,7 @@ def q282_quality_filter_yield(
         .select("doc_id", "n_tokens", F.col("quality_score").alias("q"))
         .localCheckpoint(eager=False)  # totals + sweep branches
     )
-    taus = spark.createDataFrame(
+    taus = local_frame(spark, 
         [(f"{t:.2f}", t) for t in
          (0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70, 0.75)],
         "tau_label string, tau double",

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ...functions.scalar import fround
 from ...sources.readers import parallelize_scan, read_table
 from ..registry import query
+from ...core.session import local_frame
 from .splits import _hash16, _hash16_sql
 
 
@@ -3465,7 +3466,7 @@ def q306_session_unicity_sweep(
         )
         .localCheckpoint(eager=False)  # k-sweep branches
     )
-    ks = spark.createDataFrame([(k,) for k in range(1, 6)], "k long")
+    ks = local_frame(spark, [(k,) for k in range(1, 6)], "k long")
     fps = per.crossJoin(F.broadcast(ks)).select(
         "k",
         F.concat(
@@ -3759,7 +3760,7 @@ def q321_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("bigint").alias("v"))
     )
     vals = vals.localCheckpoint(eager=False)  # a/b/lift branches
-    chan = spark.createDataFrame(
+    chan = local_frame(spark, 
         [(1, "click"), (2, "view"), (4, "signup"), (8, "error")],
         "bit INT, channel STRING",
     )
@@ -3871,7 +3872,7 @@ def q326_ttl_cache_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tus") - F.lag("tus").over(w)).alias("gap_prev"),
         (F.lead("tus").over(w) - F.col("tus")).alias("gap_next"),
     )
-    ttl = spark.createDataFrame(
+    ttl = local_frame(spark, 
         [(1, 3600000000), (6, 21600000000), (24, 86400000000)],
         "ttl_hours BIGINT, tau_us BIGINT",
     )

@@ -55,65 +55,66 @@ def query(
 
 #: Explicit registry ordering for external harnesses. The driver
 #: verifies the FIRST 50 registry entries per round, so the order is
-#: rotated each round. Round-13 rotation (the re-certification cycle's
-#: third window): the 10 round-13 additions (q420-q429) first, then
-#: the 40 entries with the OLDEST driver certification (the 24-entry
-#: r04 band + the oldest 16 of the r05 band), computed from the
-#: CORRECTNESS_r* artifacts.
+#: rotated each round. Round-14 rotation (optimization round - no new
+#: queries): the six money-rebased entries not yet driver-certified on
+#: their exact-cents form (q01/q03/q71/q99/q153/q193; the other four
+#: rebased names were in the r13 window), then the 44 entries with the
+#: OLDEST driver certification (the r05 band remainder + the oldest
+#: r06 band), computed from the CORRECTNESS_r* artifacts.
 #: Every entry has a strict oracle; all pass the local strict checker
 #: and driver_sim on current data. The two declared rows-only entries
 #: (q28, q230) are deliberately not given window slots.
 _DRIVER_ORDER = [
-    "q420_kendalls_w_concordance",
-    "q421_pages_l_trend",
-    "q422_bowker_symmetry",
-    "q423_cramer_von_mises",
-    "q424_hurst_exponent",
-    "q425_fleiss_kappa",
-    "q426_morisita_horn_similarity",
-    "q427_chain_entropy_rate",
-    "q428_moods_median_test",
-    "q429_pettitt_change_point",
-    "q11_having_count",
-    "q13_point_lookup",
-    "q14_scalar_function_library",
-    "q15_multikey_topk",
-    "q16_distinct_projection",
-    "q17_null_audit_after_left_join",
-    "q18_rollup_revenue",
-    "q29_cube_aggregation",
-    "q45_skew_salted_aggregation",
-    "q48_intersect_except",
-    "q51_calibration_bins",
-    "q53_string_library",
-    "q56_ranking_functions",
-    "q57_ordered_string_agg",
-    "q58_percentiles",
-    "q59_full_outer_join",
-    "q69_contamination_ratio",
-    "q79_grouping_sets",
-    "q80_conditional_aggregates",
-    "q81_correlated_scalar_subquery",
-    "q87_merge_upsert",
-    "q88_row_unpivot",
-    "q90_snapshot_diff",
-    "q95_word_entropy",
-    "q116_levenshtein_neardup",
-    "q117_bigram_pmi",
-    "q118_sorted_neighborhood_pairs",
-    "q119_key_skew_gini",
-    "q120_drift_audit",
-    "q121_approx_percentile_audit",
-    "q122_correlation_matrix",
-    "q123_triangle_count",
-    "q124_lsh_blocked_levenshtein",
-    "q125_pagerank",
-    "q126_zorder_layout_audit",
-    "q127_hash_split_assignment",
-    "q128_stratified_hash_sample",
-    "q129_chi_square_homogeneity",
-    "q131_join_cardinality_forecast",
-    "q132_bloom_filter_audit",
+    "q01_pricing_summary",
+    "q03_region_nation_revenue",
+    "q71_hash_split",
+    "q99_salted_join",
+    "q153_horvitz_thompson_audit",
+    "q193_hierarchical_shares",
+    "q133_containment_pairs",
+    "q134_mixture_rebalance",
+    "q136_partition_size_planner",
+    "q137_idf_weighted_jaccard",
+    "q138_event_transition_matrix",
+    "q139_community_modularity",
+    "q140_ann_topk_multitable",
+    "q141_inverted_index",
+    "q142_ann_recall_audit",
+    "q143_int8_quantization_audit",
+    "q144_spend_quintile_mobility",
+    "q145_weighted_median_grouped_agg",
+    "q148_join_preserving_pseudonymization",
+    "q149_laplace_noisy_counts",
+    "q150_per_slice_metrics",
+    "q151_count_min_sketch_audit",
+    "q152_k_anonymity_audit",
+    "q154_decontamination_span_removal",
+    "q155_m4_downsampling",
+    "q156_reciprocal_rank_fusion",
+    "q157_diversity_capped_topk",
+    "q158_bigram_perplexity",
+    "q160_mutual_information_screen",
+    "q161_label_centroid_separation",
+    "q163_zipf_law_audit",
+    "q164_cross_source_duplication",
+    "q165_ks_drift_per_source",
+    "q166_referential_integrity",
+    "q167_funnel_latency",
+    "q168_ivf_balance_audit",
+    "q169_embedding_quality_audit",
+    "q170_encoding_audit",
+    "q171_order_total_consistency",
+    "q172_vocab_coverage_curve",
+    "q173_seasonal_naive_backtest",
+    "q174_psi_score_stability",
+    "q175_association_rules",
+    "q176_quantile_transform",
+    "q177_ab_test_welch",
+    "q178_lsh_recall_audit",
+    "q179_component_size_distribution",
+    "q181_hll_intersection_estimate",
+    "q182_point_in_time_join",
+    "q183_labeler_agreement_kappa",
 ]
 
 
