@@ -285,6 +285,56 @@ def test_stateful_operators_prune_arrow_boundary(spark, events_dir):
         assert "props" not in cols, (root.nodeName(), cols)
 
 
+def test_windowed_agg_operators_prune_props_at_scan(spark, events_dir):
+    """r14 (r13 verdict #9): the JVM half of the §4.3 boundary audit.
+    The stateful (Python) operators need an explicit pre-projection
+    (test above) because Catalyst cannot prune into a pandas function;
+    the JVM windowed-agg operators rely on Catalyst pruning instead —
+    this pins that the pruning actually reaches the file source: the
+    EXECUTED micro-batch plan's scan ReadSchema must not carry the
+    wide unused `props` string. (A streaming frame's optimizedPlan()
+    is not accessible pre-execution, so each operator drains one
+    availableNow batch and the last executed plan is inspected.)"""
+    from big_data_bowl_2026_analytics_spark.streaming.events import (
+        activity_lease_nets,
+        hourly_ams_sketch,
+        hourly_cms_grid,
+        hourly_distinct_users_hll,
+        hourly_minhash_signatures,
+        hourly_value_histogram,
+        rolling_distinct_users_hll,
+        slo_burn_windows,
+    )
+
+    ops = {
+        "hourly_agg": hourly_event_aggregates,
+        "sessions": session_aggregates,
+        "lease_nets": activity_lease_nets,
+        "hll": hourly_distinct_users_hll,
+        "cms": hourly_cms_grid,
+        "slo_burn": slo_burn_windows,
+        "rolling_hll": rolling_distinct_users_hll,
+        "histogram": hourly_value_histogram,
+        "minhash": hourly_minhash_signatures,
+        "ams": hourly_ams_sketch,
+    }
+    for name, op in ops.items():
+        out = op(read_events_stream(spark, events_dir))
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"prune_{name}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(False)
+        scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert scans, (name, plan)
+        for ln in scans:
+            assert "props" not in ln, (name, ln)
+
+
 def test_transform_with_state_plan_constructs(spark, events_dir):
     """Plan-level check that always runs: the transformWithState
     operator analyzes against a streaming source and declares the
