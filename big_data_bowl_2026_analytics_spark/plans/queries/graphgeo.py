@@ -1262,12 +1262,16 @@ def q299_bradley_terry_strength(
         # broadcast, once when w's checkpoint materializes (guide §1.2
         # "don't compute things you throw away").
         raw = raw.localCheckpoint(eager=False)
-        # r13 optimization: raw holds exactly ONE row per player
-        # (groupBy i over the inner player join), so |players| is
-        # count(*) of the SAME aggregate that computes z — one
-        # broadcast build per round instead of two, and w needs no
-        # checkpoint of its own (raw's barrier already bounds the
-        # lineage; si/sj re-derive the cheap projection from it).
+        # |players| is count(*) of the SAME aggregate that computes z,
+        # so zn is ONE aggregate (not separate z and n builds). NOTE
+        # (r13 ADVICE, comment corrected + variant measured): with w
+        # un-checkpointed, each consumer of w (the si broadcast, the
+        # sj broadcast, the final players join) re-runs the zn job
+        # over the checkpointed player-sized raw frame — 2-3 tiny
+        # jobs per round. Checkpointing w instead was MEASURED SLOWER
+        # (3.40 -> 3.83 s at sf0.1: one more materialization job per
+        # round costs more than the duplicate player-sized aggregates
+        # it removes), so the re-runs are the deliberate choice.
         zn = raw.agg(
             F.sum("s").alias("z"), F.count(F.lit(1)).alias("np")
         )
